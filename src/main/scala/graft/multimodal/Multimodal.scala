@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** [EXT] Multimodal columns: opaque binary payloads + typed metadata.
+  *
+  * The real pipeline shape: `binary` column (image/audio bytes) →
+  * `mapPartitions` feature extraction with a typed Encoder → relational
+  * post-processing. The media codecs are NOT in this container, so
+  * [[FakeCodec.decode]] is a clearly-marked deterministic stand-in; the
+  * Spark-side plumbing — binary column, case-class schema, partition-wise
+  * batch processing, join-ability of the output — is real and oracle-checked
+  * (the fake features are pure arithmetic over bytes, so DuckDB reproduces
+  * them from the text column).
+  *
+  * Scale notes (100 TB): payloads stay OUT of shuffle paths — features are
+  * extracted in the scan's partition (narrow), only the small typed feature
+  * rows move. Real decoders slot into [[FakeCodec.decode]] unchanged; batch
+  * shape (one partition iterator = one codec context) is the production
+  * pattern for model/codec reuse.
+  */
+object Multimodal {
+
+  /** Input: payload is the opaque media blob (here: UTF-8 bytes of `text`). */
+  final case class MMRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features: dimensions + a brightness-like statistic. */
+  final case class MMFeatures(
+      doc_id: Long, byte_len: Long, width: Long, height: Long, mean8: Double)
+
+  /** STUB CODEC — deterministic fake in place of a real image decoder
+    * (no media libraries in this container). Replace `decode` with e.g. a
+    * JPEG decode + resize; everything around it is production plumbing. */
+  object FakeCodec {
+    def decode(r: MMRecord): MMFeatures = {
+      val len = r.payload.length.toLong
+      val head = r.payload.take(8).map(_.toLong & 0xffL)
+      val mean8 = if (head.isEmpty) 0.0 else head.sum.toDouble / 8.0
+      MMFeatures(
+        doc_id = r.doc_id,
+        byte_len = len,
+        width = 1L + len % 64L,
+        height = 1L + r.doc_id % 48L,
+        mean8 = mean8)
+    }
+  }
+
+  /** Binary-payload decode via typed mapPartitions (one codec per partition). */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[MMFeatures] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        // per-partition codec context would be initialized here
+        it.map(FakeCodec.decode)
+      }
+  }
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "mm_decode",
+      (s, dir) => decodeFeatures(s, dir).toDF().orderBy("doc_id"),
+      // Fake-decode arithmetic reproduced over the text column (ASCII ⇒
+      // byte i == ascii(char i); sum/8.0 is exact in binary — no rounding).
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS byte_len,
+             |  1 + length(text) % 64 AS width,
+             |  1 + doc_id % 48 AS height,
+             |  CAST(ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1))
+             |   + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1))
+             |   + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) AS DOUBLE) / 8.0 AS mean8
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

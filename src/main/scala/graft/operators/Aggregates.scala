@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregations.
+  *
+  * Scale notes (100 TB): every query here is a hash aggregate with map-side
+  * partial aggregation — Spark's HashAggregateExec emits partial aggregates
+  * before the shuffle, so shuffle volume is O(groups × partitions), not
+  * O(rows). Group-by keys are low-cardinality (returnflag × linestatus,
+  * event_type, custkey), so the final exchange is tiny at any scale.
+  * Double-typed outputs are rounded at a scale where the rounding grid is
+  * several orders of magnitude above FP merge-order noise (SURVEY §7.4).
+  */
+object Aggregates {
+
+  val defs: Seq[QDef] = Seq(
+
+    // TPC-H Q1 shape: the flagship aggregate.
+    QDef(
+      "agg_hash",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2000-06-01 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            rnd(sum("l_quantity"), 2).as("sum_qty"),
+            rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+            rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            rnd(avg("l_quantity"), 4).as("avg_qty"),
+            rnd(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+             |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+             |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+             |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+             |  floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // count(DISTINCT) per group — Spark expands to a two-phase distinct agg.
+    QDef(
+      "agg_distinct",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL approximate distinct: declared WITHOUT an oracle (approx ≠ exact;
+    // SURVEY §2.4). Rows-only check by the driver.
+    QDef(
+      "agg_approx_distinct",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    // Statistical aggregates — the lightcurve "variability features" analogue
+    // (stddev/variance of a value series per object).
+    QDef(
+      "agg_stats",
+      (s, dir) => {
+        T.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            rnd(stddev_samp(col("value")), 4).as("sd_value"),
+            rnd(var_samp(col("value")), 4).as("var_value"),
+            rnd(min(col("value")), 4).as("min_value"),
+            rnd(max(col("value")), 4).as("max_value"),
+            rnd(avg(col("value")), 4).as("avg_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  floor((stddev_samp(value)) * 1e4 + 0.5) / 1e4 AS sd_value,
+             |  floor((var_samp(value)) * 1e4 + 0.5) / 1e4 AS var_value,
+             |  floor((min(value)) * 1e4 + 0.5) / 1e4 AS min_value,
+             |  floor((max(value)) * 1e4 + 0.5) / 1e4 AS max_value,
+             |  floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ROLLUP: multi-level totals. Grouping keys become NULL at the
+    // super-aggregate levels → null ordering pinned explicitly (SURVEY §5.3).
+    QDef(
+      "agg_grouping_sets",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(rnd(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Light-curve assembly [PK]: per-object time-ordered series, flattened to
+    // a canonical string so the compare never depends on nested-parquet
+    // encodings (SURVEY §7.4). array_sort on struct(ts, event_id) gives the
+    // total order; event_id breaks ts ties identically in both engines.
+    QDef(
+      "agg_collect_sorted",
+      (s, dir) => {
+        T.events(s, dir)
+          .groupBy("user_id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("ts"), col("event_id")))),
+                x => x.getField("event_id").cast("string")),
+              ",").as("curve"),
+            count(lit(1)).as("n_points"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  string_agg(event_id::VARCHAR, ',' ORDER BY ts, event_id) AS curve,
+             |  count(*) AS n_points
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // HAVING: post-aggregation filter.
+    QDef(
+      "agg_having",
+      (s, dir) => {
+        T.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            rnd(sum("o_totalprice"), 2).as("total_spent"))
+          .where(col("n_orders") > 10)
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_spent
+             |FROM orders GROUP BY o_custkey
+             |HAVING count(*) > 10 ORDER BY o_custkey""".stripMargin))
+  )
+}

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** §2.9 [EXT] Deduplication family: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup (the last lives in
+  * [[Similarity]]'s machinery — `dedup_embed`).
+  *
+  * All signatures are pure integer arithmetic over a deterministic token
+  * dictionary (dense ids from sorted distinct tokens), NOT engine hash
+  * functions — Spark's `hash()` and DuckDB's `hash()` differ, arithmetic
+  * doesn't (SURVEY §2.9).
+  *
+  * Scale notes (100 TB):
+  *  - `dedup_exact` is a hash groupBy on a computed key — one shuffle,
+  *    map-side partial counts.
+  *  - `dedup_minhash` is the linear-shuffle LSH shape: explode shingles →
+  *    6 min-aggregates per doc (one shuffle on doc_id) → band self-join on
+  *    signature equality (shuffle on tiny band keys). Never O(n²) in docs;
+  *    candidate pairs only where a band collides.
+  *  - `dedup_simhash` is a single aggregation per doc (8 conditional sums);
+  *    near-dup clusters then group on the 8-bit signature.
+  *  - `dedup_ngram` (exact pairwise Jaccard) is intentionally restricted to
+  *    a bounded candidate set — at scale this exact pass runs AFTER LSH
+  *    pruning, never on the full corpus.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val V = 1024L       // token-id radix (vocab << 1024)
+
+  /** (doc_id, pos, tok) long form. */
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1L).cast("long").as("pos"), col("tok"))
+
+  /** Deterministic dense token dictionary. */
+  private def dict(t: DataFrame): DataFrame =
+    t.select("tok").distinct()
+      .withColumn("tok_id",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+
+  private val tokSql =
+    """SELECT doc_id,
+      |  unnest(string_split(text, ' ')) AS tok,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos
+      |FROM documents""".stripMargin
+
+  private val dictSql =
+    """SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+      |FROM (SELECT DISTINCT tok FROM tok)""".stripMargin
+
+  /** 3-token shingle value from dict ids: ((id1*V)+id2)*V+id3. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val t = tok(s, dir)
+    val d = dict(t)
+    val ids = t.join(broadcast(d), "tok").select(col("doc_id"), col("pos"), col("tok_id"))
+    val i1 = ids.select(col("doc_id"), col("pos"), col("tok_id").as("id1"))
+    val i2 = ids.select(col("doc_id"), (col("pos") - 1L).as("pos"), col("tok_id").as("id2"))
+    val i3 = ids.select(col("doc_id"), (col("pos") - 2L).as("pos"), col("tok_id").as("id3"))
+    i1.join(i2, Seq("doc_id", "pos")).join(i3, Seq("doc_id", "pos"))
+      .select(col("doc_id"),
+        ((col("id1") * V + col("id2")) * V + col("id3")).as("s"))
+  }
+
+  private val shingleSql =
+    s"""SELECT t1.doc_id,
+       |  ((d1.tok_id * $V + d2.tok_id) * $V + d3.tok_id) AS s
+       |FROM tok t1
+       |JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |JOIN dict d1 ON d1.tok = t1.tok
+       |JOIN dict d2 ON d2.tok = t2.tok
+       |JOIN dict d3 ON d3.tok = t3.tok""".stripMargin
+
+  // Six fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
+  private val hashParams = Seq(
+    (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 1L), (134775813L, 2531011L), (214013L, 2531011L))
+
+  private def minhashAgg(i: Int): Column = {
+    val (a, b) = hashParams(i)
+    min((col("s") * a + b) % P).as(s"h$i")
+  }
+
+  private def minhashAggSql(i: Int): String = {
+    val (a, b) = hashParams(i)
+    s"min((s * $a + $b) % $P) AS h$i"
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact dedup on a normalized key (first-5-token prefix — the fixtures
+    // have no byte-identical texts, SURVEY fixture note).
+    QDef(
+      "dedup_exact",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("norm", array_join(slice(split(col("text"), " "), 1, 5), " "))
+          .groupBy("norm")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+          .orderBy("norm"),
+      Some("""SELECT norm, count(*) AS n_docs, min(doc_id) AS keep_doc
+             |FROM (SELECT doc_id,
+             |        array_to_string(string_split(text, ' ')[1:5], ' ') AS norm
+             |      FROM documents)
+             |GROUP BY norm ORDER BY norm""".stripMargin)),
+
+    // MinHash + LSH: 6 minhashes per doc, 6 bands of 1 row → candidate
+    // pairs where any minhash collides.
+    QDef(
+      "dedup_minhash",
+      (s, dir) => {
+        val sig = shingles(s, dir).groupBy("doc_id")
+          .agg(minhashAgg(0), minhashAgg(1), minhashAgg(2),
+            minhashAgg(3), minhashAgg(4), minhashAgg(5))
+        val bands = (0 until 6).map { i =>
+          sig.select(col("doc_id"), lit(i).cast("long").as("band"), col(s"h$i").as("sig"))
+        }.reduce(_.unionAll(_))
+        val l = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
+        val r = bands.select(col("band"), col("sig"), col("doc_id").as("d2"))
+        l.join(r, Seq("band", "sig"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |sh AS ($shingleSql),
+              |sig AS (
+              |  SELECT doc_id, ${(0 until 6).map(minhashAggSql).mkString(", ")}
+              |  FROM sh GROUP BY doc_id),
+              |bands AS (
+              |  ${(0 until 6).map(i =>
+                   s"SELECT doc_id, CAST($i AS BIGINT) AS band, h$i AS sig FROM sig")
+                   .mkString("\n  UNION ALL\n  ")}),
+              |pairs AS (
+              |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+              |  FROM bands l JOIN bands r
+              |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)
+              |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)),
+
+    // SimHash: 8-bit signature from per-token hashes h = (tok_id * KNUTH)
+    // % 2^16; bit j weight = Σ ±1; signature bit j set iff weight > 0.
+    QDef(
+      "dedup_simhash",
+      (s, dir) => {
+        val t = tok(s, dir)
+        val d = dict(t)
+        val h = t.join(broadcast(d), "tok")
+          .withColumn("h", (col("tok_id") * 2654435761L) % 65536L)
+        val weightCols = (0 until 8).map { j =>
+          sum(when(shiftright(col("h"), j) % 2L === 1L, 1L).otherwise(-1L)).as(s"w$j")
+        }
+        val weights = h.groupBy("doc_id").agg(weightCols.head, weightCols.tail: _*)
+        weights.select(
+          col("doc_id"),
+          (0 until 8).map { j =>
+            when(col(s"w$j") > 0L, 1L << j).otherwise(0L)
+          }.reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |h AS (
+              |  SELECT t.doc_id, (d.tok_id * 2654435761) % 65536 AS h
+              |  FROM tok t JOIN dict d USING (tok)),
+              |w AS (
+              |  SELECT doc_id,
+              |    ${(0 until 8).map(j =>
+                   s"CAST(sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w$j")
+                   .mkString(", ")}
+              |  FROM h GROUP BY doc_id)
+              |SELECT doc_id,
+              |  CAST(${(0 until 8).map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)")
+                   .mkString(" + ")} AS BIGINT) AS simhash
+              |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard: exact pairwise similarity over 3-shingle SETS for a
+    // bounded candidate population (doc_id < 100). inter/union arithmetic.
+    QDef(
+      "dedup_ngram",
+      (s, dir) => {
+        val sh = shingles(s, dir).where(col("doc_id") < 100L).distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val l = sh.select(col("doc_id").as("d1"), col("s"))
+        val r = sh.select(col("doc_id").as("d2"), col("s"))
+        val inter = l.join(r, "s").where(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .select(col("d1"), col("d2"),
+            rnd(col("inter").cast("double") /
+              (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+          .where(col("jaccard") >= 0.01)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |sh0 AS ($shingleSql),
+              |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE doc_id < 100),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT l.doc_id AS d1, r.doc_id AS d2, count(*) AS inter
+              |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+              |  GROUP BY l.doc_id, r.doc_id)
+              |SELECT d1, d2,
+              |  floor((CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = d1
+              |JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE floor((CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 >= 0.01
+              |ORDER BY d1, d2""".stripMargin))
+  )
+}

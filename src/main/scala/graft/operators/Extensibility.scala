@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.{Magnitude, WeightedMean}
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+
+/** §2.11 UDF / UDAF / UDTF surface.
+  *
+  *  - `udf_scalar`: a REAL custom Catalyst expression ([[Magnitude]], with
+  *    codegen) registered into the function registry — not an opaque Scala
+  *    UDF — so the plan stays inside WholeStageCodegen. Oracle mirrors the
+  *    arithmetic.
+  *  - `udaf_typed`: typed [[WeightedMean]] `Aggregator` via `functions.udaf`.
+  *  - `udtf_gen`: row→many generation via the built-in `explode` Generator
+  *    (SURVEY §2.11: no custom Generator needed for tokenizing).
+  */
+object Extensibility {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef(
+      "udf_scalar",
+      (s, dir) => {
+        Magnitude.register(s)
+        T.events(s, dir)
+          .select(col("event_id"),
+            rnd(expr("graft_mag(value)"), 6).as("mag"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, floor((-2.5 * log10(value) + 25.0) * 1e6 + 0.5) / 1e6 AS mag
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QDef(
+      "udaf_typed",
+      (s, dir) => {
+        val wm = udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+        T.events(s, dir)
+          .withColumn("w",
+            get_json_object(col("props"), "$.k").cast("double") + 1.0)
+          .groupBy("event_type")
+          .agg(rnd(wm(col("value"), col("w")), 4).as("wmean"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  floor((sum(value * w) / sum(w)) * 1e4 + 0.5) / 1e4 AS wmean,
+             |  count(*) AS n
+             |FROM (SELECT *,
+             |        CAST(json_extract_string(props, '$.k') AS DOUBLE) + 1.0 AS w
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef(
+      "udtf_gen",
+      (s, dir) =>
+        T.documents(s, dir)
+          .where(col("doc_id") < 50L)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .orderBy("doc_id", "tok"),
+      Some("""SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id, tok""".stripMargin))
+  )
+}

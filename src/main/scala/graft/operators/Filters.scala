@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.2 Projection / filter / predicates. All row-level, totally ordered. */
+object Filters {
+
+  val defs: Seq[QDef] = Seq(
+
+    // Derived-column projection: the TPC-H net-price arithmetic. Pure
+    // per-row IEEE arithmetic evaluates identically in both engines;
+    // rounded anyway per SURVEY §7.4.
+    QDef(
+      "proj_expr",
+      (s, dir) =>
+        T.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            rnd(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax")), 4).as("net_price"),
+            rnd(col("l_extendedprice") * col("l_discount"), 4).as("disc_amount"))
+          .orderBy("l_orderkey", "l_linenumber", "net_price", "disc_amount"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1e4 + 0.5) / 1e4 AS net_price,
+             |  floor((l_extendedprice * l_discount) * 1e4 + 0.5) / 1e4 AS disc_amount
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, disc_amount""".stripMargin)),
+
+    // Conjunctive/disjunctive predicates: AND / OR / NOT / BETWEEN / IN / LIKE.
+    QDef(
+      "filter_conj",
+      (s, dir) =>
+        T.lineitem(s, dir)
+          .where(
+            col("l_returnflag").isin("A", "R") &&
+              col("l_quantity").between(10.0, 20.0) &&
+              !(col("l_discount") > 0.08) &&
+              col("l_linestatus").like("F%"))
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R')
+             |  AND l_quantity BETWEEN 10.0 AND 20.0
+             |  AND NOT (l_discount > 0.08)
+             |  AND l_linestatus LIKE 'F%'
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount""".stripMargin)),
+
+    // Null semantics: IS NULL / IS NOT NULL / null-safe equality.
+    // Fixtures are null-free, so nulls are manufactured with nullif.
+    QDef(
+      "filter_null",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("et", nullif(col("event_type"), lit("click")))
+          .where(col("et").isNull || col("et") <=> lit("error"))
+          .select(col("event_id"), col("et"),
+            col("et").isNotNull.as("has_type"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, et, et IS NOT NULL AS has_type
+             |FROM (SELECT event_id, nullif(event_type, 'click') AS et FROM events)
+             |WHERE et IS NULL OR et IS NOT DISTINCT FROM 'error'
+             |ORDER BY event_id""".stripMargin)),
+
+    // Timestamp range predicate [PK: epoch windowing] — half-open [t0, t1).
+    QDef(
+      "filter_range_ts",
+      (s, dir) =>
+        T.events(s, dir)
+          .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "event_type")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, ts, event_type FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+             |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 Joins.
+  *
+  * Scale notes (100 TB):
+  *  - Equi joins shuffle both sides on the key → sort-merge or shuffled-hash;
+  *    AQE re-plans to broadcast when a side turns out small.
+  *  - Dimension joins (`join_broadcast`) force `broadcast()` — region/nation
+  *    are O(KB) forever, the fact side never shuffles.
+  *  - The theta join keeps both inputs pre-filtered tiny so the unavoidable
+  *    nested-loop stays bounded regardless of fact-table growth.
+  *  - The range join uses the bucket-key idiom: a computed equi key (30-day
+  *    bucket, window spans at most 2 buckets) + residual predicate, so it is
+  *    a shuffle hash/SMJ join, never an O(n²) cross product. This is the same
+  *    shape a sky cross-match takes at scale (HEALPix cell = bucket).
+  *  - The as-of join is the union + running-`last` idiom: one shuffle on the
+  *    key, one sort — O(n log n), no candidate blow-up, the scalable form of
+  *    "nearest epoch at or before" matching.
+  */
+object Joins {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef(
+      "join_inner_eq",
+      (s, dir) => {
+        val o = T.orders(s, dir).where(col("o_totalprice") > 490000.0)
+        val c = T.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            rnd(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 490000.0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Left outer + aggregate: unmatched customers keep count 0 / total 0.
+    QDef(
+      "join_left",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir).where(col("o_totalprice") > 350000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            rnd(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("big_total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+             |  floor((coalesce(sum(o_totalprice), 0.0)) * 1e2 + 0.5) / 1e2 AS big_total
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // Right outer, row-level: unmatched right rows surface NULL left columns.
+    QDef(
+      "join_right",
+      (s, dir) => {
+        val o = T.orders(s, dir).where(col("o_totalprice") > 495000.0)
+        val c = T.customer(s, dir).where(col("c_acctbal") < -900.0)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, c_acctbal, o_orderkey
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 495000.0) o
+             |RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal < -900.0) c
+             |  ON o_custkey = c_custkey
+             |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // Full outer over two derived key sets; both null sides exercised.
+    QDef(
+      "join_full",
+      (s, dir) => {
+        val a = T.orders(s, dir).where(col("o_totalprice") > 480000.0)
+          .select(col("o_custkey").as("k")).distinct()
+        val b = T.customer(s, dir).where(col("c_acctbal") > 9900.0)
+          .select(col("c_custkey").as("k")).distinct()
+        a.join(b, a("k") === b("k"), "full")
+          .select(
+            coalesce(a("k"), b("k")).as("custkey"),
+            a("k").isNotNull.as("has_big_order"),
+            b("k").isNotNull.as("has_high_bal"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT coalesce(a.k, b.k) AS custkey,
+             |  a.k IS NOT NULL AS has_big_order,
+             |  b.k IS NOT NULL AS has_high_bal
+             |FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 480000.0) a
+             |FULL JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9900.0) b
+             |  ON a.k = b.k
+             |ORDER BY custkey""".stripMargin)),
+
+    // Left semi — EXISTS.
+    QDef(
+      "join_semi",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir).where(col("o_totalprice") > 490000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Left anti — NOT EXISTS.
+    QDef(
+      "join_anti",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir).where(col("o_totalprice") > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Broadcast dim joins: fact (customer) never shuffles; nation/region ship
+    // to every executor. The explicit broadcast() hint pins the plan at any SF.
+    QDef(
+      "join_broadcast",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val n = T.nation(s, dir)
+        val r = T.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            rnd(sum("c_acctbal"), 2).as("total_bal"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_customers, floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS total_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Pure theta (inequality-only) join; inputs pre-filtered tiny so the
+    // BroadcastNestedLoop stays bounded at every scale factor.
+    QDef(
+      "join_theta",
+      (s, dir) => {
+        val sup = T.supplier(s, dir).where(col("s_acctbal") > 9500.0)
+        val cust = T.customer(s, dir).where(col("c_acctbal") > 9500.0)
+        sup.join(cust, sup("s_acctbal") < cust("c_acctbal"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_richer_customers"),
+            rnd(max("c_acctbal"), 2).as("max_cust_bal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_richer_customers,
+             |  floor((max(c_acctbal)) * 1e2 + 0.5) / 1e2 AS max_cust_bal
+             |FROM (SELECT * FROM supplier WHERE s_acctbal > 9500.0) s
+             |JOIN (SELECT * FROM customer WHERE c_acctbal > 9500.0) c
+             |  ON s.s_acctbal < c.c_acctbal
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // Range/interval join via the bucket-key idiom (sky cross-match analogue).
+    // Events are mapped onto the order-date domain deterministically; each
+    // order window [d0, d0+30) covers ≤ 2 30-day buckets, so the join is an
+    // equi join on bucket + residual predicate — no nested loop at any scale.
+    QDef(
+      "join_range",
+      (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val e = T.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"),
+            date_add(lit("1995-01-01").cast("date"),
+              (col("event_id") % 2000).cast("int")).as("e_date"))
+          .withColumn("e_day", datediff(col("e_date"), epoch))
+          .withColumn("bucket", floor(col("e_day") / 30))
+        val o = T.orders(s, dir)
+          .where(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d0"))
+          .withColumn("d0_day", datediff(col("d0"), epoch))
+          .withColumn("bucket",
+            explode(array_distinct(array(
+              floor(col("d0_day") / 30),
+              floor((col("d0_day") + lit(29)) / 30)))))
+        e.join(o, Seq("bucket"))
+          .where(col("e_day") >= col("d0_day") && col("e_day") < col("d0_day") + 30)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_events_in_window"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2000 AS INT) AS e_date
+             |  FROM events WHERE event_type = 'purchase'),
+             |o AS (
+             |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+             |  FROM orders WHERE o_totalprice > 450000.0)
+             |SELECT o_orderkey, count(*) AS n_events_in_window
+             |FROM e JOIN o ON e.e_date >= o.d0 AND e.e_date < o.d0 + 30
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // As-of join [PK: nearest-epoch match] via union + running last():
+    // one shuffle on the key, one sort; per event, the latest order
+    // (max (date, orderkey)) at or before the event's mapped date.
+    QDef(
+      "join_asof",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(
+            (col("user_id") % 50).as("k"),
+            date_add(lit("1995-01-01").cast("date"),
+              (col("event_id") % 2000).cast("int")).as("d"),
+            col("event_id"),
+            lit(null).cast("long").as("o_orderkey"),
+            lit(1).as("tag"))
+        val o = T.orders(s, dir)
+          .select(
+            (col("o_custkey") % 50).as("k"),
+            col("o_orderdate").cast("date").as("d"),
+            lit(null).cast("long").as("event_id"),
+            col("o_orderkey"),
+            lit(0).as("tag"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("d").asc, col("tag").asc, col("o_orderkey").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .where(col("tag") === 1 && col("asof_orderkey").isNotNull)
+          .select("event_id", "asof_orderkey")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id % 50 AS k,
+             |    DATE '1995-01-01' + CAST(event_id % 2000 AS INT) AS d
+             |  FROM events WHERE event_type = 'purchase'),
+             |o AS (
+             |  SELECT o_orderkey, o_custkey % 50 AS k, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders),
+             |c AS (
+             |  SELECT e.event_id, o.o_orderkey,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.d DESC, o.o_orderkey DESC) AS rn
+             |  FROM e JOIN o ON e.k = o.k AND o.d <= e.d)
+             |SELECT event_id, o_orderkey AS asof_orderkey
+             |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Bounded cartesian of the two tiny dims.
+    QDef(
+      "join_cross",
+      (s, dir) =>
+        T.region(s, dir).crossJoin(T.nation(s, dir))
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin))
+  )
+}

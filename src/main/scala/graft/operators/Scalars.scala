@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.8 Scalar function suites. Row-level, totally ordered, every
+  * dialect-divergent function pinned per SURVEY §5.3:
+  *   - natural log: Spark `log` ≡ DuckDB `ln` (DuckDB `log` is log10!)
+  *   - floor/ceil: Spark returns BIGINT, DuckDB DOUBLE → explicit CAST both
+  *   - double→int cast: Spark truncates, DuckDB rounds → trunc() in oracle
+  *   - datediff: Spark (end, start) ≡ DuckDB ('day', start, end)
+  */
+object Scalars {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef(
+      "fn_string",
+      (s, dir) =>
+        T.part(s, dir)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            lower(col("p_brand")).as("lo"),
+            substring(col("p_name"), 1, 3).as("pre3"),
+            length(col("p_name")).cast("long").as("len"),
+            trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+            regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+            size(split(col("p_name"), " ")).cast("long").as("n_words"),
+            regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+            col("p_name").like("%red%").as("is_red"),
+            concat_ws("-", col("p_name"), col("p_brand")).as("tagged"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up,
+             |  lower(p_brand) AS lo,
+             |  substr(p_name, 1, 3) AS pre3,
+             |  length(p_name) AS len,
+             |  trim('  ' || p_name || '  ') AS trimmed,
+             |  replace(p_name, ' ', '_') AS snake,
+             |  len(string_split(p_name, ' ')) AS n_words,
+             |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             |  p_name LIKE '%red%' AS is_red,
+             |  p_name || '-' || p_brand AS tagged
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QDef(
+      "fn_date",
+      (s, dir) =>
+        T.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            unix_timestamp(col("o_orderdate")).as("epoch_sec"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y,
+             |  month(o_orderdate) AS m,
+             |  day(o_orderdate) AS d,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
+             |  strftime(o_orderdate, '%Y-%m') AS ym,
+             |  make_date(year(o_orderdate), 1, 1) AS year_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QDef(
+      "fn_math",
+      (s, dir) =>
+        T.customer(s, dir)
+          .select(
+            col("c_custkey"),
+            rnd(abs(col("c_acctbal")), 2).as("abs_bal"),
+            rnd(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
+            pow(lit(2.0), (col("c_custkey") % 10).cast("double")).as("pow2"),
+            floor(col("c_acctbal")).cast("long").as("flr"),
+            ceil(col("c_acctbal")).cast("long").as("cl"),
+            signum(col("c_acctbal")).cast("int").as("sgn"),
+            (col("c_custkey") % 7).as("m7"),
+            rnd(log(abs(col("c_acctbal")) + 1.0), 6).as("ln_bal"),
+            rnd(log10(abs(col("c_acctbal")) + 1.0), 6).as("log10_bal"),
+            rnd(exp(col("c_acctbal") / 10000.0), 6).as("exp_bal"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  floor((abs(c_acctbal)) * 1e2 + 0.5) / 1e2 AS abs_bal,
+             |  floor((sqrt(abs(c_acctbal))) * 1e6 + 0.5) / 1e6 AS sqrt_bal,
+             |  pow(2.0, CAST(c_custkey % 10 AS DOUBLE)) AS pow2,
+             |  CAST(floor(c_acctbal) AS BIGINT) AS flr,
+             |  CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+             |  CAST(sign(c_acctbal) AS INT) AS sgn,
+             |  c_custkey % 7 AS m7,
+             |  floor((ln(abs(c_acctbal) + 1.0)) * 1e6 + 0.5) / 1e6 AS ln_bal,
+             |  floor((log10(abs(c_acctbal) + 1.0)) * 1e6 + 0.5) / 1e6 AS log10_bal,
+             |  floor((exp(c_acctbal / 10000.0)) * 1e6 + 0.5) / 1e6 AS exp_bal
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QDef(
+      "fn_cond",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(
+            col("event_id"),
+            when(col("value") < 50.0, "low")
+              .when(col("value") < 200.0, "mid")
+              .otherwise("high").as("tier"),
+            coalesce(nullif(col("event_type"), lit("view")), lit("(none)")).as("et"),
+            rnd(greatest(col("value"), lit(100.0)), 4).as("hi"),
+            rnd(least(col("value"), lit(100.0)), 4).as("lo"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 50.0 THEN 'low'
+             |       WHEN value < 200.0 THEN 'mid'
+             |       ELSE 'high' END AS tier,
+             |  coalesce(nullif(event_type, 'view'), '(none)') AS et,
+             |  floor((greatest(value, 100.0)) * 1e4 + 0.5) / 1e4 AS hi,
+             |  floor((least(value, 100.0)) * 1e4 + 0.5) / 1e4 AS lo
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Array suite over the 64-dim embedding column. Elements are FLOAT →
+    // cast to DOUBLE before arithmetic in BOTH engines (float accumulation
+    // would diverge; SURVEY §7.4).
+    QDef(
+      "fn_array",
+      (s, dir) =>
+        T.embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            rnd(element_at(col("embedding"), 1).cast("double"), 6).as("head"),
+            rnd(element_at(col("embedding"), 64).cast("double"), 6).as("last"),
+            rnd(element_at(col("embedding"), 1).cast("double") +
+                element_at(col("embedding"), 2).cast("double") +
+                element_at(col("embedding"), 3).cast("double") +
+                element_at(col("embedding"), 4).cast("double"), 6).as("sum4"),
+            rnd(array_min(col("embedding")).cast("double"), 6).as("mn"),
+            rnd(array_max(col("embedding")).cast("double"), 6).as("mx"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  len(embedding) AS n_dims,
+             |  floor((CAST(embedding[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS head,
+             |  floor((CAST(embedding[64] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS last,
+             |  floor((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             |      + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sum4,
+             |  floor((CAST(list_min(embedding) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mn,
+             |  floor((CAST(list_max(embedding) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mx
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // JSON extraction from the semi-structured `props` column.
+    QDef(
+      "fn_map_json",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QDef(
+      "fn_cast",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(
+            col("event_id"),
+            col("event_id").cast("string").as("id_str"),
+            col("event_id").cast("string").cast("long").as("id_back"),
+            col("value").cast("int").as("v_int"),
+            col("ts").cast("date").as("ts_date"),
+            col("ts").cast("date").cast("string").as("date_str"),
+            (lit("123.5").cast("double") + rnd(col("value"), 2)).as("parsed_plus"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(event_id AS VARCHAR) AS id_str,
+             |  CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_back,
+             |  CAST(trunc(value) AS INT) AS v_int,
+             |  CAST(ts AS DATE) AS ts_date,
+             |  CAST(CAST(ts AS DATE) AS VARCHAR) AS date_str,
+             |  CAST('123.5' AS DOUBLE) + floor((value) * 1e2 + 0.5) / 1e2 AS parsed_plus
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

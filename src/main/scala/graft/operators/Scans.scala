@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 Scans / sources / sinks.
+  *
+  * Scale notes: parquet scans are the only data entry point (BASELINE.json:7).
+  * Catalyst pushes predicates into the scan (row-group skipping via min/max
+  * stats) and prunes columns down to the read schema — `scan_prune` exists to
+  * keep that guarantee observable in `.explain` (PushedFilters / ReadSchema).
+  * At 100 TB the same scans hit a partitioned lake and add partition pruning;
+  * nothing in the query code changes.
+  */
+object Scans {
+
+  private val eventJsonSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  val defs: Seq[QDef] = Seq(
+
+    // Full-table typed scan over the smallest dim (deterministic, ordered).
+    QDef(
+      "scan_parquet",
+      (s, dir) =>
+        T.nation(s, dir).orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // Projection + selective predicate: both must reach the parquet reader
+    // (column pruning + predicate pushdown). Total-ordered output.
+    QDef(
+      "scan_prune",
+      (s, dir) =>
+        T.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+          .where(col("l_quantity") < 3.0)
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+             |FROM lineitem WHERE l_quantity < 3.0
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin)),
+
+    // Schema-applied JSON ingestion: events → JSON lines → schema'd read back
+    // (spark.read.schema(...).json over a Dataset[String] — the real reader
+    // code path, no temp files), then an aggregate proving lossless round-trip.
+    QDef(
+      "scan_csv_json",
+      (s, dir) => {
+        val jsonLines = T.events(s, dir)
+          .select("event_id", "event_type", "value")
+          .toJSON
+        s.read.schema(eventJsonSchema).json(jsonLines)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), rnd(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Parquet sink: write → read-back → aggregate. Exercises the writer path
+    // inside the query itself (the harness additionally writes every result
+    // via Verify). Deterministic single file, then a count by key.
+    QDef(
+      "sink_parquet",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+        T.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+  )
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** §2.9 [EXT] Embedding similarity search over `embeddings` (64-dim FLOAT).
+  *
+  * All arithmetic is done after casting to DOUBLE (float accumulation order
+  * would diverge between engines; double FP noise is ~1e-16 against a 1e-6
+  * rounding grid, so order differences are harmless — SURVEY §7.4).
+  *
+  * Scale notes (100 TB):
+  *  - `sim_cosine`/`sim_knn_topk` broadcast the probe set (always small) and
+  *    stream the corpus once — no shuffle of the big side; top-k per probe is
+  *    a partial-aggregating window.
+  *  - `sim_ann_lsh` is the scale path: random-hyperplane signatures bucket
+  *    the corpus (one narrow shuffle on the bucket id); probes only scan
+  *    their own bucket — the brute-force pass becomes a per-bucket join.
+  *    The same layout pre-computed+bucketed-on-disk turns ANN lookups into
+  *    partition-pruned scans.
+  *  - `dedup_embed` bounds its pairwise pass to a candidate subset, the
+  *    post-LSH shape of embedding near-dup detection.
+  */
+object Similarity {
+
+  /** Embedding cast FLOAT[] → DOUBLE[]. */
+  private def emb(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-order dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB-side cosine via list_dot_product on DOUBLE[] casts. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val probeSql =
+    "SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5"
+  private val corpusSql =
+    "SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings"
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir).where(col("vec_id") < 5L)
+      .select(col("vec_id").as("probe_id"), emb(col("embedding")).as("pe"))
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), emb(col("embedding")).as("ce"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // Brute-force cosine: probe set × corpus, probe side broadcast.
+    QDef(
+      "sim_cosine",
+      (s, dir) =>
+        corpus(s, dir)
+          .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            rnd(cosine(col("pe"), col("ce")), 6).as("cos"))
+          .orderBy("probe_id", "vec_id"),
+      Some(s"""WITH p AS ($probeSql), c AS ($corpusSql)
+              |SELECT probe_id, vec_id, floor((${cosSql("pe", "ce")}) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM c JOIN p ON probe_id <> vec_id
+              |ORDER BY probe_id, vec_id""".stripMargin)),
+
+    // Top-10 nearest neighbors per probe (rank on raw cosine, vec_id ties).
+    QDef(
+      "sim_knn_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        corpus(s, dir)
+          .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"), col("label"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 10L)
+          .select(col("probe_id"), col("vec_id"), col("label"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH p AS ($probeSql), c AS ($corpusSql),
+              |scored AS (
+              |  SELECT probe_id, vec_id, label, ${cosSql("pe", "ce")} AS raw
+              |  FROM c JOIN p ON probe_id <> vec_id),
+              |ranked AS (
+              |  SELECT probe_id, vec_id, label, raw,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY raw DESC, vec_id ASC) AS rank
+              |  FROM scored)
+              |SELECT probe_id, vec_id, label, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+              |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin)),
+
+    // ANN scale path: 4 fixed pseudo-random hyperplanes → 4-bit bucket;
+    // probes compare only against their own bucket, then top-3 per probe.
+    // Plane j component i = ((j*64+i)*2654435761 % 1000)/1000 - 0.5 —
+    // deterministic, identical in both engines.
+    QDef(
+      "sim_ann_lsh",
+      (s, dir) => {
+        val planes = (0 until 4).map { j =>
+          transform(sequence(lit(0), lit(63)),
+            i => ((i + lit(j * 64)) * 2654435761L % 1000L).cast("double") / 1000.0 - 0.5)
+        }
+        def bucketOf(e: Column): Column =
+          (0 until 4).map { j =>
+            when(dot(e, planes(j)) > 0.0, 1L << j).otherwise(0L)
+          }.reduce(_ + _)
+        val c = corpus(s, dir).withColumn("bucket", bucketOf(col("ce")))
+        val p = probes(s, dir).withColumn("bucket", bucketOf(col("pe")))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        c.join(broadcast(p), Seq("bucket"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("probe_id"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH planes AS (
+              |  SELECT j, list_transform(generate_series(0, 63),
+              |    i -> CAST((i + j * 64) * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5) AS plane
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
+              |c AS (SELECT vec_id, ce, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(ce, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+              |  FROM ($corpusSql)),
+              |p AS (SELECT probe_id, pe, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(pe, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+              |  FROM ($probeSql)),
+              |scored AS (
+              |  SELECT probe_id, vec_id, ${cosSql("pe", "ce")} AS raw
+              |  FROM c JOIN p ON c.bucket = p.bucket AND probe_id <> vec_id),
+              |ranked AS (
+              |  SELECT probe_id, vec_id, raw,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY raw DESC, vec_id ASC) AS rank
+              |  FROM scored)
+              |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
+
+    // Embedding-cosine near-dup: top-20 most similar pairs in a bounded
+    // candidate set (post-LSH shape; see scaladoc).
+    QDef(
+      "dedup_embed",
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 100L)
+          .select(col("vec_id"), emb(col("embedding")).as("e"))
+        val l = e.select(col("vec_id").as("d1"), col("e").as("e1"))
+        val r = e.select(col("vec_id").as("d2"), col("e").as("e2"))
+        l.join(r, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            rnd(cosine(col("e1"), col("e2")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+          .limit(20)
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100),
+              |pairs AS (
+              |  SELECT l.vec_id AS d1, r.vec_id AS d2, floor((${cosSql("l.e", "r.e")}) * 1e6 + 0.5) / 1e6 AS cos
+              |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+              |SELECT d1, d2, cos FROM pairs
+              |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin)),
+
+    // Multimodal column join: docs ⋈ embeddings, text + vector + label.
+    QDef(
+      "multimodal_join",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val e = T.embeddings(s, dir)
+        d.join(e, d("doc_id") === e("vec_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            rnd(element_at(col("embedding"), 1).cast("double"), 6).as("e_head"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, label,
+             |  len(embedding) AS n_dims,
+             |  floor((CAST(embedding[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS e_head
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.10 Structured-Streaming operators, declared in their batch-equivalent
+  * form (streaming results cannot hash-match a DuckDB oracle; the *semantics*
+  * are oracle-checked here in batch, the *streaming execution* of the same
+  * expressions is exercised by `graft.streaming.StreamRunner` and its
+  * ScalaTest suite — SURVEY §2.10 strategy).
+  *
+  * The `window(ts, ...)` / sessionization expressions below are the exact
+  * expressions the streaming variants run; batch and stream share the plan
+  * fragments, so the two cannot drift.
+  */
+object StreamingOps {
+
+  private def cents = rnd(col("value") * 100.0, 0).cast("long")
+
+  val defs: Seq[QDef] = Seq(
+
+    // Tumbling 1-hour window × event_type (same expr batch & stream).
+    QDef(
+      "stream_tumbling",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("cents", cents)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+            col("sum_cents"))
+          .orderBy("win_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor((value * 100.0) * 1e0 + 0.5) / 1e0 AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // Sliding 1-hour window every 15 minutes: each event lands in 4 windows.
+    QDef(
+      "stream_sliding",
+      (s, dir) =>
+        T.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("win_start"), col("n"))
+          .orderBy("win_start"),
+      Some("""SELECT win_start, count(*) AS n FROM (
+             |  SELECT TIMESTAMP '1970-01-01 00:00:00' +
+             |    (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900) * INTERVAL '1 second'
+             |      AS win_start, ts
+             |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+             |WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+             |GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // Session windows: 30-minute-gap sessionization per user. Batch form =
+    // lag-gap flag + running sum (ANSI in both engines); the streaming form
+    // is session_window(ts, '30 minutes') over the same column.
+    QDef(
+      "stream_session",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("new_sess",
+            when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800L, 1L)
+              .when(lag(col("sec"), 1).over(byUser).isNull, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(run))
+          .groupBy("user_id", "sess_id")
+          .agg(min("sec").as("sess_start_sec"), max("sec").as("sess_end_sec"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("sess_id"),
+            col("sess_start_sec"),
+            (col("sess_end_sec") - col("sess_start_sec")).as("dur_sec"),
+            col("n_events"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, sec,
+             |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+             |         WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sess AS (
+             |  SELECT user_id, sec,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, sess_id,
+             |  min(sec) AS sess_start_sec,
+             |  max(sec) - min(sec) AS dur_sec,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin)),
+
+    // Stateful dedup, batch form: first event per (user_id, event_type) —
+    // the semantics dropDuplicatesWithinWatermark enforces incrementally.
+    QDef(
+      "stream_stateful_dedup",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+             |  SELECT user_id, event_type, event_id, ts,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streaming-only semantics: real Structured Streaming runs (file replay
+    // source → watermark/foreachBatch → sink), no DuckDB oracle (driver
+    // rows-only check). See graft.streaming.StreamRunner.
+    QDef(
+      "stream_watermark",
+      (s, dir) => graft.streaming.StreamRunner.tumblingWithWatermark(s, dir),
+      None),
+
+    QDef(
+      "stream_foreachbatch",
+      (s, dir) => graft.streaming.StreamRunner.foreachBatchUpsert(s, dir),
+      None)
+  )
+}

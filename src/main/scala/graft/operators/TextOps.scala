@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** §2.9 [EXT] Text analysis over `documents` — the operators a large-scale
+  * training-data pipeline runs before anything else: token counting, term
+  * frequency, language ID, quality scoring, order-sensitive fingerprinting.
+  *
+  * Scale notes: everything tokenizes via `split` + `explode`/higher-order
+  * functions (codegen'd, no UDFs). The explode-heavy queries (`text_tf`) are
+  * linear in corpus token count and aggregate with map-side partials; at
+  * 100 TB documents would be partitioned by (source, lang) so per-group
+  * aggregates stay co-located.
+  */
+object TextOps {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Long-form (doc_id, pos BIGINT 1-based, tok) — positions are needed by
+    * the order-sensitive fingerprint; DuckDB mirrors with generate_subscripts. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1L).cast("long").as("pos"), col("tok"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // Corpus statistics per language.
+    QDef(
+      "text_stats",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("n_tok", size(tokens).cast("long"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            rnd(avg(col("n_tok")), 4).as("avg_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            rnd(avg(length(col("text"))), 4).as("avg_len"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  floor((avg(len(string_split(text, ' ')))) * 1e4 + 0.5) / 1e4 AS avg_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  floor((avg(length(text))) * 1e4 + 0.5) / 1e4 AS avg_len
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Term frequency: top-20 tokens over the corpus.
+    QDef(
+      "text_tf",
+      (s, dir) =>
+        T.documents(s, dir)
+          .select(explode(tokens).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(20),
+      Some("""SELECT tok, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin)),
+
+    // Token counting: whitespace split vs a BPE-ish regex segmentation
+    // ([a-z]+ runs | digit runs | single other chars).
+    QDef(
+      "text_tokens",
+      (s, dir) =>
+        T.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(tokens).cast("long").as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long")
+              .as("re_tokens"),
+            length(col("text")).cast("long").as("n_char"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+             |  length(text) AS n_char
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: stopword-marker ratio over the token stream
+    // (n-gram-dictionary language ID reduced to its deterministic core).
+    QDef(
+      "text_langid",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .select(
+            col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(filter(col("toks"), t => t === "the" || t === "a"))
+              .cast("long").as("n_stop"))
+          .withColumn("stop_ratio",
+            rnd(col("n_stop").cast("double") / col("n_tok"), 6))
+          .withColumn("pred_lang",
+            when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_tok, n_stop,
+             |  floor((CAST(n_stop AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+             |  CASE WHEN floor((CAST(n_stop AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6 >= 0.08
+             |       THEN 'en' ELSE 'other' END AS pred_lang
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    len(list_filter(string_split(text, ' '),
+             |        t -> t = 'the' OR t = 'a')) AS n_stop
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / mean-token-length / stopword-share features
+    // combined into a bounded score.
+    QDef(
+      "text_quality",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .select(
+            col("doc_id"),
+            col("n_tok"),
+            rnd((length(col("text")).cast("double") - (col("n_tok") - 1L)) /
+              col("n_tok"), 6).as("mean_tok_len"),
+            (col("n_chars") >= 100L).as("long_enough"),
+            rnd(least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.5 +
+              least((length(col("text")).cast("double") - (col("n_tok") - 1L)) /
+                (col("n_tok") * 8.0), lit(1.0)) * 0.5, 6).as("quality"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tok,
+             |  floor(((CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok) * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+             |  n_chars >= 100 AS long_enough,
+             |  round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5 +
+             |        least((CAST(length(text) AS DOUBLE) - (n_tok - 1)) / (n_tok * 8.0), 1.0) * 0.5,
+             |        6) AS quality
+             |FROM (SELECT *, len(string_split(text, ' ')) AS n_tok FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Order-sensitive document fingerprint: token-dictionary ids (dense,
+    // deterministic: row_number over sorted distinct tokens) combined with a
+    // position-dependent weight 31^(pos % 8) — a rolling-hash analogue in
+    // pure integer arithmetic, identical in both engines.
+    QDef(
+      "text_fingerprint",
+      (s, dir) => {
+        val tok = tokenized(s, dir)
+        val dict = tok.select("tok").distinct()
+          .withColumn("tok_id",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+        val pw = Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+        val weight = (col("pos") - 1L) % 8L
+        tok.join(broadcast(dict), "tok")
+          .withColumn("w",
+            when(weight === 0L, pw(0)).when(weight === 1L, pw(1))
+              .when(weight === 2L, pw(2)).when(weight === 3L, pw(3))
+              .when(weight === 4L, pw(4)).when(weight === 5L, pw(5))
+              .when(weight === 6L, pw(6)).otherwise(pw(7)))
+          .groupBy("doc_id")
+          .agg(sum(col("tok_id") * col("w")).as("fingerprint"),
+            count(lit(1)).as("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |dict AS (
+             |  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id
+             |  FROM (SELECT DISTINCT tok FROM tok)),
+             |weighted AS (
+             |  SELECT t.doc_id,
+             |    d.tok_id * (CASE (t.pos - 1) % 8
+             |      WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791
+             |      WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681
+             |      ELSE 27512614111 END) AS term
+             |  FROM tok t JOIN dict d USING (tok))
+             |SELECT doc_id, CAST(sum(term) AS BIGINT) AS fingerprint, count(*) AS n_tok
+             |FROM weighted GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 Window functions + §2.6 sorts / limits.
+  *
+  * Determinism rules (SURVEY §2.5/§5.3): every window ORDER BY is
+  * total-ordered with `event_id` as tiebreaker; frames that sum doubles sum
+  * integer cents instead (DuckDB computes sliding frames with a segment tree,
+  * so FP addition order differs — integer sums are order-exempt).
+  */
+object Windows {
+
+  /** value → integer cents: exact, order-independent frame sums. */
+  private def cents = rnd(col("value") * 100.0, 0).cast("long")
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef(
+      "win_rank",
+      (s, dir) => {
+        val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val byType = Window.partitionBy("user_id").orderBy(col("event_type"))
+        T.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(byTime).cast("long").as("rn"),
+            rank().over(byType).cast("long").as("rnk"),
+            dense_rank().over(byType).cast("long").as("drnk"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+             |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Epoch-to-epoch delta [PK: Δmag between consecutive observations].
+    QDef(
+      "win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            rnd(col("value") - lag(col("value"), 1).over(w), 4).as("delta"),
+            lead(col("event_id"), 1).over(w).as("next_event"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  floor((value - lag(value, 1) OVER w) * 1e4 + 0.5) / 1e4 AS delta,
+             |  lead(event_id, 1) OVER w AS next_event
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ROWS frame: moving sum/avg over the last 4 observations (in cents).
+    QDef(
+      "win_frame_rows",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, 0)
+        T.events(s, dir)
+          .withColumn("cents", cents)
+          .select(col("event_id"), col("user_id"),
+            sum(col("cents")).over(w).as("mov_sum_cents"),
+            count(lit(1)).over(w).as("mov_n"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS mov_sum_cents,
+             |  count(*) OVER w AS mov_n
+             |FROM (SELECT *, CAST(floor((value * 100.0) * 1e0 + 0.5) / 1e0 AS BIGINT) AS cents FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // RANGE frame on epoch seconds [PK: time-windowed running stats] —
+    // running 1-hour sum per user.
+    QDef(
+      "win_frame_range",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-3600, 0)
+        T.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("cents", cents)
+          .select(col("event_id"), col("user_id"), col("sec"),
+            sum(col("cents")).over(w).as("hour_sum_cents"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, sec, CAST(sum(cents) OVER w AS BIGINT) AS hour_sum_cents
+             |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |        CAST(floor((value * 100.0) * 1e0 + 0.5) / 1e0 AS BIGINT) AS cents FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Top-K per group: top-3 orders per customer by price.
+    QDef(
+      "win_topk_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            rnd(col("o_totalprice"), 2).as("price"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, price, rn FROM (
+             |  SELECT o_custkey, o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Distribution functions over a total order.
+    QDef(
+      "win_ntile_cume",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        T.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            rnd(cume_dist().over(w), 6).as("cd"),
+            rnd(percent_rank().over(w), 6).as("pr"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |  ntile(4) OVER w AS quartile,
+             |  floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cd,
+             |  floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pr
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // §2.6 — multi-key sort with explicit null ordering (Spark and DuckDB
+    // disagree on ASC default null placement; pinned on both sides).
+    QDef(
+      "sort_multi",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("et", nullif(col("event_type"), lit("click")))
+          .select("event_id", "et", "value")
+          .orderBy(col("et").asc_nulls_first, col("value").desc, col("event_id").asc),
+      Some("""SELECT event_id, nullif(event_type, 'click') AS et, value
+             |FROM events
+             |ORDER BY et ASC NULLS FIRST, value DESC, event_id ASC""".stripMargin)),
+
+    // Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort
+    // materialization; each partition keeps k rows, driver merges).
+    QDef(
+      "topk_limit",
+      (s, dir) =>
+        T.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            rnd(col("l_extendedprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 1e2 + 0.5) / 1e2 AS price
+             |FROM lineitem
+             |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+             |LIMIT 100""".stripMargin))
+  )
+}
