@@ -1,0 +1,37 @@
+package graft
+
+/** Hash-match protection: results must be identical under different
+  * parallelism (partition-dependent ordering or FP-merge divergence would
+  * break the driver's compare — SURVEY §5.3 #3).
+  *
+  * A representative slice across the risk classes (double aggregation, window
+  * frames, nested-to-string flattening, LSH banding, top-k boundaries) — the
+  * full inventory runs under the Verify harness.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val risky = Seq(
+    "agg_hash", "agg_stats", "agg_collect_sorted", "win_frame_range",
+    "dedup_minhash", "sim_knn_topk", "dedup_embed", "topk_limit", "udaf_typed")
+
+  test("identical output under shuffle.partitions = 1 vs 7") {
+    risky.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a === b, s"$name diverges across partitioning")
+    }
+  }
+
+  test("repeat-run stability (same session, same config)") {
+    Seq("dedup_ngram", "win_ntile_cume", "join_asof").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a === b, s"$name not repeat-stable")
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Whole-inventory structural checks. Analysis (schema resolution) runs the
+  * full Catalyst analyzer on every declared query without executing — cheap
+  * and catches wiring/typo/type bugs across all ~70 queries. */
+class InventorySpec extends SparkSpec {
+
+  test("query names are unique and oracle keys ⊆ query keys") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("inventory covers every SURVEY §2 family") {
+    val names = SparkEntry.queries.keySet
+    val mustHave = Seq(
+      "scan_parquet", "scan_prune", "scan_csv_json", "sink_parquet",
+      "proj_expr", "filter_conj", "filter_null", "filter_range_ts",
+      "join_inner_eq", "join_left", "join_right", "join_full", "join_semi",
+      "join_anti", "join_broadcast", "join_theta", "join_range", "join_asof",
+      "join_cross",
+      "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_stats",
+      "agg_grouping_sets", "agg_collect_sorted", "agg_having",
+      "win_rank", "win_lag_lead", "win_frame_rows", "win_frame_range",
+      "win_topk_group", "win_ntile_cume", "sort_multi", "topk_limit",
+      "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+      "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map_json",
+      "fn_cast",
+      "text_stats", "text_tf", "text_tokens", "text_langid", "text_quality",
+      "text_fingerprint",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+      "dedup_embed",
+      "sim_cosine", "sim_knn_topk", "sim_ann_lsh", "multimodal_join",
+      "stream_tumbling", "stream_sliding", "stream_session",
+      "stream_stateful_dedup", "stream_watermark", "stream_foreachbatch",
+      "udf_scalar", "udaf_typed", "udtf_gen", "mm_decode")
+    val missing = mustHave.filterNot(names)
+    assert(missing.isEmpty, s"missing: $missing")
+  }
+
+  test("every batch query analyzes (schema resolves) against the fixtures") {
+    // Streaming queries execute on construction; skip them here (covered by
+    // StreamingSpec and the Verify harness).
+    val skip = Set("stream_watermark", "stream_foreachbatch", "sink_parquet")
+    SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
+      val schema = q.fn(spark, sf).schema // forces full analysis
+      assert(schema.nonEmpty, s"${q.name}: empty schema")
+      // Declared outputs stick to oracle-comparable types.
+      schema.fields.foreach { f =>
+        assert(
+          Seq(IntegerType, LongType, DoubleType, StringType, BooleanType,
+            TimestampType, TimestampNTZType, DateType, FloatType).contains(f.dataType) ||
+            f.dataType.isInstanceOf[ArrayType],
+          s"${q.name}.${f.name}: unexpected type ${f.dataType}")
+      }
+    }
+  }
+
+  test("no declared output column is FloatType or DecimalType (oracle parity)") {
+    val skip = Set("stream_watermark", "stream_foreachbatch", "sink_parquet")
+    SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
+      q.fn(spark, sf).schema.fields.foreach { f =>
+        assert(f.dataType != FloatType, s"${q.name}.${f.name} is FLOAT")
+        assert(!f.dataType.isInstanceOf[DecimalType],
+          s"${q.name}.${f.name} is DECIMAL (DuckDB comparisons drift)")
+      }
+    }
+  }
+
+  test("flagship entry returns rows at sf0.001 (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.Rnd.rnd
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Hand-computed expected results on tiny in-memory frames for the operators
+  * with nontrivial semantics (SURVEY §5.3 #1). */
+class OperatorSemanticsSpec extends SparkSpec {
+
+  private val s0 = TestSession.spark
+  import s0.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rnd: engine-portable rounding matches half-up on representable cases") {
+    val df = Seq(2.5, 3.5, 2.675, 33187.24395, -5.125).toDF("x")
+      .select(rnd(col("x"), 2).as("r2"), rnd(col("x"), 0).as("r0"),
+        rnd(col("x"), 4).as("r4"))
+    val rows = df.collect()
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(3.0, 4.0, 3.0, 33187.0, -5.0))
+    // binary-boundary case: floor(33187.24395*1e4+0.5) = 331872439 (the
+    // value is actually ...94999 in binary) — NOT BigDecimal's 33187.244
+    assert(rows(3).getDouble(2) === 33187.2439)
+  }
+
+  test("as-of join idiom: latest order at-or-before, orderkey tiebreak") {
+    val orders = Seq(
+      (1L, "2020-01-01", 100L), (1L, "2020-01-10", 101L),
+      (1L, "2020-01-10", 102L), (2L, "2020-06-01", 200L))
+      .toDF("k", "d", "o_orderkey")
+      .select(col("k"), col("d").cast("date").as("d"), col("o_orderkey"))
+    val events = Seq(
+      (1L, "2020-01-10", 9001L), // same-day: picks max orderkey 102
+      (1L, "2020-01-05", 9002L), // between: picks 100
+      (2L, "2020-05-31", 9003L), // before any order of k=2: null → dropped
+      (2L, "2020-07-01", 9004L)) // after: 200
+      .toDF("k", "d", "event_id")
+      .select(col("k"), col("d").cast("date").as("d"), col("event_id"))
+    val o = orders.select(col("k"), col("d"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), lit(0).as("tag"))
+    val e = events.select(col("k"), col("d"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey"), lit(1).as("tag"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("d").asc, col("tag").asc, col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val res = o.unionByName(e)
+      .withColumn("asof", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("asof").isNotNull)
+      .select("event_id", "asof").as[(Long, Long)].collect().toMap
+    assert(res === Map(9001L -> 102L, 9002L -> 100L, 9004L -> 200L))
+  }
+
+  test("range-join bucket idiom ≡ direct range predicate") {
+    val e = spark.range(0, 200).select((col("id") % 97).as("e_day"), col("id").as("eid"))
+    val o = spark.range(0, 20).select((col("id") * 7).as("d0_day"), col("id").as("oid"))
+    // direct (small-scale reference semantics)
+    val direct = e.crossJoin(o)
+      .where(col("e_day") >= col("d0_day") && col("e_day") < col("d0_day") + 30)
+      .groupBy("oid").count()
+    // bucketed (the scalable idiom used by join_range)
+    val eb = e.withColumn("bucket", floor(col("e_day") / 30))
+    val ob = o.withColumn("bucket",
+      explode(array_distinct(array(floor(col("d0_day") / 30),
+        floor((col("d0_day") + lit(29)) / 30)))))
+    val bucketed = eb.join(ob, Seq("bucket"))
+      .where(col("e_day") >= col("d0_day") && col("e_day") < col("d0_day") + 30)
+      .groupBy("oid").count()
+    val d = direct.as[(Long, Long)].collect().toMap
+    val b = bucketed.as[(Long, Long)].collect().toMap
+    assert(b === d)
+  }
+
+  test("sessionization: 30-min gap splits sessions") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"),
+      (1L, "2024-01-01 01:00:00"), // 40min gap → new session
+      (2L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), unix_timestamp(col("t").cast("timestamp")).as("sec"),
+        monotonically_increasing_id().as("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = df
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800L, 1L)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "sess_id").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sess === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("minhash signature: identical docs collide, disjoint docs don't") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    // same shingle→min-hash pipeline shape as Dedup (one hash for brevity)
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val dict = tok.select("tok").distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("tok")).cast("long"))
+    val ids = tok.join(dict, "tok")
+    val sh = ids.alias("a")
+      .join(ids.alias("b"), expr("a.doc_id = b.doc_id AND b.pos = a.pos + 1"))
+      .join(ids.alias("c"), expr("a.doc_id = c.doc_id AND c.pos = a.pos + 2"))
+      .select(col("a.doc_id").as("doc_id"),
+        (col("a.tok_id") * 1024 * 1024 + col("b.tok_id") * 1024 + col("c.tok_id")).as("s"))
+    val sig = sh.groupBy("doc_id")
+      .agg(min((col("s") * 1103515245L + 12345L) % 2147483647L).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("cosine: known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 2.0), Array(2.0, 4.0), 1.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0)).toDF("a", "b", "expect")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val got = df.select(
+      rnd(dot(col("a"), col("b")) / (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b")))), 6)
+        .as("cos"), col("expect")).as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(c === e) }
+  }
+
+  test("weighted-mean aggregator matches arithmetic form") {
+    val wm = udaf(graft.functions.WeightedMean,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val df = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0)).toDF("v", "w")
+    val got = df.agg(wm(col("v"), col("w")).as("m")).as[Double].head()
+    assert(math.abs(got - 2.5) < 1e-12) // (1*1 + 3*3 + 0) / 4
+  }
+
+  test("magnitude expression: eval and codegen paths agree with formula") {
+    graft.functions.Magnitude.register(spark)
+    val df = Seq(100.0, 1.0, 0.01).toDF("flux")
+      .select(col("flux"), expr("graft_mag(flux)").as("mag"),
+        (lit(-2.5) * log10(col("flux")) + 25.0).as("expect"))
+    df.as[(Double, Double, Double)].collect().foreach { case (_, m, e) =>
+      assert(m === e)
+    }
+  }
+
+  test("simhash: identical docs get identical signatures") {
+    val q = SparkEntry.queries("dedup_simhash")
+    val out = q(spark, sf).limit(5).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 255L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Algebraic laws on generated data (SURVEY §5.3 #4). Seeded generation —
+  * deterministic across runs (no scalatestplus bridge in the offline cache,
+  * so generation is a seeded Random rather than ScalaCheck's runner).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val s0 = TestSession.spark
+  import s0.implicits._
+
+  private def cases(seed: Int): Seq[Seq[(Long, Double)]] = {
+    val rnd = new Random(seed)
+    (1 to 5).map { _ =>
+      Seq.fill(40)((rnd.nextInt(6).toLong, rnd.nextDouble() * 200 - 100))
+    }
+  }
+
+  test("groupBy count sums to total; distinct keys = group count") {
+    cases(1).foreach { xs =>
+      val df = xs.toDF("k", "v")
+      val grouped = df.groupBy("k").count()
+      assert(grouped.agg(sum("count")).as[Long].head() === xs.size.toLong)
+      assert(grouped.count() === xs.map(_._1).distinct.size.toLong)
+    }
+  }
+
+  test("unionAll count additivity; exceptAll(a,a) is empty") {
+    cases(2).foreach { xs =>
+      val df = xs.toDF("k", "v")
+      assert(df.unionAll(df).count() === 2L * xs.size)
+      assert(df.exceptAll(df).count() === 0L)
+    }
+  }
+
+  test("dedup (row_number=1) is idempotent and keeps distinct-key rows") {
+    import org.apache.spark.sql.expressions.Window
+    cases(3).foreach { xs =>
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val w = Window.partitionBy("k").orderBy("v", "id")
+      val once = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val twice = once.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      assert(once.count() === xs.map(_._1).distinct.size.toLong)
+      assert(twice.collect().toSet === once.collect().toSet)
+    }
+  }
+
+  test("lag∘lead identity: lead(lag(x)) == x on interior rows") {
+    import org.apache.spark.sql.expressions.Window
+    cases(4).foreach { xs =>
+      val df = xs.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val w = Window.orderBy("id")
+      val bad = df
+        .withColumn("rt", lead(lag(col("v"), 1).over(w), 1).over(w))
+        .where(col("rt").isNotNull && col("rt") =!= col("v"))
+      assert(bad.count() === 0L)
+    }
+  }
+
+  test("minhash law: min-hash over a shingle subset ≥ min-hash over superset") {
+    val rnd = new Random(5)
+    (1 to 3).foreach { _ =>
+      val base = Seq.fill(30)(rnd.nextInt(1000).toLong)
+      val sub = base.take(10)
+      def h(s: Long) = (s * 1103515245L + 12345L) % 2147483647L
+      assert(sub.map(h).min >= base.map(h).min)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** §2.10 streaming semantics under MemoryStream: watermark late-drop,
+  * batch ≡ stream parity for tumbling windows (SURVEY §5.3 #5). */
+class StreamingSpec extends SparkSpec {
+
+  private val s0 = TestSession.spark
+  import s0.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops events later than 1h behind max seen ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "et")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("et"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("et"), col("n"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    // batch 1: advance event time to 03:30 → watermark (post-batch) 02:30
+    mem.addData((ts("2024-01-01 00:10:00"), "a"), (ts("2024-01-01 03:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a 00:20 event is far behind the 02:30 watermark → dropped;
+    // window [00:00,01:00) is already closed and emitted with n=1
+    mem.addData((ts("2024-01-01 00:20:00"), "a"))
+    q.processAllAvailable()
+    val rows = spark.table("wm_test")
+      .select(col("ws"), col("n")).as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(rows(ts("2024-01-01 00:00:00")) === 1L,
+      "late event must NOT be counted into the closed window")
+  }
+
+  test("tumbling window: stream (complete mode) ≡ batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 00:10:00"), "a"), (ts("2024-01-01 00:50:00"), "b"),
+      (ts("2024-01-01 01:10:00"), "a"), (ts("2024-01-01 02:59:59"), "a"))
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "et")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("et"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("et"), col("n"))
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode("complete").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumble_test")
+      .as[(Timestamp, String, Long)].collect().toSet
+    q.stop()
+    val batch = data.toDF("ts", "et")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("et"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("et"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 1L),
+      (ts("2024-01-01 00:10:00"), 2L))
+    q.processAllAvailable()
+    val n = spark.table("dedup_test").count()
+    q.stop()
+    assert(n === 2L, "duplicate event_id within watermark must collapse")
+  }
+}
