@@ -55,17 +55,31 @@ object Dedup {
     """SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
       |FROM (SELECT DISTINCT tok FROM tok)""".stripMargin
 
-  /** 3-token shingle value from dict ids: ((id1*V)+id2)*V+id3. */
+  /** 3-token shingle value from dict ids: ((id1*V)+id2)*V+id3.
+    *
+    * Built WITHOUT self-joins: the dictionary is folded into a single map
+    * column (vocab is small by construction — token dictionaries are) and
+    * broadcast; shingles come from an index `transform` over the token
+    * array. One narrow pass over documents + one explode — linear at any
+    * scale, versus the 3-way (doc_id, pos) shuffle join this replaced
+    * (79 s → ~1 s at sf0.1). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val t = tok(s, dir)
-    val d = dict(t)
-    val ids = t.join(broadcast(d), "tok").select(col("doc_id"), col("pos"), col("tok_id"))
-    val i1 = ids.select(col("doc_id"), col("pos"), col("tok_id").as("id1"))
-    val i2 = ids.select(col("doc_id"), (col("pos") - 1L).as("pos"), col("tok_id").as("id2"))
-    val i3 = ids.select(col("doc_id"), (col("pos") - 2L).as("pos"), col("tok_id").as("id3"))
-    i1.join(i2, Seq("doc_id", "pos")).join(i3, Seq("doc_id", "pos"))
-      .select(col("doc_id"),
-        ((col("id1") * V + col("id2")) * V + col("id3")).as("s"))
+    val docs = T.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dictMap = dict(docs.select(explode(col("toks")).as("tok")))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("tok_id")))).as("m"))
+    // Single transform, three direct lookups per position. Deliberately NOT
+    // an intermediate `ids` column: projection collapse would inline the
+    // whole ids-array expression into each per-position lambda, turning the
+    // shingle build O(tokens²) per document.
+    def idAt(i: Column): Column = element_at(col("m"), element_at(col("toks"), i))
+    docs.crossJoin(broadcast(dictMap))
+      .withColumn("sh",
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            (idAt(i) * V + idAt(i + 1)) * V + idAt(i + 2)))
+          .otherwise(array().cast("array<bigint>")))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
   }
 
   private val shingleSql =
@@ -111,20 +125,29 @@ object Dedup {
              |      FROM documents)
              |GROUP BY norm ORDER BY norm""".stripMargin)),
 
-    // MinHash + LSH: 6 minhashes per doc, 6 bands of 1 row → candidate
-    // pairs where any minhash collides.
+    // MinHash + LSH: 6 minhashes per doc, 3 bands × 2 rows → candidate
+    // pairs where BOTH hashes of some band collide (r=2 keeps per-band
+    // bucket populations small, so the band self-join stays linear — r=1
+    // banding clusters on the corpus-global minimum shingle and blows up
+    // quadratically).
     QDef(
       "dedup_minhash",
       (s, dir) => {
+        // Materialize the signature table: every band projection and both
+        // sides of the candidate self-join reuse it, instead of recomputing
+        // the shingle pipeline 6× (at 100 TB this is the persisted
+        // signatures dataset every LSH pipeline checkpoints).
         val sig = shingles(s, dir).groupBy("doc_id")
           .agg(minhashAgg(0), minhashAgg(1), minhashAgg(2),
             minhashAgg(3), minhashAgg(4), minhashAgg(5))
-        val bands = (0 until 6).map { i =>
-          sig.select(col("doc_id"), lit(i).cast("long").as("band"), col(s"h$i").as("sig"))
+          .cache()
+        val bands = (0 until 3).map { i =>
+          sig.select(col("doc_id"), lit(i).cast("long").as("band"),
+            col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
         }.reduce(_.unionAll(_))
-        val l = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
-        val r = bands.select(col("band"), col("sig"), col("doc_id").as("d2"))
-        l.join(r, Seq("band", "sig"))
+        val l = bands.select(col("band"), col("sig_a"), col("sig_b"), col("doc_id").as("d1"))
+        val r = bands.select(col("band"), col("sig_a"), col("sig_b"), col("doc_id").as("d2"))
+        l.join(r, Seq("band", "sig_a", "sig_b"))
           .where(col("d1") < col("d2"))
           .select("d1", "d2").distinct()
           .orderBy("d1", "d2")
@@ -136,13 +159,14 @@ object Dedup {
               |  SELECT doc_id, ${(0 until 6).map(minhashAggSql).mkString(", ")}
               |  FROM sh GROUP BY doc_id),
               |bands AS (
-              |  ${(0 until 6).map(i =>
-                   s"SELECT doc_id, CAST($i AS BIGINT) AS band, h$i AS sig FROM sig")
+              |  ${(0 until 3).map(i =>
+                   s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
                    .mkString("\n  UNION ALL\n  ")}),
               |pairs AS (
               |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
               |  FROM bands l JOIN bands r
-              |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)
+              |    ON l.band = r.band AND l.sig_a = r.sig_a AND l.sig_b = r.sig_b
+              |    AND l.doc_id < r.doc_id)
               |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)),
 
     // SimHash: 8-bit signature from per-token hashes h = (tok_id * KNUTH)
@@ -186,7 +210,8 @@ object Dedup {
     QDef(
       "dedup_ngram",
       (s, dir) => {
-        val sh = shingles(s, dir).where(col("doc_id") < 100L).distinct()
+        // Cached: sizes + both sides of the co-occurrence join reuse it.
+        val sh = shingles(s, dir).where(col("doc_id") < 100L).distinct().cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = sh.select(col("doc_id").as("d1"), col("s"))
         val r = sh.select(col("doc_id").as("d2"), col("s"))

