@@ -32,13 +32,13 @@ object Similarity {
   /** Embedding dimensionality (fixed 64, verified in FIXTURES.md). */
   private val Dims = 64
 
-  /** Sequential-order dot product, unrolled to a flat 64-term expression.
-    * Higher-order `aggregate`/`zip_with` lambdas run interpreted (no
-    * whole-stage codegen); the unrolled sum codegens into straight-line Java
-    * and evaluates in the same left-to-right IEEE order, so results are
-    * bit-identical to the lambda form. */
+  /** Sequential-order dot product via the native codegen expression
+    * [[graft.functions.DotProduct]] (same left-to-right IEEE accumulation as
+    * DuckDB `list_dot_product`, so hash-parity holds). The earlier 64-term
+    * unrolled `element_at` form produced expression trees too large for
+    * whole-stage codegen and fell back to interpretation — ~100× slower. */
   private def dot(a: Column, b: Column): Column =
-    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    call_function("graft_dot", a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,13 +54,17 @@ object Similarity {
   private val corpusSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings"
 
-  private def probes(s: SparkSession, dir: String): DataFrame =
+  private def probes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     T.embeddings(s, dir).where(col("vec_id") < 5L)
       .select(col("vec_id").as("probe_id"), emb(col("embedding")).as("pe"))
+  }
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     T.embeddings(s, dir)
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("ce"))
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -113,9 +117,12 @@ object Similarity {
     QDef(
       "sim_ann_lsh",
       (s, dir) => {
+        // Plane components computed at plan-build time and embedded as array
+        // LITERALS (the prior `transform(sequence(...))` expression form was
+        // re-evaluated per element_at — O(dims²) interpreted work per row).
         val planes = (0 until 4).map { j =>
-          transform(sequence(lit(0), lit(63)),
-            i => ((i + lit(j * 64)) * 2654435761L % 1000L).cast("double") / 1000.0 - 0.5)
+          typedlit((0 until Dims).map(i =>
+            ((i.toLong + j * 64) * 2654435761L % 1000L).toDouble / 1000.0 - 0.5))
         }
         def bucketOf(e: Column): Column =
           (0 until 4).map { j =>
@@ -163,6 +170,7 @@ object Similarity {
     QDef(
       "dedup_embed",
       (s, dir) => {
+        graft.functions.DotProduct.register(s)
         val e = T.embeddings(s, dir).where(col("vec_id") < 100L)
           .select(col("vec_id"), emb(col("embedding")).as("e"))
         val l = e.select(col("vec_id").as("d1"), col("e").as("e1"))
