@@ -66,8 +66,14 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     val docs = T.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val dictMap = dict(docs.select(explode(col("toks")).as("tok")))
-      .agg(map_from_entries(collect_list(struct(col("tok"), col("tok_id")))).as("m"))
+    // Dense ids from the sorted distinct vocab in ONE partial-aggregating
+    // pass (collect_set combines map-side): tok_id = sorted index + 1 —
+    // identical ids to `row_number() OVER (ORDER BY tok)` with two fewer
+    // shuffles than distinct→window→agg.
+    val dictMap = docs.select(explode(col("toks")).as("tok"))
+      .agg(sort_array(collect_set(col("tok"))).as("v"))
+      .select(map_from_arrays(col("v"),
+        transform(col("v"), (_, i) => (i + 1).cast("long"))).as("m"))
     // Single transform, three direct lookups per position. Deliberately NOT
     // an intermediate `ids` column: projection collapse would inline the
     // whole ids-array expression into each per-position lambda, turning the

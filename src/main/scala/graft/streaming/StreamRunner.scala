@@ -23,6 +23,19 @@ object StreamRunner {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped down to a small
+    * value, restoring the session conf afterwards. A streaming aggregation
+    * creates one state store per shuffle partition per micro-batch; for the
+    * tiny keyed state here (≤ a few hundred windows×types) 32 state stores
+    * are pure checkpoint/commit overhead. On a real cluster this would be
+    * sized to state volume, not to the batch-side shuffle width. */
+  private def withFewStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // Raw on-disk schema (ts = LONG nanos under the legacy conf set by
     // Tables.events), converted to a micros timestamp exactly as the batch
@@ -44,7 +57,8 @@ object StreamRunner {
   /** Tumbling 1-hour count with a 1-hour watermark, append mode: only windows
     * the watermark has closed are emitted (late data beyond 1h is dropped by
     * the state store — the semantics under test in StreamingSpec). */
-  def tumblingWithWatermark(s: SparkSession, dir: String): DataFrame = {
+  def tumblingWithWatermark(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
     val qn = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
@@ -65,7 +79,8 @@ object StreamRunner {
   /** foreachBatch sink: each micro-batch's per-type aggregate is upserted
     * (overwritten by batch id) into a parquet target, then read back and
     * re-aggregated — the idempotent-sink pattern for exactly-once output. */
-  def foreachBatchUpsert(s: SparkSession, dir: String): DataFrame = {
+  def foreachBatchUpsert(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
     val target = tmpDir("graft_febatch_out")
     val q = eventsStream(s, dir)
       .groupBy(col("event_type"))
