@@ -146,6 +146,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot expression: codegen loop ≡ interpreted eval ≡ lambda form") {
+    graft.functions.DotProduct.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),   // 32.0
+      (Array(0.1, 0.2), Array(0.3, 0.7)),              // FP-order-sensitive
+      (Array.empty[Double], Array.empty[Double]))      // 0.0
+      .toDF("a", "b")
+    def lambdaDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // Codegen path (projection over rows).
+    val cg = df.select(expr("graft_dot(a, b)").as("d"),
+      lambdaDot(col("a"), col("b")).as("e")).as[(Double, Double)].collect()
+    cg.foreach { case (d, e) => assert(d === e) } // bit-identical, same IEEE order
+    assert(cg(0)._1 === 32.0)
+    // Interpreted path (eval outside codegen: filter condition forces eval
+    // on the driver in constant folding? use explicit InterpretedProjection).
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, InterpretedProjection}
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType)
+    val proj = new InterpretedProjection(Seq(graft.functions.DotProduct(
+      BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(4.0, 5.0, 6.0)))
+    assert(proj(row).getDouble(0) === 32.0)
+  }
+
   test("simhash: identical docs get identical signatures") {
     val q = SparkEntry.queries("dedup_simhash")
     val out = q(spark, sf).limit(5).collect()

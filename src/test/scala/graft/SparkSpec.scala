@@ -10,6 +10,10 @@ object TestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // The deployment-config path for the library's Catalyst extensions
+      // (static conf — must be set when the first session is built).
+      // ExtensionsSpec asserts the injection took effect.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
