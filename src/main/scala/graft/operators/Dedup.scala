@@ -64,8 +64,13 @@ object Dedup {
     * scale, versus the 3-way (doc_id, pos) shuffle join this replaced
     * (79 s → ~1 s at sf0.1). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
+    // The fixtures are single-row-group parquet → a 1-partition scan; the
+    // per-document shingle transform is the compute-bound stage, so spread it
+    // across the cluster first (the shuffle moves only (doc_id, toks)). At
+    // scale a multi-file lake gives this parallelism at the scan itself.
     val docs = T.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
     // Dense ids from the sorted distinct vocab in ONE partial-aggregating
     // pass (collect_set combines map-side): tok_id = sorted index + 1 —
     // identical ids to `row_number() OVER (ORDER BY tok)` with two fewer
@@ -139,10 +144,10 @@ object Dedup {
     QDef(
       "dedup_minhash",
       (s, dir) => {
-        // Materialize the signature table: every band projection and both
-        // sides of the candidate self-join reuse it, instead of recomputing
-        // the shingle pipeline 6× (at 100 TB this is the persisted
-        // signatures dataset every LSH pipeline checkpoints).
+        // Materialize the signature table: every band projection reuses it,
+        // instead of recomputing the shingle pipeline per band (at 100 TB
+        // this is the persisted signatures dataset every LSH pipeline
+        // checkpoints).
         val sig = shingles(s, dir).groupBy("doc_id")
           .agg(minhashAgg(0), minhashAgg(1), minhashAgg(2),
             minhashAgg(3), minhashAgg(4), minhashAgg(5))
@@ -151,11 +156,19 @@ object Dedup {
           sig.select(col("doc_id"), lit(i).cast("long").as("band"),
             col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
         }.reduce(_.unionAll(_))
-        val l = bands.select(col("band"), col("sig_a"), col("sig_b"), col("doc_id").as("d1"))
-        val r = bands.select(col("band"), col("sig_a"), col("sig_b"), col("doc_id").as("d2"))
-        l.join(r, Seq("band", "sig_a", "sig_b"))
-          .where(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+        // Bucket-grouping LSH candidate generation: ONE shuffle on the band
+        // key (vs two join sides + sort), then in-bucket pair expansion from
+        // the sorted doc list — output is quadratic only in per-bucket
+        // population, which r=2 banding keeps small at any corpus size.
+        val buckets = bands.groupBy("band", "sig_a", "sig_b")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .where(size(col("ds")) >= 2)
+        buckets
+          .select(explode(flatten(transform(col("ds"), (d1, i) =>
+            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+              d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .distinct()
           .orderBy("d1", "d2")
       },
       Some(s"""WITH tok AS ($tokSql),
