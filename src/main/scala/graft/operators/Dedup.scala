@@ -38,12 +38,16 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1L).cast("long").as("pos"), col("tok"))
 
-  /** Deterministic dense token dictionary. */
-  private def dict(t: DataFrame): DataFrame =
-    t.select("tok").distinct()
-      .withColumn("tok_id",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+  /** Deterministic dense token dictionary: tok_id = index+1 in the sorted
+    * distinct vocab. One partial-aggregating pass (collect_set combines
+    * map-side) + posexplode — identical ids to `row_number() OVER (ORDER BY
+    * tok)` with two fewer shuffles than distinct→global-window. (Both shapes
+    * bottleneck on a single task for the final vocab ordering; fine while
+    * vocab ≪ corpus, which is what makes a dictionary a dictionary.) */
+  def dict(t: DataFrame): DataFrame =
+    t.agg(sort_array(collect_set(col("tok"))).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "tok")))
+      .select(col("tok"), (col("i") + 1L).cast("long").as("tok_id"))
 
   private val tokSql =
     """SELECT doc_id,

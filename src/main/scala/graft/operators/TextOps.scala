@@ -144,10 +144,7 @@ object TextOps {
       "text_fingerprint",
       (s, dir) => {
         val tok = tokenized(s, dir)
-        val dict = tok.select("tok").distinct()
-          .withColumn("tok_id",
-            row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+        val dict = Dedup.dict(tok.select("tok"))
         val pw = Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
         val weight = (col("pos") - 1L) % 8L
         tok.join(broadcast(dict), "tok")
