@@ -165,6 +165,70 @@ object Similarity {
               |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
               |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
 
+    // IVF-style ANN: deterministic coarse quantizer (the first 8 vectors act
+    // as centroids — a k-means fit would slot in here), every vector assigned
+    // to its nearest centroid via a partial-aggregating argmax (max(struct))
+    // — no per-key window, so assignment is one map-side-combining shuffle at
+    // any corpus size. Probes search only their own cell (top-3), the
+    // inverted-file layout: pre-partitioned by cell on disk, a probe reads
+    // one partition.
+    QDef(
+      "sim_ivf",
+      (s, dir) => {
+        val cents = T.embeddings(s, dir).where(col("vec_id") < 8L)
+          .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
+        // argmax cell: max(struct(cos, -cid)) ≡ row_number over
+        // (cos DESC, cid ASC) = 1, but with partial aggregation.
+        def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+          df.crossJoin(broadcast(cents))
+            .select(col(idCol), col(vecCol),
+              cosine(col(vecCol), col("centroid")).as("ccos"), col("cid"))
+            .groupBy(idCol)
+            .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+              first(col(vecCol)).as(vecCol))
+            .select(col(idCol), col(vecCol), (-col("m.ncid")).as("cell"))
+        val c = assign(corpus(s, dir), "vec_id", "ce")
+        val p = assign(probes(s, dir), "probe_id", "pe")
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        c.join(broadcast(p), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+              |  FROM embeddings WHERE vec_id < 8),
+              |c AS (
+              |  SELECT vec_id, ce, cid AS cell FROM (
+              |    SELECT vec_id, ce, cid,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY ${cosSql("ce", "centroid")} DESC, cid ASC) AS rn
+              |    FROM ($corpusSql) CROSS JOIN cents)
+              |  WHERE rn = 1),
+              |p AS (
+              |  SELECT probe_id, pe, cid AS cell FROM (
+              |    SELECT probe_id, pe, cid,
+              |      row_number() OVER (PARTITION BY probe_id
+              |        ORDER BY ${cosSql("pe", "centroid")} DESC, cid ASC) AS rn
+              |    FROM ($probeSql) CROSS JOIN cents)
+              |  WHERE rn = 1),
+              |scored AS (
+              |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
+              |  FROM c JOIN p USING (cell) WHERE probe_id <> vec_id),
+              |ranked AS (
+              |  SELECT probe_id, cell, vec_id, raw,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY raw DESC, vec_id ASC) AS rank
+              |  FROM scored)
+              |SELECT probe_id, cell, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
+
     // Embedding-cosine near-dup: top-20 most similar pairs in a bounded
     // candidate set (post-LSH shape; see scaladoc).
     QDef(

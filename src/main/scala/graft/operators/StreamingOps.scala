@@ -118,6 +118,25 @@ object StreamingOps {
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+    // Custom keyed state (flatMapGroupsWithState): a REAL streaming
+    // execution whose event-time fold provably equals the batch form, so it
+    // carries a full DuckDB oracle — see StreamRunner.customStateAgg.
+    QDef(
+      "stream_custom_state",
+      (s, dir) => graft.streaming.StreamRunner.customStateAgg(s, dir),
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, sec,
+             |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+             |  FROM e)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(max(gap) AS BIGINT) AS max_gap_sec,
+             |  max(sec) AS last_sec
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Streaming-only semantics: real Structured Streaming runs (file replay
     // source → watermark/foreachBatch → sink), no DuckDB oracle (driver
     // rows-only check). See graft.streaming.StreamRunner.

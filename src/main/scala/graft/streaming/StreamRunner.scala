@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.{Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Real Structured-Streaming executions of the §2.10 operators, replaying the
@@ -74,6 +75,61 @@ object StreamRunner {
       .start()
     q.awaitTermination()
     s.table(qn).orderBy("win_start", "event_type")
+  }
+
+  /** Per-user running state for [[customStateAgg]]: event count, last-seen
+    * epoch second, max inter-event gap (-1 = undefined, single event). */
+  final case class UserState(n: Long, lastSec: Long, maxGap: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: per user, the event
+    * count, max gap between consecutive events, and last-seen second —
+    * state the built-in windowed aggregates cannot express (gap depends on
+    * the previous event, kept in [[UserState]] across micro-batches).
+    *
+    * Within a batch the group's rows are sorted by (sec, event_id) before
+    * folding, so the result is the event-time fold regardless of arrival
+    * order — which makes this real streaming run equal to the batch oracle
+    * query (the strongest check the harness supports). At scale: state is
+    * per-user O(1), partitioned by the group key; a production job adds a
+    * watermark + state TTL via the timeout argument. */
+  def customStateAgg(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val qn = "graft_cs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val fold = (uid: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[UserState]) => {
+      var st = state.getOption.getOrElse(UserState(0L, Long.MinValue, -1L))
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, _) =>
+        if (st.n > 0L && sec - st.lastSec > st.maxGap)
+          st = st.copy(maxGap = sec - st.lastSec)
+        st = st.copy(n = st.n + 1L, lastSec = sec)
+      }
+      state.update(st)
+      Iterator.single(
+        (uid, st.n, if (st.maxGap >= 0L) Some(st.maxGap) else None, st.lastSec))
+    }
+    val q = eventsStream(s, dir)
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+      .toDF("user_id", "n_events", "max_gap_sec", "last_sec")
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_cs_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode emits one row per touched user per micro-batch; keep each
+    // user's final state (n_events is monotonic).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n_events").desc, col("last_sec").desc)
+    s.table(qn)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
   }
 
   /** foreachBatch sink: each micro-batch's per-type aggregate is upserted

@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState: gap state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.StreamRunner.UserState
+    val mem = MemoryStream[(Long, Long, Long)] // (user_id, sec, event_id)
+    val fold = (uid: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[UserState]) => {
+      var st = state.getOption.getOrElse(UserState(0L, Long.MinValue, -1L))
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, _) =>
+        if (st.n > 0L && sec - st.lastSec > st.maxGap)
+          st = st.copy(maxGap = sec - st.lastSec)
+        st = st.copy(n = st.n + 1L, lastSec = sec)
+      }
+      state.update(st)
+      Iterator.single(
+        (uid, st.n, if (st.maxGap >= 0L) Some(st.maxGap) else None, st.lastSec))
+    }
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+      .toDF("user_id", "n_events", "max_gap_sec", "last_sec")
+      .writeStream.format("memory").queryName("cs_test")
+      .outputMode("update").start()
+    mem.addData((1L, 100L, 1L), (1L, 160L, 2L)) // batch 1: gap 60
+    q.processAllAvailable()
+    mem.addData((1L, 460L, 3L)) // batch 2: gap 300 spans the batch boundary
+    q.processAllAvailable()
+    val last = spark.table("cs_test").where(col("n_events") === 3L)
+      .select("user_id", "max_gap_sec", "last_sec")
+      .as[(Long, Option[Long], Long)].collect()
+    q.stop()
+    assert(last.toSeq === Seq((1L, Some(300L), 460L)),
+      "state (lastSec) must persist across batches to see the 300s gap")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
