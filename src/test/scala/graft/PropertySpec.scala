@@ -64,6 +64,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_dot ≡ lambda aggregate ≡ driver-side fold on random vectors") {
+    graft.functions.DotProduct.register(spark)
+    val rnd = new Random(7)
+    val pairs = (1 to 50).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Array.fill(n)(rnd.nextDouble() * 2000 - 1000),
+        Array.fill(n)(rnd.nextDouble() * 2000 - 1000))
+    }
+    val rows = pairs.toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("e"))
+      .as[(Double, Double)].collect()
+    rows.zip(pairs).foreach { case ((d, e), (a, b)) =>
+      val fold = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(d === e, "codegen loop vs interpreted lambda must be bit-identical")
+      assert(d === fold, "expression must match left-to-right IEEE fold")
+    }
+  }
+
   test("minhash law: min-hash over a shingle subset ≥ min-hash over superset") {
     val rnd = new Random(5)
     (1 to 3).foreach { _ =>
