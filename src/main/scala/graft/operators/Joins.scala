@@ -255,6 +255,36 @@ object Joins {
              |SELECT event_id, o_orderkey AS asof_orderkey
              |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // Skew-salted join: `events.event_type` has ~5 values over 100k+ rows —
+    // a textbook hot-key join. Salting spreads each hot key over 16 shuffle
+    // partitions (fact gets salt = event_id % 16; the dim replicates ×16 via
+    // explode), so no single reducer owns a whole key. Semantically identical
+    // to the unsalted join — the oracle is the plain form. (When the dim fits
+    // in memory, broadcast is the better fix; salting is for dim-too-big +
+    // skewed-fact, and AQE's skew-join split handles the residual cases.)
+    QDef(
+      "join_skew_salted",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .withColumn("cents", rnd(col("value") * 100.0, 0).cast("long"))
+          .withColumn("salt", col("event_id") % 16L)
+        val dim = T.events(s, dir).select("event_type").distinct()
+          .withColumn("w", length(col("event_type")).cast("long"))
+        val saltedDim = dim.withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+        e.join(saltedDim, Seq("event_type", "salt"))
+          .groupBy("event_type")
+          .agg(max("w").as("w"), count(lit(1)).as("n"),
+            sum("cents").as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS w
+             |  FROM events)
+             |SELECT e.event_type, max(d.w) AS w, count(*) AS n,
+             |  CAST(sum(CAST(floor((value * 100.0) * 1e0 + 0.5) / 1e0 AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events e JOIN dim d ON e.event_type = d.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // Bounded cartesian of the two tiny dims.
     QDef(
       "join_cross",
