@@ -21,6 +21,11 @@ object Scans {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  private val orderCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
   val defs: Seq[QDef] = Seq(
 
     // Full-table typed scan over the smallest dim (deterministic, ordered).
@@ -59,6 +64,25 @@ object Scans {
       },
       Some("""SELECT event_type, count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Schema-applied CSV ingestion: orders → CSV lines → schema'd read back
+    // through the real CSV reader (UnivocityParser) over a Dataset[String],
+    // then an aggregate proving the lossless round-trip (double→string uses
+    // the shortest round-trippable representation).
+    QDef(
+      "scan_csv",
+      (s, dir) => {
+        val lines = T.orders(s, dir)
+          .select(concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("v"))
+          .as(org.apache.spark.sql.Encoders.STRING)
+        s.read.schema(orderCsvSchema).csv(lines)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // Parquet sink: write → read-back → aggregate. Exercises the writer path
     // inside the query itself (the harness additionally writes every result
