@@ -157,6 +157,67 @@ object Aggregates {
       Some("""SELECT o_custkey, count(*) AS n_orders,
              |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_spent
              |FROM orders GROUP BY o_custkey
-             |HAVING count(*) > 10 ORDER BY o_custkey""".stripMargin))
+             |HAVING count(*) > 10 ORDER BY o_custkey""".stripMargin)),
+
+    // Pivot: long→wide with an EXPLICIT value list (deterministic columns —
+    // never let pivot discover values at runtime, that is a separate job and
+    // nondeterministic column order). Empty cells coalesce to 0.
+    QDef(
+      "agg_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = T.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Light-curve feature extraction [PK: the reference's core product —
+    // per-object variability features over a calibrated magnitude series].
+    // user_id ≈ object id, graft_mag (native codegen expression) ≈ flux→mag
+    // calibration, lag-window ≈ epoch-to-epoch delta. One window pass + one
+    // partial-aggregating groupBy — the 100 TB shape partitions the curve
+    // store by object key so both stages shuffle once on the same key.
+    QDef(
+      "lc_features",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .where(col("value") > 0.0) // mag undefined at flux 0
+          .withColumn("mag", expr("graft_mag(value)"))
+          .withColumn("dmag", abs(col("mag") - lag(col("mag"), 1).over(w)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            rnd(avg(col("mag")), 6).as("mean_mag"),
+            rnd(stddev_samp(col("mag")), 6).as("sd_mag"),
+            rnd(max(col("mag")) - min(col("mag")), 6).as("amplitude"),
+            rnd(max(col("dmag")), 6).as("max_dmag"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts, -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |d AS (
+             |  SELECT user_id, mag,
+             |    abs(mag - lag(mag) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dmag
+             |  FROM m)
+             |SELECT user_id, count(*) AS n_obs,
+             |  floor((avg(mag)) * 1e6 + 0.5) / 1e6 AS mean_mag,
+             |  floor((stddev_samp(mag)) * 1e6 + 0.5) / 1e6 AS sd_mag,
+             |  floor((max(mag) - min(mag)) * 1e6 + 0.5) / 1e6 AS amplitude,
+             |  floor((max(dmag)) * 1e6 + 0.5) / 1e6 AS max_dmag
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
