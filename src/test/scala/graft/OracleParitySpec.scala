@@ -1,0 +1,46 @@
+package graft
+
+/** SURVEY §5.3 #2 — oracle-parity self-test: every oracle string that is
+  * ANSI-portable enough for Spark's parser must reproduce the DataFrame
+  * form's exact rows when run via `spark.sql` over the same fixtures.
+  * Catches DataFrame-vs-SQL drift locally, before the driver's DuckDB pass
+  * can catch dialect drift. DuckDB-only constructs (`epoch`, `unnest`,
+  * `len`, `list_*`, `datediff('day',…)`, `strftime`, …) fail analysis and
+  * are counted as dialect-skips; a minimum-pass floor keeps this test from
+  * silently degrading to all-skips.
+  */
+class OracleParitySpec extends SparkSpec {
+
+  test("ANSI-portable oracle SQL ≡ DataFrame results (exact rows)") {
+    val s = spark
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(s, sf, t).createOrReplaceTempView(t))
+    Tables.events(s, sf).createOrReplaceTempView("events")
+
+    var passed = List.empty[String]
+    var skipped = List.empty[String]
+    var mismatched = List.empty[String]
+
+    SparkEntry.all.foreach { q =>
+      q.oracle.foreach { sql =>
+        val viaSql: Option[Array[String]] =
+          try Some(s.sql(sql).collect().map(_.toString).sorted)
+          catch { case _: Exception => None } // DuckDB-only dialect
+        viaSql match {
+          case None => skipped ::= q.name
+          case Some(a) =>
+            val b = q.fn(s, sf).collect().map(_.toString).sorted
+            if (a.sameElements(b)) passed ::= q.name else mismatched ::= q.name
+        }
+      }
+    }
+    info(s"parity-passed (${passed.size}): ${passed.sorted.mkString(", ")}")
+    info(s"dialect-skipped (${skipped.size}): ${skipped.sorted.mkString(", ")}")
+    assert(mismatched.isEmpty,
+      s"oracle SQL runs in Spark but disagrees with the DataFrame form: $mismatched")
+    assert(passed.size >= 20,
+      s"parity floor: expected ≥20 portable oracles, got ${passed.size} — " +
+        "either oracles drifted to heavy dialect or views/fixtures broke")
+  }
+}
