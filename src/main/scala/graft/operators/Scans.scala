@@ -84,6 +84,40 @@ object Scans {
       Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Bucketed sink + co-located join: write orders bucketed on o_custkey
+    // (8 buckets, sorted), then self-join on the bucket key — Spark reads
+    // matching buckets pairwise, so the join needs NO Exchange on either
+    // side (the `repartition`/bucketing co-location idiom from the design
+    // brief; at 100 TB this is how repeated joins on a fact key amortize
+    // their shuffle to a one-time write). In-memory catalog + explicit tmp
+    // path: no metastore, no files outside the sandbox.
+    QDef(
+      "sink_bucketed",
+      (s, dir) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bucketed"
+        s.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+        T.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", path)
+          .saveAsTable("graft_orders_bucketed")
+        val t = s.table("graft_orders_bucketed")
+        val a = t.select(col("o_custkey"), col("o_orderkey").as("k1"))
+        val b = t.select(col("o_custkey"), col("o_orderkey").as("k2"))
+        // merge hint = the 100 TB plan (broadcast is impossible there);
+        // with both sides bucketed on the key, the SMJ runs bucket-to-bucket
+        // with zero Exchange in the plan.
+        a.join(b.hint("merge"), "o_custkey").where(col("k1") < col("k2"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey,
+             |  CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS n_pairs
+             |FROM orders GROUP BY o_custkey
+             |HAVING count(*) >= 2 ORDER BY o_custkey""".stripMargin)),
+
     // Parquet sink: write → read-back → aggregate. Exercises the writer path
     // inside the query itself (the harness additionally writes every result
     // via Verify). Deterministic single file, then a count by key.
