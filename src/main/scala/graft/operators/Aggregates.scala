@@ -159,6 +159,26 @@ object Aggregates {
              |FROM orders GROUP BY o_custkey
              |HAVING count(*) > 10 ORDER BY o_custkey""".stripMargin)),
 
+    // Exact interpolated percentiles: Spark `percentile` ≡ DuckDB
+    // `quantile_cont` (both interpolate at rank (n-1)·p). At 100 TB the
+    // approx variant (percentile_approx / t-digest) replaces this — exact
+    // percentile keeps per-group sorted state.
+    QDef(
+      "agg_median",
+      (s, dir) =>
+        T.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            rnd(expr("percentile(value, 0.5)"), 6).as("median_v"),
+            rnd(expr("percentile(value, 0.9)"), 6).as("p90_v"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 AS median_v,
+             |  floor((quantile_cont(value, 0.9)) * 1e6 + 0.5) / 1e6 AS p90_v,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Pivot: long→wide with an EXPLICIT value list (deterministic columns —
     // never let pivot discover values at runtime, that is a separate job and
     // nondeterministic column order). Empty cells coalesce to 0.

@@ -137,6 +137,29 @@ object Windows {
              |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Frame-wide value picking: first/last/nth over the full partition frame
+    // (total order → deterministic; 1-row groups yield NULL nth).
+    QDef(
+      "win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            rnd(first(col("value")).over(w), 4).as("first_v"),
+            rnd(last(col("value")).over(w), 4).as("last_v"),
+            rnd(nth_value(col("value"), 2).over(w), 4).as("second_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  floor((first_value(value) OVER w) * 1e4 + 0.5) / 1e4 AS first_v,
+             |  floor((last_value(value) OVER w) * 1e4 + 0.5) / 1e4 AS last_v,
+             |  floor((nth_value(value, 2) OVER w) * 1e4 + 0.5) / 1e4 AS second_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     // §2.6 — multi-key sort with explicit null ordering (Spark and DuckDB
     // disagree on ASC default null placement; pinned on both sides).
     QDef(
