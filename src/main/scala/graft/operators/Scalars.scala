@@ -104,6 +104,30 @@ object Scalars {
              |  floor((exp(c_acctbal / 10000.0)) * 1e6 + 0.5) / 1e6 AS exp_bal
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // Bitwise suite. Dialect traps pinned: DuckDB `^` is POWER — its xor is
+    // the `xor()` function; Spark's `^` is xor. Shifts/and/or/not agree.
+    QDef(
+      "fn_bitwise",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(
+            col("event_id"),
+            (col("event_id").bitwiseAND(255L)).as("low8"),
+            (col("event_id").bitwiseOR(4096L)).as("or12"),
+            (col("event_id").bitwiseXOR(col("user_id").cast("long"))).as("mixed"),
+            shiftleft(col("event_id"), 3).cast("long").as("shl3"),
+            shiftright(col("event_id"), 2).cast("long").as("shr2"),
+            bitwise_not(col("event_id")).as("inv"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  event_id & 255 AS low8,
+             |  event_id | 4096 AS or12,
+             |  xor(event_id, CAST(user_id AS BIGINT)) AS mixed,
+             |  event_id << 3 AS shl3,
+             |  event_id >> 2 AS shr2,
+             |  ~event_id AS inv
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     QDef(
       "fn_cond",
       (s, dir) =>
