@@ -1,7 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
+
+  /** Materialize the FULL plan. `count()` is the wrong action here: under a
+    * global count Catalyst prunes every projected expression and eliminates
+    * top-level sorts (ColumnPruning / EliminateSorts), so projection- and
+    * sort-dominated queries would be benchmarked as little more than a scan.
+    * The noop datasource v2 sink consumes every row and column with zero
+    * write cost, so the timed pass executes the plan users actually get. */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contract: bench runs local[32] (BASELINE.md / driver brief); the env
@@ -21,16 +31,29 @@ object Bench {
     val picked = if (only.isEmpty) base else base.filter(q => only(q._1))
     // JIT/codegen warm-up at the smallest fixture: compiles every query's
     // generated code and JIT-warms Spark's scan/shuffle paths so the timed
-    // pass measures steady-state plan execution, not first-call compilation.
+    // passes measure steady-state plan execution, not first-call compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) picked.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
+    // Two timed passes per query, report the min: this VM has noisy-neighbor
+    // jitter (observed: identical sf0.1 runs ranging 25→470 s total, one
+    // 0.9 s-warm query recorded at 102 s) — a single sample is load noise,
+    // the min of two is a usable steady-state estimate. clearCache between
+    // passes so (a) pass 2 is a real re-execution, not a cache read (query-
+    // internal .cache() entries are keyed by canonicalized plan and WOULD
+    // hit across invocations) and (b) cached blocks don't accumulate over
+    // the run.
     val results = picked.map { case (name, fn) =>
-      if (only.nonEmpty) { try fn(spark, sfDir).count() catch { case _: Throwable => } }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

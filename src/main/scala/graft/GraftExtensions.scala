@@ -22,7 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => functions.DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => functions.DotProduct(
+        functions.DotProduct.coerce(exprs(0)),
+        functions.DotProduct.coerce(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_mag"),
       new ExpressionInfo(classOf[functions.Magnitude].getName, "graft_mag"),

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Cleanup hook for query-internal .cache() (e.g. dedup_ngram's shingle
+      // set): without it cached blocks accumulate in the shared session for
+      // the whole 80-query run.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

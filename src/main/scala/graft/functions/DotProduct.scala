@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Sequential dot product of two DOUBLE arrays:  Σᵢ a[i]·b[i]  (i ascending).
   *
@@ -25,6 +26,23 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Analysis-time contract: both inputs must be ARRAY<DOUBLE> (nullable
+    * elements allowed). Without this, calling `graft_dot` on the fixtures'
+    * natural ARRAY<FLOAT> embedding column would read float-backed ArrayData
+    * via getDouble — silent garbage or a ClassCastException at runtime
+    * instead of a clean analysis error. The registered builders Cast their
+    * children (see [[DotProduct.coerce]]), so SQL callers never trip this. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
 
   override def prettyName: String = "graft_dot"
 
@@ -59,10 +77,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+
+  /** Coerce a child to ARRAY<DOUBLE> — so `graft_dot` called on the
+    * fixtures' natural ARRAY<FLOAT> embeddings widens correctly instead of
+    * misreading float-backed ArrayData. Unconditional Cast (same idiom as
+    * [[Magnitude.register]]): it must not inspect `dataType` of a possibly
+    * still-unresolved child, and SimplifyCasts drops the no-op when the
+    * input already is ARRAY<DOUBLE>. */
+  def coerce(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
   /** Register `graft_dot(a, b)` in the session's function registry (usable
     * from SQL and `call_function`). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+        "graft_dot", exprs => DotProduct(coerce(exprs(0)), coerce(exprs(1))), "scala_udf")
 }

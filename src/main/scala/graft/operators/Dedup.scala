@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -17,10 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Scale notes (100 TB):
   *  - `dedup_exact` is a hash groupBy on a computed key — one shuffle,
   *    map-side partial counts.
-  *  - `dedup_minhash` is the linear-shuffle LSH shape: explode shingles →
-  *    6 min-aggregates per doc (one shuffle on doc_id) → band self-join on
-  *    signature equality (shuffle on tiny band keys). Never O(n²) in docs;
-  *    candidate pairs only where a band collides.
+  *  - `dedup_minhash` is the linear-shuffle LSH shape: shingle via broadcast
+  *    dict join + lead window → 6 min-aggregates per doc (reusing the
+  *    window's doc_id partitioning — no extra shuffle) → band bucket-groupBy
+  *    on signature equality (shuffle on tiny band keys). Never O(n²) in
+  *    docs; candidate pairs only where a band collides.
   *  - `dedup_simhash` is a single aggregation per doc (8 conditional sums);
   *    near-dup clusters then group on the 8-bit signature.
   *  - `dedup_ngram` (exact pairwise Jaccard) is intentionally restricted to
@@ -61,40 +63,29 @@ object Dedup {
 
   /** 3-token shingle value from dict ids: ((id1*V)+id2)*V+id3.
     *
-    * Built WITHOUT self-joins: the dictionary is folded into a single map
-    * column (vocab is small by construction — token dictionaries are) and
-    * broadcast; shingles come from an index `transform` over the token
-    * array. One narrow pass over documents + one explode — linear at any
-    * scale, versus the 3-way (doc_id, pos) shuffle join this replaced
-    * (79 s → ~1 s at sf0.1). */
+    * Built on the broadcast dict-TABLE join (the same idiom as
+    * `dedup_simhash` and `text_fingerprint`): (doc_id, pos, tok) rows hit the
+    * dictionary through a BroadcastHashJoin — an O(1) hash probe per token —
+    * then `lead()` over (doc_id ORDER BY pos) assembles each 3-shingle.
+    * One broadcast join + ONE shuffle (the window's hash-partitioning on
+    * doc_id, which the downstream per-doc minhash aggregation reuses, so the
+    * whole minhash pipeline still shuffles the corpus exactly once).
+    *
+    * This replaces a fold-the-vocab-into-a-map-column variant: `element_at`
+    * on a MapType is a linear key scan — O(tokens × vocab) total — and the
+    * single map row itself becomes multi-GB at real vocabulary sizes. The
+    * broadcast join is a hash lookup and the dict stays a table: linear at
+    * any scale. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    // The fixtures are single-row-group parquet → a 1-partition scan; the
-    // per-document shingle transform is the compute-bound stage, so spread it
-    // across the cluster first (the shuffle moves only (doc_id, toks)). At
-    // scale a multi-file lake gives this parallelism at the scan itself.
-    val docs = T.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
-    // Dense ids from the sorted distinct vocab in ONE partial-aggregating
-    // pass (collect_set combines map-side): tok_id = sorted index + 1 —
-    // identical ids to `row_number() OVER (ORDER BY tok)` with two fewer
-    // shuffles than distinct→window→agg.
-    val dictMap = docs.select(explode(col("toks")).as("tok"))
-      .agg(sort_array(collect_set(col("tok"))).as("v"))
-      .select(map_from_arrays(col("v"),
-        transform(col("v"), (_, i) => (i + 1).cast("long"))).as("m"))
-    // Single transform, three direct lookups per position. Deliberately NOT
-    // an intermediate `ids` column: projection collapse would inline the
-    // whole ids-array expression into each per-position lambda, turning the
-    // shingle build O(tokens²) per document.
-    def idAt(i: Column): Column = element_at(col("m"), element_at(col("toks"), i))
-    docs.crossJoin(broadcast(dictMap))
-      .withColumn("sh",
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(1), size(col("toks")) - 2), i =>
-            (idAt(i) * V + idAt(i + 1)) * V + idAt(i + 2)))
-          .otherwise(array().cast("array<bigint>")))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val t = tok(s, dir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    t.join(broadcast(dict(t)), "tok")
+      .select(col("doc_id"), col("pos"), col("tok_id").as("id1"))
+      .withColumn("id2", lead(col("id1"), 1).over(w))
+      .withColumn("id3", lead(col("id1"), 2).over(w))
+      .where(col("id3").isNotNull)
+      .select(col("doc_id"),
+        ((col("id1") * V + col("id2")) * V + col("id3")).as("s"))
   }
 
   private val shingleSql =
@@ -148,18 +139,20 @@ object Dedup {
     QDef(
       "dedup_minhash",
       (s, dir) => {
-        // Materialize the signature table: every band projection reuses it,
-        // instead of recomputing the shingle pipeline per band (at 100 TB
-        // this is the persisted signatures dataset every LSH pipeline
-        // checkpoints).
         val sig = shingles(s, dir).groupBy("doc_id")
           .agg(minhashAgg(0), minhashAgg(1), minhashAgg(2),
             minhashAgg(3), minhashAgg(4), minhashAgg(5))
-          .cache()
-        val bands = (0 until 3).map { i =>
-          sig.select(col("doc_id"), lit(i).cast("long").as("band"),
-            col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
-        }.reduce(_.unionAll(_))
+        // Band rows via a single explode over the signature row — the
+        // signature pipeline runs ONCE and fans out to 3 band rows per doc
+        // in the same stage (a union of 3 projections would recompute the
+        // pipeline per band, or need a cache to avoid it).
+        val bands = sig
+          .select(col("doc_id"), explode(array((0 until 3).map { i =>
+            struct(lit(i).cast("long").as("band"),
+              col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"),
+            col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
         // Bucket-grouping LSH candidate generation: ONE shuffle on the band
         // key (vs two join sides + sort), then in-bucket pair expansion from
         // the sorted doc list — output is quadratic only in per-bucket

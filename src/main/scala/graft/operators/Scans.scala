@@ -94,15 +94,20 @@ object Scans {
     QDef(
       "sink_bucketed",
       (s, dir) => {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bucketed"
-        s.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+        // Path + table name carry the applicationId: two concurrent JVMs
+        // (e.g. Bench and Verify overlapping) must not clobber each other's
+        // sink mid-read.
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bucketed_$run"
+        val tbl = s"graft_orders_bucketed_$run"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
         T.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .option("path", path)
-          .saveAsTable("graft_orders_bucketed")
-        val t = s.table("graft_orders_bucketed")
+          .saveAsTable(tbl)
+        val t = s.table(tbl)
         val a = t.select(col("o_custkey"), col("o_orderkey").as("k1"))
         val b = t.select(col("o_custkey"), col("o_orderkey").as("k2"))
         // merge hint = the 100 TB plan (broadcast is impossible there);
@@ -124,7 +129,8 @@ object Scans {
     QDef(
       "sink_parquet",
       (s, dir) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_$run"
         T.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .coalesce(1)
