@@ -77,6 +77,24 @@ object Aggregates {
       },
       None),
 
+    // Approximate percentiles (quantile sketch) — the 100-TB telemetry
+    // workhorse: percentile_approx keeps bounded per-group state
+    // (Greenwald-Khanna at the given accuracy) where exact percentile keeps
+    // per-group sorted values. Declared WITHOUT an oracle (sketch results are
+    // engine-specific); ApproxSpec asserts |approx − exact| ≤ ε per group.
+    QDef(
+      "agg_approx_pctile",
+      (s, dir) => {
+        T.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile_approx(value, 0.5, 1000)").as("approx_median"),
+            expr("percentile_approx(value, 0.9, 1000)").as("approx_p90"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Statistical aggregates — the lightcurve "variability features" analogue
     // (stddev/variance of a value series per object).
     QDef(
@@ -238,6 +256,73 @@ object Aggregates {
              |  floor((stddev_samp(mag)) * 1e6 + 0.5) / 1e6 AS sd_mag,
              |  floor((max(mag) - min(mag)) * 1e6 + 0.5) / 1e6 AS amplitude,
              |  floor((max(dmag)) * 1e6 + 0.5) / 1e6 AS max_dmag
-             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Period finding [PK: the reference's core *variable-star* step that
+    // lc_features stops short of]: phase-dispersion minimization over a
+    // deterministic trial-period grid. Fold each object's series at 24 trial
+    // periods (0.5 d … 6.25 d, step 0.25 d), bin the phase into 8 bins, and
+    // pick the period minimizing the pooled within-bin variance (the PDM
+    // statistic's numerator — the total-variance denominator is constant per
+    // object, so it cannot change the argmin).
+    //
+    // Engine-parity: time is INTEGER epoch seconds (unix_timestamp ≡
+    // floor(epoch(ts)) — micros never push floor over an integer boundary),
+    // so phase-bin assignment ((t % P) * B) div P is exact integer arithmetic
+    // in both engines; only the variance pool is floating point, and it is
+    // rounded before the argmin comparison.
+    //
+    // Scale: the ×24 grid fan-out is map-side only — partial aggregation
+    // collapses it to ≤ objects × 24 × 8 rows before the single shuffle on
+    // (user_id, period, bin); the argmin is a second partial-agg'able pass
+    // plus a per-object window over 24 rows. At 100 TB: one corpus shuffle,
+    // state bounded by the grid, no per-observation data ever re-shuffled.
+    QDef(
+      "lc_periods",
+      (s, dir) => {
+        val nBins = 8L
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("value"))
+        val folded = t
+          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("period_s", lit(43200L) + lit(21600L) * col("k"))
+          .withColumn("bin", expr(s"((t % period_s) * $nBins) div period_s"))
+        val bins = folded.groupBy("user_id", "period_s", "bin")
+          .agg(count(lit(1)).as("n_b"), var_samp(col("value")).as("v_b"))
+          .where(col("n_b") >= 2L)
+        val pooled = bins.groupBy("user_id", "period_s")
+          .agg(rnd(
+            sum((col("n_b") - 1L) * col("v_b")) /
+              sum(col("n_b") - 1L).cast("double"), 6).as("pdm_s2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("pdm_s2"), col("period_s"))
+        pooled
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("period_s").as("best_period_s"), col("pdm_s2"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+             |  FROM events WHERE value > 0.0),
+             |folded AS (
+             |  SELECT user_id, 43200 + 21600 * g.k AS period_s,
+             |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS bin,
+             |    value
+             |  FROM t CROSS JOIN generate_series(0, 23) g(k)),
+             |bins AS (
+             |  SELECT user_id, period_s, bin, count(*) AS n_b, var_samp(value) AS v_b
+             |  FROM folded GROUP BY user_id, period_s, bin
+             |  HAVING count(*) >= 2),
+             |pooled AS (
+             |  SELECT user_id, period_s,
+             |    floor((sum((n_b - 1) * v_b) / CAST(sum(n_b - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pdm_s2
+             |  FROM bins GROUP BY user_id, period_s)
+             |SELECT user_id, period_s AS best_period_s, pdm_s2
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY pdm_s2, period_s) AS rn
+             |      FROM pooled)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin))
   )
 }

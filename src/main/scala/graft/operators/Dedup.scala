@@ -98,7 +98,18 @@ object Dedup {
        |JOIN dict d2 ON d2.tok = t2.tok
        |JOIN dict d3 ON d3.tok = t3.tok""".stripMargin
 
-  // Six fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
+  /** LSH banding knobs: `Bands` bands of `RowsPerBand` minhashes each
+    * (b=3, r=2). Candidate-pair probability at Jaccard j is 1-(1-j^r)^b —
+    * steep enough around j≈0.5 for near-dup detection while r=2 keeps
+    * per-band bucket populations small (r=1 would cluster every doc sharing
+    * the corpus-global minimum shingle into one quadratic bucket).
+    * Production tunes (b, r) to the similarity threshold; the pipeline shape
+    * is independent of the values. */
+  private val Bands = 3
+  private val RowsPerBand = 2
+  private val MinHashes = Bands * RowsPerBand
+
+  // Fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
   private val hashParams = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
     (22695477L, 1L), (134775813L, 2531011L), (214013L, 2531011L))
@@ -140,14 +151,13 @@ object Dedup {
       "dedup_minhash",
       (s, dir) => {
         val sig = shingles(s, dir).groupBy("doc_id")
-          .agg(minhashAgg(0), minhashAgg(1), minhashAgg(2),
-            minhashAgg(3), minhashAgg(4), minhashAgg(5))
+          .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
         // Band rows via a single explode over the signature row — the
         // signature pipeline runs ONCE and fans out to 3 band rows per doc
         // in the same stage (a union of 3 projections would recompute the
         // pipeline per band, or need a cache to avoid it).
         val bands = sig
-          .select(col("doc_id"), explode(array((0 until 3).map { i =>
+          .select(col("doc_id"), explode(array((0 until Bands).map { i =>
             struct(lit(i).cast("long").as("band"),
               col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
           }: _*)).as("b"))
@@ -172,10 +182,10 @@ object Dedup {
               |dict AS ($dictSql),
               |sh AS ($shingleSql),
               |sig AS (
-              |  SELECT doc_id, ${(0 until 6).map(minhashAggSql).mkString(", ")}
+              |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
               |  FROM sh GROUP BY doc_id),
               |bands AS (
-              |  ${(0 until 3).map(i =>
+              |  ${(0 until Bands).map(i =>
                    s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
                    .mkString("\n  UNION ALL\n  ")}),
               |pairs AS (

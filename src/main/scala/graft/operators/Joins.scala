@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,6 +209,84 @@ object Joins {
              |SELECT o_orderkey, count(*) AS n_events_in_window
              |FROM e JOIN o ON e.e_date >= o.d0 AND e.e_date < o.d0 + 30
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // 2-D sky cross-match [PK: the reference's (ra, dec) nearest-source
+    // match], upgraded from join_range's 1-D band analogue to the real
+    // zones algorithm: bucket declination into fixed-height zones, explode
+    // ONE side to its zone ±1 neighbors, equi-join on the zone key, then
+    // apply the residual |Δdec| band and great-circle (haversine) distance
+    // predicates. The plan is a shuffled equi-join — never a nested loop —
+    // and the per-zone population bounds the candidate set at any scale.
+    //
+    // Coordinates are derived deterministically from the fixture keys
+    // (multiplicative hash onto [0,360)×[-90,90]) — the fixtures carry no
+    // sky columns; the join machinery is the operator under test. The
+    // distance filter compares the ROUNDED distance so both engines decide
+    // the boundary identically. Production note: a catalog spanning ra≈0/360
+    // additionally duplicates a seam margin of one side; the fixtures'
+    // synthetic coordinates make seam pairs identical in both engines, so
+    // the oracle stays exact without it.
+    QDef(
+      "join_sky",
+      (s, dir) => {
+        val r = 5.0 // match radius (deg) = zone height
+        def ra(key: Column, m: Long): Column =
+          ((key * m) % 36000L).cast("double") / lit(100.0)
+        def dec(key: Column, m: Long): Column =
+          ((key * m) % 18001L).cast("double") / lit(100.0) - lit(90.0)
+        val a = T.customer(s, dir).select(
+          col("c_custkey").as("a_id"),
+          ra(col("c_custkey"), 7919L).as("a_ra"),
+          dec(col("c_custkey"), 104729L).as("a_dec"))
+          .withColumn("zone", floor((col("a_dec") + 90.0) / r).cast("long"))
+        val b = T.supplier(s, dir).select(
+          col("s_suppkey").as("b_id"),
+          ra(col("s_suppkey"), 13007L).as("b_ra"),
+          dec(col("s_suppkey"), 30011L).as("b_dec"))
+          .withColumn("z0", floor((col("b_dec") + 90.0) / r).cast("long"))
+          .withColumn("zone", explode(array(col("z0") - 1L, col("z0"), col("z0") + 1L)))
+        // sin²: explicit x*x, NOT pow(x, 2) — Java Math.pow and C libm pow
+        // are not bit-identical; multiplication is.
+        val sd = sin(radians(col("a_dec") - col("b_dec")) / 2)
+        val sr = sin(radians(col("a_ra") - col("b_ra")) / 2)
+        val hav = // 2·asin(√(sin²(Δdec/2) + cos·cos·sin²(Δra/2))), degrees
+          degrees(lit(2.0) * asin(sqrt(
+            sd * sd +
+              cos(radians(col("a_dec"))) * cos(radians(col("b_dec"))) * (sr * sr))))
+        a.join(b, Seq("zone"))
+          .where(abs(col("a_dec") - col("b_dec")) <= r)
+          .withColumn("dist_deg", rnd(hav, 6))
+          .where(col("dist_deg") <= r)
+          .select(col("a_id"), col("b_id"), col("dist_deg"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS a_id,
+             |    CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 AS a_ra,
+             |    CAST((c_custkey * 104729) % 18001 AS DOUBLE) / 100.0 - 90.0 AS a_dec
+             |  FROM customer),
+             |az AS (
+             |  SELECT *, CAST(floor((a_dec + 90.0) / 5.0) AS BIGINT) AS zone FROM a),
+             |b AS (
+             |  SELECT s_suppkey AS b_id,
+             |    CAST((s_suppkey * 13007) % 36000 AS DOUBLE) / 100.0 AS b_ra,
+             |    CAST((s_suppkey * 30011) % 18001 AS DOUBLE) / 100.0 - 90.0 AS b_dec
+             |  FROM supplier),
+             |bz AS (
+             |  SELECT b.*, CAST(floor((b_dec + 90.0) / 5.0) AS BIGINT) + d.dz AS zone
+             |  FROM b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dz) d),
+             |m AS (
+             |  SELECT a_id, b_id,
+             |    floor((degrees(2.0 * asin(sqrt(
+             |      sin(radians(a_dec - b_dec) / 2) * sin(radians(a_dec - b_dec) / 2) +
+             |      cos(radians(a_dec)) * cos(radians(b_dec)) *
+             |      (sin(radians(a_ra - b_ra) / 2) * sin(radians(a_ra - b_ra) / 2))
+             |    )))) * 1e6 + 0.5) / 1e6 AS dist_deg
+             |  FROM az JOIN bz USING (zone)
+             |  WHERE abs(a_dec - b_dec) <= 5.0)
+             |SELECT a_id, b_id, dist_deg FROM m
+             |WHERE dist_deg <= 5.0
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // As-of join [PK: nearest-epoch match] via union + running last():
     // one shuffle on the key, one sort; per event, the latest order

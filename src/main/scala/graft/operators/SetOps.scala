@@ -41,6 +41,14 @@ object SetOps {
         bigOrderKeys(s, dir).intersect(richCustomerKeys(s, dir)).orderBy("k"),
       Some(s"SELECT k FROM ($aSql INTERSECT $bSql) ORDER BY k")),
 
+    // Bag intersection (INTERSECT ALL): a duplicated big-order custkey
+    // survives min(occurrences-in-A, occurrences-in-B) times.
+    QDef(
+      "set_intersect_all",
+      (s, dir) =>
+        bigOrderKeys(s, dir).intersectAll(richCustomerKeys(s, dir)).orderBy("k"),
+      Some(s"SELECT k FROM ($aSql INTERSECT ALL $bSql) ORDER BY k")),
+
     // Bag difference (EXCEPT ALL): duplicate big-order custkeys survive once
     // per unmatched occurrence.
     QDef(

@@ -32,6 +32,22 @@ object Similarity {
   /** Embedding dimensionality (fixed 64, verified in FIXTURES.md). */
   private val Dims = 64
 
+  /** ANN tuning knobs. Recall story: with `LshPlanes` hyperplanes the corpus
+    * splits into 2^planes buckets; a probe scans ~corpus/2^planes vectors and
+    * finds a near neighbor when it lands in the probe's bucket — P ≈
+    * (1 − θ/π)^planes per plane-agreement for angle θ, so 4 planes ≈ 0.81^4 ≈
+    * 43% single-table recall at θ=30°; production raises recall with L
+    * independent tables (union of L such queries), trading L× work for
+    * 1−(1−r)^L recall. For IVF, `IvfCells` centroids give ~corpus/cells
+    * scanned per probe; recall is the probability the true neighbor shares
+    * the probe's cell — raised in production by probing the top-nprobe cells
+    * instead of 1. The harness sizes (4 planes / 8 cells over 2.5k vectors)
+    * keep per-bucket populations large enough for the oracle's determinism
+    * checks while exercising the exact plan shape a 100 TB run uses. */
+  private val LshPlanes = 4
+  private val IvfCells = 8
+  private val KMeansIters = 2
+
   /** Sequential-order dot product via the native codegen expression
     * [[graft.functions.DotProduct]] (same left-to-right IEEE accumulation as
     * DuckDB `list_dot_product`, so hash-parity holds). The earlier 64-term
@@ -120,12 +136,12 @@ object Similarity {
         // Plane components computed at plan-build time and embedded as array
         // LITERALS (the prior `transform(sequence(...))` expression form was
         // re-evaluated per element_at — O(dims²) interpreted work per row).
-        val planes = (0 until 4).map { j =>
+        val planes = (0 until LshPlanes).map { j =>
           typedlit((0 until Dims).map(i =>
             ((i.toLong + j * 64) * 2654435761L % 1000L).toDouble / 1000.0 - 0.5))
         }
         def bucketOf(e: Column): Column =
-          (0 until 4).map { j =>
+          (0 until LshPlanes).map { j =>
             when(dot(e, planes(j)) > 0.0, 1L << j).otherwise(0L)
           }.reduce(_ + _)
         val c = corpus(s, dir).withColumn("bucket", bucketOf(col("ce")))
@@ -145,7 +161,7 @@ object Similarity {
       Some(s"""WITH planes AS (
               |  SELECT j, list_transform(generate_series(0, 63),
               |    i -> CAST((i + j * 64) * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5) AS plane
-              |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
+              |  FROM (SELECT unnest(generate_series(0, ${LshPlanes - 1})) AS j)),
               |c AS (SELECT vec_id, ce, (
               |    SELECT CAST(sum(CASE WHEN list_dot_product(ce, plane) > 0.0
               |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
@@ -165,21 +181,32 @@ object Similarity {
               |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
               |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
 
-    // IVF-style ANN: deterministic coarse quantizer (the first 8 vectors act
-    // as centroids — a k-means fit would slot in here), every vector assigned
-    // to its nearest centroid via a partial-aggregating argmax (max(struct))
-    // — no per-key window, so assignment is one map-side-combining shuffle at
-    // any corpus size. Probes search only their own cell (top-3), the
-    // inverted-file layout: pre-partitioned by cell on disk, a probe reads
-    // one partition.
+    // IVF-style ANN with a REAL (if small) coarse-quantizer fit: the first
+    // `IvfCells` vectors seed `KMeansIters` deterministic Lloyd iterations
+    // (assign-to-nearest → per-cell elementwise mean), then corpus and probes
+    // are assigned to the fitted centroids and probes search only their own
+    // cell (top-3) — the inverted-file layout: pre-partitioned by cell on
+    // disk, a probe reads one partition.
+    //
+    // Scale/parity notes:
+    //  - Assignment is a partial-aggregating argmax (max(struct(cos, -cid)))
+    //    — no per-key window, one map-side-combining shuffle per iteration at
+    //    any corpus size. The centroid update is posexplode → (cell, pos)
+    //    partial-agg mean → re-assembled array: shuffle rows ≤ cells × dims ×
+    //    partitions, never O(corpus).
+    //  - Updated centroids are ROUNDED to the 1e-6 grid each iteration, so
+    //    both engines feed bit-identical centroid arrays into the next
+    //    sequential-dot cosine — the FP divergence window is one rounded avg,
+    //    the same bet every rnd()'d aggregate in this suite takes.
     QDef(
       "sim_ivf",
       (s, dir) => {
-        val cents = T.embeddings(s, dir).where(col("vec_id") < 8L)
+        val seeds = T.embeddings(s, dir).where(col("vec_id") < IvfCells.toLong)
           .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
         // argmax cell: max(struct(cos, -cid)) ≡ row_number over
         // (cos DESC, cid ASC) = 1, but with partial aggregation.
-        def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+        def assign(df: DataFrame, idCol: String, vecCol: String,
+            cents: DataFrame): DataFrame =
           df.crossJoin(broadcast(cents))
             .select(col(idCol), col(vecCol),
               cosine(col(vecCol), col("centroid")).as("ccos"), col("cid"))
@@ -187,8 +214,21 @@ object Similarity {
             .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
               first(col(vecCol)).as(vecCol))
             .select(col(idCol), col(vecCol), (-col("m.ncid")).as("cell"))
-        val c = assign(corpus(s, dir), "vec_id", "ce")
-        val p = assign(probes(s, dir), "probe_id", "pe")
+        // One Lloyd step: per-cell elementwise mean of the assigned vectors,
+        // rounded to the cross-engine grid. Seed cells can't empty out at
+        // iteration 1 (each seed is its own nearest member, cos = 1).
+        def lloydStep(cents: DataFrame): DataFrame =
+          assign(corpus(s, dir), "vec_id", "ce", cents)
+            .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
+            .groupBy("cell", "pos")
+            .agg(rnd(avg(col("v")), 6).as("mv"))
+            .groupBy("cell")
+            .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
+            .select(col("cell").as("cid"),
+              transform(col("sm"), x => x.getField("mv")).as("centroid"))
+        val fitted = (1 to KMeansIters).foldLeft(seeds)((c, _) => lloydStep(c))
+        val c = assign(corpus(s, dir), "vec_id", "ce", fitted)
+        val p = assign(probes(s, dir), "probe_id", "pe", fitted)
         val w = Window.partitionBy("probe_id")
           .orderBy(col("raw").desc, col("vec_id").asc)
         c.join(broadcast(p), Seq("cell"))
@@ -201,33 +241,59 @@ object Similarity {
             rnd(col("raw"), 6).as("cos"), col("rank"))
           .orderBy("probe_id", "rank")
       },
-      Some(s"""WITH cents AS (
-              |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
-              |  FROM embeddings WHERE vec_id < 8),
-              |c AS (
-              |  SELECT vec_id, ce, cid AS cell FROM (
-              |    SELECT vec_id, ce, cid,
-              |      row_number() OVER (PARTITION BY vec_id
-              |        ORDER BY ${cosSql("ce", "centroid")} DESC, cid ASC) AS rn
-              |    FROM ($corpusSql) CROSS JOIN cents)
-              |  WHERE rn = 1),
-              |p AS (
-              |  SELECT probe_id, pe, cid AS cell FROM (
-              |    SELECT probe_id, pe, cid,
-              |      row_number() OVER (PARTITION BY probe_id
-              |        ORDER BY ${cosSql("pe", "centroid")} DESC, cid ASC) AS rn
-              |    FROM ($probeSql) CROSS JOIN cents)
-              |  WHERE rn = 1),
-              |scored AS (
-              |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
-              |  FROM c JOIN p USING (cell) WHERE probe_id <> vec_id),
-              |ranked AS (
-              |  SELECT probe_id, cell, vec_id, raw,
-              |    row_number() OVER (PARTITION BY probe_id
-              |      ORDER BY raw DESC, vec_id ASC) AS rank
-              |  FROM scored)
-              |SELECT probe_id, cell, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
-              |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
+      Some {
+        // The same fit, unrolled to CTEs: a<i> = assignment to cents<i-1>,
+        // cents<i> = rounded per-cell mean. generate_subscripts zips with
+        // unnest positionally (1-based vs Spark's 0-based pos — ordering,
+        // not values, is what matters for the re-assembled array).
+        def assignSql(cents: String): String =
+          s"""SELECT vec_id, ce, cid AS cell FROM (
+             |    SELECT vec_id, ce, cid,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY ${cosSql("ce", "centroid")} DESC, cid ASC) AS rn
+             |    FROM c0 CROSS JOIN $cents)
+             |  WHERE rn = 1""".stripMargin
+        def meanSql(a: String): String =
+          s"""SELECT cell AS cid, list(mv ORDER BY pos) AS centroid FROM (
+             |    SELECT cell, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+             |      SELECT cell, unnest(ce) AS v, generate_subscripts(ce, 1) AS pos
+             |      FROM $a)
+             |    GROUP BY cell, pos)
+             |  GROUP BY cell""".stripMargin
+        val iters = (1 to KMeansIters).map { i =>
+          s"""a$i AS (${assignSql(s"cents${i - 1}")}),
+             |cents$i AS (${meanSql(s"a$i")})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS ($corpusSql),
+           |cents0 AS (
+           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+           |  FROM embeddings WHERE vec_id < $IvfCells),
+           |$iters,
+           |c AS (
+           |  SELECT vec_id, ce, cid AS cell FROM (
+           |    SELECT vec_id, ce, cid,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ${cosSql("ce", "centroid")} DESC, cid ASC) AS rn
+           |    FROM c0 CROSS JOIN cents$KMeansIters)
+           |  WHERE rn = 1),
+           |p AS (
+           |  SELECT probe_id, pe, cid AS cell FROM (
+           |    SELECT probe_id, pe, cid,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY ${cosSql("pe", "centroid")} DESC, cid ASC) AS rn
+           |    FROM ($probeSql) CROSS JOIN cents$KMeansIters)
+           |  WHERE rn = 1),
+           |scored AS (
+           |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
+           |  FROM c JOIN p USING (cell) WHERE probe_id <> vec_id),
+           |ranked AS (
+           |  SELECT probe_id, cell, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT probe_id, cell, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+           |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+      }),
 
     // Embedding-cosine near-dup: top-20 most similar pairs in a bounded
     // candidate set (post-LSH shape; see scaladoc).

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tolerance checks for the two approximate aggregates that (by design,
+  * SURVEY §2.4) carry no DuckDB oracle: sketch output is engine-specific, so
+  * the correctness contract is |approx − exact| ≤ ε against the exact
+  * aggregate computed in the SAME engine. */
+class ApproxSpec extends SparkSpec {
+
+  test("agg_approx_pctile: approx percentiles sit inside a quantile bracket of the exact CDF") {
+    val approx = SparkEntry.queries("agg_approx_pctile")(spark, sf)
+      .select("event_type", "approx_median", "approx_p90")
+    // Exact quantile brackets per group: percentile_approx at accuracy 1000
+    // has rank error ≤ n/1000 (< 1 rank at the fixture sizes), so the approx
+    // value must land within a generous ±0.05 quantile window.
+    val brackets = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.45)").as("q45"),
+        expr("percentile(value, 0.55)").as("q55"),
+        expr("percentile(value, 0.85)").as("q85"),
+        expr("percentile(value, 0.95)").as("q95"))
+    val rows = approx.join(brackets, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, p90) = (r.getAs[Double]("approx_median"), r.getAs[Double]("approx_p90"))
+      assert(m >= r.getAs[Double]("q45") && m <= r.getAs[Double]("q55"),
+        s"${r.getString(0)}: approx_median $m outside [q45, q55]")
+      assert(p90 >= r.getAs[Double]("q85") && p90 <= r.getAs[Double]("q95"),
+        s"${r.getString(0)}: approx_p90 $p90 outside [q85, q95]")
+    }
+  }
+
+  test("agg_approx_distinct: HLL estimate within 10% of exact count distinct") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val rows = approx.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("approx_parts").toDouble
+      val e = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(a - e) / e <= 0.10,
+        s"${r.getString(0)}: approx $a vs exact $e (>10% off)")
+    }
+  }
+}

@@ -24,6 +24,10 @@ class InventorySpec extends SparkSpec {
       "join_cross",
       "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_stats",
       "agg_grouping_sets", "agg_collect_sorted", "agg_having",
+      "agg_median", "agg_pivot", "agg_approx_pctile", "lc_features",
+      "lc_periods", "join_sky", "join_skew_salted", "set_intersect_all",
+      "sim_ivf", "scan_csv", "sink_bucketed", "fn_bitwise", "win_first_last",
+      "stream_custom_state",
       "win_rank", "win_lag_lead", "win_frame_rows", "win_frame_range",
       "win_topk_group", "win_ntile_cume", "sort_multi", "topk_limit",
       "set_union_all", "set_union_distinct", "set_intersect", "set_except",
@@ -41,10 +45,14 @@ class InventorySpec extends SparkSpec {
     assert(missing.isEmpty, s"missing: $missing")
   }
 
+  // Queries whose QDef fn executes eagerly on CONSTRUCTION (sink writes, full
+  // Structured Streaming runs) — the "analysis only" premise doesn't hold for
+  // them; they are covered by Verify/StreamingSpec.
+  private val eager = Set("stream_watermark", "stream_foreachbatch",
+    "sink_parquet", "sink_bucketed", "stream_custom_state")
+
   test("every batch query analyzes (schema resolves) against the fixtures") {
-    // Streaming queries execute on construction; skip them here (covered by
-    // StreamingSpec and the Verify harness).
-    val skip = Set("stream_watermark", "stream_foreachbatch", "sink_parquet")
+    val skip = eager
     SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
       val schema = q.fn(spark, sf).schema // forces full analysis
       assert(schema.nonEmpty, s"${q.name}: empty schema")
@@ -60,7 +68,7 @@ class InventorySpec extends SparkSpec {
   }
 
   test("no declared output column is FloatType or DecimalType (oracle parity)") {
-    val skip = Set("stream_watermark", "stream_foreachbatch", "sink_parquet")
+    val skip = eager
     SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
       q.fn(spark, sf).schema.fields.foreach { f =>
         assert(f.dataType != FloatType, s"${q.name}.${f.name} is FLOAT")

@@ -98,6 +98,18 @@ class StreamingSpec extends SparkSpec {
       "state (lastSec) must persist across batches to see the 300s gap")
   }
 
+  test("stream_foreachbatch: upserted parquet ≡ batch aggregate on same fixture") {
+    // The declared query runs a REAL streaming job (foreachBatch → parquet
+    // upsert → read-back); its result must equal the plain batch aggregate
+    // over the same events fixture — the exactly-once idempotent-sink claim.
+    val streamed = SparkEntry.queries("stream_foreachbatch")(spark, sf)
+      .as[(String, Long)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed === batch, "foreachBatch upsert must reproduce the batch aggregate")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
