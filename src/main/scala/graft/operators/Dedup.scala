@@ -109,6 +109,10 @@ object Dedup {
   private val RowsPerBand = 2
   private val MinHashes = Bands * RowsPerBand
 
+  /** Synchronous min-label-propagation rounds for `dedup_cluster` — bounds
+    * the component diameter fully resolved (see the QDef's scaladoc). */
+  private val ClusterIters = 3
+
   // Fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
   private val hashParams = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
@@ -123,6 +127,55 @@ object Dedup {
     val (a, b) = hashParams(i)
     s"min((s * $a + $b) % $P) AS h$i"
   }
+
+  /** MinHash+LSH candidate pairs (d1 < d2) — the shared front half of
+    * `dedup_minhash` (which emits the pairs) and `dedup_cluster` (which
+    * connects them into components). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingles(s, dir).groupBy("doc_id")
+      .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
+    // Band rows via a single explode over the signature row — the
+    // signature pipeline runs ONCE and fans out to `Bands` band rows per
+    // doc in the same stage (a union of projections would recompute the
+    // pipeline per band, or need a cache to avoid it).
+    val bands = sig
+      .select(col("doc_id"), explode(array((0 until Bands).map { i =>
+        struct(lit(i).cast("long").as("band"),
+          col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
+    // Bucket-grouping LSH candidate generation: ONE shuffle on the band
+    // key (vs two join sides + sort), then in-bucket pair expansion from
+    // the sorted doc list — output is quadratic only in per-bucket
+    // population, which r=2 banding keeps small at any corpus size.
+    val buckets = bands.groupBy("band", "sig_a", "sig_b")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ds"), (d1, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+  }
+
+  private val candidatePairsSql =
+    s"""WITH tok AS ($tokSql),
+       |dict AS ($dictSql),
+       |sh AS ($shingleSql),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until Bands).map(i =>
+            s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig_a = r.sig_a AND l.sig_b = r.sig_b
+       |    AND l.doc_id < r.doc_id)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -149,51 +202,63 @@ object Dedup {
     // quadratically).
     QDef(
       "dedup_minhash",
-      (s, dir) => {
-        val sig = shingles(s, dir).groupBy("doc_id")
-          .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
-        // Band rows via a single explode over the signature row — the
-        // signature pipeline runs ONCE and fans out to 3 band rows per doc
-        // in the same stage (a union of 3 projections would recompute the
-        // pipeline per band, or need a cache to avoid it).
-        val bands = sig
-          .select(col("doc_id"), explode(array((0 until Bands).map { i =>
-            struct(lit(i).cast("long").as("band"),
-              col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
-          }: _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"),
-            col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
-        // Bucket-grouping LSH candidate generation: ONE shuffle on the band
-        // key (vs two join sides + sort), then in-bucket pair expansion from
-        // the sorted doc list — output is quadratic only in per-bucket
-        // population, which r=2 banding keeps small at any corpus size.
-        val buckets = bands.groupBy("band", "sig_a", "sig_b")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .where(size(col("ds")) >= 2)
-        buckets
-          .select(explode(flatten(transform(col("ds"), (d1, i) =>
-            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-              d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
-          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .distinct()
-          .orderBy("d1", "d2")
-      },
-      Some(s"""WITH tok AS ($tokSql),
-              |dict AS ($dictSql),
-              |sh AS ($shingleSql),
-              |sig AS (
-              |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
-              |  FROM sh GROUP BY doc_id),
-              |bands AS (
-              |  ${(0 until Bands).map(i =>
-                   s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
-                   .mkString("\n  UNION ALL\n  ")}),
-              |pairs AS (
-              |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-              |  FROM bands l JOIN bands r
-              |    ON l.band = r.band AND l.sig_a = r.sig_a AND l.sig_b = r.sig_b
-              |    AND l.doc_id < r.doc_id)
+      (s, dir) => candidatePairs(s, dir).orderBy("d1", "d2"),
+      Some(s"""$candidatePairsSql
               |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)),
+
+    // Near-dup clustering: connected components over the LSH candidate-pair
+    // graph via min-label propagation — the step that turns pair lists into
+    // per-document cluster ids (keep doc = cluster min). `ClusterIters`
+    // fixed synchronous iterations: label(v) ← min(label(v), min over
+    // neighbors' labels); pure integer arithmetic, unrolled identically in
+    // the oracle's CTE chain (the iteration count bounds the component
+    // diameter handled — LSH near-dup components are chains of pairs, so 3
+    // hops close virtually all of them; production CC uses the same
+    // iterate-until-fixpoint joins, usually with large-star/small-star
+    // contraction to cut the iteration count to O(log d)).
+    //
+    // Scale: per iteration one equi-join of labels to edges (both keyed by
+    // doc id) + one partial-aggregating min — shuffle volume is O(edges),
+    // never materializes components; the edge list itself is the (already
+    // linear) LSH candidate output, not the corpus.
+    QDef(
+      "dedup_cluster",
+      (s, dir) => {
+        val pairs = candidatePairs(s, dir)
+        val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        val init = edges.select(col("src").as("v")).distinct()
+          .withColumn("lbl", col("v"))
+        val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>
+          edges
+            .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+            .groupBy(col("src").as("v"))
+            .agg(min(col("nlbl")).as("nmin"))
+            .join(labels, "v")
+            .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
+        }
+        done.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val iters = (1 to ClusterIters).map { i =>
+          s"""l$i AS (
+             |  SELECT cur.v, least(cur.lbl, min(nb.lbl)) AS lbl
+             |  FROM l${i - 1} cur
+             |  JOIN edges e ON e.src = cur.v
+             |  JOIN l${i - 1} nb ON nb.v = e.dst
+             |  GROUP BY cur.v, cur.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""$candidatePairsSql,
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT d2 AS src, d1 AS dst FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+           |$iters
+           |SELECT v AS doc_id, lbl AS cluster_id
+           |FROM l$ClusterIters ORDER BY doc_id""".stripMargin
+      }),
 
     // SimHash: 8-bit signature from per-token hashes h = (tok_id * KNUTH)
     // % 2^16; bit j weight = Σ ±1; signature bit j set iff weight > 0.

@@ -25,12 +25,16 @@ object Extensibility {
       (s, dir) => {
         Magnitude.register(s)
         T.events(s, dir)
+          // mag undefined at flux ≤ 0 (same guard as lc_features) — and a
+          // live divergence at sf0.1, where a value=0 row appears: DuckDB
+          // log10(0) raises, Spark returns null.
+          .where(col("value") > 0.0)
           .select(col("event_id"),
             rnd(expr("graft_mag(value)"), 6).as("mag"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, floor((-2.5 * log10(value) + 25.0) * 1e6 + 0.5) / 1e6 AS mag
-             |FROM events ORDER BY event_id""".stripMargin)),
+             |FROM events WHERE value > 0.0 ORDER BY event_id""".stripMargin)),
 
     QDef(
       "udaf_typed",

@@ -123,6 +123,55 @@ object Scans {
              |FROM orders GROUP BY o_custkey
              |HAVING count(*) >= 2 ORDER BY o_custkey""".stripMargin)),
 
+    // Frames-catalog ingestion [PK: the reference's FITS-frame data model —
+    // Spark is the catalog layer, pixels stay out-of-row (SURVEY §1.1)]: a
+    // key=value header blob per frame is parsed into a typed catalog table
+    // (regexp extract + casts), then aggregated per filter band to prove the
+    // typed round-trip. The header strings are synthesized deterministically
+    // from `events` (the fixtures carry no frame table); the parse → type →
+    // aggregate pipeline is the operator under test, and it is exactly the
+    // ingestion a 100 TB frame archive runs per header — narrow, no shuffle
+    // until the final tiny per-band aggregate.
+    QDef(
+      "scan_frames",
+      (s, dir) => {
+        val hdr = concat(
+          lit("FILTER="), col("event_type"),
+          lit(";EXPTIME="), ((col("event_id") % 5L + 1L) * 10L).cast("string"),
+          lit(";OBJ="), col("user_id").cast("string"))
+        val frames = T.events(s, dir)
+          .select(col("event_id").as("frame_id"), hdr.as("header"))
+        frames
+          .select(
+            col("frame_id"),
+            regexp_extract(col("header"), "FILTER=([a-z]+)", 1).as("filter"),
+            regexp_extract(col("header"), "EXPTIME=([0-9]+)", 1)
+              .cast("long").as("exptime_s"),
+            regexp_extract(col("header"), "OBJ=([0-9]+)", 1)
+              .cast("long").as("obj_id"))
+          .groupBy("filter")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("exptime_s")).as("total_exptime_s"),
+            countDistinct(col("obj_id")).as("n_objects"))
+          .orderBy("filter")
+      },
+      Some("""WITH frames AS (
+             |  SELECT event_id AS frame_id,
+             |    'FILTER=' || event_type ||
+             |    ';EXPTIME=' || CAST((event_id % 5 + 1) * 10 AS VARCHAR) ||
+             |    ';OBJ=' || CAST(user_id AS VARCHAR) AS header
+             |  FROM events),
+             |typed AS (
+             |  SELECT frame_id,
+             |    regexp_extract(header, 'FILTER=([a-z]+)', 1) AS filter,
+             |    CAST(regexp_extract(header, 'EXPTIME=([0-9]+)', 1) AS BIGINT) AS exptime_s,
+             |    CAST(regexp_extract(header, 'OBJ=([0-9]+)', 1) AS BIGINT) AS obj_id
+             |  FROM frames)
+             |SELECT filter, count(*) AS n_frames,
+             |  CAST(sum(exptime_s) AS BIGINT) AS total_exptime_s,
+             |  count(DISTINCT obj_id) AS n_objects
+             |FROM typed GROUP BY filter ORDER BY filter""".stripMargin)),
+
     // Parquet sink: write → read-back → aggregate. Exercises the writer path
     // inside the query itself (the harness additionally writes every result
     // via Verify). Deterministic single file, then a count by key.
