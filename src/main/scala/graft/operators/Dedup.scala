@@ -225,8 +225,13 @@ object Dedup {
       "dedup_cluster",
       (s, dir) => {
         val pairs = candidatePairs(s, dir)
+        // Persist the edge list: every propagation round re-references it,
+        // and without the cache each round re-runs the whole LSH pipeline.
+        // Standard iterative-graph practice (persist the edges, iterate on
+        // labels); the harness clears the cache after the query's action.
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
           .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+          .cache()
         val init = edges.select(col("src").as("v")).distinct()
           .withColumn("lbl", col("v"))
         val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>
