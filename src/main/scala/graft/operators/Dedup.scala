@@ -40,16 +40,31 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1L).cast("long").as("pos"), col("tok"))
 
-  /** Deterministic dense token dictionary: tok_id = index+1 in the sorted
-    * distinct vocab. One partial-aggregating pass (collect_set combines
-    * map-side) + posexplode — identical ids to `row_number() OVER (ORDER BY
-    * tok)` with two fewer shuffles than distinct→global-window. (Both shapes
-    * bottleneck on a single task for the final vocab ordering; fine while
-    * vocab ≪ corpus, which is what makes a dictionary a dictionary.) */
-  def dict(t: DataFrame): DataFrame =
-    t.agg(sort_array(collect_set(col("tok"))).as("v"))
-      .select(posexplode(col("v")).as(Seq("i", "tok")))
-      .select(col("tok"), (col("i") + 1L).cast("long").as("tok_id"))
+  /** Deterministic dense token dictionary: tok_id = rank in the sorted
+    * distinct vocab (≡ `row_number() OVER (ORDER BY tok)`), built FULLY
+    * DISTRIBUTED: distinct → range-repartition by tok → sort within
+    * partitions → `zipWithIndex` (one extra count job for the per-partition
+    * offsets, then a narrow index map). No single task ever holds the whole
+    * vocabulary — unlike a global-window row_number (one-task sort) or a
+    * collect_set fold (one giant array row), both of which cap out at real
+    * vocab sizes. The ids are partitioning-invariant: they depend only on
+    * the global sort order, not on where the range boundaries land.
+    *
+    * This is the one deliberate RDD drop-down in the codebase: dense global
+    * rank assignment is per-partition imperative logic (offset + local
+    * index) that the DataFrame API cannot express without a one-task window. */
+  def dict(t: DataFrame): DataFrame = {
+    val s = t.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import s.implicits._
+    t.select(col("tok")).distinct()
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok")
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .rdd
+      .zipWithIndex()
+      .map { case (tok, i) => (tok, i + 1L) }
+      .toDF("tok", "tok_id")
+  }
 
   private val tokSql =
     """SELECT doc_id,
