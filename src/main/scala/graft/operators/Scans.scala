@@ -123,6 +123,35 @@ object Scans {
              |FROM orders GROUP BY o_custkey
              |HAVING count(*) >= 2 ORDER BY o_custkey""".stripMargin)),
 
+    // Partitioned sink + partition-pruned read-back: write orders
+    // hive-partitioned by o_orderstatus, read back with a partition
+    // predicate — the scan must show PartitionFilters (directory pruning,
+    // zero I/O on other partitions). This is THE layout decision at 100 TB:
+    // a lake partitioned on the dominant filter column turns full scans
+    // into single-directory reads; everything downstream is unchanged
+    // DataFrame code. Partition column comes back as its own column; the
+    // aggregate proves the typed round-trip like the other sink queries.
+    QDef(
+      "sink_partitioned",
+      (s, dir) => {
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_$run"
+        T.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus")
+          .parquet(out)
+        s.read.parquet(out)
+          .where(col("o_orderstatus") === "F") // → PartitionFilters, pruned dirs
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Frames-catalog ingestion [PK: the reference's FITS-frame data model —
     // Spark is the catalog layer, pixels stay out-of-row (SURVEY §1.1)]: a
     // key=value header blob per frame is parsed into a typed catalog table
