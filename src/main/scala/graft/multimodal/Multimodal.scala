@@ -92,6 +92,33 @@ object Multimodal {
       }
   }
 
+  /** Resize output: halved geometry + a stride-2 resample statistic. */
+  final case class MMResized(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, resampled_mean: Double)
+
+  /** "Resize" via the stub codec: halve the fake geometry (floor, min 1) and
+    * compute a stride-2 byte resample over the first 16 payload bytes — the
+    * arithmetic stand-in for a real bilinear downsample, with the real
+    * pipeline shape: typed mapPartitions, payload never shuffled, one codec
+    * context per partition. */
+  def resize(s: SparkSession, dir: String): Dataset[MMResized] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val f = FakeCodec.decode(r)
+          val sampled = r.payload.take(16).zipWithIndex
+            .collect { case (b, i) if i % 2 == 0 => b.toLong & 0xffL }
+          val mean = if (sampled.isEmpty) 0.0 else sampled.sum.toDouble / 8.0
+          MMResized(r.doc_id, f.width, f.height,
+            math.max(1L, f.width / 2L), math.max(1L, f.height / 2L), mean)
+        }
+      }
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "mm_decode",
@@ -106,6 +133,24 @@ object Multimodal {
              |   + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1))
              |   + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) AS DOUBLE) / 8.0 AS mean8
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef(
+      "mm_resize",
+      (s, dir) => resize(s, dir).toDF().orderBy("doc_id"),
+      // Stride-2 resample = bytes at 0-based even offsets 0,2,…,14 ⇒ 1-based
+      // substr positions 1,3,…,15; docs are ≥16 bytes in every fixture, and
+      // /8.0 is exact in binary (power of two).
+      Some {
+        val terms = (0 until 8).map(i => s"ascii(substr(text, ${2 * i + 1}, 1))")
+          .mkString(" + ")
+        s"""SELECT doc_id,
+           |  1 + length(text) % 64 AS width,
+           |  1 + doc_id % 48 AS height,
+           |  greatest(1, (1 + length(text) % 64) // 2) AS out_w,
+           |  greatest(1, (1 + doc_id % 48) // 2) AS out_h,
+           |  CAST($terms AS DOUBLE) / 8.0 AS resampled_mean
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
 
     QDef(
       "mm_framesample",

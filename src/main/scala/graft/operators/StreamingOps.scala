@@ -137,6 +137,49 @@ object StreamingOps {
              |  max(sec) AS last_sec
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Stream-stream join, batch-declared form: views joined to purchases of
+    // the same user within the preceding hour (the interval-bounded
+    // equi-join Structured Streaming runs with watermarks on both sides —
+    // state retention is exactly the join's time bound). LEFT join keeps
+    // zero-view purchases; integer epoch-seconds bound the interval so the
+    // predicate is exact cross-engine. StreamingSpec runs the REAL
+    // stream-stream join on MemoryStreams and asserts parity with this
+    // batch form.
+    //
+    // Scale: both sides shuffle once on user_id; per-key state in the
+    // streaming form is bounded by the 1-hour watermark horizon — the
+    // property that makes the join runnable forever on an unbounded stream.
+    QDef(
+      "stream_join",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("sec").as("p_sec"))
+        val v = e.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"), col("sec").as("v_sec"))
+        p.join(v,
+            p("user_id") === v("user_id") &&
+              col("v_sec") >= col("p_sec") - 3600L && col("v_sec") <= col("p_sec"),
+            "left")
+          .groupBy("p_id")
+          .agg(count(col("v_id")).as("n_prior_views"))
+          .orderBy("p_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |p AS (SELECT user_id, event_id AS p_id, sec AS p_sec FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, event_id AS v_id, sec AS v_sec FROM e
+             |      WHERE event_type = 'view')
+             |SELECT p_id, count(v_id) AS n_prior_views
+             |FROM p LEFT JOIN v
+             |  ON p.user_id = v.user_id
+             |  AND v.v_sec >= p.p_sec - 3600 AND v.v_sec <= p.p_sec
+             |GROUP BY p_id ORDER BY p_id""".stripMargin)),
+
     // Streaming-only semantics: real Structured Streaming runs (file replay
     // source → watermark/foreachBatch → sink), no DuckDB oracle (driver
     // rows-only check). See graft.streaming.StreamRunner.

@@ -110,6 +110,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "foreachBatch upsert must reproduce the batch aggregate")
   }
 
+  test("stream-stream interval join ≡ batch join on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user, sec-as-ts, id): purchases and views; views count when within
+    // [p-1h, p] for the same user — the stream_join condition.
+    val purchases = Seq((1L, "2024-01-01 02:00:00", 10L), (2L, "2024-01-01 05:00:00", 11L))
+    val views = Seq(
+      (1L, "2024-01-01 01:10:00", 20L), // within the hour → pairs with 10
+      (1L, "2024-01-01 00:30:00", 21L), // too early → no pair
+      (2L, "2024-01-01 05:00:00", 22L), // same instant → pairs with 11
+      (2L, "2024-01-01 06:00:00", 23L)) // after purchase → no pair
+    def df(rows: Seq[(Long, String, Long)], pfx: String) =
+      rows.toDF("user_id", "s", pfx + "_id")
+        .select(col("user_id"), col("s").cast("timestamp").as(pfx + "_ts"), col(pfx + "_id"))
+    val pMem = MemoryStream[(Long, String, Long)]
+    val vMem = MemoryStream[(Long, String, Long)]
+    val pS = pMem.toDF().toDF("user_id", "s", "p_id")
+      .select(col("user_id"), col("s").cast("timestamp").as("p_ts"), col("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val vS = vMem.toDF().toDF("user_id", "s", "v_id")
+      .select(col("user_id").as("v_user"), col("s").cast("timestamp").as("v_ts"), col("v_id"))
+      .withWatermark("v_ts", "2 hours")
+    val q = pS.join(vS,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select("p_id", "v_id")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    pMem.addData(purchases: _*)
+    vMem.addData(views: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ssj_test").as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = df(purchases, "p").join(df(views, "v").withColumnRenamed("user_id", "v_user"),
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set((10L, 20L), (11L, 22L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
