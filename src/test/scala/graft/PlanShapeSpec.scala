@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan regression checks: the scale-design claims in PLANS.md as
+  * executable assertions. A refactor that silently degrades a plan (nested
+  * loop where an equi-join was designed, lost pushdown, lost partial
+  * aggregation, lost broadcast) fails here, not at 100 TB. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_sky: shuffled/broadcast equi-join, never a nested loop") {
+    val p = plan("join_sky")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "sky cross-match degraded to NLJ")
+    assert(!p.contains("CartesianProduct"), "sky cross-match degraded to cartesian")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+  }
+
+  test("join_range: bucket-key idiom stays an equi-join") {
+    val p = plan("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("scan_prune: predicate and projection reach the parquet scan") {
+    val p = plan("scan_prune")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_quantity"),
+      "quantity predicate not pushed to the scan")
+    assert(!p.contains("l_extendedprice"), "column pruning lost (unneeded column read)")
+  }
+
+  test("dedup_minhash: dictionary attaches via BroadcastHashJoin (no map-column scan)") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("BroadcastHashJoin"), "dict join not broadcast")
+    assert(!p.contains("map_from_arrays"), "map-column dictionary resurfaced")
+  }
+
+  test("agg_hash / lc_periods: map-side partial aggregation before the shuffle") {
+    assert(plan("agg_hash").contains("partial_sum"), "Q1 lost partial aggregation")
+    assert(plan("lc_periods").contains("partial_"),
+      "period grid fan-out no longer collapses map-side")
+  }
+
+  test("join_broadcast: dimensions ship as broadcasts, fact side never exchanges") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("sink_partitioned: read-back scan carries PartitionFilters") {
+    val p = plan("sink_partitioned")
+    assert(p.contains("PartitionFilters") &&
+      "o_orderstatus#\\d+ = F".r.findFirstIn(p).isDefined,
+      "partition pruning lost on the partitioned read-back")
+  }
+}
