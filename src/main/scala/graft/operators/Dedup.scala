@@ -192,6 +192,60 @@ object Dedup {
        |    ON l.band = r.band AND l.sig_a = r.sig_a AND l.sig_b = r.sig_b
        |    AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Connected components over the LSH candidate-pair graph via
+    * `ClusterIters` synchronous min-label-propagation rounds → (doc_id,
+    * cluster_id = component-minimum doc id). Shared by `dedup_cluster`
+    * (which emits it) and `dedup_keep` (which anti-joins the corpus
+    * against the non-canonical members).
+    *
+    * Per round: labels ⋈ edges equi-join + partial-aggregating min —
+    * shuffle volume O(edges), components never materialized. The edge list
+    * is `localCheckpoint`ed before iterating: a plain cache still inlines
+    * the whole LSH subtree into each round's logical plan (~1100 nodes,
+    * optimizer time dominates — measured 8 s of a 51-row query); with the
+    * lineage truncated the query runs in ~3 s. Production CC on a cluster
+    * uses reliable checkpoint() to also drop executor-failure recompute
+    * chains, and large-star/small-star contraction to cut rounds to
+    * O(log d) with the same join shape. */
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(s, dir)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    val init = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>
+      edges
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(min(col("nlbl")).as("nmin"))
+        .join(labels, "v")
+        .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
+    }
+    done.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** The same propagation unrolled to CTEs, ending in a `clusters` CTE. */
+  private val clustersSql: String = {
+    val iters = (1 to ClusterIters).map { i =>
+      s"""l$i AS (
+         |  SELECT cur.v, least(cur.lbl, min(nb.lbl)) AS lbl
+         |  FROM l${i - 1} cur
+         |  JOIN edges e ON e.src = cur.v
+         |  JOIN l${i - 1} nb ON nb.v = e.dst
+         |  GROUP BY cur.v, cur.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""$candidatePairsSql,
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+       |$iters,
+       |clusters AS (
+       |  SELECT v AS doc_id, lbl AS cluster_id FROM l$ClusterIters)""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup on a normalized key (first-5-token prefix — the fixtures
@@ -238,51 +292,29 @@ object Dedup {
     // linear) LSH candidate output, not the corpus.
     QDef(
       "dedup_cluster",
+      (s, dir) => clusters(s, dir).orderBy("doc_id"),
+      Some(s"""$clustersSql
+              |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin)),
+
+    // Dedup keep-list: the family's end product — one canonical document per
+    // near-dup cluster (the cluster minimum) plus every unclustered doc.
+    // Anti-join of the corpus against the non-canonical cluster members:
+    // one broadcast/shuffled anti join over the (tiny relative to corpus)
+    // cluster table; the corpus itself is scanned once, never paired.
+    QDef(
+      "dedup_keep",
       (s, dir) => {
-        val pairs = candidatePairs(s, dir)
-        // TRUNCATE LINEAGE before iterating: every propagation round
-        // re-references the edge list, and a plain cache still inlines the
-        // whole LSH subtree into each round's logical plan — 3 rounds deep
-        // the plan hits ~1100 nodes and optimizer time dominates (measured
-        // 8 s of a 51-row query). localCheckpoint materializes the edges
-        // once and replaces the subtree with a leaf — the standard iterative-
-        // graph idiom (production CC on a cluster uses reliable checkpoint()
-        // to also drop executor-failure recompute chains).
-        val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-          .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-          .localCheckpoint()
-        val init = edges.select(col("src").as("v")).distinct()
-          .withColumn("lbl", col("v"))
-        val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>
-          edges
-            .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
-            .groupBy(col("src").as("v"))
-            .agg(min(col("nlbl")).as("nmin"))
-            .join(labels, "v")
-            .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
-        }
-        done.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        val drop = clusters(s, dir).where(col("doc_id") =!= col("cluster_id"))
+        T.documents(s, dir)
+          .join(drop.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id")
       },
-      Some {
-        val iters = (1 to ClusterIters).map { i =>
-          s"""l$i AS (
-             |  SELECT cur.v, least(cur.lbl, min(nb.lbl)) AS lbl
-             |  FROM l${i - 1} cur
-             |  JOIN edges e ON e.src = cur.v
-             |  JOIN l${i - 1} nb ON nb.v = e.dst
-             |  GROUP BY cur.v, cur.lbl)""".stripMargin
-        }.mkString(",\n")
-        s"""$candidatePairsSql,
-           |edges AS (
-           |  SELECT d1 AS src, d2 AS dst FROM pairs
-           |  UNION ALL
-           |  SELECT d2 AS src, d1 AS dst FROM pairs),
-           |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
-           |$iters
-           |SELECT v AS doc_id, lbl AS cluster_id
-           |FROM l$ClusterIters ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""$clustersSql
+              |SELECT doc_id, lang, n_chars FROM documents
+              |WHERE doc_id NOT IN (
+              |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // SimHash: 8-bit signature from per-token hashes h = (tok_id * KNUTH)
     // % 2^16; bit j weight = Σ ±1; signature bit j set iff weight > 0.

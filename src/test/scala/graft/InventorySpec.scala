@@ -28,7 +28,7 @@ class InventorySpec extends SparkSpec {
       "lc_periods", "join_sky", "join_skew_salted", "set_intersect_all",
       "sim_ivf", "scan_csv", "sink_bucketed", "fn_bitwise", "win_first_last",
       "stream_custom_state", "scan_frames", "dedup_cluster", "text_tfidf",
-      "mm_framesample", "sink_partitioned", "mm_resize", "stream_join",
+      "mm_framesample", "sink_partitioned", "mm_resize", "stream_join", "dedup_keep",
       "win_rank", "win_lag_lead", "win_frame_rows", "win_frame_range",
       "win_topk_group", "win_ntile_cume", "sort_multi", "topk_limit",
       "set_union_all", "set_union_distinct", "set_intersect", "set_except",
@@ -51,7 +51,7 @@ class InventorySpec extends SparkSpec {
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
     "sink_parquet", "sink_bucketed", "sink_partitioned", "stream_custom_state",
-    "dedup_cluster") // localCheckpoint materializes edges on construction
+    "dedup_cluster", "dedup_keep") // localCheckpoint materializes edges on construction
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
