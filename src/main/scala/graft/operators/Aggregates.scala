@@ -95,6 +95,31 @@ object Aggregates {
       },
       None),
 
+    // Sketch re-aggregation — THE 100-TB pre-aggregation pattern: per-day
+    // HLL sketches (Datasketches, mergeable state) are unioned into a
+    // per-type distinct-user estimate WITHOUT touching row data again. A
+    // daily cube of sketches makes any date-range distinct count a merge of
+    // ~365 small binaries instead of a full scan — something plain
+    // count(DISTINCT) can never do. Declared without an oracle (sketch
+    // binaries are engine-specific); ApproxSpec asserts (a) the merged
+    // estimate equals the direct single-pass sketch estimate exactly (same
+    // sketch config ⇒ same state) and (b) both are within 10% of exact.
+    QDef(
+      "agg_sketch_reagg",
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_rows"))
+        daily.groupBy("event_type")
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+            count(lit(1)).as("n_days"),
+            sum(col("n_rows")).as("n_rows"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Statistical aggregates — the lightcurve "variability features" analogue
     // (stddev/variance of a value series per object).
     QDef(

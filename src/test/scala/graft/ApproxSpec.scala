@@ -32,6 +32,29 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("agg_sketch_reagg: daily-sketch merge ≡ direct sketch, both ≈ exact") {
+    val merged = SparkEntry.queries("agg_sketch_reagg")(spark, sf)
+      .select("event_type", "approx_users")
+    // Same sketch config ⇒ merging per-day sketches must give EXACTLY the
+    // state (and estimate) of one pass over all rows — the mergeability
+    // contract that makes the daily pre-aggregate lossless.
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"))
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val rows = merged.join(direct, "event_type").join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, d, e) = (r.getAs[Long]("approx_users"),
+        r.getAs[Long]("direct_users"), r.getAs[Long]("exact_users"))
+      assert(m === d, s"${r.getString(0)}: merged $m ≠ direct $d (mergeability broken)")
+      assert(math.abs(m - e).toDouble / e <= 0.10,
+        s"${r.getString(0)}: sketch $m vs exact $e (>10% off)")
+    }
+  }
+
   test("agg_approx_distinct: HLL estimate within 10% of exact count distinct") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
     val exact = Tables.lineitem(spark, sf)
