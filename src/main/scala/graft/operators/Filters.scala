@@ -9,6 +9,45 @@ object Filters {
 
   val defs: Seq[QDef] = Seq(
 
+    // Deterministic systematic sample: a 5% slice selected by key arithmetic
+    // (o_orderkey·prime mod 100 < 5), then an aggregate over the slice.
+    // TABLESAMPLE/df.sample use engine-specific RNG streams that can never
+    // hash-match across engines; the arithmetic slice gives the same
+    // pushdown-able scan-level sampling (the predicate reaches the parquet
+    // reader) with bit-identical membership — the shape a 100 TB
+    // explore/estimate pass uses.
+    QDef(
+      "filter_sample",
+      (s, dir) =>
+        T.orders(s, dir)
+          .where((col("o_orderkey") * 7919L) % 100L < 5L)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), rnd(avg("o_totalprice"), 2).as("avg_price"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  floor((avg(o_totalprice)) * 1e2 + 0.5) / 1e2 AS avg_price
+             |FROM orders WHERE (o_orderkey * 7919) % 100 < 5
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Scalar-subquery filter: rows above the global average — the broadcast-
+    // scalar idiom (one-row aggregate broadcast to every partition; no
+    // driver round-trip, no collect). Catalyst plans the DataFrame cross
+    // join and the SQL scalar subquery identically.
+    QDef(
+      "filter_subquery",
+      (s, dir) => {
+        val avgQty = T.lineitem(s, dir).agg(avg("l_quantity").as("avg_qty"))
+        T.lineitem(s, dir)
+          .crossJoin(broadcast(avgQty))
+          .where(col("l_quantity") > col("avg_qty") * 1.9)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
     // Derived-column projection: the TPC-H net-price arithmetic. Pure
     // per-row IEEE arithmetic evaluates identically in both engines;
     // rounded anyway per SURVEY §7.4.
