@@ -16,6 +16,58 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** Best trial period per object by phase-dispersion minimization — shared
+    * by `lc_periods` (which emits it) and `lc_fold` (which folds the curve
+    * at it). See the lc_periods QDef comment for the algorithm and the
+    * engine-parity design. */
+  private def bestPeriods(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val nBins = 8L
+    val t = T.events(s, dir)
+      .where(col("value") > 0.0)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("value"))
+    val folded = t
+      .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+      .withColumn("period_s", lit(43200L) + lit(21600L) * col("k"))
+      .withColumn("bin", expr(s"((t % period_s) * $nBins) div period_s"))
+    val bins = folded.groupBy("user_id", "period_s", "bin")
+      .agg(count(lit(1)).as("n_b"), var_samp(col("value")).as("v_b"))
+      .where(col("n_b") >= 2L)
+    val pooled = bins.groupBy("user_id", "period_s")
+      .agg(rnd(
+        sum((col("n_b") - 1L) * col("v_b")) /
+          sum(col("n_b") - 1L).cast("double"), 6).as("pdm_s2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("pdm_s2"), col("period_s"))
+    pooled
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("period_s").as("best_period_s"), col("pdm_s2"))
+  }
+
+  private val bestPeriodsSql =
+    """WITH t AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      |  FROM events WHERE value > 0.0),
+      |folded AS (
+      |  SELECT user_id, 43200 + 21600 * g.k AS period_s,
+      |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS bin,
+      |    value
+      |  FROM t CROSS JOIN generate_series(0, 23) g(k)),
+      |bins AS (
+      |  SELECT user_id, period_s, bin, count(*) AS n_b, var_samp(value) AS v_b
+      |  FROM folded GROUP BY user_id, period_s, bin
+      |  HAVING count(*) >= 2),
+      |pooled AS (
+      |  SELECT user_id, period_s,
+      |    floor((sum((n_b - 1) * v_b) / CAST(sum(n_b - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pdm_s2
+      |  FROM bins GROUP BY user_id, period_s),
+      |best AS (
+      |  SELECT user_id, period_s AS best_period_s, pdm_s2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY pdm_s2, period_s) AS rn
+      |        FROM pooled)
+      |  WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // TPC-H Q1 shape: the flagship aggregate.
@@ -304,50 +356,40 @@ object Aggregates {
     // state bounded by the grid, no per-observation data ever re-shuffled.
     QDef(
       "lc_periods",
+      (s, dir) => bestPeriods(s, dir).orderBy("user_id"),
+      Some(s"""$bestPeriodsSql
+              |SELECT user_id, best_period_s, pdm_s2 FROM best
+              |ORDER BY user_id""".stripMargin)),
+
+    // Phase-folded light curve at the best period [PK — the plot-ready
+    // product after period finding: every observation mapped to its phase
+    // in [0, 1) at the object's detected period]. Phase is emitted as an
+    // exact integer milli-phase ((t mod P)·1000 div P) — no double division
+    // to diverge cross-engine. One broadcast-able join of the (tiny)
+    // best-period table back onto the observation stream; at 100 TB the
+    // curve store partition on user_id makes it co-located.
+    QDef(
+      "lc_fold",
       (s, dir) => {
-        val nBins = 8L
         val t = T.events(s, dir)
           .where(col("value") > 0.0)
-          .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("value"))
-        val folded = t
-          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
-          .withColumn("period_s", lit(43200L) + lit(21600L) * col("k"))
-          .withColumn("bin", expr(s"((t % period_s) * $nBins) div period_s"))
-        val bins = folded.groupBy("user_id", "period_s", "bin")
-          .agg(count(lit(1)).as("n_b"), var_samp(col("value")).as("v_b"))
-          .where(col("n_b") >= 2L)
-        val pooled = bins.groupBy("user_id", "period_s")
-          .agg(rnd(
-            sum((col("n_b") - 1L) * col("v_b")) /
-              sum(col("n_b") - 1L).cast("double"), 6).as("pdm_s2"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("pdm_s2"), col("period_s"))
-        pooled
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("user_id"), col("period_s").as("best_period_s"), col("pdm_s2"))
-          .orderBy("user_id")
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"), col("value"))
+        t.join(broadcast(bestPeriods(s, dir)), "user_id")
+          .select(col("user_id"), col("event_id"), col("best_period_s"),
+            expr("((t % best_period_s) * 1000) div best_period_s").as("phase_milli"),
+            rnd(col("value"), 6).as("value"))
+          .orderBy("user_id", "event_id")
       },
-      Some("""WITH t AS (
-             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
-             |  FROM events WHERE value > 0.0),
-             |folded AS (
-             |  SELECT user_id, 43200 + 21600 * g.k AS period_s,
-             |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS bin,
-             |    value
-             |  FROM t CROSS JOIN generate_series(0, 23) g(k)),
-             |bins AS (
-             |  SELECT user_id, period_s, bin, count(*) AS n_b, var_samp(value) AS v_b
-             |  FROM folded GROUP BY user_id, period_s, bin
-             |  HAVING count(*) >= 2),
-             |pooled AS (
-             |  SELECT user_id, period_s,
-             |    floor((sum((n_b - 1) * v_b) / CAST(sum(n_b - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pdm_s2
-             |  FROM bins GROUP BY user_id, period_s)
-             |SELECT user_id, period_s AS best_period_s, pdm_s2
-             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY pdm_s2, period_s) AS rn
-             |      FROM pooled)
-             |WHERE rn = 1
-             |ORDER BY user_id""".stripMargin))
+      Some(s"""$bestPeriodsSql,
+              |obs AS (
+              |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+              |    floor((value) * 1e6 + 0.5) / 1e6 AS value
+              |  FROM events WHERE value > 0.0)
+              |SELECT o.user_id, o.event_id, b.best_period_s,
+              |  ((o.t % b.best_period_s) * 1000) // b.best_period_s AS phase_milli,
+              |  o.value
+              |FROM obs o JOIN best b USING (user_id)
+              |ORDER BY user_id, event_id""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,69 @@ import org.apache.spark.sql.functions._
   *    "nearest epoch at or before" matching.
   */
 object Joins {
+
+  /** Zones-algorithm sky match set (a_id, b_id, dist_deg ≤ 5°) — shared by
+    * `join_sky` (all pairs) and `join_sky_nn` (nearest per a-side source).
+    * See the join_sky QDef comment for the algorithm and parity notes. */
+  private def skyMatches(s: SparkSession, dir: String): DataFrame = {
+    val r = 5.0 // match radius (deg) = zone height
+    def ra(key: Column, m: Long): Column =
+      ((key * m) % 36000L).cast("double") / lit(100.0)
+    def dec(key: Column, m: Long): Column =
+      ((key * m) % 18001L).cast("double") / lit(100.0) - lit(90.0)
+    val a = T.customer(s, dir).select(
+      col("c_custkey").as("a_id"),
+      ra(col("c_custkey"), 7919L).as("a_ra"),
+      dec(col("c_custkey"), 104729L).as("a_dec"))
+      .withColumn("zone", floor((col("a_dec") + 90.0) / r).cast("long"))
+    val b = T.supplier(s, dir).select(
+      col("s_suppkey").as("b_id"),
+      ra(col("s_suppkey"), 13007L).as("b_ra"),
+      dec(col("s_suppkey"), 30011L).as("b_dec"))
+      .withColumn("z0", floor((col("b_dec") + 90.0) / r).cast("long"))
+      .withColumn("zone", explode(array(col("z0") - 1L, col("z0"), col("z0") + 1L)))
+    // sin²: explicit x*x, NOT pow(x, 2) — Java Math.pow and C libm pow
+    // are not bit-identical; multiplication is.
+    val sd = sin(radians(col("a_dec") - col("b_dec")) / 2)
+    val sr = sin(radians(col("a_ra") - col("b_ra")) / 2)
+    val hav = // 2·asin(√(sin²(Δdec/2) + cos·cos·sin²(Δra/2))), degrees
+      degrees(lit(2.0) * asin(sqrt(
+        sd * sd +
+          cos(radians(col("a_dec"))) * cos(radians(col("b_dec"))) * (sr * sr))))
+    a.join(b, Seq("zone"))
+      .where(abs(col("a_dec") - col("b_dec")) <= r)
+      .withColumn("dist_deg", rnd(hav, 6))
+      .where(col("dist_deg") <= r)
+      .select(col("a_id"), col("b_id"), col("dist_deg"))
+  }
+
+  private val skyMatchesSql =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_id,
+      |    CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 AS a_ra,
+      |    CAST((c_custkey * 104729) % 18001 AS DOUBLE) / 100.0 - 90.0 AS a_dec
+      |  FROM customer),
+      |az AS (
+      |  SELECT *, CAST(floor((a_dec + 90.0) / 5.0) AS BIGINT) AS zone FROM a),
+      |b AS (
+      |  SELECT s_suppkey AS b_id,
+      |    CAST((s_suppkey * 13007) % 36000 AS DOUBLE) / 100.0 AS b_ra,
+      |    CAST((s_suppkey * 30011) % 18001 AS DOUBLE) / 100.0 - 90.0 AS b_dec
+      |  FROM supplier),
+      |bz AS (
+      |  SELECT b.*, CAST(floor((b_dec + 90.0) / 5.0) AS BIGINT) + d.dz AS zone
+      |  FROM b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dz) d),
+      |matches AS (
+      |  SELECT a_id, b_id, dist_deg FROM (
+      |    SELECT a_id, b_id,
+      |      floor((degrees(2.0 * asin(sqrt(
+      |        sin(radians(a_dec - b_dec) / 2) * sin(radians(a_dec - b_dec) / 2) +
+      |        cos(radians(a_dec)) * cos(radians(b_dec)) *
+      |        (sin(radians(a_ra - b_ra) / 2) * sin(radians(a_ra - b_ra) / 2))
+      |      )))) * 1e6 + 0.5) / 1e6 AS dist_deg
+      |    FROM az JOIN bz USING (zone)
+      |    WHERE abs(a_dec - b_dec) <= 5.0)
+      |  WHERE dist_deg <= 5.0)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -213,10 +276,20 @@ object Joins {
     // 2-D sky cross-match [PK: the reference's (ra, dec) nearest-source
     // match], upgraded from join_range's 1-D band analogue to the real
     // zones algorithm: bucket declination into fixed-height zones, explode
-    // ONE side to its zone ±1 neighbors, equi-join on the zone key, then
-    // apply the residual |Δdec| band and great-circle (haversine) distance
-    // predicates. The plan is a shuffled equi-join — never a nested loop —
-    // and the per-zone population bounds the candidate set at any scale.
+    // ONE side (the smaller catalog) to its zone ±1 neighbors, equi-join on
+    // the zone key, then apply the residual |Δdec| band and great-circle
+    // (haversine) distance predicates. The plan is a shuffled equi-join —
+    // never a nested loop — and the per-zone population bounds the
+    // candidate set at any scale.
+    //
+    // Why dec-zones + ra RESIDUAL rather than a 2-D (dec, ra) grid cell:
+    // this is the published zones-algorithm form — ra bucket width is only
+    // valid scaled by 1/cos(dec), so a fixed 2-D grid with ±1 ra neighbors
+    // silently DROPS true matches near the poles (Δra ≫ arc distance
+    // there); the dec zone key already bounds candidates to a 2r-high band
+    // and the distance predicate does the rest exactly. HEALPix cells (equal
+    // -area, no polar pathology) are the drop-in upgrade for the bucket key
+    // at survey scale; the join shape is unchanged.
     //
     // Coordinates are derived deterministically from the fixture keys
     // (multiplicative hash onto [0,360)×[-90,90]) — the fixtures carry no
@@ -228,65 +301,34 @@ object Joins {
     // the oracle stays exact without it.
     QDef(
       "join_sky",
+      (s, dir) => skyMatches(s, dir).orderBy("a_id", "b_id"),
+      Some(s"""$skyMatchesSql
+              |SELECT a_id, b_id, dist_deg FROM matches
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Nearest-neighbor sky cross-match [PK — lightcurator's cross-match
+    // semantic: THE closest source, not all sources in the radius]: the
+    // zones-join match set reduced to min-distance per a-side source
+    // (rounded-distance order, b_id tiebreak). Same equi-join plan plus a
+    // per-key window over the (small) match set; at scale the argmin is a
+    // partial-aggregating max(struct) if match multiplicity grows.
+    QDef(
+      "join_sky_nn",
       (s, dir) => {
-        val r = 5.0 // match radius (deg) = zone height
-        def ra(key: Column, m: Long): Column =
-          ((key * m) % 36000L).cast("double") / lit(100.0)
-        def dec(key: Column, m: Long): Column =
-          ((key * m) % 18001L).cast("double") / lit(100.0) - lit(90.0)
-        val a = T.customer(s, dir).select(
-          col("c_custkey").as("a_id"),
-          ra(col("c_custkey"), 7919L).as("a_ra"),
-          dec(col("c_custkey"), 104729L).as("a_dec"))
-          .withColumn("zone", floor((col("a_dec") + 90.0) / r).cast("long"))
-        val b = T.supplier(s, dir).select(
-          col("s_suppkey").as("b_id"),
-          ra(col("s_suppkey"), 13007L).as("b_ra"),
-          dec(col("s_suppkey"), 30011L).as("b_dec"))
-          .withColumn("z0", floor((col("b_dec") + 90.0) / r).cast("long"))
-          .withColumn("zone", explode(array(col("z0") - 1L, col("z0"), col("z0") + 1L)))
-        // sin²: explicit x*x, NOT pow(x, 2) — Java Math.pow and C libm pow
-        // are not bit-identical; multiplication is.
-        val sd = sin(radians(col("a_dec") - col("b_dec")) / 2)
-        val sr = sin(radians(col("a_ra") - col("b_ra")) / 2)
-        val hav = // 2·asin(√(sin²(Δdec/2) + cos·cos·sin²(Δra/2))), degrees
-          degrees(lit(2.0) * asin(sqrt(
-            sd * sd +
-              cos(radians(col("a_dec"))) * cos(radians(col("b_dec"))) * (sr * sr))))
-        a.join(b, Seq("zone"))
-          .where(abs(col("a_dec") - col("b_dec")) <= r)
-          .withColumn("dist_deg", rnd(hav, 6))
-          .where(col("dist_deg") <= r)
-          .select(col("a_id"), col("b_id"), col("dist_deg"))
-          .orderBy("a_id", "b_id")
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("dist_deg").asc, col("b_id").asc)
+        skyMatches(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("a_id"), col("b_id").as("nn_id"), col("dist_deg"))
+          .orderBy("a_id")
       },
-      Some("""WITH a AS (
-             |  SELECT c_custkey AS a_id,
-             |    CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 AS a_ra,
-             |    CAST((c_custkey * 104729) % 18001 AS DOUBLE) / 100.0 - 90.0 AS a_dec
-             |  FROM customer),
-             |az AS (
-             |  SELECT *, CAST(floor((a_dec + 90.0) / 5.0) AS BIGINT) AS zone FROM a),
-             |b AS (
-             |  SELECT s_suppkey AS b_id,
-             |    CAST((s_suppkey * 13007) % 36000 AS DOUBLE) / 100.0 AS b_ra,
-             |    CAST((s_suppkey * 30011) % 18001 AS DOUBLE) / 100.0 - 90.0 AS b_dec
-             |  FROM supplier),
-             |bz AS (
-             |  SELECT b.*, CAST(floor((b_dec + 90.0) / 5.0) AS BIGINT) + d.dz AS zone
-             |  FROM b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dz) d),
-             |m AS (
-             |  SELECT a_id, b_id,
-             |    floor((degrees(2.0 * asin(sqrt(
-             |      sin(radians(a_dec - b_dec) / 2) * sin(radians(a_dec - b_dec) / 2) +
-             |      cos(radians(a_dec)) * cos(radians(b_dec)) *
-             |      (sin(radians(a_ra - b_ra) / 2) * sin(radians(a_ra - b_ra) / 2))
-             |    )))) * 1e6 + 0.5) / 1e6 AS dist_deg
-             |  FROM az JOIN bz USING (zone)
-             |  WHERE abs(a_dec - b_dec) <= 5.0)
-             |SELECT a_id, b_id, dist_deg FROM m
-             |WHERE dist_deg <= 5.0
-             |ORDER BY a_id, b_id""".stripMargin)),
+      Some(s"""$skyMatchesSql
+              |SELECT a_id, b_id AS nn_id, dist_deg FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY a_id
+              |    ORDER BY dist_deg ASC, b_id ASC) AS rn
+              |  FROM matches)
+              |WHERE rn = 1 ORDER BY a_id""".stripMargin)),
 
     // As-of join [PK: nearest-epoch match] via union + running last():
     // one shuffle on the key, one sort; per event, the latest order

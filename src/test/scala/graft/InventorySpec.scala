@@ -29,7 +29,7 @@ class InventorySpec extends SparkSpec {
       "sim_ivf", "scan_csv", "sink_bucketed", "fn_bitwise", "win_first_last",
       "stream_custom_state", "scan_frames", "dedup_cluster", "text_tfidf",
       "mm_framesample", "sink_partitioned", "mm_resize", "stream_join", "dedup_keep",
-      "agg_sketch_reagg", "filter_sample", "filter_subquery",
+      "agg_sketch_reagg", "filter_sample", "filter_subquery", "join_sky_nn", "lc_fold",
       "win_rank", "win_lag_lead", "win_frame_rows", "win_frame_range",
       "win_topk_group", "win_ntile_cume", "sort_multi", "topk_limit",
       "set_union_all", "set_union_distinct", "set_intersect", "set_except",
