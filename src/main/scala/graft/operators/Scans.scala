@@ -152,6 +152,46 @@ object Scans {
              |FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Dynamic partition pruning: a partitioned fact joined to a dimension
+    // whose filter is NOT on the join key — Catalyst injects a runtime
+    // subquery (`dynamicpruning#...` in the scan) that evaluates the dim
+    // filter first and prunes fact PARTITIONS before the scan runs. At
+    // 100 TB this is the date-dim ⋈ fact pattern: a `WHERE d_year = 2025`
+    // on the dimension prunes the fact to one year of directories with no
+    // change to the query. PlanShapeSpec asserts the pruning subquery is
+    // present.
+    QDef(
+      "join_dpp",
+      (s, dir) => {
+        import s.implicits._
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_fact_$run"
+        T.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus")
+          .parquet(out)
+        // The dim must be a real datasource scan: a local Seq relation gets
+        // the `label` filter constant-folded into it (ConvertToLocalRelation)
+        // and the pruning rule then sees no selective predicate to derive
+        // the runtime subquery from.
+        val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_dim_$run"
+        Seq(("F", "done"), ("O", "open"), ("P", "pending"))
+          .toDF("st", "label")
+          .write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath)
+        s.read.parquet(out)
+          .join(broadcast(dim), col("o_orderstatus") === col("st"))
+          .where(col("label") === "done") // dim filter → fact partition pruning
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Frames-catalog ingestion [PK: the reference's FITS-frame data model —
     // Spark is the catalog layer, pixels stay out-of-row (SURVEY §1.1)]: a
     // key=value header blob per frame is parsed into a typed catalog table

@@ -46,6 +46,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("join_dpp: fact scan carries a dynamic-pruning subquery from the dim filter") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      "dynamic partition pruning not planned — fact scans all partitions")
+  }
+
   test("sink_partitioned: read-back scan carries PartitionFilters") {
     val p = plan("sink_partitioned")
     assert(p.contains("PartitionFilters") &&
