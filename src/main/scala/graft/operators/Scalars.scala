@@ -211,6 +211,43 @@ object Scalars {
              |  CAST(ts AS DATE) AS ts_date,
              |  CAST(CAST(ts AS DATE) AS VARCHAR) AS date_str,
              |  CAST('123.5' AS DOUBLE) + floor((value) * 1e2 + 0.5) / 1e2 AS parsed_plus
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Nested struct argmax: per customer, the lexicographically-last
+    // (date, price, key) order via max(struct(...)) — PARTIAL-AGGREGATING,
+    // so latest-per-key never needs a window shuffle of raw rows (map-side
+    // states carry one struct per customer per partition; this is the
+    // latest-record-per-entity idiom for CDC/compaction at 100 TB). Oracle
+    // expresses the same argmax as DESC-ordered row_number — identical
+    // semantics, exercised both ways.
+    QDef(
+      "fn_struct",
+      (s, dir) =>
+        T.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(
+            max(struct(
+              col("o_orderdate").cast("date").as("d"),
+              col("o_totalprice").as("p"),
+              col("o_orderkey").as("k"))).as("m"),
+            count(lit(1)).as("n_orders"))
+          .select(col("o_custkey"),
+            col("m.d").as("last_date"),
+            rnd(col("m.p"), 2).as("last_price"),
+            col("m.k").as("last_key"),
+            col("n_orders"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, last_date, last_price, last_key, n_orders
+             |FROM (
+             |  SELECT o_custkey,
+             |    CAST(o_orderdate AS DATE) AS last_date,
+             |    floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS last_price,
+             |    o_orderkey AS last_key,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(o_orderdate AS DATE) DESC, o_totalprice DESC,
+             |               o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
   )
 }

@@ -152,6 +152,42 @@ object Scans {
              |FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Parquet schema evolution: two file generations under one root — v=1
+    // written before a column existed, v=2 with it — read back with
+    // mergeSchema: the unioned schema appears, old rows carry NULL for the
+    // new column, and the generation directory becomes a partition column.
+    // At 100 TB this is how a lake absorbs schema change without rewriting
+    // history; every reader keeps working mid-migration.
+    QDef(
+      "scan_schema_merge",
+      (s, dir) => {
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$run"
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 2L === 0L)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$base/v=1")
+        o.where(col("o_orderkey") % 2L =!= 0L)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$base/v=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(col("v").cast("long").as("v"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderstatus")).as("n_with_status"),
+            rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("v")
+      },
+      Some("""SELECT v, count(*) AS n,
+             |  count(o_orderstatus) AS n_with_status,
+             |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM (
+             |  SELECT CAST(1 AS BIGINT) AS v, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT) AS v, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 2 <> 0)
+             |GROUP BY v ORDER BY v""".stripMargin)),
+
     // Dynamic partition pruning: a partitioned fact joined to a dimension
     // whose filter is NOT on the join key — Catalyst injects a runtime
     // subquery (`dynamicpruning#...` in the scan) that evaluates the dim

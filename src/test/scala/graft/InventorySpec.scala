@@ -30,7 +30,7 @@ class InventorySpec extends SparkSpec {
       "stream_custom_state", "scan_frames", "dedup_cluster", "text_tfidf",
       "mm_framesample", "sink_partitioned", "mm_resize", "stream_join", "dedup_keep",
       "agg_sketch_reagg", "filter_sample", "filter_subquery", "join_sky_nn", "lc_fold",
-      "join_dpp",
+      "join_dpp", "scan_schema_merge", "fn_struct",
       "win_rank", "win_lag_lead", "win_frame_rows", "win_frame_range",
       "win_topk_group", "win_ntile_cume", "sort_multi", "topk_limit",
       "set_union_all", "set_union_distinct", "set_intersect", "set_except",
@@ -52,7 +52,8 @@ class InventorySpec extends SparkSpec {
   // Structured Streaming runs) — the "analysis only" premise doesn't hold for
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
-    "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp", "stream_custom_state",
+    "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp",
+    "scan_schema_merge", "stream_custom_state",
     "dedup_cluster", "dedup_keep") // localCheckpoint materializes edges on construction
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
