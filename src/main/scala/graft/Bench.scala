@@ -33,9 +33,17 @@ object Bench {
     // generated code and JIT-warms Spark's scan/shuffle paths so the timed
     // passes measure steady-state plan execution, not first-call compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    // clearCache drops SQL-cache entries; the unpersist sweep additionally
+    // drops RDD storage blocks it does not cover (localCheckpoint'd edge
+    // lists in the clustering queries).
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     if (new java.io.File(warmDir).isDirectory) picked.foreach { case (_, fn) =>
       try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      dropCaches()
     }
     // Two timed passes per query, report the min: this VM has noisy-neighbor
     // jitter (observed: identical sf0.1 runs ranging 25→470 s total, one
@@ -50,7 +58,7 @@ object Bench {
         val t0 = System.nanoTime()
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        dropCaches()
         dt
       }
       name -> samples.min

@@ -26,10 +26,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Cleanup hook for query-internal .cache() (e.g. dedup_ngram's shingle
-      // set): without it cached blocks accumulate in the shared session for
-      // the whole 80-query run.
+      // Cleanup hook for query-internal caches: clearCache drops SQL-cache
+      // entries (dedup_ngram's shingle set), and the explicit unpersist
+      // sweep drops RDD storage blocks clearCache does NOT cover —
+      // localCheckpoint()'d edge lists (dedup_cluster/dedup_keep) register
+      // as persistent RDDs and would otherwise accumulate for the whole
+      // 100-query run.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -42,28 +42,35 @@ object Dedup {
 
   /** Deterministic dense token dictionary: tok_id = rank in the sorted
     * distinct vocab (≡ `row_number() OVER (ORDER BY tok)`), built FULLY
-    * DISTRIBUTED: distinct → range-repartition by tok → sort within
-    * partitions → `zipWithIndex` (one extra count job for the per-partition
-    * offsets, then a narrow index map). No single task ever holds the whole
-    * vocabulary — unlike a global-window row_number (one-task sort) or a
-    * collect_set fold (one giant array row), both of which cap out at real
-    * vocab sizes. The ids are partitioning-invariant: they depend only on
-    * the global sort order, not on where the range boundaries land.
-    *
-    * This is the one deliberate RDD drop-down in the codebase: dense global
-    * rank assignment is per-partition imperative logic (offset + local
-    * index) that the DataFrame API cannot express without a one-task window. */
+    * DISTRIBUTED and FULLY LAZY: distinct → range-repartition by tok →
+    * per-range-partition local rank (window on the partition id — range
+    * partitions are ordered, so partition i's tokens all precede partition
+    * i+1's) + a broadcast cumulative-offset table (≤ #partitions rows).
+    * global rank = offset(pid) + local rank. No single task ever holds the
+    * whole vocabulary — unlike a global-window row_number (one-task sort)
+    * or a collect_set fold (one giant array row), both of which cap out at
+    * real vocab sizes. Ids are partitioning-invariant (they depend only on
+    * the global sort order, DeterminismSpec's 1-vs-7 run verifies), and —
+    * unlike the RDD zipWithIndex form this replaces — nothing executes at
+    * plan-construction time and nothing runs twice (ZippedWithIndexRDD
+    * computes its start offsets with an EAGER sc.runJob in its
+    * constructor, and the unpersisted prefix then re-ran for the real
+    * action). */
   def dict(t: DataFrame): DataFrame = {
-    val s = t.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    import s.implicits._
-    t.select(col("tok")).distinct()
+    val ranged = t.select(col("tok")).distinct()
       .repartitionByRange(col("tok"))
-      .sortWithinPartitions("tok")
-      .as(org.apache.spark.sql.Encoders.STRING)
-      .rdd
-      .zipWithIndex()
-      .map { case (tok, i) => (tok, i + 1L) }
-      .toDF("tok", "tok_id")
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("local_rn",
+      row_number().over(Window.partitionBy("pid").orderBy("tok")))
+    // ≤ #shuffle-partitions rows: cumulative count of all lower partitions.
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .select(col("tok"), (col("offset") + col("local_rn")).cast("long").as("tok_id"))
   }
 
   private val tokSql =

@@ -16,6 +16,27 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  /** Per-run tmp path `<tmpdir>/<prefix><applicationId>`, with best-effort
+    * GC of STALE siblings (same prefix, older than 1 h — dead JVMs' leftovers;
+    * a live concurrent run's dir is minutes old and untouched, preserving
+    * the concurrent-Verify/Bench isolation the run suffix exists for).
+    * Without the GC every JVM would orphan its suffixed dirs and a long dev
+    * loop monotonically fills java.io.tmpdir. */
+  private[operators] def runTmpPath(
+      s: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 3600L * 1000L
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach(del)
+    val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    s"${tmp.getPath}/$prefix$run"
+  }
+
   private val eventJsonSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("event_type", StringType),
@@ -98,7 +119,7 @@ object Scans {
         // (e.g. Bench and Verify overlapping) must not clobber each other's
         // sink mid-read.
         val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bucketed_$run"
+        val path = runTmpPath(s, "graft_sink_bucketed_")
         val tbl = s"graft_orders_bucketed_$run"
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         T.orders(s, dir)
@@ -134,8 +155,7 @@ object Scans {
     QDef(
       "sink_partitioned",
       (s, dir) => {
-        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_$run"
+        val out = runTmpPath(s, "graft_sink_part_")
         T.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite")
@@ -161,8 +181,7 @@ object Scans {
     QDef(
       "scan_schema_merge",
       (s, dir) => {
-        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$run"
+        val base = runTmpPath(s, "graft_evo_")
         val o = T.orders(s, dir)
         o.where(col("o_orderkey") % 2L === 0L)
           .select("o_orderkey", "o_totalprice")
@@ -200,8 +219,7 @@ object Scans {
       "join_dpp",
       (s, dir) => {
         import s.implicits._
-        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_fact_$run"
+        val out = runTmpPath(s, "graft_dpp_fact_")
         T.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
           .write.mode("overwrite")
@@ -211,7 +229,7 @@ object Scans {
         // the `label` filter constant-folded into it (ConvertToLocalRelation)
         // and the pruning rule then sees no selective predicate to derive
         // the runtime subquery from.
-        val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_dim_$run"
+        val dimPath = runTmpPath(s, "graft_dpp_dim_")
         Seq(("F", "done"), ("O", "open"), ("P", "pending"))
           .toDF("st", "label")
           .write.mode("overwrite").parquet(dimPath)
@@ -283,8 +301,7 @@ object Scans {
     QDef(
       "sink_parquet",
       (s, dir) => {
-        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_$run"
+        val out = runTmpPath(s, "graft_sink_parquet_")
         T.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .coalesce(1)

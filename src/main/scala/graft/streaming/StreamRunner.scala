@@ -21,8 +21,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamRunner {
 
-  private def tmpDir(prefix: String): String =
+  private def tmpDir(prefix: String): String = {
+    // Best-effort GC of stale same-prefix dirs from dead JVMs (>1 h old —
+    // a live concurrent run's dirs are minutes old and untouched); without
+    // it every streaming run orphans its staging/checkpoint dirs and a long
+    // dev loop monotonically fills java.io.tmpdir.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 3600L * 1000L
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach(del)
     java.nio.file.Files.createTempDirectory(prefix).toString
+  }
 
   /** Run `body` with `spark.sql.shuffle.partitions` scoped down to a small
     * value, restoring the session conf afterwards. A streaming aggregation
