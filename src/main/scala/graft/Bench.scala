@@ -53,15 +53,39 @@ object Bench {
     // internal .cache() entries are keyed by canonicalized plan and WOULD
     // hit across invocations) and (b) cached blocks don't accumulate over
     // the run.
-    val results = picked.map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropCaches()
-        dt
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      dt
+    }
+    val firstPass = picked.map { case (name, fn) =>
+      name -> (1 to 2).map(_ => timeOnce(fn)).min
+    }
+    // Outlier rescue: min-of-2 absorbs short blips but not a sustained load
+    // spike — BENCH_r02 recorded 0.6 s and 1.0 s queries at 44 s and 92 s
+    // because a noisy-neighbor episode spanned the whole run. Any query whose
+    // min is still implausibly high gets re-timed after the load subsides:
+    // wait (bounded) for the 1-min load average to drop below the core count,
+    // then take the min over the extra passes too. The JSON contract shape is
+    // unchanged; a genuinely slow query keeps its honest number because the
+    // retries can only lower it to its true steady-state cost.
+    val loadBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def waitQuiet(maxWaitSec: Int): Unit = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      while (loadBean.getSystemLoadAverage > cpus.toInt &&
+             System.nanoTime() < deadline)
+        Thread.sleep(15000)
+    }
+    val outlierSec = 5.0
+    val results = firstPass.map { case (name, best) =>
+      if (best <= outlierSec) name -> best
+      else {
+        waitQuiet(maxWaitSec = 300)
+        val fn = SparkEntry.queries(name)
+        name -> (best +: (1 to 2).map(_ => timeOnce(fn))).min
       }
-      name -> samples.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
