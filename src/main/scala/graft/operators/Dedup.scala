@@ -395,6 +395,30 @@ object Dedup {
               |JOIN sizes s1 ON s1.doc_id = d1
               |JOIN sizes s2 ON s2.doc_id = d2
               |WHERE floor((CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 >= 0.01
-              |ORDER BY d1, d2""".stripMargin))
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // Canonicalized (set-of-words) dedup: sort the DISTINCT token set and
+    // hash it — catches reordered/repeated-word duplicates that byte-exact
+    // dedup misses, at the same cost shape (one shuffle on the computed
+    // key, map-side partials). md5 of the sorted-set string keeps the group
+    // key 16 bytes regardless of document length; at 100 TB the groupBy
+    // shuffles hashes, never text.
+    QDef(
+      "dedup_canonical",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("canon",
+            md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+          .groupBy("canon")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+          .where(col("n_dups") > 1L)
+          .select("keep_id", "canon", "n_dups")
+          .orderBy("keep_id"),
+      Some("""SELECT keep_id, canon, n_dups
+             |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon,
+             |        min(doc_id) AS keep_id, count(*) AS n_dups
+             |      FROM documents GROUP BY canon)
+             |WHERE n_dups > 1
+             |ORDER BY keep_id""".stripMargin))
   )
 }

@@ -171,6 +171,159 @@ object TextOps {
              |FROM tf JOIN df USING (tok) CROSS JOIN n
              |ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT 100""".stripMargin)),
 
+    // Text normalization — the canonical first pass of a training-data
+    // pipeline: lowercase, strip non-alphanumerics, collapse whitespace
+    // runs, trim. Emitted as (length, md5) so the oracle compares the full
+    // normalized string without shipping it. Narrow per-row work, no shuffle
+    // before the final presentation sort. NOTE: DuckDB regexp_replace
+    // replaces the FIRST match unless given the 'g' flag; Spark always
+    // replaces all — the oracle must say 'g' or the hashes diverge.
+    QDef(
+      "text_normalize",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+          .select(
+            col("doc_id"),
+            length(col("norm")).cast("long").as("norm_len"),
+            md5(col("norm")).as("norm_hash"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_hash
+             |FROM (SELECT doc_id,
+             |        trim(regexp_replace(regexp_replace(lower(text),
+             |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Stopword removal with multiplicity preserved: higher-order `filter`
+    // over the token array (codegen'd; `array_except` would wrongly dedupe
+    // repeated content words). Output = counts + md5 of the kept stream.
+    QDef(
+      "text_stopwords",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("kept",
+            filter(col("toks"), t => !t.isin("the", "a", "of", "and", "to", "in")))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(col("kept")).cast("long").as("n_kept"),
+            rnd(size(col("kept")).cast("double") / size(col("toks")), 6)
+              .as("kept_ratio"),
+            md5(array_join(col("kept"), " ")).as("kept_hash"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tok,
+             |  len(kept) AS n_kept,
+             |  floor((CAST(len(kept) AS DOUBLE) / len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6 AS kept_ratio,
+             |  md5(array_to_string(kept, ' ')) AS kept_hash
+             |FROM (SELECT doc_id, text,
+             |        list_filter(string_split(text, ' '),
+             |          t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in')) AS kept
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-distribution entropy per document — a repetitiveness signal
+    // (boilerplate and template spam score low). Algebraic form
+    // H = ln n − (Σ c·ln c)/n needs only two partial-agg passes on
+    // (doc_id, tok) then doc_id: no per-row division before aggregation,
+    // map-side combine on both shuffles.
+    QDef(
+      "text_entropy",
+      (s, dir) => {
+        val tf = tokenized(s, dir)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        tf.groupBy("doc_id")
+          .agg(
+            sum("cnt").as("n"),
+            sum(col("cnt") * log(col("cnt"))).as("clogc"),
+            count(lit(1)).as("n_distinct"))
+          .select(
+            col("doc_id"), col("n_distinct"),
+            rnd(log(col("n").cast("double")) - col("clogc") / col("n"), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, count(*) AS cnt
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id, n_distinct,
+             |  floor((ln(CAST(n AS DOUBLE)) - clogc / n) * 1e6 + 0.5) / 1e6 AS entropy
+             |FROM (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             |        sum(cnt * ln(cnt)) AS clogc, count(*) AS n_distinct
+             |      FROM tf GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Top-20 bigrams: one lead-window pass per document (partitioned by
+    // doc_id — embarrassingly parallel) then a counted groupBy with
+    // map-side partials. Full-key tiebreak keeps the LIMIT boundary
+    // deterministic cross-engine.
+    QDef(
+      "text_bigram",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        tokenized(s, dir)
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |big AS (
+             |  SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+             |  FROM tok)
+             |SELECT bigram, count(*) AS cnt FROM big WHERE bigram IS NOT NULL
+             |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // Gopher-style quality gate: composite keep/drop decision from document
+    // statistics (token count bounds, mean-token-length bounds, stopword
+    // share floor). All thresholds compare EXACT integer-derived doubles
+    // (IEEE int/int division is correctly rounded in both engines), so the
+    // boolean is engine-stable without rounding tricks.
+    QDef(
+      "quality_gopher",
+      (s, dir) =>
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("mtl",
+            (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+          .withColumn("stop_frac",
+            size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to", "in")))
+              .cast("double") / col("n_tok"))
+          .select(
+            col("doc_id"), col("n_tok"),
+            rnd(col("mtl"), 6).as("mean_tok_len"),
+            rnd(col("stop_frac"), 6).as("stop_frac"),
+            (col("n_tok") >= 20L && col("n_tok") <= 800L &&
+              col("mtl") >= 2.0 && col("mtl") <= 10.0 &&
+              col("stop_frac") >= 0.01).as("keep"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tok,
+             |  floor(mtl * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+             |  floor(stop_frac * 1e6 + 0.5) / 1e6 AS stop_frac,
+             |  (n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0
+             |    AND stop_frac >= 0.01) AS keep
+             |FROM (
+             |  SELECT doc_id, n_tok,
+             |    (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok AS mtl,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / n_tok AS stop_frac
+             |  FROM (SELECT *, len(string_split(text, ' ')) AS n_tok FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
     // Order-sensitive document fingerprint: token-dictionary ids (dense,
     // deterministic: row_number over sorted distinct tokens) combined with a
     // position-dependent weight 31^(pos % 8) — a rolling-hash analogue in
