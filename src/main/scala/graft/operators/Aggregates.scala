@@ -390,6 +390,145 @@ object Aggregates {
               |  ((o.t % b.best_period_s) * 1000) // b.best_period_s AS phase_milli,
               |  o.value
               |FROM obs o JOIN best b USING (user_id)
-              |ORDER BY user_id, event_id""".stripMargin))
+              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Fixed-width histogram: bucket id = floor(value / width) — no global
+    // min/max pass, so the whole query is ONE partial-aggregating groupBy
+    // (shuffle volume = bucket count × partitions, constant at any data
+    // scale). IEEE double division + floor are exact cross-engine.
+    QDef(
+      "agg_hist",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("bucket", floor(col("value") / 25.0).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), rnd(avg(col("value")), 6).as("avg_v"))
+          .withColumn("lo", (col("bucket") * 25.0))
+          .select("bucket", "lo", "n", "avg_v")
+          .orderBy("bucket"),
+      Some("""SELECT bucket, bucket * 25.0 AS lo, count(*) AS n,
+             |  floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_v
+             |FROM (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, value
+             |      FROM events)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Per-group mode (most frequent value) with a deterministic lexicographic
+    // tiebreak: counted groupBy then a 1-row-per-group window filter. Both
+    // stages cluster on user_id, so the window reuses the groupBy shuffle.
+    QDef(
+      "agg_mode",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        T.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_type AS mode_type, cnt
+             |FROM (SELECT user_id, event_type, count(*) AS cnt,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY count(*) DESC, event_type ASC) AS rn
+             |      FROM events GROUP BY user_id, event_type)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Sigma-clipping outlier detection [PK — the light-curve cleaning step
+    // before any feature/period extraction]: per-object mean and stddev via
+    // window (no self-join), flag |z| > 2 on the ROUNDED z-score so the
+    // boundary compare is engine-stable. One shuffle on user_id.
+    QDef(
+      "lc_outliers",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        T.events(s, dir)
+          .withColumn("mu", avg(col("value")).over(w))
+          .withColumn("sd", stddev_samp(col("value")).over(w))
+          .where(col("sd") > 0.0)
+          .withColumn("z", rnd((col("value") - col("mu")) / col("sd"), 6))
+          .where(abs(col("z")) > 2.0)
+          .select(col("user_id"), col("event_id"),
+            rnd(col("value"), 6).as("value"), col("z"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  floor((value) * 1e6 + 0.5) / 1e6 AS value, z
+             |FROM (SELECT user_id, event_id, value,
+             |        floor(((value - avg(value) OVER (PARTITION BY user_id)) /
+             |          stddev_samp(value) OVER (PARTITION BY user_id)) * 1e6 + 0.5) / 1e6 AS z,
+             |        stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+             |      FROM events)
+             |WHERE sd > 0.0 AND abs(z) > 2.0
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Time-binned light curve [PK — epoch re-binning to a uniform daily
+    // cadence]: bin key is exact integer division of epoch seconds, one
+    // partial-aggregating groupBy on (user_id, day).
+    QDef(
+      "lc_binning",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"), col("value"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"),
+            rnd(avg(col("value")), 6).as("avg_v"),
+            rnd(min(col("value")), 6).as("min_v"),
+            rnd(max(col("value")), 6).as("max_v"))
+          .orderBy("user_id", "day"),
+      Some("""SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |  count(*) AS n,
+             |  floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_v,
+             |  floor((min(value)) * 1e6 + 0.5) / 1e6 AS min_v,
+             |  floor((max(value)) * 1e6 + 0.5) / 1e6 AS max_v
+             |FROM events GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)),
+
+    // Linear detrend [PK — secular-drift removal before period analysis]:
+    // least-squares slope/intercept per object in CENTERED form
+    // (Σ dx·dy / Σ dx² with dx = x − x̄): the raw-moment form n·Σxy − Σx·Σy
+    // cancels catastrophically for near-flat series and amplifies
+    // merge-order noise past the rounding grid. Means via window, sums via
+    // groupBy — both cluster on user_id, one shuffle total.
+    QDef(
+      "lc_detrend",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        T.events(s, dir)
+          .select(col("user_id"),
+            unix_timestamp(col("ts")).cast("double").as("x"), col("value").as("y"))
+          .withColumn("xb", avg(col("x")).over(w))
+          .withColumn("yb", avg(col("y")).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum((col("x") - col("xb")) * (col("y") - col("yb"))).as("sxy"),
+            sum((col("x") - col("xb")) * (col("x") - col("xb"))).as("sxx"),
+            max(col("xb")).as("xbar"), max(col("yb")).as("ybar"))
+          .select(col("user_id"), col("n"),
+            rnd(col("sxy") / col("sxx") * 86400.0, 6).as("slope_per_day"),
+            rnd(col("ybar") - col("sxy") / col("sxx") * col("xbar"), 6)
+              .as("intercept"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS x,
+             |    value AS y FROM events),
+             |cent AS (
+             |  SELECT user_id, x, y,
+             |    avg(x) OVER (PARTITION BY user_id) AS xb,
+             |    avg(y) OVER (PARTITION BY user_id) AS yb
+             |  FROM obs),
+             |fit AS (
+             |  SELECT user_id, count(*) AS n,
+             |    sum((x - xb) * (y - yb)) AS sxy,
+             |    sum((x - xb) * (x - xb)) AS sxx,
+             |    max(xb) AS xbar, max(yb) AS ybar
+             |  FROM cent GROUP BY user_id)
+             |SELECT user_id, n,
+             |  floor((sxy / sxx * 86400.0) * 1e6 + 0.5) / 1e6 AS slope_per_day,
+             |  floor((ybar - sxy / sxx * xbar) * 1e6 + 0.5) / 1e6 AS intercept
+             |FROM fit ORDER BY user_id""".stripMargin))
   )
 }

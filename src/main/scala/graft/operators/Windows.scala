@@ -186,6 +186,42 @@ object Windows {
       Some("""SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 1e2 + 0.5) / 1e2 AS price
              |FROM lineitem
              |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // Batch sessionization: gap > 30 min starts a new session; session id is
+    // the running count of gap flags (classic lag + cumulative-sum idiom —
+    // the batch mirror of stream_session's sessionWindow). Both window
+    // passes share the user_id partitioning: one shuffle, one sort. Time
+    // arithmetic is exact integer epoch seconds.
+    QDef(
+      "win_sessionize",
+      (s, dir) => {
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        T.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"))
+          .withColumn("new_sess",
+            when(col("t") - lag(col("t"), 1).over(wl) > 1800L, 1L)
+              .when(lag(col("t"), 1).over(wl).isNull, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "event_id", "t", "session_id")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+             |         WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM obs
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+             |SELECT user_id, event_id, t,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM flagged ORDER BY user_id, event_id""".stripMargin))
   )
 }
