@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Graph.defs ++
       operators.StreamingOps.defs ++
       operators.Extensibility.defs ++
       multimodal.Multimodal.defs

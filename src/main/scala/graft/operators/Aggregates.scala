@@ -529,6 +529,65 @@ object Aggregates {
              |SELECT user_id, n,
              |  floor((sxy / sxx * 86400.0) * 1e6 + 0.5) / 1e6 AS slope_per_day,
              |  floor((ybar - sxy / sxx * xbar) * 1e6 + 0.5) / 1e6 AS intercept
-             |FROM fit ORDER BY user_id""".stripMargin))
+             |FROM fit ORDER BY user_id""".stripMargin)),
+
+    // Periodogram peak [PK — the frequency-domain complement to lc_periods'
+    // phase-dispersion method]: classical (Schuster) power
+    // P(ω) = [(Σ y'·cos ωt)² + (Σ y'·sin ωt)²] / n over the same 24-period
+    // trial grid, y' mean-centered per object. Engine-parity: the trig
+    // argument is reduced BEFORE cos/sin with exact integer `t mod P` (both
+    // engines then evaluate cos/sin on [0, 2π), where they agree bitwise —
+    // never hand libm a 1e3-radian argument and hope the two argument
+    // reductions match). Power is rounded before the argmax. Scale: the ×24
+    // fan-out collapses map-side (partial agg on (user_id, p)) — one
+    // shuffle, grid-bounded state, then a 24-row-per-object window.
+    QDef(
+      "lc_lombscargle",
+      (s, dir) => {
+        val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("power").desc, col("p").asc)
+        val tau = 6.283185307179586
+        T.events(s, dir)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("value").as("y"))
+          .withColumn("yb", avg(col("y")).over(wu))
+          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("p", lit(43200L) + col("k") * 21600L)
+          .withColumn("ang",
+            lit(tau) * ((col("t") % col("p")).cast("double") / col("p")))
+          .groupBy("user_id", "p")
+          .agg(
+            sum((col("y") - col("yb")) * cos(col("ang"))).as("sc"),
+            sum((col("y") - col("yb")) * sin(col("ang"))).as("ss"),
+            count(lit(1)).as("n"))
+          .withColumn("power",
+            rnd((col("sc") * col("sc") + col("ss") * col("ss")) / col("n"), 6))
+          .withColumn("rn", row_number().over(wr))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("p").as("ls_period_s"), col("power").as("ls_power"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS y,
+             |    avg(value) OVER (PARTITION BY user_id) AS yb
+             |  FROM events),
+             |grid AS (
+             |  SELECT o.*, 43200 + k * 21600 AS p,
+             |    6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
+             |      / (43200 + k * 21600)) AS ang
+             |  FROM obs o, (SELECT unnest(range(0, 24)) AS k)),
+             |pw AS (
+             |  SELECT user_id, p,
+             |    floor(((sum((y - yb) * cos(ang)) * sum((y - yb) * cos(ang))
+             |      + sum((y - yb) * sin(ang)) * sum((y - yb) * sin(ang)))
+             |      / count(*)) * 1e6 + 0.5) / 1e6 AS power
+             |  FROM grid GROUP BY user_id, p),
+             |best AS (
+             |  SELECT user_id, p, power,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY power DESC, p ASC) AS rn
+             |  FROM pw)
+             |SELECT user_id, p AS ls_period_s, power AS ls_power
+             |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Rnd.rnd
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.12 Graph analytics over relational edges.
+  *
+  * Companion to `dedup_cluster` (label-propagation connected components in
+  * Dedup.scala): that covers equivalence-class discovery, this covers
+  * fixed-point score propagation — the two iterative-graph shapes a
+  * Spark-native engine needs. The iteration idiom is the same:
+  * `localCheckpoint()` between rounds truncates the exponentially-inlining
+  * lineage (measured in round 2: 8.3 s → 3.0 s for the clustering query).
+  */
+object Graph {
+
+  val defs: Seq[QDef] = Seq(
+
+    // Weighted PageRank over the customer-nation → supplier-nation trade
+    // graph, 3 damped iterations (d = 0.85, uniform teleport 0.15/N).
+    // The edge list is built with ONE pass over lineitem (two shuffled fact
+    // joins + a broadcast supplier join) and collapses to ≤ N² aggregated
+    // rows, after which every iteration is a nation-sized broadcast join +
+    // partial-agg groupBy — at 100 TB the per-iteration cost is independent
+    // of corpus size, which is exactly why PageRank-style propagation is
+    // written over the AGGREGATED edge table, never the raw fact stream.
+    // LEFT join vs the node table keeps rankless (dangling-dst) nations in
+    // the vector with the teleport mass, identically in both engines.
+    QDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val edges = T.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("src"))
+          .join(T.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"))
+          .join(T.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T.supplier(s, dir)
+              .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .localCheckpoint()
+        val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+        val e = edges.join(outw, "src")
+          .select(col("src"), col("dst"),
+            (col("w").cast("double") / col("outw")).as("frac"))
+        val nodes = T.nation(s, dir).select(col("n_nationkey").as("node"))
+        var pr = nodes.withColumn("p", lit(0.04))
+        for (_ <- 1 to 3) {
+          val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst").agg(sum(col("p") * col("frac")).as("c"))
+          pr = nodes
+            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              (lit(0.006) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("p"))
+            .localCheckpoint()
+        }
+        pr.select(col("node"), rnd(col("p"), 6).as("rank")).orderBy("node")
+      },
+      Some("""WITH edges AS (
+             |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+             |  FROM customer c
+             |  JOIN orders o ON o.o_custkey = c.c_custkey
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  GROUP BY src, dst),
+             |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+             |         FROM edges GROUP BY src),
+             |e AS (SELECT src, dst, CAST(w AS DOUBLE) / outw AS frac
+             |      FROM edges JOIN outw USING (src)),
+             |nodes AS (SELECT n_nationkey AS node FROM nation),
+             |pr0 AS (SELECT node, CAST(0.04 AS DOUBLE) AS p FROM nodes),
+             |c1 AS (SELECT dst, sum(p * frac) AS c
+             |       FROM e JOIN pr0 ON pr0.node = e.src GROUP BY dst),
+             |pr1 AS (SELECT node, 0.006 + 0.85 * coalesce(c, 0.0) AS p
+             |        FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
+             |c2 AS (SELECT dst, sum(p * frac) AS c
+             |       FROM e JOIN pr1 ON pr1.node = e.src GROUP BY dst),
+             |pr2 AS (SELECT node, 0.006 + 0.85 * coalesce(c, 0.0) AS p
+             |        FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node),
+             |c3 AS (SELECT dst, sum(p * frac) AS c
+             |       FROM e JOIN pr2 ON pr2.node = e.src GROUP BY dst),
+             |pr3 AS (SELECT node, 0.006 + 0.85 * coalesce(c, 0.0) AS p
+             |        FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node)
+             |SELECT node, floor((p) * 1e6 + 0.5) / 1e6 AS rank
+             |FROM pr3 ORDER BY node""".stripMargin))
+  )
+}

@@ -415,6 +415,51 @@ object Joins {
           .orderBy("r_regionkey", "n_nationkey"),
       Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
              |FROM region CROSS JOIN nation
-             |ORDER BY r_regionkey, n_nationkey""".stripMargin))
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // Interval-overlap join: error windows [t, t+3600) × purchase windows
+    // [t, t+1800) of the same user, overlap iff aS < bE ∧ bS < aE. The
+    // Spark plan is an EQUI join on (user_id, time-bucket) — each interval
+    // explodes to the ≤2 width-3600 buckets it covers, candidate pairs meet
+    // in a bucket, the exact predicate filters residually, and `distinct`
+    // collapses pairs that met in both buckets. Never a nested-loop join;
+    // candidate population per bucket is bounded by interval density, not
+    // corpus size — the same plan at 100 TB shuffles on a key whose
+    // cardinality grows with the data.
+    QDef(
+      "join_interval",
+      (s, dir) => {
+        def side(typ: String, dur: Long, p: String) =
+          T.events(s, dir).where(col("event_type") === typ)
+            .select(col("event_id").as(s"${p}_id"), col("user_id"),
+              unix_timestamp(col("ts")).as(s"${p}_s"))
+            .withColumn(s"${p}_e", col(s"${p}_s") + dur)
+            .withColumn("bk", explode(sequence(
+              expr(s"${p}_s div 3600"), expr(s"${p}_e div 3600"))))
+        val a = side("error", 3600L, "a")
+        val b = side("purchase", 1800L, "b")
+        a.join(b, Seq("user_id", "bk"))
+          .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+              .as("overlap_s"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_id AS a_id, user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS a_s,
+             |    CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS a_e
+             |  FROM events WHERE event_type = 'error'),
+             |b AS (
+             |  SELECT event_id AS b_id, user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS b_s,
+             |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS b_e
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT a_id, b_id, user_id,
+             |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap_s
+             |FROM a JOIN b USING (user_id)
+             |WHERE a_s < b_e AND b_s < a_e
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -312,6 +312,27 @@ object Scans {
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ORC round-trip: write → read-back → project. Second columnar format
+    // in the sink/source matrix (same writer/reader contract as parquet;
+    // ORC ships in Spark's core jars). The oracle reads the parquet
+    // original — equality proves the round-trip is lossless.
+    QDef(
+      "scan_orc",
+      (s, dir) => {
+        val out = runTmpPath(s, "graft_sink_orc_")
+        T.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .coalesce(1)
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            rnd(col("c_acctbal"), 2).as("acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |  floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 }

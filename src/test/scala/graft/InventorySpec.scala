@@ -53,8 +53,9 @@ class InventorySpec extends SparkSpec {
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
     "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp",
-    "scan_schema_merge", "stream_custom_state",
-    "dedup_cluster", "dedup_keep") // localCheckpoint materializes edges on construction
+    "scan_schema_merge", "scan_orc", "stream_custom_state",
+    "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
+    "graph_pagerank")              // localCheckpoint per iteration
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
