@@ -58,4 +58,34 @@ class PlanShapeSpec extends SparkSpec {
       "o_orderstatus#\\d+ = F".r.findFirstIn(p).isDefined,
       "partition pruning lost on the partitioned read-back")
   }
+
+  test("join_interval: bucketized overlap join stays an equi-join") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval-overlap join degraded to a non-equi plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+  }
+
+  test("lc_lombscargle: grid fan-out collapses map-side; argmax filter becomes a group limit") {
+    val p = plan("lc_lombscargle")
+    assert(p.contains("partial_"), "periodogram grid lost partial aggregation")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 argmax no longer plans as a window group limit")
+  }
+
+  test("win_sessionize: both window passes share one user_id shuffle") {
+    val p = plan("win_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"sessionization should shuffle once on user_id, saw $exchanges hash exchanges")
+  }
+
+  test("graph_pagerank: iteration output is lineage-truncated, not an inlined 3-round plan") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      "final rank vector should scan the localCheckpoint, not replay the iterations")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "iteration joins leaked into the final plan — checkpoint lost")
+  }
 }
