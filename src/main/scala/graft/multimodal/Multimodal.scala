@@ -119,6 +119,38 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash analogue: 16-bit signature over the payload head. */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** "pHash" via the stub codec: 16 chunks of 4 bytes over the first 64
+    * payload bytes; bit i set iff chunk i's byte sum exceeds the head mean
+    * (compared as `chunk*16 > total` — exact integers, no division). The
+    * real-pipeline stand-in for DCT-based image pHash: same shape (payload
+    * → fixed-width signature in the scan partition, only 8-byte hashes ever
+    * shuffle), swap the chunk sums for DCT coefficients and nothing else
+    * changes. Payloads under 64 bytes have no complete head and are
+    * filtered BEFORE the codec (pushed to the scan). */
+  def phashes(s: SparkSession, dir: String): Dataset[PHash] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .where(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        // per-partition codec context would be initialized here
+        it.map { r =>
+          val chunks = (0 until 16).map { i =>
+            r.payload.slice(i * 4, i * 4 + 4).map(_.toLong & 0xffL).sum
+          }
+          val total = chunks.sum
+          val h = chunks.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+            if (c * 16L > total) acc | (1L << i) else acc
+          }
+          PHash(r.doc_id, h)
+        }
+      }
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "mm_decode",
@@ -170,6 +202,25 @@ object Multimodal {
            |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
            |  CAST($terms AS DOUBLE) / $FrameBytes.0 AS frame_mean
            |FROM f ORDER BY doc_id, frame_no""".stripMargin
-      })
+      }),
+
+    QDef(
+      "mm_phash",
+      (s, dir) => phashes(s, dir).toDF().orderBy("doc_id"),
+      // Chunk i covers 1-based byte positions [i*4+1, i*4+4]; bit compare is
+      // exact integer arithmetic (chunk*16 vs head total), grid unrolled via
+      // generate_series. (1::BIGINT << i) pins the shift to BIGINT.
+      Some("""WITH ch AS (
+             |  SELECT doc_id, g.i AS i,
+             |    ascii(substr(text, g.i * 4 + 1, 1)) + ascii(substr(text, g.i * 4 + 2, 1)) +
+             |    ascii(substr(text, g.i * 4 + 3, 1)) + ascii(substr(text, g.i * 4 + 4, 1)) AS cs
+             |  FROM documents CROSS JOIN generate_series(0, 15) g(i)
+             |  WHERE length(text) >= 64),
+             |t AS (
+             |  SELECT doc_id, i, cs, sum(cs) OVER (PARTITION BY doc_id) AS total
+             |  FROM ch)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN cs * 16 > total THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -588,6 +588,45 @@ object Aggregates {
              |      ORDER BY power DESC, p ASC) AS rn
              |  FROM pw)
              |SELECT user_id, p AS ls_period_s, power AS ls_power
-             |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Pearson correlation per group in CENTERED form (same rationale as
+    // lc_detrend: the raw-moment form n·Σxy − Σx·Σy cancels catastrophically
+    // for weakly-correlated data and amplifies merge-order noise past the
+    // rounding grid; built-in `corr` uses engine-specific update formulas
+    // that differ in low bits). Means via window, sums via groupBy — both
+    // cluster on event_type, one shuffle. y is the JSON prop `k`.
+    QDef(
+      "agg_corr",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        T.events(s, dir)
+          .select(col("event_type"), col("value").as("x"),
+            get_json_object(col("props"), "$.k").cast("int").cast("double").as("y"))
+          .withColumn("xb", avg(col("x")).over(w))
+          .withColumn("yb", avg(col("y")).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("x") - col("xb")) * (col("y") - col("yb"))).as("sxy"),
+            sum((col("x") - col("xb")) * (col("x") - col("xb"))).as("sxx"),
+            sum((col("y") - col("yb")) * (col("y") - col("yb"))).as("syy"))
+          .select(col("event_type"), col("n"),
+            rnd(col("sxy") / sqrt(col("sxx") * col("syy")), 6).as("pearson_r"))
+          .orderBy("event_type")
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, value AS x,
+             |    CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) AS y
+             |  FROM events),
+             |cent AS (
+             |  SELECT event_type, x, y,
+             |    avg(x) OVER (PARTITION BY event_type) AS xb,
+             |    avg(y) OVER (PARTITION BY event_type) AS yb
+             |  FROM obs)
+             |SELECT event_type, count(*) AS n,
+             |  floor((sum((x - xb) * (y - yb)) /
+             |    sqrt(sum((x - xb) * (x - xb)) * sum((y - yb) * (y - yb))))
+             |    * 1e6 + 0.5) / 1e6 AS pearson_r
+             |FROM cent GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

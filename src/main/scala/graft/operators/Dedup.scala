@@ -419,6 +419,81 @@ object Dedup {
              |        min(doc_id) AS keep_id, count(*) AS n_dups
              |      FROM documents GROUP BY canon)
              |WHERE n_dups > 1
-             |ORDER BY keep_id""".stripMargin))
+             |ORDER BY keep_id""".stripMargin)),
+
+    // Hamming near-dup via multi-index blocking (the simhash-dedup search
+    // structure from the web-scale dedup literature): a 16-bit signature
+    // split into 3 blocks of 6/5/5 bits — any pair within Hamming distance
+    // 2 agrees EXACTLY on at least one block (pigeonhole: 2 flips can't
+    // touch 3 blocks), so candidates come from equi-joins on (block_idx,
+    // block_value), never an all-pairs scan. Exact `bit_count(xor)` filters
+    // residually; `distinct` collapses pairs that met in several blocks.
+    // Shuffle volume is O(docs × 3) signature rows; per-bucket population
+    // is corpus/2^bits — the same plan at 100 TB widens the signature and
+    // block count, not the algorithm.
+    QDef(
+      "dedup_hamming",
+      (s, dir) => {
+        val t = tok(s, dir)
+        val h = t.join(broadcast(dict(t)), "tok")
+          .withColumn("h", (col("tok_id") * 2654435761L) % 65536L)
+        val weightCols = (0 until 16).map { j =>
+          sum(when(shiftright(col("h"), j) % 2L === 1L, 1L).otherwise(-1L)).as(s"w$j")
+        }
+        // Cached: the three block projections below would otherwise
+        // recompute the whole signature pipeline (harness unpersists).
+        val sig = h.groupBy("doc_id").agg(weightCols.head, weightCols.tail: _*)
+          .select(
+            col("doc_id"),
+            (0 until 16).map { j =>
+              when(col(s"w$j") > 0L, 1L << j).otherwise(0L)
+            }.reduce(_ + _).as("sh"))
+          .cache()
+        val blk = Seq(
+          sig.select(col("doc_id"), col("sh"), lit(0L).as("bi"),
+            (col("sh") % 64L).as("bv")),
+          sig.select(col("doc_id"), col("sh"), lit(1L).as("bi"),
+            expr("(sh div 64) % 32").as("bv")),
+          sig.select(col("doc_id"), col("sh"), lit(2L).as("bi"),
+            expr("sh div 2048").as("bv"))
+        ).reduce(_ unionByName _)
+        val a = blk.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("sh").as("h1"))
+        val b = blk.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("sh").as("h2"))
+        a.join(b, Seq("bi", "bv"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2", "h1", "h2").distinct()
+          .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+          .where(col("hamming") <= 2L)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |h AS (
+              |  SELECT t.doc_id, (d.tok_id * 2654435761) % 65536 AS h
+              |  FROM tok t JOIN dict d USING (tok)),
+              |w AS (
+              |  SELECT doc_id,
+              |    ${(0 until 16).map(j =>
+                   s"CAST(sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w$j")
+                   .mkString(", ")}
+              |  FROM h GROUP BY doc_id),
+              |sig AS (
+              |  SELECT doc_id,
+              |    CAST(${(0 until 16).map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)")
+                   .mkString(" + ")} AS BIGINT) AS sh
+              |  FROM w),
+              |blk AS (
+              |  SELECT doc_id, sh, 0 AS bi, sh % 64 AS bv FROM sig
+              |  UNION ALL SELECT doc_id, sh, 1, (sh // 64) % 32 FROM sig
+              |  UNION ALL SELECT doc_id, sh, 2, sh // 2048 FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+              |    a.sh AS h1, b.sh AS h2
+              |  FROM blk a JOIN blk b
+              |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+              |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
+              |ORDER BY d1, d2""".stripMargin))
   )
 }

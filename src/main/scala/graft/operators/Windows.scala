@@ -222,6 +222,38 @@ object Windows {
              |SELECT user_id, event_id, t,
              |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM flagged ORDER BY user_id, event_id""".stripMargin)),
+
+    // Running distinct count — how many event types each user has seen so
+    // far: first-occurrence flag (row_number=1 over (user, type)) + running
+    // sum over (user). Two window partitionings → the (user, type) pass
+    // shuffles once, the (user) pass reuses a prefix-compatible... no — it
+    // re-shuffles on the coarser key; that second exchange moves only
+    // (user_id, event_id, flag) rows, never the payload. The streaming
+    // equivalent is approx_count_distinct state per key.
+    QDef(
+      "win_running_distinct",
+      (s, dir) => {
+        val wft = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, dir)
+          .withColumn("first_seen",
+            when(row_number().over(wft) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum(col("first_seen")).over(wu))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("n_types_seen"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+             |  FROM events)
+             |SELECT user_id, event_id, event_type,
+             |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
              |FROM flagged ORDER BY user_id, event_id""".stripMargin))
   )
 }
