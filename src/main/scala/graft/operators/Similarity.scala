@@ -335,6 +335,50 @@ object Similarity {
              |  len(embedding) AS n_dims,
              |  floor((CAST(embedding[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS e_head
              |FROM documents JOIN embeddings ON doc_id = vec_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Threshold (range) similarity search: ALL corpus pairs with cosine ≥ τ,
+    // found inside LSH buckets — the complement of top-k search (dedup,
+    // clustering, and link-discovery pipelines want "everything above τ",
+    // not "the best k"). Same hyperplane bucketing as sim_ann_lsh; the
+    // self-join meets only within a bucket, so candidate volume is
+    // Σ bucket², never corpus² — the quadratic term is confined to bucket
+    // population, which more planes shrink. The τ compare uses the ROUNDED
+    // cosine (engine-stable boundary).
+    QDef(
+      "sim_range",
+      (s, dir) => {
+        val planes = (0 until LshPlanes).map { j =>
+          typedlit((0 until Dims).map(i =>
+            ((i.toLong + j * 64) * 2654435761L % 1000L).toDouble / 1000.0 - 0.5))
+        }
+        def bucketOf(e: Column): Column =
+          (0 until LshPlanes).map { j =>
+            when(dot(e, planes(j)) > 0.0, 1L << j).otherwise(0L)
+          }.reduce(_ + _)
+        val c = corpus(s, dir).withColumn("bucket", bucketOf(col("ce")))
+        val l = c.select(col("bucket"), col("vec_id").as("v1"), col("ce").as("e1"))
+        val r = c.select(col("bucket"), col("vec_id").as("v2"), col("ce").as("e2"))
+        l.join(r, Seq("bucket"))
+          .where(col("v1") < col("v2"))
+          .withColumn("cos", rnd(cosine(col("e1"), col("e2")), 6))
+          .where(col("cos") >= 0.35)
+          .select("v1", "v2", "cos")
+          .orderBy("v1", "v2")
+      },
+      Some(s"""WITH planes AS (
+              |  SELECT j, list_transform(generate_series(0, 63),
+              |    i -> CAST((i + j * 64) * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5) AS plane
+              |  FROM (SELECT unnest(generate_series(0, ${LshPlanes - 1})) AS j)),
+              |c AS (SELECT vec_id, ce, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(ce, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+              |  FROM ($corpusSql)),
+              |scored AS (
+              |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+              |    floor((${cosSql("a.ce", "b.ce")}) * 1e6 + 0.5) / 1e6 AS cos
+              |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT v1, v2, cos FROM scored WHERE cos >= 0.35
+              |ORDER BY v1, v2""".stripMargin))
   )
 }

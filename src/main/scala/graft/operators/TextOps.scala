@@ -324,6 +324,48 @@ object TextOps {
              |  FROM (SELECT *, len(string_split(text, ' ')) AS n_tok FROM documents))
              |ORDER BY doc_id""".stripMargin)),
 
+    // Keyphrase extraction: top-3 tokens per document by TF-IDF — the
+    // per-document projection of text_tfidf's corpus-wide scoring (keyword
+    // tagging / index-term selection). The rank window re-shuffles only
+    // tf-sized rows on doc_id; score order compares RAW tf·ln(N/df) —
+    // exact-integer inputs make the double identical cross-engine.
+    QDef(
+      "text_keyphrase",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+        val tf = tokenized(s, dir)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("doc_id"), col("rank"), col("tok"),
+            rnd(col("score"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, tok,
+             |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tok ASC) AS rank
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+             |SELECT doc_id, rank, tok,
+             |  floor((score) * 1e6 + 0.5) / 1e6 AS tfidf
+             |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Order-sensitive document fingerprint: token-dictionary ids (dense,
     // deterministic: row_number over sorted distinct tokens) combined with a
     // position-dependent weight 31^(pos % 8) — a rolling-hash analogue in

@@ -16,7 +16,12 @@ class DeterminismSpec extends SparkSpec {
     // round-2 risk classes: FP argmin over a rounded pool (periods), trig
     // filter boundary (sky), iterative join fixpoint (cluster), k-means
     // centroid means (ivf)
-    "lc_periods", "join_sky", "dedup_cluster", "sim_ivf")
+    "lc_periods", "join_sky", "dedup_cluster", "sim_ivf",
+    // round-3 risk classes: trig + FP argmax (lombscargle), iterative FP
+    // propagation (pagerank), centered-moment sums (detrend, corr), block
+    // join + distinct (hamming), FP entropy sums
+    "lc_lombscargle", "graph_pagerank", "lc_detrend", "agg_corr",
+    "dedup_hamming", "text_entropy")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>
