@@ -179,4 +179,89 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 255L))
   }
+
+  test("sessionize idiom: gap flags accumulate into the expected session ids") {
+    val t0 = 1000000L
+    val e = Seq(
+      (1L, 10L, t0),          // session 1
+      (1L, 11L, t0 + 600),    // same session (gap 600 ≤ 1800)
+      (1L, 12L, t0 + 3000),   // gap 2400 > 1800 → session 2
+      (1L, 13L, t0 + 3001),   // session 2
+      (2L, 20L, t0)           // new user → session 1
+    ).toDF("user_id", "event_id", "t")
+    val wl = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val ids = e
+      .withColumn("new_sess",
+        when(col("t") - lag(col("t"), 1).over(wl) > 1800L, 1L)
+          .when(lag(col("t"), 1).over(wl).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(ids === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
+  }
+
+  test("hamming multi-index blocking finds exactly the brute-force Hamming≤2 pairs") {
+    // 40 pseudo-random 16-bit signatures + engineered near pairs, including
+    // the pigeonhole worst case: 2 flips split across 2 different blocks.
+    val base = (0 until 40).map(i => (i.toLong, (i * 2654435761L) % 65536L))
+    val near = Seq(
+      (100L, 0x1234L), (101L, 0x1235L),          // hamming 1, same low block
+      (102L, 0x0041L), (103L, 0x0840L),          // hamming 2 split across block 0 and 1
+      (104L, 0x8001L), (105L, 0x0801L)           // hamming 2 split across block 2 and 1
+    )
+    val sig = (base ++ near).toDF("doc_id", "sh")
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        expr("bit_count(a.sh ^ b.sh)") <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val blk = Seq(
+      sig.select(col("doc_id"), col("sh"), lit(0L).as("bi"), (col("sh") % 64L).as("bv")),
+      sig.select(col("doc_id"), col("sh"), lit(1L).as("bi"), expr("(sh div 64) % 32").as("bv")),
+      sig.select(col("doc_id"), col("sh"), lit(2L).as("bi"), expr("sh div 2048").as("bv"))
+    ).reduce(_ unionByName _)
+    val blocked = blk.as("a")
+      .join(blk.as("b"), Seq("bi", "bv"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("h1"), col("b.sh").as("h2")).distinct()
+      .where(expr("bit_count(h1 ^ h2)") <= 2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(blocked === brute, "blocking missed or fabricated a Hamming≤2 pair")
+    assert(brute.contains((102L, 103L)) && brute.contains((104L, 105L)),
+      "engineered split-block pairs absent from the reference set")
+  }
+
+  test("interval-overlap bucket idiom ≡ direct overlap predicate") {
+    val a = spark.range(0, 60).select(col("id").as("aid"),
+      (col("id") * 313 % 5000).as("a_s")).withColumn("a_e", col("a_s") + 900L)
+    val b = spark.range(0, 60).select(col("id").as("bid"),
+      (col("id") * 197 % 5000).as("b_s")).withColumn("b_e", col("b_s") + 450L)
+    val direct = a.crossJoin(b)
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val ab = a.withColumn("bk", explode(sequence(expr("a_s div 900"), expr("a_e div 900"))))
+    val bb = b.withColumn("bk", explode(sequence(expr("b_s div 900"), expr("b_e div 900"))))
+    val bucketed = ab.join(bb, "bk")
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("aid", "bid").distinct().as[(Long, Long)].collect().toSet
+    assert(bucketed === direct)
+  }
+
+  test("pagerank: ranks sum to ~1 over a closed graph and favor the heavy sink") {
+    // 3 nodes, all out-weight flows to node 2 except node 2 → node 0.
+    val edges = Seq((0L, 2L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0)).toDF("src", "dst", "frac")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    var pr = nodes.withColumn("p", lit(1.0 / 3))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(col("p") * col("frac")).as("c"))
+      pr = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), (lit(0.05) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("p"))
+    }
+    val ranks = pr.as[(Long, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, "closed graph must conserve mass")
+    assert(ranks(2L) > ranks(0L) && ranks(0L) > ranks(1L),
+      "rank order must follow link structure (2 receives two in-links, 1 none)")
+  }
 }
