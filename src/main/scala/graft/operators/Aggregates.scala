@@ -627,6 +627,30 @@ object Aggregates {
              |  floor((sum((x - xb) * (y - yb)) /
              |    sqrt(sum((x - xb) * (x - xb)) * sum((y - yb) * (y - yb))))
              |    * 1e6 + 0.5) / 1e6 AS pearson_r
-             |FROM cent GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM cent GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Filtered aggregates (SQL FILTER clause): several differently-predicated
+    // aggregates in ONE pass over the fact — the alternative (N filtered
+    // subqueries self-joined) scans the corpus N times. Spark expresses the
+    // FILTER clause as `agg(when(pred, x))`; count counts non-nulls.
+    QDef(
+      "agg_filtered",
+      (s, dir) =>
+        T.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            rnd(sum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))), 2)
+              .as("big_total"),
+            rnd(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+              .as("avg_open"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  floor((sum(o_totalprice) FILTER (WHERE o_totalprice > 100000.0)) * 1e2 + 0.5) / 1e2 AS big_total,
+             |  floor((avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 1e2 + 0.5) / 1e2 AS avg_open
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

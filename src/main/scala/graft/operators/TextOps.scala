@@ -366,6 +366,97 @@ object TextOps {
              |  floor((score) * 1e6 + 0.5) / 1e6 AS tfidf
              |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // Bigram language-model estimation: conditional probability
+    // P(w2 | w1) = c(w1 w2) / c(w1 ·) — the count-based n-gram LM a
+    // training pipeline estimates for perplexity filtering. Numerator and
+    // denominator are both partial-agg counts over the lead-window bigram
+    // stream; the denominator (contexts) is vocabulary-sized → broadcast.
+    // Top-50 by bigram count with full-key tiebreak. Exact-integer division
+    // is engine-identical; rounded for presentation only.
+    QDef(
+      "text_bigram_lm",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val bg = tokenized(s, dir)
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"))
+        bg.join(broadcast(ctx), "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            rnd(col("c12").cast("double") / col("c1"), 6).as("p"))
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(50)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |bg AS (
+             |  SELECT tok AS w1,
+             |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM tok),
+             |c AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM bg WHERE w2 IS NOT NULL
+             |  GROUP BY w1, w2),
+             |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY w1)
+             |SELECT w1, w2, c12, c1,
+             |  floor((CAST(c12 AS DOUBLE) / c1) * 1e6 + 0.5) / 1e6 AS p
+             |FROM c JOIN ctx USING (w1)
+             |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin)),
+
+    // Dataset-card rollup: the per-(lang, source) quality report a curation
+    // pipeline publishes with a training corpus — doc counts, token volume,
+    // quality-gate pass rate, canonical-duplicate rate. One pass computes
+    // per-doc stats narrow (no joins); the rollup is a single partial-agg
+    // groupBy on the (low-cardinality) report key. The duplicate flag
+    // reuses dedup_canonical's set-of-words key via a window count.
+    QDef(
+      "quality_report",
+      (s, dir) => {
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("mtl",
+            (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+          .withColumn("keep",
+            col("n_tok") >= 20L && col("n_tok") <= 800L &&
+              col("mtl") >= 2.0 && col("mtl") <= 10.0)
+          .withColumn("canon",
+            md5(array_join(array_sort(array_distinct(col("toks"))), " ")))
+          .withColumn("is_dup", (count(lit(1)).over(wc) > 1L).cast("long"))
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("is_dup")).as("n_dup"),
+            rnd(avg(col("mtl")), 6).as("avg_tok_len"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, source, text,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+             |      / len(string_split(text, ' ')) AS mtl,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon
+             |  FROM documents),
+             |f AS (
+             |  SELECT lang, source, n_tok, mtl,
+             |    (n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0) AS keep,
+             |    CASE WHEN count(*) OVER (PARTITION BY canon) > 1 THEN 1 ELSE 0 END AS is_dup
+             |  FROM d)
+             |SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+             |  floor((avg(mtl)) * 1e6 + 0.5) / 1e6 AS avg_tok_len
+             |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     // Order-sensitive document fingerprint: token-dictionary ids (dense,
     // deterministic: row_number over sorted distinct tokens) combined with a
     // position-dependent weight 31^(pos % 8) — a rolling-hash analogue in
