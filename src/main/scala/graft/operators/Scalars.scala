@@ -179,6 +179,64 @@ object Scalars {
              |  floor((CAST(list_max(embedding) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mx
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // Higher-order array functions over an exact-integer array (derived
+    // from the row itself, so both engines build identical inputs): lambda
+    // transform, predicate filter, existential/universal quantifiers, and a
+    // left-fold aggregate. Integer arithmetic end-to-end — fold order can't
+    // produce FP divergence, and Spark's higher-order functions stay
+    // codegen-adjacent (no UDF, no serialization).
+    QDef(
+      "fn_higher_order",
+      (s, dir) =>
+        T.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("sequence(CAST(1 AS BIGINT), CAST(3 + l_linenumber % 4 AS BIGINT))")
+              .as("arr"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            size(col("arr")).cast("long").as("n"),
+            // flattened to strings: the compare must never depend on
+            // nested-parquet encodings (same rule as agg_collect_sorted)
+            expr("array_join(transform(arr, x -> cast(x * x + 1 AS STRING)), ',')")
+              .as("squares"),
+            expr("array_join(transform(filter(arr, x -> x % 2 = 0), x -> cast(x AS STRING)), ',')")
+              .as("evens"),
+            expr("exists(arr, x -> x % 5 = 0)").as("has_mult5"),
+            expr("forall(arr, x -> x < 8)").as("all_small"),
+            expr("aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+              .as("sumsq"))
+          .orderBy("l_orderkey", "l_linenumber", "n"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  len(arr) AS n,
+             |  array_to_string(list_transform(arr, x -> x * x + 1), ',') AS squares,
+             |  array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+             |  len(list_filter(arr, x -> x % 5 = 0)) > 0 AS has_mult5,
+             |  len(list_filter(arr, x -> NOT x < 8)) = 0 AS all_small,
+             |  CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sumsq
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |        range(1, 4 + l_linenumber % 4) AS arr
+             |      FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, n""".stripMargin)),
+
+    // Boolean aggregates: per-group universal/existential reduction
+    // (bool_and / bool_or) — partial-agg friendly single-bit state.
+    QDef(
+      "agg_bool",
+      (s, dir) =>
+        T.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+            expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             |  bool_or(o_orderstatus = 'F') AS any_finished,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // JSON extraction from the semi-structured `props` column.
     QDef(
       "fn_map_json",

@@ -93,4 +93,30 @@ class PropertySpec extends SparkSpec {
       assert(sub.map(h).min >= base.map(h).min)
     }
   }
+
+  test("hamming blocking law: 6/5/5 blocks recall every Hamming≤2 pair (generated)") {
+    // Pigeonhole completeness on generated 16-bit signatures: candidate
+    // generation by exact block agreement never misses a true pair. Driver
+    // logic only — pure Scala mirror of the dedup_hamming block math.
+    val rnd = new Random(7)
+    def blocks(h: Long) = Seq(h % 64L, (h / 64L) % 32L, h / 2048L)
+    (1 to 3).foreach { _ =>
+      val sigs = Seq.fill(120)(rnd.nextInt(65536).toLong)
+        // seed near pairs: flips at random positions, including cross-block
+        .flatMap(h => Seq(h, h ^ (1L << rnd.nextInt(16)),
+          h ^ (1L << rnd.nextInt(16)) ^ (1L << rnd.nextInt(16))))
+        .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val truePairs = for {
+        (i, a) <- sigs; (j, b) <- sigs if i < j
+        if java.lang.Long.bitCount(a ^ b) <= 2
+      } yield (i, j)
+      val blocked = for {
+        (i, a) <- sigs; (j, b) <- sigs if i < j
+        if blocks(a).zip(blocks(b)).exists { case (x, y) => x == y }
+        if java.lang.Long.bitCount(a ^ b) <= 2
+      } yield (i, j)
+      assert(blocked.toSet === truePairs.toSet,
+        "block agreement must be a superset filter for Hamming ≤ 2")
+    }
+  }
 }
