@@ -494,6 +494,36 @@ object Dedup {
               |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
               |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
               |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
-              |ORDER BY d1, d2""".stripMargin))
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // Edit-distance fuzzy dedup with prefix blocking: candidate pairs share
+    // a 5-token prefix (the classic sorted-neighborhood / blocking-key
+    // reduction), then exact Levenshtein scores each candidate. The O(m·n)
+    // DP runs ONLY inside blocks — at 100 TB the block key keeps candidate
+    // volume linear in corpus (block population is bounded by template
+    // density), and the distance is computed where the pair lands after one
+    // equi-join shuffle. Both engines implement classic unit-cost
+    // Levenshtein, an exact integer.
+    QDef(
+      "dedup_editdist",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+          .withColumn("pfx", array_join(slice(split(col("text"), " "), 1, 5), " "))
+        val l = d.select(col("pfx"), col("doc_id").as("d1"), col("text").as("t1"))
+        val r = d.select(col("pfx"), col("doc_id").as("d2"), col("text").as("t2"))
+        l.join(r, "pfx")
+          .where(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |ORDER BY d1, d2""".stripMargin))
   )
 }
