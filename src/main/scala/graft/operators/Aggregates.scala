@@ -297,6 +297,45 @@ object Aggregates {
              |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Unpivot (wide→long melt) — the inverse of agg_pivot: the per-type
+    // count columns fold back into (user_id, event_type, n) rows. Spark's
+    // `unpivot` is a Generate-style expand (narrow, no shuffle beyond the
+    // source aggregation); zero-count cells are dropped on both sides so
+    // the long form round-trips the sparse reality.
+    QDef(
+      "agg_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = T.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("user_id") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(t)): _*)
+        wide.unpivot(
+            Array(col("user_id")),
+            types.map(col).toArray,
+            "event_type", "n")
+          .where(col("n") > 0L)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH wide AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, event_type, n
+             |FROM (UNPIVOT wide ON click, error, purchase, signup, view
+             |      INTO NAME event_type VALUE n)
+             |WHERE n > 0
+             |ORDER BY user_id, event_type""".stripMargin))
+  ) ++ moreDefs
+
+  private def moreDefs: Seq[QDef] = Seq(
+
     // Light-curve feature extraction [PK: the reference's core product —
     // per-object variability features over a calibrated magnitude series].
     // user_id ≈ object id, graft_mag (native codegen expression) ≈ flux→mag

@@ -81,6 +81,12 @@ class PlanShapeSpec extends SparkSpec {
       s"sessionization should shuffle once on user_id, saw $exchanges hash exchanges")
   }
 
+  test("dedup_editdist: prefix blocking stays an equi-join") {
+    val p = plan("dedup_editdist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "edit-distance dedup degraded to an all-pairs plan")
+  }
+
   test("graph_pagerank: iteration output is lineage-truncated, not an inlined 3-round plan") {
     val p = plan("graph_pagerank")
     assert(p.contains("Scan ExistingRDD"),
