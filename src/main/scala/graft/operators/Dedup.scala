@@ -524,6 +524,52 @@ object Dedup {
              |SELECT a.doc_id AS d1, b.doc_id AS d2,
              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
              |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // Benchmark decontamination: flag training documents sharing any token
+    // n-gram with a held-out eval set (here the deterministic doc_id%97
+    // slice; production uses 8–13-grams — 3-grams here because the fixture
+    // vocabulary is tiny). The shape is the one that scales: distinct
+    // (doc, gram) on the train side, distinct grams on the (small) eval
+    // side BROADCAST to the train scan — contamination is a broadcast
+    // semi-join + count, never an all-pairs compare. At 100 TB the eval
+    // grams stay a few MB (benchmarks are small by definition), so the
+    // train corpus is read exactly once with no shuffle besides the final
+    // per-doc count.
+    QDef(
+      "dedup_decontam",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val grams = tok(s, dir)
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .where(col("t2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+          .distinct()
+        val evalGrams = grams.where(col("doc_id") % 97L === 0L)
+          .select("gram").distinct()
+        grams.where(col("doc_id") % 97L =!= 0L)
+          .join(broadcast(evalGrams), "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+             |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |g AS (SELECT doc_id, gram FROM grams WHERE gram IS NOT NULL),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+             |SELECT doc_id, count(*) AS n_shared
+             |FROM g JOIN ev USING (gram)
+             |WHERE doc_id % 97 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -29,6 +29,35 @@ object Filters {
              |FROM orders WHERE (o_orderkey * 7919) % 100 < 5
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Stratified quota sample: exactly 20 documents per language, selected
+    // by rank over a deterministic per-row hash (Knuth multiplicative mod a
+    // prime — engine-portable integer arithmetic, unlike RNG sampling).
+    // One shuffle on the stratum key; at 100 TB strata are far larger than
+    // the quota, so the rank window is the bottleneck — the production
+    // refinement is a pre-filter on the hash (h < quota/|stratum| · P,
+    // oversampled) before ranking, which this plan composes with the same
+    // filter_sample-style pushdown predicate. This is the per-domain /
+    // per-language quota pass a training-mix builder runs.
+    QDef(
+      "sample_stratified",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+        T.documents(s, dir)
+          .withColumn("h", (col("doc_id") * 2654435761L) % 1000000007L)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 20L)
+          .select("lang", "rk", "doc_id", "h")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, h
+             |FROM (SELECT lang, doc_id, (doc_id * 2654435761) % 1000000007 AS h,
+             |        CAST(row_number() OVER (PARTITION BY lang
+             |          ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rk
+             |      FROM documents)
+             |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+
     // Scalar-subquery filter: rows above the global average — the broadcast-
     // scalar idiom (one-row aggregate broadcast to every partition; no
     // driver round-trip, no collect). Catalyst plans the DataFrame cross

@@ -495,6 +495,63 @@ object TextOps {
              |      ELSE 27512614111 END) AS term
              |  FROM tok t JOIN dict d USING (tok))
              |SELECT doc_id, CAST(sum(term) AS BIGINT) AS fingerprint, count(*) AS n_tok
-             |FROM weighted GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM weighted GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition filter: the complement of quality_gopher's
+    // length/stopword gate — drop documents dominated by repeated n-grams.
+    // Per doc: fraction of bigram occurrences covered by the single most
+    // frequent bigram (top_frac) and fraction that are repeats of an
+    // already-seen bigram (dup_frac). One lead-window per doc_id partition
+    // (embarrassingly parallel), then two nested per-doc aggregates — every
+    // shuffle keys on doc_id, so at 100 TB this is a narrow pipeline after
+    // one exchange. Both fractions are int/int divisions (correctly-rounded
+    // IEEE in both engines) so the keep boolean is engine-stable unrounded.
+    QDef(
+      "text_repetition",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        tokenized(s, dir)
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(
+            sum("cnt").as("n_bigrams"),
+            max("cnt").as("mx"),
+            count(lit(1)).as("n_distinct"))
+          .select(
+            col("doc_id"), col("n_bigrams"),
+            rnd(col("mx").cast("double") / col("n_bigrams"), 6).as("top_frac"),
+            rnd((col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"), 6)
+              .as("dup_frac"),
+            (col("mx").cast("double") / col("n_bigrams") <= 0.05 &&
+              (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams") <= 0.5)
+              .as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |big AS (
+             |  SELECT doc_id,
+             |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+             |  FROM tok),
+             |cnts AS (
+             |  SELECT doc_id, bigram, count(*) AS cnt FROM big
+             |  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+             |stats AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             |    max(cnt) AS mx, count(*) AS n_distinct
+             |  FROM cnts GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams,
+             |  floor((CAST(mx AS DOUBLE) / n_bigrams) * 1e6 + 0.5) / 1e6 AS top_frac,
+             |  floor((CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams) * 1e6 + 0.5) / 1e6 AS dup_frac,
+             |  (CAST(mx AS DOUBLE) / n_bigrams <= 0.05
+             |    AND CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams <= 0.5) AS keep
+             |FROM stats ORDER BY doc_id""".stripMargin))
   )
 }

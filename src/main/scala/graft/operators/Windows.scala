@@ -254,6 +254,62 @@ object Windows {
              |SELECT user_id, event_id, event_type,
              |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
-             |FROM flagged ORDER BY user_id, event_id""".stripMargin))
+             |FROM flagged ORDER BY user_id, event_id""".stripMargin)),
+
+    // Ordered funnel: per user, the furthest stage reached in strict
+    // view → click → purchase time order (a click only counts AFTER the
+    // first view, a purchase only after that click). Three per-user min
+    // aggregates chained by equi-joins on user_id — every stage shuffles on
+    // the same key, so AQE coalesces them onto one exchange lineage and the
+    // per-stage frames shrink monotonically (clickers ⊆ viewers). All
+    // comparisons are integer epoch-micros, never engine-local timestamp
+    // ordering. The window-function alternative (min over conditional
+    // frames) needs one pass per stage anyway; the join form keeps each
+    // stage broadcastable when the funnel narrows.
+    QDef(
+      "win_funnel",
+      (s, dir) => {
+        val base = T.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        val v = base.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("t").as("t_view"))
+        val c = base.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("t") > col("t_view"))
+          .groupBy("user_id").agg(min("t").as("t_click"))
+        val p = base.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("t") > col("t_click"))
+          .groupBy("user_id").agg(min("t").as("t_purchase"))
+        base.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L)
+              .when(col("t_view").isNotNull, 1L)
+              .otherwise(0L).as("stage"),
+            col("t_view"), col("t_click"), col("t_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+             |v AS (SELECT user_id, min(t) AS t_view FROM base
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT b.user_id, min(t) AS t_click FROM base b
+             |      JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND t > t_view GROUP BY b.user_id),
+             |p AS (SELECT b.user_id, min(t) AS t_purchase FROM base b
+             |      JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND t > t_click GROUP BY b.user_id)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+             |       WHEN t_click IS NOT NULL THEN 2
+             |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+             |  t_view, t_click, t_purchase
+             |FROM (SELECT DISTINCT user_id FROM base) u
+             |LEFT JOIN v USING (user_id)
+             |LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -81,6 +81,19 @@ class PlanShapeSpec extends SparkSpec {
       s"sessionization should shuffle once on user_id, saw $exchanges hash exchanges")
   }
 
+  test("dedup_decontam: eval grams attach via BroadcastHashJoin, never all-pairs") {
+    val p = plan("dedup_decontam")
+    assert(p.contains("BroadcastHashJoin"), "eval-gram side not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination degraded to an all-pairs plan")
+  }
+
+  test("win_funnel: stage chain stays equi-joins with no nested loop") {
+    val p = plan("win_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "funnel stage join degraded to an all-pairs plan")
+  }
+
   test("dedup_editdist: prefix blocking stays an equi-join") {
     val p = plan("dedup_editdist")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
