@@ -87,10 +87,38 @@ object Bench {
         name -> (best +: (1 to 2).map(_ => timeOnce(fn))).min
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val detail = results.map { case (k, v) => s""""$k":${num(v)}""" }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    // Full per-query detail: one line to stdout (for local runs / logs) and a
+    // file next to the build (for post-hoc inspection). This line is ~3 KB —
+    // LONGER than the harness's stdout tail window, so it must NOT be the
+    // last line printed.
+    println(detailLine)
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detailLine) finally w.close()
+    } catch { case _: Throwable => () }
+    // Contract line, printed LAST: the harness captures only the final ~2000
+    // characters of stdout and parses the JSON line found there (BENCH_r01/
+    // r02 both recorded parsed:null because the full 80/133-query line
+    // overflowed that window). Keep this line comfortably under the window —
+    // total + the slowest queries, added in descending cost order until the
+    // size budget is reached — so the bench gate actually sees the number.
+    val budget = 1600
+    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${num(v)}""" }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = prefix.length + suffix.length
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }
