@@ -690,6 +690,88 @@ object Aggregates {
              |  floor((sum(o_totalprice) FILTER (WHERE o_totalprice > 100000.0)) * 1e2 + 0.5) / 1e2 AS big_total,
              |  floor((avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 1e2 + 0.5) / 1e2 AS avg_open
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Ensemble (differential) photometry [PK — the calibration step before
+    // any feature/period extraction: per-epoch zero-point offsets estimated
+    // from the ensemble of stars on the frame, then subtracted]. Epoch ≈
+    // integer day bucket; per-object baseline = exact median magnitude;
+    // per-day zero-point = mean residual against baselines across ALL
+    // objects observed that day; calibrated mag = mag − zero-point.
+    // Scale: two partial-aggregating groupBys (object key, day key) + one
+    // co-located join back on user_id + one BROADCAST join of the tiny
+    // per-day table (#days rows, constant in corpus width). At 100 TB with
+    // the curve store partitioned by object, only the day-keyed aggregate
+    // shuffles corpus-wide — and it carries one row per (object, day).
+    QDef(
+      "lc_ensemble",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val m = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            expr("graft_mag(value)").as("mag"))
+        val med = m.groupBy("user_id").agg(expr("percentile(mag, 0.5)").as("med"))
+        val resid = m.join(med, "user_id")
+          .withColumn("resid", col("mag") - col("med"))
+        val zp = resid.groupBy("day").agg(avg(col("resid")).as("zp"))
+        resid.join(broadcast(zp), "day")
+          .select(col("user_id"), col("event_id"),
+            rnd(col("mag") - col("zp"), 6).as("cal_mag"),
+            rnd(col("zp"), 6).as("day_zp"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |med AS (
+             |  SELECT user_id, quantile_cont(mag, 0.5) AS med FROM m GROUP BY user_id),
+             |r AS (
+             |  SELECT m.user_id, m.event_id, m.day, m.mag, m.mag - med.med AS resid
+             |  FROM m JOIN med USING (user_id)),
+             |zp AS (SELECT day, avg(resid) AS zp FROM r GROUP BY day)
+             |SELECT r.user_id, r.event_id,
+             |  floor((r.mag - zp.zp) * 1e6 + 0.5) / 1e6 AS cal_mag,
+             |  floor((zp.zp) * 1e6 + 0.5) / 1e6 AS day_zp
+             |FROM r JOIN zp USING (day)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Variability index [PK — von Neumann eta: mean squared successive
+    // difference over variance. eta ≈ 2 for pure noise; eta ≪ 2 flags
+    // correlated (real) variability — the screening statistic between
+    // feature extraction and period search]. One lag window + one groupBy,
+    // both keyed on user_id — single shuffle, the same clustering the rest
+    // of the curve pipeline reuses.
+    QDef(
+      "lc_variability",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .where(col("value") > 0.0)
+          .withColumn("mag", expr("graft_mag(value)"))
+          .withColumn("d", col("mag") - lag(col("mag"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            rnd(var_samp(col("mag")), 6).as("var_mag"),
+            rnd((sum(col("d") * col("d")) / count(col("d"))) / var_samp(col("mag")), 6)
+              .as("eta"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts, -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |d AS (
+             |  SELECT user_id, mag,
+             |    mag - lag(mag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+             |  FROM m)
+             |SELECT user_id, count(*) AS n_obs,
+             |  floor((var_samp(mag)) * 1e6 + 0.5) / 1e6 AS var_mag,
+             |  floor(((sum(d * d) / count(d)) / var_samp(mag)) * 1e6 + 0.5) / 1e6 AS eta
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

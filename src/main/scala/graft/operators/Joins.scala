@@ -460,6 +460,52 @@ object Joins {
              |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap_s
              |FROM a JOIN b USING (user_id)
              |WHERE a_s < b_e AND b_s < a_e
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Bloom-filtered join: pre-filter the fact with a tiny bitmap built from
+    // the dim keys BEFORE the real join — the shuffle-reduction idiom for a
+    // selective dim too large to broadcast whole. The filter is built as an
+    // aggregate (k=2 arithmetic hashes → bit positions → bit_or per 64-bit
+    // word: m=8192 bits = 128 rows, constant in dim size), broadcast to the
+    // fact, and probed with two hash-join lookups + bitmask tests; rows that
+    // fail cannot be in the dim (no false negatives), so the final equi-join
+    // sees only survivors and the result is IDENTICAL to the plain join —
+    // which is exactly what the oracle runs. At 100 TB the bitmap stays KB-
+    // sized while the pre-join fact volume drops by the filter's selectivity
+    // (false-positive rate ≈ (1-e^{-kn/m})^k, ≪ 1 here). Spark's own
+    // runtime row-level filtering (spark.sql.optimizer.runtime.bloomFilter)
+    // injects the same shape automatically when stats justify it; this
+    // operator is the explicit, plannable form.
+    QDef(
+      "join_bloom",
+      (s, dir) => {
+        val M = 8192L
+        def h1(k: org.apache.spark.sql.Column) = k * 2654435761L % M
+        def h2(k: org.apache.spark.sql.Column) = (k * 40503L + 17L) % M
+        val dim = T.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"))
+        val bloom = dim.select(explode(array(h1(col("c_custkey")), h2(col("c_custkey")))).as("bit"))
+          .select(expr("bit div 64").as("w"), expr("bit % 64").as("b"))
+          .groupBy("w").agg(expr("bit_or(shiftleft(1L, cast(b as int)))").as("bits"))
+        val fact = T.orders(s, dir)
+          .select(col("o_custkey"), col("o_totalprice"))
+        val survived = fact
+          .join(broadcast(bloom.withColumnRenamed("bits", "bits1")),
+            expr("o_custkey * 2654435761 % 8192 div 64") === col("w"))
+          .where(expr("bits1 & shiftleft(1L, cast(o_custkey * 2654435761 % 8192 % 64 as int))") =!= 0L)
+          .drop("w")
+          .join(broadcast(bloom.withColumnRenamed("bits", "bits2")),
+            expr("(o_custkey * 40503 + 17) % 8192 div 64") === col("w"))
+          .where(expr("bits2 & shiftleft(1L, cast((o_custkey * 40503 + 17) % 8192 % 64 as int))") =!= 0L)
+        survived.join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"), rnd(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, count(*) AS n_orders,
+             |  floor((sum(o.o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin))
   )
 }

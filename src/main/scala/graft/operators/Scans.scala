@@ -333,6 +333,75 @@ object Scans {
       },
       Some("""SELECT c_custkey, c_name, c_nationkey,
              |  floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Raw text-line ingestion: the format most LLM corpora arrive in (one
+    // document per line, no schema). Write the corpus out as plain text,
+    // read it back with the line reader, re-tokenize, and prove the
+    // round-trip with order-insensitive corpus aggregates (line order is
+    // NOT preserved by a distributed text write, so the proof must not
+    // depend on it). Narrow scan → global partial-agg: one tiny shuffle.
+    QDef(
+      "scan_text",
+      (s, dir) => {
+        val out = runTmpPath(s, "graft_sink_text_")
+        T.documents(s, dir).select("text")
+          .coalesce(1).write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(col("value"),
+            size(split(col("value"), " ")).cast("long").as("n_tok"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(length(col("value")).cast("long")).as("total_chars"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM documents""".stripMargin)),
+
+    // Z-order clustered sink: interleave the bits of two filter dimensions
+    // (customer bucket × epoch-day bucket, 8 bits each) into one sort key,
+    // write the fact clustered on it, and read back a 2-D box. Because the
+    // z-curve keeps both dimensions locally contiguous, every parquet
+    // row-group covers a small rectangle of (x, y) space and its min/max
+    // footer stats exclude everything outside the box — multi-dimensional
+    // data skipping from a ONE-dimensional sort, the lakehouse layout trick
+    // for a fact filtered on two axes at once (a plain sort on x gives
+    // skipping on x only). The z value is pure integer bit arithmetic; the
+    // clustering is semantics-free, so the oracle is the same box filter
+    // over the unclustered original.
+    QDef(
+      "sink_zorder",
+      (s, dir) => {
+        val out = runTmpPath(s, "graft_sink_zorder_")
+        val bits = (0 until 8).map { i =>
+          val p = 1L << i
+          expr(s"((x div $p) % 2) * ${1L << (2 * i)} + ((y div $p) % 2) * ${1L << (2 * i + 1)}")
+        }.reduce(_ + _)
+        T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_custkey") % 256L).as("x"),
+            (expr("unix_timestamp(o_orderdate) div 86400") % 256L).as("y"))
+          .withColumn("z", bits)
+          .repartitionByRange(4, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .where(col("x").between(32L, 95L) && col("y").between(64L, 159L))
+          .agg(count(lit(1)).as("n"),
+            rnd(sum(col("o_totalprice")), 2).as("total"),
+            countDistinct(col("x")).as("n_x"),
+            countDistinct(col("y")).as("n_y"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |    o_custkey % 256 AS x,
+             |    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 256 AS y
+             |  FROM orders)
+             |SELECT count(*) AS n,
+             |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total,
+             |  count(DISTINCT x) AS n_x, count(DISTINCT y) AS n_y
+             |FROM keyed
+             |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 159""".stripMargin))
   )
 }

@@ -552,6 +552,150 @@ object TextOps {
              |  floor((CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams) * 1e6 + 0.5) / 1e6 AS dup_frac,
              |  (CAST(mx AS DOUBLE) / n_bigrams <= 0.05
              |    AND CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams <= 0.5) AS keep
-             |FROM stats ORDER BY doc_id""".stripMargin))
+             |FROM stats ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-window chunking with overlap: split each document into 32-token
+    // windows on a 24-token stride — the step that turns raw documents into
+    // training sequences. Entirely narrow (split + sequence-explode + slice
+    // per row, no shuffle until the output sort); at 100 TB chunking is
+    // embarrassingly parallel and the chunk count per doc is bounded by
+    // doc length / stride, so no skew amplification.
+    QDef(
+      "text_chunk",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        docs
+          .select(col("doc_id"), col("toks"), col("n_tok"),
+            explode(sequence(lit(1L), col("n_tok"), lit(24L))).as("start"))
+          .select(
+            col("doc_id"), col("start"),
+            array_join(slice(col("toks"), col("start").cast("int"), lit(32)), " ")
+              .as("chunk"),
+            least(col("n_tok") - col("start") + 1L, lit(32L)).as("chunk_tokens"))
+          .orderBy("doc_id", "start")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, toks, n_tok,
+             |    unnest(generate_series(1, n_tok, 24)) AS start
+             |  FROM t)
+             |SELECT doc_id, start,
+             |  array_to_string(list_slice(toks, start, least(start + 31, n_tok)), ' ') AS chunk,
+             |  least(n_tok - start + 1, 32) AS chunk_tokens
+             |FROM st ORDER BY doc_id, start""".stripMargin)),
+
+    // PII masking: the redaction pass a training-data pipeline runs before
+    // anything ships. The fixtures' synthetic corpus carries no contact
+    // strings, so the query derives deterministic ones from existing columns
+    // (doc_id / source / n_chars — inputs only, no synthesis from outside
+    // the tables) and then masks emails, IPv4 addresses, and standalone
+    // digit runs in that order, counting each class as it is removed.
+    // Pure regexp projection: narrow, codegen'd, no shuffle before the
+    // output sort; the regexes are RE2-compatible so Spark (Java regex) and
+    // DuckDB (RE2) agree on every match.
+    QDef(
+      "text_pii",
+      (s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val num = "\\b\\d{3,}\\b"
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            concat_ws(" ", col("text"),
+              concat(lit("user"), col("doc_id"), lit("@"), col("source"), lit(".com")),
+              concat(lit("10.0."), col("doc_id") % 256, lit("."), col("n_chars") % 256),
+              concat(lit("order id "), (col("doc_id") * 7919 + 100017L))).as("raw"))
+          .withColumn("n_email", size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long"))
+          .withColumn("m1", regexp_replace(col("raw"), email, "<EMAIL>"))
+          .withColumn("n_ip", size(regexp_extract_all(col("m1"), lit(ip), lit(0))).cast("long"))
+          .withColumn("m2", regexp_replace(col("m1"), ip, "<IP>"))
+          .withColumn("n_num", size(regexp_extract_all(col("m2"), lit(num), lit(0))).cast("long"))
+          .select(col("doc_id"),
+            regexp_replace(col("m2"), num, "<NUM>").as("masked"),
+            col("n_email"), col("n_ip"), col("n_num"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    text || ' ' || 'user' || doc_id || '@' || source || '.com'
+             |      || ' ' || '10.0.' || (doc_id % 256) || '.' || (n_chars % 256)
+             |      || ' ' || 'order id ' || (doc_id * 7919 + 100017) AS raw
+             |  FROM documents),
+             |m1 AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+             |    regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS m1
+             |  FROM raw),
+             |m2 AS (
+             |  SELECT doc_id, n_email,
+             |    CAST(len(regexp_extract_all(m1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+             |    regexp_replace(m1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS m2
+             |  FROM m1)
+             |SELECT doc_id,
+             |  regexp_replace(m2, '\b\d{3,}\b', '<NUM>', 'g') AS masked,
+             |  n_email, n_ip,
+             |  CAST(len(regexp_extract_all(m2, '\b\d{3,}\b')) AS BIGINT) AS n_num
+             |FROM m2 ORDER BY doc_id""".stripMargin)),
+
+    // Count-min sketch heavy hitters: the frequency complement of the HLL
+    // sketch in agg_sketch_reagg. Token occurrences update a d=2 × w=256
+    // counter grid through two independent arithmetic hashes of the
+    // deterministic dictionary id; a token's estimate is the min of its two
+    // cells (never an undercount). The sketch is CONSTANT-size state (512
+    // cells) regardless of corpus scale and merges by cell-wise addition —
+    // the pre-aggregation shape exact per-token counts cannot give at
+    // 100 TB. The exact count is joined back only for the top-20 output so
+    // the overcount column makes the sketch's error visible.
+    QDef(
+      "text_heavyhitters",
+      (s, dir) => {
+        val t = tokenized(s, dir)
+        val d = Dedup.dict(t.select("tok"))
+        val withId = t.join(broadcast(d), "tok")
+        val occ = withId.select(col("tok_id"))
+        val cells = occ.select(lit(1).as("j"), (col("tok_id") * 2654435761L % 256L).as("b"))
+          .unionAll(occ.select(lit(2).as("j"), ((col("tok_id") * 40503L + 17L) % 256L).as("b")))
+          .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+        val exact = withId.groupBy("tok", "tok_id").agg(count(lit(1)).as("exact"))
+        exact
+          .join(broadcast(cells.where(col("j") === 1)
+              .select(col("b").as("b1"), col("cnt").as("c1"))),
+            col("tok_id") * 2654435761L % 256L === col("b1"))
+          .join(broadcast(cells.where(col("j") === 2)
+              .select(col("b").as("b2"), col("cnt").as("c2"))),
+            (col("tok_id") * 40503L + 17L) % 256L === col("b2"))
+          .select(col("tok"), least(col("c1"), col("c2")).as("est"), col("exact"),
+            (least(col("c1"), col("c2")) - col("exact")).as("overcount"))
+          .orderBy(col("est").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |dict AS (
+             |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+             |  FROM (SELECT DISTINCT tok FROM tok)),
+             |occ AS (SELECT d.tok_id FROM tok t JOIN dict d USING (tok)),
+             |cells AS (
+             |  SELECT j, b, count(*) AS cnt FROM (
+             |    SELECT 1 AS j, (tok_id * 2654435761) % 256 AS b FROM occ
+             |    UNION ALL
+             |    SELECT 2 AS j, (tok_id * 40503 + 17) % 256 AS b FROM occ)
+             |  GROUP BY j, b),
+             |exact AS (
+             |  SELECT t.tok, d.tok_id, count(*) AS exact
+             |  FROM tok t JOIN dict d USING (tok) GROUP BY t.tok, d.tok_id)
+             |SELECT e.tok,
+             |  CAST(least(c1.cnt, c2.cnt) AS BIGINT) AS est,
+             |  CAST(e.exact AS BIGINT) AS exact,
+             |  CAST(least(c1.cnt, c2.cnt) - e.exact AS BIGINT) AS overcount
+             |FROM exact e
+             |JOIN cells c1 ON c1.j = 1 AND c1.b = (e.tok_id * 2654435761) % 256
+             |JOIN cells c2 ON c2.j = 2 AND c2.b = (e.tok_id * 40503 + 17) % 256
+             |ORDER BY est DESC, tok LIMIT 20""".stripMargin))
   )
 }

@@ -43,7 +43,9 @@ class InventorySpec extends SparkSpec {
       "sim_cosine", "sim_knn_topk", "sim_ann_lsh", "multimodal_join",
       "stream_tumbling", "stream_sliding", "stream_session",
       "stream_stateful_dedup", "stream_watermark", "stream_foreachbatch",
-      "udf_scalar", "udaf_typed", "udtf_gen", "mm_decode")
+      "udf_scalar", "udaf_typed", "udtf_gen", "mm_decode",
+      "scan_text", "sink_zorder", "join_bloom", "lc_ensemble",
+      "lc_variability", "text_chunk", "text_pii", "text_heavyhitters")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
@@ -53,7 +55,8 @@ class InventorySpec extends SparkSpec {
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
     "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp",
-    "scan_schema_merge", "scan_orc", "stream_custom_state",
+    "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
+    "stream_custom_state",
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank")              // localCheckpoint per iteration
 
