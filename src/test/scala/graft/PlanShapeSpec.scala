@@ -107,4 +107,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "iteration joins leaked into the final plan — checkpoint lost")
   }
+
+  test("join_bloom: bitmap lookups broadcast; no nested loop anywhere") {
+    val p = plan("join_bloom")
+    assert(p.contains("BroadcastHashJoin"), "bloom word-lookup joins not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bloom probe degraded to a non-equi plan")
+  }
+
+  test("text_heavyhitters: sketch cells attach via broadcast; occurrence stream aggregates partially") {
+    val p = plan("text_heavyhitters")
+    assert(p.contains("BroadcastHashJoin"), "cell join not broadcast")
+    assert(p.contains("partial_count"), "sketch update lost partial aggregation")
+  }
+
+  test("text_chunk: chunking is narrow — no exchange before the output sort") {
+    val p = plan("text_chunk")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"chunking should not hash-shuffle, saw $exchanges hash exchanges")
+  }
+
+  test("lc_ensemble: per-day zero-point table attaches via broadcast") {
+    val p = plan("lc_ensemble")
+    assert(p.contains("BroadcastHashJoin"), "zero-point join not broadcast")
+  }
 }
