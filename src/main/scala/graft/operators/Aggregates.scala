@@ -772,6 +772,32 @@ object Aggregates {
              |SELECT user_id, count(*) AS n_obs,
              |  floor((var_samp(mag)) * 1e6 + 0.5) / 1e6 AS var_mag,
              |  floor(((sum(d * d) / count(d)) / var_samp(mag)) * 1e6 + 0.5) / 1e6 AS eta
-             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exact distinct counting via bitmap aggregation: each 64-id block of the
+    // key space becomes one bit_or'd word — the EXACT, MERGEABLE distinct
+    // the roaring-bitmap family gives OLAP engines. Unlike count(DISTINCT),
+    // whose per-group state grows with distinct values and resists partial
+    // aggregation, the bitmap partial-aggregates map-side (bit_or is
+    // associative+commutative) and two groups' states merge by OR — the
+    // pre-aggregate rollup shape; HLL (agg_sketch_reagg) is the lossy
+    // counterpart when the id space outgrows bits-on-disk. Shuffle volume:
+    // one word per (group, occupied 64-block), independent of row count.
+    QDef(
+      "agg_bitmap_distinct",
+      (s, dir) =>
+        T.events(s, dir)
+          .select(col("event_type"),
+            expr("user_id div 64").as("w"), expr("user_id % 64").as("b"))
+          .groupBy("event_type", "w")
+          .agg(expr("bit_or(shiftleft(1L, cast(b as int)))").as("bits"))
+          .groupBy("event_type")
+          .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"),
+            count(lit(1)).as("n_words"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT user_id // 64) AS n_words
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -379,6 +379,61 @@ object Similarity {
               |    floor((${cosSql("a.ce", "b.ce")}) * 1e6 + 0.5) / 1e6 AS cos
               |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |SELECT v1, v2, cos FROM scored WHERE cos >= 0.35
-              |ORDER BY v1, v2""".stripMargin))
+              |ORDER BY v1, v2""".stripMargin)),
+
+    // Nearest-class-mean classification: per-label centroids from a
+    // deterministic train split, test vectors assigned to the most-cosine-
+    // similar centroid, confusion matrix out. The centroid build is the
+    // DENSE-VECTOR AGGREGATION shape: posexplode to (label, dim, val) →
+    // partial-aggregating groupBy(label, dim) — shuffle volume is
+    // labels × dims partial states per task, CONSTANT in corpus size —
+    // then the tiny (labels × dims) table reassembles into array centroids
+    // that broadcast to the test stream (corpus streamed once, per-vector
+    // work = labels cosines via the codegen dot). Centroid dims are rounded
+    // to the 1e-6 grid before scoring (engine-stable, same as sim_ivf).
+    QDef(
+      "sim_centroid",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val ex = e
+          .select(col("vec_id"), col("label"), posexplode(col("ce")).as(Seq("dim0", "v")))
+          .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"), col("v"))
+        val cent = ex.where(col("vec_id") % 5L =!= 0L)
+          .groupBy(col("label").as("clabel"), col("dim"))
+          .agg(rnd(avg(col("v")), 6).as("cval"))
+        val cvec = cent.groupBy("clabel")
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("cval")))),
+            x => x.getField("cval")).as("cv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("clabel").asc)
+        e.where(col("vec_id") % 5L === 0L)
+          .crossJoin(broadcast(cvec))
+          .withColumn("cos", rnd(cosine(col("ce"), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred")
+      },
+      Some(s"""WITH e AS ($corpusSql),
+              |ex AS (
+              |  SELECT vec_id, label, unnest(ce) AS v,
+              |    generate_subscripts(ce, 1) AS dim
+              |  FROM e),
+              |cent AS (
+              |  SELECT label AS clabel, dim, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS cval
+              |  FROM ex WHERE vec_id % 5 <> 0 GROUP BY label, dim),
+              |cvec AS (SELECT clabel, list(cval ORDER BY dim) AS cv FROM cent GROUP BY clabel),
+              |scored AS (
+              |  SELECT t.vec_id, t.label, c.clabel,
+              |    floor((${cosSql("t.ce", "c.cv")}) * 1e6 + 0.5) / 1e6 AS cos
+              |  FROM (SELECT * FROM e WHERE vec_id % 5 = 0) t CROSS JOIN cvec c),
+              |best AS (
+              |  SELECT vec_id, label, clabel,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+              |  FROM scored)
+              |SELECT label, clabel AS pred, count(*) AS n
+              |FROM best WHERE rn = 1
+              |GROUP BY label, clabel ORDER BY label, pred""".stripMargin))
   )
 }

@@ -696,6 +696,36 @@ object TextOps {
              |FROM exact e
              |JOIN cells c1 ON c1.j = 1 AND c1.b = (e.tok_id * 2654435761) % 256
              |JOIN cells c2 ON c2.j = 2 AND c2.b = (e.tok_id * 40503 + 17) % 256
-             |ORDER BY est DESC, tok LIMIT 20""".stripMargin))
+             |ORDER BY est DESC, tok LIMIT 20""".stripMargin)),
+
+    // Per-domain corpus rollup: the web-corpus curation pass (C4/CCNet
+    // style) that decides per-SOURCE-DOMAIN inclusion — URL → host extract,
+    // then docs/langs/volume per host. The fixtures carry no URLs, so each
+    // doc's URL derives deterministically from its own columns; the regexp
+    // host extraction + low-cardinality rollup is the operator under test.
+    // Narrow until the final tiny per-host aggregate — one shuffle on the
+    // domain key (the natural partition key of a crawl corpus at 100 TB).
+    QDef(
+      "text_domains",
+      (s, dir) =>
+        T.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            concat(lit("https://"), col("source"), lit(".example.com/"),
+              col("lang"), lit("/"), col("doc_id")).as("url"))
+          .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("host"),
+      Some("""WITH u AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+             |  FROM documents)
+             |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             |  count(*) AS n_docs,
+             |  count(DISTINCT lang) AS n_langs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM u GROUP BY host ORDER BY host""".stripMargin))
   )
 }
