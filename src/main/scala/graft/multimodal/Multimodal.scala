@@ -119,6 +119,42 @@ object Multimodal {
       }
   }
 
+  /** One audio analysis window: overlapping 32-byte windows on a 16-byte
+    * hop (the STFT frame layout), energy = Σ byte² / 32 (exact — 32 is a
+    * power of two), peak = max byte. */
+  final case class AudioWin(doc_id: Long, win_no: Long, energy: Double, peak: Long)
+
+  val AudioWinBytes = 32
+  val AudioHop = 16
+
+  /** Windowed "audio" energy via the stub codec: the payload as a PCM-ish
+    * sample stream cut into overlapping windows — the shape of every
+    * spectral front-end (STFT/MFCC). Swap the energy sum for an FFT and
+    * nothing else changes: windows are produced in the scan's partition
+    * (flatMap-shaped typed mapPartitions), the payload never shuffles, only
+    * (doc_id, win_no, energy, peak) rows move. Short payloads are filtered
+    * BEFORE the codec (predicate pushed to the scan). */
+  def audioWindows(s: SparkSession, dir: String): Dataset[AudioWin] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .where(length(col("text")) >= AudioWinBytes)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        // per-partition codec/FFT context would be initialized here
+        it.flatMap { r =>
+          val nWins = (r.payload.length - AudioWinBytes) / AudioHop + 1
+          Iterator.range(0, nWins).map { w =>
+            val bytes = r.payload.slice(w * AudioHop, w * AudioHop + AudioWinBytes)
+              .map(_.toLong & 0xffL)
+            AudioWin(r.doc_id, w.toLong,
+              bytes.map(b => b * b).sum.toDouble / AudioWinBytes,
+              bytes.max)
+          }
+        }
+      }
+  }
+
   /** Perceptual-hash analogue: 16-bit signature over the payload head. */
   final case class PHash(doc_id: Long, phash: Long)
 
@@ -221,6 +257,27 @@ object Multimodal {
              |  FROM ch)
              |SELECT doc_id,
              |  CAST(sum(CASE WHEN cs * 16 > total THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
-             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QDef(
+      "mm_audio",
+      (s, dir) => audioWindows(s, dir).toDF().orderBy("doc_id", "win_no"),
+      // Window w covers 1-based byte positions [w*16+1, w*16+32]; energy is
+      // Σ byte² / 32 (exact in binary), peak is a 32-way greatest. Grid
+      // bound 0..127 covers payloads to 2 KB (fixture max 577 bytes); the
+      // completeness predicate discards grid rows past the payload.
+      Some {
+        val terms = (1 to AudioWinBytes)
+          .map(j => s"ascii(substr(text, win_no * $AudioHop + $j, 1))")
+        s"""WITH w AS (
+           |  SELECT doc_id, text, g.i AS win_no
+           |  FROM documents CROSS JOIN generate_series(0, 127) g(i)
+           |  WHERE length(text) >= $AudioWinBytes
+           |    AND g.i * $AudioHop + $AudioWinBytes <= length(text))
+           |SELECT doc_id, CAST(win_no AS BIGINT) AS win_no,
+           |  CAST(${terms.map(t => s"$t * $t").mkString(" + ")} AS DOUBLE) / $AudioWinBytes.0 AS energy,
+           |  CAST(greatest(${terms.mkString(", ")}) AS BIGINT) AS peak
+           |FROM w ORDER BY doc_id, win_no""".stripMargin
+      })
   )
 }
