@@ -21,7 +21,12 @@ class DeterminismSpec extends SparkSpec {
     // propagation (pagerank), centered-moment sums (detrend, corr), block
     // join + distinct (hamming), FP entropy sums
     "lc_lombscargle", "graph_pagerank", "lc_detrend", "agg_corr",
-    "dedup_hamming", "text_entropy")
+    "dedup_hamming", "text_entropy",
+    // round-3 additions: FP mean over merge-ordered partials feeding a
+    // rounded output (ensemble zero-points, centroid dims), ratio of two FP
+    // aggregates (eta), sketch min over bucket counts, bitmap bit_or words
+    "lc_ensemble", "sim_centroid", "lc_variability", "text_heavyhitters",
+    "agg_bitmap_distinct")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>
