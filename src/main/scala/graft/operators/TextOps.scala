@@ -726,6 +726,68 @@ object TextOps {
              |  count(*) AS n_docs,
              |  count(DISTINCT lang) AS n_langs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-             |FROM u GROUP BY host ORDER BY host""".stripMargin))
+             |FROM u GROUP BY host ORDER BY host""".stripMargin)),
+
+    // Flagship composition: the full curation pipeline a training-data run
+    // chains from this library's pieces — Gopher quality gate
+    // (quality_gopher's exact thresholds) → canonical keep-first dedup
+    // (dedup_canonical's set-of-words key) → training-sequence chunking
+    // (text_chunk's 32/24 windows) → per-language yield report. One QDef so
+    // the composition itself is oracle-checked end to end. Scale shape:
+    // narrow gate → ONE shuffle on the 16-byte canon hash (row_number
+    // keep-first) → narrow chunk fan-out → tiny per-lang rollup; the corpus
+    // text never shuffles at all (only hashes and counts move).
+    QDef(
+      "pipeline_curate",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("canon").orderBy("doc_id")
+        T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("mtl",
+            (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+          .withColumn("stop_frac",
+            size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to", "in")))
+              .cast("double") / col("n_tok"))
+          .where(col("n_tok") >= 20L && col("n_tok") <= 800L &&
+            col("mtl") >= 2.0 && col("mtl") <= 10.0 && col("stop_frac") >= 0.01)
+          .withColumn("canon",
+            md5(array_join(array_sort(array_distinct(col("toks"))), " ")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            explode(sequence(lit(1L), col("n_tok"), lit(24L))).as("start"))
+          .withColumn("chunk_tokens",
+            least(col("n_tok") - col("start") + 1L, lit(32L)))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).as("chunk_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, lang, text, n_tok FROM (
+             |    SELECT doc_id, lang, text, n_tok,
+             |      (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok AS mtl,
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / n_tok AS stop_frac
+             |    FROM (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |          FROM documents))
+             |  WHERE n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0
+             |    AND stop_frac >= 0.01),
+             |k AS (
+             |  SELECT doc_id, lang, n_tok,
+             |    row_number() OVER (
+             |      PARTITION BY md5(array_to_string(
+             |        list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |      ORDER BY doc_id) AS rn
+             |  FROM g),
+             |c AS (
+             |  SELECT doc_id, lang, n_tok, unnest(generate_series(1, n_tok, 24)) AS start
+             |  FROM k WHERE rn = 1)
+             |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+             |  CAST(sum(least(n_tok - start + 1, 32)) AS BIGINT) AS chunk_tokens
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

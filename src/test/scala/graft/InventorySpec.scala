@@ -46,7 +46,8 @@ class InventorySpec extends SparkSpec {
       "udf_scalar", "udaf_typed", "udtf_gen", "mm_decode",
       "scan_text", "sink_zorder", "join_bloom", "lc_ensemble",
       "lc_variability", "text_chunk", "text_pii", "text_heavyhitters",
-      "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio")
+      "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio",
+      "pipeline_curate")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
