@@ -84,6 +84,82 @@ object Graph {
              |pr3 AS (SELECT node, 0.006 + 0.85 * coalesce(c, 0.0) AS p
              |        FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node)
              |SELECT node, floor((p) * 1e6 + 0.5) / 1e6 AS rank
-             |FROM pr3 ORDER BY node""".stripMargin))
+             |FROM pr3 ORDER BY node""".stripMargin)),
+
+    // Connected components over a GENERAL edge table (the relational
+    // counterpart of dedup_cluster's LSH-pair clustering): min-label
+    // propagation, 3 fixed synchronous rounds, over the bipartite
+    // customer–supplier graph of high-value DOMESTIC trades (same-nation
+    // pairs — without the restriction, hub suppliers weld everything into
+    // one component). Node ids interleave the two sides (customer → 2k,
+    // supplier → 2k+1) so one label space covers both. The o_totalprice
+    // predicate is pushed to the orders scan; edges
+    // collapse to DISTINCT pairs before any iteration, and each round is
+    // one equi-join + partial-agg min + localCheckpoint (lineage
+    // truncation) — per-round cost O(edges), components never materialized
+    // as wide rows. Bounded rounds are the production shape (large-diameter
+    // tails converge in later passes); the round count is part of the
+    // declared semantics, so the oracle unrolls the same 3 rounds.
+    QDef(
+      "graph_cc",
+      (s, dir) => {
+        val edges = T.orders(s, dir)
+          .where(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(T.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(T.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T.supplier(s, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + 1L).as("b"))
+          .distinct()
+          .localCheckpoint()
+        val und = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+        val nodes = und.select(col("a").as("node")).distinct()
+        var labels = nodes.withColumn("lbl", col("node"))
+        for (_ <- 1 to 3) {
+          val contrib = und.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(col("b").as("node")).agg(min("lbl").as("nl"))
+          labels = labels.join(contrib, Seq("node"), "left")
+            .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
+        }
+        labels.groupBy(col("lbl").as("component"))
+          .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+          .orderBy("component")
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |    AND s.s_nationkey = c.c_nationkey
+             |  WHERE o.o_totalprice > 400000.0),
+             |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+             |nodes AS (SELECT DISTINCT a AS node FROM und),
+             |l0 AS (SELECT node, node AS lbl FROM nodes),
+             |c1 AS (SELECT b AS node, min(lbl) AS nl
+             |       FROM und JOIN l0 ON l0.node = und.a GROUP BY b),
+             |l1 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
+             |       FROM nodes n JOIN l0 l ON l.node = n.node
+             |       LEFT JOIN c1 c ON c.node = n.node),
+             |c2 AS (SELECT b AS node, min(lbl) AS nl
+             |       FROM und JOIN l1 ON l1.node = und.a GROUP BY b),
+             |l2 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
+             |       FROM nodes n JOIN l1 l ON l.node = n.node
+             |       LEFT JOIN c2 c ON c.node = n.node),
+             |c3 AS (SELECT b AS node, min(lbl) AS nl
+             |       FROM und JOIN l2 ON l2.node = und.a GROUP BY b),
+             |l3 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
+             |       FROM nodes n JOIN l2 l ON l.node = n.node
+             |       LEFT JOIN c3 c ON c.node = n.node)
+             |SELECT lbl AS component, count(*) AS n_nodes,
+             |  CAST(min(node) AS BIGINT) AS min_node
+             |FROM l3 GROUP BY lbl ORDER BY component""".stripMargin))
   )
 }

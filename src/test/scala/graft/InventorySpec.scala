@@ -47,7 +47,7 @@ class InventorySpec extends SparkSpec {
       "scan_text", "sink_zorder", "join_bloom", "lc_ensemble",
       "lc_variability", "text_chunk", "text_pii", "text_heavyhitters",
       "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio",
-      "pipeline_curate")
+      "pipeline_curate", "graph_cc")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
@@ -60,7 +60,7 @@ class InventorySpec extends SparkSpec {
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state",
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
-    "graph_pagerank")              // localCheckpoint per iteration
+    "graph_pagerank", "graph_cc")  // localCheckpoint per iteration
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
