@@ -132,4 +132,13 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("lc_ensemble")
     assert(p.contains("BroadcastHashJoin"), "zero-point join not broadcast")
   }
+
+  test("pipeline_curate: keep-first collapses map-side; three hash exchanges total") {
+    val p = plan("pipeline_curate")
+    assert(p.contains("WindowGroupLimit"),
+      "canonical keep-first no longer plans as a window group limit")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 3,
+      s"curation pipeline should shuffle exactly 3× (canon, distinct partial, lang), saw $exchanges")
+  }
 }
