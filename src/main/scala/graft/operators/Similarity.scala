@@ -181,6 +181,70 @@ object Similarity {
               |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
               |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
 
+    // Multi-probe LSH + exact rerank: the recall lever single-table LSH
+    // lacks without L independent tables — each probe queries its OWN bucket
+    // plus every Hamming-1 neighbor (one sign-bit flip ≈ the plane the
+    // vector sits closest to), 1 + LshPlanes buckets total, then the
+    // candidate union is exactly reranked to a top-5. This is the two-stage
+    // retrieve-then-rerank shape of production vector search: stage 1 cheap
+    // and bucket-pruned (probe side explodes ×5, corpus side UNCHANGED —
+    // still one narrow bucket shuffle), stage 2 exact only on candidates.
+    // A corpus vector lives in exactly one bucket, so the 5 probed buckets
+    // are disjoint — no candidate dedup pass is needed.
+    QDef(
+      "sim_multiprobe",
+      (s, dir) => {
+        val planes = (0 until LshPlanes).map { j =>
+          typedlit((0 until Dims).map(i =>
+            ((i.toLong + j * 64) * 2654435761L % 1000L).toDouble / 1000.0 - 0.5))
+        }
+        def bucketOf(e: Column): Column =
+          (0 until LshPlanes).map { j =>
+            when(dot(e, planes(j)) > 0.0, 1L << j).otherwise(0L)
+          }.reduce(_ + _)
+        val flips = typedlit(0L +: (0 until LshPlanes).map(j => 1L << j))
+        val c = corpus(s, dir).withColumn("bucket", bucketOf(col("ce")))
+        val p = probes(s, dir).withColumn("b0", bucketOf(col("pe")))
+          .withColumn("f", explode(flips))
+          .select(col("probe_id"), col("pe"),
+            col("b0").bitwiseXOR(col("f")).as("bucket"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        c.join(broadcast(p), Seq("bucket"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5L)
+          .select(col("probe_id"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH planes AS (
+              |  SELECT j, list_transform(generate_series(0, 63),
+              |    i -> CAST((i + j * 64) * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5) AS plane
+              |  FROM (SELECT unnest(generate_series(0, ${LshPlanes - 1})) AS j)),
+              |c AS (SELECT vec_id, ce, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(ce, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+              |  FROM ($corpusSql)),
+              |p0 AS (SELECT probe_id, pe, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(pe, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS b0
+              |  FROM ($probeSql)),
+              |p AS (SELECT probe_id, pe, xor(b0, f.f) AS bucket
+              |      FROM p0, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f),
+              |scored AS (
+              |  SELECT probe_id, vec_id, ${cosSql("pe", "ce")} AS raw
+              |  FROM c JOIN p ON c.bucket = p.bucket AND probe_id <> vec_id),
+              |ranked AS (
+              |  SELECT probe_id, vec_id, raw,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY raw DESC, vec_id ASC) AS rank
+              |  FROM scored)
+              |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+              |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
+
     // IVF-style ANN with a REAL (if small) coarse-quantizer fit: the first
     // `IvfCells` vectors seed `KMeansIters` deterministic Lloyd iterations
     // (assign-to-nearest → per-cell elementwise mean), then corpus and probes
