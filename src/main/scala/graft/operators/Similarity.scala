@@ -245,6 +245,109 @@ object Similarity {
               |SELECT probe_id, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
               |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
 
+    // Product quantization + ADC: the third ANN family next to LSH
+    // (bucketing) and IVF (coarse partitioning) — COMPRESSION. Each vector
+    // splits into 8 subvectors of 8 dims; a per-subspace K=4 codebook (seeded
+    // from the first 4 corpus vectors, one deterministic Lloyd step with
+    // centroids rounded to the 1e-6 grid) encodes the corpus as 8 small code
+    // ids per vector. A probe then scores the WHOLE corpus from a tiny
+    // asymmetric-distance table — per (sub, cid) squared-L2 cells, 8×4 rows
+    // per probe, BROADCAST — summed over the 8 code joins: the corpus side
+    // touches only its code rows, never the raw vectors. At 100 TB the
+    // embedding store shrinks 64×8 bytes → 8 bytes/vector and the scan is
+    // codes-only; this plan is exactly that layout. All argmins and the ADC
+    // sum compare ROUNDED values (every distance is a 1e-6 multiple, so the
+    // 8-term sum is grid-exact in both engines regardless of merge order).
+    QDef(
+      "sim_pq",
+      (s, dir) => {
+        val M = 8; val D = 8; val K = 4L
+        def subvecs(df: DataFrame, idCol: String, vecCol: String) =
+          df.select(col(idCol),
+            posexplode(array((0 until M).map(m => slice(col(vecCol), m * D + 1, D)): _*))
+              .as(Seq("sub", "sv")))
+        def d2(x: Column, c: Column): Column =
+          rnd(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+        val sv = subvecs(corpus(s, dir), "vec_id", "ce")
+        val cents0 = sv.where(col("vec_id") < K)
+          .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+        def assign(df: DataFrame, idCol: String, cents: DataFrame) =
+          df.join(broadcast(cents), "sub")
+            .select(col(idCol), col("sub"), col("sv"), col("cid"),
+              d2(col("sv"), col("cv")).as("dr"))
+            .groupBy(idCol, "sub")
+            .agg(min(struct(col("dr"), col("cid"))).as("m"), first(col("sv")).as("sv"))
+            .select(col(idCol), col("sub"), col("sv"),
+              col("m").getField("cid").as("cid"))
+        val a1 = assign(sv, "vec_id", cents0)
+        val cents1 = a1
+          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("sub", "cid", "pos").agg(rnd(avg(col("v")), 6).as("mv"))
+          .groupBy("sub", "cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
+          .select(col("sub"), col("cid"),
+            transform(col("sm"), x => x.getField("mv")).as("cv"))
+        val codes = assign(sv, "vec_id", cents1)
+          .select(col("vec_id"), col("sub"), col("cid"))
+        val psv = subvecs(probes(s, dir), "probe_id", "pe")
+        val ptab = psv.join(broadcast(cents1), "sub")
+          .select(col("probe_id"), col("sub"), col("cid"),
+            d2(col("sv"), col("cv")).as("cell_d2"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("approx_d2").asc, col("vec_id").asc)
+        codes.join(broadcast(ptab), Seq("sub", "cid"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .groupBy("probe_id", "vec_id")
+          .agg(rnd(sum(col("cell_d2")), 6).as("approx_d2"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5L)
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        def d2Sql(x: String, c: String): String =
+          s"floor((list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)) * 1e6 + 0.5) / 1e6"
+        def assignSql(src: String, idCol: String, cents: String): String =
+          s"""SELECT $idCol, sub, sv, cid FROM (
+             |    SELECT v.$idCol, v.sub, v.sv, c.cid,
+             |      row_number() OVER (PARTITION BY v.$idCol, v.sub
+             |        ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cid ASC) AS rn
+             |    FROM $src v JOIN $cents c USING (sub))
+             |  WHERE rn = 1""".stripMargin
+        s"""WITH c0 AS ($corpusSql),
+           |sv AS (
+           |  SELECT vec_id, g.i AS sub, list_slice(ce, g.i * 8 + 1, g.i * 8 + 8) AS sv
+           |  FROM c0 CROSS JOIN generate_series(0, 7) g(i)),
+           |cents0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 4),
+           |a1 AS (${assignSql("sv", "vec_id", "cents0")}),
+           |cents1 AS (
+           |  SELECT sub, cid, list(mv ORDER BY pos) AS cv FROM (
+           |    SELECT sub, cid, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+           |      SELECT sub, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
+           |      FROM a1)
+           |    GROUP BY sub, cid, pos)
+           |  GROUP BY sub, cid),
+           |codes AS (SELECT vec_id, sub, cid FROM (${assignSql("sv", "vec_id", "cents1")})),
+           |psv AS (
+           |  SELECT probe_id, g.i AS sub, list_slice(pe, g.i * 8 + 1, g.i * 8 + 8) AS sv
+           |  FROM ($probeSql) CROSS JOIN generate_series(0, 7) g(i)),
+           |ptab AS (
+           |  SELECT p.probe_id, c.sub, c.cid, ${d2Sql("p.sv", "c.cv")} AS cell_d2
+           |  FROM psv p JOIN cents1 c USING (sub)),
+           |adc AS (
+           |  SELECT t.probe_id, k.vec_id,
+           |    floor((sum(t.cell_d2)) * 1e6 + 0.5) / 1e6 AS approx_d2
+           |  FROM codes k JOIN ptab t ON t.sub = k.sub AND t.cid = k.cid
+           |  WHERE t.probe_id <> k.vec_id
+           |  GROUP BY t.probe_id, k.vec_id),
+           |ranked AS (
+           |  SELECT probe_id, vec_id, approx_d2,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+           |  FROM adc)
+           |SELECT probe_id, vec_id, approx_d2, rank
+           |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      }),
+
     // IVF-style ANN with a REAL (if small) coarse-quantizer fit: the first
     // `IvfCells` vectors seed `KMeansIters` deterministic Lloyd iterations
     // (assign-to-nearest → per-cell elementwise mean), then corpus and probes

@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     // rounded output (ensemble zero-points, centroid dims), ratio of two FP
     // aggregates (eta), sketch min over bucket counts, bitmap bit_or words
     "lc_ensemble", "sim_centroid", "lc_variability", "text_heavyhitters",
-    "agg_bitmap_distinct")
+    "agg_bitmap_distinct",
+    // PQ: rounded argmins + grid-exact ADC sums must hold under any merge order
+    "sim_pq")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>
