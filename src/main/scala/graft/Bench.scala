@@ -113,10 +113,16 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${num(v)}""" }
+    // True descending-cost PREFIX: stop at the first entry that does not
+    // fit, so the truncated map is exactly "the k slowest queries" (a
+    // first-fit pass would keep appending cheap short-named queries after
+    // skipping an expensive long-named one).
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + suffix.length
+    var full = false
     entries.foreach { e =>
-      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+      if (!full && len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+      else full = true
     }
     println(prefix + kept.mkString(",") + suffix)
     spark.stop()

@@ -479,24 +479,30 @@ object Joins {
     QDef(
       "join_bloom",
       (s, dir) => {
+        // SINGLE source of truth for the k=2 hash family: the probe-side SQL
+        // is generated from the same strings that build the bitmap, so a
+        // constant tweak cannot desynchronize build and probe (bloom false
+        // negatives would silently drop result rows).
         val M = 8192L
-        def h1(k: org.apache.spark.sql.Column) = k * 2654435761L % M
-        def h2(k: org.apache.spark.sql.Column) = (k * 40503L + 17L) % M
+        val hashSql = Seq("o_custkey * 2654435761", "(o_custkey * 40503 + 17)")
+          .map(h => s"$h % $M")
+        def h(i: Int, k: String): org.apache.spark.sql.Column =
+          expr(hashSql(i).replace("o_custkey", k))
         val dim = T.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"), col("c_name"))
-        val bloom = dim.select(explode(array(h1(col("c_custkey")), h2(col("c_custkey")))).as("bit"))
+        val bloom = dim.select(explode(array(h(0, "c_custkey"), h(1, "c_custkey"))).as("bit"))
           .select(expr("bit div 64").as("w"), expr("bit % 64").as("b"))
           .groupBy("w").agg(expr("bit_or(shiftleft(1L, cast(b as int)))").as("bits"))
         val fact = T.orders(s, dir)
           .select(col("o_custkey"), col("o_totalprice"))
         val survived = fact
           .join(broadcast(bloom.withColumnRenamed("bits", "bits1")),
-            expr("o_custkey * 2654435761 % 8192 div 64") === col("w"))
-          .where(expr("bits1 & shiftleft(1L, cast(o_custkey * 2654435761 % 8192 % 64 as int))") =!= 0L)
+            expr(s"${hashSql(0)} div 64") === col("w"))
+          .where(expr(s"bits1 & shiftleft(1L, cast(${hashSql(0)} % 64 as int))") =!= 0L)
           .drop("w")
           .join(broadcast(bloom.withColumnRenamed("bits", "bits2")),
-            expr("(o_custkey * 40503 + 17) % 8192 div 64") === col("w"))
-          .where(expr("bits2 & shiftleft(1L, cast((o_custkey * 40503 + 17) % 8192 % 64 as int))") =!= 0L)
+            expr(s"${hashSql(1)} div 64") === col("w"))
+          .where(expr(s"bits2 & shiftleft(1L, cast(${hashSql(1)} % 64 as int))") =!= 0L)
         survived.join(dim, col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey")
           .agg(count(lit(1)).as("n_orders"), rnd(sum(col("o_totalprice")), 2).as("total"))

@@ -345,8 +345,10 @@ object Scans {
       "scan_text",
       (s, dir) => {
         val out = runTmpPath(s, "graft_sink_text_")
+        // Parallel write — the round-trip proof below is order-insensitive
+        // by construction, so nothing justifies a one-task coalesce here.
         T.documents(s, dir).select("text")
-          .coalesce(1).write.mode("overwrite").text(out)
+          .write.mode("overwrite").text(out)
         s.read.text(out)
           .select(col("value"),
             size(split(col("value"), " ")).cast("long").as("n_tok"))

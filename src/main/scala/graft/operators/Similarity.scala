@@ -233,7 +233,7 @@ object Similarity {
               |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS b0
               |  FROM ($probeSql)),
               |p AS (SELECT probe_id, pe, xor(b0, f.f) AS bucket
-              |      FROM p0, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f),
+              |      FROM p0, (SELECT unnest([${(0L +: (0 until LshPlanes).map(j => 1L << j)).mkString(", ")}]) AS f) f),
               |scored AS (
               |  SELECT probe_id, vec_id, ${cosSql("pe", "ce")} AS raw
               |  FROM c JOIN p ON c.bucket = p.bucket AND probe_id <> vec_id),

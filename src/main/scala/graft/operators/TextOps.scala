@@ -19,6 +19,20 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Training-sequence window geometry shared by `text_chunk` and the
+    * `pipeline_curate` composition (and their oracles) — one source of
+    * truth so a tuning change cannot desynchronize them. */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** Count-min hash family (d=2 × w=256) shared by the sketch update, the
+    * cell join-back, and the oracle SQL of `text_heavyhitters`: the bucket
+    * expressions are generated from these strings everywhere, so the three
+    * copies cannot drift apart. */
+  private val CmBucketSql =
+    Seq("tok_id * 2654435761 % 256", "(tok_id * 40503 + 17) % 256")
+  private def cmBucket(h: Int): Column = expr(CmBucketSql(h))
+
   /** Long-form (doc_id, pos BIGINT 1-based, tok) — positions are needed by
     * the order-sensitive fingerprint; DuckDB mirrors with generate_subscripts. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
@@ -568,25 +582,25 @@ object TextOps {
           .withColumn("n_tok", size(col("toks")).cast("long"))
         docs
           .select(col("doc_id"), col("toks"), col("n_tok"),
-            explode(sequence(lit(1L), col("n_tok"), lit(24L))).as("start"))
+            explode(sequence(lit(1L), col("n_tok"), lit(ChunkStride.toLong))).as("start"))
           .select(
             col("doc_id"), col("start"),
-            array_join(slice(col("toks"), col("start").cast("int"), lit(32)), " ")
+            array_join(slice(col("toks"), col("start").cast("int"), lit(ChunkLen)), " ")
               .as("chunk"),
-            least(col("n_tok") - col("start") + 1L, lit(32L)).as("chunk_tokens"))
+            least(col("n_tok") - col("start") + 1L, lit(ChunkLen.toLong)).as("chunk_tokens"))
           .orderBy("doc_id", "start")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id, string_split(text, ' ') AS toks,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              |  FROM documents),
              |st AS (
              |  SELECT doc_id, toks, n_tok,
-             |    unnest(generate_series(1, n_tok, 24)) AS start
+             |    unnest(generate_series(1, n_tok, $ChunkStride)) AS start
              |  FROM t)
              |SELECT doc_id, start,
-             |  array_to_string(list_slice(toks, start, least(start + 31, n_tok)), ' ') AS chunk,
-             |  least(n_tok - start + 1, 32) AS chunk_tokens
+             |  array_to_string(list_slice(toks, start, least(start + ${ChunkLen - 1}, n_tok)), ' ') AS chunk,
+             |  least(n_tok - start + 1, $ChunkLen) AS chunk_tokens
              |FROM st ORDER BY doc_id, start""".stripMargin)),
 
     // PII masking: the redaction pass a training-data pipeline runs before
@@ -658,23 +672,23 @@ object TextOps {
         val d = Dedup.dict(t.select("tok"))
         val withId = t.join(broadcast(d), "tok")
         val occ = withId.select(col("tok_id"))
-        val cells = occ.select(lit(1).as("j"), (col("tok_id") * 2654435761L % 256L).as("b"))
-          .unionAll(occ.select(lit(2).as("j"), ((col("tok_id") * 40503L + 17L) % 256L).as("b")))
+        val cells = occ.select(lit(1).as("j"), cmBucket(0).as("b"))
+          .unionAll(occ.select(lit(2).as("j"), cmBucket(1).as("b")))
           .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
         val exact = withId.groupBy("tok", "tok_id").agg(count(lit(1)).as("exact"))
         exact
           .join(broadcast(cells.where(col("j") === 1)
               .select(col("b").as("b1"), col("cnt").as("c1"))),
-            col("tok_id") * 2654435761L % 256L === col("b1"))
+            cmBucket(0) === col("b1"))
           .join(broadcast(cells.where(col("j") === 2)
               .select(col("b").as("b2"), col("cnt").as("c2"))),
-            (col("tok_id") * 40503L + 17L) % 256L === col("b2"))
+            cmBucket(1) === col("b2"))
           .select(col("tok"), least(col("c1"), col("c2")).as("est"), col("exact"),
             (least(col("c1"), col("c2")) - col("exact")).as("overcount"))
           .orderBy(col("est").desc, col("tok"))
           .limit(20)
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
              |dict AS (
              |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
@@ -682,9 +696,9 @@ object TextOps {
              |occ AS (SELECT d.tok_id FROM tok t JOIN dict d USING (tok)),
              |cells AS (
              |  SELECT j, b, count(*) AS cnt FROM (
-             |    SELECT 1 AS j, (tok_id * 2654435761) % 256 AS b FROM occ
+             |    SELECT 1 AS j, ${CmBucketSql(0)} AS b FROM occ
              |    UNION ALL
-             |    SELECT 2 AS j, (tok_id * 40503 + 17) % 256 AS b FROM occ)
+             |    SELECT 2 AS j, ${CmBucketSql(1)} AS b FROM occ)
              |  GROUP BY j, b),
              |exact AS (
              |  SELECT t.tok, d.tok_id, count(*) AS exact
@@ -694,8 +708,8 @@ object TextOps {
              |  CAST(e.exact AS BIGINT) AS exact,
              |  CAST(least(c1.cnt, c2.cnt) - e.exact AS BIGINT) AS overcount
              |FROM exact e
-             |JOIN cells c1 ON c1.j = 1 AND c1.b = (e.tok_id * 2654435761) % 256
-             |JOIN cells c2 ON c2.j = 2 AND c2.b = (e.tok_id * 40503 + 17) % 256
+             |JOIN cells c1 ON c1.j = 1 AND c1.b = ${CmBucketSql(0).replace("tok_id", "e.tok_id")}
+             |JOIN cells c2 ON c2.j = 2 AND c2.b = ${CmBucketSql(1).replace("tok_id", "e.tok_id")}
              |ORDER BY est DESC, tok LIMIT 20""".stripMargin)),
 
     // Per-domain corpus rollup: the web-corpus curation pass (C4/CCNet
@@ -757,16 +771,16 @@ object TextOps {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("n_tok"),
-            explode(sequence(lit(1L), col("n_tok"), lit(24L))).as("start"))
+            explode(sequence(lit(1L), col("n_tok"), lit(ChunkStride.toLong))).as("start"))
           .withColumn("chunk_tokens",
-            least(col("n_tok") - col("start") + 1L, lit(32L)))
+            least(col("n_tok") - col("start") + 1L, lit(ChunkLen.toLong)))
           .groupBy("lang")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_chunks"),
             sum(col("chunk_tokens")).as("chunk_tokens"))
           .orderBy("lang")
       },
-      Some("""WITH g AS (
+      Some(s"""WITH g AS (
              |  SELECT doc_id, lang, text, n_tok FROM (
              |    SELECT doc_id, lang, text, n_tok,
              |      (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok AS mtl,
@@ -784,10 +798,10 @@ object TextOps {
              |      ORDER BY doc_id) AS rn
              |  FROM g),
              |c AS (
-             |  SELECT doc_id, lang, n_tok, unnest(generate_series(1, n_tok, 24)) AS start
+             |  SELECT doc_id, lang, n_tok, unnest(generate_series(1, n_tok, $ChunkStride)) AS start
              |  FROM k WHERE rn = 1)
              |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
-             |  CAST(sum(least(n_tok - start + 1, 32)) AS BIGINT) AS chunk_tokens
+             |  CAST(sum(least(n_tok - start + 1, $ChunkLen)) AS BIGINT) AS chunk_tokens
              |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
