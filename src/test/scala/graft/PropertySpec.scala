@@ -119,4 +119,60 @@ class PropertySpec extends SparkSpec {
         "block agreement must be a superset filter for Hamming ≤ 2")
     }
   }
+
+  test("bloom law: every inserted key passes both bitmask probes (no false negatives)") {
+    // Pure Scala mirror of join_bloom's k=2 hash/bitmap arithmetic: a key
+    // that was OR'd into the bitmap must always probe positive — the
+    // invariant that makes the pre-join filter semantics-free.
+    val rnd = new Random(11)
+    val M = 8192L
+    def h(k: Long) = Seq(k * 2654435761L % M, (k * 40503L + 17L) % M)
+    (1 to 3).foreach { _ =>
+      val keys = Seq.fill(500)(rnd.nextInt(1000000).toLong)
+      val words = Array.fill(128)(0L)
+      keys.foreach(k => h(k).foreach(b => words((b / 64L).toInt) |= 1L << (b % 64L)))
+      keys.foreach { k =>
+        assert(h(k).forall(b => (words((b / 64L).toInt) & (1L << (b % 64L))) != 0L),
+          s"inserted key $k failed a probe — bloom produced a false negative")
+      }
+    }
+  }
+
+  test("count-min law: the cell-min estimate never undercounts (generated tokens)") {
+    // Mirror of text_heavyhitters' d=2 × w=256 sketch: for every token,
+    // min(cell1, cell2) ≥ its true count — each cell sums the token's own
+    // occurrences plus non-negative collision mass.
+    val rnd = new Random(13)
+    (1 to 3).foreach { _ =>
+      val occ = Seq.fill(2000)(rnd.nextInt(80).toLong + 1L) // tok_ids ≥ 1
+      def b(h: Int, id: Long) =
+        if (h == 0) id * 2654435761L % 256L else (id * 40503L + 17L) % 256L
+      val cells = Array.ofDim[Long](2, 256)
+      occ.foreach(id => (0 to 1).foreach(h => cells(h)(b(h, id).toInt) += 1L))
+      occ.distinct.foreach { id =>
+        val exact = occ.count(_ == id).toLong
+        val est = math.min(cells(0)(b(0, id).toInt), cells(1)(b(1, id).toInt))
+        assert(est >= exact, s"token $id: estimate $est undercounts exact $exact")
+      }
+    }
+  }
+
+  test("chunk law: 32/24 windows cover every token position; interior overlap is 8") {
+    // Mirror of text_chunk's geometry: starts 1, 25, 49, … cover [1, n] with
+    // no gaps whenever len > stride, and consecutive interior windows share
+    // exactly len − stride positions.
+    val rnd = new Random(17)
+    (1 to 50).foreach { _ =>
+      val n = rnd.nextInt(120) + 10 // fixture doc range
+      val starts = 1 to n by 24
+      val covered = starts.flatMap(st => st to math.min(st + 31, n)).toSet
+      assert(covered === (1 to n).toSet, s"n=$n: chunk windows leave gaps")
+      starts.sliding(2).foreach {
+        case Seq(a, b) if b + 31 <= n =>
+          val overlap = (math.max(a, b) to math.min(a + 31, b + 31)).size
+          assert(overlap === 8, s"n=$n: interior overlap $overlap ≠ 8")
+        case _ => ()
+      }
+    }
+  }
 }
