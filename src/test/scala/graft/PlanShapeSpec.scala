@@ -133,6 +133,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "zero-point join not broadcast")
   }
 
+  test("sim_multiprobe: bucket join stays equi with broadcast probes; no nested loop") {
+    val p = plan("sim_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), "exploded probe side not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "multi-probe candidate generation degraded to an all-pairs plan")
+  }
+
+  test("sim_pq: ADC scoring joins broadcast tables; codes aggregate partially") {
+    val p = plan("sim_pq")
+    assert(p.contains("BroadcastHashJoin"), "distance-table join not broadcast")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "code assignment / ADC sum lost partial aggregation")
+    assert(!p.contains("CartesianProduct"), "PQ scoring degraded to a cartesian")
+  }
+
+  test("graph_cc: final labels scan the checkpoint, not a replayed 3-round plan") {
+    val p = plan("graph_cc")
+    assert(p.contains("Scan ExistingRDD"),
+      "component labels should scan the localCheckpoint, not replay the rounds")
+  }
+
   test("pipeline_curate: keep-first collapses map-side; three hash exchanges total") {
     val p = plan("pipeline_curate")
     assert(p.contains("WindowGroupLimit"),
