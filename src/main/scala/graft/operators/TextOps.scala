@@ -742,6 +742,50 @@ object TextOps {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM u GROUP BY host ORDER BY host""".stripMargin)),
 
+    // Perplexity filtering (CCNet-style): per-document bigram cross-entropy
+    // under the corpus's own count LM — THE classic statistical quality
+    // filter (low = fluent/repetitive, high = noise). P(w2|w1) = c12/c1 from
+    // the same corpus, so every document bigram has P > 0 and no smoothing
+    // branch can diverge cross-engine. Scale: two partial-agg count passes
+    // (bigram stream keyed on doc_id from the lead window, then on the
+    // token keys), LM tables joined back on (w1, w2)/(w1) — broadcast while
+    // the vocab² table fits, shuffled token-key joins beyond that — then a
+    // per-doc partial-agg mean of −ln P.
+    QDef(
+      "text_perplexity",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val big = tokenized(s, dir)
+          .withColumn("w2", lead(col("tok"), 1).over(w))
+          .where(col("w2").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        big.join(broadcast(c12), Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            rnd(avg(-log(col("c12").cast("double") / col("c1"))), 6)
+              .as("cross_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |big AS (
+             |  SELECT doc_id, tok AS w1,
+             |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM tok QUALIFY w2 IS NOT NULL),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  floor((avg(-ln(CAST(c12 AS DOUBLE) / c1))) * 1e6 + 0.5) / 1e6 AS cross_entropy
+             |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Flagship composition: the full curation pipeline a training-data run
     // chains from this library's pieces — Gopher quality gate
     // (quality_gopher's exact thresholds) → canonical keep-first dedup

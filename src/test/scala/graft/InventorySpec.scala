@@ -47,7 +47,8 @@ class InventorySpec extends SparkSpec {
       "scan_text", "sink_zorder", "join_bloom", "lc_ensemble",
       "lc_variability", "text_chunk", "text_pii", "text_heavyhitters",
       "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio",
-      "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq")
+      "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq",
+      "text_perplexity")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
