@@ -28,7 +28,9 @@ class DeterminismSpec extends SparkSpec {
     "lc_ensemble", "sim_centroid", "lc_variability", "text_heavyhitters",
     "agg_bitmap_distinct",
     // PQ: rounded argmins + grid-exact ADC sums must hold under any merge order
-    "sim_pq")
+    "sim_pq",
+    // FP mean of -ln P over merge-ordered partials feeding a rounded output
+    "text_perplexity")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>
