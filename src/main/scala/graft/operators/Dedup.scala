@@ -25,9 +25,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    docs; candidate pairs only where a band collides.
   *  - `dedup_simhash` is a single aggregation per doc (8 conditional sums);
   *    near-dup clusters then group on the 8-bit signature.
-  *  - `dedup_ngram` (exact pairwise Jaccard) is intentionally restricted to
-  *    a bounded candidate set — at scale this exact pass runs AFTER LSH
-  *    pruning, never on the full corpus.
+  *  - `dedup_ngram` (exact pairwise Jaccard) runs over the LSH candidate
+  *    pairs — the exact precision pass AFTER the LSH recall pass, never on
+  *    the full corpus.
   */
 object Dedup {
 
@@ -359,17 +359,23 @@ object Dedup {
                    .mkString(" + ")} AS BIGINT) AS simhash
               |FROM w ORDER BY doc_id""".stripMargin)),
 
-    // n-gram Jaccard: exact pairwise similarity over 3-shingle SETS for a
-    // bounded candidate population (doc_id < 100). inter/union arithmetic.
+    // n-gram Jaccard verification pass: exact pairwise similarity over
+    // 3-shingle SETS, computed ONLY for the LSH candidate pairs — the
+    // standard two-stage near-dup pipeline (LSH recall pass → exact
+    // precision pass). Candidate volume is linear in corpus size (LSH band
+    // buckets, never all-pairs), so the exact intersection join below is
+    // O(candidate pairs × shingles-per-doc) at any scale: each pair pulls
+    // the two docs' shingle sets through one equi-join on (doc, shingle).
     QDef(
       "dedup_ngram",
       (s, dir) => {
-        // Cached: sizes + both sides of the co-occurrence join reuse it.
-        val sh = shingles(s, dir).where(col("doc_id") < 100L).distinct().cache()
+        // Cached: sizes and both legs of the intersection join reuse the
+        // distinct shingle set (harness unpersists between queries).
+        val sh = shingles(s, dir).distinct().cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val l = sh.select(col("doc_id").as("d1"), col("s"))
-        val r = sh.select(col("doc_id").as("d2"), col("s"))
-        val inter = l.join(r, "s").where(col("d1") < col("d2"))
+        val inter = candidatePairs(s, dir)
+          .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
@@ -380,15 +386,15 @@ object Dedup {
           .where(col("jaccard") >= 0.01)
           .orderBy("d1", "d2")
       },
-      Some(s"""WITH tok AS ($tokSql),
-              |dict AS ($dictSql),
-              |sh0 AS ($shingleSql),
-              |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE doc_id < 100),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      Some(s"""$candidatePairsSql,
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
               |inter AS (
-              |  SELECT l.doc_id AS d1, r.doc_id AS d2, count(*) AS inter
-              |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
-              |  GROUP BY l.doc_id, r.doc_id)
+              |  SELECT p.d1, p.d2, count(*) AS inter
+              |  FROM pairs p
+              |  JOIN shd a ON a.doc_id = p.d1
+              |  JOIN shd b ON b.doc_id = p.d2 AND b.s = a.s
+              |  GROUP BY p.d1, p.d2)
               |SELECT d1, d2,
               |  floor((CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
               |FROM inter

@@ -21,8 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    their own bucket — the brute-force pass becomes a per-bucket join.
   *    The same layout pre-computed+bucketed-on-disk turns ANN lookups into
   *    partition-pruned scans.
-  *  - `dedup_embed` bounds its pairwise pass to a candidate subset, the
-  *    post-LSH shape of embedding near-dup detection.
+  *  - `dedup_embed` runs its exact pairwise pass over the hyperplane-bucket
+  *    candidate pairs — the post-LSH precision pass of embedding near-dup
+  *    detection, quadratic only in per-bucket population.
   */
 object Similarity {
 
@@ -462,27 +463,48 @@ object Similarity {
            |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
       }),
 
-    // Embedding-cosine near-dup: top-20 most similar pairs in a bounded
-    // candidate set (post-LSH shape; see scaladoc).
+    // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
+    // candidate pairs — the exact precision pass over hyperplane-bucket
+    // candidates, run on the WHOLE corpus (no id-range shortcut). A pair is
+    // a candidate iff both vectors land in the same 4-bit hyperplane bucket
+    // (the sim_ann_lsh bucketing), so candidate volume is Σ bucket² — the
+    // quadratic term is confined to per-bucket population, which more
+    // planes shrink at scale; the corpus itself shuffles once on the
+    // narrow (bucket, id, vec) rows. Top-20 is a global sort over the
+    // already-tiny candidate scores.
     QDef(
       "dedup_embed",
       (s, dir) => {
-        graft.functions.DotProduct.register(s)
-        val e = T.embeddings(s, dir).where(col("vec_id") < 100L)
-          .select(col("vec_id"), emb(col("embedding")).as("e"))
-        val l = e.select(col("vec_id").as("d1"), col("e").as("e1"))
-        val r = e.select(col("vec_id").as("d2"), col("e").as("e2"))
-        l.join(r, col("d1") < col("d2"))
+        val planes = (0 until LshPlanes).map { j =>
+          typedlit((0 until Dims).map(i =>
+            ((i.toLong + j * 64) * 2654435761L % 1000L).toDouble / 1000.0 - 0.5))
+        }
+        def bucketOf(e: Column): Column =
+          (0 until LshPlanes).map { j =>
+            when(dot(e, planes(j)) > 0.0, 1L << j).otherwise(0L)
+          }.reduce(_ + _)
+        val c = corpus(s, dir).withColumn("bucket", bucketOf(col("ce")))
+        val l = c.select(col("bucket"), col("vec_id").as("d1"), col("ce").as("e1"))
+        val r = c.select(col("bucket"), col("vec_id").as("d2"), col("ce").as("e2"))
+        l.join(r, Seq("bucket"))
+          .where(col("d1") < col("d2"))
           .select(col("d1"), col("d2"),
             rnd(cosine(col("e1"), col("e2")), 6).as("cos"))
           .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
           .limit(20)
       },
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100),
+      Some(s"""WITH planes AS (
+              |  SELECT j, list_transform(generate_series(0, 63),
+              |    i -> CAST((i + j * 64) * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5) AS plane
+              |  FROM (SELECT unnest(generate_series(0, ${LshPlanes - 1})) AS j)),
+              |c AS (SELECT vec_id, ce, (
+              |    SELECT CAST(sum(CASE WHEN list_dot_product(ce, plane) > 0.0
+              |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+              |  FROM ($corpusSql)),
               |pairs AS (
-              |  SELECT l.vec_id AS d1, r.vec_id AS d2, floor((${cosSql("l.e", "r.e")}) * 1e6 + 0.5) / 1e6 AS cos
-              |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+              |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+              |    floor((${cosSql("a.ce", "b.ce")}) * 1e6 + 0.5) / 1e6 AS cos
+              |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |SELECT d1, d2, cos FROM pairs
               |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin)),
 
