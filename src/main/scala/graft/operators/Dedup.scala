@@ -131,9 +131,14 @@ object Dedup {
   private val RowsPerBand = 2
   private val MinHashes = Bands * RowsPerBand
 
-  /** Synchronous min-label-propagation rounds for `dedup_cluster` — bounds
-    * the component diameter fully resolved (see the QDef's scaladoc). */
-  private val ClusterIters = 3
+  /** Round budget for `dedup_cluster`'s iterate-until-fixpoint label
+    * propagation — a safety valve, not the semantics: iteration stops as
+    * soon as a round changes no label, and overrunning the budget raises
+    * rather than silently emitting unconverged components. Diameter-many
+    * rounds suffice, so 20 covers any plausible LSH near-dup chain;
+    * production cuts the round count to O(log d) with large-star/small-star
+    * contraction on the same join shape. */
+  private val MaxCcRounds = 20
 
   // Fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
   private val hashParams = Seq(
@@ -199,58 +204,76 @@ object Dedup {
        |    ON l.band = r.band AND l.sig_a = r.sig_a AND l.sig_b = r.sig_b
        |    AND l.doc_id < r.doc_id)""".stripMargin
 
-  /** Connected components over the LSH candidate-pair graph via
-    * `ClusterIters` synchronous min-label-propagation rounds → (doc_id,
-    * cluster_id = component-minimum doc id). Shared by `dedup_cluster`
-    * (which emits it) and `dedup_keep` (which anti-joins the corpus
-    * against the non-canonical members).
+  /** Connected components over the LSH candidate-pair graph via min-label
+    * propagation ITERATED TO FIXPOINT → (doc_id, cluster_id =
+    * component-minimum doc id). Shared by `dedup_cluster` (which emits it)
+    * and `dedup_keep` (which anti-joins the corpus against the
+    * non-canonical members).
     *
     * Per round: labels ⋈ edges equi-join + partial-aggregating min —
-    * shuffle volume O(edges), components never materialized. The edge list
-    * is `localCheckpoint`ed before iterating: a plain cache still inlines
-    * the whole LSH subtree into each round's logical plan (~1100 nodes,
-    * optimizer time dominates — measured 8 s of a 51-row query); with the
-    * lineage truncated the query runs in ~3 s. Production CC on a cluster
-    * uses reliable checkpoint() to also drop executor-failure recompute
-    * chains, and large-star/small-star contraction to cut rounds to
-    * O(log d) with the same join shape. */
+    * shuffle volume O(edges), components never materialized. Iteration
+    * stops when a round changes zero labels (the changed-count action reads
+    * the already-checkpointed round output, so it adds no recompute), and
+    * raises if `MaxCcRounds` is exceeded — unconverged labels are a
+    * correctness bug, not a degraded answer. The per-round
+    * `localCheckpoint` truncates the exponentially-inlining lineage (a
+    * plain cache still inlines the whole LSH subtree into each round's
+    * logical plan — optimizer time dominated, measured 8 s of a 51-row
+    * query); production CC on a cluster uses reliable checkpoint() to also
+    * drop executor-failure recompute chains. */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(s, dir)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()
-    val init = edges.select(col("src").as("v")).distinct()
+    var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    val done = (1 to ClusterIters).foldLeft(init) { (labels, _) =>
-      edges
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0L && rounds < MaxCcRounds) {
+      // Neighbor-min then pointer-jump (lbl ← lbl(lbl)): the jump doubles
+      // the distance a label travels per round, so convergence is
+      // O(log diameter) instead of O(diameter) — the same label-graph
+      // contraction idea as large-star/small-star, kept as two equi-joins.
+      val l1 = edges
         .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("v"))
         .agg(min(col("nlbl")).as("nmin"))
         .join(labels, "v")
-        .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
+        .select(col("v"), col("lbl").as("prev"),
+          least(col("lbl"), col("nmin")).as("lbl"))
+      val next = l1
+        .join(l1.select(col("v").as("lbl"), col("lbl").as("jlbl")), "lbl")
+        .select(col("v"), col("prev"), col("jlbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.where(col("lbl") =!= col("prev")).count()
+      labels = next.select("v", "lbl")
+      rounds += 1
     }
-    done.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    require(changed == 0L,
+      s"connected components did not reach fixpoint within $MaxCcRounds rounds")
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** The same propagation unrolled to CTEs, ending in a `clusters` CTE. */
+  /** The same fixpoint as a recursive reachability CTE: `reach` carries
+    * every (node, label-that-reaches-it) pair — DuckDB's semi-naive
+    * UNION-dedup evaluation iterates until nothing new, so `min(lbl)` per
+    * node IS the component minimum, with no unrolled round count to keep in
+    * sync with the Spark side. Ends in a `clusters` CTE. */
   private val clustersSql: String = {
-    val iters = (1 to ClusterIters).map { i =>
-      s"""l$i AS (
-         |  SELECT cur.v, least(cur.lbl, min(nb.lbl)) AS lbl
-         |  FROM l${i - 1} cur
-         |  JOIN edges e ON e.src = cur.v
-         |  JOIN l${i - 1} nb ON nb.v = e.dst
-         |  GROUP BY cur.v, cur.lbl)""".stripMargin
-    }.mkString(",\n")
-    s"""$candidatePairsSql,
+    val rec = candidatePairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$rec,
        |edges AS (
        |  SELECT d1 AS src, d2 AS dst FROM pairs
        |  UNION ALL
        |  SELECT d2 AS src, d1 AS dst FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
-       |$iters,
+       |reach(v, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
        |clusters AS (
-       |  SELECT v AS doc_id, lbl AS cluster_id FROM l$ClusterIters)""".stripMargin
+       |  SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
   }
 
   val defs: Seq[QDef] = Seq(
@@ -283,20 +306,20 @@ object Dedup {
               |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)),
 
     // Near-dup clustering: connected components over the LSH candidate-pair
-    // graph via min-label propagation — the step that turns pair lists into
-    // per-document cluster ids (keep doc = cluster min). `ClusterIters`
-    // fixed synchronous iterations: label(v) ← min(label(v), min over
-    // neighbors' labels); pure integer arithmetic, unrolled identically in
-    // the oracle's CTE chain (the iteration count bounds the component
-    // diameter handled — LSH near-dup components are chains of pairs, so 3
-    // hops close virtually all of them; production CC uses the same
-    // iterate-until-fixpoint joins, usually with large-star/small-star
-    // contraction to cut the iteration count to O(log d)).
+    // graph via min-label propagation ITERATED TO FIXPOINT — the step that
+    // turns pair lists into per-document cluster ids (keep doc = cluster
+    // min). label(v) ← min(label(v), min over neighbors' labels) until a
+    // round changes nothing; pure integer arithmetic. The oracle expresses
+    // the same fixpoint as a recursive reachability CTE (min label over
+    // the reachable set), so neither side carries a round count that could
+    // drift from the other.
     //
     // Scale: per iteration one equi-join of labels to edges (both keyed by
     // doc id) + one partial-aggregating min — shuffle volume is O(edges),
     // never materializes components; the edge list itself is the (already
-    // linear) LSH candidate output, not the corpus.
+    // linear) LSH candidate output, not the corpus. Round count is bounded
+    // by component diameter (asserted ≤ MaxCcRounds); production cuts it to
+    // O(log d) with large-star/small-star contraction on the same joins.
     QDef(
       "dedup_cluster",
       (s, dir) => clusters(s, dir).orderBy("doc_id"),

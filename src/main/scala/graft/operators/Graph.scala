@@ -88,18 +88,22 @@ object Graph {
 
     // Connected components over a GENERAL edge table (the relational
     // counterpart of dedup_cluster's LSH-pair clustering): min-label
-    // propagation, 3 fixed synchronous rounds, over the bipartite
+    // propagation ITERATED TO FIXPOINT over the bipartite
     // customer–supplier graph of high-value DOMESTIC trades (same-nation
     // pairs — without the restriction, hub suppliers weld everything into
     // one component). Node ids interleave the two sides (customer → 2k,
     // supplier → 2k+1) so one label space covers both. The o_totalprice
-    // predicate is pushed to the orders scan; edges
-    // collapse to DISTINCT pairs before any iteration, and each round is
-    // one equi-join + partial-agg min + localCheckpoint (lineage
-    // truncation) — per-round cost O(edges), components never materialized
-    // as wide rows. Bounded rounds are the production shape (large-diameter
-    // tails converge in later passes); the round count is part of the
-    // declared semantics, so the oracle unrolls the same 3 rounds.
+    // predicate is pushed to the orders scan; edges collapse to DISTINCT
+    // pairs before any iteration, and each round is one equi-join +
+    // partial-agg min + localCheckpoint (lineage truncation) — per-round
+    // cost O(edges), components never materialized as wide rows. Iteration
+    // stops when a round changes no label (the changed-count reads the
+    // checkpointed round output — no recompute) and RAISES past the round
+    // budget: at fixpoint every component label is the true component
+    // minimum, which the oracle expresses as a recursive reachability CTE
+    // (min label over the reachable set) — no unrolled round count to keep
+    // in sync. Production cuts rounds to O(log d) with large-star/
+    // small-star contraction on the same join shape.
     QDef(
       "graph_cc",
       (s, dir) => {
@@ -120,19 +124,33 @@ object Graph {
           .localCheckpoint()
         val und = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
         val nodes = und.select(col("a").as("node")).distinct()
-        var labels = nodes.withColumn("lbl", col("node"))
-        for (_ <- 1 to 3) {
+        var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0L && rounds < 20) {
+          // Neighbor-min then pointer-jump (lbl ← lbl(lbl)): O(log diameter)
+          // rounds — plain propagation needs diameter-many rounds, and this
+          // graph's largest component exceeds depth 20 at sf0.1.
           val contrib = und.join(labels.withColumnRenamed("node", "a"), "a")
             .groupBy(col("b").as("node")).agg(min("lbl").as("nl"))
-          labels = labels.join(contrib, Seq("node"), "left")
-            .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          val l1 = labels.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("lbl").as("prev"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          val next = l1
+            .join(l1.select(col("node").as("lbl"), col("lbl").as("jlbl")), "lbl")
+            .select(col("node"), col("prev"), col("jlbl").as("lbl"))
             .localCheckpoint()
+          changed = next.where(col("lbl") =!= col("prev")).count()
+          labels = next.select("node", "lbl")
+          rounds += 1
         }
+        require(changed == 0L,
+          "connected components did not reach fixpoint within 20 rounds")
         labels.groupBy(col("lbl").as("component"))
           .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
           .orderBy("component")
       },
-      Some("""WITH edges AS (
+      Some("""WITH RECURSIVE edges AS (
              |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
              |  FROM orders o
              |  JOIN customer c ON c.c_custkey = o.o_custkey
@@ -142,24 +160,13 @@ object Graph {
              |  WHERE o.o_totalprice > 400000.0),
              |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
              |nodes AS (SELECT DISTINCT a AS node FROM und),
-             |l0 AS (SELECT node, node AS lbl FROM nodes),
-             |c1 AS (SELECT b AS node, min(lbl) AS nl
-             |       FROM und JOIN l0 ON l0.node = und.a GROUP BY b),
-             |l1 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
-             |       FROM nodes n JOIN l0 l ON l.node = n.node
-             |       LEFT JOIN c1 c ON c.node = n.node),
-             |c2 AS (SELECT b AS node, min(lbl) AS nl
-             |       FROM und JOIN l1 ON l1.node = und.a GROUP BY b),
-             |l2 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
-             |       FROM nodes n JOIN l1 l ON l.node = n.node
-             |       LEFT JOIN c2 c ON c.node = n.node),
-             |c3 AS (SELECT b AS node, min(lbl) AS nl
-             |       FROM und JOIN l2 ON l2.node = und.a GROUP BY b),
-             |l3 AS (SELECT n.node, least(l.lbl, coalesce(c.nl, l.lbl)) AS lbl
-             |       FROM nodes n JOIN l2 l ON l.node = n.node
-             |       LEFT JOIN c3 c ON c.node = n.node)
+             |reach(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT e.b, r.lbl FROM reach r JOIN und e ON e.a = r.node),
+             |fin AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
              |SELECT lbl AS component, count(*) AS n_nodes,
              |  CAST(min(node) AS BIGINT) AS min_node
-             |FROM l3 GROUP BY lbl ORDER BY component""".stripMargin))
+             |FROM fin GROUP BY lbl ORDER BY component""".stripMargin))
   )
 }

@@ -148,18 +148,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "PQ scoring degraded to a cartesian")
   }
 
-  test("graph_cc: final labels scan the checkpoint, not a replayed 3-round plan") {
+  test("graph_cc: final labels scan the checkpoint, not a replayed iteration plan") {
     val p = plan("graph_cc")
     assert(p.contains("Scan ExistingRDD"),
       "component labels should scan the localCheckpoint, not replay the rounds")
   }
 
-  test("pipeline_curate: keep-first collapses map-side; three hash exchanges total") {
+  test("pipeline_curate: keep-first collapses map-side; at most three hash exchanges") {
     val p = plan("pipeline_curate")
     assert(p.contains("WindowGroupLimit"),
       "canonical keep-first no longer plans as a window group limit")
+    // Upper bound, not exact equality: countDistinct/window planning details
+    // shift across Spark versions and AQE settings; the property that
+    // matters is that no EXTRA shuffle sneaks in beyond (canon, distinct
+    // partial, lang).
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 3,
-      s"curation pipeline should shuffle exactly 3× (canon, distinct partial, lang), saw $exchanges")
+    assert(exchanges <= 3,
+      s"curation pipeline should shuffle at most 3× (canon, distinct partial, lang), saw $exchanges")
   }
 }

@@ -157,6 +157,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cc fixpoint law: every LSH candidate pair shares a cluster id; ids are component minima") {
+    // True-fixpoint property of connected components, checked on the real
+    // fixture through the declared query surface: if label propagation had
+    // stopped early (the pre-round-4 fixed-3-rounds form), some candidate
+    // pair on a long chain would straddle two labels. Also: every cluster
+    // id must itself be a member of its cluster labeled with itself (the
+    // component minimum), i.e. the label function is idempotent.
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+    val clusters = SparkEntry.queries("dedup_cluster")(spark, sf)
+    val straddling = pairs
+      .join(clusters.select(col("doc_id").as("d1"), col("cluster_id").as("c1")), "d1")
+      .join(clusters.select(col("doc_id").as("d2"), col("cluster_id").as("c2")), "d2")
+      .where(col("c1") =!= col("c2"))
+    assert(straddling.count() === 0L,
+      "a candidate pair straddles two clusters — propagation stopped before fixpoint")
+    val nonIdempotent = clusters
+      .join(clusters.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("root_lbl")), "cluster_id")
+      .where(col("root_lbl") =!= col("cluster_id"))
+    assert(nonIdempotent.count() === 0L,
+      "a cluster id is not its own cluster's label — labels are not component minima")
+  }
+
+  test("graph_cc fixpoint law: each component's label equals its minimum node") {
+    // At fixpoint the propagated min-label IS the component minimum, so the
+    // aggregated output must have component == min_node on every row; an
+    // unconverged run leaves some component labeled above its true minimum.
+    val out = SparkEntry.queries("graph_cc")(spark, sf)
+    assert(out.where(col("component") =!= col("min_node")).count() === 0L,
+      "component label differs from component minimum — not a fixpoint")
+  }
+
   test("chunk law: 32/24 windows cover every token position; interior overlap is 8") {
     // Mirror of text_chunk's geometry: starts 1, 25, 49, … cover [1, n] with
     // no gaps whenever len > stride, and consecutive interior windows share
