@@ -599,6 +599,86 @@ object Dedup {
              |SELECT doc_id, count(*) AS n_shared
              |FROM g JOIN ev USING (gram)
              |WHERE doc_id % 97 <> 0
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document repeated-SPAN detection — the substring-dedup family
+    // (suffix-array exact-substring dedup's distributed analogue) that
+    // document-level hashing cannot express: find token 5-grams occurring
+    // in ≥ 2 DISTINCT documents and emit per-document CUT LISTS (merged
+    // [cut_start, cut_end] intervals of duplicated positions, the spans a
+    // training-data pipeline would excise). Production uses ~50-char /
+    // 13-token windows; 5 tokens matches the fixture doc lengths.
+    //
+    // Scale: one window pass builds grams (corpus shuffles ONCE on doc_id,
+    // reused by the island windows later), the cross-doc count groups on a
+    // 16-byte md5 of the gram — text never shuffles — with map-side partial
+    // aggregation, and the duplicated-gram set attaches back via a semi
+    // join on the same hash. Interval merging is gaps-and-islands per doc:
+    // running max(end) + running sum of gap markers, two windows over the
+    // doc_id partitioning already in place. No pairing anywhere — cost is
+    // linear in corpus token count at any scale.
+    QDef(
+      "dedup_spans",
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = tok(s, dir)
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .withColumn("t3", lead(col("tok"), 3).over(w))
+          .withColumn("t4", lead(col("tok"), 4).over(w))
+          .where(col("t4").isNotNull)
+          .select(col("doc_id"), col("pos").as("start_pos"),
+            (col("pos") + 4L).as("end_pos"),
+            md5(concat_ws(" ", col("tok"), col("t1"), col("t2"),
+              col("t3"), col("t4"))).as("gh"))
+        val dup = grams.groupBy("gh")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2L)
+          .select("gh")
+        val w2 = Window.partitionBy("doc_id").orderBy("start_pos")
+        grams.join(dup, Seq("gh"), "left_semi")
+          .withColumn("prev_max",
+            max(col("end_pos")).over(w2.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            when(col("prev_max").isNull ||
+              col("start_pos") > col("prev_max") + 1L, 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("ni")).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "island")
+          .agg(min("start_pos").as("cut_start"), max("end_pos").as("cut_end"),
+            count(lit(1)).as("n_spans"))
+          .select("doc_id", "cut_start", "cut_end", "n_spans")
+          .orderBy("doc_id", "cut_start")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, pos AS start_pos, pos + 4 AS end_pos,
+             |    md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             |        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w) AS gh
+             |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+             |dup AS (
+             |  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             |isl AS (
+             |  SELECT doc_id, start_pos, end_pos,
+             |    CASE WHEN prev_max IS NULL OR start_pos > prev_max + 1
+             |         THEN 1 ELSE 0 END AS ni
+             |  FROM (
+             |    SELECT doc_id, start_pos, end_pos,
+             |      max(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |    FROM grams WHERE gh IN (SELECT gh FROM dup))),
+             |g AS (
+             |  SELECT doc_id, start_pos, end_pos,
+             |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start_pos
+             |      ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM isl)
+             |SELECT doc_id, min(start_pos) AS cut_start, max(end_pos) AS cut_end,
+             |  count(*) AS n_spans
+             |FROM g GROUP BY doc_id, island ORDER BY doc_id, cut_start""".stripMargin))
   )
 }

@@ -25,6 +25,11 @@ object TextOps {
   private val ChunkLen = 32
   private val ChunkStride = 24
 
+  /** Learned merge-table size for `text_bpe` — production BPE vocabularies
+    * run 32k–100k merges; 20 keeps the oracle's unrolled replace chain
+    * readable while exercising the same learn→broadcast→apply shape. */
+  private val BpeMerges = 20
+
   /** Count-min hash family (d=2 × w=256) shared by the sketch update, the
     * cell join-back, and the oracle SQL of `text_heavyhitters`: the bucket
     * expressions are generated from these strings everywhere, so the three
@@ -846,6 +851,77 @@ object TextOps {
              |  FROM k WHERE rn = 1)
              |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
              |  CAST(sum(least(n_tok - start + 1, $ChunkLen)) AS BIGINT) AS chunk_tokens
-             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Subword (BPE-style) tokenization under a LEARNED merge table: the
+    // operator that makes token counts/budgets honest — every real LLM
+    // pipeline counts tokens under learned merges, not whitespace. Learn:
+    // count adjacent character pairs over the token stream (one explode +
+    // partial-agg groupBy), rank top-BpeMerges deterministically
+    // (count desc, pair asc). Apply: each token becomes a space-separated
+    // symbol string and the K merges are applied as ordered leftmost-
+    // non-overlapping replace-all passes — a fold over the BROADCAST merge
+    // array via the `aggregate` HOF, so application is a narrow per-row
+    // pass with no shuffle; only the pair-count groupBy and the final
+    // per-doc rollup shuffle. (True BPE re-counts pairs between merges —
+    // sequential by nature; the one-shot count + rank-ordered application
+    // is the standard distributed approximation and is exactly mirrored by
+    // the oracle's K unrolled scalar-subquery replace() calls.) The global
+    // rank window runs on the already-aggregated pair table (≤ alphabet²
+    // rows) — single-partition by design, like every tiny-table rank here.
+    // At 100 TB: the merge table is O(K) and broadcasts; learning is one
+    // map-side-combined count; application streams the corpus once.
+    QDef(
+      "text_bpe",
+      (s, dir) => {
+        val chars = T.documents(s, dir)
+          .select(col("doc_id"), explode(tokens).as("tok"))
+          .withColumn("cs", expr("regexp_extract_all(tok, '.', 0)"))
+        val pairs = chars.where(size(col("cs")) >= 2)
+          .select(explode(zip_with(
+            slice(col("cs"), lit(1), size(col("cs")) - 1),
+            slice(col("cs"), lit(2), size(col("cs")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        val merges = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= BpeMerges)
+          .select(struct(col("rank"),
+            concat_ws(" ", col("a"), col("b")).as("pat"),
+            concat(col("a"), col("b")).as("rep")).as("m"))
+          .agg(sort_array(collect_list(col("m"))).as("merges"))
+        chars.crossJoin(broadcast(merges))
+          .withColumn("folded",
+            expr("aggregate(merges, array_join(cs, ' '), (acc, m) -> replace(acc, m.pat, m.rep))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(size(col("cs")).cast("long")).as("n_symbols"),
+            sum(size(split(col("folded"), " ")).cast("long")).as("n_subwords"))
+          .withColumn("bpe_ratio",
+            rnd(col("n_subwords").cast("double") / col("n_symbols"), 6))
+          .orderBy("doc_id")
+      },
+      Some {
+        val applied = (1 to BpeMerges).foldLeft("array_to_string(cs, ' ')") { (acc, i) =>
+          s"replace($acc, (SELECT pat FROM merges WHERE rank = $i), (SELECT rep FROM merges WHERE rank = $i))"
+        }
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |chars AS (SELECT doc_id, tok, regexp_extract_all(tok, '.') AS cs FROM tok),
+           |prs AS (
+           |  SELECT unnest(cs[1:len(cs)-1]) AS a, unnest(cs[2:len(cs)]) AS b FROM chars),
+           |cnt AS (SELECT a, b, count(*) AS cnt FROM prs GROUP BY a, b),
+           |merges AS (
+           |  SELECT a || ' ' || b AS pat, a || b AS rep,
+           |    row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rank
+           |  FROM cnt QUALIFY rank <= $BpeMerges),
+           |applied AS (SELECT doc_id, cs, $applied AS folded FROM chars)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(len(cs)) AS BIGINT) AS n_symbols,
+           |  CAST(sum(len(string_split(folded, ' '))) AS BIGINT) AS n_subwords,
+           |  floor((CAST(sum(len(string_split(folded, ' '))) AS DOUBLE) / sum(len(cs))) * 1e6 + 0.5) / 1e6 AS bpe_ratio
+           |FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }
