@@ -760,6 +760,13 @@ object Aggregates {
             rnd(var_samp(col("mag")), 6).as("var_mag"),
             rnd((sum(col("d") * col("d")) / count(col("d"))) / var_samp(col("mag")), 6)
               .as("eta"))
+          // Guard the eta denominator on BOTH sides: for a constant-mag
+          // user (variance 0) Spark's Divide yields NULL while DuckDB with
+          // ieee_floating_point_ops yields inf — filter the degenerate
+          // groups instead of betting on engine division semantics. Both
+          // sides compare the ROUNDED variance, so the boundary is
+          // grid-exact and cannot straddle the engines.
+          .where(col("n_obs") >= 2L && col("var_mag") > 0.0)
           .orderBy("user_id")
       },
       Some("""WITH m AS (
@@ -772,7 +779,9 @@ object Aggregates {
              |SELECT user_id, count(*) AS n_obs,
              |  floor((var_samp(mag)) * 1e6 + 0.5) / 1e6 AS var_mag,
              |  floor(((sum(d * d) / count(d)) / var_samp(mag)) * 1e6 + 0.5) / 1e6 AS eta
-             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+             |FROM d GROUP BY user_id
+             |HAVING count(*) >= 2 AND floor((var_samp(mag)) * 1e6 + 0.5) / 1e6 > 0.0
+             |ORDER BY user_id""".stripMargin)),
 
     // Exact distinct counting via bitmap aggregation: each 64-id block of the
     // key space becomes one bit_or'd word — the EXACT, MERGEABLE distinct
