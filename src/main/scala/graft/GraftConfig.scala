@@ -1,0 +1,59 @@
+package graft
+
+/** Central tuning knobs for every approximate/iterative operator family.
+  *
+  * One place, because a tuning change must move the Spark plan AND its
+  * DuckDB oracle together (both are generated from these values), and
+  * because each knob's 100 TB story belongs next to its value — the plan
+  * SHAPES are invariant to the values; only recall/cost trade-offs move.
+  *
+  * Fixture values are sized for the sf0.001–0.1 parquet fixtures the
+  * driver grades (small vocab, 2.5k–25k vectors): big enough that buckets
+  * are populated and the oracle's determinism checks bite, small enough
+  * that unrolled oracle CTE chains stay readable.
+  */
+object GraftConfig {
+
+  /** MinHash LSH banding (dedup_minhash / dedup_cluster / dedup_keep /
+    * dedup_ngram): `LshBands` bands × `LshRowsPerBand` minhash rows.
+    * Candidate probability at Jaccard j is 1−(1−j^r)^b. Production tunes
+    * (b, r) to the similarity threshold — e.g. 20×5 for j≈0.8 web dedup;
+    * r ≥ 2 always, because r = 1 buckets on the corpus-global minimum
+    * shingle and a bucket goes quadratic. */
+  val LshBands = 3
+  val LshRowsPerBand = 2
+
+  /** Random-hyperplane signature width (sim_ann_lsh / sim_multiprobe /
+    * sim_range / dedup_embed): 2^planes buckets; per-bucket population —
+    * and the quadratic term of in-bucket passes — shrinks by 2× per plane.
+    * Single-table recall at angle θ is (1−θ/π)^planes; production raises
+    * recall with L independent tables (or Hamming-1 multiprobe, which
+    * sim_multiprobe implements), not by shrinking planes. */
+  val HyperplanePlanes = 4
+
+  /** IVF coarse-quantizer cells (sim_ivf): ~corpus/cells vectors scanned
+    * per probe. Production uses √corpus cells and probes the top-nprobe
+    * cells; the Lloyd-fit iteration count trades centroid quality for
+    * fit passes (each is one corpus scan + tiny broadcast update). */
+  val IvfCells = 8
+  val KMeansIters = 2
+
+  /** Round budget for iterate-to-fixpoint connected components
+    * (dedup_cluster / graph_cc) — a safety valve, not the semantics:
+    * iteration stops when a round changes zero labels, and overrunning
+    * raises rather than emitting unconverged components. With the
+    * pointer-jump step convergence is O(log diameter), so 20 covers
+    * diameters past a million. */
+  val MaxCcRounds = 20
+
+  /** Training-sequence window geometry (text_chunk / pipeline_curate):
+    * production values are model context dependent (e.g. 2048/2040);
+    * the 32/24 fixture pair keeps every doc multi-chunk. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** Learned merge-table size for text_bpe — production BPE vocabularies
+    * run 32k–100k merges; 20 keeps the oracle's unrolled replace chain
+    * readable while exercising the same learn→broadcast→apply shape. */
+  val BpeMerges = 20
+}

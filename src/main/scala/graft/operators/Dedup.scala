@@ -120,25 +120,15 @@ object Dedup {
        |JOIN dict d2 ON d2.tok = t2.tok
        |JOIN dict d3 ON d3.tok = t3.tok""".stripMargin
 
-  /** LSH banding knobs: `Bands` bands of `RowsPerBand` minhashes each
-    * (b=3, r=2). Candidate-pair probability at Jaccard j is 1-(1-j^r)^b —
-    * steep enough around j≈0.5 for near-dup detection while r=2 keeps
-    * per-band bucket populations small (r=1 would cluster every doc sharing
-    * the corpus-global minimum shingle into one quadratic bucket).
-    * Production tunes (b, r) to the similarity threshold; the pipeline shape
-    * is independent of the values. */
-  private val Bands = 3
-  private val RowsPerBand = 2
+  /** LSH banding knobs — centralized in [[graft.GraftConfig]] (with the
+    * recall/cost story); aliased here so the signature pipeline and its
+    * oracle CTE generator read naturally. */
+  private val Bands = graft.GraftConfig.LshBands
+  private val RowsPerBand = graft.GraftConfig.LshRowsPerBand
   private val MinHashes = Bands * RowsPerBand
 
-  /** Round budget for `dedup_cluster`'s iterate-until-fixpoint label
-    * propagation — a safety valve, not the semantics: iteration stops as
-    * soon as a round changes no label, and overrunning the budget raises
-    * rather than silently emitting unconverged components. Diameter-many
-    * rounds suffice, so 20 covers any plausible LSH near-dup chain;
-    * production cuts the round count to O(log d) with large-star/small-star
-    * contraction on the same join shape. */
-  private val MaxCcRounds = 20
+  /** Fixpoint round budget — see [[graft.GraftConfig.MaxCcRounds]]. */
+  private val MaxCcRounds = graft.GraftConfig.MaxCcRounds
 
   // Fixed universal-hash parameter pairs (a, b) for h_i(s) = (a*s+b) % P.
   private val hashParams = Seq(

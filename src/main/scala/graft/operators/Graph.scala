@@ -127,7 +127,7 @@ object Graph {
         var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
         var changed = 1L
         var rounds = 0
-        while (changed > 0L && rounds < 20) {
+        while (changed > 0L && rounds < graft.GraftConfig.MaxCcRounds) {
           // Neighbor-min then pointer-jump (lbl ← lbl(lbl)): O(log diameter)
           // rounds — plain propagation needs diameter-many rounds, and this
           // graph's largest component exceeds depth 20 at sf0.1.
@@ -145,7 +145,7 @@ object Graph {
           rounds += 1
         }
         require(changed == 0L,
-          "connected components did not reach fixpoint within 20 rounds")
+          s"connected components did not reach fixpoint within ${graft.GraftConfig.MaxCcRounds} rounds")
         labels.groupBy(col("lbl").as("component"))
           .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
           .orderBy("component")

@@ -33,21 +33,15 @@ object Similarity {
   /** Embedding dimensionality (fixed 64, verified in FIXTURES.md). */
   private val Dims = 64
 
-  /** ANN tuning knobs. Recall story: with `LshPlanes` hyperplanes the corpus
-    * splits into 2^planes buckets; a probe scans ~corpus/2^planes vectors and
-    * finds a near neighbor when it lands in the probe's bucket — P ≈
-    * (1 − θ/π)^planes per plane-agreement for angle θ, so 4 planes ≈ 0.81^4 ≈
-    * 43% single-table recall at θ=30°; production raises recall with L
-    * independent tables (union of L such queries), trading L× work for
-    * 1−(1−r)^L recall. For IVF, `IvfCells` centroids give ~corpus/cells
-    * scanned per probe; recall is the probability the true neighbor shares
-    * the probe's cell — raised in production by probing the top-nprobe cells
-    * instead of 1. The harness sizes (4 planes / 8 cells over 2.5k vectors)
-    * keep per-bucket populations large enough for the oracle's determinism
-    * checks while exercising the exact plan shape a 100 TB run uses. */
-  private val LshPlanes = 4
-  private val IvfCells = 8
-  private val KMeansIters = 2
+  /** ANN tuning knobs — centralized in [[graft.GraftConfig]] with the full
+    * recall story per knob (hyperplane recall ≈ (1−θ/π)^planes raised via L
+    * tables or multiprobe; IVF scan cost ≈ corpus/cells per probe). The
+    * harness sizes keep per-bucket populations large enough for the
+    * oracle's determinism checks while exercising the exact plan shape a
+    * 100 TB run uses. */
+  private val LshPlanes = graft.GraftConfig.HyperplanePlanes
+  private val IvfCells = graft.GraftConfig.IvfCells
+  private val KMeansIters = graft.GraftConfig.KMeansIters
 
   /** Sequential-order dot product via the native codegen expression
     * [[graft.functions.DotProduct]] (same left-to-right IEEE accumulation as

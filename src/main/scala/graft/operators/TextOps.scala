@@ -20,15 +20,12 @@ object TextOps {
   private def tokens: Column = split(col("text"), " ")
 
   /** Training-sequence window geometry shared by `text_chunk` and the
-    * `pipeline_curate` composition (and their oracles) — one source of
-    * truth so a tuning change cannot desynchronize them. */
-  private val ChunkLen = 32
-  private val ChunkStride = 24
-
-  /** Learned merge-table size for `text_bpe` — production BPE vocabularies
-    * run 32k–100k merges; 20 keeps the oracle's unrolled replace chain
-    * readable while exercising the same learn→broadcast→apply shape. */
-  private val BpeMerges = 20
+    * `pipeline_curate` composition (and their oracles), and the text_bpe
+    * merge-table size — centralized in [[graft.GraftConfig]] so a tuning
+    * change moves every dependent plan AND oracle together. */
+  private val ChunkLen = graft.GraftConfig.ChunkLen
+  private val ChunkStride = graft.GraftConfig.ChunkStride
+  private val BpeMerges = graft.GraftConfig.BpeMerges
 
   /** Count-min hash family (d=2 × w=256) shared by the sketch update, the
     * cell join-back, and the oracle SQL of `text_heavyhitters`: the bucket
