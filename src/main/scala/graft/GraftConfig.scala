@@ -56,4 +56,20 @@ object GraftConfig {
     * run 32k–100k merges; 20 keeps the oracle's unrolled replace chain
     * readable while exercising the same learn→broadcast→apply shape. */
   val BpeMerges = 20
+
+  /** Feature-table size for quality_classifier's Naive-Bayes token model.
+    * Production classifier gates (fastText-style) keep 64k–1M hashed or
+    * ranked features — always broadcast-sized; the fixture corpus has a
+    * ~31-token vocabulary so 50 keeps every token while exercising the
+    * same rank-truncate→broadcast shape. */
+  val NbVocab = 50
+
+  /** Structure-function lag grid (lc_structfunc): pair magnitudes within
+    * `SfLagBins × SfLagBinSec` of each other, binned by integer lag. The
+    * max lag is also the pair-join time-bucket width, so per-pair cost is
+    * bounded by observations-per-window, never the full series length —
+    * the knob that keeps the quadratic pair pass linear at survey scale.
+    * Fixture events span 30 days; 7 × 1-day bins populates every bin. */
+  val SfLagBinSec = 86400L
+  val SfLagBins = 7L
 }

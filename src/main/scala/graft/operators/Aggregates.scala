@@ -807,6 +807,62 @@ object Aggregates {
       Some("""SELECT event_type,
              |  count(DISTINCT user_id) AS n_users,
              |  count(DISTINCT user_id // 64) AS n_words
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // First-order structure function [PK — the standard variability-vs-
+    // timescale statistic for irregularly-sampled light curves]: for every
+    // same-object observation pair within the lag horizon, |Δmag| and
+    // Δmag² averaged per integer lag-day bin. The naive form is a per-object
+    // self-join — quadratic in series length. Here the pair generation is
+    // TIME-BUCKETED: both sides bucket epoch seconds by the max lag
+    // (SfLagBins × SfLagBinSec), the later side explodes into its own and
+    // the previous bucket, and the join keys on (user_id, bucket) — every
+    // qualifying pair (Δt < horizon) lands in exactly one bucket pairing,
+    // and per-pair cost is bounded by observations-per-horizon-window, not
+    // series length. At 100 TB (decade-long surveys) that bound is the
+    // cadence × horizon, a constant; the shuffle keys on (user_id, bucket)
+    // so long series also split across reducers instead of hot-spotting
+    // one key. Engine-parity: epoch seconds and lag bins are exact integer
+    // arithmetic; mags use the same log10 mapping as lc_features; the pair
+    // averages are rounded on the shared 1e-6 grid.
+    QDef(
+      "lc_structfunc",
+      (s, dir) => {
+        val binS = graft.GraftConfig.SfLagBinSec
+        val winS = binS * graft.GraftConfig.SfLagBins
+        val obs = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            (lit(-2.5) * log10(col("value")) + 25.0).as("mag"))
+        val e1 = obs.select(col("user_id"), col("t").as("t1"), col("mag").as("m1"))
+          .withColumn("jb", expr(s"t1 div $winS"))
+        val e2 = obs.select(col("user_id"), col("t").as("t2"), col("mag").as("m2"))
+          .withColumn("jb",
+            explode(array(expr(s"t2 div $winS"), expr(s"t2 div $winS - 1"))))
+        e1.join(e2, Seq("user_id", "jb"))
+          .where(col("t2") > col("t1") && col("t2") - col("t1") < winS)
+          .withColumn("lag_days", expr(s"(t2 - t1) div $binS"))
+          .withColumn("dm", col("m2") - col("m1"))
+          .groupBy("user_id", "lag_days")
+          .agg(count(lit(1)).as("n_pairs"),
+            rnd(avg(abs(col("dm"))), 6).as("sf_abs"),
+            rnd(avg(col("dm") * col("dm")), 6).as("sf_sq"))
+          .orderBy("user_id", "lag_days")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |p AS (
+             |  SELECT a.user_id, (b.t - a.t) // ${graft.GraftConfig.SfLagBinSec} AS lag_days,
+             |    b.mag - a.mag AS dm
+             |  FROM m a JOIN m b ON a.user_id = b.user_id
+             |    AND b.t > a.t
+             |    AND b.t - a.t < ${graft.GraftConfig.SfLagBinSec * graft.GraftConfig.SfLagBins})
+             |SELECT user_id, lag_days, count(*) AS n_pairs,
+             |  floor((avg(abs(dm))) * 1e6 + 0.5) / 1e6 AS sf_abs,
+             |  floor((avg(dm * dm)) * 1e6 + 0.5) / 1e6 AS sf_sq
+             |FROM p GROUP BY user_id, lag_days
+             |ORDER BY user_id, lag_days""".stripMargin))
   )
 }

@@ -919,6 +919,103 @@ object TextOps {
            |  CAST(sum(len(string_split(folded, ' '))) AS BIGINT) AS n_subwords,
            |  floor((CAST(sum(len(string_split(folded, ' '))) AS DOUBLE) / sum(len(cs))) * 1e6 + 0.5) / 1e6 AS bpe_ratio
            |FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Model-based quality filtering — the LEARNED counterpart of
+    // quality_gopher's hand-rule gate, and the family (fastText-style
+    // classifier gates) modern pipelines run after the heuristics. Fully
+    // in-engine train→infer: weak labels come from the Gopher rule itself
+    // (distillation — exactly how production seeds classifier training
+    // from rules/reference corpora), the model is multinomial Naive Bayes
+    // over a rank-truncated token vocabulary, and every document is scored
+    // with the learned log-odds. Scale shape: training is ONE tokenize
+    // pass + map-side-combined (tok, class) counts; the model — vocab,
+    // per-token log-odds, class prior — is O(NbVocab) and BROADCASTS;
+    // inference re-streams the corpus once and rolls up per doc_id. No
+    // stage touches pairs and nothing driver-side: the same plan trains on
+    // 100 TB because the only global state is the broadcast weight table.
+    // Engine-parity: counts are exact integers, so the ln() inputs are
+    // identical doubles cross-engine; per-doc weight sums round on the
+    // 1e-6 grid and `pred` compares the ROUNDED score so the decision
+    // boundary is grid-exact.
+    QDef(
+      "quality_classifier",
+      (s, dir) => {
+        val V = graft.GraftConfig.NbVocab
+        val gated = T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("mtl",
+            (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+          .withColumn("stop_frac",
+            size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to", "in")))
+              .cast("double") / col("n_tok"))
+          .withColumn("keep",
+            col("n_tok") >= 20L && col("n_tok") <= 800L &&
+              col("mtl") >= 2.0 && col("mtl") <= 10.0 && col("stop_frac") >= 0.01)
+          .select(col("doc_id"), col("keep"), col("toks"))
+        val lab = gated.select(col("doc_id"), col("keep"), explode(col("toks")).as("tok"))
+        val vocab = lab.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(V).select("tok")
+        val cnt = lab.join(broadcast(vocab), "tok")
+          .groupBy("tok")
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("c0"))
+        val tot = cnt.agg(sum("c1").as("n1"), sum("c0").as("n0"),
+          count(lit(1)).as("nv"))
+        val wts = cnt.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            (log((col("c1") + 1.0) / (col("n1") + col("nv"))) -
+              log((col("c0") + 1.0) / (col("n0") + col("nv")))).as("w"))
+        val pri = gated.agg(
+          log(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            sum(when(col("keep"), 0L).otherwise(1L))).as("prior"))
+        val sc = lab.join(broadcast(wts), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feat"), sum(col("w")).as("s"))
+        gated.select("doc_id").join(sc, Seq("doc_id"), "left")
+          .crossJoin(broadcast(pri))
+          .withColumn("score",
+            rnd(col("prior") + coalesce(col("s"), lit(0.0)), 6))
+          .select(col("doc_id"),
+            coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+            col("score"), (col("score") > 0.0).as("pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT doc_id, text,
+             |    (n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0
+             |      AND stop_frac >= 0.01) AS keep
+             |  FROM (
+             |    SELECT doc_id, text, n_tok,
+             |      (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok AS mtl,
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / n_tok AS stop_frac
+             |    FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |          FROM documents))),
+             |tok AS (SELECT doc_id, keep, unnest(string_split(text, ' ')) AS tok FROM g),
+             |vocab AS (
+             |  SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+             |                   ORDER BY c DESC, tok ASC LIMIT ${graft.GraftConfig.NbVocab})),
+             |cnt AS (
+             |  SELECT tok,
+             |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS c0
+             |  FROM tok WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok),
+             |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS nv FROM cnt),
+             |w AS (
+             |  SELECT tok, ln((c1 + 1.0) / (n1 + nv)) - ln((c0 + 1.0) / (n0 + nv)) AS w
+             |  FROM cnt, tot),
+             |pri AS (
+             |  SELECT ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    sum(CASE WHEN keep THEN 0 ELSE 1 END)) AS prior FROM g),
+             |sc AS (
+             |  SELECT doc_id, count(*) AS n_feat, sum(w) AS s
+             |  FROM tok JOIN w USING (tok) GROUP BY doc_id)
+             |SELECT g.doc_id, coalesce(sc.n_feat, 0) AS n_feat,
+             |  floor((pri.prior + coalesce(sc.s, 0)) * 1e6 + 0.5) / 1e6 AS score,
+             |  floor((pri.prior + coalesce(sc.s, 0)) * 1e6 + 0.5) / 1e6 > 0 AS pred
+             |FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id, pri
+             |ORDER BY g.doc_id""".stripMargin))
   )
 }

@@ -48,7 +48,8 @@ class InventorySpec extends SparkSpec {
       "lc_variability", "text_chunk", "text_pii", "text_heavyhitters",
       "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio",
       "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq",
-      "text_perplexity", "text_bpe", "dedup_spans")
+      "text_perplexity", "text_bpe", "dedup_spans",
+      "quality_classifier", "lc_structfunc")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -264,4 +264,52 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(ranks(2L) > ranks(0L) && ranks(0L) > ranks(1L),
       "rank order must follow link structure (2 receives two in-links, 1 none)")
   }
+
+  test("lc_structfunc: time-bucketed pair join ≡ naive range self-join") {
+    // The bucketing trick (later side explodes into own+previous max-lag
+    // bucket) must produce EXACTLY the pairs of the quadratic self-join it
+    // replaces — every qualifying pair in exactly one bucket pairing, no
+    // duplicates, no misses.
+    val winS = GraftConfig.SfLagBinSec * GraftConfig.SfLagBins
+    val obs = Tables.events(spark, sf)
+      .where(col("value") > 0.0)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        (lit(-2.5) * log10(col("value")) + 25.0).as("mag"))
+    val naive = obs.toDF("user_id", "t1", "m1")
+      .join(obs.toDF("user_id", "t2", "m2"), "user_id")
+      .where(col("t2") > col("t1") && col("t2") - col("t1") < winS)
+      .withColumn("lag_days", expr(s"(t2 - t1) div ${GraftConfig.SfLagBinSec}"))
+      .withColumn("dm", col("m2") - col("m1"))
+      .groupBy("user_id", "lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        rnd(avg(abs(col("dm"))), 6).as("sf_abs"),
+        rnd(avg(col("dm") * col("dm")), 6).as("sf_sq"))
+    val got = SparkEntry.queries("lc_structfunc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val want = naive.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === want.keySet, "pair-bin coverage differs from the naive join")
+    got.foreach { case (k, (n, a, q)) =>
+      val (nw, aw, qw) = want(k)
+      assert(n === nw, s"$k: pair count differs (bucketing dropped/duplicated pairs)")
+      assert(math.abs(a - aw) < 1e-9 && math.abs(q - qw) < 1e-9, s"$k: SF value differs")
+    }
+  }
+
+  test("quality_classifier: one calibrated score per doc, grid-exact decision") {
+    val res = SparkEntry.queries("quality_classifier")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(res.length.toLong === nDocs, "exactly one score per document")
+    assert(res.map(_.getLong(0)).distinct.length === res.length, "doc_id unique")
+    res.foreach { r =>
+      assert(r.getBoolean(3) === (r.getDouble(2) > 0.0),
+        "pred must be the sign of the ROUNDED score (grid-exact boundary)")
+    }
+    // The distilled model must separate the classes on the fixture: both
+    // decisions present, and scores span both signs.
+    val preds = res.map(_.getBoolean(3)).toSet
+    assert(preds === Set(true, false), "classifier is degenerate on the fixture")
+  }
 }

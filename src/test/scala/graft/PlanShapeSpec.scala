@@ -166,4 +166,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3,
       s"curation pipeline should shuffle at most 3× (canon, distinct partial, lang), saw $exchanges")
   }
+
+  test("lc_structfunc: pair generation is an equi-join, never quadratic") {
+    val p = plan("lc_structfunc")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "structure-function pairs degraded to a non-equi join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+    assert(p.contains("partial_"), "pair bins lost map-side partial aggregation")
+  }
+
+  test("quality_classifier: model tables broadcast; only scalar cross-attachments nest") {
+    val p = plan("quality_classifier")
+    assert(!p.contains("CartesianProduct"))
+    // vocab + weights attach to the token stream as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "vocab/weight model tables no longer broadcast")
+    // the only nested-loop joins allowed are the 1-row scalar attachments
+    // (class totals, prior); anything more means a real join degraded
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      "a data-sized join degraded to a nested loop")
+  }
 }
