@@ -64,6 +64,13 @@ object GraftConfig {
     * same rank-truncate→broadcast shape. */
   val NbVocab = 50
 
+  /** Training-sequence capacity for pipeline_pack (concat-then-chunk
+    * sequence packing): production = model context (2048/4096/8192);
+    * 64 keeps fixture sequences multi-doc. Packing is sharded per lang —
+    * the production shape, where each data shard packs independently and
+    * the cumulative-position window never goes corpus-global. */
+  val PackCapacity = 64L
+
   /** Semantic-dedup drop budget (dedup_semantic): within each embedding
     * cluster, the top ceil(n/SemDedupDenom) most-similar pairs mark their
     * higher-id member dropped — the budget form of SemDeDup's threshold

@@ -311,6 +311,22 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(2)), "budget must actually fire on the fixture")
   }
 
+  test("pipeline_pack law: sequences tile the per-lang token stream exactly") {
+    val out = SparkEntry.queries("pipeline_pack")(spark, sf).collect()
+    val langTot = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(3)).sum === langTot(lang),
+        s"$lang: packed tokens != corpus tokens (lost or double-counted spans)")
+      val seqs = rs.sortBy(_.getLong(1))
+      seqs.init.foreach(r => assert(r.getLong(3) === GraftConfig.PackCapacity,
+        s"$lang seq ${r.getLong(1)}: interior sequence not full — packing leaked padding"))
+      assert(seqs.last.getLong(3) <= GraftConfig.PackCapacity)
+    }
+  }
+
   test("quality_classifier: one calibrated score per doc, grid-exact decision") {
     val res = SparkEntry.queries("quality_classifier")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
