@@ -66,10 +66,14 @@ object GraftConfig {
 
   /** Training-sequence capacity for pipeline_pack (concat-then-chunk
     * sequence packing): production = model context (2048/4096/8192);
-    * 64 keeps fixture sequences multi-doc. Packing is sharded per lang —
-    * the production shape, where each data shard packs independently and
-    * the cumulative-position window never goes corpus-global. */
+    * 64 keeps fixture sequences multi-doc. Packing windows partition on
+    * (lang, shard) — `shard = doc_id div PackShardDocs` — because a lang
+    * alone is NOT a bounded unit (one language can be most of a 100 TB
+    * corpus, and a per-lang window would pack it on one reducer);
+    * production shards are input splits/files, and each packs
+    * independently. 100 fixture docs/shard keeps shards multi-sequence. */
   val PackCapacity = 64L
+  val PackShardDocs = 100L
 
   /** Semantic-dedup drop budget (dedup_semantic): within each embedding
     * cluster, the top ceil(n/SemDedupDenom) most-similar pairs mark their

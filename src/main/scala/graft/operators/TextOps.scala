@@ -1022,23 +1022,28 @@ object TextOps {
     // concatenate the corpus (doc_id order) and chunk it into fixed-
     // capacity training sequences, so every sequence is full and a doc may
     // straddle a boundary (GPT-style concat-then-chunk; the complement of
-    // text_chunk's per-doc windows, which pad instead of pack). Sharded
-    // PER LANG: the cumulative-position window partitions by lang, which
-    // is exactly how production packs — each data shard packs its own
-    // stream independently and nothing is corpus-globally sequential. A
-    // doc spanning sequences explodes into its covered range (narrow
-    // fan-out ≤ n_tok/capacity + 1 rows per doc); per-sequence stats
-    // partial-aggregate on (lang, seq). All arithmetic is integer —
+    // text_chunk's per-doc windows, which pad instead of pack). Packing
+    // windows partition on (lang, SHARD): a lang alone is not a bounded
+    // unit — one language can be most of a 100 TB corpus, and a per-lang
+    // window would pack it on one reducer. `shard = doc_id div
+    // PackShardDocs` models production's input splits, each packing its
+    // own stream independently; nothing is corpus-globally sequential and
+    // per-window work is bounded by shard size at any corpus size. A doc
+    // spanning sequences explodes into its covered range (narrow fan-out
+    // ≤ n_tok/capacity + 1 rows per doc); per-sequence stats partial-
+    // aggregate on (lang, shard, seq). All arithmetic is integer —
     // boundaries are engine-exact by construction.
     QDef(
       "pipeline_pack",
       (s, dir) => {
         val cap = graft.GraftConfig.PackCapacity
+        val sh = graft.GraftConfig.PackShardDocs
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("doc_id")
+          .partitionBy("lang", "shard").orderBy("doc_id")
         T.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             size(tokens).cast("long").as("n_tok"))
+          .withColumn("shard", expr(s"doc_id div $sh"))
           .withColumn("cum", sum(col("n_tok")).over(w))
           .withColumn("seq_id",
             explode(sequence(expr(s"(cum - n_tok) div $cap"),
@@ -1046,32 +1051,32 @@ object TextOps {
           .withColumn("tok_in_seq",
             least(col("cum"), (col("seq_id") + 1L) * cap) -
               greatest(col("cum") - col("n_tok"), col("seq_id") * cap))
-          .groupBy("lang", "seq_id")
+          .groupBy("lang", "shard", "seq_id")
           .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"),
             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
           .withColumn("is_full", col("n_tokens") === cap)
-          .orderBy("lang", "seq_id")
+          .orderBy("lang", "shard", "seq_id")
       },
       Some(s"""WITH d AS (
-             |  SELECT doc_id, lang,
+             |  SELECT doc_id, lang, doc_id // ${graft.GraftConfig.PackShardDocs} AS shard,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              |  FROM documents),
              |c AS (
-             |  SELECT doc_id, lang, n_tok,
-             |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |  SELECT doc_id, lang, shard, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
              |  FROM d),
              |e AS (
-             |  SELECT doc_id, lang, n_tok, cum,
+             |  SELECT doc_id, lang, shard, n_tok, cum,
              |    unnest(generate_series((cum - n_tok) // ${graft.GraftConfig.PackCapacity},
              |      (cum - 1) // ${graft.GraftConfig.PackCapacity})) AS seq_id
              |  FROM c)
-             |SELECT lang, seq_id, count(*) AS n_docs,
+             |SELECT lang, shard, seq_id, count(*) AS n_docs,
              |  CAST(sum(least(cum, (seq_id + 1) * ${graft.GraftConfig.PackCapacity}) -
              |    greatest(cum - n_tok, seq_id * ${graft.GraftConfig.PackCapacity})) AS BIGINT) AS n_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
              |  CAST(sum(least(cum, (seq_id + 1) * ${graft.GraftConfig.PackCapacity}) -
              |    greatest(cum - n_tok, seq_id * ${graft.GraftConfig.PackCapacity})) AS BIGINT) = ${graft.GraftConfig.PackCapacity} AS is_full
-             |FROM e GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin))
+             |FROM e GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin))
   )
 }

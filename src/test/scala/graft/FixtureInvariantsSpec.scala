@@ -42,4 +42,26 @@ class FixtureInvariantsSpec extends SparkSpec {
     assert(docs.where(octet_length(col("text")) > maxLen).count() === 0L,
       s"documents.text exceeds $maxLen bytes — mm_audio windows past the oracle's 128-window grid")
   }
+
+  test("the Gopher gate splits documents into two populated classes") {
+    // quality_classifier distills the gate into Naive-Bayes weak labels:
+    // its class prior is ln(n_keep / n_drop), so an all-keep (or all-drop)
+    // fixture would null the prior via division by zero in BOTH engines —
+    // a silent degenerate model rather than a loud failure.
+    val gate = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mtl",
+        (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+      .withColumn("sf",
+        size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to", "in")))
+          .cast("double") / col("n_tok"))
+      .withColumn("keep",
+        col("n_tok") >= 20L && col("n_tok") <= 800L &&
+          col("mtl") >= 2.0 && col("mtl") <= 10.0 && col("sf") >= 0.01)
+    val n1 = gate.where(col("keep")).count()
+    val n0 = gate.where(!col("keep")).count()
+    assert(n1 > 0L && n0 > 0L,
+      s"gate classes degenerate (keep=$n1 drop=$n0) — classifier prior undefined")
+  }
 }

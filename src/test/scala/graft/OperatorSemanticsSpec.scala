@@ -311,19 +311,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(2)), "budget must actually fire on the fixture")
   }
 
-  test("pipeline_pack law: sequences tile the per-lang token stream exactly") {
+  test("pipeline_pack law: sequences tile each (lang, shard) token stream exactly") {
     val out = SparkEntry.queries("pipeline_pack")(spark, sf).collect()
-    val langTot = Tables.documents(spark, sf)
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
-      .groupBy("lang").agg(sum("n").as("tot")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    out.groupBy(_.getString(0)).foreach { case (lang, rs) =>
-      assert(rs.map(_.getLong(3)).sum === langTot(lang),
-        s"$lang: packed tokens != corpus tokens (lost or double-counted spans)")
-      val seqs = rs.sortBy(_.getLong(1))
-      seqs.init.foreach(r => assert(r.getLong(3) === GraftConfig.PackCapacity,
-        s"$lang seq ${r.getLong(1)}: interior sequence not full — packing leaked padding"))
-      assert(seqs.last.getLong(3) <= GraftConfig.PackCapacity)
+    val shardTot = Tables.documents(spark, sf)
+      .select(col("lang"), expr(s"doc_id div ${GraftConfig.PackShardDocs}").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang", "shard").agg(sum("n").as("tot")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, rs) =>
+      assert(rs.map(_.getLong(4)).sum === shardTot(key),
+        s"$key: packed tokens != shard tokens (lost or double-counted spans)")
+      val seqs = rs.sortBy(_.getLong(2))
+      seqs.init.foreach(r => assert(r.getLong(4) === GraftConfig.PackCapacity,
+        s"$key seq ${r.getLong(2)}: interior sequence not full — packing leaked padding"))
+      assert(seqs.last.getLong(4) <= GraftConfig.PackCapacity)
     }
   }
 
