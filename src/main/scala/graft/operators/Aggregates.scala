@@ -863,6 +863,58 @@ object Aggregates {
              |  floor((avg(abs(dm))) * 1e6 + 0.5) / 1e6 AS sf_abs,
              |  floor((avg(dm * dm)) * 1e6 + 0.5) / 1e6 AS sf_sq
              |FROM p GROUP BY user_id, lag_days
-             |ORDER BY user_id, lag_days""".stripMargin))
+             |ORDER BY user_id, lag_days""".stripMargin)),
+
+    // Sequential EWMA smoothing [PK — exponential smoothing is the
+    // standard online detrender/denoiser for irregular light curves; an
+    // inherently ORDER-DEPENDENT fold, the semantics windows and
+    // groupBy-aggregates cannot express]. Per object: time-ordered mags
+    // fold through s_t = round((m_t + s_{t-1}) / 2) — α = 1/2 because
+    // division by two is EXACT in binary, and every step re-rounds onto
+    // the 1e-6 grid, so the two engines walk bit-identical state
+    // sequences and the fold result needs no tolerance. Spark folds via
+    // the `aggregate` HOF seeded with the head element; DuckDB's
+    // list_reduce seeds the same way by definition. Scale: per-group
+    // state is one collected series — bounded by per-object observation
+    // count (the lc-family premise); the fold itself is narrow per-group
+    // work after ONE shuffle on the object key. Unboundedly long series
+    // would segment the fold by epoch range and stitch (documented, not
+    // needed at survey cadences).
+    QDef(
+      "lc_smooth",
+      (s, dir) => {
+        T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            rnd(lit(-2.5) * log10(col("value")) + 25.0, 6).as("mag"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"), col("mag")))),
+              x => x.getField("mag")).as("ms"))
+          .select(col("user_id"), col("n_obs"),
+            expr("""aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)),
+                   |  element_at(ms, 1),
+                   |  (acc, x) -> floor((acc + x) / 2 * 1e6 + 0.5) / 1e6)""".stripMargin)
+              .as("ewma"),
+            expr("floor((element_at(ms, size(ms)) - aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), element_at(ms, 1), (acc, x) -> floor((acc + x) / 2 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6")
+              .as("lag_resid"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, event_id,
+             |    floor((-2.5 * log10(value) + 25.0) * 1e6 + 0.5) / 1e6 AS mag
+             |  FROM events WHERE value > 0.0),
+             |g AS (
+             |  SELECT user_id, count(*) AS n_obs,
+             |    list(mag ORDER BY ts, event_id) AS ms
+             |  FROM m GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, n_obs, ms,
+             |    list_reduce(ms, (acc, x) -> floor((acc + x) / 2 * 1e6 + 0.5) / 1e6) AS ewma
+             |  FROM g)
+             |SELECT user_id, n_obs, ewma,
+             |  floor((ms[len(ms)] - ewma) * 1e6 + 0.5) / 1e6 AS lag_resid
+             |FROM f ORDER BY user_id""".stripMargin))
   )
 }

@@ -49,7 +49,8 @@ class InventorySpec extends SparkSpec {
       "sim_centroid", "agg_bitmap_distinct", "text_domains", "mm_audio",
       "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq",
       "text_perplexity", "text_bpe", "dedup_spans",
-      "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack")
+      "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack",
+      "lc_smooth")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -298,6 +298,30 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("lc_smooth: HOF fold reproduces the scalar EWMA recurrence exactly") {
+    // Recompute the per-step-rounded recurrence in plain Scala from the
+    // same fixture series — bit-identical IEEE ops, so the comparison is
+    // exact equality, no tolerance.
+    def grid(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val series = Tables.events(spark, sf)
+      .where(col("value") > 0.0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        rnd(lit(-2.5) * log10(col("value")) + 25.0, 6).as("mag"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)
+        .sortBy(t => (t._1.toInstant.getEpochSecond, t._1.toInstant.getNano, t._2))
+        .map(_._3).toSeq)
+      .toMap
+    val got = SparkEntry.queries("lc_smooth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    series.foreach { case (u, ms) =>
+      val want = ms.tail.foldLeft(ms.head)((acc, m) => grid((acc + m) / 2))
+      assert(got(u) === want, s"user $u: fold diverged from the scalar recurrence")
+    }
+  }
+
   test("dedup_semantic: per-cell drop budget respected; every vector classified once") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
