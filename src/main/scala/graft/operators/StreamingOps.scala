@@ -137,6 +137,22 @@ object StreamingOps {
              |  max(sec) AS last_sec
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Streaming top-k leaderboard: per-(type, user) running counts in keyed
+    // state (flatMapGroupsWithState), final rank after the stream drains.
+    // Counts are order-independent folds, so this REAL streaming execution
+    // hash-matches the batch oracle — the strongest check any streaming op
+    // here gets. State is O(1) per pair and partitions on the pair key; a
+    // per-type "top list" state would hot-spot one key and grow unbounded.
+    QDef(
+      "stream_topk",
+      (s, dir) => graft.streaming.StreamRunner.topkLeaderboard(s, dir, 3),
+      Some("""SELECT event_type, user_id, n, rank FROM (
+             |  SELECT event_type, user_id, count(*) AS n,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY count(*) DESC, user_id ASC) AS rank
+             |  FROM events GROUP BY event_type, user_id)
+             |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)),
+
     // Stream-stream join, batch-declared form: views joined to purchases of
     // the same user within the preceding hour (the interval-bounded
     // equi-join Structured Streaming runs with watermarks on both sides —

@@ -171,4 +171,52 @@ object StreamRunner {
       .agg(sum("n").as("n"))
       .orderBy("event_type")
   }
+
+  /** Streaming leaderboard for [[topkLeaderboard]]: per-(type, user) running
+    * event count — O(1) keyed state per pair, the mergeable shape that
+    * (unlike a per-type "top list" state) never grows with stream length. */
+  final case class PairCount(n: Long)
+
+  /** Streaming top-k: counts accumulate in keyed state per
+    * (event_type, user_id) across micro-batches; the final rank runs as a
+    * batch pass over the drained state. Count folds are order-independent,
+    * so — unlike the gap-tracking state op — this REAL streaming execution
+    * is exactly oracle-expressible (batch count + row_number ≤ k). At
+    * scale: state partitions on the pair key (no hot per-type key holds a
+    * list), and the final top-k uses the rank-pushdown window
+    * (WindowGroupLimit) over pair-count-sized data, not events. */
+  def topkLeaderboard(s: SparkSession, dir: String, k: Int): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val qn = "graft_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val fold = (key: (String, Long), rows: Iterator[(String, Long)],
+        state: GroupState[PairCount]) => {
+      val st = PairCount(state.getOption.fold(0L)(_.n) + rows.size)
+      state.update(st)
+      Iterator.single((key._1, key._2, st.n))
+    }
+    val q = eventsStream(s, dir)
+      .select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+      .toDF("event_type", "user_id", "n")
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_topk_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode emits one row per touched pair per micro-batch; the final
+    // count per pair is the max (n is monotonic). Then rank within type.
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    s.table(qn)
+      .groupBy("event_type", "user_id").agg(max("n").as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("event_type", "rank")
+  }
 }
