@@ -30,7 +30,13 @@ class DeterminismSpec extends SparkSpec {
     // PQ: rounded argmins + grid-exact ADC sums must hold under any merge order
     "sim_pq",
     // FP mean of -ln P over merge-ordered partials feeding a rounded output
-    "text_perplexity")
+    "text_perplexity",
+    // round-4 risk classes: per-doc sums of ln-ratio weights (classifier),
+    // FP pair averages under bucketed join order (structure function),
+    // within-cell cosine rank boundaries (semantic dedup), sequential
+    // HOF fold state (smooth), star-contraction fixpoint (components)
+    "quality_classifier", "lc_structfunc", "dedup_semantic", "lc_smooth",
+    "graph_cc")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>
