@@ -915,6 +915,100 @@ object Aggregates {
              |  FROM g)
              |SELECT user_id, n_obs, ewma,
              |  floor((ms[len(ms)] - ewma) * 1e6 + 0.5) / 1e6 AS lag_resid
-             |FROM f ORDER BY user_id""".stripMargin))
+             |FROM f ORDER BY user_id""".stripMargin)),
+
+    // Flagship astronomy composition — the lightcurve science pipeline a
+    // curation run chains from this library's pieces [PK — the standard
+    // survey reduction: ensemble zero-point calibration → outlier clip →
+    // variability screening]: lc_ensemble's per-day zero-points calibrate
+    // every observation, a grid-exact residual clip (|cal − median| on the
+    // rounded grid) rejects outliers, and the surviving curve yields the
+    // von-Neumann eta + amplitude classification of lc_variability. One
+    // QDef so the COMPOSITION itself is oracle-checked end to end (the
+    // astronomy counterpart of pipeline_curate). Scale shape: every
+    // shuffle keys on the object id except the tiny per-day zero-point
+    // table, which BROADCASTS back; the clip is a narrow filter; the lag
+    // window rides the same object partitioning — corpus-sized rows cross
+    // the wire exactly twice (median groupBy, feature groupBy).
+    QDef(
+      "pipeline_lightcurve",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("t", "event_id")
+        val m = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            expr("graft_mag(value)").as("mag"))
+        val med = m.groupBy("user_id").agg(expr("percentile(mag, 0.5)").as("med"))
+        val resid = m.join(med, "user_id")
+          .withColumn("resid", col("mag") - col("med"))
+        val zp = resid.groupBy("day").agg(avg(col("resid")).as("zp"))
+        val cal = resid.join(broadcast(zp), "day")
+          .withColumn("cmag", rnd(col("mag") - col("zp"), 6))
+          .withColumn("kept", abs(rnd(col("cmag") - col("med"), 6)) <= 1.0)
+        val totals = cal.groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_clipped"))
+        val feats = cal.where(col("kept"))
+          .withColumn("d", col("cmag") - lag(col("cmag"), 1).over(w))
+          .groupBy("user_id")
+          .agg(rnd(avg(col("cmag")), 6).as("mean_cal"),
+            rnd(max(col("cmag")) - min(col("cmag")), 6).as("amplitude"),
+            rnd(var_samp(col("cmag")), 6).as("var_cal"),
+            (sum(col("d") * col("d")) / count(col("d"))).as("mssd"),
+            count(col("d")).as("nd"))
+          .select(col("user_id"), col("mean_cal"), col("amplitude"),
+            when(col("nd") >= 1L && col("var_cal") > 0.0,
+              rnd(col("mssd") / col("var_cal"), 6)).as("eta"))
+        totals.join(feats, Seq("user_id"), "left")
+          .withColumn("is_variable",
+            coalesce(col("eta") < 1.5 && col("amplitude") > 0.2, lit(false)))
+          .select(col("user_id"), col("n_obs"), col("n_clipped"),
+            col("mean_cal"), col("amplitude"), col("eta"), col("is_variable"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |med AS (
+             |  SELECT user_id, quantile_cont(mag, 0.5) AS med FROM m GROUP BY user_id),
+             |r AS (
+             |  SELECT m.*, m.mag - med.med AS resid, med.med
+             |  FROM m JOIN med USING (user_id)),
+             |zp AS (SELECT day, avg(resid) AS zp FROM r GROUP BY day),
+             |cal AS (
+             |  SELECT r.user_id, r.event_id, r.t,
+             |    floor((r.mag - zp.zp) * 1e6 + 0.5) / 1e6 AS cmag, r.med,
+             |    abs(floor((floor((r.mag - zp.zp) * 1e6 + 0.5) / 1e6 - r.med) * 1e6 + 0.5) / 1e6) <= 1.0 AS kept
+             |  FROM r JOIN zp USING (day)),
+             |tot AS (
+             |  SELECT user_id, count(*) AS n_obs,
+             |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_clipped
+             |  FROM cal GROUP BY user_id),
+             |k AS (
+             |  SELECT user_id, cmag,
+             |    cmag - lag(cmag) OVER (PARTITION BY user_id ORDER BY t, event_id) AS d
+             |  FROM cal WHERE kept),
+             |f AS (
+             |  SELECT user_id,
+             |    floor((avg(cmag)) * 1e6 + 0.5) / 1e6 AS mean_cal,
+             |    floor((max(cmag) - min(cmag)) * 1e6 + 0.5) / 1e6 AS amplitude,
+             |    floor((var_samp(cmag)) * 1e6 + 0.5) / 1e6 AS var_cal,
+             |    sum(d * d) / count(d) AS mssd, count(d) AS nd
+             |  FROM k GROUP BY user_id)
+             |SELECT tot.user_id, tot.n_obs, tot.n_clipped, f.mean_cal, f.amplitude,
+             |  CASE WHEN f.nd >= 1 AND f.var_cal > 0.0
+             |       THEN floor((f.mssd / f.var_cal) * 1e6 + 0.5) / 1e6 END AS eta,
+             |  coalesce(CASE WHEN f.nd >= 1 AND f.var_cal > 0.0
+             |       THEN floor((f.mssd / f.var_cal) * 1e6 + 0.5) / 1e6 END < 1.5
+             |    AND f.amplitude > 0.2, false) AS is_variable
+             |FROM tot LEFT JOIN f USING (user_id)
+             |ORDER BY tot.user_id""".stripMargin))
   )
 }

@@ -50,7 +50,7 @@ class InventorySpec extends SparkSpec {
       "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq",
       "text_perplexity", "text_bpe", "dedup_spans",
       "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack",
-      "lc_smooth", "stream_topk")
+      "lc_smooth", "stream_topk", "pipeline_lightcurve")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
