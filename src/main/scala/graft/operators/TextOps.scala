@@ -853,49 +853,57 @@ object TextOps {
     // Subword (BPE-style) tokenization under a LEARNED merge table: the
     // operator that makes token counts/budgets honest — every real LLM
     // pipeline counts tokens under learned merges, not whitespace. Learn:
-    // count adjacent character pairs over the token stream (one explode +
-    // partial-agg groupBy), rank top-BpeMerges deterministically
-    // (count desc, pair asc). Apply: each token becomes a space-separated
-    // symbol string and the K merges are applied as ordered leftmost-
-    // non-overlapping replace-all passes — a fold over the BROADCAST merge
-    // array via the `aggregate` HOF, so application is a narrow per-row
-    // pass with no shuffle; only the pair-count groupBy and the final
-    // per-doc rollup shuffle. (True BPE re-counts pairs between merges —
-    // sequential by nature; the one-shot count + rank-ordered application
-    // is the standard distributed approximation and is exactly mirrored by
-    // the oracle's K unrolled scalar-subquery replace() calls.) The global
-    // rank window runs on the already-aggregated pair table (≤ alphabet²
-    // rows) — single-partition by design, like every tiny-table rank here.
-    // At 100 TB: the merge table is O(K) and broadcasts; learning is one
-    // map-side-combined count; application streams the corpus once.
+    // count adjacent character pairs over the token stream (occurrence-
+    // weighted distinct-token counts — same totals, vocabulary-sized
+    // work), rank top-BpeMerges deterministically (count desc, pair asc).
+    // Apply: the K merges fold over each DISTINCT token's symbol string
+    // (ordered leftmost-non-overlap replace passes via the `aggregate`
+    // HOF) and the folded vocabulary joins back onto per-(doc, tok)
+    // counts. Folding the vocabulary instead of the token stream is the
+    // load-bearing choice: by Zipf the distinct-token table is orders of
+    // magnitude smaller than the corpus (31 vs 500k rows at sf0.1 — the
+    // interpreted HOF fold runs 31 times, not 500k), and the same holds
+    // at 100 TB (vocab in the millions vs trillions of occurrences; the
+    // folded vocab joins back by token, broadcast at fixture scale,
+    // shuffle-join when vocab outgrows it). (True BPE re-counts pairs
+    // between merges — sequential by nature; the one-shot count +
+    // rank-ordered application is the standard distributed approximation,
+    // exactly mirrored by the oracle's K unrolled scalar-subquery
+    // replace() calls.) The global rank window runs on the aggregated
+    // pair table (≤ alphabet² rows) — single-partition by design.
     QDef(
       "text_bpe",
       (s, dir) => {
-        val chars = T.documents(s, dir)
+        val occ = T.documents(s, dir)
           .select(col("doc_id"), explode(tokens).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        val toks = occ.groupBy("tok").agg(sum("cnt").as("w"))
           .withColumn("cs", expr("regexp_extract_all(tok, '.', 0)"))
-        val pairs = chars.where(size(col("cs")) >= 2)
-          .select(explode(zip_with(
+        val pairs = toks.where(size(col("cs")) >= 2)
+          .select(col("w"), explode(zip_with(
             slice(col("cs"), lit(1), size(col("cs")) - 1),
             slice(col("cs"), lit(2), size(col("cs")) - 1),
             (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-        val w = org.apache.spark.sql.expressions.Window
+          .select(col("w"), col("p.a").as("a"), col("p.b").as("b"))
+        val rw = org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        val merges = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-          .withColumn("rank", row_number().over(w))
+        val merges = pairs.groupBy("a", "b").agg(sum(col("w")).as("cnt"))
+          .withColumn("rank", row_number().over(rw))
           .where(col("rank") <= BpeMerges)
           .select(struct(col("rank"),
             concat_ws(" ", col("a"), col("b")).as("pat"),
             concat(col("a"), col("b")).as("rep")).as("m"))
           .agg(sort_array(collect_list(col("m"))).as("merges"))
-        chars.crossJoin(broadcast(merges))
+        val folded = toks.crossJoin(broadcast(merges))
           .withColumn("folded",
             expr("aggregate(merges, array_join(cs, ' '), (acc, m) -> replace(acc, m.pat, m.rep))"))
+          .select(col("tok"), size(col("cs")).cast("long").as("n_sym"),
+            size(split(col("folded"), " ")).cast("long").as("n_sub"))
+        occ.join(folded, "tok")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(size(col("cs")).cast("long")).as("n_symbols"),
-            sum(size(split(col("folded"), " ")).cast("long")).as("n_subwords"))
+          .agg(sum("cnt").as("n_tokens"),
+            sum(col("cnt") * col("n_sym")).as("n_symbols"),
+            sum(col("cnt") * col("n_sub")).as("n_subwords"))
           .withColumn("bpe_ratio",
             rnd(col("n_subwords").cast("double") / col("n_symbols"), 6))
           .orderBy("doc_id")
