@@ -263,15 +263,22 @@ object Multimodal {
       "mm_audio",
       (s, dir) => audioWindows(s, dir).toDF().orderBy("doc_id", "win_no"),
       // Window w covers 1-based byte positions [w*16+1, w*16+32]; energy is
-      // Σ byte² / 32 (exact in binary), peak is a 32-way greatest. Grid
-      // bound 0..127 covers payloads to 2 KB (fixture max 577 bytes); the
-      // completeness predicate discards grid rows past the payload.
+      // Σ byte² / 32 (exact in binary), peak is a 32-way greatest. The grid
+      // bound is DERIVED from the corpus — one scalar subquery over
+      // max(length(text)), the oracle analogue of a one-row broadcast — so
+      // the oracle stays in lockstep with the payload-length-driven Spark
+      // side on any payload length; the completeness predicate discards
+      // grid rows past each individual payload.
       Some {
         val terms = (1 to AudioWinBytes)
           .map(j => s"ascii(substr(text, win_no * $AudioHop + $j, 1))")
-        s"""WITH w AS (
+        s"""WITH g AS (
+           |  SELECT unnest(generate_series(0,
+           |    (SELECT (max(length(text)) - $AudioWinBytes) // $AudioHop
+           |     FROM documents))) AS i),
+           |w AS (
            |  SELECT doc_id, text, g.i AS win_no
-           |  FROM documents CROSS JOIN generate_series(0, 127) g(i)
+           |  FROM documents CROSS JOIN g
            |  WHERE length(text) >= $AudioWinBytes
            |    AND g.i * $AudioHop + $AudioWinBytes <= length(text))
            |SELECT doc_id, CAST(win_no AS BIGINT) AS win_no,

@@ -892,12 +892,17 @@ object Aggregates {
             transform(
               sort_array(collect_list(struct(col("ts"), col("event_id"), col("mag")))),
               x => x.getField("mag")).as("ms"))
-          .select(col("user_id"), col("n_obs"),
+          // Project the fold ONCE, then derive lag_resid from the ewma
+          // column in an outer select (mirror of the oracle's f CTE) — the
+          // interpreted HOF is the expensive part, and CollapseProject will
+          // not re-inline a non-cheap expression referenced twice.
+          .select(col("user_id"), col("n_obs"), col("ms"),
             expr("""aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)),
                    |  element_at(ms, 1),
                    |  (acc, x) -> floor((acc + x) / 2 * 1e6 + 0.5) / 1e6)""".stripMargin)
-              .as("ewma"),
-            expr("floor((element_at(ms, size(ms)) - aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), element_at(ms, 1), (acc, x) -> floor((acc + x) / 2 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6")
+              .as("ewma"))
+          .select(col("user_id"), col("n_obs"), col("ewma"),
+            expr("floor((element_at(ms, size(ms)) - ewma) * 1e6 + 0.5) / 1e6")
               .as("lag_resid"))
           .orderBy("user_id")
       },

@@ -36,7 +36,14 @@ class DeterminismSpec extends SparkSpec {
     // within-cell cosine rank boundaries (semantic dedup), sequential
     // HOF fold state (smooth), star-contraction fixpoint (components)
     "quality_classifier", "lc_structfunc", "dedup_semantic", "lc_smooth",
-    "graph_cc")
+    "graph_cc",
+    // flagship composition: unrounded percentile median + avg(resid)
+    // zero-points + mssd partials feed grid-boundary decisions (the kept
+    // clip and the eta threshold), so merge order could flip rows
+    "pipeline_lightcurve",
+    // round-5 risk classes: full-outer merge disposition under coalesce
+    // (table_merge), count^alpha keep-threshold boundary (temperature mix)
+    "table_merge", "sample_temperature")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>

@@ -180,13 +180,45 @@ class PropertySpec extends SparkSpec {
       "a cluster id is not its own cluster's label — labels are not component minima")
   }
 
-  test("graph_cc fixpoint law: each component's label equals its minimum node") {
-    // At fixpoint the propagated min-label IS the component minimum, so the
-    // aggregated output must have component == min_node on every row; an
-    // unconverged run leaves some component labeled above its true minimum.
-    val out = SparkEntry.queries("graph_cc")(spark, sf)
-    assert(out.where(col("component") =!= col("min_node")).count() === 0L,
-      "component label differs from component minimum — not a fixpoint")
+  test("graph_cc matches a driver-side union-find on the same edge set") {
+    // The star-contraction output satisfies component == min_node by
+    // construction (spokes rewire above their center), so that identity is
+    // vacuous as a fixpoint check. Instead recompute the components with an
+    // INDEPENDENT algorithm — union-find over the same derived edge set,
+    // collected at sf0.001 — and require the (component, n_nodes, min_node)
+    // triples to match exactly. An unconverged or mis-rooted run splits or
+    // mislabels a component and fails this equality.
+    val T = graft.Tables
+    val edges = T.orders(spark, sf)
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(T.customer(spark, sf).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(T.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(T.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .select((col("o_custkey") * 2L).as("a"), (col("l_suppkey") * 2L + 1L).as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find).map { case (_, members) =>
+      val mn = members.min
+      mn -> ((members.size.toLong, mn))
+    }
+    val out = SparkEntry.queries("graph_cc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expected,
+      "graph_cc components differ from the independent union-find result")
   }
 
   test("chunk law: 32/24 windows cover every token position; interior overlap is 8") {
