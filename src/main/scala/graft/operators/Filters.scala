@@ -58,6 +58,47 @@ object Filters {
              |      FROM documents)
              |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
 
+    // Temperature-weighted training-mix sampling: per-language keep
+    // probability chosen so kept counts are ∝ n_lang^α with α = 1/2 — the
+    // standard LLM multilingual rebalance (upweight low-resource languages
+    // without discarding the head entirely). The smallest language anchors
+    // at keep-prob 1 (f = min(1, sqrt(n_ref / n_lang)), n_ref = smallest
+    // stratum), so kept_lang = n_lang·f ∝ sqrt(n_lang). Membership is the
+    // same engine-portable Knuth-hash slice as sample_stratified — and
+    // α = 1/2 keeps the threshold bit-identical across engines because
+    // sqrt and the divide are IEEE correctly-rounded in both (a pow() with
+    // arbitrary α is not). Scale shape: the per-lang count table is
+    // #languages rows → broadcast back; the corpus itself NEVER shuffles —
+    // count partial-agg + broadcast-join + pushdown-able filter. This is
+    // the quota-free sibling of sample_stratified's rank window.
+    QDef(
+      "sample_temperature",
+      (s, dir) => {
+        val d = T.documents(s, dir).select("doc_id", "lang")
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val nref = counts.agg(min("n_total").as("n_ref"))
+        val th = counts.crossJoin(broadcast(nref))
+          .withColumn("thresh",
+            floor(least(lit(1.0),
+              sqrt(col("n_ref").cast("double") / col("n_total"))) * 1e6)
+              .cast("long"))
+          .select("lang", "n_total", "thresh")
+        d.join(broadcast(th), "lang")
+          .where((col("doc_id") * 2654435761L) % 1000000L < col("thresh"))
+          .select("lang", "doc_id", "n_total", "thresh")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+             |r AS (SELECT min(n_total) AS n_ref FROM c),
+             |t AS (SELECT lang, n_total,
+             |    CAST(floor(least(1.0,
+             |      sqrt(CAST(n_ref AS DOUBLE) / n_total)) * 1e6) AS BIGINT) AS thresh
+             |  FROM c CROSS JOIN r)
+             |SELECT d.lang, d.doc_id, t.n_total, t.thresh
+             |FROM documents d JOIN t ON d.lang = t.lang
+             |WHERE (d.doc_id * 2654435761) % 1000000 < t.thresh
+             |ORDER BY d.lang, d.doc_id""".stripMargin)),
+
     // Scalar-subquery filter: rows above the global average — the broadcast-
     // scalar idiom (one-row aggregate broadcast to every partition; no
     // driver round-trip, no collect). Catalyst plans the DataFrame cross

@@ -512,6 +512,63 @@ object Joins {
              |  floor((sum(o.o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |WHERE c.c_mktsegment = 'BUILDING'
-             |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin))
+             |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)),
+
+    // Batch MERGE / upsert — the lakehouse CDC-compaction shape: apply a
+    // changeset (upserts + delete markers) to a base snapshot and emit the
+    // merged table with a per-key disposition. One FULL OUTER equi-join on
+    // the key + coalesce picks the surviving value; deletes drop the value,
+    // unmatched delete markers surface as explicit no-ops (an auditable
+    // CDC-replay artifact rather than a silent drop). Base and changeset
+    // are both deterministic arithmetic slices of `orders` so the oracle is
+    // the identical join. At 100 TB this is ONE co-partitioned shuffle per
+    // side on the merge key — and when the base is bucketed/clustered by
+    // key (sink_bucketed), the base side's exchange disappears entirely;
+    // AQE turns a small changeset into a broadcast and the base never
+    // shuffles at all. No window, no skew exposure (merge keys are unique
+    // per side by construction, as in any primary-key MERGE).
+    QDef(
+      "table_merge",
+      (s, dir) => {
+        val base = T.orders(s, dir)
+          .where(col("o_orderkey") % 4L =!= 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("b_val"))
+        val changes = T.orders(s, dir)
+          .where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.1, 2).as("c_val"),
+            when(col("o_orderkey") % 21L === 0L, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        base.join(changes, Seq("key"), "full_outer")
+          .withColumn("disposition",
+            when(col("op") === "D" && col("b_val").isNotNull, lit("delete"))
+              .when(col("op") === "D", lit("noop"))
+              .when(col("op") === "U" && col("b_val").isNotNull, lit("update"))
+              .when(col("op") === "U", lit("insert"))
+              .otherwise(lit("keep")))
+          .withColumn("val",
+            when(col("op") === "D", lit(null).cast("double"))
+              .otherwise(coalesce(col("c_val"), col("b_val"))))
+          .select("key", "disposition", "val")
+          .orderBy("key")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS b_val
+             |  FROM orders WHERE o_orderkey % 4 <> 0),
+             |changes AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 1.1) * 1e2 + 0.5) / 1e2 AS c_val,
+             |    CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM orders WHERE o_orderkey % 3 = 0)
+             |SELECT coalesce(b.key, c.key) AS key,
+             |  CASE WHEN c.op = 'D' AND b.key IS NOT NULL THEN 'delete'
+             |       WHEN c.op = 'D' THEN 'noop'
+             |       WHEN c.op = 'U' AND b.key IS NOT NULL THEN 'update'
+             |       WHEN c.op = 'U' THEN 'insert'
+             |       ELSE 'keep' END AS disposition,
+             |  CASE WHEN c.op = 'D' THEN NULL
+             |       ELSE coalesce(c.c_val, b.b_val) END AS val
+             |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+             |ORDER BY key""".stripMargin))
   )
 }

@@ -88,6 +88,28 @@ class PlanShapeSpec extends SparkSpec {
       "decontamination degraded to an all-pairs plan")
   }
 
+  test("table_merge: one co-partitioned shuffle per side, full-outer stays SMJ") {
+    val p = plan("table_merge")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      "merge no longer plans as a full-outer sort-merge join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"merge should shuffle each side once on the key, saw $exchanges hash exchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sample_temperature: corpus attaches thresholds via broadcast, never shuffles") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-lang threshold table not broadcast back to the corpus")
+    // the only hash exchanges allowed are the #languages-row count aggs
+    // (the counts subtree appears under both the threshold and the n_ref
+    // branches); the corpus side itself must never hash-partition
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"corpus-side shuffle crept into temperature sampling: $exchanges hash exchanges")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
