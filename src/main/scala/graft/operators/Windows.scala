@@ -310,6 +310,89 @@ object Windows {
              |LEFT JOIN v USING (user_id)
              |LEFT JOIN c USING (user_id)
              |LEFT JOIN p USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Type-2 slowly-changing-dimension history build — the lakehouse
+    // dimension-maintenance op next to table_merge's fact upsert: collapse a
+    // change log to attribute-change points, then derive each version's
+    // validity interval [valid_from, valid_to) with lead(), open interval =
+    // current version. Both window passes (change detection, interval
+    // derivation) share ONE user_id shuffle — the win_sessionize
+    // single-exchange idiom; at 100 TB this is one co-partitioned pass over
+    // the log, no join, no skew beyond the per-key history length. Time is
+    // exact integer epoch seconds; event_id breaks ts ties.
+    QDef(
+      "table_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        T.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("t"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("t"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("event_type"), col("t").as("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events),
+             |ch AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    lag(event_type) OVER w AS prev
+             |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |cp AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, t AS valid_from,
+             |  lead(t) OVER w AS valid_to,
+             |  (lead(t) OVER w IS NULL) AS is_current
+             |FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+             |ORDER BY user_id, valid_from""".stripMargin)),
+
+    // Time-series gap fill + forward fill (last observation carried
+    // forward): densify each key's daily series over its own [min_day,
+    // max_day] span, then LOCF via last(ignoreNulls) over the day order —
+    // the standard regularization pass before resampling/joining
+    // irregular series (lightcurve cadences included). Per-day value is
+    // max() — exact, merge-order-free; the fill copies doubles without
+    // arithmetic, so the output is bit-deterministic. Scale shape: every
+    // stage keys on user_id (daily agg, span agg, grid join, fill window);
+    // the grid explode is bounded by each key's own day span, never a
+    // global calendar cross join.
+    QDef(
+      "ts_fillgaps",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"), col("value"))
+        val daily = obs.groupBy("user_id", "day").agg(max("value").as("obs_v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled", last(col("obs_v"), ignoreNulls = true).over(w))
+          .select("user_id", "day", "obs_v", "filled")
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+             |  FROM events),
+             |d AS (SELECT user_id, day, max(value) AS obs_v
+             |      FROM obs GROUP BY user_id, day),
+             |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |      FROM d GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM b),
+             |j AS (SELECT g.user_id, g.day, d.obs_v
+             |      FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day)
+             |SELECT user_id, day, obs_v,
+             |  last_value(obs_v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled
+             |FROM j ORDER BY user_id, day""".stripMargin))
   )
 }
