@@ -110,6 +110,21 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side shuffle crept into temperature sampling: $exchanges hash exchanges")
   }
 
+  test("table_scd2: change-detect and interval windows share one user_id shuffle") {
+    val p = plan("table_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"SCD2 should shuffle once on user_id for both window passes, saw $exchanges")
+  }
+
+  test("ts_fillgaps: grid join stays an equi-join, never a calendar cross join") {
+    val p = plan("ts_fillgaps")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gap-fill grid degraded to an all-pairs plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "no equi-join operator in the plan")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
