@@ -187,6 +187,73 @@ object Graph {
              |fin AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
              |SELECT lbl AS component, count(*) AS n_nodes,
              |  CAST(min(node) AS BIGINT) AS min_node
-             |FROM fin GROUP BY lbl ORDER BY component""".stripMargin))
+             |FROM fin GROUP BY lbl ORDER BY component""".stripMargin)),
+
+    // Triangle enumeration over the part co-purchase graph — the third
+    // iterative-free graph shape (components, propagation, and now motif
+    // counting). Two scale levers, both standard:
+    //   1. SUPPORT THRESHOLD: an edge is a part pair co-purchased in >= 2
+    //      orders — the sparsification that keeps a co-occurrence graph
+    //      from densifying as the corpus grows (pair instances are bounded
+    //      per order by items², never corpus²).
+    //   2. DEGREE-ORDERED ORIENTATION: each undirected edge points from its
+    //      lower-(degree, id) endpoint, so every triangle is enumerated
+    //      exactly once from its lowest vertex and per-vertex wedge work is
+    //      bounded by out-degree² — the arboricity bound that keeps hub
+    //      vertices from exploding the wedge join (id-only orientation
+    //      leaves a high-degree hub with all its wedges; degree ordering
+    //      splits them). The (degree, id) tuple rides along as a struct and
+    //      orders lexicographically — no global rank window needed.
+    // The wedge pass and the closing pass are plain equi-joins; the edge
+    // frame is localCheckpoint'd once (it feeds three join sides). The
+    // oracle enumerates naively in id order — same triangle set, since
+    // orientation only affects WHERE each triangle is counted from.
+    QDef(
+      "graph_triangles",
+      (s, dir) => {
+        val li = T.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val co = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2L)
+          .select("a", "b")
+        val deg = co.select(col("a").as("v"))
+          .unionAll(co.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        def dv(d: String, v: String) =
+          struct(col(d).as("d"), col(v).as("v"))
+        val aLow = dv("da", "a") < dv("db", "b")
+        val e = co
+          .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+          .select(
+            when(aLow, col("a")).otherwise(col("b")).as("vs"),
+            when(aLow, col("b")).otherwise(col("a")).as("vt"),
+            when(aLow, dv("db", "b")).otherwise(dv("da", "a")).as("kt"))
+          .localCheckpoint()
+        val wedges = e.as("e1").join(e.as("e2"),
+            col("e1.vs") === col("e2.vs") && col("e1.kt") < col("e2.kt"))
+          .select(col("e1.vs").as("v1"), col("e1.vt").as("v2"),
+            col("e2.vt").as("v3"))
+        wedges
+          .join(e.select(col("vs").as("v2"), col("vt").as("v3")), Seq("v2", "v3"))
+          .select(array_sort(array(col("v1"), col("v2"), col("v3"))).as("t"))
+          .select(element_at(col("t"), 1).as("s1"),
+            element_at(col("t"), 2).as("s2"),
+            element_at(col("t"), 3).as("s3"))
+          .orderBy("s1", "s2", "s3")
+      },
+      Some("""WITH co AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
+             |FROM co e1
+             |JOIN co e2 ON e2.a = e1.b
+             |JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 }

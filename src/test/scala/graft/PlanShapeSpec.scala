@@ -125,6 +125,12 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "no equi-join operator in the plan")
   }
 
+  test("graph_triangles: wedge and closing passes stay equi-joins") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "triangle enumeration degraded to an all-pairs plan")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
