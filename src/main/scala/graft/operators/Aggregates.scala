@@ -172,6 +172,41 @@ object Aggregates {
       },
       None),
 
+    // Incremental aggregate maintenance (exact-state IVM) — the refresh
+    // pattern behind every materialized per-key rollup at 100 TB: the BASE
+    // state table (one row per key, already aggregated) absorbs a DELTA
+    // partition's partial states via a full-outer merge, so refresh cost is
+    // O(delta + keys touched), never O(corpus re-scan). States here are the
+    // algebraic pair (count, integer-cent sum) — associative and
+    // commutative, so merged-state ≡ direct-aggregate, which is EXACTLY
+    // what the oracle computes (one aggregate over the whole table). The
+    // exact-state sibling of agg_sketch_reagg's lossy HLL rollup. The day
+    // split is integer epoch arithmetic; cents are grid-exact longs.
+    QDef(
+      "agg_incremental",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            rnd(col("value") * 100.0, 0).cast("long").as("cents"))
+        val cut = 19738L // 2024-01-16: mid-fixture split (events span Jan 1-30)
+        def state(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        val base  = state(ev.where(col("day") <  cut))
+          .select(col("user_id"), col("n").as("n0"), col("s").as("s0"))
+        val delta = state(ev.where(col("day") >= cut))
+          .select(col("user_id"), col("n").as("n1"), col("s").as("s1"))
+        base.join(delta, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_events"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L))).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Statistical aggregates — the lightcurve "variability features" analogue
     // (stddev/variance of a value series per object).
     QDef(
