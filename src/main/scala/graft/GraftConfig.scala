@@ -92,4 +92,29 @@ object GraftConfig {
     * Fixture events span 30 days; 7 × 1-day bins populates every bin. */
   val SfLagBinSec = 86400L
   val SfLagBins = 7L
+
+  /** Co-occurrence support threshold for graph_triangles' edge set: a part
+    * pair becomes an edge only if co-purchased in >= this many orders.
+    * The sparsifier that keeps a co-occurrence graph from densifying as
+    * the corpus grows — production tunes it so expected pair support under
+    * independence stays well below the cut (pair instances are bounded
+    * per order by items², so the counting pass itself is always linear
+    * in orders). 2 keeps all three fixture scales non-empty (3810/96/6
+    * triangles). */
+  val TriangleSupport = 2L
+
+  /** Temperature-mix exponent for sample_temperature is FIXED at α = 1/2,
+    * not a knob: the keep-threshold floor(sqrt(n_ref/n)·1e6) is
+    * bit-identical across engines only because sqrt and divide are IEEE
+    * correctly-rounded everywhere — an arbitrary pow(n, α) is not. To
+    * change the temperature, change the closed form (e.g. α = 1/4 is
+    * sqrt(sqrt(x))), never to pow(). The keep-hash modulus below pairs
+    * with the 1e6 threshold scale. */
+  val TempSampleModulus = 1000000L
+
+  /** Incremental-maintenance split day (agg_incremental): the fixture's
+    * stand-in for "the new partition" — events span 2024-01-01..30, so
+    * day 19738 (2024-01-16) gives both sides real mass. Production passes
+    * the delta's partition predicate here; the merge shape is invariant. */
+  val IncrementalCutDay = 19738L
 }

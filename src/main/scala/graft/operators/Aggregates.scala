@@ -189,7 +189,7 @@ object Aggregates {
           .select(col("user_id"),
             expr("unix_timestamp(ts) div 86400").as("day"),
             rnd(col("value") * 100.0, 0).cast("long").as("cents"))
-        val cut = 19738L // 2024-01-16: mid-fixture split (events span Jan 1-30)
+        val cut = graft.GraftConfig.IncrementalCutDay
         def state(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("user_id")
             .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))

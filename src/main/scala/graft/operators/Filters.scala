@@ -84,20 +84,21 @@ object Filters {
               .cast("long"))
           .select("lang", "n_total", "thresh")
         d.join(broadcast(th), "lang")
-          .where((col("doc_id") * 2654435761L) % 1000000L < col("thresh"))
+          .where((col("doc_id") * 2654435761L) % graft.GraftConfig.TempSampleModulus
+            < col("thresh"))
           .select("lang", "doc_id", "n_total", "thresh")
           .orderBy("lang", "doc_id")
       },
-      Some("""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
-             |r AS (SELECT min(n_total) AS n_ref FROM c),
-             |t AS (SELECT lang, n_total,
-             |    CAST(floor(least(1.0,
-             |      sqrt(CAST(n_ref AS DOUBLE) / n_total)) * 1e6) AS BIGINT) AS thresh
-             |  FROM c CROSS JOIN r)
-             |SELECT d.lang, d.doc_id, t.n_total, t.thresh
-             |FROM documents d JOIN t ON d.lang = t.lang
-             |WHERE (d.doc_id * 2654435761) % 1000000 < t.thresh
-             |ORDER BY d.lang, d.doc_id""".stripMargin)),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+              |r AS (SELECT min(n_total) AS n_ref FROM c),
+              |t AS (SELECT lang, n_total,
+              |    CAST(floor(least(1.0,
+              |      sqrt(CAST(n_ref AS DOUBLE) / n_total)) * 1e6) AS BIGINT) AS thresh
+              |  FROM c CROSS JOIN r)
+              |SELECT d.lang, d.doc_id, t.n_total, t.thresh
+              |FROM documents d JOIN t ON d.lang = t.lang
+              |WHERE (d.doc_id * 2654435761) % ${graft.GraftConfig.TempSampleModulus} < t.thresh
+              |ORDER BY d.lang, d.doc_id""".stripMargin)),
 
     // Scalar-subquery filter: rows above the global average — the broadcast-
     // scalar idiom (one-row aggregate broadcast to every partition; no

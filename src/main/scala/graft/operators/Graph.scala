@@ -217,7 +217,7 @@ object Graph {
               col("x.l_partkey") < col("y.l_partkey"))
           .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
           .agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2L)
+          .where(col("w") >= graft.GraftConfig.TriangleSupport)
           .select("a", "b")
         val deg = co.select(col("a").as("v"))
           .unionAll(co.select(col("b").as("v")))
@@ -245,15 +245,15 @@ object Graph {
             element_at(col("t"), 3).as("s3"))
           .orderBy("s1", "s2", "s3")
       },
-      Some("""WITH co AS (
-             |  SELECT x.l_partkey AS a, y.l_partkey AS b
-             |  FROM lineitem x JOIN lineitem y
-             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-             |  GROUP BY 1, 2 HAVING count(*) >= 2)
-             |SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
-             |FROM co e1
-             |JOIN co e2 ON e2.a = e1.b
-             |JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
-             |ORDER BY 1, 2, 3""".stripMargin))
+      Some(s"""WITH co AS (
+              |  SELECT x.l_partkey AS a, y.l_partkey AS b
+              |  FROM lineitem x JOIN lineitem y
+              |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+              |  GROUP BY 1, 2 HAVING count(*) >= ${graft.GraftConfig.TriangleSupport})
+              |SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
+              |FROM co e1
+              |JOIN co e2 ON e2.a = e1.b
+              |JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
+              |ORDER BY 1, 2, 3""".stripMargin))
   )
 }
