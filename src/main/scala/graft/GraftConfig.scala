@@ -117,4 +117,19 @@ object GraftConfig {
     * day 19738 (2024-01-16) gives both sides real mass. Production passes
     * the delta's partition predicate here; the merge shape is invariant. */
   val IncrementalCutDay = 19738L
+
+  /** PSI alert threshold for agg_drift's snapshot-over-snapshot
+    * distribution monitor. Industry convention: < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 action required. The fixture halves are drawn
+    * from one generator, so 0.1 marks them stable — which is itself the
+    * assertion: a drift monitor that alarms on same-distribution data is
+    * miscalibrated. */
+  val DriftPsiAlert = 0.1
+
+  /** Compaction target size for table_compact's bin-packing planner, in
+    * the planner's byte-proxy units. Production = the lake's target file
+    * size (e.g. 512 MB); the fixture proxy (row-count·100) makes multi-
+    * file bins at every scale. The planner is metadata-only — cost scales
+    * with file COUNT, not data volume. */
+  val CompactTargetBytes = 4000L
 }

@@ -1049,6 +1049,78 @@ object Aggregates {
              |       THEN floor((f.mssd / f.var_cal) * 1e6 + 0.5) / 1e6 END < 1.5
              |    AND f.amplitude > 0.2, false) AS is_variable
              |FROM tot LEFT JOIN f USING (user_id)
-             |ORDER BY tot.user_id""".stripMargin))
+             |ORDER BY tot.user_id""".stripMargin)),
+
+    // Distribution-drift monitor (PSI): compare the value distribution of
+    // each event type across the two halves of the observed time range —
+    // the data-quality gate a training pipeline runs between snapshot N and
+    // N+1 before re-training (population stability index, the standard
+    // score: <0.1 stable, >0.25 action). Buckets are the agg_hist fixed
+    // width (no min/max pass), the split point is the (min+max)/2 epoch
+    // midpoint — one broadcast scalar, integer arithmetic. Laplace-smoothed
+    // shares ((n+1)/(N+B)) keep ln() finite on one-sided buckets. Scale
+    // shape: the corpus crosses the wire ONCE as a (type, bucket) count
+    // pass with map-side partials (constant result size); the PSI fold then
+    // runs on ≤ types × buckets rows — per-bucket arithmetic is fixed-order
+    // IEEE, the ~17-term sum is rnd()-guarded like every FP aggregate here.
+    QDef(
+      "agg_drift",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .select(col("event_type"), col("value"),
+            unix_timestamp(col("ts")).as("t"))
+        val mid = obs.agg(min("t").as("mn"), max("t").as("mx"))
+          .select(expr("(mn + mx) div 2").as("mid"))
+        // localCheckpoint: the (type, bucket) count table feeds BOTH the
+        // totals and the join back — without it each branch re-scans the
+        // corpus (the dedup_cluster idiom; the checkpointed frame is
+        // ≤ types × buckets rows).
+        val c = obs.crossJoin(broadcast(mid))
+          .withColumn("bucket", floor(col("value") / 25.0).cast("long"))
+          .groupBy("event_type", "bucket")
+          .agg(count(when(col("t") < col("mid"), 1)).as("nr"),
+            count(when(col("t") >= col("mid"), 1)).as("nc"))
+          .localCheckpoint()
+        val tot = c.groupBy("event_type")
+          .agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"),
+            count(lit(1)).as("n_buckets"))
+        c.join(broadcast(tot), "event_type")
+          .withColumn("p", (col("nr") + lit(1L)).cast("double") /
+            (col("n_ref") + col("n_buckets")).cast("double"))
+          .withColumn("q", (col("nc") + lit(1L)).cast("double") /
+            (col("n_cur") + col("n_buckets")).cast("double"))
+          .groupBy("event_type")
+          .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+            max("n_buckets").as("n_buckets"),
+            rnd(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+              .as("psi"))
+          .withColumn("drifted", col("psi") >= graft.GraftConfig.DriftPsiAlert)
+          .orderBy("event_type")
+      },
+      Some(s"""WITH obs AS (
+              |  SELECT event_type, value,
+              |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+              |  FROM events),
+              |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM obs),
+              |c AS (
+              |  SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+              |    count(*) FILTER (WHERE t < mid) AS nr,
+              |    count(*) FILTER (WHERE t >= mid) AS nc
+              |  FROM obs CROSS JOIN m GROUP BY event_type, bucket),
+              |tot AS (
+              |  SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+              |    CAST(sum(nc) AS BIGINT) AS n_cur, count(*) AS n_buckets
+              |  FROM c GROUP BY event_type),
+              |term AS (
+              |  SELECT c.event_type, tot.n_ref, tot.n_cur, tot.n_buckets,
+              |    CAST(c.nr + 1 AS DOUBLE) / CAST(tot.n_ref + tot.n_buckets AS DOUBLE) AS p,
+              |    CAST(c.nc + 1 AS DOUBLE) / CAST(tot.n_cur + tot.n_buckets AS DOUBLE) AS q
+              |  FROM c JOIN tot USING (event_type))
+              |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+              |  max(n_buckets) AS n_buckets,
+              |  floor((sum((p - q) * ln(p / q))) * 1e6 + 0.5) / 1e6 AS psi,
+              |  floor((sum((p - q) * ln(p / q))) * 1e6 + 0.5) / 1e6
+              |    >= ${graft.GraftConfig.DriftPsiAlert} AS drifted
+              |FROM term GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

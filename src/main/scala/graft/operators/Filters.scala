@@ -100,6 +100,46 @@ object Filters {
               |WHERE (d.doc_id * 2654435761) % ${graft.GraftConfig.TempSampleModulus} < t.thresh
               |ORDER BY d.lang, d.doc_id""".stripMargin)),
 
+    // Deterministic train/validation/test split: every document lands in
+    // exactly one split by Knuth-hash bucket (80/10/10), so the assignment
+    // is a pure function of the key — re-runnable on any engine, stable
+    // under re-partitioning, and consistent with the dedup/decontam passes
+    // (a doc near-duplicated across splits is caught by key, not by which
+    // executor sampled it — the leakage failure mode of RNG splits).
+    // Output is the per-(lang, split) contingency table plus each split's
+    // within-language share. Scale shape: the split column is a pushdown-
+    // able projection (no shuffle to assign); the count table is
+    // #langs × 3 rows from one partial-agg groupBy; the share window runs
+    // on that tiny aggregate, never the corpus.
+    QDef(
+      "sample_split",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        T.documents(s, dir)
+          .withColumn("b", (col("doc_id") * 2654435761L) % 1000000007L % 100L)
+          .withColumn("split",
+            when(col("b") < 80L, "train")
+              .when(col("b") < 90L, "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("lang_share",
+            rnd(col("n_docs").cast("double") / sum("n_docs").over(w), 6))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH a AS (
+             |  SELECT lang,
+             |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+             |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |c AS (SELECT lang, split, count(*) AS n_docs FROM a GROUP BY lang, split)
+             |SELECT lang, split, n_docs,
+             |  floor((CAST(n_docs AS DOUBLE) /
+             |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)) * 1e6 + 0.5) / 1e6
+             |    AS lang_share
+             |FROM c ORDER BY lang, split""".stripMargin)),
+
     // Scalar-subquery filter: rows above the global average — the broadcast-
     // scalar idiom (one-row aggregate broadcast to every partition; no
     // driver round-trip, no collect). Catalyst plans the DataFrame cross

@@ -404,6 +404,57 @@ object Scans {
              |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total,
              |  count(DISTINCT x) AS n_x, count(DISTINCT y) AS n_y
              |FROM keyed
-             |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 159""".stripMargin))
+             |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 159""".stripMargin)),
+
+    // Small-file compaction planner — the lakehouse maintenance pass that
+    // turns a write-amplified partition (thousands of tiny files from
+    // streaming/CDC ingest) into a rewrite schedule of ~target-size output
+    // files. The per-day ingest slices of each order month stand in for
+    // the file listing (file bytes ∝ row count — the proxy a catalog's
+    // listing provides); within each table-partition files are laid along
+    // a cumulative-byte axis and output bin = bytes-before div target —
+    // the one-pass windowed form of greedy packing (every bin lands in
+    // [target, target+max_file) except the last, same guarantee OPTIMIZE
+    // gives, without first-fit's sequential dependence). All integer
+    // arithmetic. Scale shape: the planner runs on FILE METADATA — rows =
+    // file count, shuffled once on the partition key; the window state is
+    // one running sum; the data itself is never read. The emitted
+    // (partition, bin) schedule is exactly what the rewrite job's
+    // repartitionByRange consumes.
+    QDef(
+      "table_compact",
+      (s, dir) => {
+        val target = graft.GraftConfig.CompactTargetBytes
+        val files = T.orders(s, dir)
+          .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("mon"),
+            col("o_orderdate").cast("string").as("fday"))
+          .agg((count(lit(1)) * 100L).as("bytes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("mon").orderBy("fday")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        files
+          .withColumn("cum", sum("bytes").over(w))
+          .withColumn("bin", expr(s"(cum - bytes) div $target"))
+          .groupBy("mon", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+            min("fday").as("first_file"), max("fday").as("last_file"))
+          .orderBy("mon", "bin")
+      },
+      Some(s"""WITH files AS (
+              |  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS mon,
+              |    CAST(o_orderdate AS VARCHAR) AS fday,
+              |    count(*) * 100 AS bytes
+              |  FROM orders GROUP BY 1, 2),
+              |laid AS (
+              |  SELECT mon, fday, bytes,
+              |    (CAST(sum(bytes) OVER (PARTITION BY mon ORDER BY fday
+              |       ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes)
+              |      // ${graft.GraftConfig.CompactTargetBytes} AS bin
+              |  FROM files)
+              |SELECT mon, bin, count(*) AS n_files,
+              |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+              |  min(fday) AS first_file, max(fday) AS last_file
+              |FROM laid GROUP BY mon, bin ORDER BY mon, bin""".stripMargin))
   )
 }

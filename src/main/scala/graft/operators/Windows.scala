@@ -393,6 +393,80 @@ object Windows {
              |SELECT user_id, day, obs_v,
              |  last_value(obs_v IGNORE NULLS) OVER (PARTITION BY user_id
              |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled
-             |FROM j ORDER BY user_id, day""".stripMargin))
+             |FROM j ORDER BY user_id, day""".stripMargin)),
+
+    // Time-series gap fill by LINEAR INTERPOLATION — the resampling sibling
+    // of ts_fillgaps' LOCF: each missing day gets
+    // v_prev + (v_next − v_prev)·(day − d_prev)/(d_next − d_prev), edges
+    // clamp to the nearest observation. The bracketing observation and its
+    // day ride in ONE struct per direction (last/first ignoreNulls over
+    // the same user_id/day order), so all four carriers plus the fill share
+    // a single Exchange + sort — the table_scd2 single-shuffle idiom. The
+    // interpolation itself is fixed-operand-order IEEE arithmetic on
+    // deterministic inputs (per-day value is max() — merge-order-free), so
+    // the unrounded doubles are bit-identical cross-engine; rnd() guards
+    // the division anyway. Scale: identical to ts_fillgaps — per-key grid,
+    // no global calendar, window state O(1) per direction.
+    QDef(
+      "ts_interp",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"), col("value"))
+        val daily = obs.groupBy("user_id", "day").agg(max("value").as("obs_v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wp = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val carrier = when(col("obs_v").isNotNull,
+          struct(col("day").as("d"), col("obs_v").as("v")))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("p", last(carrier, ignoreNulls = true).over(wp))
+          .withColumn("nx", first(carrier, ignoreNulls = true).over(wn))
+          .select(col("user_id"), col("day"), col("obs_v"),
+            rnd(
+              when(col("obs_v").isNotNull, col("obs_v"))
+                .when(col("p").isNull, col("nx.v"))
+                .when(col("nx").isNull, col("p.v"))
+                .otherwise(col("p.v") + (col("nx.v") - col("p.v")) *
+                  ((col("day") - col("p.d")).cast("double") /
+                    (col("nx.d") - col("p.d")).cast("double"))),
+              6).as("interp"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+             |  FROM events),
+             |d AS (SELECT user_id, day, max(value) AS obs_v
+             |      FROM obs GROUP BY user_id, day),
+             |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |      FROM d GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM b),
+             |j AS (SELECT g.user_id, g.day, d.obs_v
+             |      FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day),
+             |f AS (SELECT user_id, day, obs_v,
+             |  last_value(CASE WHEN obs_v IS NOT NULL THEN day END IGNORE NULLS)
+             |    OVER wp AS pd,
+             |  last_value(obs_v IGNORE NULLS) OVER wp AS pv,
+             |  first_value(CASE WHEN obs_v IS NOT NULL THEN day END IGNORE NULLS)
+             |    OVER wn AS nd,
+             |  first_value(obs_v IGNORE NULLS) OVER wn AS nv
+             |  FROM j WINDOW
+             |    wp AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING),
+             |    wn AS (PARTITION BY user_id ORDER BY day
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, day, obs_v,
+             |  floor((CASE WHEN obs_v IS NOT NULL THEN obs_v
+             |    WHEN pd IS NULL THEN nv
+             |    WHEN nd IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
+             |                           CAST(nd - pd AS DOUBLE))
+             |  END) * 1e6 + 0.5) / 1e6 AS interp
+             |FROM f ORDER BY user_id, day""".stripMargin))
   )
 }

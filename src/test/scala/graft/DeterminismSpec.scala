@@ -43,7 +43,11 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_lightcurve",
     // round-5 risk classes: full-outer merge disposition under coalesce
     // (table_merge), count^alpha keep-threshold boundary (temperature mix)
-    "table_merge", "sample_temperature")
+    "table_merge", "sample_temperature",
+    // round-5 batch 2: FP ln-ratio sums over merge-ordered bucket partials
+    // (PSI), interpolation division fed by window carriers (interp), share
+    // division over partial-agg counts (split)
+    "agg_drift", "ts_interp", "sample_split")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     risky.foreach { name =>

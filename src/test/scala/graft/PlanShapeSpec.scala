@@ -125,6 +125,45 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "no equi-join operator in the plan")
   }
 
+  test("ts_interp: both direction windows share one sort, no window exchange") {
+    val p = plan("ts_interp")
+    assert(!p.contains("CartesianProduct"), "interp grid degraded to all-pairs")
+    // the grid's user_id aggregation already partitions for the window
+    // stack: the preceding- and following-frame Window nodes must ride it
+    // (2 hash exchanges = grid agg + daily agg; windows add none)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"window stack stopped reusing the grid partitioning: $exchanges hash exchanges")
+    assert("Window".r.findAllIn(p).length >= 2, "carrier windows missing")
+  }
+
+  test("sample_split: assignment is a projection — no join, two tiny exchanges") {
+    val p = plan("sample_split")
+    assert(!p.contains("Join"), "hash split assignment should not join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"split contingency table should shuffle at most twice (agg + share window), saw $exchanges")
+  }
+
+  test("agg_drift: corpus counted once (checkpointed), totals broadcast back") {
+    val p = plan("agg_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type totals not broadcast back onto the bucket counts")
+    // the (type, bucket) count table is localCheckpoint'ed: the corpus
+    // scan+count subtree must appear once, not once per branch
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 1,
+      "bucket-count checkpoint missing — corpus would be re-scanned per branch")
+    assert(!p.contains("parquet"), "corpus scan leaked past the checkpoint")
+  }
+
+  test("table_compact: metadata-only plan — no join, window rides the file agg") {
+    val p = plan("table_compact")
+    assert(!p.contains("Join"), "compaction planner should never join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"file-listing planner grew unexpected shuffles: $exchanges hash exchanges")
+  }
+
   test("graph_triangles: wedge and closing passes stay equi-joins") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"),
