@@ -126,6 +126,19 @@ object GraftConfig {
     * miscalibrated. */
   val DriftPsiAlert = 0.1
 
+  /** k-core peeling (graph_kcore): nodes of degree < KCoreK are removed
+    * in rounds until fixpoint — the standard dense-subgraph filter before
+    * community/motif work (and the co-purchase sibling of the triangle
+    * pass: every triangle lives in the 2-core). Rounds are bounded by the
+    * graph's peeling depth, NOT its size: each round removes every
+    * current sub-k node in one partial-agg degree count + two semi-joins,
+    * so the budget is a safety valve exactly like MaxCcRounds — overrun
+    * raises, and the oracle unrolls exactly KCoreMaxRounds rounds (extra
+    * rounds past fixpoint are no-ops, so the two engines agree whenever
+    * Spark converges within budget). */
+  val KCoreK = 2L
+  val KCoreMaxRounds = 10
+
   /** Compaction target size for table_compact's bin-packing planner, in
     * the planner's byte-proxy units. Production = the lake's target file
     * size (e.g. 512 MB); the fixture proxy (row-count·100) makes multi-
