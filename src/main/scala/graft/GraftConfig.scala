@@ -126,6 +126,17 @@ object GraftConfig {
     * miscalibrated. */
   val DriftPsiAlert = 0.1
 
+  /** Delta slice for dedup_incremental: docs with
+    * doc_id % DedupDeltaMod == DedupDeltaRem (~1/DedupDeltaMod of the
+    * corpus) play "today's crawl" probing the remaining standing base.
+    * Production replaces the modulus predicate with the delta partition's
+    * ingest-date filter; the probe shape (broadcast delta bands vs the
+    * standing signature table) is invariant. The remainder is chosen
+    * non-zero so the slice is not also a power-of-two bit mask of any
+    * fixture id pattern. */
+  val DedupDeltaMod = 10L
+  val DedupDeltaRem = 7L
+
   /** k-core peeling (graph_kcore): nodes of degree < KCoreK are removed
     * in rounds until fixpoint — the standard dense-subgraph filter before
     * community/motif work (and the co-purchase sibling of the triangle

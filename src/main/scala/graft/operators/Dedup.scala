@@ -145,23 +145,30 @@ object Dedup {
     s"min((s * $a + $b) % $P) AS h$i"
   }
 
-  /** MinHash+LSH candidate pairs (d1 < d2) — the shared front half of
-    * `dedup_minhash` (which emits the pairs) and `dedup_cluster` (which
-    * connects them into components). */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc LSH band rows (doc_id, band, sig_a, sig_b) — the signature
+    * half of the LSH pipeline, shared by the batch self-join candidate
+    * generation ([[candidatePairs]]) and the delta-vs-base probe
+    * (`dedup_incremental`). Band rows come from a single explode over the
+    * signature row — the signature pipeline runs ONCE and fans out to
+    * `Bands` band rows per doc in the same stage (a union of projections
+    * would recompute the pipeline per band, or need a cache to avoid it). */
+  private def bandRows(s: SparkSession, dir: String): DataFrame = {
     val sig = shingles(s, dir).groupBy("doc_id")
       .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
-    // Band rows via a single explode over the signature row — the
-    // signature pipeline runs ONCE and fans out to `Bands` band rows per
-    // doc in the same stage (a union of projections would recompute the
-    // pipeline per band, or need a cache to avoid it).
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array((0 until Bands).map { i =>
         struct(lit(i).cast("long").as("band"),
           col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
+  }
+
+  /** MinHash+LSH candidate pairs (d1 < d2) — the shared front half of
+    * `dedup_minhash` (which emits the pairs) and `dedup_cluster` (which
+    * connects them into components). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(s, dir)
     // Bucket-grouping LSH candidate generation: ONE shuffle on the band
     // key (vs two join sides + sort), then in-bucket pair expansion from
     // the sorted doc list — output is quadratic only in per-bucket
@@ -177,7 +184,10 @@ object Dedup {
       .distinct()
   }
 
-  private val candidatePairsSql =
+  /** Oracle CTE prefix ending in the `bands` table — the SQL counterpart
+    * of [[bandRows]], shared by [[candidatePairsSql]] and
+    * `dedup_incremental`'s delta-vs-base probe. */
+  private val bandsSql =
     s"""WITH tok AS ($tokSql),
        |dict AS ($dictSql),
        |sh AS ($shingleSql),
@@ -187,7 +197,10 @@ object Dedup {
        |bands AS (
        |  ${(0 until Bands).map(i =>
             s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
-            .mkString("\n  UNION ALL\n  ")}),
+            .mkString("\n  UNION ALL\n  ")})""".stripMargin
+
+  private val candidatePairsSql =
+    s"""$bandsSql,
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
        |  FROM bands l JOIN bands r
@@ -669,6 +682,63 @@ object Dedup {
              |  FROM isl)
              |SELECT doc_id, min(start_pos) AS cut_start, max(end_pos) AS cut_end,
              |  count(*) AS n_spans
-             |FROM g GROUP BY doc_id, island ORDER BY doc_id, cut_start""".stripMargin))
+             |FROM g GROUP BY doc_id, island ORDER BY doc_id, cut_start""".stripMargin)),
+
+    // Incremental (delta-vs-base) near-dup — the DAILY operation of a
+    // standing 100 TB corpus: dedup today's crawl against the standing LSH
+    // signature index, never re-pairing the base against itself. The delta
+    // slice (doc_id % DedupDeltaMod == DedupDeltaRem, ~10% of the corpus,
+    // playing "today's crawl" — GraftConfig has the production story)
+    // probes the base band table through ONE broadcast hash join: the
+    // delta band rows BROADCAST (a day's crawl is always broadcast-sized
+    // next to the standing index) and the base-side signature stream is
+    // scanned once — never re-shuffled, never self-joined (PlanShapeSpec
+    // pins no sort-merge join anywhere). min(base doc) per colliding delta
+    // doc is the canonical duplicate target; delta docs with no colliding
+    // band come back 'novel'. In production the base bands are the
+    // STANDING index table (the signature half of dedup_minhash, written
+    // once and appended daily); recomputing them from the corpus here
+    // keeps the query self-contained — the probe shape is identical
+    // either way. This is agg_incremental's delta-merge idiom
+    // (Aggregates.scala) landed in the dedup family.
+    QDef(
+      "dedup_incremental",
+      (s, dir) => {
+        val m = graft.GraftConfig.DedupDeltaMod
+        val r = graft.GraftConfig.DedupDeltaRem
+        val bands = bandRows(s, dir)
+        val isDelta = col("doc_id") % m === r
+        val hits = bands.where(!isDelta)
+          .join(broadcast(bands.where(isDelta).select(
+              col("doc_id").as("delta_id"),
+              col("band"), col("sig_a"), col("sig_b"))),
+            Seq("band", "sig_a", "sig_b"))
+          .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+        T.documents(s, dir).where(isDelta)
+          .select(col("doc_id"))
+          .join(broadcast(hits.select(col("delta_id").as("doc_id"), col("dup_of"))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            when(col("dup_of").isNull, lit("novel"))
+              .otherwise(lit("dup_of_base")).as("status"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = graft.GraftConfig.DedupDeltaMod
+        val r = graft.GraftConfig.DedupDeltaRem
+        s"""$bandsSql,
+           |hits AS (
+           |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of
+           |  FROM bands l JOIN bands r
+           |    ON r.band = l.band AND r.sig_a = l.sig_a AND r.sig_b = l.sig_b
+           |    AND r.doc_id % $m <> $r
+           |  WHERE l.doc_id % $m = $r
+           |  GROUP BY l.doc_id)
+           |SELECT d.doc_id, h.dup_of,
+           |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
+           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |WHERE d.doc_id % $m = $r
+           |ORDER BY d.doc_id""".stripMargin
+      })
   )
 }

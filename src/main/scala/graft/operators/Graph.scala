@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.12 Graph analytics over relational edges.
@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   * lineage (measured in round 2: 8.3 s → 3.0 s for the clustering query).
   */
 object Graph {
+
+  /** Part co-purchase edge list (a < b): a pair of parts becomes an edge
+    * when co-purchased in >= TriangleSupport orders — the support-threshold
+    * sparsification that keeps a co-occurrence graph from densifying as the
+    * corpus grows (pair instances are bounded per order by items², never
+    * corpus²). Shared by `graph_triangles` (motif counting) and
+    * `graph_kcore` (dense-subgraph peeling) — the classic pairing: every
+    * triangle lives entirely inside the 2-core, so peeling first is the
+    * standard prefilter before motif work. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = T.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= graft.GraftConfig.TriangleSupport)
+      .select("a", "b")
+  }
+
+  private val coSql =
+    s"""co AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= ${graft.GraftConfig.TriangleSupport})""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -211,14 +237,7 @@ object Graph {
     QDef(
       "graph_triangles",
       (s, dir) => {
-        val li = T.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val co = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .where(col("w") >= graft.GraftConfig.TriangleSupport)
-          .select("a", "b")
+        val co = coEdges(s, dir)
         val deg = co.select(col("a").as("v"))
           .unionAll(co.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("d"))
@@ -245,15 +264,77 @@ object Graph {
             element_at(col("t"), 3).as("s3"))
           .orderBy("s1", "s2", "s3")
       },
-      Some(s"""WITH co AS (
-              |  SELECT x.l_partkey AS a, y.l_partkey AS b
-              |  FROM lineitem x JOIN lineitem y
-              |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-              |  GROUP BY 1, 2 HAVING count(*) >= ${graft.GraftConfig.TriangleSupport})
+      Some(s"""WITH $coSql
               |SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
               |FROM co e1
               |JOIN co e2 ON e2.a = e1.b
               |JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
-              |ORDER BY 1, 2, 3""".stripMargin))
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // k-core peeling — the dense-subgraph filter that completes the graph
+    // family (components / propagation / motif / dense-subgraph): nodes of
+    // degree < k are removed in ROUNDS until fixpoint, because removing a
+    // node lowers its neighbors' degrees and can drag them under k too.
+    // Output = every node of the k-core with its within-core degree.
+    // Scale shape (see GraftConfig.KCoreK): each round is ONE partial-agg
+    // degree count + TWO semi-joins on the current edge set — O(edges) per
+    // round with the edge set shrinking monotonically — and the round
+    // count is bounded by the graph's PEELING DEPTH, not its size (a
+    // 100 TB co-occurrence graph peels in a handful of rounds; degeneracy
+    // ordering is the sequential sibling, deliberately not used because it
+    // serializes on one global order). Fixpoint detection is a pure edge
+    // COUNT compare: a peel round only ever deletes rows, so an unchanged
+    // count IS set equality — no except() needed (cheaper than graph_cc's
+    // tie-break, which must handle rewritten rows). localCheckpoint per
+    // round truncates the exponentially-inlining lineage; RAISES past the
+    // round budget (an unconverged core is a correctness bug, not a
+    // degraded answer). The oracle unrolls exactly KCoreMaxRounds rounds —
+    // rounds past fixpoint are no-ops, so the engines agree whenever Spark
+    // converges within budget.
+    QDef(
+      "graph_kcore",
+      (s, dir) => {
+        val k = graft.GraftConfig.KCoreK
+        val maxRounds = graft.GraftConfig.KCoreMaxRounds
+        val co = coEdges(s, dir)
+        var und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        var n = und.count()
+        var changed = true
+        var rounds = 0
+        while (changed && rounds < maxRounds) {
+          val keep = und.groupBy("a").agg(count(lit(1)).as("d"))
+            .where(col("d") >= k).select("a")
+          val next = und
+            .join(keep, Seq("a"), "left_semi")
+            .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b"))
+            .localCheckpoint()
+          val nn = next.count()
+          changed = nn != n
+          und = next; n = nn; rounds += 1
+        }
+        require(!changed,
+          s"k-core peeling did not reach fixpoint within $maxRounds rounds")
+        und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+          .orderBy("node")
+      },
+      Some {
+        val k = graft.GraftConfig.KCoreK
+        val maxRounds = graft.GraftConfig.KCoreMaxRounds
+        // MATERIALIZED is load-bearing: each round CTE is referenced three
+        // times by the next (directly + twice through k_i), so DuckDB's
+        // default CTE inlining would expand the unrolled chain 3^rounds-fold.
+        val rounds = (1 to maxRounds).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT a FROM r${i - 1} GROUP BY a HAVING count(*) >= $k),
+             |r$i AS MATERIALIZED (SELECT r.a, r.b FROM r${i - 1} r
+             |  JOIN k$i x ON x.a = r.a JOIN k$i y ON y.a = r.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $coSql,
+           |r0 AS MATERIALIZED (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co),
+           |$rounds
+           |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+           |FROM r$maxRounds GROUP BY a ORDER BY node""".stripMargin
+      })
   )
 }

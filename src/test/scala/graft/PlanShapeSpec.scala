@@ -170,6 +170,22 @@ class PlanShapeSpec extends SparkSpec {
       "triangle enumeration degraded to an all-pairs plan")
   }
 
+  test("graph_kcore: core degrees scan the checkpoint with partial aggregation") {
+    val p = plan("graph_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      "core degrees should scan the final localCheckpoint, not replay the peel rounds")
+    assert(p.contains("partial_count"),
+      "within-core degree count lost map-side partial aggregation")
+  }
+
+  test("dedup_incremental: delta bands broadcast; base signature stream never re-shuffles") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "delta band probe not broadcast — base side would shuffle on the band key")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "base signature stream shuffled into a sort-merge/all-pairs join")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -239,4 +239,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("graph_kcore matches a driver-side peel on the same edge set") {
+    // Independent recompute: collect the co-purchase edges at sf0.001
+    // (small) and peel with plain Scala collections until fixpoint, then
+    // require the (node, within-core degree) map to match exactly. An
+    // early-stopped peel (nodes dragged under k by a removed neighbor
+    // still present) or a degree computed against the pre-peel graph
+    // fails this equality.
+    val T = graft.Tables
+    val li = T.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= graft.GraftConfig.TriangleSupport)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = graft.GraftConfig.KCoreK
+    var es = co
+    var done = false
+    while (!done) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      done = next == es
+      es = next
+    }
+    val expected = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val out = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected,
+      "k-core output diverges from the independent driver-side peel")
+  }
+
+  test("dedup_incremental agrees with the batch candidate pairs on delta membership") {
+    // Consistency law against the already-oracled batch operator: a delta
+    // doc is flagged dup_of_base IFF some batch LSH candidate pair joins
+    // it to a base doc, and its dup_of is the MINIMUM such base partner.
+    // (The incremental probe and the batch self-join share the band
+    // signatures, so their collision relations must coincide exactly.)
+    val m = graft.GraftConfig.DedupDeltaMod
+    val rem = graft.GraftConfig.DedupDeltaRem
+    def isDelta(id: Long) = id % m == rem
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partners = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (a, b) =>
+      if (isDelta(a) && !isDelta(b))
+        partners(a) = partners.getOrElse(a, Set.empty) + b
+      if (isDelta(b) && !isDelta(a))
+        partners(b) = partners.getOrElse(b, Set.empty) + a
+    }
+    val inc = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(inc.nonEmpty, "incremental output is empty — delta slice missed")
+    inc.foreach { case (d, dupOf) =>
+      assert(dupOf === partners.get(d).map(_.min),
+        s"delta doc $d: dup_of $dupOf vs batch-pair partners ${partners.get(d)}")
+    }
+    assert(partners.keySet.subsetOf(inc.keySet),
+      "a delta doc with a batch cross-pair is missing from the incremental output")
+  }
 }
