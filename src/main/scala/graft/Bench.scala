@@ -86,13 +86,22 @@ object Bench {
       dropCaches()
       Pass(dt, ok, clean)
     }
-    // (best over successful passes, did any successful pass run clean)
+    // Best over successful passes; also whether any successful pass ran
+    // clean, and whether this call's own passes DISAGREE >2x (+0.2 s floor)
+    // — a ref-free noise signal: the loadavg EWMA lags tens of seconds, so
+    // a short spike inside a sub-second pass can leave both load samples
+    // clean while inflating one pass; two honest steady-state passes of
+    // the same plan do not differ 2x.
+    final case class Best(dt: Double, anyClean: Boolean, spread: Boolean)
     def bestOf(name: String, fn: (SparkSession, String) => DataFrame,
-               passes: Int, seed: Seq[Double] = Nil): (Double, Boolean) = {
+               passes: Int, seed: Seq[Double] = Nil): Best = {
       val timed = (1 to passes).map(_ => timeOnce(name, fn))
-      val good = timed.collect { case Pass(dt, true, _) => dt } ++ seed
+      val good = timed.collect { case Pass(dt, true, _) => dt }
+      val goodAll = good ++ seed
       val anyClean = timed.exists(p => p.ok && p.clean)
-      if (good.nonEmpty) (good.min, anyClean) else (timed.map(_.dt).max, false)
+      val spread = good.size >= 2 && good.max > good.min * 2 + 0.2
+      if (goodAll.nonEmpty) Best(goodAll.min, anyClean, spread)
+      else Best(timed.map(_.dt).max, anyClean = false, spread = false)
     }
     val firstPass = picked.map { case (name, fn) =>
       (name, bestOf(name, fn, passes = 2))
@@ -133,15 +142,26 @@ object Bench {
         """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // A silently-empty reference map would disable the known-achievable
+    // rescue check — the only defense against hypervisor-level noise that
+    // loadavg cannot see — so make that state visible in the bench log.
+    if (ref.isEmpty)
+      System.err.println(
+        "[bench] WARNING: BENCH_REF.json missing or unparsable — known-achievable rescue check disabled")
     val outlierSec = 5.0
     def overRef(name: String, t: Double): Boolean =
       ref.get(name).exists(r => t > r * 1.5 && t - r > 0.3)
-    val results = firstPass.map { case (name, (best, hadClean)) =>
-      if (hadClean && best <= outlierSec && !overRef(name, best)) name -> best
+    val results = firstPass.map { case (name, b) =>
+      // A brand-new query has no reference entry, so the overRef backstop
+      // cannot catch its inflated first recording — the pass-disagreement
+      // signal stands in for it there.
+      val suspectNew = !ref.contains(name) && b.spread
+      if (b.anyClean && b.dt <= outlierSec && !overRef(name, b.dt) && !suspectNew)
+        name -> b.dt
       else {
         waitQuiet(maxWaitSec = 300)
         name -> bestOf(name, SparkEntry.queries(name), passes = 2,
-          seed = Seq(best))._1
+          seed = Seq(b.dt)).dt
       }
     }
     val total = results.map(_._2).sum
