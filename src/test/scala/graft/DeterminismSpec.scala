@@ -50,15 +50,27 @@ class DeterminismSpec extends SparkSpec {
     "agg_drift", "ts_interp", "sample_split")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
-    risky.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
-      val a = fn(spark, sf).collect().map(_.toString).toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val b = fn(spark, sf).collect().map(_.toString).toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      assert(a === b, s"$name diverges across partitioning")
-    }
+    // AQE partition coalescing is load-bearing to DISABLE here: at fixture
+    // scale it re-coalesces the 7-partition run back to one reducer, making
+    // both runs share a merge topology and the flip vacuous (verified: an
+    // injected spark_partition_id() dependence passed with coalescing on
+    // and fails with it off). With coalescing off, the 7 partitions are 7
+    // real merge streams, so partition-dependent ordering or FP-merge
+    // divergence actually surfaces.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      risky.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val a = fn(spark, sf).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = fn(spark, sf).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert(a === b, s"$name diverges across partitioning")
+      }
+    } finally spark.conf.set(coalesceKey, prev)
   }
 
   test("repeat-run stability (same session, same config)") {
