@@ -706,7 +706,11 @@ object Dedup {
       (s, dir) => {
         val m = graft.GraftConfig.DedupDeltaMod
         val r = graft.GraftConfig.DedupDeltaRem
-        val bands = bandRows(s, dir)
+        // Materialize the band table ONCE: both probe sides read the
+        // checkpoint instead of re-running the signature pipeline per
+        // branch (2x the tokenize/dict/minhash cost), and the checkpoint
+        // IS the fixture's stand-in for the standing index table.
+        val bands = bandRows(s, dir).localCheckpoint()
         val isDelta = col("doc_id") % m === r
         val hits = bands.where(!isDelta)
           .join(broadcast(bands.where(isDelta).select(
