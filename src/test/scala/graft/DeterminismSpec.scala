@@ -47,7 +47,12 @@ class DeterminismSpec extends SparkSpec {
     // round-5 batch 2: FP ln-ratio sums over merge-ordered bucket partials
     // (PSI), interpolation division fed by window carriers (interp), share
     // division over partial-agg counts (split)
-    "agg_drift", "ts_interp", "sample_split")
+    "agg_drift", "ts_interp", "sample_split",
+    // round-6 risk classes: iterative peel fixpoint under semi-join order
+    // (kcore), broadcast-probe aggregation order (incremental dedup) —
+    // integer-exact by design, pinned here because both are iterative/
+    // join-order-shaped like their FP siblings
+    "graph_kcore", "dedup_incremental")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
