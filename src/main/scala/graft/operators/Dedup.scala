@@ -691,9 +691,11 @@ object Dedup {
     // playing "today's crawl" — GraftConfig has the production story)
     // probes the base band table through ONE broadcast hash join: the
     // delta band rows BROADCAST (a day's crawl is always broadcast-sized
-    // next to the standing index) and the base-side signature stream is
-    // scanned once — never re-shuffled, never self-joined (PlanShapeSpec
-    // pins no sort-merge join anywhere). min(base doc) per colliding delta
+    // next to the standing index; a delta too large to broadcast degrades
+    // gracefully to a shuffled equi-join on the band key — still never a
+    // base self-join) and the base-side signature stream is scanned once —
+    // never re-shuffled, never self-joined (PlanShapeSpec pins no
+    // sort-merge join anywhere). min(base doc) per colliding delta
     // doc is the canonical duplicate target; delta docs with no colliding
     // band come back 'novel'. In production the base bands are the
     // STANDING index table (the signature half of dedup_minhash, written

@@ -117,6 +117,19 @@ class PlanShapeSpec extends SparkSpec {
       s"SCD2 should shuffle once on user_id for both window passes, saw $exchanges")
   }
 
+  test("agg_incremental: state merge reuses the two state shuffles, no extra exchange") {
+    val p = plan("agg_incremental")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "incremental states lost map-side partial aggregation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "state merge degraded to a non-equi join")
+    // base-state agg + delta-state agg = 2; the full-outer merge must ride
+    // their user_id partitioning rather than re-shuffle either side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"full-outer state merge stopped reusing the state partitioning: $exchanges hash exchanges")
+  }
+
   test("ts_fillgaps: grid join stays an equi-join, never a calendar cross join") {
     val p = plan("ts_fillgaps")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
