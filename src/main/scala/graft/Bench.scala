@@ -160,8 +160,16 @@ object Bench {
         name -> b.dt
       else {
         waitQuiet(maxWaitSec = 300)
-        name -> bestOf(name, SparkEntry.queries(name), passes = 2,
-          seed = Seq(b.dt)).dt
+        val rb = bestOf(name, SparkEntry.queries(name), passes = 2,
+          seed = Seq(b.dt))
+        // A reference-less query whose RESCUE passes still disagree >2x has
+        // no trustworthy sample at all — its number would seed the first
+        // BENCH_REF entry, so flag it rather than let a noisy first
+        // recording silently become the known-achievable reference.
+        if (!ref.contains(name) && rb.spread)
+          System.err.println(
+            s"[bench] WARNING: $name rescue passes still disagree >2x — first recorded reference is suspect")
+        name -> rb.dt
       }
     }
     val total = results.map(_._2).sum

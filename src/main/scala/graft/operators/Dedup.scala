@@ -691,18 +691,23 @@ object Dedup {
     // playing "today's crawl" — GraftConfig has the production story)
     // probes the base band table through ONE broadcast hash join: the
     // delta band rows BROADCAST (a day's crawl is always broadcast-sized
-    // next to the standing index; a delta too large to broadcast degrades
-    // gracefully to a shuffled equi-join on the band key — still never a
-    // base self-join) and the base-side signature stream is scanned once —
-    // never re-shuffled, never self-joined (PlanShapeSpec pins no
-    // sort-merge join anywhere). min(base doc) per colliding delta
-    // doc is the canonical duplicate target; delta docs with no colliding
-    // band come back 'novel'. In production the base bands are the
-    // STANDING index table (the signature half of dedup_minhash, written
-    // once and appended daily); recomputing them from the corpus here
-    // keeps the query self-contained — the probe shape is identical
-    // either way. This is agg_incremental's delta-merge idiom
-    // (Aggregates.scala) landed in the dedup family.
+    // next to the standing index) and the base-side signature stream is
+    // scanned once — never re-shuffled, never self-joined (PlanShapeSpec
+    // pins no sort-merge join anywhere). The broadcast() hint here is
+    // unconditional — Spark honors it regardless of relation size — so a
+    // delta that outgrows broadcast is a VARIANT change, not a silent
+    // fallback: drop the hint and probe the band key with a shuffled
+    // equi-join, which is exactly what `dedup_index_probe` below
+    // demonstrates against the persisted bucketed index (still never a
+    // base self-join, and the bucketed base side still never re-shuffles).
+    // min(base doc) per colliding delta doc is the canonical duplicate
+    // target; delta docs with no colliding band come back 'novel'. In
+    // production the base bands are the STANDING index table (the
+    // signature half of dedup_minhash, written once and appended daily);
+    // recomputing them from the corpus here keeps the query
+    // self-contained — `dedup_index_probe` is the same probe against the
+    // index actually persisted to disk. This is agg_incremental's
+    // delta-merge idiom (Aggregates.scala) landed in the dedup family.
     QDef(
       "dedup_incremental",
       (s, dir) => {
@@ -729,22 +734,84 @@ object Dedup {
               .otherwise(lit("dup_of_base")).as("status"))
           .orderBy("doc_id")
       },
-      Some {
+      Some(incrementalProbeSql)),
+
+    // The `dedup_incremental` comment above, made a demonstrated fact: the
+    // base band table is WRITTEN ONCE as a bucketed, bucket-sorted saved
+    // table keyed on the full band key (band, sig_a, sig_b) — the STANDING
+    // index a production corpus maintains — and the delta probes it FROM
+    // DISK. The probe is the oversized-delta variant deliberately: a
+    // merge-hinted shuffled equi-join instead of a broadcast, because with
+    // the index bucketed on the join key the base side needs NO Exchange
+    // and NO recompute — only the (small) delta shuffles, into the index's
+    // bucket layout (PlanShapeSpec pins the bucketed zero-Exchange read).
+    // At 100 TB this is the whole point of a standing index: the signature
+    // pipeline runs only over today's crawl; the base side's cost is a
+    // bucket-aligned parquet scan, amortized once at write time — the same
+    // sink_bucketed idiom (Scans.scala), landed where it earns its keep.
+    // Output and oracle are identical to `dedup_incremental`: persistence
+    // and join strategy are semantics-free.
+    QDef(
+      "dedup_index_probe",
+      (s, dir) => {
         val m = graft.GraftConfig.DedupDeltaMod
         val r = graft.GraftConfig.DedupDeltaRem
-        s"""$bandsSql,
-           |hits AS (
-           |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of
-           |  FROM bands l JOIN bands r
-           |    ON r.band = l.band AND r.sig_a = l.sig_a AND r.sig_b = l.sig_b
-           |    AND r.doc_id % $m <> $r
-           |  WHERE l.doc_id % $m = $r
-           |  GROUP BY l.doc_id)
-           |SELECT d.doc_id, h.dup_of,
-           |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
-           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-           |WHERE d.doc_id % $m = $r
-           |ORDER BY d.doc_id""".stripMargin
-      })
+        val isDelta = col("doc_id") % m === r
+        // Write the standing index: base-side band rows, bucketed + sorted
+        // on the band key. App-id-suffixed path/table name: concurrent
+        // Bench/Verify JVMs must not clobber each other's index mid-read.
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Scans.runTmpPath(s, "graft_band_index_")
+        val tbl = s"graft_band_index_$run"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        bandRows(s, dir).where(!isDelta)
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig_a", "sig_b")
+          .sortBy("band", "sig_a", "sig_b")
+          .option("path", path)
+          .saveAsTable(tbl)
+        val index = s.table(tbl)
+        // Today's crawl computes its signatures fresh (that pipeline cost
+        // is proportional to the DELTA, not the corpus), then meets the
+        // index with a merge join: the hint models the at-scale reality
+        // that a full day's bands may outgrow broadcast.
+        val delta = bandRows(s, dir).where(isDelta)
+          .select(col("doc_id").as("delta_id"),
+            col("band"), col("sig_a"), col("sig_b"))
+        val hits = index.join(delta.hint("merge"), Seq("band", "sig_a", "sig_b"))
+          .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+        T.documents(s, dir).where(isDelta)
+          .select(col("doc_id"))
+          .join(broadcast(hits.select(col("delta_id").as("doc_id"), col("dup_of"))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            when(col("dup_of").isNull, lit("novel"))
+              .otherwise(lit("dup_of_base")).as("status"))
+          .orderBy("doc_id")
+      },
+      Some(incrementalProbeSql))
   )
+
+  /** Delta-vs-base probe oracle — shared VERBATIM by `dedup_incremental`
+    * (base bands recomputed in-query, broadcast probe) and
+    * `dedup_index_probe` (base bands persisted as a bucketed on-disk index,
+    * shuffled probe): where the band table lives and which join strategy
+    * probes it are semantics-free, so one oracle pins both. */
+  private lazy val incrementalProbeSql: String = {
+    val m = graft.GraftConfig.DedupDeltaMod
+    val r = graft.GraftConfig.DedupDeltaRem
+    s"""$bandsSql,
+       |hits AS (
+       |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of
+       |  FROM bands l JOIN bands r
+       |    ON r.band = l.band AND r.sig_a = l.sig_a AND r.sig_b = l.sig_b
+       |    AND r.doc_id % $m <> $r
+       |  WHERE l.doc_id % $m = $r
+       |  GROUP BY l.doc_id)
+       |SELECT d.doc_id, h.dup_of,
+       |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % $m = $r
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

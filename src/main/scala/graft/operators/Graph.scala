@@ -302,7 +302,12 @@ object Graph {
         var n = und.count()
         var changed = true
         var rounds = 0
-        while (changed && rounds < maxRounds) {
+        // Loop bound is maxRounds + 1, not maxRounds: count-compare fixpoint
+        // detection needs one extra CONFIRMING no-op round after the last
+        // deletion, so a graph whose peeling depth is exactly maxRounds
+        // still converges inside the budget (the confirming round changes
+        // nothing, so the oracle's maxRounds-round unroll agrees).
+        while (changed && rounds < maxRounds + 1) {
           val keep = und.groupBy("a").agg(count(lit(1)).as("d"))
             .where(col("d") >= k).select("a")
           val next = und

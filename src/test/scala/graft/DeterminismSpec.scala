@@ -52,7 +52,12 @@ class DeterminismSpec extends SparkSpec {
     // (kcore), broadcast-probe aggregation order (incremental dedup) —
     // integer-exact by design, pinned here because both are iterative/
     // join-order-shaped like their FP siblings
-    "graph_kcore", "dedup_incremental")
+    "graph_kcore", "dedup_incremental",
+    // round-7 risk classes: bucketed-index shuffled probe (same integer
+    // bet as dedup_incremental, now through an on-disk bucketed read),
+    // and the IVF+PQ composition — residual subtraction + rounded Lloyd
+    // argmins + grid-exact ADC sums must hold under any merge order
+    "dedup_index_probe", "sim_ivfpq")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
@@ -63,19 +68,25 @@ class DeterminismSpec extends SparkSpec {
     // real merge streams, so partition-dependent ordering or FP-merge
     // divergence actually surfaces.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partitionsKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(coalesceKey)
+    // Restore shuffle.partitions too: an assertion failure mid-flip would
+    // otherwise leave the shared session at 1 or 7 for every later suite.
+    val prevPartitions = spark.conf.get(partitionsKey)
     spark.conf.set(coalesceKey, "false")
     try {
       risky.foreach { name =>
         val fn = SparkEntry.queries(name)
-        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set(partitionsKey, "1")
         val a = fn(spark, sf).collect().map(_.toString).toSeq
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set(partitionsKey, "7")
         val b = fn(spark, sf).collect().map(_.toString).toSeq
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
         assert(a === b, s"$name diverges across partitioning")
       }
-    } finally spark.conf.set(coalesceKey, prev)
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partitionsKey, prevPartitions)
+    }
   }
 
   test("repeat-run stability (same session, same config)") {

@@ -50,7 +50,8 @@ class InventorySpec extends SparkSpec {
       "pipeline_curate", "graph_cc", "sim_multiprobe", "sim_pq",
       "text_perplexity", "text_bpe", "dedup_spans",
       "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack",
-      "lc_smooth", "stream_topk", "pipeline_lightcurve")
+      "lc_smooth", "stream_topk", "pipeline_lightcurve",
+      "dedup_index_probe", "sim_ivfpq")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
@@ -62,6 +63,7 @@ class InventorySpec extends SparkSpec {
     "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp",
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state", "stream_topk",
+    "dedup_index_probe", // writes the bucketed band index on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank", "graph_cc")  // localCheckpoint per iteration
 

@@ -199,6 +199,26 @@ class PlanShapeSpec extends SparkSpec {
       "base signature stream shuffled into a sort-merge/all-pairs join")
   }
 
+  test("dedup_index_probe: standing index streams from disk bucket-aligned — zero base-side Exchange") {
+    val p = plan("dedup_index_probe")
+    assert(p.contains("SortMergeJoin"),
+      "probe should be the at-scale merge join against the saved index")
+    assert(p.contains("Bucketed: true"),
+      "index scan not bucket-aligned — the base side would re-shuffle on the band key")
+    // The index table is the SMJ's streamed (left) side: every line between
+    // the join and its scan belongs to the base branch, and none of them may
+    // be an Exchange (re-shuffle) or a Window (signature recompute) — the
+    // whole point of the standing index is that the base side's cost is a
+    // bucket-aligned parquet scan.
+    val lines = p.linesIterator.toSeq
+    val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+    val idx = lines.indexWhere(_.contains("graft_band_index"))
+    assert(smj >= 0 && idx > smj, "index scan should sit under the probe SMJ")
+    assert(!lines.slice(smj + 1, idx).exists(l =>
+      l.contains("Exchange") || l.contains("Window")),
+      "base side of the probe gained an Exchange/recompute")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
