@@ -457,6 +457,194 @@ object Similarity {
            |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
       }),
 
+    // IVF + PQ composition — the index shape production vector search
+    // actually deploys (FAISS-style IVFADC [PK]): the coarse quantizer
+    // confines the search to one cell, and product quantization compresses
+    // what the cell scan reads. The same `sim_ivf` Lloyd fit assigns every
+    // vector a cell; each vector's RESIDUAL against its own cell centroid
+    // (`zip_with` subtraction — exact IEEE, both engines see identical
+    // inputs) is PQ-encoded with the `sim_pq` machinery (8×8-dim subspaces,
+    // K=4 codebooks seeded from the first 4 residuals + one rounded Lloyd
+    // step — codebooks SHARED across cells, as real IVFPQ trains them); a
+    // probe then scores ONLY its own cell, from a broadcast ADC table
+    // built against its own residual. Encoding residuals instead of raw
+    // vectors is what makes the composition better than either part: cell
+    // centroids absorb the coarse structure, so the 4-entry codebooks
+    // spend their bits on local detail.
+    //
+    // Scale: at query time the corpus side touches codes only — (vec_id,
+    // cell, sub, cid) rows, 8 B/vector of payload — never raw vectors; the
+    // ADC table is probes × 8 × 4 rows, broadcast; the cell equi-join
+    // prunes the scan to corpus/cells per probe. Every argmin/argmax is a
+    // partial-aggregating max(struct)/min(struct), and every FP boundary
+    // crosses the 1e-6 grid (rounded Lloyd means, rounded distance cells,
+    // re-rounded 8-term ADC sums) — the same determinism bet sim_ivf and
+    // sim_pq each take, composed.
+    QDef(
+      "sim_ivfpq",
+      (s, dir) => {
+        val M = 8; val D = 8; val K = 4L
+        // -- coarse quantizer: the sim_ivf fit, verbatim --
+        val seeds = T.embeddings(s, dir).where(col("vec_id") < IvfCells.toLong)
+          .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
+        def assignCell(df: DataFrame, idCol: String, vecCol: String,
+            cents: DataFrame): DataFrame =
+          df.crossJoin(broadcast(cents))
+            .select(col(idCol), col(vecCol),
+              cosine(col(vecCol), col("centroid")).as("ccos"), col("cid"))
+            .groupBy(idCol)
+            .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+              first(col(vecCol)).as(vecCol))
+            .select(col(idCol), col(vecCol), (-col("m.ncid")).as("cell"))
+        def lloydStep(cents: DataFrame): DataFrame =
+          assignCell(corpus(s, dir), "vec_id", "ce", cents)
+            .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
+            .groupBy("cell", "pos")
+            .agg(rnd(avg(col("v")), 6).as("mv"))
+            .groupBy("cell")
+            .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
+            .select(col("cell").as("cid"),
+              transform(col("sm"), x => x.getField("mv")).as("centroid"))
+        val fitted = (1 to KMeansIters).foldLeft(seeds)((c, _) => lloydStep(c))
+        val fittedC = fitted.select(col("cid").as("cell"), col("centroid"))
+        // -- residuals vs the own-cell centroid --
+        val cRes = assignCell(corpus(s, dir), "vec_id", "ce", fitted)
+          .join(broadcast(fittedC), "cell")
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("ce"), col("centroid"), (a, b) => a - b).as("rv"))
+        val pRes = assignCell(probes(s, dir), "probe_id", "pe", fitted)
+          .join(broadcast(fittedC), "cell")
+          .select(col("probe_id"), col("cell"),
+            zip_with(col("pe"), col("centroid"), (a, b) => a - b).as("rv"))
+        // -- PQ on residuals: the sim_pq machinery, codebooks cell-shared --
+        def subvecs(df: DataFrame, idCol: String): DataFrame =
+          df.select(col(idCol), col("cell"),
+            posexplode(array((0 until M).map(m => slice(col("rv"), m * D + 1, D)): _*))
+              .as(Seq("sub", "sv")))
+        def d2(x: Column, c: Column): Column =
+          rnd(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+        val sv = subvecs(cRes, "vec_id")
+        val cents0 = sv.where(col("vec_id") < K)
+          .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+        def assignCode(df: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+          df.join(broadcast(cents), "sub")
+            .select(col(idCol), col("cell"), col("sub"), col("sv"), col("cid"),
+              d2(col("sv"), col("cv")).as("dr"))
+            .groupBy(idCol, "sub")
+            .agg(min(struct(col("dr"), col("cid"))).as("m"),
+              first(col("sv")).as("sv"), first(col("cell")).as("cell"))
+            .select(col(idCol), col("cell"), col("sub"), col("sv"),
+              col("m").getField("cid").as("cid"))
+        val a1 = assignCode(sv, "vec_id", cents0)
+        val cents1 = a1
+          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("sub", "cid", "pos").agg(rnd(avg(col("v")), 6).as("mv"))
+          .groupBy("sub", "cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
+          .select(col("sub"), col("cid"),
+            transform(col("sm"), x => x.getField("mv")).as("cv"))
+        val codes = assignCode(sv, "vec_id", cents1)
+          .select(col("vec_id"), col("cell"), col("sub"), col("cid"))
+        // -- probe ADC table against the probe's OWN residual --
+        val ptab = subvecs(pRes, "probe_id").join(broadcast(cents1), "sub")
+          .select(col("probe_id"), col("cell"), col("sub"), col("cid"),
+            d2(col("sv"), col("cv")).as("cell_d2"))
+        // -- ADC scoring confined to the probed cell --
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("approx_d2").asc, col("vec_id").asc)
+        codes.join(broadcast(ptab), Seq("cell", "sub", "cid"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .groupBy("probe_id", "cell", "vec_id")
+          .agg(rnd(sum(col("cell_d2")), 6).as("approx_d2"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5L)
+          .select("probe_id", "cell", "vec_id", "approx_d2", "rank")
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        // The same composition unrolled to CTEs. MATERIALIZED on every
+        // multi-referenced stage: the Lloyd chain + residual + PQ chain is
+        // deep enough that DuckDB's default CTE inlining would expand it
+        // multiplicatively (the kcore lesson).
+        def cellAssignSql(src: String, idCol: String, vecCol: String,
+            cents: String): String =
+          s"""SELECT $idCol, $vecCol, cid AS cell FROM (
+             |    SELECT $idCol, $vecCol, cid,
+             |      row_number() OVER (PARTITION BY $idCol
+             |        ORDER BY ${cosSql(vecCol, "centroid")} DESC, cid ASC) AS rn
+             |    FROM $src CROSS JOIN $cents)
+             |  WHERE rn = 1""".stripMargin
+        def d2Sql(x: String, c: String): String =
+          s"floor((list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)) * 1e6 + 0.5) / 1e6"
+        def codeAssignSql(src: String, idCol: String, cents: String): String =
+          s"""SELECT $idCol, cell, sub, sv, cid FROM (
+             |    SELECT v.$idCol, v.cell, v.sub, v.sv, c.cid,
+             |      row_number() OVER (PARTITION BY v.$idCol, v.sub
+             |        ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cid ASC) AS rn
+             |    FROM $src v JOIN $cents c USING (sub))
+             |  WHERE rn = 1""".stripMargin
+        def resSql(assigned: String, idCol: String, vecCol: String): String =
+          s"""SELECT $idCol, cell, list(av - bv ORDER BY pos) AS rv FROM (
+             |    SELECT a.$idCol, a.cell, unnest(a.$vecCol) AS av,
+             |      unnest(f.centroid) AS bv,
+             |      generate_subscripts(a.$vecCol, 1) AS pos
+             |    FROM $assigned a JOIN icents$KMeansIters f ON f.cid = a.cell)
+             |  GROUP BY $idCol, cell""".stripMargin
+        val iters = (1 to KMeansIters).map { i =>
+          s"""ia$i AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents${i - 1}")}),
+             |icents$i AS MATERIALIZED (
+             |  SELECT cell AS cid, list(mv ORDER BY pos) AS centroid FROM (
+             |    SELECT cell, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+             |      SELECT cell, unnest(ce) AS v, generate_subscripts(ce, 1) AS pos
+             |      FROM ia$i)
+             |    GROUP BY cell, pos)
+             |  GROUP BY cell)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS MATERIALIZED ($corpusSql),
+           |icents0 AS (
+           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+           |  FROM embeddings WHERE vec_id < $IvfCells),
+           |$iters,
+           |ca AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents$KMeansIters")}),
+           |pa AS MATERIALIZED (${cellAssignSql(s"($probeSql)", "probe_id", "pe", s"icents$KMeansIters")}),
+           |cres AS MATERIALIZED (${resSql("ca", "vec_id", "ce")}),
+           |pres AS MATERIALIZED (${resSql("pa", "probe_id", "pe")}),
+           |sv AS MATERIALIZED (
+           |  SELECT vec_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
+           |  FROM cres CROSS JOIN generate_series(0, 7) g(i)),
+           |pqc0 AS MATERIALIZED (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 4),
+           |pq1 AS MATERIALIZED (${codeAssignSql("sv", "vec_id", "pqc0")}),
+           |pqc1 AS MATERIALIZED (
+           |  SELECT sub, cid, list(mv ORDER BY pos) AS cv FROM (
+           |    SELECT sub, cid, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+           |      SELECT sub, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
+           |      FROM pq1)
+           |    GROUP BY sub, cid, pos)
+           |  GROUP BY sub, cid),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, cell, sub, cid FROM (${codeAssignSql("sv", "vec_id", "pqc1")})),
+           |psv AS MATERIALIZED (
+           |  SELECT probe_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
+           |  FROM pres CROSS JOIN generate_series(0, 7) g(i)),
+           |ptab AS MATERIALIZED (
+           |  SELECT p.probe_id, p.cell, c.sub, c.cid, ${d2Sql("p.sv", "c.cv")} AS cell_d2
+           |  FROM psv p JOIN pqc1 c USING (sub)),
+           |adc AS (
+           |  SELECT t.probe_id, k.cell, k.vec_id,
+           |    floor((sum(t.cell_d2)) * 1e6 + 0.5) / 1e6 AS approx_d2
+           |  FROM codes k JOIN ptab t
+           |    ON t.cell = k.cell AND t.sub = k.sub AND t.cid = k.cid
+           |  WHERE t.probe_id <> k.vec_id
+           |  GROUP BY t.probe_id, k.cell, k.vec_id),
+           |ranked AS (
+           |  SELECT probe_id, cell, vec_id, approx_d2,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+           |  FROM adc)
+           |SELECT probe_id, cell, vec_id, approx_d2, rank
+           |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      }),
+
     // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
     // candidate pairs — the exact precision pass over hyperplane-bucket
     // candidates, run on the WHOLE corpus (no id-range shortcut). A pair is

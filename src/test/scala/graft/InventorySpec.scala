@@ -97,4 +97,25 @@ class InventorySpec extends SparkSpec {
   test("flagship entry returns rows at sf0.001 (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // The README/SKILL query counts have been hand-bumped every round; this
+  // pins them to the one source of truth (SparkEntry.all) so a missed bump
+  // fails the build instead of shipping stale docs. sbt runs tests with
+  // cwd = the repo root, so relative paths resolve.
+  test("README/SKILL query counts match the declared inventory") {
+    val total = SparkEntry.all.size
+    val oracled = SparkEntry.all.count(_.oracle.isDefined)
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val readme = read("README.md")
+    assert(readme.contains(s"$total declared queries"),
+      s"README.md layout row must read '$total declared queries'")
+    assert(readme.contains(s"All $oracled oracle-bearing queries"),
+      s"README.md verify section must read 'All $oracled oracle-bearing queries'")
+    assert(readme.contains(s"${total - oracled} streaming/approx ops"),
+      s"README.md must count ${total - oracled} rows-only ops")
+    val skill = read(".claude/skills/verify/SKILL.md")
+    assert(skill.contains(s"$total queries, $oracled oracled"),
+      s"verify SKILL.md must read '$total queries, $oracled oracled'")
+  }
 }

@@ -279,6 +279,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "PQ scoring degraded to a cartesian")
   }
 
+  test("sim_ivfpq: ADC scores codes via broadcasts with partial aggregation; raw vectors never pair") {
+    val p = plan("sim_ivfpq")
+    // codebook attach + ADC-table attach + residual centroid attach must
+    // all be broadcasts onto the streamed corpus side
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "PQ codebook / ADC / centroid tables no longer broadcast")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "code argmin / ADC sum lost partial aggregation")
+    assert(!p.contains("CartesianProduct"),
+      "IVFPQ scoring degraded to a cartesian — cell equi-join lost")
+  }
+
   test("graph_cc: final labels scan the checkpoint, not a replayed iteration plan") {
     val p = plan("graph_cc")
     assert(p.contains("Scan ExistingRDD"),
