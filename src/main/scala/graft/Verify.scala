@@ -18,9 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // Warm the dedup family's standing artifacts (LSH band index, cluster
+    // assignment, shingle set) once for the whole run — the single-process
+    // stand-in for the persisted index a production corpus maintains, so
+    // six queries stop re-deriving one signature pipeline. Semantics-free
+    // (the warm≡cold spec proves it); skipped entirely when no sharing
+    // query is selected.
+    val keep: Set[Int] =
+      if (selected.keys.exists(operators.Dedup.sharedFamily))
+        operators.Dedup.warmShared(spark, sfDir)
+      else Set.empty
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,10 +41,12 @@ object Verify {
       // sweep drops RDD storage blocks clearCache does NOT cover —
       // localCheckpoint()'d edge lists (dedup_cluster/dedup_keep) register
       // as persistent RDDs and would otherwise accumulate for the whole
-      // 100-query run.
+      // 100-query run. The warm frames' blocks are exempt: unpersisting a
+      // localCheckpoint leaves later reads with missing checkpoint blocks.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
