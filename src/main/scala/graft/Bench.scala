@@ -36,7 +36,7 @@ object Bench {
     // Warm the dedup family's standing artifacts (LSH band index, cluster
     // assignment, shingle set) ONCE, outside the timed passes: the bench
     // then measures what a production run pays per query — probing a
-    // maintained index — instead of charging six queries for one signature
+    // maintained index — instead of charging seven queries for one signature
     // pipeline each. Semantics-free (warm≡cold spec); skipped when no
     // sharing query is picked.
     val keepIds: Set[Int] =

@@ -137,6 +137,14 @@ object GraftConfig {
   val DedupDeltaMod = 10L
   val DedupDeltaRem = 7L
 
+  /** Second delta slice for `dedup_index_maintain` — "tomorrow's crawl"
+    * (doc_id % DedupDeltaMod == DedupDelta2Rem), probed AFTER yesterday's
+    * slice was appended into the standing index. Distinct from
+    * [[DedupDeltaRem]] so the append demonstrably changes what the probe
+    * can hit: day-2 docs may now dedup against day-1 arrivals, which a
+    * base-only index could not report. */
+  val DedupDelta2Rem = 3L
+
   /** k-core peeling (graph_kcore): nodes of degree < KCoreK are removed
     * in rounds until fixpoint — the standard dense-subgraph filter before
     * community/motif work (and the co-purchase sibling of the triangle

@@ -23,7 +23,7 @@ object Verify {
     // Warm the dedup family's standing artifacts (LSH band index, cluster
     // assignment, shingle set) once for the whole run — the single-process
     // stand-in for the persisted index a production corpus maintains, so
-    // six queries stop re-deriving one signature pipeline. Semantics-free
+    // seven queries stop re-deriving one signature pipeline. Semantics-free
     // (the warm≡cold spec proves it); skipped entirely when no sharing
     // query is selected.
     val keep: Set[Int] =

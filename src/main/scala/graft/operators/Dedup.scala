@@ -184,7 +184,8 @@ object Dedup {
   /** Query names that consume a shared frame — harnesses warm only when one
     * of these is selected. */
   val sharedFamily: Set[String] = Set("dedup_minhash", "dedup_cluster",
-    "dedup_keep", "dedup_ngram", "dedup_incremental", "dedup_index_probe")
+    "dedup_keep", "dedup_ngram", "dedup_incremental", "dedup_index_probe",
+    "dedup_index_maintain")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them: harness cache sweeps MUST exempt these ids, or the next
@@ -799,7 +800,7 @@ object Dedup {
               .otherwise(lit("dup_of_base")).as("status"))
           .orderBy("doc_id")
       },
-      Some(incrementalProbeSql)),
+      Some(deltaProbeSql(graft.GraftConfig.DedupDeltaRem))),
 
     // The `dedup_incremental` comment above, made a demonstrated fact: the
     // base band table is WRITTEN ONCE as a bucketed, bucket-sorted saved
@@ -854,17 +855,83 @@ object Dedup {
               .otherwise(lit("dup_of_base")).as("status"))
           .orderBy("doc_id")
       },
-      Some(incrementalProbeSql))
+      Some(deltaProbeSql(graft.GraftConfig.DedupDeltaRem))),
+
+    // The standing index's write path completed into a LIFECYCLE: day 0
+    // writes the base index (bucketed, exactly as `dedup_index_probe`),
+    // day 1's crawl APPENDS its band rows into the same bucket layout —
+    // base files untouched, append cost proportional to the day's delta —
+    // and day 2 probes the MAINTAINED index. The probe can now hit day-1
+    // arrivals (dup_of a day-1 doc id), which a base-only index could not
+    // report: the append is observable in the output, not bookkeeping
+    // ("base" in the status label means the standing index — the base
+    // corpus plus every appended day). At 100 TB this is the maintenance
+    // story: each day pays the signature pipeline for its own crawl once,
+    // appends bucket-aligned files, and every later probe meets base +
+    // all prior deltas with zero index-side recompute or Exchange —
+    // multiple files per bucket is the normal steady state of an appended
+    // bucketed table, and the bucket join tolerates it (Spark merges
+    // per-bucket files; only the sorted-scan shortcut is lost, which the
+    // merge hint's local sort re-establishes without any Exchange).
+    QDef(
+      "dedup_index_maintain",
+      (s, dir) => {
+        val m = graft.GraftConfig.DedupDeltaMod
+        val r1 = graft.GraftConfig.DedupDeltaRem
+        val r2 = graft.GraftConfig.DedupDelta2Rem
+        val day1 = col("doc_id") % m === r1
+        val day2 = col("doc_id") % m === r2
+        val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Scans.runTmpPath(s, "graft_band_index_m_")
+        val tbl = s"graft_band_index_m_$run"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val bands = sharedBands(s, dir)
+        // Day 0: the base index — everything that is not one of the two
+        // delta days.
+        bands.where(!day1 && !day2)
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig_a", "sig_b")
+          .sortBy("band", "sig_a", "sig_b")
+          .option("path", path)
+          .saveAsTable(tbl)
+        // Day 1: append the day's crawl into the standing index. Same
+        // bucket spec — Spark validates it against the catalog entry, so a
+        // drifting writer fails loudly instead of corrupting the layout.
+        bands.where(day1)
+          .write.mode("append")
+          .bucketBy(8, "band", "sig_a", "sig_b")
+          .sortBy("band", "sig_a", "sig_b")
+          .saveAsTable(tbl)
+        val index = s.table(tbl)
+        // Day 2: probe the maintained index — identical join shape to
+        // dedup_index_probe; only the index contents grew.
+        val delta = bands.where(day2)
+          .select(col("doc_id").as("delta_id"),
+            col("band"), col("sig_a"), col("sig_b"))
+        val hits = index.join(delta.hint("merge"), Seq("band", "sig_a", "sig_b"))
+          .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+        T.documents(s, dir).where(day2)
+          .select(col("doc_id"))
+          .join(broadcast(hits.select(col("delta_id").as("doc_id"), col("dup_of"))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            when(col("dup_of").isNull, lit("novel"))
+              .otherwise(lit("dup_of_base")).as("status"))
+          .orderBy("doc_id")
+      },
+      Some(deltaProbeSql(graft.GraftConfig.DedupDelta2Rem)))
   )
 
-  /** Delta-vs-base probe oracle — shared VERBATIM by `dedup_incremental`
-    * (base bands recomputed in-query, broadcast probe) and
-    * `dedup_index_probe` (base bands persisted as a bucketed on-disk index,
-    * shuffled probe): where the band table lives and which join strategy
-    * probes it are semantics-free, so one oracle pins both. */
-  private lazy val incrementalProbeSql: String = {
+  /** Delta-vs-base probe oracle — shared by `dedup_incremental` (base
+    * bands recomputed in-query, broadcast probe), `dedup_index_probe`
+    * (base bands persisted as a bucketed on-disk index, shuffled probe),
+    * and `dedup_index_maintain` (the appended index, probed by the second
+    * delta slice): where the band table lives and which join strategy
+    * probes it are semantics-free, so one parameterized oracle pins all
+    * three — the probing slice is `rem`, the probed side is everything
+    * else. */
+  private def deltaProbeSql(r: Long): String = {
     val m = graft.GraftConfig.DedupDeltaMod
-    val r = graft.GraftConfig.DedupDeltaRem
     s"""$bandsSql,
        |hits AS (
        |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of

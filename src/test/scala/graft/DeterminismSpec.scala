@@ -57,7 +57,10 @@ class DeterminismSpec extends SparkSpec {
     // bet as dedup_incremental, now through an on-disk bucketed read),
     // and the IVF+PQ composition — residual subtraction + rounded Lloyd
     // argmins + grid-exact ADC sums must hold under any merge order
-    "dedup_index_probe", "sim_ivfpq")
+    "dedup_index_probe", "sim_ivfpq",
+    // index lifecycle: the append must land in the same bucket layout
+    // under any partitioning of the delta writer
+    "dedup_index_maintain")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

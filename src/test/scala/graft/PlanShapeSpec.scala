@@ -219,6 +219,21 @@ class PlanShapeSpec extends SparkSpec {
       "base side of the probe gained an Exchange/recompute")
   }
 
+  test("dedup_index_maintain: appended index still streams bucket-aligned — zero index-side Exchange") {
+    val p = plan("dedup_index_maintain")
+    assert(p.contains("SortMergeJoin"),
+      "probe should be the at-scale merge join against the maintained index")
+    assert(p.contains("Bucketed: true"),
+      "index scan not bucket-aligned after the append — the index side would re-shuffle")
+    val lines = p.linesIterator.toSeq
+    val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+    val idx = lines.indexWhere(_.contains("graft_band_index_m"))
+    assert(smj >= 0 && idx > smj, "index scan should sit under the probe SMJ")
+    assert(!lines.slice(smj + 1, idx).exists(l =>
+      l.contains("Exchange") || l.contains("Window")),
+      "index side of the probe gained an Exchange/recompute after the append")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
