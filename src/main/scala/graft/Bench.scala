@@ -39,10 +39,19 @@ object Bench {
     // maintained index — instead of charging seven queries for one signature
     // pipeline each. Semantics-free (warm≡cold spec); skipped when no
     // sharing query is picked.
-    val keepIds: Set[Int] =
-      if (picked.exists(q => graft.operators.Dedup.sharedFamily(q._1)))
-        graft.operators.Dedup.warmShared(spark, sfDir)
-      else Set.empty
+    val keepIds: Set[Int] = {
+      val d =
+        if (picked.exists(q => graft.operators.Dedup.sharedFamily(q._1)))
+          graft.operators.Dedup.warmShared(spark, sfDir)
+        else Set.empty[Int]
+      // Same contract for the IVF family (centroids + cell assignment —
+      // the standing index sim_index_probe persists).
+      val a =
+        if (picked.exists(q => graft.operators.Similarity.sharedFamily(q._1)))
+          graft.operators.Similarity.warmShared(spark, sfDir)
+        else Set.empty[Int]
+      d ++ a
+    }
     // clearCache drops SQL-cache entries; the unpersist sweep additionally
     // drops RDD storage blocks it does not cover (localCheckpoint'd edge
     // lists in the clustering queries). The warm frames are exempt —

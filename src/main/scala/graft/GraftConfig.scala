@@ -38,6 +38,17 @@ object GraftConfig {
   val IvfCells = 8
   val KMeansIters = 2
 
+  /** "Today's vectors" slice for the standing ANN index lifecycle
+    * (sim_index_maintain): vec_id % AnnDeltaMod == AnnDeltaRem plays the
+    * day's new embeddings, appended into the persisted IVF index against
+    * FROZEN centroids — production refits the coarse quantizer on a
+    * schedule (weekly/monthly), never per append, so the day's arrivals
+    * must land in yesterday's cell geometry. Rem = 9 keeps both the seed
+    * vectors (vec_id < IvfCells = 8) and the probe set (vec_id < 5) in
+    * the base corpus, so the day-0 fit is well-defined. */
+  val AnnDeltaMod = 10L
+  val AnnDeltaRem = 9L
+
   /** Round budget for iterate-to-fixpoint connected components
     * (dedup_cluster / graph_cc) — a safety valve, not the semantics:
     * iteration stops when a round changes zero labels, and overrunning

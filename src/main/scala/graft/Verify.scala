@@ -26,10 +26,19 @@ object Verify {
     // seven queries stop re-deriving one signature pipeline. Semantics-free
     // (the warm≡cold spec proves it); skipped entirely when no sharing
     // query is selected.
-    val keep: Set[Int] =
-      if (selected.keys.exists(operators.Dedup.sharedFamily))
-        operators.Dedup.warmShared(spark, sfDir)
-      else Set.empty
+    val keep: Set[Int] = {
+      val d =
+        if (selected.keys.exists(operators.Dedup.sharedFamily))
+          operators.Dedup.warmShared(spark, sfDir)
+        else Set.empty[Int]
+      // Same contract for the IVF family's standing artifacts (centroids +
+      // cell assignment — the index sim_index_probe persists).
+      val a =
+        if (selected.keys.exists(operators.Similarity.sharedFamily))
+          operators.Similarity.warmShared(spark, sfDir)
+        else Set.empty[Int]
+      d ++ a
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

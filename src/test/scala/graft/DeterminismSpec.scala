@@ -60,7 +60,12 @@ class DeterminismSpec extends SparkSpec {
     "dedup_index_probe", "sim_ivfpq",
     // index lifecycle: the append must land in the same bucket layout
     // under any partitioning of the delta writer
-    "dedup_index_maintain")
+    "dedup_index_maintain",
+    // ANN standing index: the persisted assignment + bucketed probe must
+    // reproduce under any write/read partitioning, and the maintain
+    // variant's frozen-centroid append + two-lane rank under any merge
+    // order of the scored cell scan
+    "sim_index_probe", "sim_index_maintain")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

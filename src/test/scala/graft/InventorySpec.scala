@@ -51,7 +51,8 @@ class InventorySpec extends SparkSpec {
       "text_perplexity", "text_bpe", "dedup_spans",
       "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack",
       "lc_smooth", "stream_topk", "pipeline_lightcurve",
-      "dedup_index_probe", "sim_ivfpq")
+      "dedup_index_probe", "sim_ivfpq", "sim_index_probe",
+      "sim_index_maintain")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }
@@ -64,6 +65,7 @@ class InventorySpec extends SparkSpec {
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state", "stream_topk",
     "dedup_index_probe", // writes the bucketed band index on construction
+    "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank", "graph_cc")  // localCheckpoint per iteration
 

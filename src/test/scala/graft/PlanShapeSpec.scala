@@ -234,6 +234,50 @@ class PlanShapeSpec extends SparkSpec {
       "index side of the probe gained an Exchange/recompute after the append")
   }
 
+  test("sim_index_probe: standing ANN index streams from disk bucket-aligned — zero index-side Exchange") {
+    val p = plan("sim_index_probe")
+    assert(p.contains("SortMergeJoin"),
+      "probe should be the at-scale merge join against the saved IVF index")
+    assert(p.contains("Bucketed: true"),
+      "index scan not bucket-aligned — the corpus side would re-shuffle on cell")
+    // The index table is the SMJ's streamed (left) side, so every line
+    // between the join and its scan belongs to the index branch — none may
+    // be an Exchange (re-shuffle) or a HashAggregate (the Lloyd fit / cell
+    // assignment recomputed at query time): the whole point of the
+    // persisted index is that the corpus side's cost is a bucket-aligned
+    // parquet scan of pre-assigned rows.
+    val lines = p.linesIterator.toSeq
+    val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+    val idx = lines.indexWhere(_.contains("graft_ivf_index"))
+    assert(smj >= 0 && idx > smj, "index scan should sit under the probe SMJ")
+    assert(!lines.slice(smj + 1, idx).exists(l =>
+      l.contains("Exchange") || l.contains("HashAggregate")),
+      "index side of the probe gained an Exchange/recompute")
+  }
+
+  test("sim_index_maintain: both result lanes keep the bucket-aligned index read") {
+    val p = plan("sim_index_maintain")
+    assert(p.contains("Bucketed: true"),
+      "index scan not bucket-aligned after the append")
+    // Two lanes (top-3 'all' + best 'fresh' arrival) union two merge joins;
+    // each join's left child is the index scan, so for EVERY index scan the
+    // stretch back to its own SMJ must be Exchange/recompute-free. A Filter
+    // in that stretch is expected for the fresh lane (the % predicate is
+    // pushed below the join onto the index side — pruning before the join
+    // is the right plan).
+    val lines = p.linesIterator.toSeq
+    val scans = lines.zipWithIndex
+      .filter(_._1.contains("graft_ivf_index_m")).map(_._2)
+    assert(scans.nonEmpty, "no maintained-index scan in the plan")
+    scans.foreach { i =>
+      val smj = lines.lastIndexWhere(_.contains("SortMergeJoin"), i)
+      assert(smj >= 0, "index scan not under a merge join")
+      assert(!lines.slice(smj + 1, i).exists(l =>
+        l.contains("Exchange") || l.contains("HashAggregate")),
+        "index side of a lane's probe gained an Exchange/recompute")
+    }
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

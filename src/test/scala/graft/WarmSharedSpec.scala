@@ -21,4 +21,18 @@ class WarmSharedSpec extends SparkSpec {
       }
     } finally graft.operators.Dedup.clearWarm()
   }
+
+  test("warm IVF frames change no sharing query's output") {
+    val names = graft.operators.Similarity.sharedFamily.toSeq.sorted
+    val cold = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    val keep = graft.operators.Similarity.warmShared(spark, sf)
+    try {
+      assert(keep.nonEmpty, "warmShared registered no checkpointed frames")
+      names.foreach { n =>
+        val w = SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+        assert(w === cold(n), s"$n diverges under the warm IVF frames")
+      }
+    } finally graft.operators.Similarity.clearWarm()
+  }
 }
