@@ -49,6 +49,14 @@ object GraftConfig {
   val AnnDeltaMod = 10L
   val AnnDeltaRem = 9L
 
+  /** Candidate-set depth for two-stage retrieval (sim_refine): the IVFPQ
+    * ADC ranking generates this many candidates per probe on 8-byte codes;
+    * only their raw vectors are fetched for the exact re-score. The knob is
+    * the recall/fetch-cost dial: production IVFADC+refine runs shortlists
+    * of 10–100× the final k — 10 here against k=3 sits in that band while
+    * keeping the fixture's per-cell populations meaningful. */
+  val AnnRefineShortlist = 10L
+
   /** Round budget for iterate-to-fixpoint connected components
     * (dedup_cluster / graph_cc) — a safety valve, not the semantics:
     * iteration stops when a round changes zero labels, and overrunning

@@ -455,6 +455,117 @@ object Scans {
               |SELECT mon, bin, count(*) AS n_files,
               |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
               |  min(fday) AS first_file, max(fday) AS last_file
-              |FROM laid GROUP BY mon, bin ORDER BY mon, bin""".stripMargin))
+              |FROM laid GROUP BY mon, bin ORDER BY mon, bin""".stripMargin)),
+
+    // ANALYZE-style catalog statistics — the per-column numbers a
+    // cost-based optimizer feeds on: row count (join reordering), NDV
+    // (aggregation estimates, broadcast decisions), min/max (range/partition
+    // pruning), null count (filter selectivity). One row out per tracked
+    // column; `pos_value` (value where > 0, else null) is a derived column
+    // whose nulls exercise the null-count path on fixtures that ship
+    // without any. Everything computes in ONE corpus pass: counts/min/max
+    // are algebraic partial aggregates, and the multi-column exact NDVs
+    // plan as Spark's Expand (one duplicated stream per distinct column)
+    // with map-side partials. Scale: at 100 TB the exact NDVs swap for HLL
+    // sketches (`agg_approx_distinct` demonstrates the machinery), making
+    // the whole pass pure single-scan partial aggregation; output stays
+    // O(columns) rows regardless of table size — the stats table itself is
+    // a catalog artifact, refreshed per partition on ingest and merged.
+    QDef(
+      "table_stats",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .withColumn("pos_value", when(col("value") > 0.0, col("value")))
+        val ag = e.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("event_id")).as("nn_event_id"),
+          countDistinct(col("event_id")).as("ndv_event_id"),
+          min(col("event_id")).cast("double").as("min_event_id"),
+          max(col("event_id")).cast("double").as("max_event_id"),
+          count(col("user_id")).as("nn_user_id"),
+          countDistinct(col("user_id")).as("ndv_user_id"),
+          min(col("user_id")).cast("double").as("min_user_id"),
+          max(col("user_id")).cast("double").as("max_user_id"),
+          count(col("value")).as("nn_value"),
+          countDistinct(col("value")).as("ndv_value"),
+          rnd(min(col("value")), 6).as("min_value"),
+          rnd(max(col("value")), 6).as("max_value"),
+          count(col("pos_value")).as("nn_pos_value"),
+          countDistinct(col("pos_value")).as("ndv_pos_value"),
+          rnd(min(col("pos_value")), 6).as("min_pos_value"),
+          rnd(max(col("pos_value")), 6).as("max_pos_value"),
+          count(col("event_type")).as("nn_event_type"),
+          countDistinct(col("event_type")).as("ndv_event_type"),
+          min(col("event_type")).as("smin_event_type"),
+          max(col("event_type")).as("smax_event_type"))
+        def numRow(name: String) = struct(
+          lit(name).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$name")).as("n_nulls"),
+          col(s"ndv_$name").as("ndv"),
+          col(s"min_$name").as("min_num"), col(s"max_$name").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+        def strRow(name: String) = struct(
+          lit(name).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$name")).as("n_nulls"),
+          col(s"ndv_$name").as("ndv"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"smin_$name").as("min_str"), col(s"smax_$name").as("max_str"))
+        ag.select(explode(array(
+            numRow("event_id"), numRow("user_id"), numRow("value"),
+            numRow("pos_value"), strRow("event_type"))).as("r"))
+          .select("r.*")
+          .orderBy("col_name")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    CASE WHEN value > 0.0 THEN value END AS pos_value
+             |  FROM events),
+             |a AS (
+             |  SELECT count(*) AS n_rows,
+             |    count(event_id) AS nn_event_id,
+             |    count(DISTINCT event_id) AS ndv_event_id,
+             |    CAST(min(event_id) AS DOUBLE) AS min_event_id,
+             |    CAST(max(event_id) AS DOUBLE) AS max_event_id,
+             |    count(user_id) AS nn_user_id,
+             |    count(DISTINCT user_id) AS ndv_user_id,
+             |    CAST(min(user_id) AS DOUBLE) AS min_user_id,
+             |    CAST(max(user_id) AS DOUBLE) AS max_user_id,
+             |    count(value) AS nn_value,
+             |    count(DISTINCT value) AS ndv_value,
+             |    floor((min(value)) * 1e6 + 0.5) / 1e6 AS min_value,
+             |    floor((max(value)) * 1e6 + 0.5) / 1e6 AS max_value,
+             |    count(pos_value) AS nn_pos_value,
+             |    count(DISTINCT pos_value) AS ndv_pos_value,
+             |    floor((min(pos_value)) * 1e6 + 0.5) / 1e6 AS min_pos_value,
+             |    floor((max(pos_value)) * 1e6 + 0.5) / 1e6 AS max_pos_value,
+             |    count(event_type) AS nn_event_type,
+             |    count(DISTINCT event_type) AS ndv_event_type,
+             |    min(event_type) AS smin_event_type,
+             |    max(event_type) AS smax_event_type
+             |  FROM e)
+             |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv,
+             |  min_num, max_num, min_str, max_str
+             |FROM (
+             |  SELECT 'event_id' AS col_name, n_rows,
+             |    n_rows - nn_event_id AS n_nulls, ndv_event_id AS ndv,
+             |    min_event_id AS min_num, max_event_id AS max_num,
+             |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |  FROM a
+             |  UNION ALL
+             |  SELECT 'user_id', n_rows, n_rows - nn_user_id, ndv_user_id,
+             |    min_user_id, max_user_id, NULL, NULL FROM a
+             |  UNION ALL
+             |  SELECT 'value', n_rows, n_rows - nn_value, ndv_value,
+             |    min_value, max_value, NULL, NULL FROM a
+             |  UNION ALL
+             |  SELECT 'pos_value', n_rows, n_rows - nn_pos_value, ndv_pos_value,
+             |    min_pos_value, max_pos_value, NULL, NULL FROM a
+             |  UNION ALL
+             |  SELECT 'event_type', n_rows, n_rows - nn_event_type, ndv_event_type,
+             |    NULL, NULL, smin_event_type, smax_event_type FROM a)
+             |ORDER BY col_name""".stripMargin))
   )
 }

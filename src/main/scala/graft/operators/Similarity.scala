@@ -139,7 +139,7 @@ object Similarity {
     * geometry the append lands in), so it shares nothing with the
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
-    "sim_index_probe")
+    "sim_index_probe", "sim_refine")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -258,6 +258,176 @@ object Similarity {
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY raw DESC, vec_id ASC) AS rank
        |  FROM scored)$finalSql""".stripMargin
+  }
+
+  /** The IVFPQ ADC pipeline shared by `sim_ivfpq` (the approx ranking IS
+    * the answer, top-5) and `sim_refine` (the approx ranking is a
+    * SHORTLIST, re-scored exactly): coarse cells from the shared Lloyd
+    * fit, residuals vs the own-cell centroid, PQ codes from cell-shared
+    * codebooks, probes ADC-scored inside their own cell only. Returns the
+    * per-probe approx-distance ranking UNFILTERED — consumers cut at their
+    * own depth. */
+  private def ivfpqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val D = 8; val K = 4L
+    // -- coarse quantizer: the shared sim_ivf fit --
+    val fitted = sharedFit(s, dir)
+    val fittedC = fitted.select(col("cid").as("cell"), col("centroid"))
+    // -- residuals vs the own-cell centroid --
+    val cRes = sharedAssigned(s, dir)
+      .join(broadcast(fittedC), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ce"), col("centroid"), (a, b) => a - b).as("rv"))
+    val pRes = assignCell(probes(s, dir), "probe_id", "pe", fitted)
+      .join(broadcast(fittedC), "cell")
+      .select(col("probe_id"), col("cell"),
+        zip_with(col("pe"), col("centroid"), (a, b) => a - b).as("rv"))
+    // -- PQ on residuals: the sim_pq machinery, codebooks cell-shared --
+    def subvecs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("cell"),
+        posexplode(array((0 until M).map(m => slice(col("rv"), m * D + 1, D)): _*))
+          .as(Seq("sub", "sv")))
+    def d2(x: Column, c: Column): Column =
+      rnd(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+    val sv = subvecs(cRes, "vec_id")
+    val cents0 = sv.where(col("vec_id") < K)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    def assignCode(df: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+      df.join(broadcast(cents), "sub")
+        .select(col(idCol), col("cell"), col("sub"), col("sv"), col("cid"),
+          d2(col("sv"), col("cv")).as("dr"))
+        .groupBy(idCol, "sub")
+        .agg(min(struct(col("dr"), col("cid"))).as("m"),
+          first(col("sv")).as("sv"), first(col("cell")).as("cell"))
+        .select(col(idCol), col("cell"), col("sub"), col("sv"),
+          col("m").getField("cid").as("cid"))
+    val a1 = assignCode(sv, "vec_id", cents0)
+    val cents1 = a1
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos").agg(rnd(avg(col("v")), 6).as("mv"))
+      .groupBy("sub", "cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
+      .select(col("sub"), col("cid"),
+        transform(col("sm"), x => x.getField("mv")).as("cv"))
+    val codes = assignCode(sv, "vec_id", cents1)
+      .select(col("vec_id"), col("cell"), col("sub"), col("cid"))
+    // -- probe ADC table against the probe's OWN residual --
+    val ptab = subvecs(pRes, "probe_id").join(broadcast(cents1), "sub")
+      .select(col("probe_id"), col("cell"), col("sub"), col("cid"),
+        d2(col("sv"), col("cv")).as("cell_d2"))
+    // -- ADC scoring confined to the probed cell --
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    codes.join(broadcast(ptab), Seq("cell", "sub", "cid"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .groupBy("probe_id", "cell", "vec_id")
+      .agg(rnd(sum(col("cell_d2")), 6).as("approx_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** The IVFPQ composition unrolled to CTEs, parameterized by the consumer:
+    * refine = None → `sim_ivfpq` (approx top-5 is the output); refine =
+    * Some(r) → `sim_refine` (approx top-r is a shortlist, re-scored with
+    * exact cosine over the RAW vectors joined back from c0/pa, final top-3).
+    * MATERIALIZED on every multi-referenced stage: the Lloyd chain +
+    * residual + PQ chain is deep enough that DuckDB's default CTE inlining
+    * would expand it multiplicatively (the kcore lesson). */
+  private def ivfpqOracleSql(refine: Option[Long]): String = {
+    def cellAssignSql(src: String, idCol: String, vecCol: String,
+        cents: String): String =
+      s"""SELECT $idCol, $vecCol, cid AS cell FROM (
+         |    SELECT $idCol, $vecCol, cid,
+         |      row_number() OVER (PARTITION BY $idCol
+         |        ORDER BY ${cosSql(vecCol, "centroid")} DESC, cid ASC) AS rn
+         |    FROM $src CROSS JOIN $cents)
+         |  WHERE rn = 1""".stripMargin
+    def d2Sql(x: String, c: String): String =
+      s"floor((list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)) * 1e6 + 0.5) / 1e6"
+    def codeAssignSql(src: String, idCol: String, cents: String): String =
+      s"""SELECT $idCol, cell, sub, sv, cid FROM (
+         |    SELECT v.$idCol, v.cell, v.sub, v.sv, c.cid,
+         |      row_number() OVER (PARTITION BY v.$idCol, v.sub
+         |        ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM $src v JOIN $cents c USING (sub))
+         |  WHERE rn = 1""".stripMargin
+    def resSql(assigned: String, idCol: String, vecCol: String): String =
+      s"""SELECT $idCol, cell, list(av - bv ORDER BY pos) AS rv FROM (
+         |    SELECT a.$idCol, a.cell, unnest(a.$vecCol) AS av,
+         |      unnest(f.centroid) AS bv,
+         |      generate_subscripts(a.$vecCol, 1) AS pos
+         |    FROM $assigned a JOIN icents$KMeansIters f ON f.cid = a.cell)
+         |  GROUP BY $idCol, cell""".stripMargin
+    val iters = (1 to KMeansIters).map { i =>
+      s"""ia$i AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents${i - 1}")}),
+         |icents$i AS MATERIALIZED (
+         |  SELECT cell AS cid, list(mv ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+         |      SELECT cell, unnest(ce) AS v, generate_subscripts(ce, 1) AS pos
+         |      FROM ia$i)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    val finalSql = refine match {
+      case None =>
+        s"""
+           |SELECT probe_id, cell, vec_id, approx_d2, rank
+           |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      case Some(r) =>
+        s""",
+           |short AS (SELECT probe_id, cell, vec_id FROM ranked WHERE rank <= $r),
+           |ex AS (
+           |  SELECT s.probe_id, s.cell, s.vec_id, ${cosSql("p.pe", "v.ce")} AS raw
+           |  FROM short s
+           |  JOIN pa p ON p.probe_id = s.probe_id
+           |  JOIN c0 v ON v.vec_id = s.vec_id),
+           |rr AS (
+           |  SELECT probe_id, cell, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM ex)
+           |SELECT probe_id, cell, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+           |FROM rr WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+    }
+    s"""WITH c0 AS MATERIALIZED ($corpusSql),
+       |icents0 AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+       |  FROM embeddings WHERE vec_id < $IvfCells),
+       |$iters,
+       |ca AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents$KMeansIters")}),
+       |pa AS MATERIALIZED (${cellAssignSql(s"($probeSql)", "probe_id", "pe", s"icents$KMeansIters")}),
+       |cres AS MATERIALIZED (${resSql("ca", "vec_id", "ce")}),
+       |pres AS MATERIALIZED (${resSql("pa", "probe_id", "pe")}),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
+       |  FROM cres CROSS JOIN generate_series(0, 7) g(i)),
+       |pqc0 AS MATERIALIZED (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 4),
+       |pq1 AS MATERIALIZED (${codeAssignSql("sv", "vec_id", "pqc0")}),
+       |pqc1 AS MATERIALIZED (
+       |  SELECT sub, cid, list(mv ORDER BY pos) AS cv FROM (
+       |    SELECT sub, cid, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+       |      SELECT sub, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
+       |      FROM pq1)
+       |    GROUP BY sub, cid, pos)
+       |  GROUP BY sub, cid),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, cell, sub, cid FROM (${codeAssignSql("sv", "vec_id", "pqc1")})),
+       |psv AS MATERIALIZED (
+       |  SELECT probe_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
+       |  FROM pres CROSS JOIN generate_series(0, 7) g(i)),
+       |ptab AS MATERIALIZED (
+       |  SELECT p.probe_id, p.cell, c.sub, c.cid, ${d2Sql("p.sv", "c.cv")} AS cell_d2
+       |  FROM psv p JOIN pqc1 c USING (sub)),
+       |adc AS (
+       |  SELECT t.probe_id, k.cell, k.vec_id,
+       |    floor((sum(t.cell_d2)) * 1e6 + 0.5) / 1e6 AS approx_d2
+       |  FROM codes k JOIN ptab t
+       |    ON t.cell = k.cell AND t.sub = k.sub AND t.cid = k.cid
+       |  WHERE t.probe_id <> k.vec_id
+       |  GROUP BY t.probe_id, k.cell, k.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cell, vec_id, approx_d2,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+       |  FROM adc)$finalSql""".stripMargin
   }
 
   val defs: Seq[QDef] = Seq(
@@ -588,148 +758,47 @@ object Similarity {
     // sim_pq each take, composed.
     QDef(
       "sim_ivfpq",
-      (s, dir) => {
-        val M = 8; val D = 8; val K = 4L
-        // -- coarse quantizer: the shared sim_ivf fit --
-        val fitted = sharedFit(s, dir)
-        val fittedC = fitted.select(col("cid").as("cell"), col("centroid"))
-        // -- residuals vs the own-cell centroid --
-        val cRes = sharedAssigned(s, dir)
-          .join(broadcast(fittedC), "cell")
-          .select(col("vec_id"), col("cell"),
-            zip_with(col("ce"), col("centroid"), (a, b) => a - b).as("rv"))
-        val pRes = assignCell(probes(s, dir), "probe_id", "pe", fitted)
-          .join(broadcast(fittedC), "cell")
-          .select(col("probe_id"), col("cell"),
-            zip_with(col("pe"), col("centroid"), (a, b) => a - b).as("rv"))
-        // -- PQ on residuals: the sim_pq machinery, codebooks cell-shared --
-        def subvecs(df: DataFrame, idCol: String): DataFrame =
-          df.select(col(idCol), col("cell"),
-            posexplode(array((0 until M).map(m => slice(col("rv"), m * D + 1, D)): _*))
-              .as(Seq("sub", "sv")))
-        def d2(x: Column, c: Column): Column =
-          rnd(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
-        val sv = subvecs(cRes, "vec_id")
-        val cents0 = sv.where(col("vec_id") < K)
-          .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-        def assignCode(df: DataFrame, idCol: String, cents: DataFrame): DataFrame =
-          df.join(broadcast(cents), "sub")
-            .select(col(idCol), col("cell"), col("sub"), col("sv"), col("cid"),
-              d2(col("sv"), col("cv")).as("dr"))
-            .groupBy(idCol, "sub")
-            .agg(min(struct(col("dr"), col("cid"))).as("m"),
-              first(col("sv")).as("sv"), first(col("cell")).as("cell"))
-            .select(col(idCol), col("cell"), col("sub"), col("sv"),
-              col("m").getField("cid").as("cid"))
-        val a1 = assignCode(sv, "vec_id", cents0)
-        val cents1 = a1
-          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy("sub", "cid", "pos").agg(rnd(avg(col("v")), 6).as("mv"))
-          .groupBy("sub", "cid")
-          .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sm"))
-          .select(col("sub"), col("cid"),
-            transform(col("sm"), x => x.getField("mv")).as("cv"))
-        val codes = assignCode(sv, "vec_id", cents1)
-          .select(col("vec_id"), col("cell"), col("sub"), col("cid"))
-        // -- probe ADC table against the probe's OWN residual --
-        val ptab = subvecs(pRes, "probe_id").join(broadcast(cents1), "sub")
-          .select(col("probe_id"), col("cell"), col("sub"), col("cid"),
-            d2(col("sv"), col("cv")).as("cell_d2"))
-        // -- ADC scoring confined to the probed cell --
-        val w = Window.partitionBy("probe_id")
-          .orderBy(col("approx_d2").asc, col("vec_id").asc)
-        codes.join(broadcast(ptab), Seq("cell", "sub", "cid"))
-          .where(col("probe_id") =!= col("vec_id"))
-          .groupBy("probe_id", "cell", "vec_id")
-          .agg(rnd(sum(col("cell_d2")), 6).as("approx_d2"))
-          .withColumn("rank", row_number().over(w).cast("long"))
+      (s, dir) =>
+        ivfpqAdcRanked(s, dir)
           .where(col("rank") <= 5L)
           .select("probe_id", "cell", "vec_id", "approx_d2", "rank")
+          .orderBy("probe_id", "rank"),
+      Some(ivfpqOracleSql(None))),
+
+    // Two-stage retrieval — the refine step production ANN serves queries
+    // with (FAISS IVFADC+refine [PK]): the IVFPQ ADC ranking is demoted to
+    // a CANDIDATE GENERATOR (top-AnnRefineShortlist per probe, scored on
+    // 8-byte codes), and only the shortlist's RAW vectors are fetched and
+    // re-scored with exact cosine for the final top-3. This is the shape
+    // that makes PQ's lossy compression safe to deploy: approximation
+    // bounds the candidate set, exactness decides the answer.
+    //
+    // Scale: the expensive side stays codes-only (the sim_ivfpq cost
+    // model); the refine step touches raw vectors for probes ×
+    // AnnRefineShortlist rows ONLY, attached by BROADCASTING the shortlist
+    // into the corpus scan — the corpus never shuffles, and the fetch cost
+    // is one pruned pass independent of corpus size. At 100 TB the
+    // shortlist fetch is a point-lookup batch against the vector store;
+    // the broadcast hash join is exactly that shape.
+    QDef(
+      "sim_refine",
+      (s, dir) => {
+        val shortlist = ivfpqAdcRanked(s, dir)
+          .where(col("rank") <= graft.GraftConfig.AnnRefineShortlist)
+          .select("probe_id", "cell", "vec_id")
+        val withProbe = shortlist.join(probes(s, dir), "probe_id")
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        corpus(s, dir).join(broadcast(withProbe), "vec_id")
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
           .orderBy("probe_id", "rank")
       },
-      Some {
-        // The same composition unrolled to CTEs. MATERIALIZED on every
-        // multi-referenced stage: the Lloyd chain + residual + PQ chain is
-        // deep enough that DuckDB's default CTE inlining would expand it
-        // multiplicatively (the kcore lesson).
-        def cellAssignSql(src: String, idCol: String, vecCol: String,
-            cents: String): String =
-          s"""SELECT $idCol, $vecCol, cid AS cell FROM (
-             |    SELECT $idCol, $vecCol, cid,
-             |      row_number() OVER (PARTITION BY $idCol
-             |        ORDER BY ${cosSql(vecCol, "centroid")} DESC, cid ASC) AS rn
-             |    FROM $src CROSS JOIN $cents)
-             |  WHERE rn = 1""".stripMargin
-        def d2Sql(x: String, c: String): String =
-          s"floor((list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)) * 1e6 + 0.5) / 1e6"
-        def codeAssignSql(src: String, idCol: String, cents: String): String =
-          s"""SELECT $idCol, cell, sub, sv, cid FROM (
-             |    SELECT v.$idCol, v.cell, v.sub, v.sv, c.cid,
-             |      row_number() OVER (PARTITION BY v.$idCol, v.sub
-             |        ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cid ASC) AS rn
-             |    FROM $src v JOIN $cents c USING (sub))
-             |  WHERE rn = 1""".stripMargin
-        def resSql(assigned: String, idCol: String, vecCol: String): String =
-          s"""SELECT $idCol, cell, list(av - bv ORDER BY pos) AS rv FROM (
-             |    SELECT a.$idCol, a.cell, unnest(a.$vecCol) AS av,
-             |      unnest(f.centroid) AS bv,
-             |      generate_subscripts(a.$vecCol, 1) AS pos
-             |    FROM $assigned a JOIN icents$KMeansIters f ON f.cid = a.cell)
-             |  GROUP BY $idCol, cell""".stripMargin
-        val iters = (1 to KMeansIters).map { i =>
-          s"""ia$i AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents${i - 1}")}),
-             |icents$i AS MATERIALIZED (
-             |  SELECT cell AS cid, list(mv ORDER BY pos) AS centroid FROM (
-             |    SELECT cell, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
-             |      SELECT cell, unnest(ce) AS v, generate_subscripts(ce, 1) AS pos
-             |      FROM ia$i)
-             |    GROUP BY cell, pos)
-             |  GROUP BY cell)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH c0 AS MATERIALIZED ($corpusSql),
-           |icents0 AS (
-           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
-           |  FROM embeddings WHERE vec_id < $IvfCells),
-           |$iters,
-           |ca AS MATERIALIZED (${cellAssignSql("c0", "vec_id", "ce", s"icents$KMeansIters")}),
-           |pa AS MATERIALIZED (${cellAssignSql(s"($probeSql)", "probe_id", "pe", s"icents$KMeansIters")}),
-           |cres AS MATERIALIZED (${resSql("ca", "vec_id", "ce")}),
-           |pres AS MATERIALIZED (${resSql("pa", "probe_id", "pe")}),
-           |sv AS MATERIALIZED (
-           |  SELECT vec_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
-           |  FROM cres CROSS JOIN generate_series(0, 7) g(i)),
-           |pqc0 AS MATERIALIZED (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 4),
-           |pq1 AS MATERIALIZED (${codeAssignSql("sv", "vec_id", "pqc0")}),
-           |pqc1 AS MATERIALIZED (
-           |  SELECT sub, cid, list(mv ORDER BY pos) AS cv FROM (
-           |    SELECT sub, cid, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
-           |      SELECT sub, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
-           |      FROM pq1)
-           |    GROUP BY sub, cid, pos)
-           |  GROUP BY sub, cid),
-           |codes AS MATERIALIZED (
-           |  SELECT vec_id, cell, sub, cid FROM (${codeAssignSql("sv", "vec_id", "pqc1")})),
-           |psv AS MATERIALIZED (
-           |  SELECT probe_id, cell, g.i AS sub, list_slice(rv, g.i * 8 + 1, g.i * 8 + 8) AS sv
-           |  FROM pres CROSS JOIN generate_series(0, 7) g(i)),
-           |ptab AS MATERIALIZED (
-           |  SELECT p.probe_id, p.cell, c.sub, c.cid, ${d2Sql("p.sv", "c.cv")} AS cell_d2
-           |  FROM psv p JOIN pqc1 c USING (sub)),
-           |adc AS (
-           |  SELECT t.probe_id, k.cell, k.vec_id,
-           |    floor((sum(t.cell_d2)) * 1e6 + 0.5) / 1e6 AS approx_d2
-           |  FROM codes k JOIN ptab t
-           |    ON t.cell = k.cell AND t.sub = k.sub AND t.cid = k.cid
-           |  WHERE t.probe_id <> k.vec_id
-           |  GROUP BY t.probe_id, k.cell, k.vec_id),
-           |ranked AS (
-           |  SELECT probe_id, cell, vec_id, approx_d2,
-           |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY approx_d2 ASC, vec_id ASC) AS rank
-           |  FROM adc)
-           |SELECT probe_id, cell, vec_id, approx_d2, rank
-           |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-      }),
+      Some(ivfpqOracleSql(Some(graft.GraftConfig.AnnRefineShortlist)))),
 
     // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
     // candidate pairs — the exact precision pass over hyperplane-bucket

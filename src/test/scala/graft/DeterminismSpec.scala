@@ -65,7 +65,11 @@ class DeterminismSpec extends SparkSpec {
     // reproduce under any write/read partitioning, and the maintain
     // variant's frozen-centroid append + two-lane rank under any merge
     // order of the scored cell scan
-    "sim_index_probe", "sim_index_maintain")
+    "sim_index_probe", "sim_index_maintain",
+    // two-stage retrieval: the ADC shortlist cut AND the exact re-rank
+    // both bet on rounded-grid ties staying deterministic across merge
+    // topologies
+    "sim_refine")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -52,7 +52,7 @@ class InventorySpec extends SparkSpec {
       "quality_classifier", "lc_structfunc", "dedup_semantic", "pipeline_pack",
       "lc_smooth", "stream_topk", "pipeline_lightcurve",
       "dedup_index_probe", "sim_ivfpq", "sim_index_probe",
-      "sim_index_maintain")
+      "sim_index_maintain", "sim_refine", "table_stats")
     val missing = mustHave.filterNot(names)
     assert(missing.isEmpty, s"missing: $missing")
   }

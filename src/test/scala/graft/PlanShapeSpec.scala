@@ -278,6 +278,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_refine: shortlist broadcasts into the corpus fetch — raw vectors never shuffle") {
+    val p = plan("sim_refine")
+    // The refine fetch must attach the (probes × shortlist)-row candidate
+    // set to the corpus scan as a broadcast: a sort-merge join here would
+    // shuffle the full raw-vector corpus to retrieve ~50 rows.
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "shortlist/probe attach lost its broadcast — corpus raw vectors would shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "refine fetch degraded to a shuffled/all-pairs join")
+  }
+
+  test("table_stats: one corpus pass — single scan, partial aggs, no join") {
+    val p = plan("table_stats")
+    assert(!p.contains("Join"), "stats computation should never join")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "stats should make exactly ONE pass over the table")
+    assert(p.contains("Expand"),
+      "multi-column exact NDV should plan as Expand (one stream per distinct column)")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "stats aggregation lost map-side partials")
+  }
+
   test("win_funnel: stage chain stays equi-joins with no nested loop") {
     val p = plan("win_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
