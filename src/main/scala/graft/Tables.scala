@@ -23,17 +23,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default ([PARQUET_TYPE_ILLEGAL]). Read nanos as LONG via the
-    * legacy conf, then floor-divide to microseconds — integer division, NOT
-    * double math: epoch-nanos (~1.7e18) exceed 2^53, a double round-trip
-    * would corrupt low bits. Matches DuckDB, which truncates nanos→micros. */
+  /** `events.parquet` has stored `ts` under three different physical types
+    * across fixture generations, so normalize to TIMESTAMP here — the one
+    * loader — rather than at every consumer:
+    *  - parquet TIMESTAMP(NANOS): Spark rejects it by default
+    *    ([PARQUET_TYPE_ILLEGAL]); read nanos as LONG via the legacy conf,
+    *    then floor-divide to micros — integer division, NOT double math
+    *    (epoch-nanos ~1.7e18 exceed 2^53; a double round-trip corrupts low
+    *    bits). Matches DuckDB, which truncates nanos→micros.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ, which `unix_micros`/time-window ops reject or treat
+    *    differently; cast to TIMESTAMP. Under the library's pinned UTC
+    *    session timezone the cast is a pure reinterpretation — the same
+    *    epoch micros DuckDB's `epoch_us` computes on the naive value.
+    *  - plain TIMESTAMP: pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
