@@ -131,6 +131,17 @@ object GraftConfig {
     * with the 1e6 threshold scale. */
   val TempSampleModulus = 1000000L
 
+  /** Mixture budget divisor for pipeline_mix: the training-run token
+    * budget is tot/MixBudgetDen of the corpus. 1 (one full epoch,
+    * rebalanced toward the uniform target) is the smallest divisor at
+    * which every below-average fixture source trips the one-epoch cap —
+    * measured: uniform per-source quota caps 0 sources at Den = 2 on all
+    * three SFs, so the water-fill's redistribute branch would be dead
+    * code there. The target-weight vector is uniform in the fixture;
+    * production passes learned weights — the water-fill shape (cap at
+    * one epoch, redistribute surplus) is weight-agnostic. */
+  val MixBudgetDen = 1L
+
   /** Incremental-maintenance split day (agg_incremental): the fixture's
     * stand-in for "the new partition" — events span 2024-01-01..30, so
     * day 19738 (2024-01-16) gives both sides real mass. Production passes

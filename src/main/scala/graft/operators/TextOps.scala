@@ -1085,6 +1085,104 @@ object TextOps {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
              |  CAST(sum(least(cum, (seq_id + 1) * ${graft.GraftConfig.PackCapacity}) -
              |    greatest(cum - n_tok, seq_id * ${graft.GraftConfig.PackCapacity})) AS BIGINT) = ${graft.GraftConfig.PackCapacity} AS is_full
-             |FROM e GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin))
+             |FROM e GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin)),
+
+    // Target-mixture resampling — the data-mixing step that sets how much
+    // each source contributes to a training run (the Pile/LLaMA-style
+    // recipe): a global token budget (one corpus epoch here — see
+    // GraftConfig.MixBudgetDen for why) is split across sources by target
+    // weight (uniform here; production passes a learned or hand-set
+    // weight vector), each source's quota is CAPPED at one epoch of what
+    // it actually has, the surplus from capped sources is redistributed
+    // across the uncapped ones (one water-fill round — production
+    // iterates to fixpoint; the trailing `least` below caps any source
+    // the redistribution itself pushes past its epoch), and each source is
+    // then sampled at rate quota/available with the same Knuth-hash
+    // keep-rule as `sample_temperature` — selection is a pure function of
+    // doc_id, so any engine and any partitioning reproduces it. All
+    // quota/rate arithmetic is integer (micro-rate grid), so the
+    // cap/redistribute boundaries are engine-exact. Scale shape: exactly
+    // TWO corpus passes (per-source totals, then the selection rollup);
+    // the water-fill itself runs on the checkpointed #sources-row
+    // aggregate through broadcast-only joins; the rollup pass is scan →
+    // broadcast rate join → conditional partial agg — the text never
+    // shuffles, and there is no per-source total order anywhere (an
+    // exact prefix-by-hash selection would need one; the rate form is
+    // what a 100 TB mixer actually runs).
+    QDef(
+      "pipeline_mix",
+      (s, dir) => {
+        val d = T.documents(s, dir).select("doc_id", "source", "n_chars")
+        // localCheckpoint pins ONE corpus pass for the per-source totals:
+        // the water-fill references this #sources-row frame four times
+        // (glob, surplus, quota, rate), and without the checkpoint each
+        // reference inlines its own full corpus scan+agg into the plan —
+        // measured: 6 parquet scans of documents vs 2.
+        val avail = d.groupBy("source")
+          .agg(sum("n_chars").cast("long").as("avail_tok"))
+          .localCheckpoint()
+        val glob = avail.agg(sum("avail_tok").cast("long").as("tot"),
+          count(lit(1)).as("ns"))
+        val q0 = avail.crossJoin(broadcast(glob))
+          .withColumn("quota0",
+            expr(s"(tot div ${graft.GraftConfig.MixBudgetDen}) div ns"))
+        val r1 = q0.agg(
+          sum(when(col("avail_tok") < col("quota0"),
+            col("quota0") - col("avail_tok")).otherwise(0L))
+            .cast("long").as("surplus"),
+          sum(when(col("avail_tok") >= col("quota0"), 1L).otherwise(0L))
+            .cast("long").as("n_unc"))
+        val fin = q0.crossJoin(broadcast(r1))
+          .withColumn("quota_tok",
+            least(col("avail_tok"),
+              when(col("avail_tok") < col("quota0"), col("avail_tok"))
+                .otherwise(col("quota0") + expr("surplus div n_unc"))))
+          .withColumn("rate_micro",
+            least(lit(graft.GraftConfig.TempSampleModulus),
+              expr(s"(quota_tok * ${graft.GraftConfig.TempSampleModulus}) div avail_tok")))
+          .select("source", "avail_tok", "quota_tok", "rate_micro")
+        // One corpus pass for the selection rollup: the keep-rule folds
+        // into a conditional partial agg (every doc flows through, so no
+        // source can vanish and no outer join is needed), and the quota
+        // columns ride the broadcast join into the grouping key.
+        val keep = (col("doc_id") * 2654435761L) %
+          graft.GraftConfig.TempSampleModulus < col("rate_micro")
+        d.join(broadcast(fin), "source")
+          .groupBy("source", "avail_tok", "quota_tok", "rate_micro")
+          .agg(sum(when(keep, 1L).otherwise(0L)).as("n_sel"),
+            sum(when(keep, col("n_chars")).otherwise(0L)).cast("long").as("tok_sel"))
+          .orderBy("source")
+      },
+      Some(s"""WITH a AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_tok
+             |  FROM documents GROUP BY source),
+             |g AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot, count(*) AS ns FROM a),
+             |q0 AS (
+             |  SELECT source, avail_tok,
+             |    (tot // ${graft.GraftConfig.MixBudgetDen}) // ns AS quota0
+             |  FROM a CROSS JOIN g),
+             |r1 AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN avail_tok < quota0 THEN quota0 - avail_tok ELSE 0 END) AS BIGINT) AS surplus,
+             |    CAST(sum(CASE WHEN avail_tok >= quota0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unc
+             |  FROM q0),
+             |f AS (
+             |  SELECT source, avail_tok,
+             |    least(avail_tok, CASE WHEN avail_tok < quota0 THEN avail_tok
+             |      ELSE quota0 + surplus // n_unc END) AS quota_tok
+             |  FROM q0 CROSS JOIN r1),
+             |t AS (
+             |  SELECT source, avail_tok, quota_tok,
+             |    least(${graft.GraftConfig.TempSampleModulus},
+             |      (quota_tok * ${graft.GraftConfig.TempSampleModulus}) // avail_tok) AS rate_micro
+             |  FROM f),
+             |r AS (
+             |  SELECT d.source, count(*) AS n_sel, CAST(sum(d.n_chars) AS BIGINT) AS tok_sel
+             |  FROM documents d JOIN t USING (source)
+             |  WHERE (d.doc_id * 2654435761) % ${graft.GraftConfig.TempSampleModulus} < t.rate_micro
+             |  GROUP BY d.source)
+             |SELECT t.source, t.avail_tok, t.quota_tok, t.rate_micro,
+             |  coalesce(r.n_sel, 0) AS n_sel, coalesce(r.tok_sel, 0) AS tok_sel
+             |FROM t LEFT JOIN r USING (source) ORDER BY t.source""".stripMargin))
   )
 }

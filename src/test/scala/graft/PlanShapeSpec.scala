@@ -391,6 +391,19 @@ class PlanShapeSpec extends SparkSpec {
       s"curation pipeline should shuffle at most 3× (canon, distinct partial, lang), saw $exchanges")
   }
 
+  test("pipeline_mix: water-fill runs on checkpointed totals; one corpus scan in the plan") {
+    val p = plan("pipeline_mix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "mixture attachment should be broadcast-only")
+    assert(p.contains("BroadcastHashJoin"), "rate table not broadcast into the rollup pass")
+    assert(p.contains("ExistingRDD"),
+      "per-source totals not checkpointed — each water-fill reference re-scans the corpus")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"rollup should be the only corpus scan in the plan (totals are checkpointed), saw $scans")
+    assert(p.contains("partial_"), "selection rollup lost map-side partial aggregation")
+  }
+
   test("lc_structfunc: pair generation is an equi-join, never quadratic") {
     val p = plan("lc_structfunc")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
