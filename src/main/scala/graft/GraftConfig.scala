@@ -188,6 +188,16 @@ object GraftConfig {
   val KCoreK = 2L
   val KCoreMaxRounds = 10
 
+  /** Round budget for graph_label_prop's synchronous label propagation.
+    * Unlike cc/kcore this is the TERMINATION RULE, not a safety valve:
+    * LPA has no fixpoint guarantee (bipartite-ish regions oscillate
+    * under synchronous update), so both engines run exactly this many
+    * rounds — the same fixed-iteration discipline as graph_pagerank.
+    * Production tunes it to label-stability plateau (typically < 10);
+    * 3 separates the fixture graph's communities without saturating to
+    * one label per component. */
+  val LpRounds = 3
+
   /** Compaction target size for table_compact's bin-packing planner, in
     * the planner's byte-proxy units. Production = the lake's target file
     * size (e.g. 512 MB); the fixture proxy (row-count·100) makes multi-

@@ -340,6 +340,69 @@ object Graph {
            |$rounds
            |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
            |FROM r$maxRounds GROUP BY a ORDER BY node""".stripMargin
+      }),
+
+    // Synchronous label propagation [PK — Raghavan et al. 2007, "Near
+    // linear time algorithm to detect community structures"] over the
+    // part co-purchase graph — the community-detection member of the
+    // graph family (pagerank = importance, cc = reachability, triangles/
+    // kcore = density, this = modularity structure). Determinized for
+    // oracle parity: every node starts as its own label and each round
+    // SIMULTANEOUSLY adopts its neighbors' most frequent label, ties to
+    // the SMALLEST label (classic LPA breaks ties randomly and updates
+    // asynchronously — both engine-divergent), for a FIXED LpRounds
+    // rounds like graph_pagerank's damped iterations (LPA has no
+    // fixpoint guarantee — bipartite-ish regions oscillate — so a round
+    // budget IS the termination rule, identically on both engines).
+    // Scale shape: one round = equi-join labels onto the edge list +
+    // vote count groupBy + per-node argmax — all keyed on the node id,
+    // O(edges) per round with partial aggregation on both groupBys; the
+    // argmax is max(struct(count, -label)) — an AGGREGATE, not a window,
+    // so votes combine map-side and nothing sorts. The edge list is
+    // localCheckpoint'd once (three rounds would otherwise each replay
+    // the co-purchase self-join) and each round's labels checkpoint to
+    // truncate lineage, the family's established iteration idiom.
+    QDef(
+      "graph_label_prop",
+      (s, dir) => {
+        val co = coEdges(s, dir)
+        val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        var lab = und.select(col("a").as("node")).distinct()
+          .withColumn("lab", col("node"))
+          .localCheckpoint()
+        for (_ <- 1 to graft.GraftConfig.LpRounds) {
+          lab = und.join(lab, col("b") === col("node"))
+            .groupBy(col("a"), col("lab"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("a"))
+            .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("top"))
+            .select(col("a").as("node"), (-col("top.nl")).as("lab"))
+            .localCheckpoint()
+        }
+        lab.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy("community")
+      },
+      Some {
+        val rounds = (1 to graft.GraftConfig.LpRounds).map { i =>
+          s"""v$i AS MATERIALIZED (
+             |  SELECT und.a AS node, l.lab, count(*) AS c
+             |  FROM und JOIN r${i - 1} l ON l.node = und.b GROUP BY 1, 2),
+             |r$i AS MATERIALIZED (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+             |    FROM v$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $coSql,
+           |und AS MATERIALIZED (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co),
+           |r0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM und),
+           |$rounds
+           |SELECT lab AS community, count(*) AS n_nodes,
+           |  min(node) AS min_node, max(node) AS max_node
+           |FROM r${graft.GraftConfig.LpRounds} GROUP BY lab ORDER BY community""".stripMargin
       })
   )
 }

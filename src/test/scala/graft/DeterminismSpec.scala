@@ -58,6 +58,11 @@ class DeterminismSpec extends SparkSpec {
     // and the IVF+PQ composition — residual subtraction + rounded Lloyd
     // argmins + grid-exact ADC sums must hold under any merge order
     "dedup_index_probe", "sim_ivfpq",
+    // round-7 batch 2: synchronous-LPA vote argmax under merge-ordered
+    // count partials (integer struct-max, same iterative bet as cc/kcore),
+    // and the water-fill's cap/redistribute boundaries fed by partial-agg
+    // totals (integer micro-rate grid)
+    "graph_label_prop", "pipeline_mix",
     // index lifecycle: the append must land in the same bucket layout
     // under any partitioning of the delta writer
     "dedup_index_maintain",

@@ -372,6 +372,17 @@ class PlanShapeSpec extends SparkSpec {
       "IVFPQ scoring degraded to a cartesian — cell equi-join lost")
   }
 
+  test("graph_label_prop: vote argmax is an aggregate, not a window; rollup scans the checkpoint") {
+    val p = plan("graph_label_prop")
+    assert(p.contains("ExistingRDD"),
+      "final labels should scan the checkpointed round, not replay 3 rounds of voting")
+    assert(!p.contains("Scan parquet"),
+      "iteration plan leaked into the output rollup (parquet re-scan)")
+    assert(p.contains("partial_"), "community rollup lost map-side partial aggregation")
+    assert(!p.contains("Window"),
+      "per-node argmax degraded to a window (rank) — the struct-max aggregate combines map-side")
+  }
+
   test("graph_cc: final labels scan the checkpoint, not a replayed iteration plan") {
     val p = plan("graph_cc")
     assert(p.contains("Scan ExistingRDD"),
