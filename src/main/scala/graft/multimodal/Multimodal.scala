@@ -259,6 +259,65 @@ object Multimodal {
              |  CAST(sum(CASE WHEN cs * 16 > total THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Image near-dup: mm_phash's payload signature fed through the SAME
+    // multi-index Hamming blocking as dedup_hamming (16 bits → 6/5/5-bit
+    // blocks; pigeonhole — 2 flips can't touch 3 blocks, so every pair
+    // within distance 2 agrees exactly on one block and candidates come
+    // from equi-joins, never all-pairs over the image corpus). The
+    // composition is the point: the media-derived signature from the
+    // typed mapPartitions decode drops into the text-dedup search
+    // structure unchanged — at 100 TB the raw payloads never join (8-byte
+    // signatures do), and production widens the signature (64-bit pHash)
+    // and block count, not the algorithm. Signature frame is cached: the
+    // three block projections would otherwise each replay the decode.
+    QDef(
+      "mm_dedup",
+      (s, dir) => {
+        val sig = phashes(s, dir).toDF().cache()
+        val blk = Seq(
+          sig.select(col("doc_id"), col("phash"), lit(0L).as("bi"),
+            (col("phash") % 64L).as("bv")),
+          sig.select(col("doc_id"), col("phash"), lit(1L).as("bi"),
+            expr("(phash div 64) % 32").as("bv")),
+          sig.select(col("doc_id"), col("phash"), lit(2L).as("bi"),
+            expr("phash div 2048").as("bv"))
+        ).reduce(_ unionByName _)
+        val a = blk.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("phash").as("h1"))
+        val b = blk.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("phash").as("h2"))
+        a.join(b, Seq("bi", "bv"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2", "h1", "h2").distinct()
+          .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+          .where(col("hamming") <= 2L)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, g.i AS i,
+             |    ascii(substr(text, g.i * 4 + 1, 1)) + ascii(substr(text, g.i * 4 + 2, 1)) +
+             |    ascii(substr(text, g.i * 4 + 3, 1)) + ascii(substr(text, g.i * 4 + 4, 1)) AS cs
+             |  FROM documents CROSS JOIN generate_series(0, 15) g(i)
+             |  WHERE length(text) >= 64),
+             |t AS (
+             |  SELECT doc_id, i, cs, sum(cs) OVER (PARTITION BY doc_id) AS total
+             |  FROM ch),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN cs * 16 > total THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+             |  FROM t GROUP BY doc_id),
+             |blk AS (
+             |  SELECT doc_id, phash, 0 AS bi, phash % 64 AS bv FROM sig
+             |  UNION ALL SELECT doc_id, phash, 1, (phash // 64) % 32 FROM sig
+             |  UNION ALL SELECT doc_id, phash, 2, phash // 2048 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             |    a.phash AS h1, b.phash AS h2
+             |  FROM blk a JOIN blk b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
+             |ORDER BY d1, d2""".stripMargin)),
+
     QDef(
       "mm_audio",
       (s, dir) => audioWindows(s, dir).toDF().orderBy("doc_id", "win_no"),

@@ -383,6 +383,16 @@ class PlanShapeSpec extends SparkSpec {
       "per-node argmax degraded to a window (rank) — the struct-max aggregate combines map-side")
   }
 
+  test("mm_dedup: block candidates come from equi-joins, never all-pairs over payloads") {
+    val p = plan("mm_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pHash blocking degraded to an all-pairs join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+    assert(p.contains("InMemoryTableScan"),
+      "signature frame not cached — each block projection replays the decode")
+  }
+
   test("graph_cc: final labels scan the checkpoint, not a replayed iteration plan") {
     val p = plan("graph_cc")
     assert(p.contains("Scan ExistingRDD"),
