@@ -39,10 +39,12 @@ object Verify {
         else Set.empty[Int]
       d ++ a
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Cleanup hook for query-internal caches: clearCache drops SQL-cache
@@ -72,6 +74,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every query this run DECLARED, so the checker can flag a
+    // query that threw before writing output — a failed no-oracle query
+    // otherwise leaves no trace in outDir and "0 failures" lies (measured:
+    // stream_watermark's NTZ failure hid exactly this way in round 7).
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -64,9 +64,17 @@ object StreamRunner {
       stage.resolve("events.parquet"))
     val rawSchema = s.read.parquet(stage.toString).schema
     val st = s.readStream.schema(rawSchema).parquet(stage.toString)
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Same normalization as Tables.events: watermarks/event-time ops
+        // require TIMESTAMP, and under the pinned UTC session the cast is a
+        // pure reinterpretation of the naive micros.
+        st.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => st
+    }
   }
 
   /** Tumbling 1-hour count with a 1-hour watermark, append mode: only windows

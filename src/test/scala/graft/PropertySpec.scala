@@ -305,4 +305,59 @@ class PropertySpec extends SparkSpec {
     assert(partners.keySet.subsetOf(inc.keySet),
       "a delta doc with a batch cross-pair is missing from the incremental output")
   }
+
+  test("graph_label_prop: communities partition the node set; labels are node ids") {
+    // Independent invariants, not an oracle re-run: LPA relabels nodes but
+    // never invents or drops them, so community sizes must sum to the node
+    // count of the SAME edge set (re-derived here from the declared
+    // triangle/kcore co-purchase graph definition), every community label
+    // must be a node id, and each community's node span must contain it...
+    // except the label itself need NOT be a member (its originator may have
+    // adopted another label) — so only the id-space law is asserted for
+    // labels, membership only for min/max span consistency.
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val nodes = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= graft.GraftConfig.TriangleSupport)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct().as[Long].collect().toSet
+    val out = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    assert(out.nonEmpty, "no communities — edge set empty?")
+    val sizes = out.map(_.getLong(1)).sum
+    assert(sizes === nodes.size.toLong,
+      s"community sizes sum to $sizes but the co-purchase graph has ${nodes.size} nodes")
+    out.foreach { r =>
+      val (community, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nodes.contains(community), s"community label $community is not a node id")
+      assert(mn <= mx && nodes.contains(mn) && nodes.contains(mx),
+        s"community $community span [$mn,$mx] leaves the node set")
+    }
+  }
+
+  test("pipeline_mix: quotas respect the budget and every epoch cap") {
+    // Water-fill laws: no source's quota exceeds what it has (epoch cap),
+    // the quota total never exceeds the declared budget (redistribution
+    // moves mass, the trailing cap and integer division only shed it),
+    // selected tokens never exceed available, and a fully-kept source
+    // (rate = modulus) selects exactly its whole epoch.
+    val rows = SparkEntry.queries("pipeline_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getLong(1)).sum
+    val budget = tot / graft.GraftConfig.MixBudgetDen
+    val quotaSum = rows.map(_.getLong(2)).sum
+    assert(quotaSum <= budget, s"water-fill overshot: quotas $quotaSum > budget $budget")
+    rows.foreach { r =>
+      val (src, avail, quota, rate, nSel, tokSel) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(quota <= avail, s"$src: quota $quota exceeds epoch $avail")
+      assert(tokSel <= avail, s"$src: selected $tokSel exceeds available $avail")
+      assert(rate <= graft.GraftConfig.TempSampleModulus)
+      if (rate == graft.GraftConfig.TempSampleModulus)
+        assert(tokSel === avail && nSel > 0L,
+          s"$src: rate 1.0 must keep the whole source ($tokSel vs $avail)")
+    }
+  }
 }

@@ -36,10 +36,18 @@ def main():
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
+    # A query that THREW inside Verify writes no output dir and would be
+    # invisible to the dir scan — merge in the declared manifest so a
+    # missing output is a failure, not a silent skip.
+    decl_path = os.path.join(outdir, "declared.json")
+    if os.path.exists(decl_path):
+        names = sorted(set(names) | set(json.load(open(decl_path))))
     fails, nooracle = [], []
     for name in names:
         if only and name not in only:
             continue
+        if not os.path.isdir(os.path.join(outdir, name)):
+            fails.append((name, "NO OUTPUT — query failed inside Verify")); continue
         files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
         if not files:
             fails.append((name, "no spark output")); continue
