@@ -198,6 +198,13 @@ object GraftConfig {
     * one label per component. */
   val LpRounds = 3
 
+  /** Bucket count for table_histogram's equi-height histogram — the
+    * selectivity-structure resolution a CBO trades against catalog size
+    * (engines default 100–254 buckets). 8 keeps every fixture bucket
+    * multi-valued over l_quantity's 50 distinct values so the
+    * whole-value assignment discipline is visibly exercised. */
+  val HistBuckets = 8
+
   /** Compaction target size for table_compact's bin-packing planner, in
     * the planner's byte-proxy units. Production = the lake's target file
     * size (e.g. 512 MB); the fixture proxy (row-count·100) makes multi-

@@ -566,6 +566,57 @@ object Scans {
              |  UNION ALL
              |  SELECT 'event_type', n_rows, n_rows - nn_event_type, ndv_event_type,
              |    NULL, NULL, smin_event_type, smax_event_type FROM a)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // Equi-height histogram — table_stats' companion catalog artifact (the
+    // selectivity structure ANALYZE ... FOR COLUMNS builds): HistBuckets
+    // buckets over l_quantity, each targeting n/B rows, with every DISTINCT
+    // VALUE wholly assigned to the bucket containing its first row rank
+    // (a value cannot split across buckets, the standard CBO compromise —
+    // a heavy value overfills its bucket rather than lying about bounds).
+    // Built the way an engine actually builds it at scale: ONE corpus pass
+    // collapses rows to (value, count) partial aggregates — the cumsum
+    // window then runs over the BOUNDED distinct-value aggregate (NDV
+    // rows, never corpus rows; the repo's global-window-only-on-bounded-
+    // data rule), and bucket assignment is pure integer arithmetic on
+    // 0-based first-row ranks, so boundaries are engine-exact. At high-NDV
+    // columns production swaps the exact value counts for a quantile
+    // sketch (agg_approx_pctile demonstrates the machinery); the histogram
+    // stays O(buckets) rows at any table size.
+    QDef(
+      "table_histogram",
+      (s, dir) => {
+        val b = graft.GraftConfig.HistBuckets
+        val vc = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c"))
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        // Grand total from a full-frame window over the SAME bounded
+        // aggregate — a separate .agg would inline a second corpus scan
+        // into the plan (the pipeline_mix lesson; pinned below).
+        val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        vc.withColumn("cum", sum("c").over(w))
+          .withColumn("n", sum("c").over(wAll))
+          .withColumn("bucket", expr(s"((cum - c) * $b) div n"))
+          .groupBy("bucket")
+          .agg(min("v").as("lo"), max("v").as("hi"),
+            sum("c").cast("long").as("n_rows"), count(lit(1)).as("n_values"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH vc AS (
+              |  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+              |  FROM lineitem GROUP BY 1),
+              |cu AS (
+              |  SELECT v, c,
+              |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |    CAST(sum(c) OVER () AS BIGINT) AS n
+              |  FROM vc),
+              |bk AS (
+              |  SELECT v, c, ((cum - c) * ${graft.GraftConfig.HistBuckets}) // n AS bucket
+              |  FROM cu)
+              |SELECT bucket, min(v) AS lo, max(v) AS hi,
+              |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_values
+              |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -372,6 +372,21 @@ class PlanShapeSpec extends SparkSpec {
       "IVFPQ scoring degraded to a cartesian — cell equi-join lost")
   }
 
+  test("table_histogram: cumsum window runs over the value aggregate, not corpus rows") {
+    val p = plan("table_histogram")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"histogram should make ONE corpus pass, saw $scans scans")
+    assert(p.contains("partial_count"),
+      "value-count collapse lost map-side partial aggregation")
+    // Tree prints top-down, so the window's INPUT aggregate (the
+    // (value,count) collapse) must appear on a LATER line than the window.
+    val lines = p.linesIterator.toList
+    val win = lines.indexWhere(_.contains("Window"))
+    val aggBelow = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(win >= 0 && aggBelow > win,
+      "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
+  }
+
   test("graph_label_prop: vote argmax is an aggregate, not a window; rollup scans the checkpoint") {
     val p = plan("graph_label_prop")
     assert(p.contains("ExistingRDD"),
