@@ -94,6 +94,15 @@ object GraftConfig {
   val PackCapacity = 64L
   val PackShardDocs = 100L
 
+  /** Rare-shingle blocking cap for dedup_containment's candidate pass: two
+    * docs pair when they share a shingle with document frequency in
+    * [2, cap]. Bounds per-shingle pair fan-out at cap² (candidate volume
+    * linear in the rare-posting mass at any corpus size); raising it
+    * trades candidate volume for containment recall — a pair ALL of whose
+    * shared shingles are corpus-common is missed, the standard
+    * posting-list prefix-filter bound. */
+  val ContainDfCap = 10L
+
   /** Semantic-dedup drop budget (dedup_semantic): within each embedding
     * cluster, the top ceil(n/SemDedupDenom) most-similar pairs mark their
     * higher-id member dropped — the budget form of SemDeDup's threshold

@@ -185,7 +185,7 @@ object Dedup {
     * of these is selected. */
   val sharedFamily: Set[String] = Set("dedup_minhash", "dedup_cluster",
     "dedup_keep", "dedup_ngram", "dedup_incremental", "dedup_index_probe",
-    "dedup_index_maintain")
+    "dedup_index_maintain", "dedup_containment")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them: harness cache sweeps MUST exempt these ids, or the next
@@ -494,6 +494,91 @@ object Dedup {
               |JOIN sizes s2 ON s2.doc_id = d2
               |WHERE floor((CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 >= 0.01
               |ORDER BY d1, d2""".stripMargin)),
+
+    // Asymmetric CONTAINMENT dedup — the relation Jaccard cannot see: a
+    // short doc quoted/subsumed inside a long one scores near-zero Jaccard
+    // (union is dominated by the long side) but containment
+    // |A∩B|/|A| ≈ 1. The candidate pass is RARE-SHINGLE BLOCKING, not the
+    // minhash LSH (which is Jaccard-tuned and systematically misses
+    // low-Jaccard containment pairs): two docs become candidates when they
+    // share a shingle whose document frequency is in [2, ContainDfCap] —
+    // the classic posting-list prefix filter. Recall bound (documented,
+    // standard): a containment pair ALL of whose shared shingles are
+    // corpus-common is missed; production lowers the miss rate by raising
+    // the cap or shingle length, not by pairing everything. Scale shape:
+    // the df cap bounds per-shingle pair fan-out at DfCap², so candidate
+    // volume is linear in the rare-posting mass at any corpus size; the
+    // exact intersection join then runs only over candidates (same
+    // precision-pass shape as dedup_ngram), and both directional scores
+    // come from ONE inter/size join (each pair emits src→dst and dst→src).
+    QDef(
+      "dedup_containment",
+      (s, dir) => {
+        val sh = warmOf(s, dir).map(_.shingles)
+          .getOrElse(shingles(s, dir).distinct().cache())
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("nd"))
+          .where(col("nd") >= 2L && col("nd") <= graft.GraftConfig.ContainDfCap)
+          .select("s")
+        val pairs = sh.select(col("doc_id").as("d1"), col("s"))
+          .join(rare, "s")
+          .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        val j = inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        j.select(col("d1").as("src"), col("d2").as("dst"),
+            rnd(col("inter").cast("double") / col("sz1"), 6).as("containment"))
+          .unionByName(j.select(col("d2").as("src"), col("d1").as("dst"),
+            rnd(col("inter").cast("double") / col("sz2"), 6).as("containment")))
+          .where(col("containment") >= 0.5)
+          .orderBy("src", "dst")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |ids AS (SELECT t.doc_id, t.pos, d.tok_id FROM tok t JOIN dict d USING (tok)),
+              |shr AS (
+              |  SELECT doc_id, pos, tok_id AS id1,
+              |    lead(tok_id, 1) OVER w AS id2, lead(tok_id, 2) OVER w AS id3
+              |  FROM ids WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (
+              |  SELECT DISTINCT doc_id, (id1 * $V + id2) * $V + id3 AS s
+              |  FROM shr WHERE id3 IS NOT NULL),
+              |dfreq AS (SELECT s, count(*) AS nd FROM shd GROUP BY s),
+              |rare AS (SELECT s FROM dfreq
+              |  WHERE nd BETWEEN 2 AND ${graft.GraftConfig.ContainDfCap}),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM shd a JOIN rare r ON r.s = a.s
+              |  JOIN shd b ON b.s = a.s AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.d1, p.d2, count(*) AS inter
+              |  FROM pairs p
+              |  JOIN shd a ON a.doc_id = p.d1
+              |  JOIN shd b ON b.doc_id = p.d2 AND b.s = a.s
+              |  GROUP BY p.d1, p.d2),
+              |j AS (
+              |  SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2
+              |  FROM inter
+              |  JOIN sizes s1 ON s1.doc_id = d1
+              |  JOIN sizes s2 ON s2.doc_id = d2),
+              |bo AS (
+              |  SELECT d1 AS src, d2 AS dst,
+              |    floor((CAST(inter AS DOUBLE) / sz1) * 1e6 + 0.5) / 1e6 AS containment
+              |  FROM j
+              |  UNION ALL
+              |  SELECT d2, d1,
+              |    floor((CAST(inter AS DOUBLE) / sz2) * 1e6 + 0.5) / 1e6
+              |  FROM j)
+              |SELECT src, dst, containment FROM bo
+              |WHERE containment >= 0.5
+              |ORDER BY src, dst""".stripMargin)),
 
     // Canonicalized (set-of-words) dedup: sort the DISTINCT token set and
     // hash it — catches reordered/repeated-word duplicates that byte-exact
