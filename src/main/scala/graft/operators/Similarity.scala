@@ -139,7 +139,7 @@ object Similarity {
     * geometry the append lands in), so it shares nothing with the
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
-    "sim_index_probe", "sim_refine")
+    "sim_index_probe", "sim_refine", "sim_recall_report")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -184,7 +184,11 @@ object Similarity {
     * generate_subscripts zips with unnest positionally (1-based vs Spark's
     * 0-based pos — ordering, not values, is what matters for the
     * re-assembled array). */
-  private def ivfProbeOracleSql(deltaRem: Option[Long]): String = {
+  /** The CTE chain only (fit → index → probe assignment → `scored` →
+    * `ranked`), no final select — so consumers can compose their own tail:
+    * [[ivfProbeOracleSql]] appends the probe answer,
+    * `sim_recall_report`'s oracle appends an exact-top-k comparison. */
+  private def ivfChainSql(deltaRem: Option[Long]): String = {
     val m = graft.GraftConfig.AnnDeltaMod
     def assignSql(src: String, idCol: String, vecCol: String,
         cents: String): String =
@@ -218,6 +222,29 @@ object Similarity {
       else "SELECT vec_id, ce, cell FROM c"
     // With a delta, the probe answers in two result lanes: top-3 over the
     // whole maintained index ('all') plus the best match among the day's
+    s"""WITH call AS MATERIALIZED ($corpusSql),
+       |c0 AS MATERIALIZED (SELECT vec_id, ce FROM call$basePred),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+       |  FROM embeddings WHERE vec_id < $IvfCells),
+       |$iters,
+       |c AS MATERIALIZED (${assignSql("c0", "vec_id", "ce", s"cents$KMeansIters")})$deltaCte,
+       |idx AS ($idxSql),
+       |p AS (${assignSql(s"($probeSql)", "probe_id", "pe", s"cents$KMeansIters")}),
+       |scored AS MATERIALIZED (
+       |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
+       |  FROM idx JOIN p USING (cell) WHERE probe_id <> vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cell, vec_id, raw,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY raw DESC, vec_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
+  private def ivfProbeOracleSql(deltaRem: Option[Long]): String = {
+    val m = graft.GraftConfig.AnnDeltaMod
+    // With a delta, the probe answers in two result lanes: top-3 over the
+    // whole maintained index ('all') plus the best match among the day's
     // arrivals ('fresh') — the lane that makes the append observable.
     val finalSql = deltaRem match {
       case None =>
@@ -241,24 +268,28 @@ object Similarity {
            |  FROM fresh WHERE rank = 1)
            |ORDER BY probe_id, scope, rank""".stripMargin
     }
-    s"""WITH call AS MATERIALIZED ($corpusSql),
-       |c0 AS MATERIALIZED (SELECT vec_id, ce FROM call$basePred),
-       |cents0 AS (
-       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
-       |  FROM embeddings WHERE vec_id < $IvfCells),
-       |$iters,
-       |c AS MATERIALIZED (${assignSql("c0", "vec_id", "ce", s"cents$KMeansIters")})$deltaCte,
-       |idx AS ($idxSql),
-       |p AS (${assignSql(s"($probeSql)", "probe_id", "pe", s"cents$KMeansIters")}),
-       |scored AS MATERIALIZED (
-       |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
-       |  FROM idx JOIN p USING (cell) WHERE probe_id <> vec_id),
-       |ranked AS (
-       |  SELECT probe_id, cell, vec_id, raw,
-       |    row_number() OVER (PARTITION BY probe_id
-       |      ORDER BY raw DESC, vec_id ASC) AS rank
-       |  FROM scored)$finalSql""".stripMargin
+    ivfChainSql(deltaRem) + finalSql
   }
+
+  /** Recall@3 of the IVF probe against exact brute force — the index-
+    * quality monitor: the same `ranked` chain as `sim_ivf`, compared to an
+    * exact all-corpus top-3 per probe (identical (raw DESC, vec_id ASC)
+    * tie discipline on both sides). */
+  private def ivfRecallOracleSql: String =
+    ivfChainSql(None) + s""",
+       |approx AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 3),
+       |ex AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY ${cosSql("pe", "ce")} DESC, vec_id ASC) AS rank
+       |    FROM call CROSS JOIN ($probeSql) WHERE probe_id <> vec_id)
+       |  WHERE rank <= 3)
+       |SELECT e.probe_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  floor((CAST(count(a.vec_id) AS DOUBLE) / 3.0) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM ex e LEFT JOIN approx a
+       |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
 
   /** The IVFPQ ADC pipeline shared by `sim_ivfpq` (the approx ranking IS
     * the answer, top-5) and `sim_refine` (the approx ranking is a
@@ -799,6 +830,50 @@ object Similarity {
           .orderBy("probe_id", "rank")
       },
       Some(ivfpqOracleSql(Some(graft.GraftConfig.AnnRefineShortlist)))),
+
+    // Recall@3 report — the index-quality monitor an ANN deployment runs
+    // continuously: the IVF probe's top-3 (the sim_ivf answer, from the
+    // shared standing fit/assignment) compared per probe against the exact
+    // brute-force top-3, with the intersection size and recall fraction
+    // per probe. Both rankings use the identical (raw DESC, vec_id ASC)
+    // tie discipline, so the comparison measures the INDEX (cell pruning
+    // recall), not rounding noise. Scale shape: the approx side is the
+    // standing-index probe (zero fit recompute when warm); the exact side
+    // is one corpus pass with the probe batch broadcast — the evaluation
+    // a production deployment runs over a SAMPLED probe set precisely
+    // because it costs one exact pass; recall aggregates to
+    // O(probes) rows map-side. Production sweeps nprobe/cells against
+    // this number — the op that closes the ANN tuning loop.
+    QDef(
+      "sim_recall_report",
+      (s, dir) => {
+        val fitted = sharedFit(s, dir)
+        val cAssigned = sharedAssigned(s, dir)
+        val p = assignCell(probes(s, dir), "probe_id", "pe", fitted)
+        def top3(scored: DataFrame): DataFrame = {
+          val w = Window.partitionBy("probe_id")
+            .orderBy(col("raw").desc, col("vec_id").asc)
+          scored.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 3)
+            .select("probe_id", "vec_id")
+        }
+        val approx = top3(cAssigned.join(broadcast(p), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw")))
+        val exact = top3(corpus(s, dir)
+          .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw")))
+        exact.join(approx.withColumn("hit", lit(1L)),
+            Seq("probe_id", "vec_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(col("probe_id"), col("n_hit"),
+            rnd(col("n_hit").cast("double") / 3.0, 6).as("recall"))
+          .orderBy("probe_id")
+      },
+      Some(ivfRecallOracleSql)),
 
     // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
     // candidate pairs — the exact precision pass over hyperplane-bucket
