@@ -1121,6 +1121,56 @@ object Aggregates {
               |  floor((sum((p - q) * ln(p / q))) * 1e6 + 0.5) / 1e6 AS psi,
               |  floor((sum((p - q) * ln(p / q))) * 1e6 + 0.5) / 1e6
               |    >= ${graft.GraftConfig.DriftPsiAlert} AS drifted
-              |FROM term GROUP BY event_type ORDER BY event_type""".stripMargin))
+              |FROM term GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Cohort retention — the product-analytics matrix (users cohorted by
+    // first conversion day × day offsets of continued activity). Cohort
+    // anchor = each user's first PURCHASE day (first-touch collapses on
+    // the fixture: every user is active from day one, the always-on
+    // shape); activity = subsequent purchase days, as (cohort, offset)
+    // distinct-user counts with the cohort's size and retention rate.
+    // Scale shape: everything keys on user_id until the final rollup —
+    // the first-purchase anchor is a partial-agg min, the join back is
+    // co-keyed on the groupBy's own partitioning (no extra corpus
+    // shuffle), the (user, cohort, offset) distinct collapses map-side on
+    // the same key prefix, and the cohort matrix is O(days²) rows at any
+    // corpus size; cohort sizes attach via broadcast. All-integer day
+    // arithmetic; the single division crosses the 1e-6 grid.
+    QDef(
+      "agg_cohort",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val first = e.groupBy("user_id").agg(min("day").as("cohort"))
+        val sizes = first.groupBy("cohort")
+          .agg(count(lit(1)).as("cohort_users"))
+        e.join(first, "user_id")
+          .select(col("user_id"), col("cohort"),
+            (col("day") - col("cohort")).as("off"))
+          .distinct()
+          .groupBy("cohort", "off")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort")
+          .select(col("cohort"), col("off"), col("n_active"),
+            col("cohort_users"),
+            rnd(col("n_active").cast("double") / col("cohort_users"), 6)
+              .as("retention"))
+          .orderBy("cohort", "off")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+             |cs AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort),
+             |r AS (
+             |  SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS off
+             |  FROM e JOIN f USING (user_id)),
+             |m AS (SELECT cohort, off, count(*) AS n_active FROM r GROUP BY cohort, off)
+             |SELECT m.cohort, m.off, m.n_active, cs.cohort_users,
+             |  floor((CAST(m.n_active AS DOUBLE) / cs.cohort_users) * 1e6 + 0.5) / 1e6 AS retention
+             |FROM m JOIN cs USING (cohort)
+             |ORDER BY cohort, off""".stripMargin))
   )
 }
