@@ -337,6 +337,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup matches a driver-side brute force over the declared pHashes") {
+    // Independent full-recall check of the composition on REAL data: the
+    // blocked pair set must equal all-pairs Hamming≤2 over the same
+    // signatures mm_phash declares (the generated-data blocking law in
+    // OperatorSemanticsSpec proves the pigeonhole; this proves the wiring).
+    val sig = SparkEntry.queries("mm_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- sig; (d2, h2) <- sig
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 2
+    } yield (d1, d2)).toSet
+    val out = SparkEntry.queries("mm_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty, "no near-dup pairs — fixture signatures degenerate?")
+    assert(out === brute,
+      s"blocked pairs ≠ brute force (missing ${(brute -- out).take(3)}, extra ${(out -- brute).take(3)})")
+  }
+
+  test("agg_cohort: offset-0 retention is exactly 1.0 and activity never exceeds the cohort") {
+    val rows = SparkEntry.queries("agg_cohort")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (cohort, rs) =>
+      val off0 = rs.find(_.getLong(1) == 0L)
+      assert(off0.isDefined, s"cohort $cohort missing its own anchor day (offset 0)")
+      assert(off0.get.getDouble(4) === 1.0,
+        s"cohort $cohort: every member purchases on its anchor day by construction")
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0L, "negative offset — anchor is not the minimum day")
+        assert(r.getLong(2) <= r.getLong(3),
+          s"cohort $cohort offset ${r.getLong(1)}: active users exceed cohort size")
+      }
+    }
+  }
+
   test("pipeline_mix: quotas respect the budget and every epoch cap") {
     // Water-fill laws: no source's quota exceeds what it has (epoch cap),
     // the quota total never exceeds the declared budget (redistribution
