@@ -580,6 +580,60 @@ object Dedup {
               |WHERE containment >= 0.5
               |ORDER BY src, dst""".stripMargin)),
 
+    // SOURCE-level overlap matrix — the corpus diagnostic a mixture
+    // designer reads next to pipeline_mix: exact pairwise shingle-set
+    // Jaccard between every pair of sources (a redundant source pair is a
+    // candidate for dropping or down-weighting before dedup even runs;
+    // dataset builders publish exactly this matrix when composing
+    // corpora). Scale shape: the corpus collapses to DISTINCT
+    // (source, shingle) rows FIRST — map-side, since shingles arrive
+    // already partitioned per doc — so the pairwise self-join runs on the
+    // collapsed posting lists, with per-shingle fan-out bounded by
+    // sources² (a few hundred rows per shingle at ANY corpus size, the
+    // same boundedness argument as graph_triangles' support threshold);
+    // intersection counts partial-agg on the pair key and the matrix is
+    // O(sources²) rows. The shared frame is cached — sizes and both join
+    // legs reuse it.
+    QDef(
+      "dedup_source_overlap",
+      (s, dir) => {
+        val ss = shingles(s, dir)
+          .join(T.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .select("source", "s").distinct().cache()
+        val sz = ss.groupBy("source").agg(count(lit(1)).as("sz"))
+        ss.select(col("source").as("s1"), col("s"))
+          .join(ss.select(col("source").as("s2"), col("s")), "s")
+          .where(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+          .join(broadcast(sz.select(col("source").as("s1"), col("sz").as("sz1"))), "s1")
+          .join(broadcast(sz.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
+          .select(col("s1"), col("s2"), col("inter"),
+            rnd(col("inter").cast("double") /
+              (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH tok AS ($tokSql),
+              |dict AS ($dictSql),
+              |ids AS (SELECT t.doc_id, t.pos, d.tok_id FROM tok t JOIN dict d USING (tok)),
+              |shr AS (
+              |  SELECT doc_id, pos, tok_id AS id1,
+              |    lead(tok_id, 1) OVER w AS id2, lead(tok_id, 2) OVER w AS id3
+              |  FROM ids WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |ss AS (
+              |  SELECT DISTINCT dd.source, (id1 * $V + id2) * $V + id3 AS s
+              |  FROM shr JOIN documents dd USING (doc_id) WHERE id3 IS NOT NULL),
+              |sz AS (SELECT source, count(*) AS sz FROM ss GROUP BY source),
+              |inter AS (
+              |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+              |  FROM ss a JOIN ss b ON b.s = a.s AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT s1, s2, inter,
+              |  floor((CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+              |FROM inter
+              |JOIN sz z1 ON z1.source = s1
+              |JOIN sz z2 ON z2.source = s2
+              |ORDER BY s1, s2""".stripMargin)),
+
     // Canonicalized (set-of-words) dedup: sort the DISTINCT token set and
     // hash it — catches reordered/repeated-word duplicates that byte-exact
     // dedup misses, at the same cost shape (one shuffle on the computed
