@@ -139,7 +139,7 @@ object Similarity {
     * geometry the append lands in), so it shares nothing with the
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
-    "sim_index_probe", "sim_refine", "sim_recall_report")
+    "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -275,6 +275,21 @@ object Similarity {
     * quality monitor: the same `ranked` chain as `sim_ivf`, compared to an
     * exact all-corpus top-3 per probe (identical (raw DESC, vec_id ASC)
     * tie discipline on both sides). */
+  /** Cell-balance report oracle: per-cell population, corpus share, and
+    * mean member-to-centroid cosine over the same fitted chain. */
+  private def ivfCellReportOracleSql: String =
+    ivfChainSql(None) + s""",
+       |per AS (
+       |  SELECT c.cell, count(*) AS n_vectors,
+       |    floor((avg(${cosSql("ce", "centroid")})) * 1e6 + 0.5) / 1e6 AS mean_cos
+       |  FROM c JOIN cents$KMeansIters ON cid = cell
+       |  GROUP BY c.cell)
+       |SELECT cell, n_vectors,
+       |  floor((CAST(n_vectors AS DOUBLE) /
+       |    CAST(sum(n_vectors) OVER () AS BIGINT)) * 1e6 + 0.5) / 1e6 AS share,
+       |  mean_cos
+       |FROM per ORDER BY cell""".stripMargin
+
   private def ivfRecallOracleSql: String =
     ivfChainSql(None) + s""",
        |approx AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 3),
@@ -874,6 +889,34 @@ object Similarity {
           .orderBy("probe_id")
       },
       Some(ivfRecallOracleSql)),
+
+    // Cell-balance report — the other half of index monitoring next to
+    // sim_recall_report: per-cell population, corpus share, and mean
+    // member-to-centroid cosine (cell cohesion). Production watches this
+    // because IVF probe latency is the SKEW of this table (a probe scans
+    // corpus × share of its cell — one hot cell is a tail-latency
+    // incident), and refit schedules trigger on share drift / cohesion
+    // decay. Scale shape: the standing assignment rolls up map-side to
+    // O(cells) rows against the broadcast centroid table; the share
+    // denominator is a full-frame window over that bounded aggregate —
+    // the corpus is never re-scanned (warm) and never re-shuffled.
+    QDef(
+      "sim_cell_report",
+      (s, dir) => {
+        val fitted = sharedFit(s, dir)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        sharedAssigned(s, dir)
+          .join(broadcast(fitted), col("cell") === col("cid"))
+          .select(col("cell"), cosine(col("ce"), col("centroid")).as("ccos"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"), rnd(avg(col("ccos")), 6).as("mean_cos"))
+          .withColumn("share",
+            rnd(col("n_vectors").cast("double") / sum("n_vectors").over(wAll), 6))
+          .select("cell", "n_vectors", "share", "mean_cos")
+          .orderBy("cell")
+      },
+      Some(ivfCellReportOracleSql)),
 
     // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
     // candidate pairs — the exact precision pass over hyperplane-bucket

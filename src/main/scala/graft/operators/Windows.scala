@@ -467,6 +467,54 @@ object Windows {
              |    ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
              |                           CAST(nd - pd AS DOUBLE))
              |  END) * 1e6 + 0.5) / 1e6 AS interp
-             |FROM f ORDER BY user_id, day""".stripMargin))
+             |FROM f ORDER BY user_id, day""".stripMargin)),
+
+    // Event-type transition matrix — win_funnel's Markov sibling: the
+    // funnel checks ONE prescribed stage order, this measures ALL observed
+    // next-event transitions P(to | from) per user journey. The successor
+    // comes from lead() over each user's (ts, event_id) order — event_id
+    // breaks timestamp ties deterministically, the same discipline as
+    // win_sessionize — then the matrix is a (from, to) count rollup with
+    // row-normalized probabilities. Scale shape: ONE corpus shuffle (the
+    // per-user window partitioning), then partial-agg counts on the
+    // (from, to) key; the row totals come from a window over the
+    // #types²-row aggregate (bounded at any corpus size), never the
+    // corpus; one rnd-guarded division per matrix cell.
+    QDef(
+      "win_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val wt = Window.partitionBy("from_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum("n").over(wt))
+          .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+            rnd(col("n").cast("double") / col("row_total"), 6).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type AS from_type, next_type AS to_type,
+             |    count(*) AS n
+             |  FROM t WHERE next_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT from_type, to_type, n,
+             |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+             |  FROM m)
+             |SELECT from_type, to_type, n, row_total,
+             |  floor((CAST(n AS DOUBLE) / row_total) * 1e6 + 0.5) / 1e6 AS p
+             |FROM r ORDER BY from_type, to_type""".stripMargin))
   )
 }

@@ -63,6 +63,9 @@ class DeterminismSpec extends SparkSpec {
     // and the water-fill's cap/redistribute boundaries fed by partial-agg
     // totals (integer micro-rate grid)
     "graph_label_prop", "pipeline_mix",
+    // round-7 batch 3: FP mean of member-to-centroid cosines under
+    // merge-ordered partials feeding a rounded report (cell cohesion)
+    "sim_cell_report",
     // index lifecycle: the append must land in the same bucket layout
     // under any partitioning of the delta writer
     "dedup_index_maintain",
