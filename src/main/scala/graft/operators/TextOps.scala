@@ -1183,6 +1183,140 @@ object TextOps {
              |  GROUP BY d.source)
              |SELECT t.source, t.avail_tok, t.quota_tok, t.rate_micro,
              |  coalesce(r.n_sel, 0) AS n_sel, coalesce(r.tok_sel, 0) AS tok_sel
-             |FROM t LEFT JOIN r USING (source) ORDER BY t.source""".stripMargin))
+             |FROM t LEFT JOIN r USING (source) ORDER BY t.source""".stripMargin)),
+
+    // The full preprocessing funnel as ONE declared query — the report a
+    // dataset card publishes per source: raw docs → Gopher quality gate
+    // (pipeline_curate's exact thresholds) → canonical keep-first dedup
+    // (over GATED docs only — the production order; a dropped doc can't
+    // shadow a kept one) → the pipeline_mix water-fill and deterministic
+    // rate selection over the SURVIVING tokens. Composing the stages into
+    // one oracle-checked query is the point: stage interactions (the
+    // dedup keeper changing which tokens the mixer sees) are exactly
+    // where hand-chained pipelines silently drift. Scale shape: TWO
+    // corpus passes, each with one shuffle — pass 1 flags gate+keep
+    // (the canon window's hash partitioning) and collapses to the
+    // per-source funnel aggregate; the water-fill runs on that
+    // checkpointed #sources-row frame (broadcast-only); pass 2 re-derives
+    // the deterministic flags (pure functions of the row, so the passes
+    // agree) and rolls up the rate selection with a conditional partial
+    // agg. Non-gated rows get a per-doc unique canon so the keep window's
+    // partitions stay unpolluted.
+    QDef(
+      "pipeline_recipe",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("canon").orderBy("doc_id")
+        def flagged = T.documents(s, dir)
+          .withColumn("toks", tokens)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("mtl",
+            (length(col("text")).cast("double") - (col("n_tok") - 1L)) / col("n_tok"))
+          .withColumn("stop_frac",
+            size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to", "in")))
+              .cast("double") / col("n_tok"))
+          .withColumn("gated",
+            col("n_tok") >= 20L && col("n_tok") <= 800L &&
+              col("mtl") >= 2.0 && col("mtl") <= 10.0 && col("stop_frac") >= 0.01)
+          .withColumn("canon",
+            when(col("gated"),
+              md5(array_join(array_sort(array_distinct(col("toks"))), " ")))
+              .otherwise(concat(lit("raw-"), col("doc_id"))))
+          .withColumn("kept",
+            col("gated") && row_number().over(w) === 1)
+          .select("doc_id", "source", "n_tok", "gated", "kept")
+        val funnel = flagged.groupBy("source").agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("gated"), 1L).otherwise(0L)).as("n_gated"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tok")).otherwise(0L)).cast("long")
+              .as("avail_tok"))
+          .localCheckpoint()
+        val glob = funnel.agg(sum("avail_tok").cast("long").as("tot"),
+          count(lit(1)).as("ns"))
+        val q0 = funnel.crossJoin(broadcast(glob))
+          .withColumn("quota0",
+            expr(s"(tot div ${graft.GraftConfig.MixBudgetDen}) div ns"))
+        val r1 = q0.agg(
+          sum(when(col("avail_tok") < col("quota0"),
+            col("quota0") - col("avail_tok")).otherwise(0L))
+            .cast("long").as("surplus"),
+          sum(when(col("avail_tok") >= col("quota0"), 1L).otherwise(0L))
+            .cast("long").as("n_unc"))
+        val rates = q0.crossJoin(broadcast(r1))
+          .withColumn("quota_tok",
+            least(col("avail_tok"),
+              when(col("avail_tok") < col("quota0"), col("avail_tok"))
+                .otherwise(col("quota0") + expr("surplus div n_unc"))))
+          .withColumn("rate_micro",
+            when(col("avail_tok") === 0L, 0L)
+              .otherwise(least(lit(graft.GraftConfig.TempSampleModulus),
+                expr(s"(quota_tok * ${graft.GraftConfig.TempSampleModulus}) div avail_tok"))))
+          .select("source", "n_raw", "n_gated", "n_kept", "avail_tok", "rate_micro")
+        val keep = (col("doc_id") * 2654435761L) %
+          graft.GraftConfig.TempSampleModulus < col("rate_micro")
+        flagged.where(col("kept"))
+          .join(broadcast(rates), "source")
+          .groupBy("source", "n_raw", "n_gated", "n_kept", "avail_tok", "rate_micro")
+          .agg(sum(when(keep, 1L).otherwise(0L)).as("n_sel"),
+            sum(when(keep, col("n_tok")).otherwise(0L)).cast("long").as("tok_sel"))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, source, text, n_tok,
+             |    (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok AS mtl,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / n_tok AS stop_frac
+             |  FROM (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents)),
+             |fl AS (
+             |  SELECT doc_id, source, n_tok,
+             |    (n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0
+             |      AND stop_frac >= 0.01) AS gated,
+             |    CASE WHEN (n_tok >= 20 AND n_tok <= 800 AND mtl >= 2.0 AND mtl <= 10.0
+             |      AND stop_frac >= 0.01)
+             |      THEN md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |      ELSE 'raw-' || doc_id END AS canon
+             |  FROM b),
+             |fk AS (
+             |  SELECT doc_id, source, n_tok, gated,
+             |    gated AND row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS kept
+             |  FROM fl),
+             |funnel AS (
+             |  SELECT source, count(*) AS n_raw,
+             |    CAST(sum(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+             |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |    CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS avail_tok
+             |  FROM fk GROUP BY source),
+             |g AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot, count(*) AS ns FROM funnel),
+             |q0 AS (
+             |  SELECT source, n_raw, n_gated, n_kept, avail_tok,
+             |    (tot // ${graft.GraftConfig.MixBudgetDen}) // ns AS quota0
+             |  FROM funnel CROSS JOIN g),
+             |r1 AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN avail_tok < quota0 THEN quota0 - avail_tok ELSE 0 END) AS BIGINT) AS surplus,
+             |    CAST(sum(CASE WHEN avail_tok >= quota0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unc
+             |  FROM q0),
+             |rates AS (
+             |  SELECT source, n_raw, n_gated, n_kept, avail_tok,
+             |    CASE WHEN avail_tok = 0 THEN 0
+             |      ELSE least(${graft.GraftConfig.TempSampleModulus},
+             |        (least(avail_tok, CASE WHEN avail_tok < quota0 THEN avail_tok
+             |           ELSE quota0 + surplus // n_unc END)
+             |         * ${graft.GraftConfig.TempSampleModulus}) // avail_tok) END AS rate_micro
+             |  FROM q0 CROSS JOIN r1),
+             |sel AS (
+             |  SELECT fk.source, count(*) AS n_sel,
+             |    CAST(sum(fk.n_tok) AS BIGINT) AS tok_sel
+             |  FROM fk JOIN rates USING (source)
+             |  WHERE fk.kept
+             |    AND (fk.doc_id * 2654435761) % ${graft.GraftConfig.TempSampleModulus} < rates.rate_micro
+             |  GROUP BY fk.source)
+             |SELECT rates.source, rates.n_raw, rates.n_gated, rates.n_kept,
+             |  rates.avail_tok, rates.rate_micro,
+             |  coalesce(sel.n_sel, 0) AS n_sel, coalesce(sel.tok_sel, 0) AS tok_sel
+             |FROM rates LEFT JOIN sel USING (source) ORDER BY rates.source""".stripMargin)),
+
   )
 }

@@ -66,6 +66,9 @@ class DeterminismSpec extends SparkSpec {
     // round-7 batch 3: FP mean of member-to-centroid cosines under
     // merge-ordered partials feeding a rounded report (cell cohesion)
     "sim_cell_report",
+    // funnel composition: FP gate boundaries (mtl/stop_frac thresholds)
+    // + keep-first window + integer water-fill, all feeding one report
+    "pipeline_recipe",
     // index lifecycle: the append must land in the same bucket layout
     // under any partitioning of the delta writer
     "dedup_index_maintain",
