@@ -151,6 +151,16 @@ object GraftConfig {
     * one epoch, redistribute surplus) is weight-agnostic. */
   val MixBudgetDen = 1L
 
+  /** DDSketch relative accuracy α for agg_pctile_reagg (Masson, Rim &
+    * Lee, "DDSketch: a fast and fully-mergeable quantile sketch with
+    * relative-error guarantees", VLDB 2019). Bucket i covers
+    * (γ^(i−1), γ^i] with γ = (1+α)/(1−α); any quantile estimate is within
+    * α relative error of the true value. α = 0.01 ⇒ γ ≈ 1.0202 ⇒ the
+    * fixture's full [0.01, 500] value range spans ~540 buckets — the
+    * per-(day, group) sketch state stays a few hundred rows no matter how
+    * many raw rows fold into it, which is the entire point at 100 TB. */
+  val DDSketchAlpha = 0.01
+
   /** Incremental-maintenance split day (agg_incremental): the fixture's
     * stand-in for "the new partition" — events span 2024-01-01..30, so
     * day 19738 (2024-01-16) gives both sides real mass. Production passes

@@ -40,7 +40,19 @@ object Verify {
       d ++ a
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Recursive delete for pre-run cleanup (below).
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
     selected.foreach { case (name, fn) =>
+      // Delete any prior-run output BEFORE running the query: overwrite-mode
+      // only cleans on a successful write, so a query that throws would
+      // otherwise leave the previous run's parquet in place and check.py
+      // would grade the stale result as a pass for a query that failed.
+      rmTree(Paths.get(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -68,6 +68,54 @@ object Aggregates {
       |        FROM pooled)
       |  WHERE rn = 1)""".stripMargin
 
+  /** agg_pctile_reagg's sketch pipeline, shared with ApproxSpec's
+    * merged≡direct law. perDay=true builds per-(day, type) sketches and
+    * merges them (the re-aggregation under test); perDay=false sketches
+    * the whole table in one pass. DDSketch bucket i covers (γ^(i−1), γ^i]
+    * with γ = (1+α)/(1−α); bucket-wise count sum is the sketch union, so
+    * both paths produce the IDENTICAL sketch — the mergeability law the
+    * spec asserts. Non-positive values (none in the fixture, legal in
+    * production) take a sentinel bucket below the log grid, estimated 0. */
+  def ddSketchPctiles(s: org.apache.spark.sql.SparkSession, dir: String,
+      perDay: Boolean): org.apache.spark.sql.DataFrame = {
+    val alpha = graft.GraftConfig.DDSketchAlpha
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val lg    = math.log(gamma)
+    val bucket = when(col("value") > 0.0,
+      ceil(log(col("value")) / lg)).otherwise(lit(Long.MinValue))
+    // The one corpus pass: map-side partial count per (day, type, bucket).
+    val keys =
+      if (perDay) Seq(to_date(col("ts")).as("day"), col("event_type"), bucket.as("b"))
+      else Seq(col("event_type"), bucket.as("b"))
+    val sketch = T.events(s, dir).groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+    // Sketch union = bucket-wise sum (a no-op re-group in the direct path).
+    val merged =
+      if (perDay) sketch.groupBy("event_type", "b").agg(sum("cnt").as("cnt"))
+      else sketch
+    // Rank scan over the ≤~540-row-per-group sketch: cumulative count in
+    // bucket order; quantile q lands in the first bucket whose cumulative
+    // count reaches rank ceil(q·n).
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("b")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    def rank(q: Double) = greatest(lit(1L), ceil(lit(q) * col("n")))
+    def est(b: org.apache.spark.sql.Column) =
+      when(b === Long.MinValue, lit(0.0))
+        .otherwise(lit(2.0) * pow(lit(gamma), b.cast("double")) / (gamma + 1.0))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= rank(0.5), col("b"))).as("b50"),
+        min(when(col("cum") >= rank(0.9), col("b"))).as("b90"))
+      .select(col("event_type"), col("n"),
+        rnd(est(col("b50")), 4).as("approx_p50"),
+        rnd(est(col("b90")), 4).as("approx_p90"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // TPC-H Q1 shape: the flagship aggregate.
@@ -170,6 +218,27 @@ object Aggregates {
             sum(col("n_rows")).as("n_rows"))
           .orderBy("event_type")
       },
+      None),
+
+    // Quantile-sketch re-aggregation — the quantile sibling of
+    // agg_sketch_reagg and the other sketch a 100 TB monitoring stack
+    // re-aggregates daily: per-day DDSketches (log-grid histograms, Masson
+    // et al. VLDB 2019) union into a per-type p50/p90 WITHOUT touching row
+    // data again. The sketch is kept RELATIONAL — one (group, bucket, cnt)
+    // row per occupied bucket — so "merge" is a plain bucket-wise SUM
+    // aggregate: associative, commutative, deterministic, whole-stage
+    // codegen'd, and exactly equal to the one-pass sketch (no binary UDAF
+    // state, no merge-order sensitivity — the property KLL/t-digest lack).
+    // Declared without an oracle (sketch estimates are engine-specific);
+    // ApproxSpec asserts (a) merged ≡ direct EXACTLY and (b) both within
+    // the α relative-error guarantee of the exact percentile. Scale shape:
+    // the only corpus pass is the per-day partial-agg groupBy; everything
+    // downstream (merge, cumulative rank scan, estimate) runs on the
+    // sketch table — days × types × ≤~540 bucket rows regardless of corpus
+    // size.
+    QDef(
+      "agg_pctile_reagg",
+      (s, dir) => ddSketchPctiles(s, dir, perDay = true),
       None),
 
     // Incremental aggregate maintenance (exact-state IVM) — the refresh

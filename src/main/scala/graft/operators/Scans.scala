@@ -617,6 +617,79 @@ object Scans {
               |  FROM cu)
               |SELECT bucket, min(v) AS lo, max(v) AS hi,
               |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_values
-              |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin))
+              |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Snapshot read-as-of (time travel) — the lakehouse read that
+    // table_merge/table_scd2 imply but never demonstrate: two committed
+    // generations under one root (g=1 the base snapshot, g=2 a delta of
+    // upserts + tombstones, the scan_schema_merge directory idiom standing
+    // in for a transaction log), then the table reconstructed AS OF each
+    // version. The as-of filter is a PARTITION filter — reading version 1
+    // never opens generation 2's files, which is the whole point of
+    // snapshot isolation on a lake: old readers touch old directories
+    // only, at any scale. Reconstruction is latest-generation-wins per
+    // key as ONE max-struct aggregate (map-side partial, no window, no
+    // sort — generation is distinct per key within a commit, so the
+    // struct compare on g decides), then tombstones drop. Output pins the
+    // exact surviving row set per version (count + key checksum +
+    // value-cents checksum); the oracle reconstructs each snapshot via
+    // UNION ALL + anti-join. At 100 TB: one partial-agg pass over the
+    // generations ≤ asof; a compacted base (table_compact) keeps the
+    // generation count bounded.
+    QDef(
+      "table_timetravel",
+      (s, dir) => {
+        val root = runTmpPath(s, "graft_timetravel_")
+        val o = T.orders(s, dir)
+        // g=1: base snapshot (no tombstones in an initial commit).
+        o.where(col("o_orderkey") % 4L =!= 0L)
+          .select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("val"), lit(false).as("deleted"))
+          .write.mode("overwrite").parquet(s"$root/g=1")
+        // g=2: delta commit — upserts (×1.1 repriced) + delete markers.
+        o.where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.1, 2).as("val"),
+            (col("o_orderkey") % 21L === 0L).as("deleted"))
+          .write.mode("overwrite").parquet(s"$root/g=2")
+        val log = s.read.parquet(root)
+        def asOf(v: Long) = log
+          .where(col("g") <= v) // partition pruning: version-1 read never scans g=2
+          .groupBy("key")
+          .agg(max(struct(col("g"), col("deleted"), col("val"))).as("m"))
+          .where(!col("m.deleted"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(m.val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(v).as("as_of"), col("n_keys"), col("sum_key"), col("sum_cents"))
+        asOf(1L).unionAll(asOf(2L)).orderBy("as_of")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val, FALSE AS deleted
+             |  FROM orders WHERE o_orderkey % 4 <> 0),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 1.1) * 1e2 + 0.5) / 1e2 AS val,
+             |    o_orderkey % 21 = 0 AS deleted
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |snap1 AS (SELECT key, val FROM g1 WHERE NOT deleted),
+             |snap2 AS (
+             |  SELECT key, val FROM g2 WHERE NOT deleted
+             |  UNION ALL
+             |  SELECT g1.key, g1.val FROM g1
+             |  WHERE NOT g1.deleted AND NOT EXISTS (
+             |    SELECT 1 FROM g2 WHERE g2.key = g1.key)),
+             |s1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM snap1),
+             |s2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM snap2)
+             |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin))
   )
 }

@@ -139,7 +139,8 @@ object Similarity {
     * geometry the append lands in), so it shares nothing with the
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
-    "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report")
+    "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report",
+    "mm_crossmodal")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -188,7 +189,8 @@ object Similarity {
     * `ranked`), no final select — so consumers can compose their own tail:
     * [[ivfProbeOracleSql]] appends the probe answer,
     * `sim_recall_report`'s oracle appends an exact-top-k comparison. */
-  private def ivfChainSql(deltaRem: Option[Long]): String = {
+  private def ivfChainSql(deltaRem: Option[Long],
+      probeSrcSql: String = probeSql): String = {
     val m = graft.GraftConfig.AnnDeltaMod
     def assignSql(src: String, idCol: String, vecCol: String,
         cents: String): String =
@@ -230,7 +232,7 @@ object Similarity {
        |$iters,
        |c AS MATERIALIZED (${assignSql("c0", "vec_id", "ce", s"cents$KMeansIters")})$deltaCte,
        |idx AS ($idxSql),
-       |p AS (${assignSql(s"($probeSql)", "probe_id", "pe", s"cents$KMeansIters")}),
+       |p AS (${assignSql(s"($probeSrcSql)", "probe_id", "pe", s"cents$KMeansIters")}),
        |scored AS MATERIALIZED (
        |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
        |  FROM idx JOIN p USING (cell) WHERE probe_id <> vec_id),
@@ -241,7 +243,8 @@ object Similarity {
        |  FROM scored)""".stripMargin
   }
 
-  private def ivfProbeOracleSql(deltaRem: Option[Long]): String = {
+  private def ivfProbeOracleSql(deltaRem: Option[Long],
+      probeSrcSql: String = probeSql): String = {
     val m = graft.GraftConfig.AnnDeltaMod
     // With a delta, the probe answers in two result lanes: top-3 over the
     // whole maintained index ('all') plus the best match among the day's
@@ -268,7 +271,7 @@ object Similarity {
            |  FROM fresh WHERE rank = 1)
            |ORDER BY probe_id, scope, rank""".stripMargin
     }
-    ivfChainSql(deltaRem) + finalSql
+    ivfChainSql(deltaRem, probeSrcSql) + finalSql
   }
 
   /** Recall@3 of the IVF probe against exact brute force — the index-
@@ -1038,6 +1041,58 @@ object Similarity {
            |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
            |ORDER BY a.vec_id""".stripMargin
       }),
+
+    // [EXT] Cross-modal retrieval — the multimodal decode family composed
+    // with the standing ANN index lifecycle: a stub media encoder (typed
+    // mapPartitions, one model context per partition — the FakeCodec
+    // discipline of multimodal/Multimodal.scala, payload bytes → Dims-dim
+    // vector; a real CLIP-style image tower slots in unchanged) produces
+    // QUERY vectors from the documents' opaque payloads, and those queries
+    // probe the TEXT-embedding IVF index through the exact sim_ivf path:
+    // broadcast-centroid cell assignment, cell equi-join against the
+    // standing assignment, top-3 cosine per query (probe's own doc row
+    // excluded — "find OTHER documents near this image"). The composition
+    // is the point: cross-modal search at 100 TB is a small encoded-query
+    // frame meeting a persisted index — payloads never shuffle (encoding
+    // is narrow in the scan), the index side is the same artifact every
+    // other ANN query uses, and per-query cost is cells-pruned, never
+    // corpus-wide. Encoder output is exact byte arithmetic (byte/255 − ½,
+    // correctly-rounded IEEE ops on identical inputs), so the DuckDB
+    // oracle reproduces the vectors from the text column and runs the
+    // same unrolled Lloyd chain.
+    QDef(
+      "mm_crossmodal",
+      (s, dir) => {
+        graft.functions.DotProduct.register(s)
+        import s.implicits._
+        val q = T.documents(s, dir)
+          .where(length(col("text")) >= Dims && col("doc_id") < 10L)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            // per-partition media-encoder context would be initialized here
+            it.map { case (id, bytes) =>
+              (id, bytes.take(Dims).map(b => (b & 0xff).toDouble / 255.0 - 0.5))
+            }
+          }.toDF("probe_id", "pe")
+        val p = assignCell(q, "probe_id", "pe", sharedFit(s, dir))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        sharedAssigned(s, dir).join(broadcast(p), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(ivfProbeOracleSql(None, probeSrcSql =
+        s"""SELECT doc_id AS probe_id,
+           |  list_transform(generate_series(1, $Dims),
+           |    i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / 255.0 - 0.5) AS pe
+           |FROM documents WHERE length(text) >= $Dims AND doc_id < 10""".stripMargin))),
 
     // Multimodal column join: docs ⋈ embeddings, text + vector + label.
     QDef(

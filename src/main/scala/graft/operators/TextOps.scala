@@ -1137,9 +1137,14 @@ object TextOps {
             least(col("avail_tok"),
               when(col("avail_tok") < col("quota0"), col("avail_tok"))
                 .otherwise(col("quota0") + expr("surplus div n_unc"))))
+          // quota_tok*1e6 overflows int64 past ~9.2e12 tokens/source — real
+          // production scale. Widen the one intermediate to decimal(38,0)
+          // (Spark's int128 path; `div` still returns BIGINT), matching the
+          // oracle's HUGEINT: both engines then agree everywhere instead of
+          // Spark wrapping silently while DuckDB raises.
           .withColumn("rate_micro",
             least(lit(graft.GraftConfig.TempSampleModulus),
-              expr(s"(quota_tok * ${graft.GraftConfig.TempSampleModulus}) div avail_tok")))
+              expr(s"(cast(quota_tok as decimal(38,0)) * ${graft.GraftConfig.TempSampleModulus}) div avail_tok")))
           .select("source", "avail_tok", "quota_tok", "rate_micro")
         // One corpus pass for the selection rollup: the keep-rule folds
         // into a conditional partial agg (every doc flows through, so no
@@ -1174,7 +1179,7 @@ object TextOps {
              |t AS (
              |  SELECT source, avail_tok, quota_tok,
              |    least(${graft.GraftConfig.TempSampleModulus},
-             |      (quota_tok * ${graft.GraftConfig.TempSampleModulus}) // avail_tok) AS rate_micro
+             |      CAST((CAST(quota_tok AS HUGEINT) * ${graft.GraftConfig.TempSampleModulus}) // avail_tok AS BIGINT)) AS rate_micro
              |  FROM f),
              |r AS (
              |  SELECT d.source, count(*) AS n_sel, CAST(sum(d.n_chars) AS BIGINT) AS tok_sel
@@ -1250,16 +1255,24 @@ object TextOps {
                 .otherwise(col("quota0") + expr("surplus div n_unc"))))
           .withColumn("rate_micro",
             when(col("avail_tok") === 0L, 0L)
+              // decimal(38,0) intermediate: see pipeline_mix's rate note.
               .otherwise(least(lit(graft.GraftConfig.TempSampleModulus),
-                expr(s"(quota_tok * ${graft.GraftConfig.TempSampleModulus}) div avail_tok"))))
+                expr(s"(cast(quota_tok as decimal(38,0)) * ${graft.GraftConfig.TempSampleModulus}) div avail_tok"))))
           .select("source", "n_raw", "n_gated", "n_kept", "avail_tok", "rate_micro")
         val keep = (col("doc_id") * 2654435761L) %
           graft.GraftConfig.TempSampleModulus < col("rate_micro")
-        flagged.where(col("kept"))
+        // Roll up over ALL flagged rows (pipeline_mix's shape) with the
+        // selection gated in the conditional sums — a pre-filter on `kept`
+        // would drop a source whose every doc fails the gate from the
+        // groupBy entirely, while the oracle's rates LEFT JOIN sel emits it
+        // with n_sel = 0. Every raw doc flows through, so no source can
+        // vanish and no outer join is needed.
+        flagged
           .join(broadcast(rates), "source")
           .groupBy("source", "n_raw", "n_gated", "n_kept", "avail_tok", "rate_micro")
-          .agg(sum(when(keep, 1L).otherwise(0L)).as("n_sel"),
-            sum(when(keep, col("n_tok")).otherwise(0L)).cast("long").as("tok_sel"))
+          .agg(sum(when(col("kept") && keep, 1L).otherwise(0L)).as("n_sel"),
+            sum(when(col("kept") && keep, col("n_tok")).otherwise(0L))
+              .cast("long").as("tok_sel"))
           .orderBy("source")
       },
       Some(s"""WITH b AS (
@@ -1302,9 +1315,9 @@ object TextOps {
              |  SELECT source, n_raw, n_gated, n_kept, avail_tok,
              |    CASE WHEN avail_tok = 0 THEN 0
              |      ELSE least(${graft.GraftConfig.TempSampleModulus},
-             |        (least(avail_tok, CASE WHEN avail_tok < quota0 THEN avail_tok
-             |           ELSE quota0 + surplus // n_unc END)
-             |         * ${graft.GraftConfig.TempSampleModulus}) // avail_tok) END AS rate_micro
+             |        CAST((CAST(least(avail_tok, CASE WHEN avail_tok < quota0 THEN avail_tok
+             |           ELSE quota0 + surplus // n_unc END) AS HUGEINT)
+             |         * ${graft.GraftConfig.TempSampleModulus}) // avail_tok AS BIGINT)) END AS rate_micro
              |  FROM q0 CROSS JOIN r1),
              |sel AS (
              |  SELECT fk.source, count(*) AS n_sel,

@@ -55,6 +55,34 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("agg_pctile_reagg: daily DDSketch merge ≡ direct sketch, both within α of exact") {
+    val merged = SparkEntry.queries("agg_pctile_reagg")(spark, sf)
+    // Mergeability law: bucket-wise sum is associative/commutative, so the
+    // per-day-then-union sketch must equal the one-pass sketch EXACTLY —
+    // same buckets, same counts, same estimates. Compare full rows.
+    val direct = operators.Aggregates.ddSketchPctiles(spark, sf, perDay = false)
+    assert(merged.collect().toSeq === direct.collect().toSeq,
+      "merged per-day sketch ≠ direct one-pass sketch (mergeability broken)")
+    // Accuracy law: DDSketch guarantees relative error ≤ α against the
+    // value at the queried rank; allow 3α for the rank-convention gap vs
+    // Spark's interpolating exact percentile().
+    val tol = 3.0 * GraftConfig.DDSketchAlpha
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.9)").as("x90"))
+    val rows = merged.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("approx_p90"))
+      val (x50, x90) = (r.getAs[Double]("x50"), r.getAs[Double]("x90"))
+      assert(math.abs(p50 - x50) / x50 <= tol,
+        s"${r.getString(0)}: p50 $p50 vs exact $x50 (> ${tol * 100}% off)")
+      assert(math.abs(p90 - x90) / x90 <= tol,
+        s"${r.getString(0)}: p90 $p90 vs exact $x90 (> ${tol * 100}% off)")
+    }
+  }
+
   test("agg_approx_distinct: HLL estimate within 10% of exact count distinct") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
     val exact = Tables.lineitem(spark, sf)

@@ -471,4 +471,38 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
       "a data-sized join degraded to a nested loop")
   }
+
+  test("agg_pctile_reagg: rank scan runs over the bucket sketch, not corpus rows") {
+    val p = plan("agg_pctile_reagg")
+    assert(p.contains("partial_count"),
+      "per-day sketch build lost map-side partial aggregation")
+    // The window (cumulative rank scan) must consume the merged sketch
+    // aggregate — an aggregate must sit BELOW it in the top-down tree.
+    val lines = p.linesIterator.toList
+    val win = lines.indexWhere(_.contains("Window"))
+    val aggBelow = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(win >= 0 && aggBelow > win,
+      "rank scan should run over the bounded sketch table, not corpus rows")
+    assert(!p.contains("Join"), "sketch pipeline should be join-free")
+  }
+
+  test("table_timetravel: as-of read prunes generations; reconstruction is an aggregate, not a window") {
+    val p = plan("table_timetravel")
+    assert(p.contains("PartitionFilters") && "g#\\d+ <= 1".r.findFirstIn(p).isDefined,
+      "version-1 read lost its generation partition filter (would scan g=2's files)")
+    assert(!p.contains("Window"),
+      "latest-generation-wins degraded to a window — the max-struct aggregate combines map-side")
+  }
+
+  test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
+    val p = plan("mm_crossmodal")
+    // the cell equi-join against the standing assignment is a broadcast join
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined,
+      "probe→index cell join no longer broadcasts")
+    // the only nested loop allowed is assignCell's broadcast-centroid
+    // cross attach (tiny, bounded by IvfCells)
+    assert(!p.contains("CartesianProduct"), "a real join degraded to a cartesian product")
+    assert(p.contains("MapPartitions"),
+      "media encode should be a narrow typed mapPartitions in the scan stage")
+  }
 }
