@@ -877,8 +877,15 @@ object TextOps {
         val occ = T.documents(s, dir)
           .select(col("doc_id"), explode(tokens).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        // localCheckpoint pins the BOUNDED per-type vocabulary (one row per
+        // distinct token, never corpus rows): three consumers (pair counts →
+        // merges, the merge fold, and through them the final join) would
+        // otherwise each inline their own full corpus tokenize+aggregate —
+        // measured: 6 parquet scans of documents vs 2 (the pipeline_mix
+        // lesson applied to the vocab frame).
         val toks = occ.groupBy("tok").agg(sum("cnt").as("w"))
           .withColumn("cs", expr("regexp_extract_all(tok, '.', 0)"))
+          .localCheckpoint()
         val pairs = toks.where(size(col("cs")) >= 2)
           .select(col("w"), explode(zip_with(
             slice(col("cs"), lit(1), size(col("cs")) - 1),
