@@ -161,6 +161,21 @@ object GraftConfig {
     * many raw rows fold into it, which is the entire point at 100 TB. */
   val DDSketchAlpha = 0.01
 
+  /** dedup_suffix prefix-doubling depth: doubling rounds after the
+    * single-token level, so the spectrum reports span lengths 1, 2, …,
+    * 2^SuffixDoublings tokens. 6 ⇒ top level 64, just under the fixture's
+    * 100-token max document (level 128 would be structurally empty).
+    * Production raises this to cover its window of interest (levels past
+    * every document's length are empty joins, cost ≈ 0). */
+  val SuffixDoublings = 6
+
+  /** dedup_suffix global position id stride: gid = doc_id·stride + pos.
+    * 128 > the fixture's 100-token max doc. The gid only needs to be an
+    * injective long per position (class representatives are min-gids, not
+    * dense ranks); production packs doc_id<<24 | pos or widens to a
+    * struct key. */
+  val SuffixGidStride = 128L
+
   /** Incremental-maintenance split day (agg_incremental): the fixture's
     * stand-in for "the new partition" — events span 2024-01-01..30, so
     * day 19738 (2024-01-16) gives both sides real mass. Production passes

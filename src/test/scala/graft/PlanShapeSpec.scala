@@ -494,6 +494,16 @@ class PlanShapeSpec extends SparkSpec {
       "latest-generation-wins degraded to a window — the max-struct aggregate combines map-side")
   }
 
+  test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
+    val p = plan("dedup_suffix")
+    assert(p.contains("ExistingRDD"),
+      "level stats should scan the checkpointed class frames")
+    assert(!p.contains("Scan parquet"),
+      "doubling-round plan leaked into the spectrum rollup (corpus re-scan)")
+    assert(!p.contains("Join"),
+      "the final rollup should be pure aggregates over the checkpoints — no join")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
