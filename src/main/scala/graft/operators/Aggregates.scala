@@ -78,11 +78,7 @@ object Aggregates {
     * production) take a sentinel bucket below the log grid, estimated 0. */
   def ddSketchPctiles(s: org.apache.spark.sql.SparkSession, dir: String,
       perDay: Boolean): org.apache.spark.sql.DataFrame = {
-    val alpha = graft.GraftConfig.DDSketchAlpha
-    val gamma = (1.0 + alpha) / (1.0 - alpha)
-    val lg    = math.log(gamma)
-    val bucket = when(col("value") > 0.0,
-      ceil(log(col("value")) / lg)).otherwise(lit(Long.MinValue))
+    val bucket = ddBucket
     // The one corpus pass: map-side partial count per (day, type, bucket).
     val keys =
       if (perDay) Seq(to_date(col("ts")).as("day"), col("event_type"), bucket.as("b"))
@@ -92,28 +88,52 @@ object Aggregates {
     val merged =
       if (perDay) sketch.groupBy("event_type", "b").agg(sum("cnt").as("cnt"))
       else sketch
-    // Rank scan over the ≤~540-row-per-group sketch: cumulative count in
-    // bucket order; quantile q lands in the first bucket whose cumulative
-    // count reaches rank ceil(q·n).
+    ddEstimate(merged, Seq("event_type"))
+  }
+
+  /** DDSketch log-grid bucket of `value`: ceil(ln v / ln γ) for v > 0,
+    * sentinel bucket below the grid otherwise — shared by the batch
+    * rollup and the streaming monitor so their sketch states are the
+    * same relation. */
+  def ddBucket: org.apache.spark.sql.Column = {
+    val alpha = graft.GraftConfig.DDSketchAlpha
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    when(col("value") > 0.0, ceil(log(col("value")) / math.log(gamma)))
+      .otherwise(lit(Long.MinValue))
+  }
+
+  /** Rank-scan + estimate tail over a relational DDSketch frame
+    * (keys…, b, cnt) — shared by [[ddSketchPctiles]] and the streaming
+    * monitor (`stream_pctile`, operators/StreamingOps.scala), whose
+    * per-window sketch state this same tail estimates. The windows run
+    * over the BOUNDED sketch table (≤~540 occupied buckets per group —
+    * GraftConfig.DDSketchAlpha), never corpus rows: cumulative count in
+    * bucket order; quantile q lands in the first bucket whose cumulative
+    * count reaches rank ceil(q·n). */
+  def ddEstimate(sketch: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val alpha = graft.GraftConfig.DDSketchAlpha
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val kc = keys.map(col)
     val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("b")
+      .partitionBy(kc: _*).orderBy("b")
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type")
-    val cum = merged
+      .partitionBy(kc: _*)
+    val cum = sketch
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))
     def rank(q: Double) = greatest(lit(1L), ceil(lit(q) * col("n")))
     def est(b: org.apache.spark.sql.Column) =
       when(b === Long.MinValue, lit(0.0))
         .otherwise(lit(2.0) * pow(lit(gamma), b.cast("double")) / (gamma + 1.0))
-    cum.groupBy("event_type")
+    cum.groupBy(kc: _*)
       .agg(max(col("n")).as("n"),
         min(when(col("cum") >= rank(0.5), col("b"))).as("b50"),
         min(when(col("cum") >= rank(0.9), col("b"))).as("b90"))
-      .select(col("event_type"), col("n"),
+      .select(kc ++ Seq(col("n"),
         rnd(est(col("b50")), 4).as("approx_p50"),
-        rnd(est(col("b90")), 4).as("approx_p90"))
-      .orderBy("event_type")
+        rnd(est(col("b90")), 4).as("approx_p90")): _*)
+      .orderBy(kc: _*)
   }
 
   val defs: Seq[QDef] = Seq(

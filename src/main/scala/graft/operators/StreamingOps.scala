@@ -196,6 +196,33 @@ object StreamingOps {
              |  AND v.v_sec >= p.p_sec - 3600 AND v.v_sec <= p.p_sec
              |GROUP BY p_id ORDER BY p_id""".stripMargin)),
 
+    // Streaming quantile monitor — the sketch story end-to-end: per
+    // (1-hour window, type) DDSketch bucket counts are EXACTLY the state a
+    // Structured Streaming aggregation maintains (bounded: ≤~540 occupied
+    // buckets per group at α = 0.01, regardless of event volume — the
+    // property that makes a percentile monitor runnable forever on an
+    // unbounded stream, where per-window percentile_approx state would
+    // work too but not re-aggregate and a sorted-values state would grow
+    // with the data); the p50/p90 estimate is the shared relational
+    // rank-scan tail (Aggregates.ddEstimate) over the emitted sketch
+    // table. Declared without an oracle like its batch sibling
+    // agg_pctile_reagg (ln-boundary buckets are engine-specific);
+    // StreamingSpec runs the REAL streaming aggregation and asserts the
+    // streamed sketch + estimate ≡ this batch form exactly, and ApproxSpec
+    // tolerance law covers the estimator itself.
+    QDef(
+      "stream_pctile",
+      (s, dir) => {
+        val sk = T.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+            Aggregates.ddBucket.as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("w.start").as("win_start"), col("event_type"),
+            col("b"), col("cnt"))
+        Aggregates.ddEstimate(sk, Seq("win_start", "event_type"))
+      },
+      None),
+
     // Streaming-only semantics: real Structured Streaming runs (file replay
     // source → watermark/foreachBatch → sink), no DuckDB oracle (driver
     // rows-only check). See graft.streaming.StreamRunner.

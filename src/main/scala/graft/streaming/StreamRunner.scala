@@ -193,6 +193,37 @@ object StreamRunner {
     * scale: state partitions on the pair key (no hot per-type key holds a
     * list), and the final top-k uses the rank-pushdown window
     * (WindowGroupLimit) over pair-count-sized data, not events. */
+  /** Streaming DDSketch quantile monitor (`stream_pctile`): the
+    * per-(window, type, bucket) count IS the streaming aggregation's
+    * state — bounded at ≤~540 occupied buckets per group no matter how
+    * many events flow through, which is what makes a percentile monitor
+    * runnable forever on an unbounded stream. Complete mode + memory sink
+    * so the drained sketch equals the batch sketch exactly (strongest
+    * parity check, asserted by StreamingSpec); production runs append +
+    * watermark and estimates only closed windows. The estimate is the
+    * shared relational rank-scan tail (Aggregates.ddEstimate) over the
+    * emitted sketch table. */
+  def pctileMonitor(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    val qn = "graft_pct_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        graft.operators.Aggregates.ddBucket.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("b"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft_pct_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Aggregates.ddEstimate(s.table(qn),
+      Seq("win_start", "event_type"))
+  }
+
   def topkLeaderboard(s: SparkSession, dir: String, k: Int): DataFrame =
       withFewStatePartitions(s, 4) {
     import s.implicits._

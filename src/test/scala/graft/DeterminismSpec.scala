@@ -80,7 +80,15 @@ class DeterminismSpec extends SparkSpec {
     // two-stage retrieval: the ADC shortlist cut AND the exact re-rank
     // both bet on rounded-grid ties staying deterministic across merge
     // topologies
-    "sim_refine")
+    "sim_refine",
+    // round-8 risk classes: min-gid class representatives through six
+    // doubling rounds under any join/merge order (dedup_suffix), the
+    // DDSketch bucket boundary ceil(ln v/ln γ) + cumulative rank pick
+    // under merge-ordered partials (pctile_reagg), latest-generation-wins
+    // max-struct under any scan order of the generation dirs
+    // (timetravel), and the mm-encoded probe's cell argmax + top-3 rank
+    // boundaries under any assignment merge order (crossmodal)
+    "dedup_suffix", "agg_pctile_reagg", "table_timetravel", "mm_crossmodal")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

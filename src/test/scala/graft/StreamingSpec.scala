@@ -63,6 +63,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_pctile: streamed DDSketch + estimate ≡ batch form on the fixture") {
+    // Complete-mode streaming aggregation over the file-replay source must
+    // drain to the SAME bucket counts the batch groupBy computes, so the
+    // shared estimate tail yields row-identical monitors.
+    val streamed = graft.streaming.StreamRunner.pctileMonitor(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("stream_pctile")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "streaming sketch state diverges from the batch sketch")
+  }
+
   test("flatMapGroupsWithState: gap state carries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
