@@ -196,6 +196,34 @@ object StreamingOps {
              |  AND v.v_sec >= p.p_sec - 3600 AND v.v_sec <= p.p_sec
              |GROUP BY p_id ORDER BY p_id""".stripMargin)),
 
+    // Stream-static enrichment join — the OTHER streaming join (stream_join
+    // covers stream-stream): every arriving event picks up its dimension
+    // attributes from a STATIC table, the enrichment shape of virtually
+    // every production ingest (events ⋈ user/account/catalog dim). In
+    // Structured Streaming a stream-static inner join is stateless — the
+    // static side broadcasts into each micro-batch, no watermark, no join
+    // state — which is why it scales to any stream volume; the dimension
+    // refreshes by swapping the static frame between restarts. Batch form
+    // joins + aggregates identically (same expressions), full DuckDB
+    // oracle; StreamingSpec runs the REAL stream-static join and asserts
+    // parity.
+    QDef(
+      "stream_enrich",
+      (s, dir) => {
+        val dim = T.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        T.events(s, dir)
+          .withColumn("cents", cents)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor((value * 100.0) * 1e0 + 0.5) / 1e0 AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming quantile monitor — the sketch story end-to-end: per
     // (1-hour window, type) DDSketch bucket counts are EXACTLY the state a
     // Structured Streaming aggregation maintains (bounded: ≤~540 occupied

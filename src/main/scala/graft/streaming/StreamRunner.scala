@@ -224,6 +224,34 @@ object StreamRunner {
       Seq("win_start", "event_type"))
   }
 
+  /** Stream-static enrichment (`stream_enrich`): the event stream inner-
+    * joins a STATIC dimension frame — stateless in Structured Streaming
+    * (the static side broadcasts per micro-batch; no watermark, no join
+    * state), which is what makes dimension enrichment free of stream
+    * volume. Complete-mode drain must equal the batch join + aggregate
+    * exactly (StreamingSpec asserts it). */
+  def enrichedCounts(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    val qn = "graft_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventsStream(s, dir)
+      .withColumn("cents",
+        graft.Rnd.rnd(col("value") * 100.0, 0).cast("long"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft_enrich_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn).orderBy("c_mktsegment", "event_type")
+  }
+
   def topkLeaderboard(s: SparkSession, dir: String, k: Int): DataFrame =
       withFewStatePartitions(s, 4) {
     import s.implicits._

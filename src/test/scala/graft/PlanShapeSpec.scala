@@ -504,6 +504,14 @@ class PlanShapeSpec extends SparkSpec {
       "the final rollup should be pure aggregates over the checkpoints — no join")
   }
 
+  test("stream_enrich: dimension attaches via broadcast; event stream never shuffles for the join") {
+    val p = plan("stream_enrich")
+    assert(p.contains("BroadcastHashJoin"),
+      "static dimension no longer broadcasts into the event stream")
+    assert(p.contains("partial_count"),
+      "enrichment rollup lost map-side partial aggregation")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
