@@ -395,4 +395,28 @@ class PropertySpec extends SparkSpec {
           s"$src: rate 1.0 must keep the whole source ($tokSel vs $avail)")
     }
   }
+
+  test("water-fill rate survives production token scales (decimal-widened, no int64 wrap)") {
+    // The rate expression pipeline_mix/pipeline_recipe run (quota·1e6 div
+    // avail on a decimal(38,0) intermediate): at ~1e13+ tokens/source the
+    // old int64 product wrapped silently. Generated quota/avail pairs up
+    // to 5e14 must match exact BigInt arithmetic bit-for-bit.
+    val m = graft.GraftConfig.TempSampleModulus
+    val rnd = new Random(41)
+    val pairs = (1 to 64).map { _ =>
+      val avail = 1L + (rnd.nextDouble() * 5e14).toLong
+      val quota = (avail * rnd.nextDouble()).toLong
+      (quota, avail)
+    } :+ ((5e14.toLong, 5e14.toLong)) :+ ((0L, 1L))
+    val got = pairs.toDF("quota_tok", "avail_tok")
+      .withColumn("rate_micro",
+        least(lit(m), expr(s"(cast(quota_tok as decimal(38,0)) * $m) div avail_tok")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (q, a, rate) =>
+      val expected = math.min(m, ((BigInt(q) * m) / a).toLong)
+      assert(rate === expected, s"quota=$q avail=$a: rate $rate ≠ exact $expected")
+      assert(rate >= 0L && rate <= m, s"rate $rate outside [0, $m] — wrapped?")
+    }
+  }
 }
