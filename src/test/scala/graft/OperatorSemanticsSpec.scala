@@ -352,6 +352,39 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_suffix: prefix-doubling spectrum ≡ brute-force substring grouping") {
+    // The strongest law the construction admits: for every reported level
+    // L, the sparse-doubling spectrum must equal direct grouping of ALL
+    // exact L-token substrings (no ranks, no doubling, no pruning —
+    // semantics only). Brute force is O(positions × levels), fine at the
+    // spec fixture scale.
+    val declared = SparkEntry.queries("dedup_suffix")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    (0 to GraftConfig.SuffixDoublings).foreach { k =>
+      val L = 1L << k
+      val row = docs
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("p0", "t")))
+        .where(col("p0") + L <= size(col("toks")))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), col("p0") + 1, lit(L)), " ").as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .where(col("d0") =!= col("d1"))
+        .agg(coalesce(sum("n"), lit(0L)).cast("long"),
+          count(lit(1)),
+          coalesce(max("n"), lit(0L)).cast("long"))
+        .collect()(0)
+      val brute = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(declared(L) === brute,
+        s"level $L: doubling ${declared(L)} ≠ brute-force $brute")
+    }
+  }
+
   test("quality_classifier: one calibrated score per doc, grid-exact decision") {
     val res = SparkEntry.queries("quality_classifier")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
