@@ -396,6 +396,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DDSketch law: estimate within α of the value at the queried rank (generated)") {
+    // The paper's actual guarantee (Masson et al. VLDB 2019): the bucket
+    // midpoint is within α RELATIVE error of every value the bucket
+    // covers, hence of the value at rank ceil(q·n). Log-spread generated
+    // values exercise four decades; the 1e-4 output rounding adds ≤1e-3
+    // relative at the small end, folded into the tolerance.
+    val rnd = new Random(7)
+    val vals = Seq.fill(500)(math.exp(rnd.nextDouble() * 12 - 3))
+    val sk = vals.map(v => ("g", v)).toDF("k", "value")
+      .groupBy(col("k"), graft.operators.Aggregates.ddBucket.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = graft.operators.Aggregates.ddEstimate(sk, Seq("k")).collect()(0)
+    val sorted = vals.sorted
+    def atRank(q: Double) =
+      sorted(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+    val tol = graft.GraftConfig.DDSketchAlpha + 2e-3
+    Seq(0.5 -> est.getAs[Double]("approx_p50"),
+        0.9 -> est.getAs[Double]("approx_p90")).foreach { case (q, e) =>
+      val x = atRank(q)
+      assert(math.abs(e - x) / x <= tol,
+        s"q=$q: estimate $e vs rank value $x exceeds α tolerance")
+    }
+  }
+
   test("water-fill rate survives production token scales (decimal-widened, no int64 wrap)") {
     // The rate expression pipeline_mix/pipeline_recipe run (quota·1e6 div
     // avail on a decimal(38,0) intermediate): at ~1e13+ tokens/source the
