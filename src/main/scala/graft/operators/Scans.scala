@@ -105,6 +105,33 @@ object Scans {
       Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // XML round-trip — the third format in the source/sink matrix (Spark 4
+    // ships the former spark-xml module in core): orders → row-tagged XML
+    // files → SCHEMA'D read-back (explicit schema, same discipline as
+    // scan_csv — inference on a typed lake read is a reproducibility bug),
+    // then the aggregate proving the typed round-trip. XML is the arrival
+    // format of plenty of enterprise/archive feeds (and of astronomy's
+    // VOTable catalogs); the lake answer is this exact shape: land it
+    // once, convert to parquet, nothing downstream changes.
+    QDef(
+      "scan_xml",
+      (s, dir) => {
+        val out = runTmpPath(s, "graft_scan_xml_")
+        T.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite")
+          .format("xml").option("rowTag", "row")
+          .save(out)
+        s.read.schema(orderCsvSchema)
+          .format("xml").option("rowTag", "row")
+          .load(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Bucketed sink + co-located join: write orders bucketed on o_custkey
     // (8 buckets, sorted), then self-join on the bucket key — Spark reads
     // matching buckets pairwise, so the join needs NO Exchange on either
