@@ -65,6 +65,44 @@ object Extensibility {
           .orderBy("doc_id", "tok"),
       Some("""SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              |FROM documents WHERE doc_id < 50
-             |ORDER BY doc_id, tok""".stripMargin))
+             |ORDER BY doc_id, tok""".stripMargin)),
+
+    // Custom DataSourceV2 connector ([[graft.sources.FrameCatalogSource]])
+    // — the extension surface beyond functions: a library-owned TABLE with
+    // real scan planning. The id-range predicate pushes into the
+    // connector at PLANNING time, input partitions are planned only for
+    // the surviving [lo, hi) window (ids outside it get no partition and
+    // no reader — V2SourceSpec counts the readers), and column pruning
+    // reaches the row materializer. Every column is pure arithmetic of
+    // frame_id, so DuckDB's generate_series reproduces the table exactly;
+    // the aggregate sticks to integer-exact columns. The `$"band" === "r"`
+    // filter is deliberately NOT pushable: the plan must show it
+    // evaluated post-scan while the range disappears into the scan.
+    QDef(
+      "scan_custom_v2",
+      (s, dir) => {
+        s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("slice", "8192")
+          .load()
+          .where(col("frame_id") >= 20000L && col("frame_id") < 60000L)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum("exptime").as("total_exp"),
+            sum("zp_milli").as("sum_zp"),
+            min("frame_id").as("first_frame"),
+            max("frame_id").as("last_frame"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n,
+             |  CAST(sum(exptime) AS BIGINT) AS total_exp,
+             |  CAST(sum(zp_milli) AS BIGINT) AS sum_zp,
+             |  min(frame_id) AS first_frame, max(frame_id) AS last_frame
+             |FROM (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(20000, 59999) t(i))
+             |GROUP BY band ORDER BY band""".stripMargin))
   )
 }
