@@ -44,8 +44,11 @@ object Verify {
     def rmTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => Files.deleteIfExists(f))
+        val st = Files.walk(p)
+        // toSeq drains the stream before reverse; close releases the
+        // directory fds the walk holds (one leak per query otherwise).
+        try st.iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+        finally st.close()
       }
     selected.foreach { case (name, fn) =>
       // Delete any prior-run output BEFORE running the query: overwrite-mode

@@ -34,6 +34,42 @@ object Dedup {
   private val P = 2147483647L // 2^31 - 1
   private val V = 1024L       // token-id radix (vocab << 1024)
 
+  /** dedup_suffix's class-rank + sparse-prune pass, one doubling round.
+    *
+    * Shape matters more than anywhere else in the family: the class key is
+    * Zipf-distributed (round 0 partitions by the raw token), so the rank
+    * MUST come from a partial-aggregating groupBy — min(gid)/count combine
+    * map-side and only the (small) class table shuffles — and survival
+    * (cn >= 2, the sparse-doubling prune) filters the CLASS table before
+    * the join-back, so singleton classes never ship. The join-back is a
+    * plain equi-join on the class key: AQE skew-splits it (and broadcasts
+    * the class table outright when it is vocabulary-sized). The obvious
+    * fused alternative — min/count over Window.partitionBy(class) — is a
+    * single-reducer-per-class shuffle of every POSITION and melts on the
+    * head token at 100 TB. Package-visible so PlanShapeSpec can pin the
+    * partial aggregation (checkpoints truncate it out of the final plan).
+    */
+  /** The class table for one doubling round: representative (min gid),
+    * size, and doc-span (min/max doc_id — the level stats ride along in
+    * the SAME partial aggregation, so the position frame is never
+    * re-aggregated for stats), singleton classes dropped (the sparse
+    * prune). "cls_rk", not "rk": in rounds >= 1 the class key itself is
+    * (rk, rk2), so the representative needs a collision-free name. */
+  private[graft] def suffixClasses(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min("gid").as("cls_rk"), count(lit(1)).as("cn"),
+        min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .where(col("cn") >= 2L)
+
+  /** Join the class table back onto the position frame: surviving
+    * positions pick up their class rank; singletons (absent from cls)
+    * exit. A plain equi-join on the class key — AQE skew-splits it, and
+    * broadcasts cls outright when it is vocabulary-sized. */
+  private[graft] def suffixPrune(df: DataFrame, cls: DataFrame,
+      keys: Seq[String]): DataFrame =
+    df.join(cls.select((keys.map(col) :+ col("cls_rk")): _*), keys)
+      .select(col("doc_id"), col("pos"), col("gid"), col("cls_rk").as("rk"))
+
   /** (doc_id, pos, tok) long form. */
   private def tok(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
@@ -978,45 +1014,51 @@ object Dedup {
         val p0 = tok(s, dir)
           .select(col("doc_id"), col("pos"),
             (col("doc_id") * stride + col("pos")).as("gid"), col("tok"))
-        // Class rank + survival in ONE pass: a window over the class key
-        // assigns the min-gid representative and the class size, and
-        // singleton classes exit immediately (the sparse-doubling prune).
-        // One shuffle per round, ONE checkpointed frame per round — the
-        // first cut (groupBy classes + join-back + separate pair frame,
-        // 21 materialization jobs) measured 4.3 s; this shape carries 7.
-        def prune(df: DataFrame, keys: Seq[String]): DataFrame = {
-          val w = Window.partitionBy(keys.map(col): _*)
-          df.withColumn("nrk", min("gid").over(w))
-            .withColumn("cn", count(lit(1)).over(w))
-            .where(col("cn") >= 2L)
-            .select(col("doc_id"), col("pos"), col("gid"),
-              col("nrk").as("rk"))
-        }
-        // Level stats re-derive class aggregates from the PRUNED frame:
-        // identical values, because a cross-document class (min(doc) ≠
-        // max(doc), the test — no countDistinct Expand) always has ≥ 2
-        // members and therefore always survives the prune.
-        def stats(cur: DataFrame, len: Long): DataFrame = cur
-          .groupBy("rk")
-          .agg(count(lit(1)).as("n"),
-            min("doc_id").as("d0"), max("doc_id").as("d1"))
+        // Class rank + survival via partial-agg groupBy + join-back (see
+        // Dedup.suffixClasses / suffixPrune). An earlier shape fused both
+        // into one Window.partitionBy(class) pass — fewer local jobs, but
+        // a full-partition window physically ships EVERY member of a
+        // class to one reducer, and at round 0 the class key is the raw
+        // token: Zipf-headed, so at 100 TB the "the"-class is terabytes
+        // on a single task. The groupBy form combines map-side (no
+        // reducer concentration), ships only the much smaller class
+        // table, and the join-back is AQE-skew-splittable (and
+        // broadcastable when the class table is vocabulary-sized) where
+        // a window never is. The LEVEL STATS ride along in the same
+        // class aggregation (min/max doc_id per class), so each round's
+        // spectrum row is a tiny rollup of the checkpointed class table
+        // — the position frame is aggregated exactly once per round.
+        def stats(cls: DataFrame, len: Long): DataFrame = cls
           .where(col("d0") =!= col("d1"))
           .agg(
-            coalesce(sum("n"), lit(0L)).cast("long").as("n_dup_pos"),
+            coalesce(sum("cn"), lit(0L)).cast("long").as("n_dup_pos"),
             count(lit(1)).as("n_classes"),
-            coalesce(max("n"), lit(0L)).cast("long").as("max_occ"))
+            coalesce(max("cn"), lit(0L)).cast("long").as("max_occ"))
           .select(lit(len).as("span_len"), col("n_dup_pos"),
             col("n_classes"), col("max_occ"))
-        var cur = prune(p0, Seq("tok")).localCheckpoint()
-        var out = Seq(stats(cur, 1L))
+        // (Cross-document filter d0 != d1 on the CLASS table is identical
+        // to the old per-position re-aggregation: a cross-doc class
+        // always has >= 2 members, so the cn >= 2 prune never drops one.)
+        // Checkpoint discipline: the POSITION frames pin (p0 once — the
+        // tokenize scan is the expensive producer and both the class agg
+        // and the join-back read it; then each round's pair join, read
+        // twice the same way, and the pruned frame the next round reads
+        // twice more). The class tables do NOT checkpoint: they are
+        // partial aggregations over already-pinned frames, cheap to
+        // replay for their two consumers (stats rollup + join-back).
+        val p0c = p0.localCheckpoint()
+        val cls0 = Dedup.suffixClasses(p0c, Seq("tok"))
+        var cur = Dedup.suffixPrune(p0c, cls0, Seq("tok")).localCheckpoint()
+        var out = Seq(stats(cls0, 1L))
         var len = 1L
         (1 to rounds).foreach { _ =>
           val b = cur.select(col("doc_id"), (col("pos") - len).as("pos"),
             col("rk").as("rk2"))
-          cur = prune(cur.join(b, Seq("doc_id", "pos")), Seq("rk", "rk2"))
-            .localCheckpoint()
+          val pair = cur.join(b, Seq("doc_id", "pos")).localCheckpoint()
+          val cls = Dedup.suffixClasses(pair, Seq("rk", "rk2"))
+          cur = Dedup.suffixPrune(pair, cls, Seq("rk", "rk2")).localCheckpoint()
           len *= 2
-          out = out :+ stats(cur, len)
+          out = out :+ stats(cls, len)
         }
         out.reduce(_ unionByName _).orderBy("span_len")
       },

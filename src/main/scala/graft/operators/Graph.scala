@@ -368,10 +368,18 @@ object Graph {
         val co = coEdges(s, dir)
         val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
           .localCheckpoint()
-        var lab = und.select(col("a").as("node")).distinct()
-          .withColumn("lab", col("node"))
+        // Round 1 specialises algebraically: initial labels are the node ids
+        // themselves, und's pairs are distinct (coEdges groupBy output), so
+        // every neighbour vote has count 1 and the argmax tie-break
+        // max(struct(c, -lab)) reduces to min neighbour id. One partial-agg
+        // groupBy replaces the join + two groupBys AND the initial
+        // distinct()+checkpoint that only existed to seed it. Rounds 2+ run
+        // the general vote.
+        var lab = und.groupBy(col("a"))
+          .agg(min(col("b")).as("lab"))
+          .select(col("a").as("node"), col("lab"))
           .localCheckpoint()
-        for (_ <- 1 to graft.GraftConfig.LpRounds) {
+        for (_ <- 2 to graft.GraftConfig.LpRounds) {
           lab = und.join(lab, col("b") === col("node"))
             .groupBy(col("a"), col("lab"))
             .agg(count(lit(1)).as("c"))

@@ -1065,8 +1065,16 @@ object Similarity {
       (s, dir) => {
         graft.functions.DotProduct.register(s)
         import s.implicits._
+        // The stub encoder reads the first Dims BYTES of the UTF-8 payload,
+        // while the oracle reads the first Dims CHARACTERS — equal only
+        // when those characters are ASCII. Rather than assume the fixture
+        // is ASCII, both sides filter to documents whose Dims-char prefix
+        // is ASCII (char-based substr + the same RE2/Java-compatible class
+        // on both engines), making parity encoding-independent: non-ASCII
+        // docs are excluded identically, and for the kept set bytes ≡ chars.
         val q = T.documents(s, dir)
-          .where(length(col("text")) >= Dims && col("doc_id") < 10L)
+          .where(length(col("text")) >= Dims && col("doc_id") < 10L &&
+            col("text").substr(lit(1), lit(Dims)).rlike("^[\\x00-\\x7f]*$"))
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
@@ -1092,7 +1100,8 @@ object Similarity {
         s"""SELECT doc_id AS probe_id,
            |  list_transform(generate_series(1, $Dims),
            |    i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / 255.0 - 0.5) AS pe
-           |FROM documents WHERE length(text) >= $Dims AND doc_id < 10""".stripMargin))),
+           |FROM documents WHERE length(text) >= $Dims AND doc_id < 10
+           |  AND regexp_matches(substr(text, 1, $Dims), '^[\\x00-\\x7f]*$$')""".stripMargin))),
 
     // Multimodal column join: docs ⋈ embeddings, text + vector + label.
     QDef(

@@ -62,7 +62,14 @@ object FrameCatalogSource {
     case "band"     => Bands((id % 5L).toInt)
     case "mjd"      => 60000.0 + id * 0.02
     case "exptime"  => 30L + (id % 7L) * 15L
-    case "zp_milli" => 25000L + (id * 2654435761L) % 500L
+    // (id * 2654435761) % 500 computed overflow-free: reduce both factors
+    // mod 500 first (2654435761 % 500 = 261). Identical to the direct form
+    // for every id where the multiply does not wrap, and — unlike the
+    // direct form — still matches a HUGEINT oracle for id >= ~3.47e9 where
+    // Long multiplication would go negative.
+    case "zp_milli" => 25000L + ((id % 500L) * 261L) % 500L
+    case other => throw new IllegalArgumentException(
+      s"FrameCatalogSource has no column '$other' (schema: ${schema.fieldNames.mkString(", ")})")
   }
 
   /** Readers actually constructed (≡ partitions actually scanned). Local-

@@ -387,6 +387,28 @@ class PlanShapeSpec extends SparkSpec {
       "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
   }
 
+  test("dedup_suffix: class-rank pass partial-aggregates; no class window exchange") {
+    // The per-round frames checkpoint (lineage truncation), so the final
+    // plan can't witness the class pass — pin the extracted helper on a
+    // frame with the pass's exact column shape. The rank must come from a
+    // map-side-combining groupBy (Zipf class keys: a window would ship
+    // every member of the head-token class to one reducer at 100 TB).
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(
+      (col("id") % 7L).as("doc_id"), col("id").as("pos"),
+      col("id").as("gid"), (col("id") % 13L).cast("string").as("tok"))
+    val cls = operators.Dedup.suffixClasses(df, Seq("tok"))
+    val p = operators.Dedup.suffixPrune(df, cls, Seq("tok"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "class rank degraded to a full-partition window (single reducer per Zipf class)")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "class table lost map-side partial aggregation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "join-back is not an equi-join (AQE can no longer skew-split it)")
+  }
+
   test("graph_label_prop: vote argmax is an aggregate, not a window; rollup scans the checkpoint") {
     val p = plan("graph_label_prop")
     assert(p.contains("ExistingRDD"),
