@@ -399,4 +399,36 @@ class OperatorSemanticsSpec extends SparkSpec {
     val preds = res.map(_.getBoolean(3)).toSet
     assert(preds === Set(true, false), "classifier is degenerate on the fixture")
   }
+
+  test("pipeline_recipe: a source whose every doc fails the gate still reports, zeroed") {
+    // Round-7 ADVICE regression lock: the rollup must run over ALL flagged
+    // rows with selection gated in the conditional sums — a pre-filter on
+    // `kept` would drop a zero-kept source from the groupBy entirely while
+    // the oracle's LEFT JOIN emits it with n_sel = 0. The driver fixtures
+    // cannot exercise this (every source has kept docs), so build a mini
+    // corpus: source "good" passes the gate, source "allbad" never does
+    // (every doc under the 20-token floor).
+    val dir = java.nio.file.Files.createTempDirectory("recipe_edge").toString
+    val goodText = (1 to 30).map(i => if (i % 10 == 0) "the" else f"tk$i%03d").mkString(" ")
+    val rows = Seq(
+      (0L, goodText + " alpha", "en", "good"),
+      (1L, goodText + " beta", "en", "good"),
+      (2L, goodText + " gamma", "en", "good"),
+      (3L, "too short", "en", "allbad"),
+      (4L, "also tiny", "en", "allbad"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pipeline_recipe")(spark, dir).collect()
+    assert(out.length === 2, s"both sources must report; got ${out.length} rows")
+    val bad = out.find(_.getString(0) == "allbad")
+      .getOrElse(fail("zero-kept source vanished from the funnel"))
+    assert(bad.getLong(1) === 2L, "n_raw counts every raw doc")
+    assert(Seq(2, 3, 4, 6).map(bad.getLong) === Seq(0L, 0L, 0L, 0L),
+      "gated/kept/avail/sel must all be zero for the all-failing source")
+    assert(bad.getLong(5) === 0L, "rate_micro must be 0 when avail_tok is 0 (no div-by-zero)")
+    val good = out.find(_.getString(0) == "good").get
+    assert(good.getLong(1) === 3L && good.getLong(2) === 3L,
+      "control source gates all docs")
+  }
 }
