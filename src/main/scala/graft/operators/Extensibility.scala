@@ -103,6 +103,42 @@ object Extensibility {
              |    30 + (i % 7) * 15 AS exptime,
              |    25000 + (i * 2654435761) % 500 AS zp_milli
              |  FROM generate_series(20000, 59999) t(i))
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // The connector's AGGREGATE pushdown (SupportsPushDownAggregates,
+    // sources/FrameCatalogSource.scala): this rollup is answered COMPLETELY
+    // by the source — count/min/max per band are interval arithmetic over
+    // the pushed [lo, hi) id window (a band is the congruence class
+    // id ≡ b mod 5; mjd is monotone in id), so the scan emits ONE ROW PER
+    // GROUP and the plan carries NO aggregation operator at all (V2SourceSpec
+    // pins ≤ 5 rows materialized and zero HashAggregates). At 100 TB this
+    // is the metadata-read path: count(*) answered by the catalog, not by
+    // scanning shards. Unsupported shapes (sum over the periodic columns —
+    // see scan_custom_v2 — distinct, other group keys) fall back to the
+    // row scan with Spark aggregating above.
+    QDef(
+      "scan_v2_agg",
+      (s, dir) => {
+        s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("slice", "8192")
+          .load()
+          .where(col("frame_id") >= 20000L && col("frame_id") < 90000L)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_frames"),
+            min("frame_id").as("first_frame"),
+            max("frame_id").as("last_frame"),
+            min("mjd").as("min_mjd"),
+            max("mjd").as("max_mjd"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n_frames,
+             |  min(frame_id) AS first_frame, max(frame_id) AS last_frame,
+             |  min(mjd) AS min_mjd, max(mjd) AS max_mjd
+             |FROM (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    60000.0 + CAST(i AS DOUBLE) * 0.02 AS mjd
+             |  FROM generate_series(20000, 89999) t(i))
              |GROUP BY band ORDER BY band""".stripMargin))
   )
 }

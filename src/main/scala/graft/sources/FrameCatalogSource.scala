@@ -6,7 +6,8 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -56,6 +57,8 @@ object FrameCatalogSource {
 
   private val Bands = Array("u", "g", "r", "i", "z").map(UTF8String.fromString)
 
+  private[sources] def bandName(b: Long): UTF8String = Bands(b.toInt)
+
   /** Column generators — pure arithmetic of the id (engine-reproducible). */
   private[sources] def value(field: String, id: Long): Any = field match {
     case "frame_id" => id
@@ -75,6 +78,11 @@ object FrameCatalogSource {
   /** Readers actually constructed (≡ partitions actually scanned). Local-
     * mode observable for the pruning spec; a cluster uses scan metrics. */
   val readersCreated = new AtomicInteger(0)
+
+  /** Rows actually handed to Spark across all readers — the observable the
+    * aggregate-pushdown spec pins: a pushed rollup materializes one row per
+    * GROUP (≤ 5), never one per frame. */
+  val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 private class FrameCatalogTable(frames: Long, slice: Long)
@@ -89,11 +97,13 @@ private class FrameCatalogTable(frames: Long, slice: Long)
 
 private class FrameCatalogScanBuilder(frames: Long, slice: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = frames
   private var pushed = Array.empty[Filter]
   private var required: StructType = FrameCatalogSource.schema
+  private var aggPushed: Option[(Boolean, Seq[FrameAggScan.Spec])] = None
 
   // Accept (and fully absorb) id-range predicates; everything else stays
   // with Spark. Absorbing means Spark drops its post-scan re-check for
@@ -120,10 +130,65 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long)
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  // ---- Aggregate pushdown (SupportsPushDownAggregates) -----------------
+  // COMPLETE pushdown of count / min / max, optionally grouped by `band`:
+  // every supported aggregate has a closed form over the pushed [lo, hi)
+  // id window (count and id-extrema are interval arithmetic; ids of one
+  // band are the congruence class id ≡ b (mod 5); mjd is monotone in id),
+  // so the store answers the rollup from METADATA — no row enumeration,
+  // no aggregation operator anywhere above the scan. This is the 100 TB
+  // metadata-read path: the difference between answering `count(*)` from
+  // the catalog and scanning every shard to count rows. Unsupported
+  // shapes (sums over the periodic columns, distinct, other group keys)
+  // return false and fall back to the plain row scan + Spark's aggregate.
+  private def translate(agg: Aggregation): Option[(Boolean, Seq[FrameAggScan.Spec])] = {
+    val groupBand = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(r: NamedReference) if r.fieldNames().sameElements(Array("band")) =>
+        Some(true)
+      case _ => None
+    }
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(FrameAggScan.CountRows)
+      // Every column is non-nullable, so count(col) ≡ count(*).
+      case c: Count if !c.isDistinct && field(c.column()).isDefined =>
+        Some(FrameAggScan.CountRows)
+      case m: Min => field(m.column()).collect {
+        case f @ ("frame_id" | "mjd") => FrameAggScan.MinOf(f)
+      }
+      case m: Max => field(m.column()).collect {
+        case f @ ("frame_id" | "mjd") => FrameAggScan.MaxOf(f)
+      }
+      case _ => None
+    }
+    for {
+      g <- groupBand
+      if specs.nonEmpty && specs.forall(_.isDefined)
+    } yield (g, specs.map(_.get))
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val t = translate(agg)
+    aggPushed = t.orElse(aggPushed)
+    t.isDefined
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new FrameCatalogScan(lo, math.max(lo, hi), slice, required)
+  override def build(): Scan = aggPushed match {
+    case Some((byBand, specs)) =>
+      new FrameAggScan(lo, math.max(lo, hi), byBand, specs)
+    case None =>
+      new FrameCatalogScan(lo, math.max(lo, hi), slice, required)
+  }
 }
 
 private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
@@ -144,6 +209,99 @@ private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
 
 private case class FramePartition(start: Long, end: Long) extends InputPartition
 
+private[sources] object FrameAggScan {
+  sealed trait Spec { def name: String; def dataType: DataType }
+  case object CountRows extends Spec {
+    val name = "count"; val dataType: DataType = LongType
+  }
+  case class MinOf(f: String) extends Spec {
+    val name = s"min($f)"
+    val dataType: DataType = FrameCatalogSource.schema(f).dataType
+  }
+  case class MaxOf(f: String) extends Spec {
+    val name = s"max($f)"
+    val dataType: DataType = FrameCatalogSource.schema(f).dataType
+  }
+}
+
+/** A completely-pushed rollup: one partition, one precomputed row per
+  * surviving group. All values are interval arithmetic over the pushed
+  * [lo, hi) window — no frame row is ever enumerated. */
+private class FrameAggScan(lo: Long, hi: Long, byBand: Boolean,
+    specs: Seq[FrameAggScan.Spec]) extends Scan with Batch {
+  import FrameAggScan._
+
+  override def readSchema(): StructType = StructType(
+    (if (byBand) Seq(StructField("band", StringType, nullable = false)) else Nil) ++
+      specs.zipWithIndex.map { case (sp, i) =>
+        StructField(s"agg_${i}_${sp.name}", sp.dataType, nullable = true)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFrameCatalogScan AGGPUSHED lo=$lo hi=$hi " +
+      s"group=${if (byBand) "band" else "()"} aggs=${specs.map(_.name).mkString(",")}"
+
+  private def mjd(id: Long): Double = 60000.0 + id * 0.02
+
+  /** Aggregate values for the id set {first, first+step, …, last}. */
+  private def rowFor(first: Long, last: Long, step: Long): Array[Any] =
+    specs.map {
+      case CountRows        => (last - first) / step + 1L
+      case MinOf("frame_id") => first
+      case MaxOf("frame_id") => last
+      case MinOf("mjd")      => mjd(first) // monotone increasing in id
+      case MaxOf("mjd")      => mjd(last)
+      case sp => throw new IllegalStateException(s"unreachable spec $sp")
+    }.toArray
+
+  private lazy val rows: Seq[Array[Any]] =
+    if (hi <= lo) {
+      // Empty window: GROUP BY emits no groups; a global aggregate emits
+      // one row of count=0 / null extrema (ANSI semantics).
+      if (byBand) Nil
+      else Seq(specs.map {
+        case CountRows => 0L
+        case _         => null
+      }.toArray[Any])
+    } else if (!byBand) {
+      Seq(rowFor(lo, hi - 1L, 1L))
+    } else {
+      // Band b holds the ids ≡ b (mod 5) — a congruence class, so the
+      // group's members inside [lo, hi) are first, first+5, …, last.
+      (0L until 5L).flatMap { b =>
+        val first = lo + java.lang.Math.floorMod(b - lo, 5L)
+        if (first >= hi) None
+        else {
+          val last = first + 5L * ((hi - 1L - first) / 5L)
+          Some(FrameCatalogSource.bandName(b) +: rowFor(first, last, 5L))
+        }
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FrameAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FrameAggReaderFactory
+}
+
+private case class FrameAggPartition(rows: Seq[Array[Any]]) extends InputPartition
+
+private class FrameAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    FrameCatalogSource.readersCreated.incrementAndGet()
+    val FrameAggPartition(rows) = p: @unchecked
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = {
+        FrameCatalogSource.rowsEmitted.incrementAndGet()
+        new GenericInternalRow(it.next())
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
 private class FrameReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -152,9 +310,11 @@ private class FrameReaderFactory(fields: Array[String])
     new PartitionReader[InternalRow] {
       private var id = start - 1L
       override def next(): Boolean = { id += 1L; id < end }
-      override def get(): InternalRow =
+      override def get(): InternalRow = {
+        FrameCatalogSource.rowsEmitted.incrementAndGet()
         new GenericInternalRow(
           fields.map(f => FrameCatalogSource.value(f, id)).toArray[Any])
+      }
       override def close(): Unit = ()
     }
   }

@@ -387,6 +387,13 @@ class PlanShapeSpec extends SparkSpec {
       "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
   }
 
+  test("scan_v2_agg: rollup pushed completely into the V2 scan — no aggregate operator") {
+    val p = plan("scan_v2_agg")
+    assert(p.contains("AGGPUSHED"), "aggregation not pushed into the connector scan")
+    assert(!p.contains("HashAggregate") && !p.contains("partial_"),
+      "complete pushdown must leave no aggregation above the scan (metadata-read path)")
+  }
+
   test("dedup_suffix: class-rank pass partial-aggregates; no class window exchange") {
     // The per-round frames checkpoint (lineage truncation), so the final
     // plan can't witness the class pass — pin the extracted helper on a

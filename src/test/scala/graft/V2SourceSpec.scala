@@ -21,7 +21,10 @@ class V2SourceSpec extends SparkSpec {
     assert(plan.contains("lo=20000 hi=60000"),
       s"pushed range missing from the scan description:\n$plan")
     graft.sources.FrameCatalogSource.readersCreated.set(0)
-    assert(df.count() === 40000L)
+    // collect(), not count(): count(*) would now be answered by the
+    // AGGREGATE pushdown (1 metadata reader) — this test pins the ROW
+    // scan's partition pruning, so it must materialize rows.
+    assert(df.collect().length === 40000)
     val readers = graft.sources.FrameCatalogSource.readersCreated.get()
     // ceil(40000 / 8192) = 5 surviving slices; an unpruned scan plans 13.
     assert(readers === 5,
@@ -41,5 +44,53 @@ class V2SourceSpec extends SparkSpec {
     // Semantics under pushdown: connector result ≡ arithmetic recompute.
     val n = df.count()
     assert(n === (0L until 16384L).count(i => i % 5L == 2L))
+  }
+
+  test("aggregate pushdown: rollup answered by the scan — one row per group, no agg operator") {
+    val df = table
+      .where(col("frame_id") >= 20000L && col("frame_id") < 90000L)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), min("frame_id").as("first_id"),
+        max("frame_id").as("last_id"), max("mjd").as("max_mjd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGGPUSHED lo=20000 hi=90000"),
+      s"aggregation not pushed into the scan:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("partial_"),
+      "complete pushdown must leave NO aggregation operator above the scan")
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.size === 5)
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 5L,
+      "pushed rollup must materialize one row per GROUP, never one per frame")
+    // Closed form ≡ brute force over the window.
+    val bands = Array("u", "g", "r", "i", "z")
+    (0 until 5).foreach { b =>
+      val ids = (20000L until 90000L).filter(_ % 5L == b)
+      val exp = (ids.length.toLong, ids.head, ids.last, 60000.0 + ids.last * 0.02)
+      assert(rows(bands(b)) === exp, s"band ${bands(b)}: closed form diverges from brute force")
+    }
+  }
+
+  test("aggregate pushdown: empty window global rollup = count 0, null extrema") {
+    val r = table.where(col("frame_id") < 0L)
+      .agg(count(lit(1)).as("n"), min("frame_id").as("mn")).collect()
+    assert(r.length === 1 && r(0).getLong(0) === 0L && r(0).isNullAt(1),
+      "ANSI global-aggregate-on-empty semantics must survive complete pushdown")
+  }
+
+  test("unsupported aggregate (sum over periodic column) falls back to the row scan") {
+    val df = table.where(col("frame_id") < 1000L)
+      .groupBy("band").agg(sum("exptime").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("AGGPUSHED"), "sum(exptime) has no closed form — must not push")
+    assert(plan.contains("HashAggregate"), "fallback must aggregate above the scan")
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 1000L,
+      "fallback enumerates the window's rows")
+    val exp = (0L until 1000L).groupBy(i => "ugriz" ((i % 5L).toInt).toString)
+      .map { case (b, ids) => b -> ids.map(i => 30L + (i % 7L) * 15L).sum }
+    assert(got === exp)
   }
 }
