@@ -649,20 +649,25 @@ object Scans {
     // Snapshot read-as-of (time travel) — the lakehouse read that
     // table_merge/table_scd2 imply but never demonstrate: two committed
     // generations under one root (g=1 the base snapshot, g=2 a delta of
-    // upserts + tombstones, the scan_schema_merge directory idiom standing
-    // in for a transaction log), then the table reconstructed AS OF each
-    // version. The as-of filter is a PARTITION filter — reading version 1
-    // never opens generation 2's files, which is the whole point of
-    // snapshot isolation on a lake: old readers touch old directories
-    // only, at any scale. Reconstruction is latest-generation-wins per
-    // key as ONE max-struct aggregate (map-side partial, no window, no
-    // sort — generation is distinct per key within a commit, so the
-    // struct compare on g decides), then tombstones drop. Output pins the
-    // exact surviving row set per version (count + key checksum +
-    // value-cents checksum); the oracle reconstructs each snapshot via
-    // UNION ALL + anti-join. At 100 TB: one partial-agg pass over the
-    // generations ≤ asof; a compacted base (table_compact) keeps the
-    // generation count bounded.
+    // upserts + tombstones), each PUBLISHED to a JSON transaction log
+    // (`_log/0000000N.json`, one `add` action per data file — the
+    // Delta/Iceberg commit shape; sources/CommitLog.scala), then the
+    // table reconstructed AS OF each version BY THE LOG: the as-of file
+    // list is resolved from commits ≤ v (driver-side metadata, KBs — the
+    // same place Delta resolves snapshots), so a version-1 reader never
+    // opens generation 2's files, and — the guarantee directory listing
+    // cannot give — a data file not in the log does not exist
+    // (uncommitted writer debris is invisible; CommitLogSpec proves it by
+    // tampering). The DATA read stays one distributed parquet scan over
+    // the resolved files (basePath keeps the g partition column).
+    // Reconstruction is latest-generation-wins per key as ONE max-struct
+    // aggregate (map-side partial, no window, no sort — generation is
+    // distinct per key within a commit, so the struct compare on g
+    // decides), then tombstones drop. Output pins the exact surviving
+    // row set per version (count + key checksum + value-cents checksum);
+    // the oracle reconstructs each snapshot via UNION ALL + anti-join.
+    // At 100 TB: one partial-agg pass over the as-of file set; a
+    // compacted base (table_compact) keeps the commit count bounded.
     QDef(
       "table_timetravel",
       (s, dir) => {
@@ -673,15 +678,15 @@ object Scans {
           .select(col("o_orderkey").as("key"),
             col("o_totalprice").as("val"), lit(false).as("deleted"))
           .write.mode("overwrite").parquet(s"$root/g=1")
+        graft.sources.CommitLog.commit(root, 1L, "g=1")
         // g=2: delta commit — upserts (×1.1 repriced) + delete markers.
         o.where(col("o_orderkey") % 3L === 0L)
           .select(col("o_orderkey").as("key"),
             rnd(col("o_totalprice") * 1.1, 2).as("val"),
             (col("o_orderkey") % 21L === 0L).as("deleted"))
           .write.mode("overwrite").parquet(s"$root/g=2")
-        val log = s.read.parquet(root)
-        def asOf(v: Long) = log
-          .where(col("g") <= v) // partition pruning: version-1 read never scans g=2
+        graft.sources.CommitLog.commit(root, 2L, "g=2")
+        def asOf(v: Long) = graft.sources.CommitLog.readAsOf(s, root, v)
           .groupBy("key")
           .agg(max(struct(col("g"), col("deleted"), col("val"))).as("m"))
           .where(!col("m.deleted"))

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transaction-log protocol for the lakehouse maintenance family
+  * (`table_merge` / `table_scd2` / `table_compact` / `table_timetravel`) —
+  * the Delta/Iceberg commit shape reduced to its read-side essentials:
+  *
+  *  - `_log/00000001.json`, `00000002.json`, … — one file per committed
+  *    version, JSON actions one-per-line (a `commitInfo` header followed by
+  *    one `add` per data file the commit published).
+  *  - A snapshot AS OF version v is the union of `add`s with version ≤ v.
+  *    The LOG is authoritative: a data file present in the directory but
+  *    absent from the log does not exist (uncommitted writer debris is
+  *    invisible — the isolation guarantee directory listing cannot give),
+  *    and an as-of-1 reader never opens version 2's files at any scale.
+  *  - The log is METADATA: a few KB per commit, read on the driver exactly
+  *    like Delta's snapshot resolution. The DATA read stays fully
+  *    distributed — the resolved file list feeds one parquet scan with
+  *    `basePath` so partition columns (`g=…`) still bind.
+  *
+  * Production deltas not modeled (single-writer assumed): atomic
+  * rename-based commit arbitration, checkpoints of compacted log state,
+  * `remove` actions. The read protocol — the part `table_timetravel`
+  * demonstrates — is the real one.
+  */
+object CommitLog {
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+
+  private def withList[A](p: Path)(f: Iterator[Path] => A): A = {
+    val st = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      f(st.iterator().asScala)
+    } finally st.close()
+  }
+
+  /** Publish `genDir`'s parquet files as version `version`. In production
+    * the writer knows its own add-list transactionally; listing the
+    * just-written directory here is the local-FS stand-in. */
+  def commit(root: String, version: Long, genDir: String): Unit = {
+    val adds = withList(Paths.get(root, genDir)) {
+      _.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+        .map(n => s"$genDir/$n")
+    }
+    Files.createDirectories(logDir(root))
+    val json = (s"""{"commitInfo":{"version":$version,"adds":${adds.size}}}""" +:
+      adds.map(a => s"""{"add":{"path":"$a"}}""")).mkString("", "\n", "\n")
+    Files.write(logDir(root).resolve(f"$version%08d.json"), json.getBytes("UTF-8")): Unit
+  }
+
+  private val AddPath = """"add"\s*:\s*\{\s*"path"\s*:\s*"([^"]+)"""".r.unanchored
+
+  /** Table-relative data files live in the snapshot AS OF `v`. */
+  def filesAsOf(root: String, v: Long): Seq[String] = {
+    val versions = withList(logDir(root)) {
+      _.filter(_.getFileName.toString.endsWith(".json"))
+        .map(p => p.getFileName.toString.stripSuffix(".json").toLong -> p)
+        .filter(_._1 <= v)
+        .toSeq.sortBy(_._1)
+    }
+    versions.flatMap { case (_, p) =>
+      new String(Files.readAllBytes(p), "UTF-8").linesIterator.collect {
+        case AddPath(path) => path
+      }
+    }
+  }
+
+  /** The snapshot AS OF `v` as a DataFrame: log-resolved file list into one
+    * distributed parquet scan; `basePath` keeps `g=…` partition columns. */
+  def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.option("basePath", root)
+      .parquet(filesAsOf(root, v).map(f => s"$root/$f"): _*)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** The transaction-log read protocol ([[graft.sources.CommitLog]]): as-of
+  * snapshots resolve from the log's add-actions, version isolation is a
+  * file-list property (not a directory convention), and the log — not the
+  * directory listing — is authoritative. */
+class CommitLogSpec extends SparkSpec {
+
+  import graft.sources.CommitLog
+
+  private def freshTable(): String = {
+    val root = Files.createTempDirectory("graft_commitlog").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$root/g=1")
+    CommitLog.commit(root, 1L, "g=1")
+    Seq((2L, 22.0), (4L, 40.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$root/g=2")
+    CommitLog.commit(root, 2L, "g=2")
+    root
+  }
+
+  test("as-of file resolution: version 1 never lists (or scans) version 2's files") {
+    val root = freshTable()
+    val f1 = CommitLog.filesAsOf(root, 1L)
+    assert(f1.nonEmpty && f1.forall(_.startsWith("g=1/")),
+      s"version-1 snapshot must contain only commit-1 adds: $f1")
+    val f2 = CommitLog.filesAsOf(root, 2L)
+    assert(f2.toSet.size === f2.size && f2.exists(_.startsWith("g=2/")))
+    // The physical scan of the v1 read must not reference any g=2 file.
+    val p1 = CommitLog.readAsOf(spark, root, 1L).queryExecution.executedPlan.toString
+    assert(!p1.contains("g=2"), s"version-1 scan leaked a version-2 file:\n$p1")
+    // basePath keeps the partition column bound.
+    assert(CommitLog.readAsOf(spark, root, 2L).columns.contains("g"),
+      "partition column g must survive explicit-file reads")
+  }
+
+  test("the log is authoritative: uncommitted directory debris is invisible") {
+    val root = freshTable()
+    val before = CommitLog.readAsOf(spark, root, 2L).count()
+    // A crashed writer leaves an orphan parquet file in the data dir
+    // WITHOUT a log entry — directory-based readers would count it.
+    val s0 = spark
+    import s0.implicits._
+    Seq((99L, 990.0)).toDF("key", "val").write.parquet(s"$root/tmp_orphan")
+    val orphan = Files.list(Paths.get(s"$root/tmp_orphan")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(orphan), Paths.get(s"$root/g=1/part-orphan.snappy.parquet"))
+    assert(CommitLog.readAsOf(spark, root, 2L).count() === before,
+      "a data file absent from the log must not exist for readers")
+  }
+
+  test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {
+    val root = freshTable()
+    def snap(v: Long): Map[Long, Double] =
+      CommitLog.readAsOf(spark, root, v)
+        .groupBy("key").agg(max(struct(col("g"), col("val"))).as("m"))
+        .select(col("key"), col("m.val"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap(1L) === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(snap(2L) === Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 40.0))
+  }
+}

@@ -515,12 +515,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "sketch pipeline should be join-free")
   }
 
-  test("table_timetravel: as-of read prunes generations; reconstruction is an aggregate, not a window") {
+  test("table_timetravel: as-of reads resolve from the commit log; reconstruction is an aggregate, not a window") {
     val p = plan("table_timetravel")
-    assert(p.contains("PartitionFilters") && "g#\\d+ <= 1".r.findFirstIn(p).isDefined,
-      "version-1 read lost its generation partition filter (would scan g=2's files)")
     assert(!p.contains("Window"),
       "latest-generation-wins degraded to a window — the max-struct aggregate combines map-side")
+    // Generation isolation is now a property of the LOG-resolved file list,
+    // not a partition filter — CommitLogSpec pins that the version-1 scan
+    // never lists a g=2 file (and that uncommitted files are invisible).
   }
 
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
