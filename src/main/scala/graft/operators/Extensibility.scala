@@ -139,6 +139,44 @@ object Extensibility {
              |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
              |    60000.0 + CAST(i AS DOUBLE) * 0.02 AS mjd
              |  FROM generate_series(20000, 89999) t(i))
-             |GROUP BY band ORDER BY band""".stripMargin))
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // The connector surface's WRITE half (SupportsWrite / BATCH_WRITE,
+    // sources/FrameStoreSink.scala): overwrite one slice of orders into a
+    // library-owned V2 table through the full two-phase commit protocol
+    // (per-task DataWriters buffer provisionally; the driver's
+    // BatchWrite.commit publishes atomically — in production the commit
+    // messages carry file manifests, cf. CommitLog), append a second slice
+    // through the same protocol, then read the committed snapshot back
+    // (BATCH_READ) and aggregate. Overwrite arrives as SupportsTruncate
+    // (Spark plans OverwriteByExpression), append as AppendData — both V2
+    // write plans, no V1 fallback. FrameStoreSpec pins the protocol
+    // itself: nothing visible before commit, abort leaves no trace,
+    // truncate swaps atomically. The cents fixed-point keeps the sum
+    // integer-exact across engines.
+    QDef(
+      "sink_custom_v2",
+      (s, dir) => {
+        val t = "sink_custom_v2_tbl"
+        def slice(rem: Long) = T.orders(s, dir)
+          .where(col("o_orderkey") % 5L === rem)
+          .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+        slice(1L).write.format("graft.sources.FrameStoreSink")
+          .option("table", t).mode("overwrite").save()
+        slice(2L).write.format("graft.sources.FrameStoreSink")
+          .option("table", t).mode("append").save()
+        s.read.format("graft.sources.FrameStoreSink").option("table", t).load()
+          .groupBy((col("key") % 10L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum("cents").cast("long").as("sum_cents"),
+            countDistinct("cust").cast("long").as("n_cust"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  count(DISTINCT o_custkey) AS n_cust
+             |FROM orders WHERE o_orderkey % 5 IN (1, 2)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -61,7 +61,8 @@ class InventorySpec extends SparkSpec {
   // Structured Streaming runs) — the "analysis only" premise doesn't hold for
   // them; they are covered by Verify/StreamingSpec.
   private val eager = Set("stream_watermark", "stream_foreachbatch",
-    "sink_parquet", "sink_bucketed", "sink_partitioned", "join_dpp",
+    "sink_parquet", "sink_bucketed", "sink_partitioned", "sink_custom_v2",
+    "join_dpp",
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state", "stream_topk",
     "dedup_index_probe", // writes the bucketed band index on construction
