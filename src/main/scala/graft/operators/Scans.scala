@@ -722,6 +722,84 @@ object Scans {
              |    CAST(sum(key) AS BIGINT) AS sum_key,
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |  FROM snap2)
+             |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin)),
+
+    // VACUUM — the physical-cleanup half of the commit-log story
+    // (table_timetravel reads BY the log; vacuum deletes what the log does
+    // not reference): two committed generations plus a whole generation
+    // WRITTEN BUT NEVER COMMITTED — the crashed-writer failure mode vacuum
+    // exists for. CommitLog.vacuum (sources/CommitLog.scala) diffs the
+    // directory listing against the log's add-set and deletes the orphans
+    // — driver-side metadata + file ops, exactly Delta's VACUUM. The
+    // query's two proofs: EFFECTIVENESS is a hard `require` on the vacuum
+    // report (coalesce(1) writes make the counts exact: 2 live files kept,
+    // 1 orphan removed — a miscounting vacuum fails the query, not just a
+    // spec); SAFETY is the oracle — both as-of snapshots are read AFTER
+    // the vacuum and must still hash-match DuckDB's reconstruction from
+    // orders alone, so a vacuum that touched one live file cannot pass.
+    // CommitLogSpec additionally pins the FS-level before/after listing.
+    // At 100 TB the decision set is the same log-vs-listing diff; only
+    // the deletes fan out.
+    QDef(
+      "table_vacuum",
+      (s, dir) => {
+        val root = runTmpPath(s, "graft_vacuum_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 7L =!= 0L)
+          .select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("val"), lit(false).as("deleted"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        graft.sources.CommitLog.commit(root, 1L, "g=1")
+        o.where(col("o_orderkey") % 5L === 0L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 0.9, 2).as("val"),
+            (col("o_orderkey") % 35L === 0L).as("deleted"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        graft.sources.CommitLog.commit(root, 2L, "g=2")
+        // Crashed writer: a full generation on disk, no commit.
+        o.where(col("o_orderkey") % 11L === 0L)
+          .select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("val"), lit(false).as("deleted"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+        val (kept, removed) = graft.sources.CommitLog.vacuum(root)
+        require(kept == 2L && removed == 1L,
+          s"vacuum report ($kept kept, $removed removed) != expected (2, 1)")
+        def asOf(v: Long) = graft.sources.CommitLog.readAsOf(s, root, v)
+          .groupBy("key")
+          .agg(max(struct(col("g"), col("deleted"), col("val"))).as("m"))
+          .where(!col("m.deleted"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(m.val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(v).as("as_of"), col("n_keys"), col("sum_key"), col("sum_cents"))
+        asOf(1L).unionAll(asOf(2L)).orderBy("as_of")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val, FALSE AS deleted
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 0.9) * 1e2 + 0.5) / 1e2 AS val,
+             |    o_orderkey % 35 = 0 AS deleted
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |snap1 AS (SELECT key, val FROM g1 WHERE NOT deleted),
+             |snap2 AS (
+             |  SELECT key, val FROM g2 WHERE NOT deleted
+             |  UNION ALL
+             |  SELECT g1.key, g1.val FROM g1
+             |  WHERE NOT g1.deleted AND NOT EXISTS (
+             |    SELECT 1 FROM g2 WHERE g2.key = g1.key)),
+             |s1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM snap1),
+             |s2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM snap2)
              |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin))
   )
 }

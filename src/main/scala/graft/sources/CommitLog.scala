@@ -76,4 +76,60 @@ object CommitLog {
   def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
     s.read.option("basePath", root)
       .parquet(filesAsOf(root, v).map(f => s"$root/$f"): _*)
+
+  /** VACUUM: delete every data file under `root` that no commit references
+    * — crashed-writer debris, duplicated task attempts, aborted overwrites.
+    * Returns (live kept, orphans removed). Driver-side metadata + file ops,
+    * exactly Delta's VACUUM; on a cluster the deletes fan out, but the
+    * decision set is still log-vs-listing. This log records only `add`s
+    * (overwrites rewrite their generation dir in place), so every committed
+    * file is live at the max version and retention reduces to
+    * "referenced by the log or not"; with `remove` actions modeled,
+    * retention-expired removed files would join the delete set. Empty
+    * directories left behind are pruned too ( `_log` never touched). */
+  def vacuum(root: String): (Long, Long) = {
+    val rootP = Paths.get(root)
+    val live = filesAsOf(root, Long.MaxValue).toSet
+    val st = Files.walk(rootP)
+    val all = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        // Hidden/marker files (_SUCCESS, .crc) are exempt, as in Delta's
+        // VACUUM — they are bookkeeping, not data, and never logged.
+        .filterNot { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .map(p => rootP.relativize(p).toString)
+        .filterNot(_.startsWith("_log"))
+        .toVector
+    } finally st.close()
+    val dead = all.filterNot(live)
+    dead.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
+    // Prune data dirs the deletes emptied — "empty" meaning no real files
+    // left (hidden bookkeeping like .crc shadows of deleted parquet goes
+    // with the directory).
+    val ds = Files.list(rootP)
+    try {
+      import scala.jdk.CollectionConverters._
+      ds.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString != "_log")
+        .foreach { d =>
+          val c = Files.list(d)
+          val entries = try c.iterator().asScala.toVector finally c.close()
+          val prunable = entries.forall { e =>
+            Files.isRegularFile(e) && {
+              val n = e.getFileName.toString
+              n.startsWith("_") || n.startsWith(".")
+            }
+          }
+          if (prunable) {
+            entries.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(d): Unit
+          }
+        }
+    } finally ds.close()
+    (all.size.toLong - dead.size.toLong, dead.size.toLong)
+  }
 }

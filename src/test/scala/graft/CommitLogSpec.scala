@@ -55,6 +55,31 @@ class CommitLogSpec extends SparkSpec {
       "a data file absent from the log must not exist for readers")
   }
 
+  test("vacuum deletes only what the log does not reference; committed reads unaffected") {
+    val root = freshTable()
+    val s0 = spark
+    import s0.implicits._
+    // Debris of both kinds: an orphan file inside a committed generation's
+    // directory and a whole generation that never committed.
+    Seq((50L, 500.0)).toDF("key", "val").write.parquet(s"$root/tmp_stage")
+    val staged = Files.list(Paths.get(s"$root/tmp_stage")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val orphanInG1 = Paths.get(s"$root/g=1/part-orphan.snappy.parquet")
+    Files.copy(Paths.get(staged), orphanInG1)
+    Seq((60L, 600.0)).toDF("key", "val").write.parquet(s"$root/g=3")
+    val before = CommitLog.readAsOf(spark, root, 2L).count()
+    val (kept, removed) = CommitLog.vacuum(root)
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(kept === live.size.toLong, "every live file survives")
+    assert(removed >= 3L, s"orphans must be removed (saw $removed)") // g=1 orphan + g=3 + tmp_stage
+    live.foreach(f => assert(Files.exists(Paths.get(root, f)),
+      s"vacuum deleted a LIVE file: $f"))
+    assert(!Files.exists(orphanInG1), "in-generation orphan must be gone")
+    assert(!Files.exists(Paths.get(s"$root/g=3")), "uncommitted generation dir must be pruned")
+    assert(CommitLog.readAsOf(spark, root, 2L).count() === before,
+      "vacuum changed a committed read")
+  }
+
   test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {
     val root = freshTable()
     def snap(v: Long): Map[Long, Double] =

@@ -88,7 +88,10 @@ class DeterminismSpec extends SparkSpec {
     // max-struct under any scan order of the generation dirs
     // (timetravel), and the mm-encoded probe's cell argmax + top-3 rank
     // boundaries under any assignment merge order (crossmodal)
-    "dedup_suffix", "agg_pctile_reagg", "table_timetravel", "mm_crossmodal")
+    "dedup_suffix", "agg_pctile_reagg", "table_timetravel", "mm_crossmodal",
+    // round-9: same latest-wins max-struct risk class as timetravel, plus
+    // the vacuum require() must hold under any write partitioning
+    "table_vacuum")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
