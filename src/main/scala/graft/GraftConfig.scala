@@ -232,6 +232,13 @@ object GraftConfig {
     * one label per component. */
   val LpRounds = 3
 
+  /** graph_bfs: seed set = graph nodes ≡ 0 (mod this), and the hop budget.
+    * 50 seeds ~2% of the co-purchase node set — sparse enough that hops
+    * 1..3 each add a nontrivial frontier; 3 rounds is the family's
+    * established bounded-iteration budget (cc/kcore/label_prop). */
+  val BfsSeedMod = 50L
+  val BfsRounds = 3
+
   /** Bucket count for table_histogram's equi-height histogram — the
     * selectivity-structure resolution a CBO trades against catalog size
     * (engines default 100–254 buckets). 8 keeps every fixture bucket

@@ -411,6 +411,76 @@ object Graph {
            |SELECT lab AS community, count(*) AS n_nodes,
            |  min(node) AS min_node, max(node) AS max_node
            |FROM r${graft.GraftConfig.LpRounds} GROUP BY lab ORDER BY community""".stripMargin
+      }),
+
+    // Multi-source BFS with a bounded hop budget — the frontier-expansion
+    // primitive the family's other members build past (cc converges
+    // components, label_prop votes, kcore peels; none reports DISTANCE).
+    // Per hop: frontier attaches to the checkpointed edge list with ONE
+    // equi-join, dedupes with a partial-agg distinct, and drops
+    // already-visited nodes with a LEFT ANTI join against the accumulated
+    // levels — all linear in O(edges) per round, no window, no collect,
+    // and the frontier SHRINKS as the reachable set saturates (the
+    // sparse-doubling instinct from dedup_suffix applied to graphs).
+    // Levels checkpoint per round (the family's lineage discipline); the
+    // final rollup is one partial-agg groupBy over the unioned level
+    // frames. At 100 TB: distance-bounded expansion from a seed set is
+    // the "blast radius" query (contaminated-document spread, abuse-ring
+    // neighborhoods) and each hop is one shuffle of the CURRENT frontier
+    // only, never of the visited set.
+    QDef(
+      "graph_bfs",
+      (s, dir) => {
+        val m = graft.GraftConfig.BfsSeedMod
+        val co = coEdges(s, dir)
+        val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        val seeds = und.select(col("a").as("node")).distinct()
+          .where(col("node") % m === 0L)
+          .withColumn("dist", lit(0L))
+          .localCheckpoint()
+        var levels = Vector(seeds)
+        var frontier = seeds
+        (1 to graft.GraftConfig.BfsRounds).foreach { r =>
+          val visited = levels.map(_.select("node")).reduce(_ unionAll _)
+          val next = und
+            .join(frontier.select(col("node").as("b")), Seq("b"))
+            .select(col("a").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("dist", lit(r.toLong))
+            .localCheckpoint()
+          levels = levels :+ next
+          frontier = next
+        }
+        levels.reduce(_ unionAll _)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum("node").cast("long").as("sum_node"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy("dist")
+      },
+      Some {
+        val m = graft.GraftConfig.BfsSeedMod
+        val rounds = (1 to graft.GraftConfig.BfsRounds).map { i =>
+          s"""f$i AS MATERIALIZED (
+             |  SELECT DISTINCT und.a AS node, CAST($i AS BIGINT) AS dist
+             |  FROM und JOIN f${i - 1} f ON und.b = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v WHERE v.node = und.a)),
+             |v$i AS MATERIALIZED (
+             |  SELECT node FROM v${i - 1} UNION ALL SELECT node FROM f$i)""".stripMargin
+        }.mkString(",\n")
+        val union = (0 to graft.GraftConfig.BfsRounds)
+          .map(i => s"SELECT * FROM f$i").mkString(" UNION ALL ")
+        s"""WITH $coSql,
+           |und AS MATERIALIZED (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co),
+           |f0 AS MATERIALIZED (
+           |  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+           |  FROM und WHERE a % $m = 0),
+           |v0 AS MATERIALIZED (SELECT node FROM f0),
+           |$rounds
+           |SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node,
+           |  min(node) AS min_node, max(node) AS max_node
+           |FROM ($union) GROUP BY dist ORDER BY dist""".stripMargin
       })
   )
 }

@@ -387,6 +387,14 @@ class PlanShapeSpec extends SparkSpec {
       "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
   }
 
+  test("graph_bfs: level rollup partial-aggregates over checkpointed frontiers; no window") {
+    val p = plan("graph_bfs")
+    assert(p.contains("ExistingRDD"),
+      "rollup should scan the checkpointed levels, not replay the expansion")
+    assert(p.contains("partial_"), "level rollup lost map-side partial aggregation")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("scan_v2_agg: rollup pushed completely into the V2 scan — no aggregate operator") {
     val p = plan("scan_v2_agg")
     assert(p.contains("AGGPUSHED"), "aggregation not pushed into the connector scan")
