@@ -262,6 +262,21 @@ object StreamingOps {
     QDef(
       "stream_foreachbatch",
       (s, dir) => graft.streaming.StreamRunner.foreachBatchUpsert(s, dir),
-      None)
+      None),
+
+    // Streaming exactly-once into the transaction log: foreachBatch stages
+    // each micro-batch as a generation and commits it under
+    // version = batchId + 1 with an idempotence guard; a simulated
+    // failure-recovery replay re-delivers batch 0, the guard makes its
+    // commit a no-op (require'd in-query), and VACUUM reclaims the
+    // replay's staged files. Unlike the other streaming ops this one IS
+    // oracle-checkable: the committed snapshot must equal the batch
+    // per-type counts exactly — a duplicated commit would double them.
+    // See StreamRunner.exactlyOnceCommitLog + sources/CommitLog.scala.
+    QDef(
+      "stream_exactly_once",
+      (s, dir) => graft.streaming.StreamRunner.exactlyOnceCommitLog(s, dir),
+      Some("""SELECT event_type, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -54,6 +54,12 @@ object CommitLog {
     Files.write(logDir(root).resolve(f"$version%08d.json"), json.getBytes("UTF-8")): Unit
   }
 
+  /** Idempotence guard for replayed writers (a restarted streaming query
+    * re-delivers its last micro-batch; batchId-keyed versions make the
+    * re-commit a no-op — the exactly-once recipe foreachBatch documents). */
+  def commitVersionExists(root: String, version: Long): Boolean =
+    Files.exists(logDir(root).resolve(f"$version%08d.json"))
+
   private val AddPath = """"add"\s*:\s*\{\s*"path"\s*:\s*"([^"]+)"""".r.unanchored
 
   /** Table-relative data files live in the snapshot AS OF `v`. */

@@ -154,6 +154,67 @@ object StreamRunner {
       .orderBy("user_id")
   }
 
+  /** Streaming EXACTLY-ONCE into the transaction log
+    * ([[graft.sources.CommitLog]]): each micro-batch stages its output as a
+    * new generation, then commits it under version = batchId + 1 — and the
+    * commit is GUARDED on the version file, so when a restarted query
+    * re-delivers a batch (Structured Streaming's at-least-once replay
+    * after failure), the re-execution stages fresh files but the commit is
+    * a no-op: readers never see the batch twice. The replay is simulated
+    * for real after the run (same batch, same batchId, new attempt), the
+    * invariants are `require`d in-query (log unchanged; the replay's
+    * staged files are exactly what VACUUM reclaims — (1 kept, 1 removed)),
+    * and the committed snapshot must still hash-match the batch oracle.
+    * This is the production recipe for streaming into a lakehouse table:
+    * txn-log versions keyed by batch id give idempotent commits, vacuum
+    * reclaims lost-race stagings, and at 100 TB each batch's commit is
+    * O(files-in-batch) metadata regardless of table size. */
+  def exactlyOnceCommitLog(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    val root = tmpDir("graft_eos_tbl")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def commitBatch(batch: DataFrame, batchId: Long): Unit = {
+      val ver = batchId + 1L
+      // Stage FIRST, commit second — the real writer ordering; attempt
+      // number in the dir name mirrors re-executions producing distinct
+      // physical files for the same logical batch.
+      val gen = s"g=${ver}x${attempts.incrementAndGet()}"
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+      if (!CommitLog.commitVersionExists(root, ver))
+        CommitLog.commit(root, ver, gen)
+      // else: the staged generation is a lost commit race — debris that
+      // VACUUM reclaims below, never visible to any reader.
+    }
+    val q = eventsStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft_eos_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(commitBatch _)
+      .start()
+    q.awaitTermination()
+    val committed = CommitLog.filesAsOf(root, Long.MaxValue)
+    require(committed.nonEmpty, "stream committed nothing")
+    // Failure-recovery replay: re-deliver batch 0 (same logical content —
+    // complete mode makes it the full aggregate) under the same batchId.
+    val replayBatch = T.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    commitBatch(replayBatch, 0L)
+    require(CommitLog.filesAsOf(root, Long.MaxValue) == committed,
+      "replayed batch changed the log — exactly-once guard failed")
+    val (kept, removed) = CommitLog.vacuum(root)
+    require(kept == committed.size.toLong && removed == 1L,
+      s"vacuum ($kept kept, $removed removed) != (${committed.size}, 1): " +
+        "the replay's staged generation should be the only debris")
+    CommitLog.readAsOf(s, root, Long.MaxValue)
+      .groupBy("event_type")
+      .agg(sum("n").cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
   /** foreachBatch sink: each micro-batch's per-type aggregate is upserted
     * (overwritten by batch id) into a parquet target, then read back and
     * re-aggregated — the idempotent-sink pattern for exactly-once output. */

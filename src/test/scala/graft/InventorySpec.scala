@@ -64,7 +64,7 @@ class InventorySpec extends SparkSpec {
     "sink_parquet", "sink_bucketed", "sink_partitioned", "sink_custom_v2",
     "join_dpp",
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
-    "stream_custom_state", "stream_topk",
+    "stream_custom_state", "stream_topk", "stream_exactly_once",
     "dedup_index_probe", // writes the bucketed band index on construction
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
