@@ -140,6 +140,11 @@ object GraftConfig {
     * with the 1e6 threshold scale. */
   val TempSampleModulus = 1000000L
 
+  /** pipeline_shard: number of output shards the curated corpus splits
+    * into. 8 is fixture-sized; production sets it to target-file-size /
+    * corpus-size. The balance property is independent of the count. */
+  val ShardCount = 8L
+
   /** Mixture budget divisor for pipeline_mix: the training-run token
     * budget is tot/MixBudgetDen of the corpus. 1 (one full epoch,
     * rebalanced toward the uniform target) is the smallest divisor at

@@ -1338,5 +1338,59 @@ object TextOps {
              |  coalesce(sel.n_sel, 0) AS n_sel, coalesce(sel.tok_sel, 0) AS tok_sel
              |FROM rates LEFT JOIN sel USING (source) ORDER BY rates.source""".stripMargin)),
 
+    // Output sharding — the LAST step of a curation pipeline: split the
+    // corpus into ShardCount training shards balanced by TOKEN mass (not
+    // doc count; doc sizes are heavy-tailed, and a count-balanced split
+    // leaves some shards 2-3x heavier). Assignment is round-robin by
+    // global size rank (rank r → shard (r-1) % S): consecutive ranks have
+    // near-equal sizes, so every shard receives one doc from each size
+    // stratum — within one max-doc of perfect token balance, deterministic,
+    // and join-free to apply. The SCALE trick is computing a global
+    // (n_tok DESC, doc_id) rank without a global single-reducer sort: the
+    // doc-level row_number PARTITIONS BY n_tok (parallel across size
+    // classes), and each class's global offset comes from a window over
+    // the AGGREGATE-SIZED class-count table (distinct token counts —
+    // hundreds of rows at any corpus size; the family's monitoring-table
+    // budget), broadcast back onto the docs. rank = class offset + local
+    // rank reproduces the global ordering exactly — DuckDB oracles it with
+    // a plain global row_number.
+    QDef(
+      "pipeline_shard",
+      (s, dir) => {
+        val S = graft.GraftConfig.ShardCount
+        val d = T.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val off = d.groupBy("n_tok").agg(count(lit(1)).as("c"))
+          .withColumn("offset",
+            coalesce(
+              sum("c").over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("n_tok").desc)
+                .rowsBetween(Long.MinValue, -1L)),
+              lit(0L)))
+          .select("n_tok", "offset")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("n_tok").orderBy("doc_id")
+        d.withColumn("lr", row_number().over(w).cast("long"))
+          .join(broadcast(off), Seq("n_tok"))
+          .withColumn("rank", col("offset") + col("lr"))
+          .withColumn("shard", (col("rank") - 1L) % S)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("tok_total"),
+            min("rank").as("first_rank"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n_tok,
+             |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+             |  FROM d)
+             |SELECT (rank - 1) % ${graft.GraftConfig.ShardCount} AS shard,
+             |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             |  min(rank) AS first_rank
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

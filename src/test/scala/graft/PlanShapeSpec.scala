@@ -387,6 +387,18 @@ class PlanShapeSpec extends SparkSpec {
       "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
   }
 
+  test("pipeline_shard: doc-level rank window is partitioned; offsets attach by broadcast") {
+    val p = plan("pipeline_shard")
+    assert("Window.*partitionBy|Window \\[row_number".r.findFirstIn(p).isDefined ||
+      p.contains("row_number"), "doc-level rank window missing")
+    // The doc-level window must carry a partition spec (n_tok) — the only
+    // global window allowed is over the aggregate-sized class table.
+    assert("windowspecdefinition\\(n_tok".r.findFirstIn(p.toLowerCase).isDefined,
+      "doc-level row_number lost its n_tok partitioning (global single-reducer sort)")
+    assert(p.contains("BroadcastHashJoin"), "class offsets must attach by broadcast")
+    assert(p.contains("partial_"), "shard rollup lost map-side partial aggregation")
+  }
+
   test("graph_bfs: level rollup partial-aggregates over checkpointed frontiers; no window") {
     val p = plan("graph_bfs")
     assert(p.contains("ExistingRDD"),

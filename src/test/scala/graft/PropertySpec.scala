@@ -306,6 +306,21 @@ class PropertySpec extends SparkSpec {
       "a delta doc with a batch cross-pair is missing from the incremental output")
   }
 
+  test("pipeline_shard: shards partition the corpus and token mass balances to one max-doc") {
+    val rows = SparkEntry.queries("pipeline_shard")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "every doc lands in exactly one shard")
+    val toks = rows.map(_.getLong(2))
+    val maxDoc = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).max
+    assert(toks.max - toks.min <= maxDoc,
+      s"size-rank round-robin must balance within one max-doc " +
+        s"(spread ${toks.max - toks.min}, max doc $maxDoc)")
+  }
+
   test("graph_label_prop: communities partition the node set; labels are node ids") {
     // Independent invariants, not an oracle re-run: LPA relabels nodes but
     // never invents or drops them, so community sizes must sum to the node
