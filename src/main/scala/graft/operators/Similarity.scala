@@ -140,7 +140,7 @@ object Similarity {
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
     "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report",
-    "mm_crossmodal")
+    "mm_crossmodal", "sim_ann_filtered")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -781,6 +781,56 @@ object Similarity {
           .orderBy("probe_id", "rank")
       },
       Some(ivfProbeOracleSql(None))),
+
+    // FILTERED vector search — top-k restricted by a metadata predicate
+    // (label ≡ 0 mod 3 here; "only English docs", "only this tenant" in
+    // production), the ANN feature every real deployment needs and most
+    // benchmarks skip. Semantics are PRE-filtering: the predicate applies
+    // to the index side BEFORE ranking, so the top-3 are all valid —
+    // post-filtering a generic top-k can return fewer than k (or nothing)
+    // for selective predicates. Shape: the standing assignment attaches
+    // its metadata with one equi-join on the vector id (in production the
+    // index table CARRIES the filter columns — written once at indexing
+    // time, cf. sim_index_probe's persisted layout — so this join
+    // disappears into the index scan), the predicate prunes candidates
+    // before any cosine is computed, and the rest is the sim_ivf probe
+    // unchanged: broadcast probes, cell equi-join, rank-pushdown top-3.
+    // Filter selectivity compounds with cell pruning — at 100 TB a
+    // filtered probe reads one cell's index rows and scores only the
+    // predicate's survivors.
+    QDef(
+      "sim_ann_filtered",
+      (s, dir) => {
+        val fitted = sharedFit(s, dir)
+        val labels = T.embeddings(s, dir).select(col("vec_id"), col("label"))
+        val p = assignCell(probes(s, dir), "probe_id", "pe", fitted)
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        sharedAssigned(s, dir).join(labels, Seq("vec_id"))
+          .where(col("label") % 3 === 0)
+          .join(broadcast(p), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3L)
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(ivfChainSql(None) + s""",
+         |fscored AS (
+         |  SELECT s.probe_id, s.cell, s.vec_id, s.raw
+         |  FROM scored s JOIN call ON call.vec_id = s.vec_id
+         |  WHERE call.label % 3 = 0),
+         |franked AS (
+         |  SELECT probe_id, cell, vec_id, raw,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY raw DESC, vec_id ASC) AS rank
+         |  FROM fscored)
+         |SELECT probe_id, cell, vec_id,
+         |  floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+         |FROM franked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)),
 
     // IVF + PQ composition — the index shape production vector search
     // actually deploys (FAISS-style IVFADC [PK]): the coarse quantizer
