@@ -271,7 +271,7 @@ object Dedup {
     * of these is selected. */
   val sharedFamily: Set[String] = Set("dedup_minhash", "dedup_cluster",
     "dedup_keep", "dedup_ngram", "dedup_incremental", "dedup_index_probe",
-    "dedup_index_maintain", "dedup_containment")
+    "dedup_index_maintain", "dedup_containment", "dedup_tuning")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them: harness cache sweeps MUST exempt these ids, or the next
@@ -1233,7 +1233,132 @@ object Dedup {
               .otherwise(lit("dup_of_base")).as("status"))
           .orderBy("doc_id")
       },
-      Some(deltaProbeSql(graft.GraftConfig.DedupDelta2Rem)))
+      Some(deltaProbeSql(graft.GraftConfig.DedupDelta2Rem))),
+
+    // LSH parameter TUNING report — the measurement that closes the dedup
+    // tuning loop, as sim_recall_report closes the ANN loop: over the SAME
+    // 6-value signature, evaluate three band layouts (b=6/r=1, b=3/r=2 —
+    // the deployed config — b=2/r=3) on the two axes that trade off:
+    // candidate volume (pair-verification cost) and retention of the
+    // verified near-duplicates. Ground truth without an all-pairs pass:
+    // r=1 banding is the most sensitive layout (any layout's band match
+    // implies its component hashes match singly, so every other config's
+    // candidates ⊆ b6r1's), so exact Jaccard is computed ONLY for b6r1's
+    // candidates and "truth" = those with J ≥ ½ — the standard relative-
+    // recall proxy (absolute recall is unknowable without O(n²)). The
+    // J ≥ ½ test is integer-exact: 3·|∩| ≥ |A|+|B| (no FP). Retention is
+    // integer micro (div) — engine-portable. Scale: one signature pass,
+    // three linear band fan-outs sharing one shuffle each (the
+    // dedup_minhash bucket-group idiom), Jaccard only on the candidate
+    // set via the posting-list join, report O(configs) rows.
+    QDef(
+      "dedup_tuning",
+      (s, dir) => {
+        // Warm path rides the standing distinct shingle set (same frame
+        // dedup_ngram verifies from); cold recomputes it once for both the
+        // signature pass and the exact-Jaccard pass below.
+        val shWarm = warmOf(s, dir).map(_.shingles)
+          .getOrElse(shingles(s, dir).distinct().localCheckpoint())
+        val sig = shWarm.groupBy("doc_id")
+          .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
+          .localCheckpoint() // three layouts fan out of one signature pass
+        val configs = Seq(("b6r1", 6, 1), ("b3r2", 3, 2), ("b2r3", 2, 3))
+        // ONE band fan-out and ONE bucket shuffle for all three layouts:
+        // the config rides the bucket key (11 band rows/doc total), so
+        // candidate generation costs one linear shuffle, not three.
+        val bandStructs = configs.flatMap { case (cfg, b, r) =>
+          (0 until b).map { i =>
+            def k(j: Int) = if (j < r) col(s"h${i * r + j}") else lit(-1L)
+            struct(lit(cfg).as("config"), lit(i.toLong).as("band"),
+              k(0).as("k1"), k(1).as("k2"), k(2).as("k3"))
+          }
+        }
+        val allCand = sig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.config").as("config"),
+            col("bb.band").as("band"), col("bb.k1").as("k1"),
+            col("bb.k2").as("k2"), col("bb.k3").as("k3"))
+          .groupBy("config", "band", "k1", "k2", "k3")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .where(size(col("ds")) >= 2)
+          .select(col("config"),
+            explode(flatten(transform(col("ds"), (d1, i) =>
+              transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+                d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+          .select(col("config"), col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .distinct()
+          .localCheckpoint()
+        // Exact Jaccard on the most-sensitive layout's candidates only.
+        val sh = shWarm
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val b61 = allCand.where(col("config") === "b6r1").select("d1", "d2")
+        val truth = b61
+          .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .where(col("inter") * 3L >= col("n1") + col("n2")) // J >= 1/2, integer-exact
+          .select("d1", "d2")
+          .localCheckpoint()
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val perCfg = allCand
+          .join(truth.withColumn("isTrue", lit(1L)), Seq("d1", "d2"), "left")
+          .groupBy("config")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("isTrue"), lit(0L))).cast("long").as("n_true_pairs"))
+        perCfg.crossJoin(broadcast(nTruth))
+          .withColumn("retention_micro",
+            expr("(n_true_pairs * 1000000) div greatest(n_truth, 1)"))
+          .select(col("config"), col("n_candidates"), col("n_true_pairs"),
+            col("retention_micro"))
+          .orderBy("config")
+      },
+      Some {
+        val cfgBands = Seq(("b6r1", 6, 1), ("b3r2", 3, 2), ("b2r3", 2, 3)).map {
+          case (cfg, b, r) =>
+            (0 until b).map { i =>
+              def k(j: Int) = if (j < r) s"h${i * r + j}" else "-1"
+              s"SELECT '$cfg' AS config, doc_id, CAST($i AS BIGINT) AS band, " +
+                s"${k(0)} AS k1, ${k(1)} AS k2, ${k(2)} AS k3 FROM sig"
+            }.mkString("\n  UNION ALL\n  ")
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS ($tokSql),
+           |dict AS ($dictSql),
+           |sh AS ($shingleSql),
+           |sig AS (
+           |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
+           |  FROM sh GROUP BY doc_id),
+           |cb AS MATERIALIZED (
+           |  $cfgBands),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT l.config, l.doc_id AS d1, r.doc_id AS d2
+           |  FROM cb l JOIN cb r
+           |    ON l.config = r.config AND l.band = r.band
+           |    AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3
+           |    AND l.doc_id < r.doc_id),
+           |shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+           |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |truth AS MATERIALIZED (
+           |  SELECT t.d1, t.d2 FROM (
+           |    SELECT c.d1, c.d2, count(*) AS inter
+           |    FROM (SELECT d1, d2 FROM cand WHERE config = 'b6r1') c
+           |    JOIN shd a ON a.doc_id = c.d1
+           |    JOIN shd b ON b.doc_id = c.d2 AND b.s = a.s
+           |    GROUP BY c.d1, c.d2) t
+           |  JOIN sizes s1 ON s1.doc_id = t.d1
+           |  JOIN sizes s2 ON s2.doc_id = t.d2
+           |  WHERE t.inter * 3 >= s1.n + s2.n),
+           |nt AS (SELECT count(*) AS n_truth FROM truth)
+           |SELECT config, count(*) AS n_candidates,
+           |  CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_true_pairs,
+           |  CAST((CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000) // greatest((SELECT n_truth FROM nt), 1) AS BIGINT)
+           |    AS retention_micro
+           |FROM cand LEFT JOIN truth t ON t.d1 = cand.d1 AND t.d2 = cand.d2
+           |GROUP BY config ORDER BY config""".stripMargin
+      })
   )
 
   /** Delta-vs-base probe oracle — shared by `dedup_incremental` (base
