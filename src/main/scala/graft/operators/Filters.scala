@@ -140,6 +140,41 @@ object Filters {
              |    AS lang_share
              |FROM c ORDER BY lang, split""".stripMargin)),
 
+    // Deterministic per-group reservoir: a FIXED-SIZE (k=5) sample per
+    // source — the eval-set / spot-check draw (rate-based samplers like
+    // filter_sample can't bound group size; a rare source yields 0, a huge
+    // one thousands). "Reservoir" here is the distributed determinization:
+    // rank docs within each source by the engine-portable multiplicative
+    // hash (mod-reduced multiply — overflow-free at any id, the zp_milli
+    // fix applied from day one) and keep rank ≤ k. Spark 4's rank-filter
+    // pushdown (WindowGroupLimit) keeps only k rows per source per task
+    // BEFORE the shuffle, so the exchange carries O(sources × k × tasks),
+    // not O(corpus) — the classic streaming-reservoir memory bound,
+    // recovered declaratively. Uniformity comes from the hash ordering
+    // being independent of position; determinism makes it reproducible
+    // and oracle-checkable (a true RNG reservoir is neither).
+    QDef(
+      "sample_reservoir",
+      (s, dir) => {
+        val m = 1000000L
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("hk"), col("doc_id"))
+        T.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            (((col("doc_id") % m) * (2654435761L % m)) % m).as("hk"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5L)
+          .select(col("source"), col("rank"), col("doc_id"), col("hk"))
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, rank, doc_id, hk FROM (
+             |  SELECT source, doc_id,
+             |    ((doc_id % 1000000) * 435761) % 1000000 AS hk,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ((doc_id % 1000000) * 435761) % 1000000, doc_id) AS rank
+             |  FROM documents)
+             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
     // Scalar-subquery filter: rows above the global average — the broadcast-
     // scalar idiom (one-row aggregate broadcast to every partition; no
     // driver round-trip, no collect). Catalyst plans the DataFrame cross

@@ -387,6 +387,13 @@ class PlanShapeSpec extends SparkSpec {
       "window should consume the (value,count) aggregate — an aggregate must sit below it in the plan")
   }
 
+  test("sample_reservoir: rank filter pushes below the shuffle (WindowGroupLimit)") {
+    val p = plan("sample_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      "k-per-group filter must prune map-side before the exchange (reservoir bound)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pipeline_shard: doc-level rank window is partitioned; offsets attach by broadcast") {
     val p = plan("pipeline_shard")
     assert("Window.*partitionBy|Window \\[row_number".r.findFirstIn(p).isDefined ||
