@@ -724,6 +724,80 @@ object Scans {
              |  FROM snap2)
              |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin)),
 
+    // SHALLOW CLONE — the zero-copy table fork the commit log's by-
+    // reference file resolution buys (Delta/Iceberg CLONE): the clone's
+    // log points at the source's data files by absolute path (a few KB of
+    // metadata for a table of any size — `require`d: no data directory
+    // exists under the clone after cloning), then the clone DIVERGES with
+    // its own upsert/tombstone commit while the source is untouched. The
+    // generation column rides IN the rows (not directory names) because a
+    // cloned snapshot spans roots. Both tables' latest snapshots are read
+    // back through the same log resolution and must hash-match DuckDB's
+    // independent reconstruction — a clone that mutated its source, or a
+    // divergence that leaked into it, cannot pass. CommitLogSpec
+    // additionally pins that VACUUM on the clone never deletes borrowed
+    // source files.
+    QDef(
+      "table_clone",
+      (s, dir) => {
+        val src = runTmpPath(s, "graft_clone_src_")
+        val dst = runTmpPath(s, "graft_clone_dst_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 6L =!= 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            lit(false).as("deleted"), lit(1L).as("ver"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/g=1")
+        graft.sources.CommitLog.commit(src, 1L, "g=1")
+        graft.sources.CommitLog.cloneTable(src, dst)
+        require(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/g=1")),
+          "shallow clone copied data files — it must copy metadata only")
+        // Diverge the clone: repriced upserts + tombstones, its own commit.
+        o.where(col("o_orderkey") % 4L === 0L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.2, 2).as("val"),
+            (col("o_orderkey") % 8L === 0L).as("deleted"), lit(2L).as("ver"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dst/g=2")
+        graft.sources.CommitLog.commit(dst, 2L, "g=2")
+        def snap(root: String, label: String) =
+          graft.sources.CommitLog.readAsOf(s, root, Long.MaxValue)
+            .groupBy("key")
+            .agg(max(struct(col("ver"), col("deleted"), col("val"))).as("m"))
+            .where(!col("m.deleted"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(col("key")).cast("long").as("sum_key"),
+              sum(expr("cast(floor(m.val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(label).as("tbl"), col("n_keys"), col("sum_key"),
+              col("sum_cents"))
+        snap(src, "source").unionAll(snap(dst, "clone")).orderBy("tbl")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val, FALSE AS deleted
+             |  FROM orders WHERE o_orderkey % 6 <> 0),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 1.2) * 1e2 + 0.5) / 1e2 AS val,
+             |    o_orderkey % 8 = 0 AS deleted
+             |  FROM orders WHERE o_orderkey % 4 = 0),
+             |src AS (SELECT key, val FROM g1 WHERE NOT deleted),
+             |cl AS (
+             |  SELECT key, val FROM g2 WHERE NOT deleted
+             |  UNION ALL
+             |  SELECT g1.key, g1.val FROM g1
+             |  WHERE NOT g1.deleted AND NOT EXISTS (
+             |    SELECT 1 FROM g2 WHERE g2.key = g1.key)),
+             |a AS (
+             |  SELECT 'source' AS tbl, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM src),
+             |b AS (
+             |  SELECT 'clone' AS tbl, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM cl)
+             |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY tbl""".stripMargin)),
+
     // VACUUM — the physical-cleanup half of the commit-log story
     // (table_timetravel reads BY the log; vacuum deletes what the log does
     // not reference): two committed generations plus a whole generation

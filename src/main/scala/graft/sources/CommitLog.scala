@@ -78,10 +78,45 @@ object CommitLog {
   }
 
   /** The snapshot AS OF `v` as a DataFrame: log-resolved file list into one
-    * distributed parquet scan; `basePath` keeps `g=…` partition columns. */
-  def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
-    s.read.option("basePath", root)
-      .parquet(filesAsOf(root, v).map(f => s"$root/$f"): _*)
+    * distributed parquet scan. Add paths are root-relative for files this
+    * table owns and ABSOLUTE for files referenced across tables (shallow
+    * clones); `basePath` (⇒ `g=…` partition columns) applies only in the
+    * single-root case — a cloned table spans roots, so its generation
+    * column must ride IN the rows, not the directory names. */
+  def readAsOf(s: SparkSession, root: String, v: Long): DataFrame = {
+    val fs = filesAsOf(root, v)
+    val paths = fs.map(f => if (f.startsWith("/")) f else s"$root/$f")
+    val rdr =
+      if (fs.forall(!_.startsWith("/"))) s.read.option("basePath", root)
+      else s.read
+    rdr.parquet(paths: _*)
+  }
+
+  /** SHALLOW CLONE: create `dstRoot` as a new table whose log references
+    * `srcRoot`'s data files BY ABSOLUTE PATH — zero data copied, the
+    * Delta/Iceberg shallow-clone shape, and the payoff of a log that
+    * resolves files by reference: an experiment fork of a 100 TB table is
+    * a few KB of metadata. The clone's subsequent commits land under its
+    * own root and diverge; the source is never touched. VACUUM on the
+    * clone is safe by construction — it deletes only unreferenced files
+    * UNDER the clone's root, and the borrowed absolute references point
+    * outside it (CommitLogSpec pins this). */
+  def cloneTable(srcRoot: String, dstRoot: String): Unit = {
+    Files.createDirectories(logDir(dstRoot))
+    val versions = withList(logDir(srcRoot)) {
+      _.filter(_.getFileName.toString.endsWith(".json")).toVector
+    }
+    versions.foreach { p =>
+      val rewritten = new String(Files.readAllBytes(p), "UTF-8")
+        .linesIterator.map {
+          case l @ AddPath(path) if !path.startsWith("/") =>
+            l.replace(s""""path":"$path"""", s""""path":"$srcRoot/$path"""")
+          case l => l
+        }.mkString("", "\n", "\n")
+      Files.write(logDir(dstRoot).resolve(p.getFileName.toString),
+        rewritten.getBytes("UTF-8")): Unit
+    }
+  }
 
   /** VACUUM: delete every data file under `root` that no commit references
     * — crashed-writer debris, duplicated task attempts, aborted overwrites.

@@ -80,6 +80,36 @@ class CommitLogSpec extends SparkSpec {
       "vacuum changed a committed read")
   }
 
+  test("shallow clone: zero data copied; vacuum on the clone never touches source files") {
+    val src = freshTable()
+    val dst = Files.createTempDirectory("graft_clone").toString
+    CommitLog.cloneTable(src, dst)
+    val cloneFiles = CommitLog.filesAsOf(dst, Long.MaxValue)
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(_.startsWith(src)),
+      s"clone adds must be absolute references into the source: $cloneFiles")
+    // Nothing but the log exists under the clone root.
+    val st = Files.list(Paths.get(dst))
+    val entries = try st.toArray.map(_.toString) finally st.close()
+    assert(entries.forall(_.endsWith("_log")), s"clone copied data: ${entries.toSeq}")
+    // Same rows through the clone's log as through the source's.
+    assert(CommitLog.readAsOf(spark, dst, Long.MaxValue).count() ===
+      CommitLog.readAsOf(spark, src, Long.MaxValue).count())
+    // Vacuum on the clone deletes only debris UNDER the clone root —
+    // borrowed source files are outside it and survive.
+    val s0 = spark
+    import s0.implicits._
+    Seq((7L, 70.0)).toDF("key", "val").write.parquet(s"$dst/g=9")
+    val (kept, removed) = CommitLog.vacuum(dst)
+    assert(removed >= 1L, "clone-root debris must be removed")
+    assert(kept === 0L, "no LIVE file lives under the clone root (all borrowed)")
+    CommitLog.filesAsOf(src, Long.MaxValue).foreach(f =>
+      assert(Files.exists(Paths.get(src, f)),
+        s"vacuum on the clone deleted a SOURCE file: $f"))
+    assert(CommitLog.readAsOf(spark, dst, Long.MaxValue).count() ===
+      CommitLog.readAsOf(spark, src, Long.MaxValue).count(),
+      "clone reads must survive its vacuum")
+  }
+
   test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {
     val root = freshTable()
     def snap(v: Long): Map[Long, Double] =
