@@ -724,6 +724,61 @@ object Scans {
              |  FROM snap2)
              |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin)),
 
+    // Schema EVOLUTION across commits — the read contract that lets a
+    // 100 TB table grow a column without rewriting history: commit 1
+    // writes (key, val, ver); commit 2 ADDS a `tag` column. The snapshot
+    // schema is the union across the as-of file set (CommitLog.readAsOf
+    // merges schemas), with the new column NULL for pre-evolution files —
+    // no backfill, no rewrite, old readers unaffected. Latest-commit-wins
+    // reconstruction then rolls up by coalesce(tag, 'legacy'), so the
+    // output pins exactly which keys still carry pre-evolution rows vs
+    // evolved ones — a wrong merge (column dropped, or nulls filled
+    // wrong) cannot hash-match. At scale: evolution is a metadata event;
+    // the only cost is reading one more footer shape at planning.
+    QDef(
+      "table_schema_evolve",
+      (s, dir) => {
+        val root = runTmpPath(s, "graft_evolve_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 5L === 3L)
+          .select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("val"), lit(1L).as("ver"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        graft.sources.CommitLog.commit(root, 1L, "g=1")
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.05, 2).as("val"), lit(2L).as("ver"),
+            concat(lit("p"), (col("o_orderkey") % 4L).cast("string")).as("tag"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        graft.sources.CommitLog.commit(root, 2L, "g=2")
+        graft.sources.CommitLog.readAsOf(s, root, Long.MaxValue)
+          .groupBy("key")
+          .agg(max(struct(col("ver"), col("val"), col("tag"))).as("m"))
+          .select(col("key"), col("m.val").as("val"), col("m.tag").as("tag"))
+          .groupBy(coalesce(col("tag"), lit("legacy")).as("tag"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("tag")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    CAST(NULL AS VARCHAR) AS tag
+             |  FROM orders WHERE o_orderkey % 5 = 3),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 1.05) * 1e2 + 0.5) / 1e2 AS val,
+             |    'p' || CAST(o_orderkey % 4 AS VARCHAR) AS tag
+             |  FROM orders WHERE o_orderkey % 3 = 1),
+             |latest AS (
+             |  SELECT key, val, tag FROM g2
+             |  UNION ALL
+             |  SELECT g1.key, g1.val, g1.tag FROM g1
+             |  WHERE NOT EXISTS (SELECT 1 FROM g2 WHERE g2.key = g1.key))
+             |SELECT coalesce(tag, 'legacy') AS tag, count(*) AS n_keys,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SHALLOW CLONE — the zero-copy table fork the commit log's by-
     // reference file resolution buys (Delta/Iceberg CLONE): the clone's
     // log points at the source's data files by absolute path (a few KB of

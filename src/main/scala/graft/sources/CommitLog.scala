@@ -89,7 +89,11 @@ object CommitLog {
     val rdr =
       if (fs.forall(!_.startsWith("/"))) s.read.option("basePath", root)
       else s.read
-    rdr.parquet(paths: _*)
+    // mergeSchema: commits may EVOLVE the schema (add columns); the
+    // snapshot schema is the union across its file set, with absent
+    // columns null in older files — the lakehouse read contract. For
+    // same-schema tables this only costs extra footer reads at planning.
+    rdr.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** SHALLOW CLONE: create `dstRoot` as a new table whose log references
