@@ -177,6 +177,43 @@ object Extensibility {
              |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
              |  count(DISTINCT o_custkey) AS n_cust
              |FROM orders WHERE o_orderkey % 5 IN (1, 2)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STORAGE-PARTITIONED execution (SupportsReportPartitioning +
+    // HasPartitionKey): with `partition_by=band` the connector plans one
+    // input partition per band and REPORTS KeyGroupedPartitioning(band),
+    // so the band-keyed aggregation runs with NO exchange above the scan
+    // (V2SourceSpec pins zero hashpartitioning exchanges below the sort)
+    // — the Iceberg/Hive-bucketing path where the store's layout replaces
+    // the shuffle. The sums here are over the PERIODIC columns, which the
+    // aggregate pushdown deliberately rejects (no closed form), so this
+    // is Spark's own aggregation made shuffle-free by layout, not the
+    // metadata answer scan_v2_agg demonstrates. Composes with filter
+    // pushdown: each band partition enumerates its congruence class
+    // inside the pushed [lo, hi) window only. At 100 TB: "already
+    // partitioned how you need — don't move the table to prove it."
+    QDef(
+      "scan_v2_spj",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("partition_by", "band")
+          .load()
+          .where(col("frame_id") >= 10000L && col("frame_id") < 70000L)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum("exptime").cast("long").as("sum_exp"),
+            sum("zp_milli").cast("long").as("sum_zp"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n,
+             |  CAST(sum(exptime) AS BIGINT) AS sum_exp,
+             |  CAST(sum(zp_milli) AS BIGINT) AS sum_zp
+             |FROM (
+             |  SELECT ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(10000, 69999) t(i))
+             |GROUP BY band ORDER BY band""".stripMargin))
   )
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,8 @@ class FrameCatalogSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new FrameCatalogTable(
       properties.getOrDefault("frames", "100000").toLong,
-      properties.getOrDefault("slice", "8192").toLong)
+      properties.getOrDefault("slice", "8192").toLong,
+      properties.getOrDefault("partition_by", "") == "band")
 }
 
 object FrameCatalogSource {
@@ -85,17 +87,18 @@ object FrameCatalogSource {
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
-private class FrameCatalogTable(frames: Long, slice: Long)
+private class FrameCatalogTable(frames: Long, slice: Long, byBand: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft_frames($frames)"
   override def schema(): StructType = FrameCatalogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FrameCatalogScanBuilder(frames, slice)
+    new FrameCatalogScanBuilder(frames, slice, byBand)
 }
 
-private class FrameCatalogScanBuilder(frames: Long, slice: Long)
+private class FrameCatalogScanBuilder(frames: Long, slice: Long,
+    byBand: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -184,8 +187,10 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = aggPushed match {
-    case Some((byBand, specs)) =>
-      new FrameAggScan(lo, math.max(lo, hi), byBand, specs)
+    case Some((groupBand, specs)) =>
+      new FrameAggScan(lo, math.max(lo, hi), groupBand, specs)
+    case None if byBand =>
+      new FrameBandScan(lo, math.max(lo, hi), required)
     case None =>
       new FrameCatalogScan(lo, math.max(lo, hi), slice, required)
   }
@@ -208,6 +213,56 @@ private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
 }
 
 private case class FramePartition(start: Long, end: Long) extends InputPartition
+
+/** Storage-partitioned scan (`partition_by=band`): one input partition per
+  * band — the congruence class id ≡ b (mod 5) within the pushed window —
+  * each carrying its partition KEY ([[HasPartitionKey]]), and the scan
+  * reports [[KeyGroupedPartitioning]] over `band`. With
+  * `spark.sql.sources.v2.bucketing.enabled`, Catalyst recognizes the
+  * reported clustering and plans band-keyed aggregations (and
+  * storage-partitioned joins) with NO shuffle above the scan — the
+  * Iceberg/Hive-bucketing path where the STORE's layout replaces the
+  * exchange. At 100 TB this is the connector telling Spark "already
+  * partitioned how you need; don't move 100 TB to prove it". */
+private class FrameBandScan(lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFrameCatalogScan BANDED lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("band")), 5)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until 5L).map(b => BandPartition(b, lo, hi): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BandReaderFactory(required.fieldNames)
+}
+
+private case class BandPartition(band: Long, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](FrameCatalogSource.bandName(band)))
+}
+
+private class BandReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    FrameCatalogSource.readersCreated.incrementAndGet()
+    val BandPartition(b, lo, hi) = p: @unchecked
+    new PartitionReader[InternalRow] {
+      // ids ≡ b (mod 5) inside [lo, hi): first, first+5, …
+      private var id = lo + java.lang.Math.floorMod(b - lo, 5L) - 5L
+      override def next(): Boolean = { id += 5L; id < hi }
+      override def get(): InternalRow = {
+        FrameCatalogSource.rowsEmitted.incrementAndGet()
+        new GenericInternalRow(
+          fields.map(f => FrameCatalogSource.value(f, id)).toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] object FrameAggScan {
   sealed trait Spec { def name: String; def dataType: DataType }

@@ -79,6 +79,25 @@ class V2SourceSpec extends SparkSpec {
       "ANSI global-aggregate-on-empty semantics must survive complete pushdown")
   }
 
+  test("reported partitioning: band-keyed aggregation plans with no shuffle above the scan") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graft.sources.FrameCatalogSource")
+      .option("frames", "100000").option("partition_by", "band").load()
+      .where(col("frame_id") >= 10000L && col("frame_id") < 70000L)
+      .groupBy("band").agg(sum("exptime").as("s"), sum("zp_milli").as("z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BANDED"), "banded scan mode not engaged")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"KeyGroupedPartitioning not honored — aggregation re-shuffled the scan:\n$plan")
+    // Partition-per-band readers, correct congruence-class enumeration.
+    graft.sources.FrameCatalogSource.readersCreated.set(0)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(graft.sources.FrameCatalogSource.readersCreated.get() === 5)
+    val exp = (10000L until 70000L).groupBy(i => "ugriz" ((i % 5L).toInt).toString)
+      .map { case (b, ids) => b -> ids.map(i => 30L + (i % 7L) * 15L).sum }
+    assert(got === exp)
+  }
+
   test("unsupported aggregate (sum over periodic column) falls back to the row scan") {
     val df = table.where(col("frame_id") < 1000L)
       .groupBy("band").agg(sum("exptime").as("s"))
