@@ -214,6 +214,51 @@ object Extensibility {
              |    30 + (i % 7) * 15 AS exptime,
              |    25000 + (i * 2654435761) % 500 AS zp_milli
              |  FROM generate_series(10000, 69999) t(i))
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // STORAGE-PARTITIONED JOIN — the mechanism scan_v2_spj demonstrates
+    // for aggregation, applied to its headline use: two co-partitioned
+    // banded scans (different pushed windows) join on (band, frame_id)
+    // with NO exchange below the join on either side — the join keys
+    // cover the reported partition key, so Catalyst matches the two
+    // KeyGroupedPartitionings partition-for-partition (Iceberg's SPJ).
+    // At 100 TB this is the fact-to-fact join that bucketing exists for:
+    // neither table moves. The overlap window (ids in both [10k,40k) and
+    // [20k,60k)) makes the join selective and the per-band rollup
+    // oracle-exact over the periodic columns.
+    QDef(
+      "join_spj",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // The join clusters on (band, frame_id) ⊋ the reported partition
+        // key (band); clustering by a coarser key still co-locates every
+        // matching pair, so relax the exact-match requirement and let the
+        // two KeyGroupedPartitionings align partition-for-partition.
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        def side(lo: Long, hi: Long) =
+          s.read.format("graft.sources.FrameCatalogSource")
+            .option("frames", "100000").option("partition_by", "band").load()
+            .where(col("frame_id") >= lo && col("frame_id") < hi)
+        val l = side(10000L, 40000L)
+          .select(col("band"), col("frame_id"), col("exptime"))
+        val r = side(20000L, 60000L)
+          .select(col("band").as("band2"), col("frame_id").as("fid2"),
+            col("zp_milli"))
+        l.join(r, col("band") === col("band2") && col("frame_id") === col("fid2"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum("exptime").cast("long").as("sum_exp"),
+            sum("zp_milli").cast("long").as("sum_zp"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n,
+             |  CAST(sum(exptime) AS BIGINT) AS sum_exp,
+             |  CAST(sum(zp_milli) AS BIGINT) AS sum_zp
+             |FROM (
+             |  SELECT ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(20000, 39999) t(i))
              |GROUP BY band ORDER BY band""".stripMargin))
   )
 }

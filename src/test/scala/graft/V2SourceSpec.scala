@@ -98,6 +98,28 @@ class V2SourceSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("storage-partitioned join: co-partitioned banded scans join with no exchange") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def side(lo: Long, hi: Long) = spark.read
+      .format("graft.sources.FrameCatalogSource")
+      .option("frames", "100000").option("partition_by", "band").load()
+      .where(col("frame_id") >= lo && col("frame_id") < hi)
+    val l = side(10000L, 40000L).select(col("band"), col("frame_id"), col("exptime"))
+    val r = side(20000L, 60000L)
+      .select(col("band").as("band2"), col("frame_id").as("fid2"), col("zp_milli"))
+    val j = l.join(r, col("band") === col("band2") && col("frame_id") === col("fid2"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "expected a partitioned join operator")
+    assert(!plan.contains("Exchange"),
+      s"storage-partitioned join must move NEITHER side:\n$plan")
+    // Cross-side filter inference narrows BOTH scans to the window overlap.
+    assert(plan.contains("lo=20000 hi=40000"),
+      "join-key equality should intersect the pushed windows on both sides")
+    assert(j.count() === 20000L)
+  }
+
   test("unsupported aggregate (sum over periodic column) falls back to the row scan") {
     val df = table.where(col("frame_id") < 1000L)
       .groupBy("band").agg(sum("exptime").as("s"))
