@@ -14,6 +14,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Pinned at build time so the plan environment is identical whether a
+      // storage-partitioned query (scan_v2_spj/join_spj, which also set
+      // these at runtime for cold/test sessions) has run yet or not —
+      // ordering-independent plans across the sweep.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,11 @@ object TestSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Same plan environment as the Verify/Bench harnesses (see
+      // Verify.scala): storage-partitioned execution enabled up front so
+      // plan pins are independent of which test touched the conf first.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
