@@ -91,7 +91,14 @@ class DeterminismSpec extends SparkSpec {
     "dedup_suffix", "agg_pctile_reagg", "table_timetravel", "mm_crossmodal",
     // round-9: same latest-wins max-struct risk class as timetravel, plus
     // the vacuum require() must hold under any write partitioning
-    "table_vacuum")
+    "table_vacuum",
+    // round-9 batch 2: frontier expansion through distinct + anti-join
+    // under any join/merge order (bfs — the cc/kcore iterative bet),
+    // in-bucket pair expansion + integer retention micro-grid across
+    // three fused layouts (tuning), and the sort-free global rank's
+    // offset + local-rank decomposition under any class partitioning
+    // (shard — an off-by-anything in the offsets reshards every doc)
+    "graph_bfs", "dedup_tuning", "pipeline_shard")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
