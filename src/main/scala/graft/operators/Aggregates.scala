@@ -555,6 +555,112 @@ object Aggregates {
               |FROM obs o JOIN best b USING (user_id)
               |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Box least squares transit search [PK — Kovács, Zucker & Mazeh 2002,
+    // the standard detached-eclipse/transit period finder; completes the
+    // period trio next to lc_periods (PDM) and lc_lombscargle]: for each
+    // trial period the curve folds into 16 phase bins and each bin is
+    // tested as the in-transit BOX — signal residue
+    // score = d² / (r(1−r)) with r = n_in/N and d the mean-subtracted
+    // in-box flux sum; the deepest box per period and the best period per
+    // object win (ties → smallest bin/period on the 1e-6-rounded grid,
+    // the family's determinized-argmax discipline). Scale shape is
+    // lc_periods': the ×12 trial-period fan-out collapses map-side into
+    // per-(user, period, bin) partials BEFORE the shuffle; per-period
+    // totals re-aggregate from the BIN table (aggregate-sized — never a
+    // second corpus pass) and join back; both argmaxes are max(struct)
+    // aggregates / one reused-partitioning window, no corpus sort.
+    // Integer phase fold ((t mod P)·B div P) — no double division to
+    // diverge cross-engine.
+    QDef(
+      "lc_bls",
+      (s, dir) => {
+        val nBins = 16L
+        // Flux sums are EXACT integers (micro-units): value rounds once to
+        // the 1e-6 grid per observation, and every aggregate from there is
+        // integer arithmetic — so both engines divide bit-identical
+        // operands and NO merge order can flip the rounded score (a
+        // double-sum formulation flipped last-digit at sf0.1: scores reach
+        // ~1e6, where even a 1e-3 grid straddles sum noise). Algebra:
+        // d = s_b − r·stot = A/(N·1e6) with A = sµ_b·N − n_b·Sµ, giving
+        // score = d²/(r(1−r)) = A² / (1e12·n_b·(N−n_b)). A stays well
+        // inside Long at fixture scale (~1e13); curves long enough to
+        // overflow it switch the micro-sums to DECIMAL — a type change,
+        // not a shape change.
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vu"))
+        val bins = t
+          .withColumn("k", explode(sequence(lit(0L), lit(11L))))
+          .withColumn("period_s", lit(21600L) * (col("k") + 1L))
+          .withColumn("bin", expr(s"((t % period_s) * $nBins) div period_s"))
+          .groupBy("user_id", "period_s", "bin")
+          .agg(count(lit(1)).as("n_b"), sum("vu").as("su_b"))
+        val tot = bins.groupBy("user_id", "period_s")
+          .agg(sum("n_b").as("nn"), sum("su_b").as("su_tot"))
+        val scored = bins.join(tot, Seq("user_id", "period_s"))
+          .where(col("n_b") >= 2L && col("n_b") < col("nn"))
+          .withColumn("a", col("su_b") * col("nn") - col("n_b") * col("su_tot"))
+          .withColumn("score",
+            rnd(col("a").cast("double") * col("a").cast("double") /
+              (lit(1e12) * (col("n_b") * (col("nn") - col("n_b"))).cast("double")), 6))
+          .withColumn("dp",
+            rnd((col("su_tot").cast("double") / col("nn").cast("double") -
+              col("su_b").cast("double") / col("n_b").cast("double")) / lit(1e6), 6))
+        val perPeriod = scored.groupBy("user_id", "period_s")
+          .agg(max(struct(col("score"), (-col("bin")).as("nb"), col("dp")))
+            .as("m"))
+          .select(col("user_id"), col("period_s"),
+            col("m.score").as("bls"), (-col("m.nb")).as("transit_bin"),
+            col("m.dp").as("depth"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("bls").desc, col("period_s"))
+        perPeriod
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("period_s").as("best_period_s"),
+            col("transit_bin"), col("bls"), col("depth"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+             |  FROM events WHERE value > 0.0),
+             |bins AS (
+             |  SELECT user_id, 21600 * (g.k + 1) AS period_s,
+             |    ((t % (21600 * (g.k + 1))) * 16) // (21600 * (g.k + 1)) AS bin,
+             |    count(*) AS n_b, CAST(sum(vu) AS BIGINT) AS su_b
+             |  FROM t CROSS JOIN generate_series(0, 11) g(k)
+             |  GROUP BY 1, 2, 3),
+             |tot AS (
+             |  SELECT user_id, period_s, CAST(sum(n_b) AS BIGINT) AS nn,
+             |    CAST(sum(su_b) AS BIGINT) AS su_tot
+             |  FROM bins GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT user_id, period_s, bin,
+             |    floor((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+             |      / (1e12 * CAST(n_b * (nn - n_b) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             |      AS score,
+             |    floor(((CAST(su_tot AS DOUBLE) / CAST(nn AS DOUBLE)
+             |      - CAST(su_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6
+             |      AS dp
+             |  FROM (
+             |    SELECT b.*, t.nn, t.su_tot,
+             |      b.su_b * t.nn - b.n_b * t.su_tot AS a
+             |    FROM bins b JOIN tot t USING (user_id, period_s)
+             |    WHERE b.n_b >= 2 AND b.n_b < t.nn)),
+             |per AS (
+             |  SELECT user_id, period_s, score AS bls, bin AS transit_bin, dp AS depth
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, period_s
+             |          ORDER BY score DESC, bin ASC) AS rb
+             |        FROM scored)
+             |  WHERE rb = 1)
+             |SELECT user_id, period_s AS best_period_s, transit_bin, bls, depth
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY bls DESC, period_s ASC) AS rn
+             |      FROM per)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Fixed-width histogram: bucket id = floor(value / width) — no global
     // min/max pass, so the whole query is ONE partial-aggregating groupBy
     // (shuffle volume = bucket count × partitions, constant at any data

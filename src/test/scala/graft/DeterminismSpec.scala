@@ -98,7 +98,10 @@ class DeterminismSpec extends SparkSpec {
     // three fused layouts (tuning), and the sort-free global rank's
     // offset + local-rank decomposition under any class partitioning
     // (shard — an off-by-anything in the offsets reshards every doc)
-    "graph_bfs", "dedup_tuning", "pipeline_shard")
+    "graph_bfs", "dedup_tuning", "pipeline_shard",
+    // BLS: FP signal-residue sums under merge-ordered bin partials feed
+    // two rounded-grid argmaxes (box, then period) — the lc_periods bet
+    "lc_bls")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
