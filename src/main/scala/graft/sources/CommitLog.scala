@@ -1,32 +1,49 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal transaction-log protocol for the lakehouse maintenance family
   * (`table_merge` / `table_scd2` / `table_compact` / `table_timetravel`) —
-  * the Delta/Iceberg commit shape reduced to its read-side essentials:
+  * the Delta/Iceberg commit shape reduced to its essentials:
   *
   *  - `_log/00000001.json`, `00000002.json`, … — one file per committed
   *    version, JSON actions one-per-line (a `commitInfo` header followed by
-  *    one `add` per data file the commit published).
-  *  - A snapshot AS OF version v is the union of `add`s with version ≤ v.
-  *    The LOG is authoritative: a data file present in the directory but
-  *    absent from the log does not exist (uncommitted writer debris is
-  *    invisible — the isolation guarantee directory listing cannot give),
-  *    and an as-of-1 reader never opens version 2's files at any scale.
+  *    one `add` per data file the commit published and one `remove` per
+  *    file it logically deleted — an overwrite is adds + removes in ONE
+  *    atomic commit).
+  *  - A snapshot AS OF version v applies adds and removes in version order:
+  *    live files are the adds not yet removed; removed files stay on disk
+  *    as TOMBSTONES (so older as-of reads still resolve) until VACUUM's
+  *    retention expires them. The LOG is authoritative: a data file present
+  *    in the directory but absent from the log does not exist (uncommitted
+  *    writer debris is invisible — the isolation guarantee directory
+  *    listing cannot give), and an as-of-1 reader never opens version 2's
+  *    files at any scale.
+  *  - Every `_log` publish is ATOMIC and CONFLICT-DETECTING: actions are
+  *    written to a hidden temp file and hard-linked to the version name
+  *    (`Files.createLink` = atomic create-if-absent on a POSIX fs, the
+  *    rename-without-overwrite primitive Delta requires of its LogStore).
+  *    A crash mid-write leaves only an ignored temp file, never a torn
+  *    version; two writers racing the same version see exactly one winner
+  *    and the loser retries at the next version ([[commitRetrying]]).
+  *  - Every [[CheckpointInterval]]-th commit also writes
+  *    `%08d.checkpoint.json` — the compacted live set + carried tombstones
+  *    — so snapshot resolution opens checkpoint + tail instead of every
+  *    commit since version 1 (O(interval), not O(commits); the Delta
+  *    checkpoint shape). CommitLogSpec pins the open-file count.
   *  - The log is METADATA: a few KB per commit, read on the driver exactly
   *    like Delta's snapshot resolution. The DATA read stays fully
   *    distributed — the resolved file list feeds one parquet scan with
   *    `basePath` so partition columns (`g=…`) still bind.
-  *
-  * Production deltas not modeled (single-writer assumed): atomic
-  * rename-based commit arbitration, checkpoints of compacted log state,
-  * `remove` actions. The read protocol — the part `table_timetravel`
-  * demonstrates — is the real one.
   */
 object CommitLog {
+
+  /** A compacted checkpoint is written at every version divisible by this.
+    * Small so the fixture-scale specs exercise it; production tunes it to
+    * commit rate (Delta's default is 10 as well). */
+  val CheckpointInterval = 10
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -38,20 +55,107 @@ object CommitLog {
     } finally st.close()
   }
 
-  /** Publish `genDir`'s parquet files as version `version`. In production
-    * the writer knows its own add-list transactionally; listing the
-    * just-written directory here is the local-FS stand-in. */
-  def commit(root: String, version: Long, genDir: String): Unit = {
+  /** Paths ride inside single-line JSON string literals and (for clones)
+    * through a textual rewrite; rather than escape, REJECT the characters
+    * that would break either — a quote, a backslash, or a control char in a
+    * data-file path is writer error, not data. */
+  private def requireSafe(path: String): Unit =
+    require(path.forall(c => c >= 0x20 && c != '"' && c != '\\'),
+      s"unsafe character in log path (quote/backslash/control): $path")
+
+  /** Version-file names are strictly `%08d.json`; checkpoints are
+    * `%08d.checkpoint.json`; anything else in `_log` (temp files of
+    * in-flight commits) is ignored by readers. */
+  private val CommitName = """(\d{8})\.json""".r
+  private val CheckpointName = """(\d{8})\.checkpoint\.json""".r
+
+  private def listLog(root: String): (Seq[(Long, Path)], Seq[(Long, Path)]) =
+    if (!Files.isDirectory(logDir(root))) (Nil, Nil)
+    else withList(logDir(root)) { it =>
+      val (cs, ks) = (Vector.newBuilder[(Long, Path)], Vector.newBuilder[(Long, Path)])
+      it.foreach { p =>
+        p.getFileName.toString match {
+          case CommitName(v)     => cs += (v.toLong -> p)
+          case CheckpointName(v) => ks += (v.toLong -> p)
+          case _                 => ()
+        }
+      }
+      (cs.result().sortBy(_._1), ks.result().sortBy(_._1))
+    }
+
+  /** Highest committed version (0 when the table has no log yet). */
+  def latestVersion(root: String): Long =
+    listLog(root)._1.lastOption.map(_._1).getOrElse(0L)
+
+  /** Atomic publish of one `_log` entry: write hidden temp, hard-link to
+    * the final name (fails atomically if the name exists), drop the temp.
+    * Returns false when the version was already taken — the multi-writer
+    * conflict signal. A reader can never observe a torn file: the final
+    * name appears only after its bytes are fully on disk. */
+  private def publishLogFile(root: String, name: String, json: String): Boolean = {
+    Files.createDirectories(logDir(root))
+    val tmp = Files.createTempFile(logDir(root), ".tmp-", ".json")
+    try {
+      Files.write(tmp, json.getBytes("UTF-8"))
+      try { Files.createLink(logDir(root).resolve(name), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp): Unit
+  }
+
+  private def commitJson(version: Long, adds: Seq[String],
+      removes: Seq[String]): String = {
+    (adds ++ removes).foreach(requireSafe)
+    (s"""{"commitInfo":{"version":$version,"adds":${adds.size},"removes":${removes.size}}}""" +:
+      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version}}""") ++
+        removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
+      .mkString("", "\n", "\n")
+  }
+
+  /** Stage `genDir`'s parquet files as the add-set of version `version`;
+    * `removes` are table-relative (or absolute, for clones) paths this
+    * commit logically deletes — an OVERWRITE commits the new files and
+    * removes the old in one atomic action list. Returns false on a version
+    * conflict (another writer won the name). In production the writer knows
+    * its own add-list transactionally; listing the just-written directory
+    * here is the local-FS stand-in. */
+  def tryCommit(root: String, version: Long, genDir: String,
+      removes: Seq[String] = Nil): Boolean = {
     val adds = withList(Paths.get(root, genDir)) {
       _.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
         .map(n => s"$genDir/$n")
     }
-    Files.createDirectories(logDir(root))
-    val json = (s"""{"commitInfo":{"version":$version,"adds":${adds.size}}}""" +:
-      adds.map(a => s"""{"add":{"path":"$a"}}""")).mkString("", "\n", "\n")
-    Files.write(logDir(root).resolve(f"$version%08d.json"), json.getBytes("UTF-8")): Unit
+    val won = publishLogFile(root, f"$version%08d.json",
+      commitJson(version, adds, removes))
+    if (won && version % CheckpointInterval == 0) writeCheckpoint(root, version)
+    won
+  }
+
+  /** Single-writer commit: version conflicts are protocol violations. */
+  def commit(root: String, version: Long, genDir: String,
+      removes: Seq[String] = Nil): Unit =
+    if (!tryCommit(root, version, genDir, removes))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+
+  /** Multi-writer commit: race for latest+1, on loss re-read and retry at
+    * the next version — optimistic concurrency, the Delta arbitration loop.
+    * Returns the version actually won. `removes` is re-resolved per attempt
+    * via `removesAsOf` so a loser's removal set reflects the winner's
+    * commit (replace-style writers pass `v => filesAsOf(root, v - 1)`). */
+  def commitRetrying(root: String, genDir: String,
+      removesAsOf: Long => Seq[String] = _ => Nil,
+      maxAttempts: Int = 64): Long = {
+    var v = latestVersion(root) + 1L
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      if (tryCommit(root, v, genDir, removesAsOf(v))) return v
+      attempts += 1
+      v = math.max(v + 1L, latestVersion(root) + 1L)
+    }
+    throw new IllegalStateException(
+      s"commit on $root lost $maxAttempts straight races — giving up")
   }
 
   /** Idempotence guard for replayed writers (a restarted streaming query
@@ -60,21 +164,98 @@ object CommitLog {
   def commitVersionExists(root: String, version: Long): Boolean =
     Files.exists(logDir(root).resolve(f"$version%08d.json"))
 
-  private val AddPath = """"add"\s*:\s*\{\s*"path"\s*:\s*"([^"]+)"""".r.unanchored
+  private val PathField = (""""path"\s*:\s*"([^"]+)"""").r.unanchored
+  private val AddLine = (""""add"\s*:""").r.unanchored
+  private val RemoveLine = (""""remove"\s*:""").r.unanchored
+  private val RemovedAt = (""""removedAt"\s*:\s*(\d+)""").r.unanchored
+  private val AddedAt = (""""addedAt"\s*:\s*(\d+)""").r.unanchored
 
-  /** Table-relative data files live in the snapshot AS OF `v`. */
-  def filesAsOf(root: String, v: Long): Seq[String] = {
-    val versions = withList(logDir(root)) {
-      _.filter(_.getFileName.toString.endsWith(".json"))
-        .map(p => p.getFileName.toString.stripSuffix(".json").toLong -> p)
-        .filter(_._1 <= v)
-        .toSeq.sortBy(_._1)
-    }
-    versions.flatMap { case (_, p) =>
-      new String(Files.readAllBytes(p), "UTF-8").linesIterator.collect {
-        case AddPath(path) => path
+  /** Resolved snapshot: live data files in (addedAt, path) order, plus the
+    * tombstones — files removed at some version ≤ the as-of version, still
+    * on disk for older readers until retention expires them. */
+  final case class Snapshot(live: Seq[String], tombstones: Seq[(String, Long)])
+
+  /** The log files a snapshot AS OF `v` resolves from: the newest
+    * checkpoint at or below `v` (if any) plus the commit tail after it —
+    * NOT every commit since version 1. Exposed so CommitLogSpec can pin the
+    * O(tail) bound. */
+  private[graft] def logFilesForSnapshot(root: String, v: Long): Seq[Path] = {
+    val (commits, checkpoints) = listLog(root)
+    val cp = checkpoints.filter(_._1 <= v).lastOption
+    val floor = cp.map(_._1).getOrElse(0L)
+    cp.map(_._2).toSeq ++
+      commits.collect { case (cv, p) if cv > floor && cv <= v => p }
+  }
+
+  private def applyLog(files: Seq[Path]): Snapshot = {
+    // (path -> addedAt) in insertion order; a re-add after a remove
+    // resurrects the file (drops its tombstone), as in Delta.
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    files.foreach { p =>
+      new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach {
+        case l @ AddLine() =>
+          val PathField(path) = l: @unchecked
+          val at = l match { case AddedAt(v) => v.toLong; case _ => 0L }
+          live.put(path, at): Unit
+          tombs.remove(path): Unit
+        case l @ RemoveLine() =>
+          val PathField(path) = l: @unchecked
+          val at = l match { case RemovedAt(v) => v.toLong; case _ => 0L }
+          live.remove(path): Unit
+          tombs.put(path, at): Unit
+        case _ => ()
       }
     }
+    Snapshot(live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1),
+      tombs.toSeq)
+  }
+
+  def snapshotAsOf(root: String, v: Long): Snapshot =
+    applyLog(logFilesForSnapshot(root, v))
+
+  /** Table-relative data files live in the snapshot AS OF `v`. */
+  def filesAsOf(root: String, v: Long): Seq[String] = snapshotAsOf(root, v).live
+
+  /** Compact the state at `version` into a checkpoint file. Carried
+    * content: the live add-set AND the accumulated tombstones (vacuum's
+    * retention decisions need removedAt even after the tail commits are
+    * past the checkpoint horizon). Published with the same atomic
+    * create-if-absent as commits — two writers checkpointing the same
+    * version produce identical bytes, so the loser just drops out. */
+  private def writeCheckpoint(root: String, version: Long): Unit = {
+    val files = {
+      // Resolve from the PREVIOUS checkpoint + tail, not from scratch.
+      val (commits, checkpoints) = listLog(root)
+      val cp = checkpoints.filter(_._1 < version).lastOption
+      val floor = cp.map(_._1).getOrElse(0L)
+      cp.map(_._2).toSeq ++
+        commits.collect { case (cv, p) if cv > floor && cv <= version => p }
+    }
+    val snap = applyLog(files)
+    // addedAt is lost from Snapshot.live's projection; re-derive it by
+    // re-reading — cheap (the same files are hot) and keeps Snapshot's
+    // public shape minimal.
+    val addedAt = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      files.foreach { p =>
+        new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach {
+          case l @ AddLine() =>
+            val PathField(path) = l: @unchecked
+            val at = l match { case AddedAt(v) => v.toLong; case _ => 0L }
+            m.put(path, at): Unit
+          case _ => ()
+        }
+      }
+      m
+    }
+    val json =
+      (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
+        (snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}}}""") ++
+          snap.tombstones.map { case (p, at) =>
+            s"""{"remove":{"path":"$p","removedAt":$at}}""" }))
+        .mkString("", "\n", "\n")
+    publishLogFile(root, f"$version%08d.checkpoint.json", json): Unit
   }
 
   /** The snapshot AS OF `v` as a DataFrame: log-resolved file list into one
@@ -104,16 +285,23 @@ object CommitLog {
     * own root and diverge; the source is never touched. VACUUM on the
     * clone is safe by construction — it deletes only unreferenced files
     * UNDER the clone's root, and the borrowed absolute references point
-    * outside it (CommitLogSpec pins this). */
+    * outside it (CommitLogSpec pins this). Checkpoints are cloned with the
+    * same rewrite, so the clone inherits the source's resolution bound. */
   def cloneTable(srcRoot: String, dstRoot: String): Unit = {
+    requireSafe(srcRoot)
     Files.createDirectories(logDir(dstRoot))
-    val versions = withList(logDir(srcRoot)) {
-      _.filter(_.getFileName.toString.endsWith(".json")).toVector
+    val entries = withList(logDir(srcRoot)) {
+      _.filter { p =>
+        p.getFileName.toString match {
+          case CommitName(_) | CheckpointName(_) => true
+          case _                                 => false
+        }
+      }.toVector
     }
-    versions.foreach { p =>
+    entries.foreach { p =>
       val rewritten = new String(Files.readAllBytes(p), "UTF-8")
         .linesIterator.map {
-          case l @ AddPath(path) if !path.startsWith("/") =>
+          case l @ PathField(path) if !path.startsWith("/") =>
             l.replace(s""""path":"$path"""", s""""path":"$srcRoot/$path"""")
           case l => l
         }.mkString("", "\n", "\n")
@@ -122,19 +310,28 @@ object CommitLog {
     }
   }
 
-  /** VACUUM: delete every data file under `root` that no commit references
-    * — crashed-writer debris, duplicated task attempts, aborted overwrites.
-    * Returns (live kept, orphans removed). Driver-side metadata + file ops,
-    * exactly Delta's VACUUM; on a cluster the deletes fan out, but the
-    * decision set is still log-vs-listing. This log records only `add`s
-    * (overwrites rewrite their generation dir in place), so every committed
-    * file is live at the max version and retention reduces to
-    * "referenced by the log or not"; with `remove` actions modeled,
-    * retention-expired removed files would join the delete set. Empty
-    * directories left behind are pruned too ( `_log` never touched). */
-  def vacuum(root: String): (Long, Long) = {
+  /** VACUUM: delete every data file under `root` that the log does not
+    * keep alive — crashed-writer debris, duplicated task attempts, aborted
+    * overwrites, and TOMBSTONED files whose retention has expired. A file
+    * removed at version r is protected while `latest - r < retainVersions`
+    * (older as-of readers inside the retention window still resolve it);
+    * once expired it joins the delete set and as-of reads older than the
+    * removal stop being servable — exactly Delta's VACUUM trade, with
+    * version-count retention standing in for wall-clock retention (the
+    * fixture protocol is deterministic; production keys this on commit
+    * timestamps). Default 0 = reclaim immediately, the demo-friendly
+    * setting; CommitLogSpec exercises a real window. Returns (live kept,
+    * files removed). Driver-side metadata + file ops; on a cluster the
+    * deletes fan out, but the decision set is still log-vs-listing. Empty
+    * directories left behind are pruned too (`_log` never touched). */
+  def vacuum(root: String, retainVersions: Long = 0L): (Long, Long) = {
     val rootP = Paths.get(root)
-    val live = filesAsOf(root, Long.MaxValue).toSet
+    val latest = latestVersion(root)
+    val snap = snapshotAsOf(root, Long.MaxValue)
+    val live = snap.live.toSet
+    val protectedTombs = snap.tombstones.collect {
+      case (p, at) if latest - at < retainVersions => p
+    }.toSet
     val st = Files.walk(rootP)
     val all = try {
       import scala.jdk.CollectionConverters._
@@ -150,7 +347,7 @@ object CommitLog {
         .filterNot(_.startsWith("_log"))
         .toVector
     } finally st.close()
-    val dead = all.filterNot(live)
+    val dead = all.filterNot(f => live(f) || protectedTombs(f))
     dead.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
     // Prune data dirs the deletes emptied — "empty" meaning no real files
     // left (hidden bookkeeping like .crc shadows of deleted parquet goes

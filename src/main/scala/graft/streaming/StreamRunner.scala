@@ -160,13 +160,20 @@ object StreamRunner {
     * commit is GUARDED on the version file, so when a restarted query
     * re-delivers a batch (Structured Streaming's at-least-once replay
     * after failure), the re-execution stages fresh files but the commit is
-    * a no-op: readers never see the batch twice. The replay is simulated
-    * for real after the run (same batch, same batchId, new attempt), the
-    * invariants are `require`d in-query (log unchanged; the replay's
-    * staged files are exactly what VACUUM reclaims — (1 kept, 1 removed)),
-    * and the committed snapshot must still hash-match the batch oracle.
-    * This is the production recipe for streaming into a lakehouse table:
-    * txn-log versions keyed by batch id give idempotent commits, vacuum
+    * a no-op: readers never see the batch twice. Because the sink runs in
+    * COMPLETE mode (each batch = the full aggregate), every commit is a
+    * REPLACE: it adds the new snapshot's files and `remove`s the previous
+    * version's, so the latest-version read is the latest snapshot alone —
+    * correct for ANY number of micro-batches, not just the single batch
+    * the one-file staging happens to yield (a multi-file fixture or a
+    * `maxFilesPerTrigger` change would produce several). The replay is
+    * simulated for real after the run (same batch, same batchId, new
+    * attempt), the invariants are `require`d in-query (log unchanged; the
+    * replay staging plus any retention-expired prior snapshots are exactly
+    * what VACUUM reclaims), and the committed snapshot must still
+    * hash-match the batch oracle. This is the production recipe for
+    * streaming into a lakehouse table: txn-log versions keyed by batch id
+    * give idempotent commits, replace-commits carry removes, vacuum
     * reclaims lost-race stagings, and at 100 TB each batch's commit is
     * O(files-in-batch) metadata regardless of table size. */
   def exactlyOnceCommitLog(s: SparkSession, dir: String): DataFrame =
@@ -182,7 +189,8 @@ object StreamRunner {
       val gen = s"g=${ver}x${attempts.incrementAndGet()}"
       batch.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
       if (!CommitLog.commitVersionExists(root, ver))
-        CommitLog.commit(root, ver, gen)
+        CommitLog.commit(root, ver, gen,
+          removes = CommitLog.filesAsOf(root, ver - 1L))
       // else: the staged generation is a lost commit race — debris that
       // VACUUM reclaims below, never visible to any reader.
     }
@@ -205,10 +213,15 @@ object StreamRunner {
     commitBatch(replayBatch, 0L)
     require(CommitLog.filesAsOf(root, Long.MaxValue) == committed,
       "replayed batch changed the log — exactly-once guard failed")
+    // Reclaimable = every staged attempt except the live latest snapshot:
+    // the replay's lost-race staging plus (with default retention 0) the
+    // tombstoned prior snapshots complete mode replaced.
     val (kept, removed) = CommitLog.vacuum(root)
-    require(kept == committed.size.toLong && removed == 1L,
-      s"vacuum ($kept kept, $removed removed) != (${committed.size}, 1): " +
-        "the replay's staged generation should be the only debris")
+    require(kept == committed.size.toLong &&
+        removed == attempts.get().toLong - committed.size.toLong,
+      s"vacuum ($kept kept, $removed removed) != " +
+        s"(${committed.size}, ${attempts.get() - committed.size}): " +
+        "debris must be exactly the non-live staged attempts")
     CommitLog.readAsOf(s, root, Long.MaxValue)
       .groupBy("event_type")
       .agg(sum("n").cast("long").as("n"))

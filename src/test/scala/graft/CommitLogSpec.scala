@@ -110,6 +110,111 @@ class CommitLogSpec extends SparkSpec {
       "clone reads must survive its vacuum")
   }
 
+  test("remove actions: a removed file leaves later snapshots by LOG action, " +
+      "stays time-travelable, and survives vacuum until retention expires") {
+    val root = freshTable()
+    val s0 = spark
+    import s0.implicits._
+    // Version 3 OVERWRITES generation 1: adds g=3, removes g=1's files —
+    // one atomic commit, no in-place directory rewrite.
+    Seq((1L, 11.0), (3L, 33.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$root/g=3")
+    val g1Files = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=1/"))
+    assert(g1Files.nonEmpty)
+    CommitLog.commit(root, 3L, "g=3", removes = g1Files)
+    // Removed files are invisible to as-of-3 readers…
+    val f3 = CommitLog.filesAsOf(root, 3L)
+    assert(f3.forall(!_.startsWith("g=1/")), s"removed file still live: $f3")
+    assert(f3.exists(_.startsWith("g=3/")) && f3.exists(_.startsWith("g=2/")))
+    // …but as-of-2 still resolves them (time travel inside retention).
+    assert(CommitLog.filesAsOf(root, 2L).toSet.intersect(g1Files.toSet) === g1Files.toSet)
+    // Vacuum with a retention window keeps the tombstoned files on disk…
+    val (_, removed1) = CommitLog.vacuum(root, retainVersions = 10L)
+    assert(removed1 === 0L, "retention window must protect tombstoned files")
+    g1Files.foreach(f => assert(Files.exists(Paths.get(root, f)),
+      s"vacuum inside retention deleted tombstoned file $f"))
+    assert(CommitLog.readAsOf(spark, root, 2L).count() === 5L, // g=1 (3) + g=2 (2)
+      "time travel to the pre-remove version must still work inside retention")
+    // …and with retention expired (default 0) they join the delete set.
+    val (kept2, removed2) = CommitLog.vacuum(root)
+    assert(removed2 === g1Files.size.toLong,
+      s"expired tombstones must be reclaimed (removed $removed2)")
+    assert(kept2 === CommitLog.filesAsOf(root, Long.MaxValue).size.toLong)
+    g1Files.foreach(f => assert(!Files.exists(Paths.get(root, f))))
+    // The latest snapshot never depended on the reclaimed files.
+    assert(CommitLog.readAsOf(spark, root, 3L).count() === 4L) // g=2 (2) + g=3 (2)
+  }
+
+  test("checkpoint: resolution after N+k commits opens checkpoint + tail, not every commit") {
+    val root = Files.createTempDirectory("graft_ckptlog").toString
+    val s0 = spark
+    import s0.implicits._
+    val n = CommitLog.CheckpointInterval
+    val k = 3
+    (1 to n + k).foreach { v =>
+      Seq((v.toLong, v * 10.0)).toDF("key", "val")
+        .write.mode("overwrite").parquet(s"$root/g=$v")
+      CommitLog.commit(root, v.toLong, s"g=$v")
+    }
+    assert(Files.exists(Paths.get(root, "_log", f"$n%08d.checkpoint.json")),
+      s"commit $n must have written a checkpoint")
+    val opened = CommitLog.logFilesForSnapshot(root, (n + k).toLong)
+    assert(opened.size <= k + 1,
+      s"resolution opened ${opened.size} log files (want ≤ ${k + 1}: checkpoint + $k tail)")
+    // And the checkpoint-resolved snapshot equals the full-log truth.
+    val live = CommitLog.filesAsOf(root, (n + k).toLong)
+    assert(live.size === n + k, s"checkpoint resolution lost adds: $live")
+    assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === (n + k).toLong)
+    // As-of BELOW the checkpoint still resolves (no checkpoint eligible).
+    assert(CommitLog.filesAsOf(root, 2L).size === 2)
+  }
+
+  test("multi-writer arbitration: same-version race has exactly one winner; " +
+      "the loser's retry lands at the next version") {
+    val root = Files.createTempDirectory("graft_racelog").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 1.0)).toDF("key", "val").write.parquet(s"$root/g=a")
+    Seq((2L, 2.0)).toDF("key", "val").write.parquet(s"$root/g=b")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(gen: String) =
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = {
+          gate.await(5, TimeUnit.SECONDS): Unit
+          CommitLog.tryCommit(root, 1L, gen)
+        }
+      })
+    val (fa, fb) = (racer("g=a"), racer("g=b"))
+    gate.countDown()
+    val (wa, wb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(wa ^ wb, s"exactly one racer must win version 1 (a=$wa b=$wb)")
+    // The losing writer retries optimistically and lands at version 2.
+    val loserGen = if (wa) "g=b" else "g=a"
+    val v = CommitLog.commitRetrying(root, loserGen)
+    assert(v === 2L, s"retry must land at the next version (got $v)")
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(live.exists(_.startsWith("g=a/")) && live.exists(_.startsWith("g=b/")),
+      s"both writers' data must be committed after arbitration: $live")
+    // No torn or temp debris is ever visible as a version.
+    val logged = Files.list(Paths.get(root, "_log")).toArray.map(_.toString)
+    assert(logged.forall(p => p.endsWith(".json") && !p.contains(".tmp-")))
+  }
+
+  test("log paths that would break the JSON line format are rejected at commit") {
+    val root = Files.createTempDirectory("graft_badpath").toString
+    val bad = Paths.get(root, """g="1"""")
+    Files.createDirectories(bad)
+    Files.write(bad.resolve("x.parquet"), Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 1L, """g="1"""")
+    }
+    assert(!CommitLog.commitVersionExists(root, 1L),
+      "a rejected commit must publish nothing")
+  }
+
   test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {
     val root = freshTable()
     def snap(v: Long): Map[Long, Double] =
