@@ -143,16 +143,20 @@ object Extensibility {
 
     // The connector surface's WRITE half (SupportsWrite / BATCH_WRITE,
     // sources/FrameStoreSink.scala): overwrite one slice of orders into a
-    // library-owned V2 table through the full two-phase commit protocol
-    // (per-task DataWriters buffer provisionally; the driver's
-    // BatchWrite.commit publishes atomically — in production the commit
-    // messages carry file manifests, cf. CommitLog), append a second slice
-    // through the same protocol, then read the committed snapshot back
-    // (BATCH_READ) and aggregate. Overwrite arrives as SupportsTruncate
-    // (Spark plans OverwriteByExpression), append as AppendData — both V2
-    // write plans, no V1 fallback. FrameStoreSpec pins the protocol
-    // itself: nothing visible before commit, abort leaves no trace,
-    // truncate swaps atomically. The cents fixed-point keeps the sum
+    // library-owned V2 table through the full two-phase commit protocol —
+    // per-task DataWriters STREAM into staged parquet files, commit
+    // messages carry only FILE MANIFESTS (path+rows+bytes, cf. CommitLog's
+    // add-actions), and the driver's BatchWrite.commit publishes the
+    // manifests atomically, O(tasks) metadata at any data size — then
+    // append a second slice through the same protocol, and read the
+    // committed snapshot back (BATCH_READ: one input partition per staged
+    // file, executor-side parquet re-read) and aggregate. Overwrite
+    // arrives as SupportsTruncate (Spark plans OverwriteByExpression),
+    // append as AppendData — both V2 write plans, no V1 fallback.
+    // FrameStoreSpec pins the protocol itself: nothing visible before
+    // commit, abort deletes the staging, truncate swaps atomically, no
+    // InternalRow can ride a commit message, and append schema drift
+    // fails the commit. The cents fixed-point keeps the sum
     // integer-exact across engines.
     QDef(
       "sink_custom_v2",

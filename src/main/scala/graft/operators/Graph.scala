@@ -418,16 +418,19 @@ object Graph {
     // components, label_prop votes, kcore peels; none reports DISTANCE).
     // Per hop: frontier attaches to the checkpointed edge list with ONE
     // equi-join, dedupes with a partial-agg distinct, and drops
-    // already-visited nodes with a LEFT ANTI join against the accumulated
-    // levels — all linear in O(edges) per round, no window, no collect,
-    // and the frontier SHRINKS as the reachable set saturates (the
-    // sparse-doubling instinct from dedup_suffix applied to graphs).
-    // Levels checkpoint per round (the family's lineage discipline); the
-    // final rollup is one partial-agg groupBy over the unioned level
-    // frames. At 100 TB: distance-bounded expansion from a seed set is
-    // the "blast radius" query (contaminated-document spread, abuse-ring
-    // neighborhoods) and each hop is one shuffle of the CURRENT frontier
-    // only, never of the visited set.
+    // already-visited nodes with a LEFT ANTI join against ONE
+    // incrementally accumulated visited frame (checkpointed per round —
+    // not a per-round re-union of every level, which re-scanned and
+    // re-shuffled O(rounds × V) across the run) — all linear in O(edges)
+    // per round, no window, no collect, and the frontier SHRINKS as the
+    // reachable set saturates (the sparse-doubling instinct from
+    // dedup_suffix applied to graphs). Levels checkpoint per round (the
+    // family's lineage discipline); the final rollup is one partial-agg
+    // groupBy over the unioned level frames. At 100 TB: distance-bounded
+    // expansion from a seed set is the "blast radius" query
+    // (contaminated-document spread, abuse-ring neighborhoods) and each
+    // hop is one shuffle of the CURRENT frontier only, never of the
+    // visited set.
     QDef(
       "graph_bfs",
       (s, dir) => {
@@ -441,8 +444,8 @@ object Graph {
           .localCheckpoint()
         var levels = Vector(seeds)
         var frontier = seeds
+        var visited = seeds.select("node").localCheckpoint()
         (1 to graft.GraftConfig.BfsRounds).foreach { r =>
-          val visited = levels.map(_.select("node")).reduce(_ unionAll _)
           val next = und
             .join(frontier.select(col("node").as("b")), Seq("b"))
             .select(col("a").as("node")).distinct()
@@ -450,6 +453,7 @@ object Graph {
             .withColumn("dist", lit(r.toLong))
             .localCheckpoint()
           levels = levels :+ next
+          visited = visited.unionAll(next.select("node")).localCheckpoint()
           frontier = next
         }
         levels.reduce(_ unionAll _)

@@ -37,6 +37,23 @@ object Scans {
     s"${tmp.getPath}/$prefix$run"
   }
 
+  /** [[runTmpPath]] for the commit-log demo tables: the SAME app-stable
+    * path, but cleared first, so a repeated invocation (spec analysis
+    * passes, bench min-of-2) rebuilds its table from version 1 instead of
+    * colliding with the previous run's commits — version files are
+    * create-if-absent now, and silently re-binding version N to a fresh
+    * overwrite's files is exactly what the atomic log forbids. */
+  private[operators] def freshRunTmpPath(
+      s: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    val p = runTmpPath(s, prefix)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(p))
+    p
+  }
+
   private val eventJsonSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("event_type", StringType),
@@ -671,7 +688,7 @@ object Scans {
     QDef(
       "table_timetravel",
       (s, dir) => {
-        val root = runTmpPath(s, "graft_timetravel_")
+        val root = freshRunTmpPath(s, "graft_timetravel_")
         val o = T.orders(s, dir)
         // g=1: base snapshot (no tombstones in an initial commit).
         o.where(col("o_orderkey") % 4L =!= 0L)
@@ -738,7 +755,7 @@ object Scans {
     QDef(
       "table_schema_evolve",
       (s, dir) => {
-        val root = runTmpPath(s, "graft_evolve_")
+        val root = freshRunTmpPath(s, "graft_evolve_")
         val o = T.orders(s, dir)
         o.where(col("o_orderkey") % 5L === 3L)
           .select(col("o_orderkey").as("key"),
@@ -795,8 +812,8 @@ object Scans {
     QDef(
       "table_clone",
       (s, dir) => {
-        val src = runTmpPath(s, "graft_clone_src_")
-        val dst = runTmpPath(s, "graft_clone_dst_")
+        val src = freshRunTmpPath(s, "graft_clone_src_")
+        val dst = freshRunTmpPath(s, "graft_clone_dst_")
         val o = T.orders(s, dir)
         o.where(col("o_orderkey") % 6L =!= 0L)
           .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
@@ -872,7 +889,7 @@ object Scans {
     QDef(
       "table_vacuum",
       (s, dir) => {
-        val root = runTmpPath(s, "graft_vacuum_")
+        val root = freshRunTmpPath(s, "graft_vacuum_")
         val o = T.orders(s, dir)
         o.where(col("o_orderkey") % 7L =!= 0L)
           .select(col("o_orderkey").as("key"),
@@ -929,6 +946,151 @@ object Scans {
              |    CAST(sum(key) AS BIGINT) AS sum_key,
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |  FROM snap2)
-             |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin))
+             |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY as_of""".stripMargin)),
+
+    // CHANGE FEED — the incremental-consumer read the remove-action log
+    // enables (Delta CDF's snapshot-diff shape): version 2 APPENDS a
+    // generation (feed: inserts only — `require`d), version 3 REWRITES it
+    // repriced (adds g=3, removes g=2 in ONE atomic commit; feed: deletes
+    // of the old rows + inserts of the new). CommitLog.changesAt resolves
+    // each version's (added, removed) file sets purely from the log — the
+    // downstream reader then scans ONLY the changed files, never the
+    // table: at 100 TB a consumer replaying version N reads
+    // O(files-changed-at-N), which is what makes incremental downstream
+    // pipelines (index maintenance, aggregate refresh, replication)
+    // affordable. Rollups are per-(version, change) with the cents
+    // fixed-point, so a feed that misses a file, double-counts a rewrite,
+    // or mixes up adds/removes cannot hash-match.
+    QDef(
+      "table_changefeed",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_cdf_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 2L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.05, 2).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+        CommitLog.commit(root, 3L, "g=3",
+          removes = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=2/")))
+        require(CommitLog.changesAt(root, 2L)._2.isEmpty,
+          "an append's change feed must contain no deletes")
+        val (a3, r3) = CommitLog.changesAt(root, 3L)
+        require(a3.nonEmpty && r3.nonEmpty,
+          "a rewrite's change feed must contain both inserts and deletes")
+        def rollup(v: Long, change: String, fs: Seq[String]) =
+          s.read.option("basePath", root)
+            .parquet(fs.map(f => s"$root/$f"): _*)
+            .agg(count(lit(1)).as("n"),
+              sum("key").cast("long").as("sum_key"),
+              sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), lit(change).as("change"),
+              col("n"), col("sum_key"), col("sum_cents"))
+        val feeds = (2L to CommitLog.latestVersion(root)).flatMap { v =>
+          val (adds, removes) = CommitLog.changesAt(root, v)
+          (if (adds.nonEmpty) Seq(rollup(v, "insert", adds)) else Nil) ++
+            (if (removes.nonEmpty) Seq(rollup(v, "delete", removes)) else Nil)
+        }
+        feeds.reduce(_ unionAll _).orderBy("version", "change")
+      },
+      Some("""WITH g2 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 6 = 2),
+             |g3 AS (
+             |  SELECT key, floor((val * 1.05) * 1e2 + 0.5) / 1e2 AS val FROM g2)
+             |SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change,
+             |  count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM g2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'delete', count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM g2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'insert', count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM g3
+             |ORDER BY version, change""".stripMargin)),
+
+    // RESTORE — the time-travel WRITE side (Delta RESTORE TABLE … VERSION
+    // AS OF): version 2 is the bad deploy (an overwrite that repriced and
+    // dropped rows — adds g=2, removes the base's files, atomically);
+    // version 3 UNDOES it as a PURE-METADATA commit via commitFiles:
+    // re-add version 1's files, remove the bad snapshot's. Zero bytes of
+    // data move — `require`d both ways (the restored file set IS v1's,
+    // and no g=3 data directory exists), which is the whole point at
+    // 100 TB: rollback is O(files) log metadata, not a table rewrite.
+    // The restore works because the removed base files are TOMBSTONES
+    // still on disk (vacuum retention hasn't expired them) — restore
+    // after an expired vacuum is impossible, the same trade Delta
+    // documents. History stays intact: as-of 2 still serves the bad
+    // snapshot (for audit), and all three snapshots must hash-match
+    // DuckDB's independent reconstruction.
+    QDef(
+      "table_restore",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_restore_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        // The bad deploy: overwrite with a repriced SUBSET (rows lost).
+        o.where(col("o_orderkey") % 6L === 1L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 0.5, 2).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 2L, "g=2",
+          removes = CommitLog.filesAsOf(root, 1L))
+        // RESTORE to version 1: metadata-only commit, no data written.
+        val v1Files = CommitLog.filesAsOf(root, 1L)
+        val live2 = CommitLog.filesAsOf(root, 2L)
+        CommitLog.commitFiles(root, 3L,
+          adds = v1Files.filterNot(live2.toSet),
+          removes = live2.filterNot(v1Files.toSet))
+        require(CommitLog.filesAsOf(root, 3L).toSet == v1Files.toSet,
+          "restore must reproduce exactly the version-1 file set")
+        require(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/g=3")),
+          "restore wrote data files — it must be metadata-only")
+        def asOf(v: Long) = CommitLog.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(v).as("as_of"), col("n_keys"), col("sum_key"),
+            col("sum_cents"))
+        asOf(1L).unionAll(asOf(2L)).unionAll(asOf(3L)).orderBy("as_of")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 3 = 1),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 0.5) * 1e2 + 0.5) / 1e2 AS val
+             |  FROM orders WHERE o_orderkey % 6 = 1),
+             |roll AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, count(*) AS n_keys,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM g1
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM g2
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM g1)
+             |SELECT * FROM roll ORDER BY as_of""".stripMargin))
   )
 }

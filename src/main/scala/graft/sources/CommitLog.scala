@@ -139,6 +139,33 @@ object CommitLog {
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
 
+  /** Commit an EXPLICIT manifest — the production shape (a writer knows
+    * its add-list transactionally; no directory listing) and the one
+    * metadata-only operations need: RESTORE re-adds an old snapshot's
+    * files and removes the current ones without touching a byte of data. */
+  def commitFiles(root: String, version: Long, adds: Seq[String],
+      removes: Seq[String]): Unit = {
+    val won = publishLogFile(root, f"$version%08d.json",
+      commitJson(version, adds, removes))
+    if (!won)
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** The file-level CHANGE FEED of `version`: (added files, removed files)
+    * vs the previous snapshot — resolved purely from the log, the
+    * CDC-from-snapshots read (Delta's change-data-feed without per-row
+    * tracking: a rewritten file surfaces as delete-of-old + insert-of-new,
+    * which is exactly what a downstream incremental consumer replays).
+    * O(log tail) metadata; the row reads the caller makes from these file
+    * lists touch only the CHANGED files, never the table. */
+  def changesAt(root: String, version: Long): (Seq[String], Seq[String]) = {
+    val prev = filesAsOf(root, version - 1L).toSet
+    val cur = filesAsOf(root, version).toSet
+    ((cur -- prev).toSeq.sorted, (prev -- cur).toSeq.sorted)
+  }
+
   /** Multi-writer commit: race for latest+1, on loss re-read and retry at
     * the next version — optimistic concurrency, the Delta arbitration loop.
     * Returns the version actually won. `removes` is re-resolved per attempt

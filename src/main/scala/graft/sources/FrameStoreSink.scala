@@ -1,12 +1,22 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -16,24 +26,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * deliberately left out:
   *
   *  - Each write task gets its own [[DataWriter]] (parallelism = input
-  *    partitions). Written rows are PROVISIONAL: they buffer in the task
-  *    and travel to the driver inside its [[WriterCommitMessage]] — nothing
-  *    a task writes is visible to any reader before the driver-side commit.
-  *  - [[BatchWrite.commit]] receives every task's message and publishes
-  *    them ATOMICALLY (one volatile swap per table version); `abort` (task-
-  *    or job-level) discards without a trace. This is exactly the contract
-  *    a production sink implements — there the messages carry FILE
-  *    MANIFESTS (the written parquet paths, cf. [[CommitLog]]'s add
-  *    actions) rather than the rows themselves, so commit stays O(tasks)
-  *    metadata at any data size; carrying the rows is the single-JVM
-  *    stand-in that keeps the protocol observable in a spec.
+  *    partitions), which STREAMS its rows into a parquet file under the
+  *    job's staging directory as they arrive — no task-side buffering, no
+  *    rows in memory beyond the open writer's row group. Staged files are
+  *    PROVISIONAL: nothing a task writes is visible to any reader before
+  *    the driver-side commit.
+  *  - The task's [[WriterCommitMessage]] carries a FILE MANIFEST — staged
+  *    path, row count, byte size — never the rows themselves (cf.
+  *    [[CommitLog]]'s add actions; FrameStoreSpec pins that no
+  *    `InternalRow` rides a commit message), so the commit stays O(tasks)
+  *    driver-side metadata at any data size: the shape that survives a
+  *    1000-executor job writing terabytes.
+  *  - [[BatchWrite.commit]] receives every task's manifest and publishes
+  *    the new snapshot ATOMICALLY (one map swap per table version);
+  *    `abort` (task- or job-level) deletes the staged files and publishes
+  *    nothing. An APPEND whose schema differs from the committed snapshot
+  *    FAILS AT COMMIT (ACCEPT_ANY_SCHEMA admits the write plan, but the
+  *    store never reinterprets previously committed files under a new
+  *    schema — the staged files are cleaned up and the commit throws).
   *  - `overwrite` arrives as [[SupportsTruncate]] (Spark plans
   *    OverwriteByExpression with a true predicate): the truncate flag rides
-  *    the Write and the commit swaps instead of appending — still atomic,
-  *    still invisible until commit.
-  *  - The same table is readable back (BATCH_READ) with the committed
-  *    snapshot split into input partitions, so write → read → aggregate
-  *    round-trips inside one query plan.
+  *    the Write and the commit swaps the manifest instead of appending —
+  *    still atomic, still invisible until commit. Replaced files are
+  *    reclaimed eagerly (the single-JVM stand-in for tombstone-then-vacuum
+  *    retention, which [[CommitLog]] models in full).
+  *  - The same table is readable back (BATCH_READ): the committed manifest
+  *    plans one input partition per staged file and each
+  *    [[PartitionReader]] re-reads its parquet file ON THE EXECUTOR via
+  *    Spark's own row-based parquet reader — data never transits the
+  *    driver in either direction.
   *
   * Registered by class name: `df.write.format("graft.sources.FrameStoreSink")
   * .option("table", t)`. Options: `table` (store key, required).
@@ -63,33 +84,123 @@ object FrameStoreSink {
     }
 }
 
-/** The backing store: committed snapshots per table name. Single-JVM by
-  * design (local[32]); a cluster deployment swaps this object for the real
-  * store the commit messages' manifests point into. */
+/** One staged data file in a committed manifest: where it is, how many rows
+  * it holds (so `rowCount` is a metadata sum), how many bytes. */
+private[graft] final case class StagedFile(path: String, rows: Long, bytes: Long)
+
+/** The backing store: committed manifests per table name — (schema, staged
+  * parquet files), a few hundred bytes per table version regardless of data
+  * size. Single-JVM by design (local[32]); a cluster deployment swaps this
+  * object for a shared metastore holding exactly the same manifests. */
 object FrameStore {
   import scala.collection.concurrent.TrieMap
-  private val tables = TrieMap.empty[String, (StructType, Vector[InternalRow])]
+  private val tables = TrieMap.empty[String, (StructType, Vector[StagedFile])]
 
-  /** Driver-side atomic publish — the second phase of the protocol. */
+  private def schemaShape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** Driver-side atomic publish — the second phase of the protocol.
+    * Truncate swaps the manifest (and eagerly reclaims the files it
+    * replaced); append validates the incoming schema against the committed
+    * one FIRST — committed files are never reinterpreted under a different
+    * shape. Throws (= fails the commit) on mismatch; the caller cleans up
+    * its staged files before rethrowing. */
   private[sources] def publish(name: String, schema: StructType,
-      rows: Vector[InternalRow], truncate: Boolean): Unit =
+      files: Vector[StagedFile], truncate: Boolean): Unit = {
+    tables.get(name) match {
+      case Some((committed, _)) if !truncate
+          && schemaShape(committed) != schemaShape(schema) =>
+        throw new IllegalArgumentException(
+          s"append schema mismatch on FrameStore table '$name': committed " +
+            s"${committed.simpleString} vs incoming ${schema.simpleString}")
+      case _ => ()
+    }
+    val replaced = tables.get(name) match {
+      case Some((_, old)) if truncate => old
+      case _                          => Vector.empty
+    }
     tables.updateWith(name) {
-      case Some((_, old)) if !truncate => Some((schema, old ++ rows))
-      case _                          => Some((schema, rows))
+      case Some((committed, old)) if !truncate => Some((committed, old ++ files))
+      case _                                   => Some((schema, files))
     }: Unit
+    replaced.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+  }
 
-  private[sources] def snapshot(name: String): Vector[InternalRow] =
+  private[graft] def snapshot(name: String): Vector[StagedFile] =
     tables.get(name).map(_._2).getOrElse(Vector.empty)
   def schemaIfExists(name: String): Option[StructType] = tables.get(name).map(_._1)
   def schemaOf(name: String): StructType =
     schemaIfExists(name).getOrElse(throw new IllegalArgumentException(
       s"FrameStore table '$name' does not exist (nothing committed yet)"))
-  def rowCount(name: String): Long = snapshot(name).size.toLong
-  def drop(name: String): Unit = tables.remove(name): Unit
+  /** Metadata answer — the manifest's row counts, no file opened. */
+  def rowCount(name: String): Long = snapshot(name).map(_.rows).sum
+  def drop(name: String): Unit = {
+    tables.remove(name).foreach { case (_, files) =>
+      files.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+    }
+  }
 
   /** Commits that reached phase two — the spec's protocol observable. */
   val commitsCompleted = new java.util.concurrent.atomic.AtomicInteger(0)
   val abortsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** The staging directory of the most recent write job (spec observable:
+    * after an abort, nothing of it remains on disk). */
+  val lastStagingDir = new java.util.concurrent.atomic.AtomicReference[String]("")
+}
+
+/** Executor-side parquet staging and the driver-built distributed read
+  * function — both on Spark's OWN parquet machinery, so staged files are
+  * ordinary parquet readable by any engine. */
+private[sources] object FrameStoreStaging {
+
+  /** Hadoop conf with the keys [[ParquetWriteSupport]] requires; the
+    * writer runs inside a task, so the conf is built locally rather than
+    * inherited from a session. */
+  private def writeConf(schema: StructType): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration(false)
+    ParquetWriteSupport.setSchema(schema, conf)
+    // ParquetWriteSupport.init asserts these are present; pin the stock
+    // defaults (via the SQLConf entries, so key renames can't drift) plus
+    // CORRECTED rebase — staged files carry modern timestamp semantics.
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
+      .foreach(e => conf.set(e.key, e.defaultValueString))
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf
+  }
+
+  private class RowWriterBuilder(path: HadoopPath, schema: StructType)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Open a streaming parquet writer for `path` (task-side). */
+  def openWriter(path: String, schema: StructType): ParquetWriter[InternalRow] =
+    new RowWriterBuilder(new HadoopPath(path), schema)
+      .withConf(writeConf(schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  /** Build (on the driver, at scan planning) the serializable
+    * file → row-iterator function the partition readers execute — Spark's
+    * own parquet reader in row mode (the vectorized reader hands back
+    * ColumnarBatch behind the InternalRow interface, which a V2
+    * PartitionReader must not leak, so it is scoped off for the build). */
+  def buildReadFunc(schema: StructType): PartitionedFile => Iterator[InternalRow] = {
+    val session = SparkSession.active
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = session.conf.get(key)
+    session.conf.set(key, "false")
+    try new ParquetFileFormat().buildReaderWithPartitionValues(
+      session, schema, new StructType(), schema, Nil, Map.empty,
+      session.sessionState.newHadoopConf())
+    finally session.conf.set(key, prev)
+  }
 }
 
 private class FrameStoreTable(tname: String, writeSchema: StructType)
@@ -122,40 +233,80 @@ private class FrameStoreWriteBuilder(tname: String, schema: StructType,
   }
 }
 
-/** Phase-two commit messages: in production these carry file manifests;
-  * here they carry the buffered rows themselves (see class doc). */
-private case class FrameStoreCommit(rows: Array[InternalRow])
-    extends WriterCommitMessage
+/** Phase-two commit message: the staged file's MANIFEST — path, row count,
+  * bytes — never rows (`path` is None for an empty task, which staged
+  * nothing). FrameStoreSpec pins by reflection that no field can carry an
+  * `InternalRow`. */
+private[graft] case class FrameStoreCommit(path: Option[String], rows: Long,
+    bytes: Long) extends WriterCommitMessage
 
 private class FrameStoreBatchWrite(tname: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
+  // Per-job staging root; tasks write beneath it, commit promotes the
+  // staged files into the manifest IN PLACE (no rename needed — visibility
+  // is a manifest property, not a directory property), abort removes it.
+  private val stagingDir = Files.createTempDirectory("graft_fstore_stage_").toString
+  FrameStore.lastStagingDir.set(stagingDir)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FrameStoreWriterFactory(schema)
+    new FrameStoreWriterFactory(schema, stagingDir)
+
+  private def deleteStaging(): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(stagingDir))
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator.flatMap {
-      case FrameStoreCommit(rs) => rs
+    val files = messages.iterator.collect {
+      case FrameStoreCommit(Some(p), n, b) => StagedFile(p, n, b)
+      case m @ FrameStoreCommit(None, _, _) => null
       case other => throw new IllegalStateException(s"foreign commit message $other")
-    }.toVector
-    FrameStore.publish(tname, schema, rows, truncate)
+    }.filter(_ != null).toVector
+    try FrameStore.publish(tname, schema, files, truncate)
+    catch {
+      case e: IllegalArgumentException =>
+        deleteStaging() // failed validation: staged files are debris
+        throw e
+    }
     FrameStore.commitsCompleted.incrementAndGet(): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // Nothing was published; dropping the messages IS the rollback.
+    // Nothing was published; removing the staging directory (which also
+    // covers tasks that died before producing a message) IS the rollback.
+    deleteStaging()
     FrameStore.abortsSeen.incrementAndGet(): Unit
   }
 }
 
-private class FrameStoreWriterFactory(schema: StructType)
+private class FrameStoreWriterFactory(schema: StructType, stagingDir: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val buf = Vector.newBuilder[InternalRow]
-      // copy(): the incoming InternalRow is a reused mutable buffer.
-      override def write(row: InternalRow): Unit = buf += row.copy()
+      private val path =
+        s"$stagingDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
+      private var rows = 0L
+      private var writer: ParquetWriter[InternalRow] = null
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) writer = FrameStoreStaging.openWriter(path, schema)
+        writer.write(row)
+        rows += 1L
+      }
       override def commit(): WriterCommitMessage =
-        FrameStoreCommit(buf.result().toArray)
-      override def abort(): Unit = buf.clear()
-      override def close(): Unit = ()
+        if (writer == null) FrameStoreCommit(None, 0L, 0L)
+        else {
+          writer.close() // seals the footer; the file is now complete
+          writer = null
+          FrameStoreCommit(Some(path), rows, Files.size(Paths.get(path)))
+        }
+      override def abort(): Unit = {
+        if (writer != null) { writer.close(); writer = null }
+        Files.deleteIfExists(Paths.get(path)): Unit
+      }
+      override def close(): Unit =
+        if (writer != null) { writer.close(); writer = null }
     }
 }
 
@@ -165,25 +316,29 @@ private class FrameStoreScan(tname: String) extends Scan with Batch {
   override def readSchema(): StructType = FrameStore.schemaOf(tname)
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftFrameStoreScan table=$tname rows=${snap.size}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val slice = math.max(1, snap.size / 8)
-    snap.grouped(slice).map(FrameStorePartition(_): InputPartition).toArray
-  }
+    s"GraftFrameStoreScan table=$tname files=${snap.size} rows=${FrameStore.rowCount(tname)}"
+  override def planInputPartitions(): Array[InputPartition] =
+    snap.map(f => FrameStoreFilePartition(f.path, f.bytes): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameStoreReaderFactory
+    new FrameStoreReaderFactory(FrameStoreStaging.buildReadFunc(readSchema()))
 }
 
-private case class FrameStorePartition(rows: Vector[InternalRow])
+private case class FrameStoreFilePartition(path: String, bytes: Long)
     extends InputPartition
 
-private class FrameStoreReaderFactory extends PartitionReaderFactory {
+private class FrameStoreReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val FrameStorePartition(rows) = p: @unchecked
+    val FrameStoreFilePartition(path, bytes) = p: @unchecked
     new PartitionReader[InternalRow] {
-      private val it = rows.iterator
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = it.next()
+      private val it = readFunc(PartitionedFile(
+        InternalRow.empty, SparkPath.fromPathString(path), 0L, bytes,
+        Array.empty, 0L, bytes))
+      private var row: InternalRow = null
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

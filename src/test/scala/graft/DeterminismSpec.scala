@@ -101,7 +101,11 @@ class DeterminismSpec extends SparkSpec {
     "graph_bfs", "dedup_tuning", "pipeline_shard",
     // BLS: FP signal-residue sums under merge-ordered bin partials feed
     // two rounded-grid argmaxes (box, then period) — the lc_periods bet
-    "lc_bls")
+    "lc_bls",
+    // round-10: log-resolved change-feed / restore rollups must hold
+    // under any write partitioning of the staged generations (the
+    // table_vacuum risk class, plus file-set diffs from the log)
+    "table_changefeed", "table_restore")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -55,6 +55,77 @@ class FrameStoreSpec extends SparkSpec {
     assert(spark.read.format(fmt).option("table", t).load().count() === 2L)
   }
 
+  test("commit messages carry file manifests, never rows: staged parquet on " +
+      "disk holds the data, and the message type cannot carry an InternalRow") {
+    val t = "fs_spec_manifest"
+    FrameStore.drop(t)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.format(fmt).option("table", t).mode("overwrite").save()
+    // The committed snapshot is a manifest of real parquet files — readable
+    // by the ordinary parquet reader, bytes on disk, counts as metadata.
+    val files = graft.sources.FrameStore.snapshot(t)
+    assert(files.nonEmpty && files.map(_.rows).sum === 3L)
+    files.foreach { f =>
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(f.path)) === f.bytes)
+      assert(f.bytes > 0L)
+    }
+    val reread = spark.read.parquet(files.map(_.path): _*)
+    assert(reread.count() === 3L, "staged files must be ordinary parquet")
+    // Structural pin: no field of the commit message type can hold rows —
+    // an InternalRow (or array/collection of them) on the message is the
+    // driver-bottleneck shape this protocol exists to avoid.
+    import org.apache.spark.sql.catalyst.InternalRow
+    def carriesRows(c: Class[_]): Boolean =
+      classOf[InternalRow].isAssignableFrom(c) ||
+        (c.isArray && classOf[InternalRow].isAssignableFrom(c.getComponentType))
+    classOf[graft.sources.FrameStoreCommit].getDeclaredFields.foreach { fld =>
+      assert(!carriesRows(fld.getType),
+        s"commit message field ${fld.getName} carries rows: ${fld.getType}")
+    }
+    assert(classOf[graft.sources.FrameStoreCommit].getDeclaredFields
+      .map(_.getType.getName).toSet === Set("scala.Option", "long"),
+      "manifest shape drifted — re-check that rows cannot ride the message")
+  }
+
+  test("abort removes every staged file: an injected failure leaves no " +
+      "trace of the job's staging directory") {
+    val t = "fs_spec_stage_gc"
+    FrameStore.drop(t)
+    val bad = spark.range(0, 100, 1, 8)
+      .map { i => if (i == 91L) throw new RuntimeException("injected failure"); i }
+      .toDF("k").withColumn("v", lit("y"))
+    intercept[Exception] {
+      bad.write.format(fmt).option("table", t).mode("overwrite").save()
+    }
+    val staging = graft.sources.FrameStore.lastStagingDir.get()
+    assert(staging.nonEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(staging)),
+      s"aborted job left staged files behind under $staging")
+  }
+
+  test("append schema mismatch fails the commit and cleans its staging; " +
+      "the committed snapshot is never reinterpreted") {
+    val t = "fs_spec_schema_guard"
+    FrameStore.drop(t)
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format(fmt).option("table", t).mode("overwrite").save()
+    // Same arity, different column order/types — silently accepted before,
+    // which reinterpreted the committed rows under the new schema on read.
+    val ex = intercept[Exception] {
+      Seq(("x", 9L)).toDF("v", "k")
+        .write.format(fmt).option("table", t).mode("append").save()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("schema mismatch")
+      || (ex.getCause != null && ex.getCause.getMessage.contains("schema mismatch")),
+      s"commit must fail loudly on append schema drift (got $ex)")
+    val staging = graft.sources.FrameStore.lastStagingDir.get()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(staging)),
+      "failed-validation staging must be cleaned up")
+    // Table unchanged and still readable under its committed schema.
+    val back = spark.read.format(fmt).option("table", t).load().collect()
+    assert(back.map(r => r.getLong(0) -> r.getString(1)).toSeq === Seq(1L -> "a"))
+  }
+
   test("write plan is a V2 write; read plan scans the committed snapshot") {
     val t = "fs_spec_plan"
     FrameStore.drop(t)

@@ -551,6 +551,27 @@ class PlanShapeSpec extends SparkSpec {
     // never lists a g=2 file (and that uncommitted files are invisible).
   }
 
+  test("table_changefeed: feed rollups scan only the changed files — no join, no window, one scan per feed entry") {
+    val p = plan("table_changefeed")
+    assert(!p.contains("Join"), "change-feed rollups must not join")
+    assert(!p.contains("Window"), "change-feed rollups must not window")
+    // Three feed entries (v2 insert, v3 insert, v3 delete) ⇒ exactly three
+    // parquet scans, each over its version's changed-file list — a scan of
+    // the whole table (or of an unchanged generation) would add a fourth.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 3, s"expected 3 changed-file scans, saw $scans:\n$p")
+  }
+
+  test("table_restore: three as-of reads, one scan each — restore itself added no data scan") {
+    val p = plan("table_restore")
+    assert(!p.contains("Join"), "as-of rollups must not join")
+    assert(!p.contains("Window"), "as-of rollups must not window")
+    // as-of 1, 2, 3 read one single-file snapshot each; the restore commit
+    // is metadata-only (require()d in-query: no g=3 directory exists).
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 3, s"expected 3 snapshot scans, saw $scans:\n$p")
+  }
+
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
     val p = plan("dedup_suffix")
     assert(p.contains("ExistingRDD"),
