@@ -485,6 +485,54 @@ object Graph {
            |SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node,
            |  min(node) AS min_node, max(node) AS max_node
            |FROM ($union) GROUP BY dist ORDER BY dist""".stripMargin
-      })
+      }),
+
+    // Neighborhood Jaccard over the co-purchase graph — the link-
+    // prediction / entity-resolution score (|N(u)∩N(v)| / |N(u)∪N(v)|)
+    // for every EDGE, ranked. One wedge join through the shared neighbor
+    // builds common-neighbor counts (the triangle-counting shuffle, fanout
+    // bounded by the support-threshold sparsification coEdges applies),
+    // one partial-agg degree count, two broadcast-sized joins attach
+    // degrees — no window until the final bounded top-k (total-ordered,
+    // rank-pushdown LIMIT). The score ships as EXACT integer parts-per-
+    // million (c·1e6 div union — BIGINT floor-division in both engines),
+    // so cross-engine FP division can't flip a rank. At 100 TB: candidate
+    // scoring for "similar entities" runs on the AGGREGATED pair table
+    // (≤ edges of the sparsified graph), never on raw co-occurrence rows.
+    QDef(
+      "graph_jaccard",
+      (s, dir) => {
+        val co = coEdges(s, dir).localCheckpoint()
+        val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+        val common = und.select(col("a").as("u"), col("b").as("n"))
+          .join(und.select(col("a").as("v"), col("b").as("n")), Seq("n"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        co.select(col("a").as("u"), col("b").as("v"))
+          .join(common, Seq("u", "v"))
+          .join(deg.select(col("a").as("u"), col("d").as("du")), Seq("u"))
+          .join(deg.select(col("a").as("v"), col("d").as("dv")), Seq("v"))
+          .select(col("u"), col("v"), col("c"),
+            (col("du") + col("dv") - col("c")).as("unn"),
+            expr("(c * 1000000) div (du + dv - c)").as("jacc_ppm"))
+          .orderBy(col("jacc_ppm").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some(s"""WITH $coSql,
+             |und AS MATERIALIZED (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co),
+             |deg AS MATERIALIZED (SELECT a, count(*) AS d FROM und GROUP BY 1),
+             |common AS MATERIALIZED (
+             |  SELECT x.a AS u, y.a AS v, count(*) AS c
+             |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+             |  GROUP BY 1, 2)
+             |SELECT co.a AS u, co.b AS v, c.c AS c,
+             |  d1.d + d2.d - c.c AS unn,
+             |  (c.c * 1000000) // (d1.d + d2.d - c.c) AS jacc_ppm
+             |FROM co
+             |JOIN common c ON c.u = co.a AND c.v = co.b
+             |JOIN deg d1 ON d1.a = co.a
+             |JOIN deg d2 ON d2.a = co.b
+             |ORDER BY jacc_ppm DESC, u, v LIMIT 20""".stripMargin))
   )
 }

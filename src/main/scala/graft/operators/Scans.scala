@@ -1091,6 +1091,86 @@ object Scans {
              |  SELECT CAST(3 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
              |  FROM g1)
-             |SELECT * FROM roll ORDER BY as_of""".stripMargin))
+             |SELECT * FROM roll ORDER BY as_of""".stripMargin)),
+
+    // INCREMENTAL VIEW MAINTENANCE — what the change feed is FOR: a
+    // downstream per-bucket aggregate view is maintained across three
+    // table versions (base, append, repriced rewrite) by folding each
+    // version's feed as SIGNED deltas (+rollup(added files),
+    // −rollup(removed files)) into the view state — count and sum are
+    // self-maintainable aggregates, so refresh cost is O(changed files)
+    // per version, NEVER a table rescan. The refreshed view is
+    // `require`d equal to a from-scratch recomputation of the final
+    // snapshot (the IVM correctness contract, checked in-query on the
+    // 8-row view), and the declared output must additionally hash-match
+    // DuckDB's independent full recompute. At 100 TB this is how
+    // dashboard aggregates, feature stores, and training-mix statistics
+    // stay current against a mutating lake: versions arrive, deltas
+    // fold, the base table is never re-read.
+    QDef(
+      "table_incr_refresh",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_ivm_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 2L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.05, 2).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+        CommitLog.commit(root, 3L, "g=3",
+          removes = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=2/")))
+        def delta(fs: Seq[String], sign: Long) =
+          s.read.option("basePath", root)
+            .parquet(fs.map(f => s"$root/$f"): _*)
+            .groupBy((col("key") % 8L).as("bucket"))
+            .agg((count(lit(1)) * lit(sign)).as("dn"),
+              (sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)")) * lit(sign))
+                .cast("long").as("dcents"))
+        var view = delta(CommitLog.filesAsOf(root, 1L), 1L).localCheckpoint()
+        (2L to CommitLog.latestVersion(root)).foreach { v =>
+          val (adds, removes) = CommitLog.changesAt(root, v)
+          val parts = Seq(view) ++
+            (if (adds.nonEmpty) Seq(delta(adds, 1L)) else Nil) ++
+            (if (removes.nonEmpty) Seq(delta(removes, -1L)) else Nil)
+          view = parts.reduce(_ unionAll _)
+            .groupBy("bucket")
+            .agg(sum("dn").cast("long").as("dn"),
+              sum("dcents").cast("long").as("dcents"))
+            .localCheckpoint()
+        }
+        // IVM contract: the delta-folded view equals full recomputation.
+        val refreshed = view
+          .select(col("bucket"), col("dn").as("n"), col("dcents").as("cents"))
+        val full = s.read.option("basePath", root)
+          .parquet(CommitLog.filesAsOf(root, Long.MaxValue)
+            .map(f => s"$root/$f"): _*)
+          .groupBy((col("key") % 8L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("cents"))
+        def toMap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(toMap(refreshed) == toMap(full),
+          "incrementally refreshed view diverged from full recomputation")
+        refreshed.orderBy("bucket")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |    floor((o_totalprice * 1.05) * 1e2 + 0.5) / 1e2
+             |  FROM orders WHERE o_orderkey % 6 = 2)
+             |SELECT key % 8 AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

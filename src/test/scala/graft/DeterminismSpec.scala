@@ -104,8 +104,12 @@ class DeterminismSpec extends SparkSpec {
     "lc_bls",
     // round-10: log-resolved change-feed / restore rollups must hold
     // under any write partitioning of the staged generations (the
-    // table_vacuum risk class, plus file-set diffs from the log)
-    "table_changefeed", "table_restore")
+    // table_vacuum risk class, plus file-set diffs from the log); the
+    // signed-delta fold must land on identical integers under any
+    // delta/union merge order; the jaccard top-20 boundary must not
+    // move under wedge-join merge order (integer ppm + total tiebreak)
+    "table_changefeed", "table_restore", "table_incr_refresh",
+    "graph_jaccard")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -572,6 +572,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 3, s"expected 3 snapshot scans, saw $scans:\n$p")
   }
 
+  test("table_incr_refresh: the declared view reads the checkpointed fold — zero parquet scans") {
+    val p = plan("table_incr_refresh")
+    assert(p.contains("ExistingRDD"),
+      "refreshed view should read the checkpointed delta fold")
+    assert(!p.contains("Scan parquet"),
+      "IVM output re-scanned the table — refresh must be O(changed files), not a rescan")
+    assert(!p.contains("Join"), "view read must be join-free")
+  }
+
+  test("graph_jaccard: bounded top-k via rank pushdown; wedge counts aggregate map-side") {
+    val p = plan("graph_jaccard")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must push the limit into the sort (no full global sort)")
+    assert(p.contains("partial_count"),
+      "wedge/degree counts lost map-side partial aggregation")
+  }
+
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
     val p = plan("dedup_suffix")
     assert(p.contains("ExistingRDD"),
