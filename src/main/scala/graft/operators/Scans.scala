@@ -1171,6 +1171,73 @@ object Scans {
              |  FROM orders WHERE o_orderkey % 6 = 2)
              |SELECT key % 8 AS bucket, count(*) AS n,
              |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // OPTIMIZE — log-transactional compaction (Delta OPTIMIZE / Iceberg
+    // rewrite_data_files), completing the maintenance story the log
+    // enables: two commits land TWELVE small files (the streaming-append
+    // smell every lake accumulates); version 3 compacts them into ONE
+    // file and publishes add(compacted) + remove(all twelve) as a single
+    // atomic commit — readers never see a half-compacted table, time
+    // travel to the small-file snapshot still works (the removed files
+    // are tombstones inside retention), and `table_compact`'s in-place
+    // directory rewrite is superseded by a protocol transaction. The
+    // `require`s pin the file-count collapse (12 → 1) and that the
+    // compacted snapshot's rows are IDENTICAL to the pre-compaction
+    // snapshot (collected 1-row rollup compare, in-query); the declared
+    // output reads BOTH snapshots and must hash-match DuckDB's single
+    // reconstruction twice. At 100 TB compaction is the scan-efficiency
+    // lever (fewer, larger files ⇒ fewer tasks, better row-group stats);
+    // as a log transaction it is also SAFE under concurrent readers.
+    QDef(
+      "table_optimize",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_optimize_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 2L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .repartition(8, col("key")).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        o.where(col("o_orderkey") % 9L === 5L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .repartition(4, col("key")).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        val small = CommitLog.filesAsOf(root, 2L)
+        require(small.size == 12, s"small-file fixture drifted: ${small.size}")
+        // OPTIMIZE: rewrite the live set into one file, publish atomically.
+        CommitLog.readAsOf(s, root, 2L).select("key", "val")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+        CommitLog.commit(root, 3L, "g=3", removes = small)
+        val after = CommitLog.filesAsOf(root, 3L)
+        require(after.size == 1 && after.forall(_.startsWith("g=3/")),
+          s"compaction must leave exactly the compacted file: $after")
+        def rollup(v: Long) = CommitLog.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(v).as("as_of"), col("n"), col("sum_key"), col("sum_cents"))
+        // Row-identity across the compaction, checked in-query.
+        val pre = rollup(2L).collect().map(_.toSeq.drop(1)).toSeq
+        val post = rollup(3L).collect().map(_.toSeq.drop(1)).toSeq
+        require(pre == post,
+          s"compaction changed the table contents: $pre vs $post")
+        rollup(2L).unionAll(rollup(3L)).orderBy("as_of")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 9 = 5),
+             |roll AS (
+             |  SELECT count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM snap)
+             |SELECT CAST(2 AS BIGINT) AS as_of, n, sum_key, sum_cents FROM roll
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), n, sum_key, sum_cents FROM roll
+             |ORDER BY as_of""".stripMargin))
   )
 }

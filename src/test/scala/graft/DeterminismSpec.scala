@@ -109,7 +109,11 @@ class DeterminismSpec extends SparkSpec {
     // delta/union merge order; the jaccard top-20 boundary must not
     // move under wedge-join merge order (integer ppm + total tiebreak)
     "table_changefeed", "table_restore", "table_incr_refresh",
-    "graph_jaccard")
+    "graph_jaccard",
+    // compaction rewrite + rollup identity must hold under any write
+    // partitioning of the 12-file fixture and any scan order of the
+    // pre/post snapshots
+    "table_optimize")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -589,6 +589,14 @@ class PlanShapeSpec extends SparkSpec {
       "wedge/degree counts lost map-side partial aggregation")
   }
 
+  test("table_optimize: two snapshot rollups, one scan each — pre- and post-compaction reads share the plan shape") {
+    val p = plan("table_optimize")
+    assert(!p.contains("Join"), "snapshot rollups must not join")
+    assert(!p.contains("Window"), "snapshot rollups must not window")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected 2 snapshot scans (as-of 2 and 3), saw $scans:\n$p")
+  }
+
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
     val p = plan("dedup_suffix")
     assert(p.contains("ExistingRDD"),
