@@ -263,6 +263,45 @@ object Extensibility {
              |    30 + (i % 7) * 15 AS exptime,
              |    25000 + (i * 2654435761) % 500 AS zp_milli
              |  FROM generate_series(20000, 39999) t(i))
-             |GROUP BY band ORDER BY band""".stripMargin))
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // RUNTIME V2 filtering (SupportsRuntimeV2Filtering) — dynamic
+    // partition pruning for the custom store, the V2 analog of join_dpp's
+    // parquet path and the last cell of the connector pushdown matrix
+    // (static filter / column / aggregate / reported partitioning / SPJ /
+    // write / runtime filter). The calibration dim is tiny and FILTERED;
+    // Spark broadcasts it, re-uses the broadcast as a dynamic-pruning
+    // subquery, and delivers the surviving join keys to the scan as a
+    // runtime IN predicate — the scan then re-plans and reads ONLY the
+    // id-slices containing a calibration frame (4 of ~49; V2SourceSpec
+    // pins the reader count). Static pushdown prunes by what the query
+    // says, runtime filtering by what the DATA says: at 100 TB this is
+    // "scan the slices the dim actually touches", decided at execution
+    // time with zero query-code changes.
+    QDef(
+      "scan_v2_runtime_filter",
+      (s, dir) => {
+        import s.implicits._
+        // The dim must survive as a SCAN with a selective filter for the
+        // pruning rule to pattern-match — a local Seq would constant-fold
+        // to a LocalRelation and DPP would never inject (measured). The
+        // parquet staging is the same fixture discipline as join_dpp.
+        val dimPath = Scans.runTmpPath(s, "graft_rtf_dim_")
+        (1L to 8L).map(k => (k * 11111L, k % 2L)).toDF("cal_id", "rig")
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+        val cal = s.read.parquet(dimPath).where(col("rig") === 0L)
+        val frames = s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("slice", "2048").load()
+        frames
+          .join(broadcast(cal), col("frame_id") === col("cal_id"))
+          .select(col("frame_id"), col("band"), col("exptime"))
+          .orderBy("frame_id")
+      },
+      Some("""SELECT i AS frame_id,
+             |  ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |  30 + (i % 7) * 15 AS exptime
+             |FROM generate_series(0, 99999) t(i)
+             |WHERE i IN (22222, 44444, 66666, 88888)
+             |ORDER BY i""".stripMargin))
   )
 }

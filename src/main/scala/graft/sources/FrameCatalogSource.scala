@@ -6,8 +6,9 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources._
@@ -80,6 +81,11 @@ object FrameCatalogSource {
   /** Readers actually constructed (≡ partitions actually scanned). Local-
     * mode observable for the pruning spec; a cluster uses scan metrics. */
   val readersCreated = new AtomicInteger(0)
+
+  /** Render of the most recent runtime-filter delivery
+    * ([[SupportsRuntimeV2Filtering]]) — spec observable. */
+  val lastRuntimeFilter =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Rows actually handed to Spark across all readers — the observable the
     * aggregate-pushdown spec pins: a pushed rollup materializes one row per
@@ -197,16 +203,50 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long,
 }
 
 private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // Shown verbatim in the physical plan — the plan-shape pin reads the
   // pushed window and the pruned column list from here.
   override def description(): String =
     s"GraftFrameCatalogScan lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
+
+  // ---- Runtime filtering (SupportsRuntimeV2Filtering) ------------------
+  // Dynamic partition pruning for a V2 store: when the catalog joins a
+  // small filtered dimension on frame_id, Spark executes the dim first,
+  // reuses its broadcast, and delivers the join keys here as an IN
+  // predicate AT RUNTIME; planInputPartitions is then re-planned and only
+  // the id-slices containing a surviving key are read. Static pushdown
+  // prunes by what the QUERY says; this prunes by what the DATA says —
+  // at 100 TB, "scan the 4 slices the calibration set touches" instead
+  // of the whole window. V2SourceSpec pins the reader count.
+  private var keptIds: Option[Set[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("frame_id"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    FrameCatalogSource.lastRuntimeFilter.set(
+      predicates.map(p => s"${p.name()}${p.children().mkString("(", ",", ")")}")
+        .mkString("; "))
+    val sets: Seq[Set[Long]] = predicates.toSeq.collect {
+      case p if (p.name() == "IN" || p.name() == "=") &&
+          p.children().headOption.exists {
+            case r: NamedReference => r.fieldNames().sameElements(Array("frame_id"))
+            case _                 => false
+          } =>
+        p.children().drop(1).toSeq.collect {
+          case l: Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
+            l.value().asInstanceOf[java.lang.Long].longValue()
+        }.toSet
+    }
+    if (sets.nonEmpty) keptIds = Some(sets.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     Iterator.range(lo, hi, slice)
-      .map(s => FramePartition(s, math.min(s + slice, hi)): InputPartition)
+      .map(s => FramePartition(s, math.min(s + slice, hi)))
+      .filter(p => keptIds.forall(_.exists(v => v >= p.start && v < p.end)))
+      .map(p => p: InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FrameReaderFactory(required.fieldNames)

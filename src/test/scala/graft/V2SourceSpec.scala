@@ -120,6 +120,32 @@ class V2SourceSpec extends SparkSpec {
     assert(j.count() === 20000L)
   }
 
+  test("runtime V2 filtering: the dim's join keys prune scan partitions at execution time") {
+    val df = SparkEntry.queries("scan_v2_runtime_filter")(spark, sf)
+    graft.sources.FrameCatalogSource.readersCreated.set(0)
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    val rows = df.collect()
+    assert(rows.length === 4, s"expected the 4 even-rig calibration frames, got ${rows.length}")
+    // The 4 surviving cal_ids (22222, 44444, 66666, 88888) land in 4
+    // distinct 2048-id slices; without runtime filtering the scan plans
+    // ceil(100000/2048) = 49 slices. The declared query's global sort adds
+    // a range-partitioner SAMPLING pass that executes the join child once
+    // more (measured: 2× exactly), so the counters see 2 passes over the 4
+    // pruned slices — still an order of magnitude under one unpruned pass.
+    val readers = graft.sources.FrameCatalogSource.readersCreated.get()
+    assert(readers === 8,
+      s"runtime IN-filter should prune to 4 slice readers × 2 passes, saw $readers")
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 2L * 4L * 2048L,
+      "pruned scan should enumerate only the 4 surviving slices per pass")
+    // And the runtime filter itself was delivered and parsed.
+    val rt = graft.sources.FrameCatalogSource.lastRuntimeFilter.get()
+    assert(rt.startsWith("IN(frame_id") && Seq("22222", "44444", "66666", "88888")
+      .forall(rt.contains), s"unexpected runtime predicate: $rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the V2 scan:\n$plan")
+  }
+
   test("unsupported aggregate (sum over periodic column) falls back to the row scan") {
     val df = table.where(col("frame_id") < 1000L)
       .groupBy("band").agg(sum("exptime").as("s"))
