@@ -215,6 +215,27 @@ class CommitLogSpec extends SparkSpec {
       "a rejected commit must publish nothing")
   }
 
+  test("change feed edges: version 1 is all inserts; a pure append emits no removes; " +
+      "a restore surfaces as the inverse of the commit it undoes") {
+    val root = freshTable() // v1 adds g=1, v2 appends g=2
+    val (a1, r1) = CommitLog.changesAt(root, 1L)
+    assert(a1.nonEmpty && a1.forall(_.startsWith("g=1/")) && r1.isEmpty,
+      s"version 1's feed must be exactly its adds: ($a1, $r1)")
+    val (a2, r2) = CommitLog.changesAt(root, 2L)
+    assert(a2.forall(_.startsWith("g=2/")) && r2.isEmpty,
+      "a pure append's feed must contain no removes")
+    // v3 removes g=1; v4 restores it via commitFiles — the feed of the
+    // restore is the inverse of the feed of the removal.
+    CommitLog.commitFiles(root, 3L, adds = Nil, removes = a1)
+    val (a3, r3) = CommitLog.changesAt(root, 3L)
+    assert(a3.isEmpty && r3.toSet === a1.toSet)
+    CommitLog.commitFiles(root, 4L, adds = a1, removes = Nil)
+    val (a4, r4) = CommitLog.changesAt(root, 4L)
+    assert(a4.toSet === a1.toSet && r4.isEmpty,
+      "restore must re-add exactly what the removal dropped")
+    assert(CommitLog.filesAsOf(root, 4L).toSet === CommitLog.filesAsOf(root, 2L).toSet)
+  }
+
   test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {
     val root = freshTable()
     def snap(v: Long): Map[Long, Double] =

@@ -126,6 +126,23 @@ class FrameStoreSpec extends SparkSpec {
     assert(back.map(r => r.getLong(0) -> r.getString(1)).toSeq === Seq(1L -> "a"))
   }
 
+  test("a truncate-commit eagerly reclaims the files of the manifest it replaced") {
+    val t = "fs_spec_truncate_gc"
+    FrameStore.drop(t)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("table", t).mode("overwrite").save()
+    val firstFiles = graft.sources.FrameStore.snapshot(t).map(_.path)
+    assert(firstFiles.nonEmpty)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format(fmt).option("table", t).mode("overwrite").save()
+    firstFiles.foreach { p =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"replaced staged file survived the truncate swap: $p")
+    }
+    // The new snapshot is intact and readable.
+    assert(spark.read.format(fmt).option("table", t).load().count() === 1L)
+  }
+
   test("write plan is a V2 write; read plan scans the committed snapshot") {
     val t = "fs_spec_plan"
     FrameStore.drop(t)
