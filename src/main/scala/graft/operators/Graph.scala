@@ -533,6 +533,68 @@ object Graph {
              |JOIN common c ON c.u = co.a AND c.v = co.b
              |JOIN deg d1 ON d1.a = co.a
              |JOIN deg d2 ON d2.a = co.b
-             |ORDER BY jacc_ppm DESC, u, v LIMIT 20""".stripMargin))
+             |ORDER BY jacc_ppm DESC, u, v LIMIT 20""".stripMargin)),
+
+    // Local clustering-coefficient distribution — how CLIQUISH each node's
+    // neighborhood is (cc(v) = 2·t(v) / d(v)(d(v)−1)), the community-
+    // density signal that separates organic neighborhoods from spam rings
+    // and near-duplicate clusters in a curation graph. One oriented
+    // two-hop join + one closing equi-join enumerates triangles (u<v<w,
+    // each exactly once — the graph_triangles shuffle), one union credits
+    // each member node, a partial-agg count + left join onto the degree
+    // table scores every node with d ≥ 2 (zero-triangle nodes INCLUDED at
+    // cc = 0 — dropping them would misreport the distribution), and the
+    // output is the integer-exact ppm decile histogram: cc as
+    // (2e6·t) div (d(d−1)), bucketed by div 1e5 — BIGINT floor-division
+    // in both engines, no FP anywhere. At 100 TB the triangle fanout is
+    // bounded by the same support-threshold sparsification as the rest of
+    // the family, and the histogram is a partial-agg rollup over the
+    // node-scored table, never the raw pair stream.
+    QDef(
+      "graph_cluster_coeff",
+      (s, dir) => {
+        val co = coEdges(s, dir).localCheckpoint()
+        val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+        val tri = co.as("e1").join(co.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+          .join(co.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
+        val triPerNode = tri.select(col("u").as("node"))
+          .unionAll(tri.select(col("v").as("node")))
+          .unionAll(tri.select(col("w").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("t"))
+        deg.where(col("d") >= 2L)
+          .join(triPerNode, Seq("node"), "left")
+          .select(col("node"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+          .withColumn("cc_ppm", expr("(2000000 * t) div (d * (d - 1))"))
+          .withColumn("bucket", expr("cc_ppm div 100000"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum("t").cast("long").as("sum_tri"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $coSql,
+             |und AS MATERIALIZED (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co),
+             |deg AS MATERIALIZED (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM co e1 JOIN co e2 ON e1.b = e2.a
+             |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tpn AS MATERIALIZED (
+             |  SELECT node, count(*) AS t FROM (
+             |    SELECT u AS node FROM tri
+             |    UNION ALL SELECT v FROM tri
+             |    UNION ALL SELECT w FROM tri)
+             |  GROUP BY 1),
+             |cc AS (
+             |  SELECT deg.node, coalesce(tpn.t, 0) AS t,
+             |    (2000000 * coalesce(tpn.t, 0)) // (deg.d * (deg.d - 1)) AS cc_ppm
+             |  FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+             |  WHERE deg.d >= 2)
+             |SELECT cc_ppm // 100000 AS bucket, count(*) AS n_nodes,
+             |  CAST(sum(t) AS BIGINT) AS sum_tri,
+             |  min(node) AS min_node, max(node) AS max_node
+             |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

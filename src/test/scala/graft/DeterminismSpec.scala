@@ -112,8 +112,9 @@ class DeterminismSpec extends SparkSpec {
     "graph_jaccard",
     // compaction rewrite + rollup identity must hold under any write
     // partitioning of the 12-file fixture and any scan order of the
-    // pre/post snapshots
-    "table_optimize")
+    // pre/post snapshots; the cc histogram's integer buckets must land
+    // identically under any triangle-join merge order
+    "table_optimize", "graph_cluster_coeff")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -597,6 +597,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 2, s"expected 2 snapshot scans (as-of 2 and 3), saw $scans:\n$p")
   }
 
+  test("graph_cluster_coeff: histogram rolls up node scores with map-side partials; no window") {
+    val p = plan("graph_cluster_coeff")
+    assert(!p.contains("Window"), "the decile histogram must not window")
+    assert(p.contains("partial_count"),
+      "triangle credits / degree counts lost map-side partial aggregation")
+  }
+
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
     val p = plan("dedup_suffix")
     assert(p.contains("ExistingRDD"),
