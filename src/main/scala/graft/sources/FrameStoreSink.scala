@@ -262,7 +262,7 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator.collect {
       case FrameStoreCommit(Some(p), n, b) => StagedFile(p, n, b)
-      case m @ FrameStoreCommit(None, _, _) => null
+      case FrameStoreCommit(None, _, _) => null // empty task: nothing staged
       case other => throw new IllegalStateException(s"foreign commit message $other")
     }.filter(_ != null).toVector
     try FrameStore.publish(tname, schema, files, truncate)
