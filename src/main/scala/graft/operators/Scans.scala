@@ -26,13 +26,9 @@ object Scans {
       s: org.apache.spark.sql.SparkSession, prefix: String): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 3600L * 1000L
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(): Unit
-    }
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
-      .foreach(del)
+      .foreach(graft.FsUtil.deleteRecursively)
     val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     s"${tmp.getPath}/$prefix$run"
   }
@@ -46,11 +42,7 @@ object Scans {
   private[operators] def freshRunTmpPath(
       s: org.apache.spark.sql.SparkSession, prefix: String): String = {
     val p = runTmpPath(s, prefix)
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(): Unit
-    }
-    del(new java.io.File(p))
+    graft.FsUtil.deleteRecursively(new java.io.File(p))
     p
   }
 

@@ -228,16 +228,33 @@ private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
     FrameCatalogSource.lastRuntimeFilter.set(
       predicates.map(p => s"${p.name()}${p.children().mkString("(", ",", ")")}")
         .mkString("; "))
-    val sets: Seq[Set[Long]] = predicates.toSeq.collect {
-      case p if (p.name() == "IN" || p.name() == "=") &&
-          p.children().headOption.exists {
-            case r: NamedReference => r.fieldNames().sameElements(Array("frame_id"))
-            case _                 => false
-          } =>
-        p.children().drop(1).toSeq.collect {
-          case l: Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
-            l.value().asInstanceOf[java.lang.Long].longValue()
-        }.toSet
+    // A runtime filter is an OPTIMIZATION and must stay conservative: a
+    // predicate is applied only when EVERY value child parses to a key —
+    // dropping an unparseable value (a cast-wrapped or non-long literal)
+    // would over-prune and silently lose rows, which is worse than not
+    // pruning at all. Unrecognized predicates are ignored wholesale.
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+      e match {
+        case l: Literal[_] => l.value() match {
+          case v: java.lang.Long    => Some(v.longValue())
+          case v: java.lang.Integer => Some(v.longValue())
+          case v: java.lang.Short   => Some(v.longValue())
+          case _                    => None
+        }
+        case _ => None
+      }
+    val sets: Seq[Set[Long]] = predicates.toSeq.flatMap { p =>
+      val onFrameId = (p.name() == "IN" || p.name() == "=") &&
+        p.children().headOption.exists {
+          case r: NamedReference => r.fieldNames().sameElements(Array("frame_id"))
+          case _                 => false
+        }
+      if (!onFrameId) None
+      else {
+        val vals = p.children().drop(1).toSeq.map(longOf)
+        if (vals.nonEmpty && vals.forall(_.isDefined)) Some(vals.flatten.toSet)
+        else None // partial parse ⇒ skip the whole predicate, prune nothing
+      }
     }
     if (sets.nonEmpty) keptIds = Some(sets.reduce(_ intersect _))
   }

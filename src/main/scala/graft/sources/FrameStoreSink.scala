@@ -105,7 +105,12 @@ object FrameStore {
     * shape. Throws (= fails the commit) on mismatch; the caller cleans up
     * its staged files before rethrowing. */
   private[sources] def publish(name: String, schema: StructType,
-      files: Vector[StagedFile], truncate: Boolean): Unit = {
+      files: Vector[StagedFile], truncate: Boolean): Unit = synchronized {
+    // One lock around validate → swap → reclaim: two commits racing the
+    // same table must serialize, or an append could validate against a
+    // snapshot a concurrent truncate is about to replace (check-then-act)
+    // and land files of the wrong shape on the new manifest. Commit is
+    // O(tasks) metadata, so the driver-side lock costs nothing.
     tables.get(name) match {
       case Some((committed, _)) if !truncate
           && schemaShape(committed) != schemaShape(schema) =>
@@ -192,14 +197,30 @@ private[sources] object FrameStoreStaging {
     * ColumnarBatch behind the InternalRow interface, which a V2
     * PartitionReader must not leak, so it is scoped off for the build). */
   def buildReadFunc(schema: StructType): PartitionedFile => Iterator[InternalRow] = {
-    val session = SparkSession.active
-    val key = "spark.sql.parquet.enableVectorizedReader"
-    val prev = session.conf.get(key)
-    session.conf.set(key, "false")
-    try new ParquetFileFormat().buildReaderWithPartitionValues(
-      session, schema, new StructType(), schema, Nil, Map.empty,
-      session.sessionState.newHadoopConf())
-    finally session.conf.set(key, prev)
+    // The vectorized flag can only be scoped through the session conf, so
+    // the set → build → restore window is serialized (two FrameStore scans
+    // planning concurrently must not capture each other's restore), and the
+    // returned function defensively unrolls a ColumnarBatch anyway — the
+    // vectorized reader hands batches through the InternalRow interface,
+    // which a V2 PartitionReader must never leak.
+    val rawFunc = synchronized {
+      val session = SparkSession.active
+      val key = "spark.sql.parquet.enableVectorizedReader"
+      val prev = session.conf.get(key)
+      session.conf.set(key, "false")
+      try new ParquetFileFormat().buildReaderWithPartitionValues(
+        session, schema, new StructType(), schema, Nil, Map.empty,
+        session.sessionState.newHadoopConf())
+      finally session.conf.set(key, prev)
+    }
+    file => rawFunc(file).flatMap { (out: Any) =>
+      out match {
+        case cb: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          import scala.jdk.CollectionConverters._
+          cb.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }
+    }
   }
 }
 
@@ -251,13 +272,8 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FrameStoreWriterFactory(schema, stagingDir)
 
-  private def deleteStaging(): Unit = {
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(): Unit
-    }
-    del(new java.io.File(stagingDir))
-  }
+  private def deleteStaging(): Unit =
+    graft.FsUtil.deleteRecursively(new java.io.File(stagingDir))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator.collect {
@@ -290,7 +306,17 @@ private class FrameStoreWriterFactory(schema: StructType, stagingDir: String)
       private var rows = 0L
       private var writer: ParquetWriter[InternalRow] = null
       override def write(row: InternalRow): Unit = {
-        if (writer == null) writer = FrameStoreStaging.openWriter(path, schema)
+        if (writer == null) {
+          // The factory's staging dir exists for the life of the job; if
+          // it is gone the driver already aborted — fail fast rather than
+          // let the parquet writer recreate the directory and resurrect
+          // staged debris the abort claims to have wiped (straggler-task
+          // race).
+          if (!Files.isDirectory(Paths.get(stagingDir)))
+            throw new IllegalStateException(
+              s"write after job abort: staging dir $stagingDir is gone")
+          writer = FrameStoreStaging.openWriter(path, schema)
+        }
         writer.write(row)
         rows += 1L
       }

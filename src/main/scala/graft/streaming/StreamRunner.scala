@@ -28,13 +28,9 @@ object StreamRunner {
     // dev loop monotonically fills java.io.tmpdir.
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 3600L * 1000L
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(): Unit
-    }
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
-      .foreach(del)
+      .foreach(graft.FsUtil.deleteRecursively)
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
