@@ -515,6 +515,61 @@ object Windows {
              |  FROM m)
              |SELECT from_type, to_type, n, row_total,
              |  floor((CAST(n AS DOUBLE) / row_total) * 1e6 + 0.5) / 1e6 AS p
-             |FROM r ORDER BY from_type, to_type""".stripMargin))
+             |FROM r ORDER BY from_type, to_type""".stripMargin)),
+
+    // EWMA with EXACT arithmetic — the recency-weighted smoother every
+    // monitoring/feature pipeline wants, built so no floating point ever
+    // enters: α = 1/2 makes the weights powers of two (1 << k — exact
+    // BIGINT in both engines, where pow() would drift in low bits), flux
+    // rides as integer cents, and the weighted mean is one BIGINT
+    // floor-division of two exact sums. Per user: rank events by (time,
+    // id), keep the FINAL event, attach its trailing 16-event window with
+    // one bounded self-join (fan-out ≤ 16 per user — a prefiltered join,
+    // not a per-row window over the stream), fold Σ(cents·2^k) and
+    // Σ(2^k), divide once. Short histories normalize by the weights
+    // actually present (the truncated-series correction). values > 0
+    // keeps every sum positive — Spark `div` truncates while DuckDB `//`
+    // floors, and positivity makes them identical. At 100 TB: the
+    // expensive part is one rank per user (partitioned window) and a
+    // 16-row join per OUTPUT row, not per event.
+    QDef(
+      "ts_ewma",
+      (s, dir) => {
+        val r = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"),
+            unix_timestamp(col("ts")).as("t"), col("event_id"),
+            expr("cast(floor(value * 1e2 + 0.5) as bigint)").as("cents"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("t"), col("event_id")))
+            .cast("long"))
+        val last = r.groupBy("user_id").agg(max("rn").as("rn"))
+        r.select(col("user_id"), col("rn").as("rn2"), col("cents"))
+          .join(last, Seq("user_id"))
+          .where(col("rn2") > col("rn") - 16L && col("rn2") <= col("rn"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_win"),
+            expr("""cast(
+                (1000 * sum(cents * shiftleft(cast(1 as bigint), cast(15 - (rn - rn2) as int))))
+                div sum(shiftleft(cast(1 as bigint), cast(15 - (rn - rn2) as int)))
+              as bigint)""").as("ewma_mc"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE value > 0),
+             |last AS (SELECT user_id, max(rn) AS rn FROM r GROUP BY 1),
+             |win AS (
+             |  SELECT r.user_id, r.cents, last.rn - r.rn AS back
+             |  FROM r JOIN last ON last.user_id = r.user_id
+             |  WHERE r.rn > last.rn - 16 AND r.rn <= last.rn)
+             |SELECT user_id, count(*) AS n_win,
+             |  CAST((1000 * sum(cents * (CAST(1 AS BIGINT) << CAST(15 - back AS INT))))
+             |    // sum(CAST(1 AS BIGINT) << CAST(15 - back AS INT)) AS BIGINT) AS ewma_mc
+             |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

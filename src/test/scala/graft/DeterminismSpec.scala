@@ -114,7 +114,11 @@ class DeterminismSpec extends SparkSpec {
     // partitioning of the 12-file fixture and any scan order of the
     // pre/post snapshots; the cc histogram's integer buckets must land
     // identically under any triangle-join merge order
-    "table_optimize", "graph_cluster_coeff")
+    "table_optimize", "graph_cluster_coeff",
+    // the EWMA's integer shift-weighted sums must land identically under
+    // any join/merge order (all-BIGINT, so this is a true invariance, not
+    // an FP hope)
+    "ts_ewma")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -604,6 +604,17 @@ class PlanShapeSpec extends SparkSpec {
       "triangle credits / degree counts lost map-side partial aggregation")
   }
 
+  test("ts_ewma: trailing window attaches via a bounded join, not a per-event sliding frame") {
+    val p = plan("ts_ewma")
+    // Exactly one Window (the per-user ranking); the 16-event frame itself
+    // must NOT be a second window — it rides the prefiltered self-join.
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 2, s"expected only the ranking window (saw $windows Window operators):\n$p")
+    assert(p.contains("Join"), "trailing frame should attach via the bounded join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "EWMA sums lost map-side partial aggregation")
+  }
+
   test("dedup_suffix: spectrum rollup scans the checkpointed rounds, not a replayed doubling chain") {
     val p = plan("dedup_suffix")
     assert(p.contains("ExistingRDD"),
