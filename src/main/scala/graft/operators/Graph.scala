@@ -42,6 +42,52 @@ object Graph {
        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= ${graft.GraftConfig.TriangleSupport})""".stripMargin
 
+  /** Degree-ordered oriented edge frame: each undirected edge points from
+    * its lower-(degree, id) endpoint, so every triangle is enumerated
+    * exactly once from its lowest vertex and per-vertex wedge work is
+    * bounded by out-degree² — the arboricity bound that keeps hub vertices
+    * from exploding the wedge join (id-only orientation leaves a
+    * high-degree hub with ALL its wedges in one join group; degree
+    * ordering splits them across tasks). The (degree, id) tuple rides
+    * along as a struct and orders lexicographically — no global rank
+    * window needed. Shared by `graph_triangles` and `graph_cluster_coeff`
+    * (both enumerate the same triangle set; orientation only affects WHERE
+    * each triangle is counted from, so the id-ordered oracles are
+    * unaffected). Columns: vs (source), vt (target), kt (target's
+    * (d, v) struct, the wedge-dedup key). */
+  private def orientedEdges(co: DataFrame): DataFrame = {
+    val deg = co.select(col("a").as("v"))
+      .unionAll(co.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    def dv(d: String, v: String) =
+      struct(col(d).as("d"), col(v).as("v"))
+    val aLow = dv("da", "a") < dv("db", "b")
+    co
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aLow, col("a")).otherwise(col("b")).as("vs"),
+        when(aLow, col("b")).otherwise(col("a")).as("vt"),
+        when(aLow, dv("db", "b")).otherwise(dv("da", "a")).as("kt"))
+  }
+
+  /** Triangle enumeration from a (checkpointed) oriented edge frame: the
+    * wedge pass pairs out-edges of a shared low vertex, the closing pass
+    * is one equi-join back onto the edge frame — each triangle exactly
+    * once, emitted id-sorted as (s1 < s2 < s3). */
+  private def triangles(e: DataFrame): DataFrame = {
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.vs") === col("e2.vs") && col("e1.kt") < col("e2.kt"))
+      .select(col("e1.vs").as("v1"), col("e1.vt").as("v2"),
+        col("e2.vt").as("v3"))
+    wedges
+      .join(e.select(col("vs").as("v2"), col("vt").as("v3")), Seq("v2", "v3"))
+      .select(array_sort(array(col("v1"), col("v2"), col("v3"))).as("t"))
+      .select(element_at(col("t"), 1).as("s1"),
+        element_at(col("t"), 2).as("s2"),
+        element_at(col("t"), 3).as("s3"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Weighted PageRank over the customer-nation → supplier-nation trade
@@ -237,32 +283,8 @@ object Graph {
     QDef(
       "graph_triangles",
       (s, dir) => {
-        val co = coEdges(s, dir)
-        val deg = co.select(col("a").as("v"))
-          .unionAll(co.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("d"))
-        def dv(d: String, v: String) =
-          struct(col(d).as("d"), col(v).as("v"))
-        val aLow = dv("da", "a") < dv("db", "b")
-        val e = co
-          .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-          .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-          .select(
-            when(aLow, col("a")).otherwise(col("b")).as("vs"),
-            when(aLow, col("b")).otherwise(col("a")).as("vt"),
-            when(aLow, dv("db", "b")).otherwise(dv("da", "a")).as("kt"))
-          .localCheckpoint()
-        val wedges = e.as("e1").join(e.as("e2"),
-            col("e1.vs") === col("e2.vs") && col("e1.kt") < col("e2.kt"))
-          .select(col("e1.vs").as("v1"), col("e1.vt").as("v2"),
-            col("e2.vt").as("v3"))
-        wedges
-          .join(e.select(col("vs").as("v2"), col("vt").as("v3")), Seq("v2", "v3"))
-          .select(array_sort(array(col("v1"), col("v2"), col("v3"))).as("t"))
-          .select(element_at(col("t"), 1).as("s1"),
-            element_at(col("t"), 2).as("s2"),
-            element_at(col("t"), 3).as("s3"))
-          .orderBy("s1", "s2", "s3")
+        val e = orientedEdges(coEdges(s, dir)).localCheckpoint()
+        triangles(e).orderBy("s1", "s2", "s3")
       },
       Some(s"""WITH $coSql
               |SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
@@ -538,30 +560,34 @@ object Graph {
     // Local clustering-coefficient distribution — how CLIQUISH each node's
     // neighborhood is (cc(v) = 2·t(v) / d(v)(d(v)−1)), the community-
     // density signal that separates organic neighborhoods from spam rings
-    // and near-duplicate clusters in a curation graph. One oriented
-    // two-hop join + one closing equi-join enumerates triangles (u<v<w,
-    // each exactly once — the graph_triangles shuffle), one union credits
-    // each member node, a partial-agg count + left join onto the degree
-    // table scores every node with d ≥ 2 (zero-triangle nodes INCLUDED at
-    // cc = 0 — dropping them would misreport the distribution), and the
-    // output is the integer-exact ppm decile histogram: cc as
-    // (2e6·t) div (d(d−1)), bucketed by div 1e5 — BIGINT floor-division
-    // in both engines, no FP anywhere. At 100 TB the triangle fanout is
-    // bounded by the same support-threshold sparsification as the rest of
-    // the family, and the histogram is a partial-agg rollup over the
-    // node-scored table, never the raw pair stream.
+    // and near-duplicate clusters in a curation graph. Triangles come from
+    // the SHARED degree-ordered enumeration (`orientedEdges`/`triangles` —
+    // the graph_triangles shuffle): each triangle exactly once from its
+    // lowest-(degree, id) vertex, so a high-degree hub's wedges split
+    // across tasks instead of concentrating in one join group (id-only
+    // orientation would leave a small-id hub with ALL its wedges — the
+    // exact hazard the oriented frame exists to solve). One union credits
+    // each member node from the already-sorted (s1, s2, s3) triple, a
+    // partial-agg count + left join onto the degree table scores every
+    // node with d ≥ 2 (zero-triangle nodes INCLUDED at cc = 0 — dropping
+    // them would misreport the distribution), and the output is the
+    // integer-exact ppm decile histogram: cc as (2e6·t) div (d(d−1)),
+    // bucketed by div 1e5 — BIGINT floor-division in both engines, no FP
+    // anywhere. At 100 TB the triangle fanout is bounded by the same
+    // support-threshold sparsification as the rest of the family, and the
+    // histogram is a partial-agg rollup over the node-scored table, never
+    // the raw pair stream. Oracle unchanged: orientation only affects
+    // WHERE a triangle is counted from, not the triangle set.
     QDef(
       "graph_cluster_coeff",
       (s, dir) => {
         val co = coEdges(s, dir).localCheckpoint()
         val und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
         val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
-        val tri = co.as("e1").join(co.as("e2"), col("e1.b") === col("e2.a"))
-          .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
-          .join(co.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
-        val triPerNode = tri.select(col("u").as("node"))
-          .unionAll(tri.select(col("v").as("node")))
-          .unionAll(tri.select(col("w").as("node")))
+        val tri = triangles(orientedEdges(co).localCheckpoint())
+        val triPerNode = tri.select(col("s1").as("node"))
+          .unionAll(tri.select(col("s2").as("node")))
+          .unionAll(tri.select(col("s3").as("node")))
           .groupBy("node").agg(count(lit(1)).as("t"))
         deg.where(col("d") >= 2L)
           .join(triPerNode, Seq("node"), "left")

@@ -191,6 +191,71 @@ object CommitLog {
   def commitVersionExists(root: String, version: Long): Boolean =
     Files.exists(logDir(root).resolve(f"$version%08d.json"))
 
+  /** Files REMOVED by commits in `(since, until]` — the winning writers'
+    * remove actions a losing optimistic transaction must re-validate its
+    * read set against. O(tail) metadata: reads only the commit files of
+    * the raced window, never a checkpoint or the data. */
+  private[graft] def removedBetween(root: String, since: Long,
+      until: Long): Set[String] = {
+    val (commits, _) = listLog(root)
+    val out = Set.newBuilder[String]
+    commits.foreach { case (v, p) =>
+      if (v > since && v <= until)
+        new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach {
+          case l @ RemoveLine() =>
+            val PathField(path) = l: @unchecked
+            out += path
+          case _ => ()
+        }
+    }
+    out.result()
+  }
+
+  /** Snapshot-isolation commit with LOGICAL CONFLICT CHECKING — the Delta/
+    * Iceberg conflict-checker step [[commitRetrying]] deliberately lacks
+    * (that loop re-resolves removes per attempt, which is CORRECT for
+    * complete-mode replace writers whose every batch is a full
+    * recomputation — last-writer-wins IS the semantics — but would let two
+    * concurrent compactions both land, the second resurrecting files the
+    * first removed).
+    *
+    * The transaction declares the snapshot version it READ (`readVersion`)
+    * and the files it read and intends to logically delete (`reads` — for
+    * a compaction/rewrite this is exactly its remove-set). On losing the
+    * version race it does NOT blindly retry: it first re-reads the winning
+    * commit(s) in `(readVersion, lost..]` and ABORTS with
+    * [[java.util.ConcurrentModificationException]] if any winner removed a
+    * file in the transaction's read/remove set — the winner invalidated
+    * this transaction's input, and re-committing would publish a rewrite
+    * of files that no longer exist (double-compaction resurrection).
+    * Winners whose actions are DISJOINT (a concurrent append, a rewrite of
+    * other files) commute, and the retry lands at the next version with
+    * the SAME action list. Returns the version won. */
+  def commitChecked(root: String, genDir: String, readVersion: Long,
+      reads: Seq[String], maxAttempts: Int = 64): Long = {
+    val readSet = reads.toSet
+    var v = readVersion + 1L
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      if (tryCommit(root, v, genDir, removes = reads)) return v
+      // Lost the race for `v`: someone committed it (and possibly more).
+      // Re-validate before retrying above them.
+      val latest = latestVersion(root)
+      val conflicting = removedBetween(root, readVersion, latest)
+        .intersect(readSet)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit on $root read snapshot $readVersion but concurrent " +
+            s"commits (through $latest) removed ${conflicting.size} file(s) " +
+            s"of its read set (e.g. ${conflicting.toSeq.sorted.head}) — " +
+            "aborting instead of resurrecting rewritten files")
+      attempts += 1
+      v = math.max(v + 1L, latest + 1L)
+    }
+    throw new IllegalStateException(
+      s"commit on $root lost $maxAttempts straight races — giving up")
+  }
+
   private val PathField = (""""path"\s*:\s*"([^"]+)"""").r.unanchored
   private val AddLine = (""""add"\s*:""").r.unanchored
   private val RemoveLine = (""""remove"\s*:""").r.unanchored
@@ -347,8 +412,12 @@ object CommitLog {
     * version-count retention standing in for wall-clock retention (the
     * fixture protocol is deterministic; production keys this on commit
     * timestamps). Default 0 = reclaim immediately, the demo-friendly
-    * setting; CommitLogSpec exercises a real window. Returns (live kept,
-    * files removed). Driver-side metadata + file ops; on a cluster the
+    * setting; CommitLogSpec exercises a real window. Returns (live files
+    * kept, files removed): the first element counts files of the CURRENT
+    * snapshot present under this root — retention-protected tombstones are
+    * retained but deliberately NOT counted as live (they serve only
+    * in-window as-of readers), and a clone's absolute references live
+    * outside the root. Driver-side metadata + file ops; on a cluster the
     * deletes fan out, but the decision set is still log-vs-listing. Empty
     * directories left behind are pruned too (`_log` never touched). */
   def vacuum(root: String, retainVersions: Long = 0L): (Long, Long) = {
@@ -399,6 +468,6 @@ object CommitLog {
           }
         }
     } finally ds.close()
-    (all.size.toLong - dead.size.toLong, dead.size.toLong)
+    (all.count(live).toLong, dead.size.toLong)
   }
 }

@@ -129,8 +129,13 @@ class CommitLogSpec extends SparkSpec {
     // …but as-of-2 still resolves them (time travel inside retention).
     assert(CommitLog.filesAsOf(root, 2L).toSet.intersect(g1Files.toSet) === g1Files.toSet)
     // Vacuum with a retention window keeps the tombstoned files on disk…
-    val (_, removed1) = CommitLog.vacuum(root, retainVersions = 10L)
+    val (kept1, removed1) = CommitLog.vacuum(root, retainVersions = 10L)
     assert(removed1 === 0L, "retention window must protect tombstoned files")
+    // `kept` counts LIVE files only: retention-protected tombstones are
+    // retained on disk but are not part of the current snapshot, so they
+    // must not inflate the live count.
+    assert(kept1 === CommitLog.filesAsOf(root, Long.MaxValue).size.toLong,
+      "vacuum's kept count must be the live set, not live + protected tombstones")
     g1Files.foreach(f => assert(Files.exists(Paths.get(root, f)),
       s"vacuum inside retention deleted tombstoned file $f"))
     assert(CommitLog.readAsOf(spark, root, 2L).count() === 5L, // g=1 (3) + g=2 (2)
@@ -234,6 +239,80 @@ class CommitLogSpec extends SparkSpec {
     assert(a4.toSet === a1.toSet && r4.isEmpty,
       "restore must re-add exactly what the removal dropped")
     assert(CommitLog.filesAsOf(root, 4L).toSet === CommitLog.filesAsOf(root, 2L).toSet)
+  }
+
+  test("conflict checker: of two concurrent compactions of the same files, " +
+      "exactly one lands and the loser aborts instead of resurrecting removes") {
+    val root = freshTable() // v1 adds g=1, v2 appends g=2
+    val s0 = spark
+    import s0.implicits._
+    val readVersion = CommitLog.latestVersion(root) // both writers read v2
+    val target = CommitLog.filesAsOf(root, readVersion).filter(_.startsWith("g=1/"))
+    assert(target.nonEmpty)
+    // Both writers stage a rewrite of g=1's files against snapshot v2.
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=4")
+    // Writer A wins the race at v3.
+    val vA = CommitLog.commitChecked(root, "g=3", readVersion, reads = target)
+    assert(vA === 3L)
+    // Writer B staged against the SAME snapshot and intends to remove the
+    // SAME files A already removed — a blind retry at v4 would re-remove
+    // them and add a rewrite of data that no longer exists (the
+    // double-compaction resurrection). The checker must abort it.
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitChecked(root, "g=4", readVersion, reads = target)
+    }
+    // Exactly one compaction landed: the snapshot holds A's output + g=2,
+    // no g=4, and no g=1 resurrection.
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(live.exists(_.startsWith("g=3/")) && live.exists(_.startsWith("g=2/")))
+    assert(!live.exists(_.startsWith("g=4/")) && !live.exists(_.startsWith("g=1/")),
+      s"loser's rewrite or a resurrected remove leaked into the snapshot: $live")
+  }
+
+  test("conflict checker: disjoint appends commute — the loser retries and " +
+      "both land") {
+    val root = freshTable()
+    val s0 = spark
+    import s0.implicits._
+    val readVersion = CommitLog.latestVersion(root)
+    Seq((7L, 70.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=5")
+    Seq((8L, 80.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=6")
+    // A pure append reads nothing and removes nothing: empty read set.
+    val vA = CommitLog.commitChecked(root, "g=5", readVersion, reads = Nil)
+    // B raced A (same readVersion), loses v3, re-validates — A removed
+    // nothing of B's (empty) read set — and lands at the next version.
+    val vB = CommitLog.commitChecked(root, "g=6", readVersion, reads = Nil)
+    assert(vA === 3L && vB === 4L, s"disjoint appends must both land (got $vA, $vB)")
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(live.exists(_.startsWith("g=5/")) && live.exists(_.startsWith("g=6/")))
+  }
+
+  test("conflict checker: a concurrent append does not abort a compaction of " +
+      "other files (disjoint actions commute)") {
+    val root = freshTable()
+    val s0 = spark
+    import s0.implicits._
+    val readVersion = CommitLog.latestVersion(root)
+    val target = CommitLog.filesAsOf(root, readVersion).filter(_.startsWith("g=1/"))
+    // An append wins v3 while the compaction is staging.
+    Seq((9L, 90.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=7")
+    CommitLog.commit(root, 3L, "g=7")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=8")
+    // The compaction read v2, loses v3 to the append, re-validates (the
+    // append removed nothing), and lands at v4 with its original removes.
+    val v = CommitLog.commitChecked(root, "g=8", readVersion, reads = target)
+    assert(v === 4L)
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(live.exists(_.startsWith("g=8/")) && live.exists(_.startsWith("g=7/"))
+      && !live.exists(_.startsWith("g=1/")),
+      s"append⊥compaction must both land with g=1 gone: $live")
   }
 
   test("snapshot semantics: latest-commit-wins reconstruction over the as-of set") {

@@ -602,6 +602,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "the decile histogram must not window")
     assert(p.contains("partial_count"),
       "triangle credits / degree counts lost map-side partial aggregation")
+    // Degree-ordered orientation: triangles must enumerate from the shared
+    // checkpointed oriented edge frame (vs, vt, kt) — the wedge join pairs
+    // on vs with a kt struct inequality, never id-only a/b orientation
+    // (which would leave a small-id hub with all its wedges in one task).
+    assert(p.contains("Scan ExistingRDD"),
+      "triangle enumeration should scan the checkpointed oriented edge frame")
+    assert("\\[vs#\\d+L?\\], \\[vs#\\d+L?\\]".r.findFirstIn(p).isDefined &&
+      "kt#\\d+ < kt#\\d+".r.findFirstIn(p).isDefined,
+      "wedge join no longer keys on the degree-ordered (vs, kt) orientation")
+    assert(!p.contains("CartesianProduct"),
+      "triangle enumeration degraded to an all-pairs plan")
   }
 
   test("ts_ewma: trailing window attaches via a bounded join, not a per-event sliding frame") {
