@@ -9,4 +9,18 @@ object FsUtil {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Best-effort GC of STALE same-prefix entries under `java.io.tmpdir` —
+    * dead JVMs' leftovers (> `maxAgeMs` old; a live concurrent run's dirs
+    * are minutes old and untouched, preserving concurrent-run isolation).
+    * The one copy of the sweep every tmp-dir lifecycle calls (QDef fixture
+    * roots, streaming staging/checkpoints, V2 sink staging) — without it a
+    * long dev loop monotonically fills the tmpdir with orphaned dirs. */
+  def sweepStaleTmp(prefix: String, maxAgeMs: Long = 3600L * 1000L): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach(deleteRecursively)
+  }
 }

@@ -302,6 +302,161 @@ object Extensibility {
              |  30 + (i % 7) * 15 AS exptime
              |FROM generate_series(0, 99999) t(i)
              |WHERE i IN (22222, 44444, 66666, 88888)
-             |ORDER BY i""".stripMargin))
+             |ORDER BY i""".stripMargin)),
+
+    // LIMIT / TOP-N pushdown (SupportsPushDownLimit / SupportsPushDownTopN)
+    // — the last two cells of the connector pushdown matrix. Ids enumerate
+    // in order inside the pushed window, so the store answers both shapes
+    // COMPLETELY: LIMIT k plans ONE partition holding the window's first k
+    // ids, and ORDER BY frame_id DESC LIMIT k plans one partition walking
+    // the window's TAIL — Catalyst drops its Sort and Limit operators
+    // entirely (isPartiallyPushed = false; V2SourceSpec pins one reader,
+    // k rows materialized, and a Sort-free plan). At 100 TB this is the
+    // difference between a LIMIT-10 preview opening one shard and stopping,
+    // versus a cluster-wide scan feeding a global sort. The head side also
+    // composes with filter pushdown (the >= 1000 range narrows the window
+    // first); the unpushable band predicate demo stays with scan_custom_v2.
+    QDef(
+      "scan_v2_limit",
+      (s, dir) => {
+        def base = s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("slice", "8192").load()
+        val head = base.where(col("frame_id") >= 1000L)
+          .orderBy("frame_id").limit(7)
+        val tail = base.orderBy(col("frame_id").desc).limit(7)
+        def shaped(df: org.apache.spark.sql.DataFrame, side: String) =
+          df.select(lit(side).as("side"), col("frame_id"), col("band"),
+            col("exptime"), col("zp_milli"))
+        shaped(head, "head").unionAll(shaped(tail, "tail"))
+          .orderBy("side", "frame_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(0, 99999) t(i))
+             |SELECT 'head' AS side, frame_id, band, exptime, zp_milli
+             |FROM t WHERE frame_id BETWEEN 1000 AND 1006
+             |UNION ALL
+             |SELECT 'tail', frame_id, band, exptime, zp_milli
+             |FROM t WHERE frame_id >= 99993
+             |ORDER BY side, frame_id""".stripMargin)),
+
+    // OFFSET pushdown (SupportsPushDownOffset) — pagination, completing
+    // the LIMIT/TOP-N family: OFFSET m skips the window's first m ids
+    // (asc) or its top m (desc) by INTERVAL ARITHMETIC before the limit
+    // applies, so a "page 3" read plans one partition holding exactly
+    // that page's ids — no row is ever materialized for the skipped
+    // prefix, and the Sort/Limit/Offset operators all vanish from the
+    // plan. The production shape for cursor-style catalog pagination:
+    // page N of a 100 TB listing costs the same as page 1.
+    QDef(
+      "scan_v2_offset",
+      (s, dir) => {
+        def base = s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "100000").option("slice", "8192").load()
+        val page = base.where(col("frame_id") >= 1000L)
+          .orderBy("frame_id").offset(14).limit(7)
+        val tail = base.orderBy(col("frame_id").desc).offset(3).limit(5)
+        def shaped(df: org.apache.spark.sql.DataFrame, side: String) =
+          df.select(lit(side).as("side"), col("frame_id"), col("band"),
+            col("exptime"))
+        shaped(page, "page3").unionAll(shaped(tail, "tail"))
+          .orderBy("side", "frame_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime
+             |  FROM generate_series(0, 99999) t(i))
+             |SELECT 'page3' AS side, frame_id, band, exptime
+             |FROM t WHERE frame_id BETWEEN 1014 AND 1020
+             |UNION ALL
+             |SELECT 'tail', frame_id, band, exptime
+             |FROM t WHERE frame_id BETWEEN 99992 AND 99996
+             |ORDER BY side, frame_id""".stripMargin)),
+
+    // The V2 write protocol UNIFIED with the transaction log: the same
+    // two-phase executor-staged parquet write as sink_custom_v2, but
+    // phase two publishes an atomic CommitLog version instead of an
+    // in-memory manifest swap (option("root", dir) — staging lives at
+    // root/stage-<uuid>/, invisible until committed because the LOG is
+    // authoritative, vacuum-reclaimable if the job dies). A V2-written
+    // table is thereby a first-class log table: v1 and v2 are appends
+    // (adds only), v3 arrives as OverwriteByExpression → SupportsTruncate
+    // and commits adds + removes-of-previous-snapshot in ONE action list.
+    // The declared read drives the V2 READ path time-travelling all three
+    // versions (option("asOf", v) resolves the snapshot from the log at
+    // scan planning — the v2 read must see BOTH appends, the v3 read only
+    // the rewrite), and the in-query requires pin that the overwrite
+    // tombstoned rather than deleted (retention-window vacuum removes 0)
+    // — the reader-isolation property the in-memory store now shares.
+    // At 100 TB: streaming/batch V2 writers and the maintenance family
+    // (restore, optimize, clone, vacuum) finally share ONE commit
+    // protocol, so a connector write is time-travelable like any table.
+    QDef(
+      "sink_v2_log",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = Scans.freshRunTmpPath(s, "graft_v2log_")
+        val t = "sink_v2_log_tbl"
+        def write(df: org.apache.spark.sql.DataFrame, mode: String) =
+          df.write.format("graft.sources.FrameStoreSink")
+            .option("table", t).option("root", root).mode(mode).save()
+        def slice(m: Long, rem: Long) = T.orders(s, dir)
+          .where(col("o_orderkey") % m === rem)
+          .select(col("o_orderkey").as("key"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+        write(slice(4L, 1L), "append")    // v1: base append
+        write(slice(4L, 2L), "append")    // v2: second append (adds only)
+        write(T.orders(s, dir).where(col("o_orderkey") % 8L === 3L)
+          .select(col("o_orderkey").as("key"),
+            expr("cast(floor((o_totalprice * 0.5) * 1e2 + 0.5) as bigint)")
+              .as("cents")), "overwrite") // v3: truncate = adds + removes
+        require(CommitLog.latestVersion(root) == 3L,
+          s"expected 3 committed versions, log says ${CommitLog.latestVersion(root)}")
+        // The overwrite TOMBSTONED v2's files: a retention-window vacuum
+        // must keep them all (in-flight readers of older snapshots still
+        // resolve), and the live set is exactly v3's.
+        val (kept, removed) = CommitLog.vacuum(root, retainVersions = 10L)
+        require(removed == 0L,
+          s"retention-window vacuum reclaimed $removed file(s) of a live history")
+        require(kept == CommitLog.filesAsOf(root, 3L).size.toLong,
+          "vacuum's live count must match the current snapshot")
+        def asOf(v: Long) = s.read.format("graft.sources.FrameStoreSink")
+          .option("table", t).option("root", root)
+          .option("asOf", v.toString).load()
+          .agg(count(lit(1)).as("n"),
+            sum("key").cast("long").as("sum_key"),
+            sum("cents").cast("long").as("sum_cents"))
+          .select(lit(v).as("as_of"), col("n"), col("sum_key"), col("sum_cents"))
+        asOf(1L).unionAll(asOf(2L)).unionAll(asOf(3L)).orderBy("as_of")
+      },
+      Some("""WITH g1 AS (
+             |  SELECT o_orderkey AS key,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 4 = 1),
+             |g2 AS (
+             |  SELECT o_orderkey AS key,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 4 = 2),
+             |g3 AS (
+             |  SELECT o_orderkey AS key,
+             |    CAST(floor((o_totalprice * 0.5) * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 8 = 3)
+             |SELECT CAST(1 AS BIGINT) AS as_of, count(*) AS n,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM g1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM g3
+             |ORDER BY as_of""".stripMargin))
   )
 }

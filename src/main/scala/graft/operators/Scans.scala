@@ -17,18 +17,14 @@ import org.apache.spark.sql.types._
 object Scans {
 
   /** Per-run tmp path `<tmpdir>/<prefix><applicationId>`, with best-effort
-    * GC of STALE siblings (same prefix, older than 1 h — dead JVMs' leftovers;
-    * a live concurrent run's dir is minutes old and untouched, preserving
-    * the concurrent-Verify/Bench isolation the run suffix exists for).
-    * Without the GC every JVM would orphan its suffixed dirs and a long dev
-    * loop monotonically fills java.io.tmpdir. */
+    * GC of STALE siblings ([[graft.FsUtil.sweepStaleTmp]] — dead JVMs'
+    * leftovers; a live concurrent run's dir is minutes old and untouched,
+    * preserving the concurrent-Verify/Bench isolation the run suffix
+    * exists for). */
   private[operators] def runTmpPath(
       s: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    graft.FsUtil.sweepStaleTmp(prefix)
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 3600L * 1000L
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
-      .foreach(graft.FsUtil.deleteRecursively)
     val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     s"${tmp.getPath}/$prefix$run"
   }
@@ -1230,6 +1226,81 @@ object Scans {
              |SELECT CAST(2 AS BIGINT) AS as_of, n, sum_key, sum_cents FROM roll
              |UNION ALL
              |SELECT CAST(3 AS BIGINT), n, sum_key, sum_cents FROM roll
-             |ORDER BY as_of""".stripMargin))
+             |ORDER BY as_of""".stripMargin)),
+
+    // OPTIMISTIC-CONCURRENCY CONFLICT CHECKING — the arbitration step that
+    // makes multi-writer maintenance SAFE (Delta/Iceberg's conflict
+    // checker, CommitLog.commitChecked): two writers both read snapshot
+    // v2 and stage a compaction of the SAME generation's files; the one
+    // that loses the version race re-reads the winner's commit, finds its
+    // own read/remove set invalidated, and ABORTS — a blind retry would
+    // re-remove the files and publish a rewrite of data that no longer
+    // exists (double-compaction resurrection). A third writer whose
+    // actions are DISJOINT (an append) raced the same snapshot, commutes,
+    // and lands on retry. All three outcomes are `require`d in-query
+    // (exactly one compaction in the live set, no g=1 resurrection, the
+    // append present); the declared output reads the final snapshot and
+    // must hash-match DuckDB's reconstruction of winner + append. At
+    // 100 TB this is what lets OPTIMIZE, streaming appends, and GDPR
+    // deletes share one table without a global lock: disjoint commits
+    // commute, overlapping rewrites serialize by abort-and-rerun.
+    QDef(
+      "table_conflict",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_conflict_")
+        val o = T.orders(s, dir)
+        def stage(df: org.apache.spark.sql.DataFrame, gen: String) =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        stage(o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        stage(o.where(col("o_orderkey") % 9L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        val readVersion = CommitLog.latestVersion(root)
+        val target = CommitLog.filesAsOf(root, readVersion)
+          .filter(_.startsWith("g=1/"))
+        // Both writers stage their rewrite of g=1 against snapshot v2.
+        val rewrite = o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        stage(rewrite, "g=3") // writer A's staging
+        stage(rewrite, "g=4") // writer B's staging
+        val vA = CommitLog.commitChecked(root, "g=3", readVersion, reads = target)
+        val bAborted =
+          try { CommitLog.commitChecked(root, "g=4", readVersion, reads = target); false }
+          catch { case _: java.util.ConcurrentModificationException => true }
+        require(vA == 3L && bAborted,
+          "conflict checker must land writer A and abort writer B")
+        // Writer C: a DISJOINT append that also read v2 — commutes, lands.
+        stage(o.where(col("o_orderkey") % 9L === 5L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=5")
+        val vC = CommitLog.commitChecked(root, "g=5", readVersion, reads = Nil)
+        require(vC == 4L, s"disjoint append must land at the next version, got $vC")
+        val live = CommitLog.filesAsOf(root, Long.MaxValue)
+        require(live.exists(_.startsWith("g=3/")) && live.exists(_.startsWith("g=5/"))
+            && !live.exists(_.startsWith("g=4/")) && !live.exists(_.startsWith("g=1/")),
+          s"final snapshot must be winner + append, no resurrection: $live")
+        CommitLog.readAsOf(s, root, Long.MaxValue)
+          .groupBy((col("key") % 4L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 3 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 9 = 2
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 9 = 5)
+             |SELECT key % 4 AS bucket, count(*) AS n,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

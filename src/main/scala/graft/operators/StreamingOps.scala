@@ -277,6 +277,29 @@ object StreamingOps {
       "stream_exactly_once",
       (s, dir) => graft.streaming.StreamRunner.exactlyOnceCommitLog(s, dir),
       Some("""SELECT event_type, count(*) AS n
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Streaming change-feed consumer: a real Structured Streaming query
+    // tails a CommitLog table's `_log` (file-stream source — each commit
+    // is one new immutable file) and maintains table_incr_refresh's
+    // per-bucket view by folding each commit's signed file deltas —
+    // across a stream RESTART, with the rewrite committed while the
+    // stream is down and the resumed tail require'd to consume exactly
+    // the one new commit. Same history as table_incr_refresh, so the
+    // final view shares its oracle (and StreamingSpec asserts streamed ≡
+    // batch-folded row-identically). See StreamRunner.changefeedView.
+    QDef(
+      "stream_changefeed",
+      (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |    floor((o_totalprice * 1.05) * 1e2 + 0.5) / 1e2
+             |  FROM orders WHERE o_orderkey % 6 = 2)
+             |SELECT key % 8 AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
@@ -107,12 +107,17 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long,
     byBand: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = frames
   private var pushed = Array.empty[Filter]
   private var required: StructType = FrameCatalogSource.schema
   private var aggPushed: Option[(Boolean, Seq[FrameAggScan.Spec])] = None
+  private var limitN: Option[Int] = None
+  private var topDesc = false
+  private var offsetN = 0
 
   // Accept (and fully absorb) id-range predicates; everything else stays
   // with Spark. Absorbing means Spark drops its post-scan re-check for
@@ -190,15 +195,105 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long,
     t.isDefined
   }
 
+  // ---- Limit / top-N pushdown (SupportsPushDownLimit/TopN) -------------
+  // COMPLETE pushdown: ids enumerate in order inside the pushed [lo, hi)
+  // window, so LIMIT k is the first k ids and ORDER BY frame_id … LIMIT k
+  // is the window's head (asc) or tail (desc) — one partition, k rows,
+  // NO sort operator anywhere in the plan (isPartiallyPushed = false lets
+  // Catalyst drop its Sort + per-partition limit entirely). At 100 TB this
+  // is "open one shard and stop after k rows" instead of a cluster-wide
+  // scan + global sort for a LIMIT 10 preview. The banded scan mode
+  // declines (its partitions interleave ids, so head-of-window ≠ first k);
+  // mjd ordering would also be expressible (monotone in id) but only
+  // frame_id is accepted — the conservative contract, as with runtime
+  // filters: reject anything not provably exact.
+  override def pushLimit(l: Int): Boolean =
+    if (byBand || aggPushed.isDefined) false else { limitN = Some(l); true }
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean =
+    if (byBand || aggPushed.isDefined) false
+    else orders match {
+      case Array(so) => so.expression() match {
+        case r: NamedReference if r.fieldNames().sameElements(Array("frame_id")) =>
+          limitN = Some(l)
+          topDesc = so.direction() == SortDirection.DESCENDING
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  override def isPartiallyPushed(): Boolean = false
+
+  // OFFSET m composes: skip the window's first m ids (asc / no order) or
+  // its top m (desc top-N) before the limit applies — still interval
+  // arithmetic, still no row ever materialized for the skipped prefix.
+  override def pushOffset(o: Int): Boolean =
+    if (byBand || aggPushed.isDefined) false else { offsetN = o; true }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = aggPushed match {
     case Some((groupBand, specs)) =>
       new FrameAggScan(lo, math.max(lo, hi), groupBand, specs)
+    case None if limitN.isDefined || offsetN > 0 =>
+      val hiC = math.max(lo, hi)
+      val avail = math.max(0L, hiC - lo - offsetN.toLong)
+      // Spark delivers the pushed limit INCLUSIVE of the offset prefix
+      // (ORDER BY … LIMIT k OFFSET m arrives as pushTopN(m + k) +
+      // pushOffset(m), measured): the scan drops the prefix and returns
+      // the page — k rows from the offset-shifted window edge.
+      val k = limitN.fold(avail)(n =>
+        math.max(0L, math.min(n.toLong - offsetN.toLong, avail)))
+      new FrameTopScan(
+        if (topDesc) lo else lo + offsetN.toLong,
+        if (topDesc) hiC - offsetN.toLong else hiC,
+        k, topDesc, required)
     case None if byBand =>
       new FrameBandScan(lo, math.max(lo, hi), required)
     case None =>
       new FrameCatalogScan(lo, math.max(lo, hi), slice, required)
+  }
+}
+
+/** A pushed LIMIT / ORDER-BY-id-LIMIT scan: ONE partition holding the k
+  * head (asc) or tail (desc) ids of the pushed window, emitted already in
+  * the requested order — no Sort, no other partition, no reader beyond the
+  * k rows. */
+private class FrameTopScan(lo: Long, hi: Long, n: Long, desc: Boolean,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFrameCatalogScan TOPN lo=$lo hi=$hi n=$n " +
+      s"order=${if (desc) "desc" else "asc"} cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val k = math.min(n, hi - lo)
+    if (k <= 0L) Array.empty
+    else if (desc) Array(FrameStepPartition(hi - 1L, hi - 1L - k, -1L))
+    else Array(FrameStepPartition(lo, lo + k, 1L))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FrameStepReaderFactory(required.fieldNames)
+}
+
+/** Id walk from `start` toward `endExclusive` in `step` (+1 or −1). */
+private case class FrameStepPartition(start: Long, endExclusive: Long,
+    step: Long) extends InputPartition
+
+private class FrameStepReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    FrameCatalogSource.readersCreated.incrementAndGet()
+    val FrameStepPartition(start, end, step) = p: @unchecked
+    new PartitionReader[InternalRow] {
+      private var id = start - step
+      override def next(): Boolean = { id += step; id != end }
+      override def get(): InternalRow = {
+        FrameCatalogSource.rowsEmitted.incrementAndGet()
+        new GenericInternalRow(
+          fields.map(f => FrameCatalogSource.value(f, id)).toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -57,22 +57,50 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    driver in either direction.
   *
   * Registered by class name: `df.write.format("graft.sources.FrameStoreSink")
-  * .option("table", t)`. Options: `table` (store key, required).
+  * .option("table", t)`. Options: `table` (store key, required); `root`
+  * (optional — see below); `asOf` (optional snapshot version, log mode).
+  *
+  * **Log-backed mode** (`option("root", dir)`): instead of the in-memory
+  * manifest metastore, commits publish THROUGH [[CommitLog]] — tasks stage
+  * parquet under `root/stage-<uuid>/` and the driver-side commit writes one
+  * atomic `_log` version (append: adds only; overwrite: adds + removes of
+  * the previous snapshot in one action list, arbitrated by
+  * [[CommitLog.commitRetrying]] under concurrent writers). A V2-written
+  * table is then a first-class log table: time-travelable
+  * (`option("asOf", v)` on read — resolved from the log, never a directory
+  * listing), shallow-clonable, restorable, and vacuumable exactly like the
+  * `table_*` family; uncommitted staging debris is invisible to every
+  * reader and reclaimed by [[CommitLog.vacuum]]. Schema evolution across
+  * commits follows the log's read contract (mergeSchema union, absent
+  * columns null) rather than the in-memory store's strict append check.
   */
 class FrameStoreSink extends TableProvider {
   // Reads see the committed schema; a first WRITE arrives before the table
   // exists, so fall back to empty (ACCEPT_ANY_SCHEMA lets the write schema
   // through — the noop-sink pattern; the real schema binds at commit).
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FrameStore.schemaIfExists(FrameStoreSink.tableName(options))
-      .getOrElse(new StructType())
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = FrameStoreSink.tableName(options)
+    FrameStoreSink.rootOf(options) match {
+      case Some(root) =>
+        val asOf = FrameStoreSink.asOfOf(options)
+        val files = CommitLog.filesAsOf(root, asOf)
+        if (files.isEmpty) new StructType()
+        else SparkSession.active.read.option("mergeSchema", "true")
+          .parquet(files.map(f =>
+            if (f.startsWith("/")) f else s"$root/$f"): _*).schema
+      case None => FrameStore.schemaIfExists(t).getOrElse(new StructType())
+    }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new FrameStoreTable(properties.get("table") match {
+      properties: util.Map[String, String]): Table = {
+    val t = properties.get("table") match {
       case null => throw new IllegalArgumentException(
         "graft.sources.FrameStoreSink requires option 'table'")
       case t => t
-    }, schema)
+    }
+    new FrameStoreTable(t, schema, Option(properties.get("root")),
+      Option(properties.get("asOf")).map(_.toLong).getOrElse(Long.MaxValue))
+  }
 }
 
 object FrameStoreSink {
@@ -82,6 +110,10 @@ object FrameStoreSink {
         "graft.sources.FrameStoreSink requires option 'table'")
       case t => t
     }
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("root"))
+  private[sources] def asOfOf(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("asOf")).map(_.toLong).getOrElse(Long.MaxValue)
 }
 
 /** One staged data file in a committed manifest: where it is, how many rows
@@ -95,18 +127,41 @@ private[graft] final case class StagedFile(path: String, rows: Long, bytes: Long
 object FrameStore {
   import scala.collection.concurrent.TrieMap
   private val tables = TrieMap.empty[String, (StructType, Vector[StagedFile])]
+  // Files a truncate REPLACED, per table: tombstoned (kept on disk) rather
+  // than eagerly deleted, so a scan already planned over the prior snapshot
+  // keeps reading — readers-never-affected, the snapshot-isolation property
+  // the log-backed mode gets from CommitLog's retention. Reclaimed on drop
+  // (the single-JVM stand-in for vacuum's retention expiry).
+  private val tombstones = TrieMap.empty[String, Vector[StagedFile]]
 
   private def schemaShape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
 
+  /** Delete a staged file (and the hidden `.crc` shadow Hadoop's local FS
+    * writes beside it), then prune its staging directory if that left it
+    * empty — staging dirs must not outlive the last file they held (a long
+    * dev loop would otherwise accumulate empty `graft_fstore_stage_` dirs
+    * that the AGE-based tmp sweep misses, because pruning here keeps them
+    * from ever going stale). `File.delete` on a non-empty dir is a no-op. */
+  private[sources] def reclaim(files: Iterable[StagedFile]): Unit =
+    files.foreach { f =>
+      val p = Paths.get(f.path)
+      Files.deleteIfExists(p): Unit
+      Option(p.getParent).foreach { d =>
+        Files.deleteIfExists(d.resolve(s".${p.getFileName}.crc")): Unit
+        d.toFile.delete(): Unit
+      }
+    }
+
   /** Driver-side atomic publish — the second phase of the protocol.
-    * Truncate swaps the manifest (and eagerly reclaims the files it
-    * replaced); append validates the incoming schema against the committed
-    * one FIRST — committed files are never reinterpreted under a different
-    * shape. Throws (= fails the commit) on mismatch; the caller cleans up
-    * its staged files before rethrowing. */
+    * Truncate swaps the manifest and TOMBSTONES the files it replaced
+    * (in-flight readers of the prior snapshot keep resolving; reclamation
+    * is deferred to [[drop]]); append validates the incoming schema against
+    * the committed one FIRST — committed files are never reinterpreted
+    * under a different shape. Throws (= fails the commit) on mismatch; the
+    * caller cleans up its staged files before rethrowing. */
   private[sources] def publish(name: String, schema: StructType,
       files: Vector[StagedFile], truncate: Boolean): Unit = synchronized {
-    // One lock around validate → swap → reclaim: two commits racing the
+    // One lock around validate → swap → tombstone: two commits racing the
     // same table must serialize, or an append could validate against a
     // snapshot a concurrent truncate is about to replace (check-then-act)
     // and land files of the wrong shape on the new manifest. Commit is
@@ -127,11 +182,15 @@ object FrameStore {
       case Some((committed, old)) if !truncate => Some((committed, old ++ files))
       case _                                   => Some((schema, files))
     }: Unit
-    replaced.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+    if (replaced.nonEmpty)
+      tombstones.updateWith(name)(t =>
+        Some(t.getOrElse(Vector.empty) ++ replaced)): Unit
   }
 
   private[graft] def snapshot(name: String): Vector[StagedFile] =
     tables.get(name).map(_._2).getOrElse(Vector.empty)
+  private[graft] def tombstonesOf(name: String): Vector[StagedFile] =
+    tombstones.getOrElse(name, Vector.empty)
   def schemaIfExists(name: String): Option[StructType] = tables.get(name).map(_._1)
   def schemaOf(name: String): StructType =
     schemaIfExists(name).getOrElse(throw new IllegalArgumentException(
@@ -139,9 +198,8 @@ object FrameStore {
   /** Metadata answer — the manifest's row counts, no file opened. */
   def rowCount(name: String): Long = snapshot(name).map(_.rows).sum
   def drop(name: String): Unit = {
-    tables.remove(name).foreach { case (_, files) =>
-      files.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
-    }
+    tables.remove(name).foreach { case (_, files) => reclaim(files) }
+    tombstones.remove(name).foreach(reclaim)
   }
 
   /** Commits that reached phase two — the spec's protocol observable. */
@@ -224,33 +282,46 @@ private[sources] object FrameStoreStaging {
   }
 }
 
-private class FrameStoreTable(tname: String, writeSchema: StructType)
+private class FrameStoreTable(tname: String, writeSchema: StructType,
+    root: Option[String], asOf: Long)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft_store($tname)"
+  override def name(): String =
+    root.fold(s"graft_store($tname)")(r => s"graft_store($tname@$r)")
   override def schema(): StructType =
     if (writeSchema.nonEmpty) writeSchema
-    else FrameStore.schemaIfExists(tname).getOrElse(new StructType())
+    else root match {
+      case Some(_) => writeSchema // read path resolved it via inferSchema
+      case None => FrameStore.schemaIfExists(tname).getOrElse(new StructType())
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new FrameStoreScan(tname)
+      override def build(): Scan = root match {
+        case Some(r) => new FrameStoreLogScan(tname, r, asOf, schema())
+        case None    => new FrameStoreScan(tname)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FrameStoreWriteBuilder(tname, info.schema())
+    new FrameStoreWriteBuilder(tname, info.schema(), root)
 }
 
 private class FrameStoreWriteBuilder(tname: String, schema: StructType,
-    truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
+    root: Option[String], truncate: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new FrameStoreWriteBuilder(tname, schema, truncate = true)
+    new FrameStoreWriteBuilder(tname, schema, root, truncate = true)
   override def build(): Write = new Write {
     override def description(): String =
-      s"GraftFrameStoreWrite table=$tname truncate=$truncate"
-    override def toBatch: BatchWrite = new FrameStoreBatchWrite(tname, schema, truncate)
+      s"GraftFrameStoreWrite table=$tname truncate=$truncate" +
+        root.fold("")(r => s" root=$r")
+    override def toBatch: BatchWrite = root match {
+      case Some(r) => new FrameStoreLogBatchWrite(r, schema, truncate)
+      case None    => new FrameStoreBatchWrite(tname, schema, truncate)
+    }
   }
 }
 
@@ -266,6 +337,9 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
   // Per-job staging root; tasks write beneath it, commit promotes the
   // staged files into the manifest IN PLACE (no rename needed — visibility
   // is a manifest property, not a directory property), abort removes it.
+  // Stale same-prefix dirs from DEAD JVMs are swept first (live dirs hold
+  // committed files and are reclaimed by FrameStore.drop).
+  graft.FsUtil.sweepStaleTmp("graft_fstore_stage_")
   private val stagingDir = Files.createTempDirectory("graft_fstore_stage_").toString
   FrameStore.lastStagingDir.set(stagingDir)
 
@@ -328,17 +402,109 @@ private class FrameStoreWriterFactory(schema: StructType, stagingDir: String)
           FrameStoreCommit(Some(path), rows, Files.size(Paths.get(path)))
         }
       override def abort(): Unit = {
+        // Closing flushes the footer, which can RECREATE the staging dir a
+        // job-level abort already wiped (straggler race) — so after the
+        // close, remove the file, its .crc shadow, and re-prune the dir
+        // (no-op if other tasks' files are still there; the last straggler
+        // out leaves nothing).
         if (writer != null) { writer.close(); writer = null }
-        Files.deleteIfExists(Paths.get(path)): Unit
+        val p = Paths.get(path)
+        Files.deleteIfExists(p): Unit
+        Option(p.getParent).foreach { d =>
+          Files.deleteIfExists(d.resolve(s".${p.getFileName}.crc")): Unit
+          d.toFile.delete(): Unit
+        }
       }
       override def close(): Unit =
         if (writer != null) { writer.close(); writer = null }
     }
 }
 
+/** The LOG-BACKED BatchWrite: same executor-side parquet staging as the
+  * in-memory protocol (the [[FrameStoreWriterFactory]] is shared verbatim),
+  * but phase two publishes ONE atomic [[CommitLog]] version instead of a
+  * manifest-map swap. Staging lives under `root/stage-<uuid>/` — inside the
+  * table root so the committed files are table-relative log paths, yet
+  * INVISIBLE until commit because the log (not the directory listing) is
+  * authoritative; an aborted job's staging is deleted immediately and
+  * would be vacuum-reclaimed debris even if the driver died first. An
+  * overwrite commits adds + removes-of-previous-snapshot in one action
+  * list, with the remove set re-resolved per retry attempt
+  * ([[CommitLog.commitRetrying]] — last-writer-wins replace semantics);
+  * an append commits adds only, so concurrent appends arbitrate and both
+  * land. */
+private class FrameStoreLogBatchWrite(root: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  private val stageName =
+    "stage-" + java.util.UUID.randomUUID().toString.take(8)
+  private val stagingDir = {
+    val p = Paths.get(root, stageName)
+    Files.createDirectories(p)
+    p.toString
+  }
+  FrameStore.lastStagingDir.set(stagingDir)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FrameStoreWriterFactory(schema, stagingDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // The staged manifest arrives as task messages; tryCommit re-lists the
+    // staging dir (its local-FS stand-in), so validate the two agree —
+    // a mismatch means a straggler task wrote after its commit message.
+    val staged = messages.iterator.collect {
+      case FrameStoreCommit(Some(p), _, _) => p
+      case FrameStoreCommit(None, _, _)    => null
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }.filter(_ != null).toSet
+    val version = CommitLog.commitRetrying(root, stageName,
+      removesAsOf =
+        if (truncate) v => CommitLog.filesAsOf(root, v - 1L) else _ => Nil)
+    val committed = CommitLog.filesAsOf(root, version)
+      .filter(_.startsWith(s"$stageName/")).map(f => s"$root/$f").toSet
+    if (committed != staged)
+      throw new IllegalStateException(
+        s"staged manifest (${staged.size} files) != committed add set " +
+          s"(${committed.size}) for version $version under $root")
+    FrameStore.commitsCompleted.incrementAndGet(): Unit
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Nothing reached the log, so nothing was ever visible; removing the
+    // staging dir (covering tasks that died before messaging) is the whole
+    // rollback. Had the driver died before this ran, the orphaned staging
+    // would still be invisible (log-authoritative) and vacuum's job.
+    graft.FsUtil.deleteRecursively(new java.io.File(stagingDir))
+    FrameStore.abortsSeen.incrementAndGet(): Unit
+  }
+}
+
+/** Log-backed read: the snapshot AS OF the requested version, resolved from
+  * [[CommitLog]] at scan-planning time (repeatable reads; uncommitted
+  * staging is invisible), one input partition per live file, rows read
+  * executor-side by the same parquet machinery as the in-memory scan. */
+private class FrameStoreLogScan(tname: String, root: String, asOf: Long,
+    schema: StructType) extends Scan with Batch {
+  private lazy val files: Seq[String] =
+    CommitLog.filesAsOf(root, asOf)
+      .map(f => if (f.startsWith("/")) f else s"$root/$f")
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFrameStoreLogScan table=$tname root=$root asOf=$asOf files=${files.size}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f =>
+      FrameStoreFilePartition(f, Files.size(Paths.get(f))): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FrameStoreReaderFactory(FrameStoreStaging.buildReadFunc(readSchema()))
+}
+
 private class FrameStoreScan(tname: String) extends Scan with Batch {
-  // Bind the snapshot at scan-planning time (repeatable reads within a query).
-  private lazy val snap = FrameStore.snapshot(tname)
+  // Bind the snapshot at scan CONSTRUCTION (= query planning): repeatable
+  // reads within a query, and a truncate that lands between planning and
+  // execution cannot swap files out from under the reader — its replaced
+  // files are tombstoned, not deleted, precisely so this binding stays
+  // servable (FrameStoreSpec pins it).
+  private val snap = FrameStore.snapshot(tname)
   override def readSchema(): StructType = FrameStore.schemaOf(tname)
   override def toBatch: Batch = this
   override def description(): String =

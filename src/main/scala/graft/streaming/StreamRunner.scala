@@ -22,15 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamRunner {
 
   private def tmpDir(prefix: String): String = {
-    // Best-effort GC of stale same-prefix dirs from dead JVMs (>1 h old —
-    // a live concurrent run's dirs are minutes old and untouched); without
-    // it every streaming run orphans its staging/checkpoint dirs and a long
-    // dev loop monotonically fills java.io.tmpdir.
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 3600L * 1000L
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
-      .foreach(graft.FsUtil.deleteRecursively)
+    // GC stale same-prefix dirs from dead JVMs first (FsUtil.sweepStaleTmp)
+    // — without it every streaming run orphans its staging/checkpoint dirs
+    // and a long dev loop monotonically fills java.io.tmpdir.
+    graft.FsUtil.sweepStaleTmp(prefix)
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
@@ -222,6 +217,119 @@ object StreamRunner {
       .groupBy("event_type")
       .agg(sum("n").cast("long").as("n"))
       .orderBy("event_type")
+  }
+
+  /** STREAMING consumer of the transaction-log change feed
+    * (`stream_changefeed`): a Structured Streaming query TAILS a
+    * [[graft.sources.CommitLog]] table's `_log` directory — each committed
+    * version is one new immutable file, exactly the arriving-files
+    * contract the file-stream source exists for — and maintains a
+    * downstream per-bucket aggregate view INCREMENTALLY: every micro-batch
+    * parses its commit files' add/remove actions (O(changed-files)
+    * metadata, collected driver-side like the log reads themselves), scans
+    * ONLY the changed data files, and folds signed deltas into the view
+    * (count/sum are self-maintainable — `table_incr_refresh`'s math, now
+    * driven by the stream instead of a batch loop). The Delta CDF
+    * streaming-source shape: the view is continuously current against a
+    * mutating lake without ever re-reading the table.
+    *
+    * Run as TWO AvailableNow passes sharing one checkpoint over the same
+    * base → append → rewrite history as `table_incr_refresh`: pass 1
+    * consumes the base + append commits; the REWRITE commits while the
+    * stream is down; the restarted pass 2 consumes EXACTLY the one new
+    * commit file (the source's seen-files log — `require`d), proving the
+    * consumer picks up where it left off across restarts. The final view
+    * is `require`d equal to a full recompute of the latest snapshot, and
+    * the declared output hash-matches the batch oracle. */
+  def changefeedView(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    val root = tmpDir("graft_cdfs_tbl")
+    val ord = T.orders(s, dir)
+    def writeGen(df: DataFrame, gen: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+    writeGen(ord.where(col("o_orderkey") % 2L === 1L)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=1")
+    CommitLog.commit(root, 1L, "g=1")
+    writeGen(ord.where(col("o_orderkey") % 6L === 2L)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=2")
+    CommitLog.commit(root, 2L, "g=2")
+
+    // The maintained view state (bucket, dn, dcents) and the per-pass
+    // commit-file ledger. Driver-side vars: foreachBatch runs on the
+    // driver; the folds themselves are distributed jobs.
+    var view: DataFrame = null
+    val passFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    def delta(fs: Seq[String], sign: Long) =
+      s.read.option("basePath", root)
+        .parquet(fs.map(f => s"$root/$f"): _*)
+        .groupBy((col("key") % 8L).as("bucket"))
+        .agg((count(lit(1)) * lit(sign)).as("dn"),
+          (sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)")) * lit(sign))
+            .cast("long").as("dcents"))
+    def fold(batch: DataFrame, batchId: Long): Unit = {
+      // Checkpoint files re-state the whole snapshot (compaction, not
+      // change) — a CDF consumer must skip them or double-count.
+      val acts = batch
+        .where(!col("src").endsWith(".checkpoint.json"))
+        .select(col("src"),
+          get_json_object(col("value"), "$.add.path").as("a"),
+          get_json_object(col("value"), "$.remove.path").as("r"))
+        .collect()
+      acts.foreach(r => passFiles += r.getString(0): Unit)
+      val adds = acts.flatMap(r => Option(r.getString(1))).toSeq
+      val rms = acts.flatMap(r => Option(r.getString(2))).toSeq
+      val parts = Option(view).toSeq ++
+        (if (adds.nonEmpty) Seq(delta(adds, 1L)) else Nil) ++
+        (if (rms.nonEmpty) Seq(delta(rms, -1L)) else Nil)
+      if (parts.nonEmpty)
+        view = parts.reduce(_ unionAll _)
+          .groupBy("bucket")
+          .agg(sum("dn").cast("long").as("dn"),
+            sum("dcents").cast("long").as("dcents"))
+          .localCheckpoint()
+    }
+    val ckpt = tmpDir("graft_cdfs_ckpt")
+    def runPass(): Unit = {
+      val q = s.readStream.text(s"$root/_log")
+        .select(col("value"), col("_metadata.file_path").as("src"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(fold _)
+        .start()
+      q.awaitTermination()
+    }
+    runPass() // pass 1: base + append
+    require(passFiles.size == 2,
+      s"pass 1 must consume the 2 committed versions, saw $passFiles")
+    // The rewrite lands while the stream is DOWN (repriced g=2 → g=3,
+    // adds + removes in one atomic commit — table_incr_refresh's history).
+    writeGen(ord.where(col("o_orderkey") % 6L === 2L)
+      .select(col("o_orderkey").as("key"),
+        graft.Rnd.rnd(col("o_totalprice") * 1.05, 2).as("val")), "g=3")
+    CommitLog.commit(root, 3L, "g=3",
+      removes = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=2/")))
+    passFiles.clear()
+    runPass() // pass 2: resumes from the checkpoint
+    require(passFiles.size == 1 && passFiles.head.endsWith("00000003.json"),
+      s"restarted tail must consume exactly the new commit, saw $passFiles")
+    // IVM contract: the stream-maintained view equals full recomputation.
+    val full = s.read.option("basePath", root)
+      .parquet(CommitLog.filesAsOf(root, Long.MaxValue)
+        .map(f => s"$root/$f"): _*)
+      .groupBy((col("key") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+          .cast("long").as("cents"))
+    val refreshed = view
+      .select(col("bucket"), col("dn").as("n"), col("dcents").as("cents"))
+    def toMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(toMap(refreshed) == toMap(full),
+      "stream-maintained view diverged from full recomputation")
+    refreshed.orderBy("bucket")
   }
 
   /** foreachBatch sink: each micro-batch's per-type aggregate is upserted

@@ -118,7 +118,12 @@ class DeterminismSpec extends SparkSpec {
     // the EWMA's integer shift-weighted sums must land identically under
     // any join/merge order (all-BIGINT, so this is a true invariance, not
     // an FP hope)
-    "ts_ewma")
+    "ts_ewma",
+    // round-11: the conflict-arbitration outcome (one winner, one abort,
+    // one commuting append) and its final-snapshot rollup must hold under
+    // any write partitioning of the staged generations — the table_vacuum
+    // risk class with arbitration on top
+    "table_conflict")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

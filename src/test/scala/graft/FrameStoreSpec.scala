@@ -126,21 +126,99 @@ class FrameStoreSpec extends SparkSpec {
     assert(back.map(r => r.getLong(0) -> r.getString(1)).toSeq === Seq(1L -> "a"))
   }
 
-  test("a truncate-commit eagerly reclaims the files of the manifest it replaced") {
+  test("a truncate-commit TOMBSTONES the replaced files — an in-flight reader " +
+      "of the prior snapshot keeps resolving; drop reclaims files and dirs") {
     val t = "fs_spec_truncate_gc"
     FrameStore.drop(t)
     Seq((1L, "a"), (2L, "b")).toDF("k", "v")
       .write.format(fmt).option("table", t).mode("overwrite").save()
+    // A scan PLANNED over the first snapshot: forcing executedPlan builds
+    // the Scan, which binds its file list at construction; the later
+    // collect() reuses this same QueryExecution.
+    val inFlight = spark.read.format(fmt).option("table", t).load()
+    assert(inFlight.queryExecution.executedPlan != null)
     val firstFiles = graft.sources.FrameStore.snapshot(t).map(_.path)
     assert(firstFiles.nonEmpty)
     Seq((9L, "z")).toDF("k", "v")
       .write.format(fmt).option("table", t).mode("overwrite").save()
+    // Replaced files survive as tombstones: snapshot isolation for readers
+    // that planned before the truncate (the CommitLog retention property,
+    // mirrored by the in-memory store).
     firstFiles.foreach { p =>
-      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
-        s"replaced staged file survived the truncate swap: $p")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"truncate eagerly deleted a file an in-flight reader may hold: $p")
     }
+    assert(inFlight.collect().length === 2,
+      "a reader planned over the prior snapshot must keep resolving")
+    assert(FrameStore.tombstonesOf(t).map(_.path).toSet === firstFiles.toSet)
     // The new snapshot is intact and readable.
     assert(spark.read.format(fmt).option("table", t).load().count() === 1L)
+    // drop reclaims live files AND tombstones, and prunes the staging dirs
+    // they lived in (no empty graft_fstore_stage_ dirs left behind).
+    val liveDirs = (FrameStore.snapshot(t).map(_.path) ++ firstFiles)
+      .map(p => java.nio.file.Paths.get(p).getParent).distinct
+    FrameStore.drop(t)
+    (firstFiles ++ liveDirs.map(_.toString)).foreach { p =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"drop left $p behind")
+    }
+  }
+
+  test("log-backed mode: V2 writes commit through CommitLog — appends and a " +
+      "truncate land as atomic versions, as-of reads time travel all three") {
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft_fslog_spec_").toString
+    val t = "fs_spec_log"
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format(fmt).option("table", t).option("root", root)
+        .mode(mode).save()
+    write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "append")   // v1
+    write(Seq((3L, 30.0)).toDF("k", "v"), "append")               // v2
+    write(Seq((9L, 90.0)).toDF("k", "v"), "overwrite")            // v3
+    assert(CommitLog.latestVersion(root) === 3L)
+    def asOf(v: Long) = spark.read.format(fmt).option("table", t)
+      .option("root", root).option("asOf", v.toString).load()
+    assert(asOf(1L).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(asOf(2L).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(asOf(3L).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // Latest read without asOf = current snapshot.
+    val latest = spark.read.format(fmt).option("table", t)
+      .option("root", root).load()
+    assert(latest.count() === 1L)
+    assert(latest.queryExecution.executedPlan.toString.contains("GraftFrameStoreLogScan"))
+    // The truncate's removes are TOMBSTONES inside retention (as-of reads
+    // above still resolve); an expired vacuum reclaims exactly them.
+    val (kept, removed) = CommitLog.vacuum(root, retainVersions = 10L)
+    assert(removed === 0L && kept === CommitLog.filesAsOf(root, 3L).size.toLong)
+    val (_, removed0) = CommitLog.vacuum(root) // retention 0: tombstones expire
+    assert(removed0 === CommitLog.snapshotAsOf(root, Long.MaxValue)
+      .tombstones.size.toLong)
+  }
+
+  test("log-backed mode: a failed job aborts — nothing reaches the log, " +
+      "staging under the table root is removed") {
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft_fslog_abort_").toString
+    val t = "fs_spec_log_abort"
+    Seq((1L, 1.0)).toDF("k", "v").write.format(fmt).option("table", t)
+      .option("root", root).mode("append").save()
+    val v1 = CommitLog.latestVersion(root)
+    val bad = spark.range(0, 100, 1, 8)
+      .map { i => if (i == 33L) throw new RuntimeException("injected failure"); i }
+      .toDF("k").withColumn("v", lit(1.0))
+    intercept[Exception] {
+      bad.write.format(fmt).option("table", t).option("root", root)
+        .mode("append").save()
+    }
+    assert(CommitLog.latestVersion(root) === v1,
+      "a failed job must not advance the log")
+    val staging = graft.sources.FrameStore.lastStagingDir.get()
+    assert(staging.startsWith(root) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(staging)),
+      s"aborted log-backed job left staging behind: $staging")
+    // And the surviving snapshot still reads clean through the scan.
+    assert(spark.read.format(fmt).option("table", t).option("root", root)
+      .load().count() === 1L)
   }
 
   test("write plan is a V2 write; read plan scans the committed snapshot") {

@@ -65,6 +65,8 @@ class InventorySpec extends SparkSpec {
     "join_dpp",
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state", "stream_topk", "stream_exactly_once",
+    "stream_changefeed", // full two-pass streaming run on construction
+    "sink_v2_log", // three log-committed V2 writes on construction
     "dedup_index_probe", // writes the bucketed band index on construction
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction

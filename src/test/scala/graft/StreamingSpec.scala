@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
       "streaming sketch state diverges from the batch sketch")
   }
 
+  test("stream_changefeed: the log-tailing streamed view ≡ the batch " +
+      "change-feed fold, row-identically") {
+    // Same base → append → rewrite history as table_incr_refresh, consumed
+    // two different ways: table_incr_refresh folds changesAt(v) in a batch
+    // loop, stream_changefeed folds the SAME signed deltas from a
+    // Structured Streaming tail of `_log` across a restart. Both must land
+    // on the identical per-bucket integers — a missed commit, a
+    // double-counted checkpoint file, or a lost restart offset cannot
+    // hash-match.
+    val streamed = graft.streaming.StreamRunner.changefeedView(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("table_incr_refresh")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "stream-maintained change-feed view diverges from the batch fold")
+  }
+
   test("stream_enrich: stream-static join ≡ batch join on the fixture") {
     val streamed = graft.streaming.StreamRunner.enrichedCounts(spark, sf)
       .collect().toSeq

@@ -129,13 +129,17 @@ class V2SourceSpec extends SparkSpec {
     // The 4 surviving cal_ids (22222, 44444, 66666, 88888) land in 4
     // distinct 2048-id slices; without runtime filtering the scan plans
     // ceil(100000/2048) = 49 slices. The declared query's global sort adds
-    // a range-partitioner SAMPLING pass that executes the join child once
-    // more (measured: 2× exactly), so the counters see 2 passes over the 4
-    // pruned slices — still an order of magnitude under one unpruned pass.
+    // a range-partitioner SAMPLING pass that re-executes the join child a
+    // strategy-dependent number of times (2× as of Spark 4.1 — but that is
+    // an execution detail AQE or a version bump may shift), so pin the
+    // PRUNING PROPERTY: every pass reads exactly the 4 surviving slices,
+    // and total work stays well under ONE unpruned 49-slice pass.
     val readers = graft.sources.FrameCatalogSource.readersCreated.get()
-    assert(readers === 8,
-      s"runtime IN-filter should prune to 4 slice readers × 2 passes, saw $readers")
-    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 2L * 4L * 2048L,
+    assert(readers >= 4 && readers % 4 === 0 && readers < 49,
+      s"runtime IN-filter must prune each pass to the 4 surviving slices " +
+        s"(a positive multiple of 4, < the 49 unpruned), saw $readers")
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() ===
+      readers.toLong / 4L * (4L * 2048L),
       "pruned scan should enumerate only the 4 surviving slices per pass")
     // And the runtime filter itself was delivered and parsed.
     val rt = graft.sources.FrameCatalogSource.lastRuntimeFilter.get()
@@ -144,6 +148,71 @@ class V2SourceSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic-pruning runtime filter on the V2 scan:\n$plan")
+  }
+
+  test("limit pushdown: LIMIT k composes with the pushed range — one reader, " +
+      "k rows, no work beyond the window head") {
+    val df = table.where(col("frame_id") >= 5000L).limit(9)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TOPN lo=5000 hi=100000 n=9 order=asc"),
+      s"limit not pushed into the scan:\n$plan")
+    graft.sources.FrameCatalogSource.readersCreated.set(0)
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === (5000L until 5009L).toSeq)
+    assert(graft.sources.FrameCatalogSource.readersCreated.get() === 1,
+      "a pushed limit plans exactly one partition")
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 9L,
+      "a pushed limit materializes exactly k rows")
+  }
+
+  test("top-N pushdown: ORDER BY frame_id DESC LIMIT k drops the Sort — the " +
+      "scan walks the window tail") {
+    val df = table.orderBy(col("frame_id").desc).limit(5)
+      .select("frame_id", "band")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TOPN lo=0 hi=100000 n=5 order=desc"),
+      s"top-N not pushed into the scan:\n$plan")
+    assert(!plan.contains("Sort"),
+      s"complete top-N pushdown must leave NO sort operator:\n$plan")
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      (99999L to 99995L by -1L).toSeq)
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 5L)
+  }
+
+  test("offset pushdown: OFFSET skips by interval arithmetic — the skipped " +
+      "prefix never materializes a row") {
+    val df = table.where(col("frame_id") >= 1000L)
+      .orderBy("frame_id").offset(14).limit(7).select("frame_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TOPN lo=1014"),
+      s"offset must narrow the scan window at planning:\n$plan")
+    assert(!plan.contains("Sort"), s"pushed page read must be sort-free:\n$plan")
+    graft.sources.FrameCatalogSource.readersCreated.set(0)
+    graft.sources.FrameCatalogSource.rowsEmitted.set(0L)
+    assert(df.collect().map(_.getLong(0)).toSeq === (1014L to 1020L).toSeq)
+    assert(graft.sources.FrameCatalogSource.readersCreated.get() === 1)
+    assert(graft.sources.FrameCatalogSource.rowsEmitted.get() === 7L,
+      "page read must materialize exactly the page, not offset + page")
+    // Desc composition: skip the top 3, take the next 5 off the tail.
+    val tail = table.orderBy(col("frame_id").desc).offset(3).limit(5)
+      .select("frame_id")
+    assert(tail.collect().map(_.getLong(0)).toSeq ===
+      (99996L to 99992L by -1L).toSeq)
+  }
+
+  test("top-N on a non-id column is declined — the conservative contract " +
+      "keeps the Sort and full scan") {
+    // exptime is periodic, not monotone in id: a pushed top-N would be
+    // wrong. The builder must refuse; Spark keeps its own Sort + Limit.
+    val df = table.where(col("frame_id") < 1000L)
+      .orderBy(col("exptime").desc).limit(3).select("frame_id", "exptime")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TOPN"), "non-id ordering must not push")
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Sort"),
+      s"declined top-N must leave Spark's sort in place:\n$plan")
+    assert(df.collect().map(_.getLong(1)).toSeq === Seq(120L, 120L, 120L))
   }
 
   test("unsupported aggregate (sum over periodic column) falls back to the row scan") {
