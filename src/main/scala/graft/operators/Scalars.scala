@@ -249,6 +249,55 @@ object Scalars {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Spark 4 VARIANT for semi-structured data — the current-generation
+    // answer to JSON columns (`parse_json` → binary variant encoding,
+    // typed `variant_get` path extraction) vs `get_json_object`'s
+    // string re-parse per access: the variant is DECODED ONCE and each
+    // path access is a typed traversal, which is why lakehouse engines
+    // store event payloads as variant at 100 TB. A nested document
+    // (object-in-object + array) is built from event fields, parsed to
+    // variant, and read back through typed paths: int/string/bigint
+    // leaves, an array index, and a MISSING path through
+    // `try_variant_get` (null, never error). Type bridges pinned by the
+    // oracle: variant_get 'int' ≡ DuckDB CAST(AS INT), 'long' ≡ BIGINT,
+    // string leaf extraction unquoted on both engines; doubles stay OUT
+    // of the JSON text (integer cents) so no float-format divergence
+    // can ride the string. Deterministic: pure row-wise mapping.
+    QDef(
+      "fn_variant",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("j", concat(
+            lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+            lit(",\"meta\":{\"type\":\""), col("event_type"),
+            lit("\",\"cents\":"),
+            expr("cast(floor(value * 1e2 + 0.5) as bigint)").cast("string"),
+            lit("},\"tags\":["), (col("event_id") % 3L).cast("string"),
+            lit(",7]}")))
+          .withColumn("v", parse_json(col("j")))
+          .select(
+            col("event_id"),
+            variant_get(col("v"), "$.k", "int").as("k"),
+            variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+            variant_get(col("v"), "$.meta.cents", "long").as("cents"),
+            variant_get(col("v"), "$.tags[0]", "long").as("tag0"),
+            try_variant_get(col("v"), "$.missing", "int").as("absent"))
+          .orderBy("event_id"),
+      Some("""WITH src AS (
+             |  SELECT event_id,
+             |    '{"k":' || json_extract_string(props, '$.k') ||
+             |    ',"meta":{"type":"' || event_type || '","cents":' ||
+             |    CAST(CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS VARCHAR) ||
+             |    '},"tags":[' || CAST(event_id % 3 AS VARCHAR) || ',7]}' AS j
+             |  FROM events)
+             |SELECT event_id,
+             |  CAST(json_extract_string(j, '$.k') AS INT) AS k,
+             |  json_extract_string(j, '$.meta.type') AS vtype,
+             |  CAST(json_extract_string(j, '$.meta.cents') AS BIGINT) AS cents,
+             |  CAST(json_extract_string(j, '$.tags[0]') AS BIGINT) AS tag0,
+             |  CAST(json_extract_string(j, '$.missing') AS INT) AS absent
+             |FROM src ORDER BY event_id""".stripMargin)),
+
     QDef(
       "fn_cast",
       (s, dir) =>

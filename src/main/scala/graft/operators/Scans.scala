@@ -1301,6 +1301,179 @@ object Scans {
              |SELECT key % 4 AS bucket, count(*) AS n,
              |  CAST(sum(key) AS BIGINT) AS sum_key,
              |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ROW-LEVEL DELETE through the commit log — copy-on-write, the GDPR/
+    // right-to-be-forgotten mutation and the first DML consumer of the
+    // conflict checker: the base snapshot is PARTITIONED (b=0..3, each
+    // partition its own file set, committed via explicit manifest), the
+    // delete predicate (b=3 AND key%5=2) PRUNES its victim set to the
+    // b=3 files by partition metadata alone — no data scan chooses
+    // victims — and only those files rewrite: survivors of b=3 land as
+    // new g=2 files while b=0/1/2's files ride through UNTOUCHED
+    // (`require`d by path identity: copy-on-write means unaffected
+    // bytes never move, the property that makes a 100 TB delete cost
+    // O(matching partitions), not O(table)). The rewrite publishes
+    // adds(g=2) + removes(victims) in ONE commitChecked transaction —
+    // a concurrent compaction of a victim file loses the arbitration
+    // and aborts (CommitLogSpec proves it) instead of resurrecting
+    // deleted rows. History is preserved: as-of v1 still serves the
+    // pre-delete snapshot (audit; vacuum retention is how it actually
+    // dies), so the declared output pins BOTH versions' per-partition
+    // rollups and must hash-match DuckDB's independent reconstruction.
+    QDef(
+      "table_delete",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_delete_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+          .coalesce(2).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=1")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.commitFiles(root, 1L, adds = listParquet("g=1"), removes = Nil)
+        val readVersion = CommitLog.latestVersion(root)
+        // DELETE WHERE b = 3 AND key % 5 = 2. Victim files by PARTITION
+        // PRUNING: every live file under b=3 (path metadata; at scale,
+        // file-level min/max stats prune further within a partition).
+        val live1 = CommitLog.filesAsOf(root, readVersion)
+        val victims = live1.filter(_.startsWith("g=1/b=3/"))
+        require(victims.nonEmpty && victims.size < live1.size,
+          s"delete must prune to a strict subset of files: ${victims.size}/${live1.size}")
+        // Copy-on-write rewrite: read ONLY the victim files, keep the
+        // survivors (NOT key%5=2), stage as the delete's new file set.
+        s.read.option("basePath", root)
+          .parquet(victims.map(f => s"$root/$f"): _*)
+          .where(col("key") % 5L =!= 2L)
+          .select(col("key"), col("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2/b=3")
+        // One atomic adds+removes commit, conflict-checked against the
+        // snapshot the delete read (a racing rewrite of a victim aborts).
+        CommitLog.commitChecked(root, "g=2/b=3", readVersion, reads = victims)
+        val live2 = CommitLog.filesAsOf(root, Long.MaxValue)
+        require(live1.filterNot(victims.toSet).forall(live2.toSet),
+          "copy-on-write delete must not touch files outside its victim set")
+        require(victims.forall(!live2.toSet.contains(_))
+            && live2.exists(_.startsWith("g=2/b=3/")),
+          s"delete must swap victims for rewritten survivors: $live2")
+        // b binds from the path for g=1 files; the g=2 rewrite carries no
+        // b directory under basePath resolution (g=2/b=3 parses b=3) —
+        // readAsOf's basePath read reconstructs it either way.
+        def rollup(v: Long, label: Long) = CommitLog.readAsOf(s, root, v)
+          .groupBy(col("b").cast("long").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(label).as("as_of"), col("b"), col("n"),
+            col("sum_key"), col("sum_cents"))
+        rollup(1L, 1L).unionAll(rollup(Long.MaxValue, 2L)).orderBy("as_of", "b")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 3 = 1),
+             |kept AS (
+             |  SELECT * FROM base WHERE NOT (b = 3 AND key % 5 = 2)),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM base GROUP BY 2),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM kept GROUP BY 2)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |ORDER BY as_of, b""".stripMargin)),
+
+    // `TIMESTAMP AS OF` time travel — the form users actually type:
+    // every commit now carries a monotonic commit timestamp in its
+    // commitInfo (explicit deterministic stamps here — 1000/2000/3000 ms
+    // — production stamps max(wall-clock, prev+1), the Delta
+    // in-commit-timestamp recipe, so version order and timestamp order
+    // can never disagree under clock skew). Resolution maps as-of-time
+    // to as-of-version — the LATEST commit with timestamp <= t, clamping
+    // a future t to the latest snapshot, erroring before the first
+    // commit — then reuses the existing readAsOf machinery unchanged:
+    // timestamps are a RESOLUTION layer, not a second snapshot
+    // mechanism. In-query `require`s pin the resolution table (1500→v1,
+    // 2000→v2 exact-match, 2999→v2, future→v3, 500→error); the declared
+    // output reads each resolved snapshot and must hash-match DuckDB's
+    // cumulative reconstruction. O(commits) driver metadata to resolve;
+    // the data read is the same one distributed scan as version as-of.
+    QDef(
+      "table_timetravel_ts",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_ttts_")
+        val o = T.orders(s, dir)
+        def stage(m: Long, gen: String) =
+          o.where(col("o_orderkey") % 5L === m)
+            .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        stage(0L, "g=1"); CommitLog.commit(root, 1L, "g=1", ts = 1000L)
+        stage(1L, "g=2"); CommitLog.commit(root, 2L, "g=2", ts = 2000L)
+        stage(2L, "g=3"); CommitLog.commit(root, 3L, "g=3", ts = 3000L)
+        // The resolution contract, pinned in-query.
+        require(CommitLog.versionAsOfTimestamp(root, 1500L) == 1L
+            && CommitLog.versionAsOfTimestamp(root, 2000L) == 2L
+            && CommitLog.versionAsOfTimestamp(root, 2999L) == 2L
+            && CommitLog.versionAsOfTimestamp(root, 999999L) == 3L,
+          "TIMESTAMP AS OF must resolve to the latest commit at-or-before t")
+        require(
+          try { CommitLog.versionAsOfTimestamp(root, 500L); false }
+          catch { case _: IllegalArgumentException => true },
+          "a timestamp before the first commit has no snapshot to serve")
+        def at(probeTs: Long) = {
+          val v = CommitLog.versionAsOfTimestamp(root, probeTs)
+          CommitLog.readAsOf(s, root, v)
+            .agg(count(lit(1)).as("n"),
+              sum(col("key")).cast("long").as("sum_key"),
+              sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(probeTs).as("probe_ts"), lit(v).as("resolved_version"),
+              col("n"), col("sum_key"), col("sum_cents"))
+        }
+        at(1500L).unionAll(at(2500L)).unionAll(at(999999L)).orderBy("probe_ts")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |s12 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 5 IN (0, 1)),
+             |s123 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)),
+             |roll AS (
+             |  SELECT CAST(1500 AS BIGINT) AS probe_ts,
+             |    CAST(1 AS BIGINT) AS resolved_version, count(*) AS n,
+             |    CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM s1
+             |  UNION ALL
+             |  SELECT CAST(2500 AS BIGINT), CAST(2 AS BIGINT), count(*),
+             |    CAST(sum(key) AS BIGINT),
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM s12
+             |  UNION ALL
+             |  SELECT CAST(999999 AS BIGINT), CAST(3 AS BIGINT), count(*),
+             |    CAST(sum(key) AS BIGINT),
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM s123)
+             |SELECT * FROM roll ORDER BY probe_ts""".stripMargin))
   )
 }

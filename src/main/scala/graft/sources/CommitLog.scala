@@ -103,9 +103,9 @@ object CommitLog {
   }
 
   private def commitJson(version: Long, adds: Seq[String],
-      removes: Seq[String]): String = {
+      removes: Seq[String], ts: Long): String = {
     (adds ++ removes).foreach(requireSafe)
-    (s"""{"commitInfo":{"version":$version,"adds":${adds.size},"removes":${removes.size}}}""" +:
+    (s"""{"commitInfo":{"version":$version,"timestamp":$ts,"adds":${adds.size},"removes":${removes.size}}}""" +:
       (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version}}""") ++
         removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
       .mkString("", "\n", "\n")
@@ -117,25 +117,47 @@ object CommitLog {
     * removes the old in one atomic action list. Returns false on a version
     * conflict (another writer won the name). In production the writer knows
     * its own add-list transactionally; listing the just-written directory
-    * here is the local-FS stand-in. */
+    * here is the local-FS stand-in — a writer that DOES know its manifest
+    * (the V2 sink, whose task commit messages carry it) passes `addsKnown`
+    * and no listing happens, so a straggler file landing in `genDir`
+    * between the writer's validation and this commit can never ride into
+    * the published version. */
+  /** Every commit carries a MONOTONIC timestamp in its `commitInfo` —
+    * the resolution key `TIMESTAMP AS OF` needs. `ts = -1` (the default)
+    * stamps with `max(wall clock, previous commit's stamp + 1)`, so the
+    * version order and the timestamp order can never disagree even under
+    * clock skew (the Delta in-commit-timestamp guarantee); an explicit
+    * `ts` must itself be monotonic (deterministic fixtures pass 1000,
+    * 2000, … — `require`d to keep as-of-time resolution well-defined). */
+  private def stampFor(root: String, ts: Long): Long = {
+    val prev = timestampOf(root, latestVersion(root))
+    if (ts >= 0L) {
+      require(prev < ts, s"non-monotonic explicit commit timestamp $ts " +
+        s"(previous commit stamped $prev) under $root")
+      ts
+    } else math.max(System.currentTimeMillis(), prev + 1L)
+  }
+
   def tryCommit(root: String, version: Long, genDir: String,
-      removes: Seq[String] = Nil): Boolean = {
-    val adds = withList(Paths.get(root, genDir)) {
+      removes: Seq[String] = Nil,
+      addsKnown: Option[Seq[String]] = None,
+      ts: Long = -1L): Boolean = {
+    val adds = addsKnown.map(_.sorted).getOrElse(withList(Paths.get(root, genDir)) {
       _.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
         .map(n => s"$genDir/$n")
-    }
+    })
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes))
+      commitJson(version, adds, removes, stampFor(root, ts)))
     if (won && version % CheckpointInterval == 0) writeCheckpoint(root, version)
     won
   }
 
   /** Single-writer commit: version conflicts are protocol violations. */
   def commit(root: String, version: Long, genDir: String,
-      removes: Seq[String] = Nil): Unit =
-    if (!tryCommit(root, version, genDir, removes))
+      removes: Seq[String] = Nil, ts: Long = -1L): Unit =
+    if (!tryCommit(root, version, genDir, removes, ts = ts))
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
 
@@ -144,13 +166,45 @@ object CommitLog {
     * metadata-only operations need: RESTORE re-adds an old snapshot's
     * files and removes the current ones without touching a byte of data. */
   def commitFiles(root: String, version: Long, adds: Seq[String],
-      removes: Seq[String]): Unit = {
+      removes: Seq[String], ts: Long = -1L): Unit = {
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes))
+      commitJson(version, adds, removes, stampFor(root, ts)))
     if (!won)
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
     if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  private val TsField = (""""timestamp"\s*:\s*(\d+)""").r.unanchored
+
+  /** Commit timestamp of `version` (millis; -1 when the version does not
+    * exist or predates timestamped commits). O(1): reads one log file. */
+  def timestampOf(root: String, version: Long): Long = {
+    val p = logDir(root).resolve(f"$version%08d.json")
+    if (version <= 0L || !Files.exists(p)) -1L
+    else new String(Files.readAllBytes(p), "UTF-8")
+      .linesIterator.take(1).toSeq.headOption match {
+        case Some(TsField(t)) => t.toLong
+        case _                => -1L
+      }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
+    * timestamp is <= `ts` — the form users actually type; a time after
+    * the last commit clamps to the latest snapshot (Delta's read
+    * semantics). Errors when `ts` predates the first commit: there is no
+    * snapshot to serve. O(commits) driver-side metadata — the same walk
+    * snapshot resolution already does; a production deployment binary-
+    * searches the commit range. */
+  def versionAsOfTimestamp(root: String, ts: Long): Long = {
+    val versions = listLog(root)._1.map(_._1)
+    val hit = versions.foldLeft(-1L) { (best, v) =>
+      val t = timestampOf(root, v)
+      if (t >= 0L && t <= ts) v else best
+    }
+    require(hit > 0L,
+      s"timestamp $ts predates the first commit under $root — no snapshot to serve")
+    hit
   }
 
   /** The file-level CHANGE FEED of `version`: (added files, removed files)
@@ -173,11 +227,12 @@ object CommitLog {
     * commit (replace-style writers pass `v => filesAsOf(root, v - 1)`). */
   def commitRetrying(root: String, genDir: String,
       removesAsOf: Long => Seq[String] = _ => Nil,
-      maxAttempts: Int = 64): Long = {
+      maxAttempts: Int = 64,
+      addsKnown: Option[Seq[String]] = None): Long = {
     var v = latestVersion(root) + 1L
     var attempts = 0
     while (attempts < maxAttempts) {
-      if (tryCommit(root, v, genDir, removesAsOf(v))) return v
+      if (tryCommit(root, v, genDir, removesAsOf(v), addsKnown)) return v
       attempts += 1
       v = math.max(v + 1L, latestVersion(root) + 1L)
     }

@@ -130,8 +130,12 @@ object FrameStore {
   // Files a truncate REPLACED, per table: tombstoned (kept on disk) rather
   // than eagerly deleted, so a scan already planned over the prior snapshot
   // keeps reading — readers-never-affected, the snapshot-isolation property
-  // the log-backed mode gets from CommitLog's retention. Reclaimed on drop
-  // (the single-JVM stand-in for vacuum's retention expiry).
+  // the log-backed mode gets from CommitLog's retention. Retention is ONE
+  // generation: the next truncate reclaims the previous truncate's
+  // tombstones (see publish), and drop reclaims everything — the
+  // single-JVM stand-in for vacuum's retention expiry, without the
+  // unbounded growth an expiry-free map would have under repeated
+  // overwrites of one table.
   private val tombstones = TrieMap.empty[String, Vector[StagedFile]]
 
   private def schemaShape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
@@ -182,9 +186,15 @@ object FrameStore {
       case Some((committed, old)) if !truncate => Some((committed, old ++ files))
       case _                                   => Some((schema, files))
     }: Unit
-    if (replaced.nonEmpty)
-      tombstones.updateWith(name)(t =>
-        Some(t.getOrElse(Vector.empty) ++ replaced)): Unit
+    if (replaced.nonEmpty) {
+      // SINGLE-GENERATION tombstone retention: this truncate's replaced
+      // files become the retained set, and the PREVIOUS generation's
+      // tombstones (whose readers planned two truncates ago) are reclaimed
+      // now — the in-memory analog of CommitLog.vacuum's bounded retention.
+      // Without an expiry, a session repeatedly overwriting one table keeps
+      // every replaced snapshot on disk and in the map until drop().
+      tombstones.put(name, replaced).foreach(reclaim)
+    }
   }
 
   private[graft] def snapshot(name: String): Vector[StagedFile] =
@@ -208,6 +218,43 @@ object FrameStore {
   /** The staging directory of the most recent write job (spec observable:
     * after an abort, nothing of it remains on disk). */
   val lastStagingDir = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Staging dirs a JOB-level rollback has condemned. A task-level abort
+    * that sees its dir here abandons its writer WITHOUT a footer-flushing
+    * close — the close is what could recreate a directory the rollback
+    * already wiped (straggler race). Same-JVM visibility is exactly the
+    * scope of the race (local mode runs tasks in driver threads); on a
+    * cluster the job-level delete-until-stable loop plus log-authoritative
+    * visibility cover stragglers on other hosts. Entries are never reused
+    * (UUID-suffixed dirs), so the set only grows by one small string per
+    * aborted job — negligible. */
+  private val condemnedStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[sources] def isCondemned(dir: String): Boolean =
+    condemnedStaging.contains(dir)
+
+  /** Job-level rollback deletion of a staging dir: condemn it first (so
+    * racing task-level aborts go footer-free and cannot recreate it), then
+    * delete-and-reprobe until the dir stays absent for 3 consecutive
+    * probes — a single delete can lose to a straggler's in-flight file or
+    * `.crc` flush, which is exactly how the "nothing remains after abort"
+    * contract used to break under full-suite load. Bounded (~1 s worst
+    * case); fails loudly if the dir will not die. */
+  private[sources] def deleteStagingStable(dir: String): Unit = {
+    condemnedStaging.add(dir): Unit
+    val f = new java.io.File(dir)
+    var stable = 0
+    var probes = 0
+    while (stable < 3 && probes < 120) {
+      if (f.exists()) { graft.FsUtil.deleteRecursively(f); stable = 0 }
+      else stable += 1
+      probes += 1
+      if (stable < 3) Thread.sleep(8L)
+    }
+    if (f.exists())
+      throw new IllegalStateException(
+        s"rollback could not remove staging dir $dir after $probes probes")
+  }
 }
 
 /** Executor-side parquet staging and the driver-built distributed read
@@ -334,20 +381,21 @@ private[graft] case class FrameStoreCommit(path: Option[String], rows: Long,
 
 private class FrameStoreBatchWrite(tname: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
-  // Per-job staging root; tasks write beneath it, commit promotes the
-  // staged files into the manifest IN PLACE (no rename needed — visibility
-  // is a manifest property, not a directory property), abort removes it.
-  // Stale same-prefix dirs from DEAD JVMs are swept first (live dirs hold
-  // committed files and are reclaimed by FrameStore.drop).
-  graft.FsUtil.sweepStaleTmp("graft_fstore_stage_")
-  private val stagingDir = Files.createTempDirectory("graft_fstore_stage_").toString
+  // Per-job staging root, SUFFIXED with the applicationId (the runTmpPath
+  // convention): committed manifests keep referencing their staging dirs
+  // for the life of this JVM, so the stale-dir sweep must only ever be
+  // able to select OTHER JVMs' leftovers (>1h old, different app token).
+  // Without the token, a write in a >1h-old session would sweep its own
+  // earlier committed files out from under their still-live manifests.
+  private val appToken = SparkSession.active.sparkContext
+    .applicationId.replaceAll("[^A-Za-z0-9]", "_")
+  graft.FsUtil.sweepStaleTmp("graft_fstore_stage_", exclude = appToken)
+  private val stagingDir =
+    Files.createTempDirectory(s"graft_fstore_stage_${appToken}_").toString
   FrameStore.lastStagingDir.set(stagingDir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FrameStoreWriterFactory(schema, stagingDir)
-
-  private def deleteStaging(): Unit =
-    graft.FsUtil.deleteRecursively(new java.io.File(stagingDir))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator.collect {
@@ -358,7 +406,9 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
     try FrameStore.publish(tname, schema, files, truncate)
     catch {
       case e: IllegalArgumentException =>
-        deleteStaging() // failed validation: staged files are debris
+        // Failed validation: staged files are debris; same stable rollback
+        // as abort (speculative task duplicates may still be cleaning up).
+        FrameStore.deleteStagingStable(stagingDir)
         throw e
     }
     FrameStore.commitsCompleted.incrementAndGet(): Unit
@@ -366,7 +416,8 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // Nothing was published; removing the staging directory (which also
     // covers tasks that died before producing a message) IS the rollback.
-    deleteStaging()
+    // Condemn-then-delete-until-stable: see FrameStore.deleteStagingStable.
+    FrameStore.deleteStagingStable(stagingDir)
     FrameStore.abortsSeen.incrementAndGet(): Unit
   }
 }
@@ -382,11 +433,12 @@ private class FrameStoreWriterFactory(schema: StructType, stagingDir: String)
       override def write(row: InternalRow): Unit = {
         if (writer == null) {
           // The factory's staging dir exists for the life of the job; if
-          // it is gone the driver already aborted — fail fast rather than
-          // let the parquet writer recreate the directory and resurrect
-          // staged debris the abort claims to have wiped (straggler-task
-          // race).
-          if (!Files.isDirectory(Paths.get(stagingDir)))
+          // it is condemned or gone the driver already aborted — fail fast
+          // rather than let the parquet writer recreate the directory and
+          // resurrect staged debris the abort claims to have wiped
+          // (straggler-task race).
+          if (FrameStore.isCondemned(stagingDir) ||
+              !Files.isDirectory(Paths.get(stagingDir)))
             throw new IllegalStateException(
               s"write after job abort: staging dir $stagingDir is gone")
           writer = FrameStoreStaging.openWriter(path, schema)
@@ -403,11 +455,17 @@ private class FrameStoreWriterFactory(schema: StructType, stagingDir: String)
         }
       override def abort(): Unit = {
         // Closing flushes the footer, which can RECREATE the staging dir a
-        // job-level abort already wiped (straggler race) — so after the
-        // close, remove the file, its .crc shadow, and re-prune the dir
-        // (no-op if other tasks' files are still there; the last straggler
-        // out leaves nothing).
-        if (writer != null) { writer.close(); writer = null }
+        // job-level abort already wiped (straggler race). If the job has
+        // CONDEMNED this staging dir, abandon the writer WITHOUT close —
+        // nothing further reaches disk and the leaked stream dies with the
+        // task, so recreation is impossible by construction. Otherwise
+        // (task-only failure, job still live) close normally, then remove
+        // the file, its .crc shadow, and re-prune the dir (no-op if other
+        // tasks' files remain; the last straggler out leaves nothing).
+        if (writer != null) {
+          if (!FrameStore.isCondemned(stagingDir)) writer.close()
+          writer = null
+        }
         val p = Paths.get(path)
         Files.deleteIfExists(p): Unit
         Option(p.getParent).foreach { d =>
@@ -448,31 +506,59 @@ private class FrameStoreLogBatchWrite(root: String, schema: StructType,
     new FrameStoreWriterFactory(schema, stagingDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // The staged manifest arrives as task messages; tryCommit re-lists the
-    // staging dir (its local-FS stand-in), so validate the two agree —
-    // a mismatch means a straggler task wrote after its commit message.
     val staged = messages.iterator.collect {
       case FrameStoreCommit(Some(p), _, _) => p
       case FrameStoreCommit(None, _, _)    => null
       case other => throw new IllegalStateException(s"foreign commit message $other")
     }.filter(_ != null).toSet
+    // Validate the staged manifest against the staging dir BEFORE anything
+    // is published: a mismatch means a straggler task wrote after its
+    // commit message, and it must abort with NOTHING in the log — the old
+    // order (publish, then compare) left the bad version committed and
+    // visible with no compensating remove. The commit itself then carries
+    // the VALIDATED manifest explicitly (addsKnown), so a file landing in
+    // the dir between this check and the log write can never ride in.
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(stagingDir)
+      if (!Files.isDirectory(dir)) Set.empty[String]
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .map(n => s"$stagingDir/$n").toSet
+        finally s.close()
+      }
+    }
+    if (onDisk != staged) {
+      FrameStore.deleteStagingStable(stagingDir)
+      throw new IllegalStateException(
+        s"staged manifest (${staged.size} files) != staging dir contents " +
+          s"(${onDisk.size}) under $stagingDir — aborted before publish")
+    }
+    val manifest = staged.toSeq.map(p => p.stripPrefix(s"$root/")).sorted
     val version = CommitLog.commitRetrying(root, stageName,
       removesAsOf =
-        if (truncate) v => CommitLog.filesAsOf(root, v - 1L) else _ => Nil)
+        if (truncate) v => CommitLog.filesAsOf(root, v - 1L) else _ => Nil,
+      addsKnown = Some(manifest))
+    // Invariant (cannot fire spuriously now that adds are explicit): the
+    // published version's add set IS the validated manifest.
     val committed = CommitLog.filesAsOf(root, version)
       .filter(_.startsWith(s"$stageName/")).map(f => s"$root/$f").toSet
     if (committed != staged)
       throw new IllegalStateException(
-        s"staged manifest (${staged.size} files) != committed add set " +
-          s"(${committed.size}) for version $version under $root")
+        s"committed add set (${committed.size} files) diverged from the " +
+          s"validated manifest (${staged.size}) for version $version under $root")
     FrameStore.commitsCompleted.incrementAndGet(): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // Nothing reached the log, so nothing was ever visible; removing the
     // staging dir (covering tasks that died before messaging) is the whole
-    // rollback. Had the driver died before this ran, the orphaned staging
-    // would still be invisible (log-authoritative) and vacuum's job.
-    graft.FsUtil.deleteRecursively(new java.io.File(stagingDir))
+    // rollback — condemn-then-delete-until-stable so a straggler task's
+    // footer flush cannot resurrect it (FrameStore.deleteStagingStable).
+    // Had the driver died before this ran, the orphaned staging would
+    // still be invisible (log-authoritative) and vacuum's job.
+    FrameStore.deleteStagingStable(stagingDir)
     FrameStore.abortsSeen.incrementAndGet(): Unit
   }
 }
@@ -483,13 +569,20 @@ private class FrameStoreLogBatchWrite(root: String, schema: StructType,
   * executor-side by the same parquet machinery as the in-memory scan. */
 private class FrameStoreLogScan(tname: String, root: String, asOf: Long,
     schema: StructType) extends Scan with Batch {
-  private lazy val files: Seq[String] =
-    CommitLog.filesAsOf(root, asOf)
+  // STRICT binding at scan construction (= planning), like FrameStoreScan:
+  // a lazy val would bind at first access — possibly execution — so a
+  // commit landing between build() and planInputPartitions would shift the
+  // read. Long.MaxValue resolves to the concrete latest version NOW for
+  // the same reason.
+  private val resolvedAsOf: Long =
+    if (asOf == Long.MaxValue) CommitLog.latestVersion(root) else asOf
+  private val files: Seq[String] =
+    CommitLog.filesAsOf(root, resolvedAsOf)
       .map(f => if (f.startsWith("/")) f else s"$root/$f")
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftFrameStoreLogScan table=$tname root=$root asOf=$asOf files=${files.size}"
+    s"GraftFrameStoreLogScan table=$tname root=$root asOf=$resolvedAsOf files=${files.size}"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f =>
       FrameStoreFilePartition(f, Files.size(Paths.get(f))): InputPartition)
@@ -505,10 +598,15 @@ private class FrameStoreScan(tname: String) extends Scan with Batch {
   // files are tombstoned, not deleted, precisely so this binding stays
   // servable (FrameStoreSpec pins it).
   private val snap = FrameStore.snapshot(tname)
-  override def readSchema(): StructType = FrameStore.schemaOf(tname)
+  // The SCHEMA is part of the snapshot: a truncate that changes the shape
+  // between planning and execution must not make the in-flight reader
+  // decode the tombstoned old-snapshot parquet under the NEW schema
+  // (silent wrong results) — so it is captured here, with the files.
+  private val snapSchema = FrameStore.schemaOf(tname)
+  override def readSchema(): StructType = snapSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftFrameStoreScan table=$tname files=${snap.size} rows=${FrameStore.rowCount(tname)}"
+    s"GraftFrameStoreScan table=$tname files=${snap.size} rows=${snap.map(_.rows).sum}"
   override def planInputPartitions(): Array[InputPartition] =
     snap.map(f => FrameStoreFilePartition(f.path, f.bytes): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =

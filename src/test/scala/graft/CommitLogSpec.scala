@@ -325,4 +325,62 @@ class CommitLogSpec extends SparkSpec {
     assert(snap(1L) === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
     assert(snap(2L) === Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 40.0))
   }
+
+  test("row-level DELETE vs concurrent compaction of a victim file: the " +
+      "arbitration lands one and aborts the other — deleted rows cannot " +
+      "be resurrected by the loser's rewrite") {
+    val root = freshTable() // v1 adds g=1, v2 appends g=2
+    val s0 = spark
+    import s0.implicits._
+    val readVersion = CommitLog.latestVersion(root)
+    val victims = CommitLog.filesAsOf(root, readVersion).filter(_.startsWith("g=1/"))
+    assert(victims.nonEmpty)
+    // The DELETE stages its copy-on-write survivors (drops key=2 from g=1)
+    // while a compaction stages a full rewrite of the SAME files.
+    Seq((1L, 10.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=4")
+    // Delete wins the version race; the compaction read the same snapshot,
+    // intends to remove the same files the delete just removed, and MUST
+    // abort — landing it would re-publish the pre-delete rows (resurrect
+    // the deleted key through the rewrite).
+    val vDel = CommitLog.commitChecked(root, "g=3", readVersion, reads = victims)
+    assert(vDel === 3L)
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitChecked(root, "g=4", readVersion, reads = victims)
+    }
+    val live = CommitLog.filesAsOf(root, Long.MaxValue)
+    assert(live.exists(_.startsWith("g=3/")) && !live.exists(_.startsWith("g=4/"))
+      && !live.exists(_.startsWith("g=1/")),
+      s"the aborted compaction leaked into the snapshot: $live")
+    // And the delete is effective: key=2's g=1 row is gone.
+    val keys = CommitLog.readAsOf(spark, root, Long.MaxValue)
+      .where(col("g") === 3).select("key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq === Seq(1L, 3L))
+  }
+
+  test("commit timestamps: monotonic by construction, TIMESTAMP AS OF " +
+      "resolves at-or-before with future clamp and pre-history error") {
+    val root = freshTable() // default (wall-clock) stamps for v1, v2
+    val t1 = CommitLog.timestampOf(root, 1L)
+    val t2 = CommitLog.timestampOf(root, 2L)
+    assert(t1 > 0L && t2 > t1, s"default stamps must be monotonic: $t1, $t2")
+    // Explicit stamp must be beyond the previous commit's.
+    intercept[IllegalArgumentException] {
+      CommitLog.commitFiles(root, 3L, adds = Nil, removes = Nil, ts = t2)
+    }
+    CommitLog.commitFiles(root, 3L, adds = Nil, removes = Nil, ts = t2 + 500L)
+    assert(CommitLog.timestampOf(root, 3L) === t2 + 500L)
+    // Resolution: between stamps → earlier version; exact → that version;
+    // future → latest; before the first commit → error.
+    assert(CommitLog.versionAsOfTimestamp(root, t1) === 1L)
+    assert(CommitLog.versionAsOfTimestamp(root, t2 - 1L) === 1L)
+    assert(CommitLog.versionAsOfTimestamp(root, t2) === 2L)
+    assert(CommitLog.versionAsOfTimestamp(root, t2 + 499L) === 2L)
+    assert(CommitLog.versionAsOfTimestamp(root, Long.MaxValue) === 3L)
+    intercept[IllegalArgumentException] {
+      CommitLog.versionAsOfTimestamp(root, t1 - 1L)
+    }
+  }
 }

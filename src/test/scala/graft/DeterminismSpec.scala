@@ -123,7 +123,13 @@ class DeterminismSpec extends SparkSpec {
     // one commuting append) and its final-snapshot rollup must hold under
     // any write partitioning of the staged generations — the table_vacuum
     // risk class with arbitration on top
-    "table_conflict")
+    "table_conflict",
+    // round-12: the copy-on-write delete's victim pruning + rewrite and
+    // both versions' rollups must hold under any write partitioning of
+    // the partitioned base (file counts per partition change, the
+    // file-set identity requires must not); timestamp resolution must be
+    // a pure function of the stamped log regardless of scan parallelism
+    "table_delete", "table_timetravel_ts")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

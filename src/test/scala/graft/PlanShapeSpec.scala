@@ -644,6 +644,39 @@ class PlanShapeSpec extends SparkSpec {
       "enrichment rollup lost map-side partial aggregation")
   }
 
+  test("table_delete: two as-of rollups, one scan each — victim selection and " +
+      "the commit are metadata, not data scans") {
+    val p = plan("table_delete")
+    assert(!p.contains("Join"), "as-of rollups must not join")
+    assert(!p.contains("Window"), "as-of rollups must not window")
+    // Pre-delete and post-delete each read their log-resolved file list in
+    // ONE distributed scan; a third scan would mean victim selection or
+    // the rewrite leaked into the declared read.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
+  }
+
+  test("table_timetravel_ts: timestamp resolution adds zero scans — three " +
+      "probes, three as-of reads, nothing else") {
+    val p = plan("table_timetravel_ts")
+    assert(!p.contains("Join"), "as-of rollups must not join")
+    assert(!p.contains("Window"), "as-of rollups must not window")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 3, s"expected 3 snapshot scans (one per probe), saw $scans:\n$p")
+  }
+
+  test("fn_variant: one scan, row-wise variant projection — no join, no shuffle") {
+    val p = plan("fn_variant")
+    assert(!p.contains("Join"), "variant extraction must not join")
+    assert(p.contains("variant_get") || p.contains("VariantGet"),
+      "typed path access should appear as variant_get in the projection")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected a single events scan, saw $scans:\n$p")
+    // One exchange allowed: the deterministic ORDER BY for the harness.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"row-wise projection grew extra shuffles:\n$p")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
