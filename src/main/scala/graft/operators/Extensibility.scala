@@ -377,6 +377,39 @@ object Extensibility {
              |FROM t WHERE frame_id BETWEEN 99992 AND 99996
              |ORDER BY side, frame_id""".stripMargin)),
 
+    // The connector's STREAMING read path (MicroBatchStream on
+    // FrameCatalogSource — sources/FrameCatalogSource.scala): the catalog
+    // is TAILED as an arriving-frames stream. Offsets are frame-id
+    // watermarks (O(1) checkpoint metadata), admission control
+    // (SupportsAdmissionControl, `arrive` ids per batch) paces the drain
+    // — the rate-limit contract maxFilesPerTrigger implements on the
+    // file source — and each batch's planInputPartitions slices its id
+    // range with the SAME slice geometry and reader factory as the batch
+    // scan: one row-materialization code path, queried or tailed.
+    // Trigger.AvailableNow drains in ceil(window/arrive) batches and
+    // stops; the multi-batch execution is require'd from the query's own
+    // progress (5 non-empty batches for 40960/8192 — one batch would mean
+    // admission control never engaged). Streamed rows re-aggregate
+    // batch-side into the declared oracle-checked rollup; StreamingSpec
+    // pins streamed ≡ batch row-identically over the same window. A
+    // connector that can only be queried is half a connector at 100 TB —
+    // this is the other half: CDC-style tailing with bounded per-batch
+    // work and restart-stable id offsets.
+    QDef(
+      "scan_v2_stream",
+      (s, dir) => graft.streaming.StreamRunner.frameCatalogStream(s, dir),
+      Some("""SELECT band, count(*) AS n,
+             |  CAST(sum(exptime) AS BIGINT) AS total_exp,
+             |  CAST(sum(zp_milli) AS BIGINT) AS sum_zp,
+             |  min(frame_id) AS first_frame, max(frame_id) AS last_frame
+             |FROM (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    30 + (i % 7) * 15 AS exptime,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(0, 40959) t(i))
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // The V2 write protocol UNIFIED with the transaction log: the same
     // two-phase executor-staged parquet write as sink_custom_v2, but
     // phase two publishes an atomic CommitLog version instead of an

@@ -137,6 +137,27 @@ object StreamingOps {
              |  max(sec) AS last_sec
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // The SAME custom keyed state on Spark 4's transformWithState — the
+    // replacement API (named typed state slots, per-state TTL, timers,
+    // composite state, RocksDB-backed): identical fold, identical oracle,
+    // and StreamingSpec asserts the two APIs agree row-identically — the
+    // migration guarantee a job porting off flatMapGroupsWithState needs.
+    QDef(
+      "stream_custom_state_tws",
+      (s, dir) => graft.streaming.StreamRunner.customStateAggTws(s, dir),
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, sec,
+             |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+             |  FROM e)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(max(gap) AS BIGINT) AS max_gap_sec,
+             |  max(sec) AS last_sec
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Streaming top-k leaderboard: per-(type, user) running counts in keyed
     // state (flatMapGroupsWithState), final rank after the stream drains.
     // Counts are order-independent folds, so this REAL streaming execution
@@ -259,10 +280,17 @@ object StreamingOps {
       (s, dir) => graft.streaming.StreamRunner.tumblingWithWatermark(s, dir),
       None),
 
+    // foreachBatch idempotent-sink pattern — ORACLED (round 12): the sink
+    // overwrites the target per batch id and the declared read re-aggregates
+    // the read-back, so with complete-mode semantics the final target holds
+    // exactly the full per-type counts no matter how many micro-batches the
+    // replay split into — deterministic, hence the batch-equivalent SQL
+    // (the same strongest-check upgrade stream_exactly_once already has).
     QDef(
       "stream_foreachbatch",
       (s, dir) => graft.streaming.StreamRunner.foreachBatchUpsert(s, dir),
-      None),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Streaming exactly-once into the transaction log: foreachBatch stages
     // each micro-batch as a generation and commits it under

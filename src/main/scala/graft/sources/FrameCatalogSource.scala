@@ -47,7 +47,8 @@ class FrameCatalogSource extends TableProvider {
     new FrameCatalogTable(
       properties.getOrDefault("frames", "100000").toLong,
       properties.getOrDefault("slice", "8192").toLong,
-      properties.getOrDefault("partition_by", "") == "band")
+      properties.getOrDefault("partition_by", "") == "band",
+      properties.getOrDefault("arrive", "8192").toLong)
 }
 
 object FrameCatalogSource {
@@ -93,18 +94,19 @@ object FrameCatalogSource {
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
-private class FrameCatalogTable(frames: Long, slice: Long, byBand: Boolean)
+private class FrameCatalogTable(frames: Long, slice: Long, byBand: Boolean,
+    arrive: Long = 8192L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_frames($frames)"
   override def schema(): StructType = FrameCatalogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FrameCatalogScanBuilder(frames, slice, byBand)
+    new FrameCatalogScanBuilder(frames, slice, byBand, arrive)
 }
 
 private class FrameCatalogScanBuilder(frames: Long, slice: Long,
-    byBand: Boolean = false)
+    byBand: Boolean = false, arrive: Long = 8192L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -250,8 +252,81 @@ private class FrameCatalogScanBuilder(frames: Long, slice: Long,
     case None if byBand =>
       new FrameBandScan(lo, math.max(lo, hi), required)
     case None =>
-      new FrameCatalogScan(lo, math.max(lo, hi), slice, required)
+      new FrameCatalogScan(lo, math.max(lo, hi), slice, required, arrive)
   }
+}
+
+/** Frame-id watermark offset for the micro-batch read: the stream's
+  * position IS an id — batch (start, end] reads the ids in [start, end).
+  * Serialized as the bare number (restart-stable; the checkpoint's offset
+  * log round-trips through [[json]]/deserializeOffset). */
+private case class FrameOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** The connector's STREAMING read path ([[MicroBatchStream]]): the catalog
+  * is tailed as an arriving-frames stream. Offsets are frame-id ranges —
+  * `initialOffset` is the window's lower edge, each micro-batch admits at
+  * most `arrive` ids ([[SupportsAdmissionControl]] — the rate-limit
+  * contract `maxFilesPerTrigger`/`maxOffsetsPerTrigger` implement on the
+  * built-in sources), and `planInputPartitions(start, end)` slices the
+  * batch's id range with the SAME `slice` geometry and reader factory as
+  * the batch scan — one code path for rows whether they arrive by query or
+  * by stream. `Trigger.AvailableNow` drains the window in
+  * ceil(window / arrive) batches and stops (the catch-up-then-terminate
+  * contract); a restart resumes from the checkpointed id offset. At scale
+  * this is how a connector-backed store is TAILED: per-batch work is
+  * bounded by admission control, the stream's position is O(1) metadata,
+  * and a 100 TB history never replays unless the checkpoint asks it to. */
+private class FrameCatalogMicroBatch(lo: Long, hi: Long, slice: Long,
+    arrive: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  // AvailableNow contract (SupportsTriggerAvailableNow, without which the
+  // engine falls back to single-batch Trigger.Once semantics and ignores
+  // the read limit): capture the drain target BEFORE the first batch, so
+  // the run processes exactly what was available at start — a catalog
+  // growing mid-run is next run's work.
+  private var availableNowTarget: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = hi
+
+  override def initialOffset(): SOffset = FrameOffset(lo)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(1L, arrive))
+  // Admission-controlled sources answer latestOffset(start, limit); the
+  // no-arg form is the legacy non-rate-limited entry Spark never calls
+  // when SupportsAdmissionControl is implemented.
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) drives an admission-controlled stream")
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[FrameOffset].id
+    val step = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows())
+      case _              => math.max(1L, arrive)
+    }
+    FrameOffset(math.min(hi, s + step))
+  }
+  // What is AVAILABLE (vs what the next batch admits) — AvailableNow pins
+  // this as the drain target before the first batch runs.
+  override def reportLatestOffset(): SOffset = FrameOffset(hi)
+  override def deserializeOffset(json: String): SOffset =
+    FrameOffset(json.trim.toLong)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameOffset].id
+    val e = end.asInstanceOf[FrameOffset].id
+    Iterator.range(s, e, math.max(1L, slice))
+      .map(x => FramePartition(x, math.min(x + slice, e)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FrameReaderFactory(fields)
 }
 
 /** A pushed LIMIT / ORDER-BY-id-LIMIT scan: ONE partition holding the k
@@ -298,10 +373,16 @@ private class FrameStepReaderFactory(fields: Array[String])
 }
 
 private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
-    required: StructType) extends Scan with Batch
+    required: StructType, arrive: Long = 8192L) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // Streaming shares the batch scan's pushed [lo, hi) window, slice
+  // geometry, and reader factory — the stream is the batch read paced by
+  // admission control, nothing else.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FrameCatalogMicroBatch(lo, hi, slice, arrive, required.fieldNames)
   // Shown verbatim in the physical plan — the plan-shape pin reads the
   // pushed window and the pruned column list from here.
   override def description(): String =

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Real Structured-Streaming executions of the §2.10 operators, replaying the
@@ -138,6 +138,124 @@ object StreamRunner {
     q.awaitTermination()
     // Update mode emits one row per touched user per micro-batch; keep each
     // user's final state (n_events is monotonic).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n_events").desc, col("last_sec").desc)
+    s.table(qn)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  /** Streaming read of the custom V2 connector ([[graft.sources
+    * .FrameCatalogSource]]'s `MicroBatchStream`): tails the frame catalog
+    * with `Trigger.AvailableNow` — admission control (`arrive` ids per
+    * batch) paces the drain, offsets are frame-id watermarks, and each
+    * batch's partitions reuse the batch scan's slice geometry and reader.
+    * The multi-batch execution is `require`d from the query's own progress
+    * (ceil(window / arrive) non-empty batches — a single-batch drain would
+    * mean admission control never engaged), then the streamed rows
+    * re-aggregate batch-side for the declared, oracle-checked output.
+    * StreamingSpec additionally pins streamed ≡ batch row-identically over
+    * the same window. */
+  def frameCatalogStream(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    val qn = "graft_v2s_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val frames = 40960L
+    val arrive = 8192L
+    val q = s.readStream.format("graft.sources.FrameCatalogSource")
+      .option("frames", frames.toString)
+      .option("slice", "4096")
+      .option("arrive", arrive.toString)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft_v2s_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0L)
+    val expected = (frames + arrive - 1L) / arrive
+    require(batches == expected,
+      s"admission control must drain $frames ids in $expected batches of " +
+        s"$arrive, saw $batches")
+    s.table(qn)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum("exptime").as("total_exp"),
+        sum("zp_milli").as("sum_zp"),
+        min("frame_id").as("first_frame"),
+        max("frame_id").as("last_frame"))
+      .orderBy("band")
+  }
+
+  /** [[customStateAggTws]]'s processor — the `transformWithState` port of
+    * the `flatMapGroupsWithState` fold: state lives in a named, typed
+    * [[org.apache.spark.sql.streaming.ValueState]] slot obtained from the
+    * processor handle (the API's composite-state model: a processor can
+    * hold many named value/list/map states, each with its own TTL —
+    * capabilities the old single-blob `GroupState` lacks). Same fold, same
+    * event-time sort, so streamed ≡ batch holds identically. Nested in the
+    * object (no outer instance), serializable by construction. */
+  private class GapProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long),
+        (Long, Long, Option[Long], Long)] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("gap_state",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Option[Long], Long)] = {
+      var s0 = if (st.exists()) st.get() else UserState(0L, Long.MinValue, -1L)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, _) =>
+        if (s0.n > 0L && sec - s0.lastSec > s0.maxGap)
+          s0 = s0.copy(maxGap = sec - s0.lastSec)
+        s0 = s0.copy(n = s0.n + 1L, lastSec = sec)
+      }
+      st.update(s0)
+      Iterator.single(
+        (uid, s0.n, if (s0.maxGap >= 0L) Some(s0.maxGap) else None, s0.lastSec))
+    }
+  }
+
+  /** Custom keyed state via Spark 4's `transformWithState` — the
+    * replacement API for `flatMapGroupsWithState` ([[customStateAgg]] keeps
+    * the original for coverage): named typed state slots on a processor
+    * handle, per-state TTL, timers, and composite value/list/map state,
+    * running on the RocksDB state store provider the API requires (scoped
+    * to this query; the HDFS-backed default is restored after). The fold
+    * itself is identical, so this real streaming run equals the SAME batch
+    * oracle as the old API — and StreamingSpec asserts the two APIs'
+    * outputs are row-identical, which is exactly the migration guarantee a
+    * production job porting off `flatMapGroupsWithState` needs. At scale:
+    * state stays per-user O(1) partitioned by key; RocksDB spills large
+    * state maps off-heap, which is the reason the new API mandates it. */
+  def customStateAggTws(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val qn = "graft_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = eventsStream(s, dir)
+        .select(col("user_id").cast("long"),
+          unix_timestamp(col("ts")).as("sec"), col("event_id").cast("long"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new GapProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "max_gap_sec", "last_sec")
+        .writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft_tws_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(provKey, prevProv)
     val w = Window.partitionBy("user_id")
       .orderBy(col("n_events").desc, col("last_sec").desc)
     s.table(qn)

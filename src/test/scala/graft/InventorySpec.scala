@@ -66,6 +66,8 @@ class InventorySpec extends SparkSpec {
     "scan_schema_merge", "scan_orc", "scan_text", "sink_zorder",
     "stream_custom_state", "stream_topk", "stream_exactly_once",
     "stream_changefeed", // full two-pass streaming run on construction
+    "stream_custom_state_tws", // full transformWithState run on construction
+    "scan_v2_stream", // full micro-batch drain of the connector on construction
     "sink_v2_log", // three log-committed V2 writes on construction
     "dedup_index_probe", // writes the bucketed band index on construction
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction

@@ -180,6 +180,75 @@ class StreamingSpec extends SparkSpec {
       "state (lastSec) must persist across batches to see the 300s gap")
   }
 
+  test("transformWithState ≡ flatMapGroupsWithState: the two custom-state " +
+      "APIs produce row-identical final states on the fixture") {
+    // The migration guarantee: the declared tws port must reproduce the
+    // old API's output exactly — both fold the same event-time sort into
+    // the same per-user state, differing only in the state plumbing
+    // (named ValueState on RocksDB vs a single GroupState blob).
+    val oldApi = SparkEntry.queries("stream_custom_state")(spark, sf)
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    val newApi = SparkEntry.queries("stream_custom_state_tws")(spark, sf)
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    assert(newApi === oldApi,
+      "transformWithState port diverged from the flatMapGroupsWithState original")
+  }
+
+  test("scan_v2_stream: the connector's micro-batch tail ≡ its batch scan " +
+      "over the same id window, row-identically") {
+    // Raw-row parity (stronger than the declared rollup): stream the
+    // catalog through the MicroBatchStream with a small arrive so the
+    // drain spans multiple batches, and compare the full row set against
+    // the batch read — same window, same slice geometry.
+    val qn = "v2s_parity"
+    val q = spark.readStream.format("graft.sources.FrameCatalogSource")
+      .option("frames", "10000").option("slice", "1024").option("arrive", "3000")
+      .load()
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0L) === 4,
+      "10000 ids at arrive=3000 must drain in 4 micro-batches")
+    val streamed = spark.table(qn).collect().map(_.toString).sorted.toSeq
+    val batch = spark.read.format("graft.sources.FrameCatalogSource")
+      .option("frames", "10000").option("slice", "1024").load()
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch, "micro-batch tail diverged from the batch scan")
+  }
+
+  test("scan_v2_stream: a restarted tail resumes from the checkpointed id " +
+      "offset — already-delivered frames are never replayed") {
+    // The memory sink cannot recover from a checkpoint; foreachBatch →
+    // parquet is the fault-tolerant sink shape, with a fresh target per
+    // pass so each pass's deliveries are observable in isolation.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_v2s_restart_").toString
+    def tail(frames: Long, target: String) = {
+      val q = spark.readStream.format("graft.sources.FrameCatalogSource")
+        .option("frames", frames.toString).option("slice", "1024")
+        .option("arrive", "2048")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(target)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("graft_v2s_out1_").toString
+    tail(4096L, out1) // pass 1 drains ids [0, 4096)
+    assert(spark.read.parquet(out1).count() === 4096L)
+    // The catalog GROWS (frames 4096 → 6144); the restarted query must
+    // deliver exactly the new ids, resuming from the checkpointed offset.
+    val out2 = java.nio.file.Files.createTempDirectory("graft_v2s_out2_").toString
+    tail(6144L, out2)
+    val delivered = spark.read.parquet(out2).select("frame_id")
+      .as[Long].collect().sorted.toSeq
+    assert(delivered === (4096L until 6144L).toSeq,
+      s"restart must resume at id 4096 and deliver exactly the 2048 new ids, " +
+        s"got ${delivered.size} rows [${delivered.headOption}..${delivered.lastOption}]")
+  }
+
   test("stream_foreachbatch: upserted parquet ≡ batch aggregate on same fixture") {
     // The declared query runs a REAL streaming job (foreachBatch → parquet
     // upsert → read-back); its result must equal the plain batch aggregate
