@@ -23,6 +23,13 @@ object GraftConfig {
   val LshBands = 3
   val LshRowsPerBand = 2
 
+  /** Auto-tune acceptance floor (dedup_autotune): the cheapest band
+    * layout whose measured true-pair retention is at least this (in
+    * millionths) is recommended and applied. Production sets this from
+    * the dedup quality budget — how much near-dup leakage the corpus
+    * tolerates vs how much candidate volume the cluster affords. */
+  val TuneRetentionFloorMicro = 800000L
+
   /** Random-hyperplane signature width (sim_ann_lsh / sim_multiprobe /
     * sim_range / dedup_embed): 2^planes buckets; per-bucket population —
     * and the quadratic term of in-bucket passes — shrinks by 2× per plane.

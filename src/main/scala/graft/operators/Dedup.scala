@@ -1358,6 +1358,157 @@ object Dedup {
            |    AS retention_micro
            |FROM cand LEFT JOIN truth t ON t.d1 = cand.d1 AND t.d2 = cand.d2
            |GROUP BY config ORDER BY config""".stripMargin
+      }),
+
+    // AUTO-TUNING — dedup_tuning's report made ACTIONABLE (the loop the
+    // monitoring family was missing): from the measured per-layout
+    // (candidates, true pairs, retention) table, RECOMMEND the cheapest
+    // band layout whose retention clears the acceptance floor
+    // (GraftConfig.TuneRetentionFloorMicro — ORDER BY candidates, config
+    // LIMIT 1: fewest candidates wins, name breaks ties), then APPLY the
+    // recommendation — regenerate that layout's candidates STANDALONE —
+    // and `require` the realized (candidates, true pairs) equal the
+    // tuning table's row for it. The require is not a tautology: the
+    // tuning table measures all layouts through one FUSED fan-out/shuffle
+    // (the config rides the bucket key), and the apply step proves the
+    // fused measurement equals the layout's standalone behavior — the
+    // property that makes the report a safe basis for reconfiguration.
+    // Output = the tuning table with the chosen row flagged, so the
+    // decision itself is oracle-checked (DuckDB derives the same choice
+    // from its own tuning reconstruction). At 100 TB this is the re-tune
+    // cycle: the report runs on a sample, the floor encodes the quality
+    // budget, and the chosen layout rolls out knowing its candidate
+    // volume in advance — no constant in a config file goes stale.
+    QDef(
+      "dedup_autotune",
+      (s, dir) => {
+        val floor = graft.GraftConfig.TuneRetentionFloorMicro
+        val shWarm = warmOf(s, dir).map(_.shingles)
+          .getOrElse(shingles(s, dir).distinct().localCheckpoint())
+        val sig = shWarm.groupBy("doc_id")
+          .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
+          .localCheckpoint()
+        val configs = Seq(("b6r1", 6, 1), ("b3r2", 3, 2), ("b2r3", 2, 3))
+        def candFor(sel: Seq[(String, Int, Int)]): DataFrame = {
+          val bandStructs = sel.flatMap { case (cfg, b, r) =>
+            (0 until b).map { i =>
+              def k(j: Int) = if (j < r) col(s"h${i * r + j}") else lit(-1L)
+              struct(lit(cfg).as("config"), lit(i.toLong).as("band"),
+                k(0).as("k1"), k(1).as("k2"), k(2).as("k3"))
+            }
+          }
+          sig
+            .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+            .select(col("doc_id"), col("bb.config").as("config"),
+              col("bb.band").as("band"), col("bb.k1").as("k1"),
+              col("bb.k2").as("k2"), col("bb.k3").as("k3"))
+            .groupBy("config", "band", "k1", "k2", "k3")
+            .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+            .where(size(col("ds")) >= 2)
+            .select(col("config"),
+              explode(flatten(transform(col("ds"), (d1, i) =>
+                transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+                  d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+            .select(col("config"), col("p.d1").as("d1"), col("p.d2").as("d2"))
+            .distinct()
+        }
+        val allCand = candFor(configs).localCheckpoint()
+        val sh = shWarm
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val b61 = allCand.where(col("config") === "b6r1").select("d1", "d2")
+        val truth = b61
+          .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .where(col("inter") * 3L >= col("n1") + col("n2"))
+          .select("d1", "d2")
+          .localCheckpoint()
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val tuning = allCand
+          .join(truth.withColumn("isTrue", lit(1L)), Seq("d1", "d2"), "left")
+          .groupBy("config")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("isTrue"), lit(0L))).cast("long").as("n_true_pairs"))
+          .crossJoin(broadcast(nTruth))
+          .withColumn("retention_micro",
+            expr("(n_true_pairs * 1000000) div greatest(n_truth, 1)"))
+          .select(col("config"), col("n_candidates"), col("n_true_pairs"),
+            col("retention_micro"))
+          .localCheckpoint()
+        // RECOMMEND: cheapest qualifying layout (bounded 3-row collect).
+        val pick = tuning.where(col("retention_micro") >= floor)
+          .orderBy(col("n_candidates").asc, col("config").asc)
+          .limit(1).collect()
+        require(pick.nonEmpty,
+          s"no band layout meets the $floor-micro retention floor")
+        val cfg = pick(0).getString(0)
+        val (nCand, nTrue) = (pick(0).getLong(1), pick(0).getLong(2))
+        // APPLY: the chosen layout standalone must reproduce its row.
+        val applied = candFor(configs.filter(_._1 == cfg))
+          .join(truth.withColumn("isTrue", lit(1L)), Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("nc"),
+            sum(coalesce(col("isTrue"), lit(0L))).cast("long").as("nt"))
+          .collect()(0)
+        require(applied.getLong(0) == nCand && applied.getLong(1) == nTrue,
+          s"applied layout $cfg diverged from its tuning row: standalone " +
+            s"(${applied.getLong(0)}, ${applied.getLong(1)}) vs fused ($nCand, $nTrue)")
+        tuning.withColumn("chosen", col("config") === lit(cfg))
+          .orderBy("config")
+      },
+      Some {
+        val floor = graft.GraftConfig.TuneRetentionFloorMicro
+        val cfgBands = Seq(("b6r1", 6, 1), ("b3r2", 3, 2), ("b2r3", 2, 3)).map {
+          case (cfg, b, r) =>
+            (0 until b).map { i =>
+              def k(j: Int) = if (j < r) s"h${i * r + j}" else "-1"
+              s"SELECT '$cfg' AS config, doc_id, CAST($i AS BIGINT) AS band, " +
+                s"${k(0)} AS k1, ${k(1)} AS k2, ${k(2)} AS k3 FROM sig"
+            }.mkString("\n  UNION ALL\n  ")
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS ($tokSql),
+           |dict AS ($dictSql),
+           |sh AS ($shingleSql),
+           |sig AS (
+           |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
+           |  FROM sh GROUP BY doc_id),
+           |cb AS MATERIALIZED (
+           |  $cfgBands),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT l.config, l.doc_id AS d1, r.doc_id AS d2
+           |  FROM cb l JOIN cb r
+           |    ON l.config = r.config AND l.band = r.band
+           |    AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3
+           |    AND l.doc_id < r.doc_id),
+           |shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+           |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |truth AS MATERIALIZED (
+           |  SELECT t.d1, t.d2 FROM (
+           |    SELECT c.d1, c.d2, count(*) AS inter
+           |    FROM (SELECT d1, d2 FROM cand WHERE config = 'b6r1') c
+           |    JOIN shd a ON a.doc_id = c.d1
+           |    JOIN shd b ON b.doc_id = c.d2 AND b.s = a.s
+           |    GROUP BY c.d1, c.d2) t
+           |  JOIN sizes s1 ON s1.doc_id = t.d1
+           |  JOIN sizes s2 ON s2.doc_id = t.d2
+           |  WHERE t.inter * 3 >= s1.n + s2.n),
+           |nt AS (SELECT count(*) AS n_truth FROM truth),
+           |tune AS MATERIALIZED (
+           |  SELECT config, count(*) AS n_candidates,
+           |    CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_true_pairs,
+           |    CAST((CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 1000000) // greatest((SELECT n_truth FROM nt), 1) AS BIGINT)
+           |      AS retention_micro
+           |  FROM cand LEFT JOIN truth t ON t.d1 = cand.d1 AND t.d2 = cand.d2
+           |  GROUP BY config),
+           |pick AS (
+           |  SELECT config FROM tune WHERE retention_micro >= $floor
+           |  ORDER BY n_candidates, config LIMIT 1)
+           |SELECT config, n_candidates, n_true_pairs, retention_micro,
+           |  config = (SELECT config FROM pick) AS chosen
+           |FROM tune ORDER BY config""".stripMargin
       })
   )
 
