@@ -1474,6 +1474,101 @@ object Scans {
              |    CAST(sum(key) AS BIGINT),
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
              |  FROM s123)
-             |SELECT * FROM roll ORDER BY probe_ts""".stripMargin))
+             |SELECT * FROM roll ORDER BY probe_ts""".stripMargin)),
+
+    // ROW-LEVEL UPDATE through the commit log — table_delete's companion,
+    // completing the copy-on-write DML pair: the predicate's partition
+    // component (b=1) prunes the victim set by metadata, the victim files
+    // rewrite with matching rows repriced (×1.1) and NON-matching rows of
+    // the same files carried through unchanged — the shape that
+    // distinguishes UPDATE from DELETE: the rewrite preserves CARDINALITY
+    // (`require`d: row count identical across the update, in addition to
+    // the copy-on-write path-identity of untouched partitions), published
+    // as adds+removes in one conflict-checked commit (a racing rewrite of
+    // a victim file aborts — same arbitration as the delete). As-of v1
+    // still serves pre-update values; the output pins both versions'
+    // per-partition rollups, so a lost row, a double-applied reprice, or
+    // an update leaking outside its predicate all hash-mismatch. At
+    // 100 TB: cost O(matching partitions), commit O(files-touched)
+    // metadata — the same bill as the delete, because the mechanism is
+    // the same transaction.
+    QDef(
+      "table_update",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_update_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+          .coalesce(2).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=1")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.commitFiles(root, 1L, adds = listParquet("g=1"), removes = Nil)
+        val readVersion = CommitLog.latestVersion(root)
+        // UPDATE SET val = val*1.1 WHERE b = 1 AND key % 5 = 2: victims by
+        // partition pruning, exactly as the delete.
+        val live1 = CommitLog.filesAsOf(root, readVersion)
+        val victims = live1.filter(_.startsWith("g=1/b=1/"))
+        require(victims.nonEmpty && victims.size < live1.size,
+          s"update must prune to a strict subset of files: ${victims.size}/${live1.size}")
+        s.read.option("basePath", root)
+          .parquet(victims.map(f => s"$root/$f"): _*)
+          .select(col("key"),
+            when(col("key") % 5L === 2L, rnd(col("val") * 1.1, 2))
+              .otherwise(col("val")).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2/b=1")
+        CommitLog.commitChecked(root, "g=2/b=1", readVersion, reads = victims)
+        val live2 = CommitLog.filesAsOf(root, Long.MaxValue)
+        require(live1.filterNot(victims.toSet).forall(live2.toSet),
+          "copy-on-write update must not touch files outside its victim set")
+        require(victims.forall(!live2.toSet.contains(_))
+            && live2.exists(_.startsWith("g=2/b=1/")),
+          s"update must swap victims for rewritten files: $live2")
+        // UPDATE preserves cardinality — the invariant DELETE breaks.
+        require(CommitLog.readAsOf(s, root, 1L).count() ==
+            CommitLog.readAsOf(s, root, Long.MaxValue).count(),
+          "an update must not change the table's row count")
+        def rollup(v: Long, label: Long) = CommitLog.readAsOf(s, root, v)
+          .groupBy(col("b").cast("long").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(label).as("as_of"), col("b"), col("n"),
+            col("sum_key"), col("sum_cents"))
+        rollup(1L, 1L).unionAll(rollup(Long.MaxValue, 2L)).orderBy("as_of", "b")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 3 = 1),
+             |upd AS (
+             |  SELECT key,
+             |    CASE WHEN b = 1 AND key % 5 = 2
+             |      THEN floor((val * 1.1) * 1e2 + 0.5) / 1e2 ELSE val END AS val,
+             |    b
+             |  FROM base),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM base GROUP BY 2),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM upd GROUP BY 2)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |ORDER BY as_of, b""".stripMargin))
   )
 }

@@ -129,7 +129,11 @@ class DeterminismSpec extends SparkSpec {
     // the partitioned base (file counts per partition change, the
     // file-set identity requires must not); timestamp resolution must be
     // a pure function of the stamped log regardless of scan parallelism
-    "table_delete", "table_timetravel_ts")
+    "table_delete", "table_timetravel_ts", "table_update",
+    // the autotune CHOICE (cheapest qualifying layout) and the fused
+    // tuning counts it is derived from must hold under any band-bucket
+    // merge order — integer-exact counts make this a true invariance
+    "dedup_autotune")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

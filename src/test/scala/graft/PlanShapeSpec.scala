@@ -656,6 +656,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
   }
 
+  test("table_update: two as-of rollups, one scan each — the rewrite is " +
+      "confined to the victim partition, not the declared read") {
+    val p = plan("table_update")
+    assert(!p.contains("Join"), "as-of rollups must not join")
+    assert(!p.contains("Window"), "as-of rollups must not window")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
+  }
+
   test("table_timetravel_ts: timestamp resolution adds zero scans — three " +
       "probes, three as-of reads, nothing else") {
     val p = plan("table_timetravel_ts")
@@ -675,6 +684,15 @@ class PlanShapeSpec extends SparkSpec {
     // One exchange allowed: the deterministic ORDER BY for the harness.
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"row-wise projection grew extra shuffles:\n$p")
+  }
+
+  test("dedup_autotune: the declared output reads the checkpointed tuning " +
+      "table — recommendation and apply-verification add no scan to it") {
+    val p = plan("dedup_autotune")
+    assert(p.contains("ExistingRDD"),
+      "output should read the localCheckpointed tuning table")
+    assert(!p.contains("Scan parquet"),
+      "the declared read re-scanned the corpus — the decision output is O(layouts) rows")
   }
 
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
