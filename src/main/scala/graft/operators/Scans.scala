@@ -1569,6 +1569,137 @@ object Scans {
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |  FROM upd GROUP BY 2)
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |ORDER BY as_of, b""".stripMargin)),
+
+    // TRANSACTIONAL MERGE through the commit log — the file-level rewrite
+    // `table_merge` (Joins.scala) deliberately omits (it demonstrates the
+    // full-outer disposition JOIN; this demonstrates the TRANSACTION):
+    // one change feed carrying upserts, deletes, and inserts lands as ONE
+    // conflict-checked commit, the Delta MERGE INTO shape. Touched
+    // partitions = the partitions the change keys map to (metadata-level
+    // file discovery; a row-level engine narrows further with file stats
+    // — both are pruning, not scanning); ONLY those partitions rewrite —
+    // matched-U rows reprice, matched-D rows drop, unmatched base rows of
+    // the same files carry through, and inserts land in their partitions
+    // inside the same rewrite. Untouched partitions ride by path
+    // identity (`require`d), the commit publishes adds(all rewritten +
+    // inserted files) + removes(victims) atomically with the same
+    // arbitration as delete/update (a racing rewrite of a victim
+    // aborts), and the CARDINALITY LAW is `require`d in-query:
+    // |v2| = |v1| − deletes + inserts. The two-version per-partition
+    // rollup is the oracle surface. At 100 TB this is the nightly CDC
+    // apply: cost O(touched partitions), one commit, time travel to the
+    // pre-merge snapshot intact.
+    QDef(
+      "table_merge_cow",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_mergecow_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+          .coalesce(2).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=1")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.commitFiles(root, 1L, adds = listParquet("g=1"), removes = Nil)
+        val readVersion = CommitLog.latestVersion(root)
+        // The change feed: matched upserts/deletes (keys ≡ 4 mod 6 are all
+        // in the base) + inserts (keys ≡ 2 mod 6 are all novel).
+        val mchg = o.where(col("o_orderkey") % 6L === 4L)
+          .select(col("o_orderkey").as("key"),
+            rnd(col("o_totalprice") * 1.1, 2).as("c_val"),
+            when(col("o_orderkey") % 12L === 10L, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        val ins = o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+        // Touched-partition discovery from the change keys (bounded ≤ 4
+        // values; keys ≡ 4 or 2 mod 6 are even ⇒ b ∈ {0, 2} — pinned).
+        val touched = mchg.select((col("key") % 4L).as("b"))
+          .unionByName(ins.select("b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        require(touched == Set(0L, 2L),
+          s"change keys must map to partitions {0, 2}, got $touched")
+        val live1 = CommitLog.filesAsOf(root, readVersion)
+        val victims = live1.filter(f =>
+          touched.exists(b => f.startsWith(s"g=1/b=$b/")))
+        require(victims.nonEmpty && victims.size < live1.size,
+          s"merge must prune to a strict subset of files: ${victims.size}/${live1.size}")
+        // The COW rewrite of the touched partitions: apply U/D to the
+        // matched rows, carry unmatched rows, append the inserts.
+        s.read.option("basePath", root)
+          .parquet(victims.map(f => s"$root/$f"): _*)
+          .join(mchg, Seq("key"), "left")
+          .where(col("op").isNull || col("op") === "U")
+          .select(col("key"), coalesce(col("c_val"), col("val")).as("val"),
+            col("b").cast("long").as("b"))
+          .unionByName(ins)
+          .coalesce(1).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=2")
+        CommitLog.commitChecked(root, "g=2", readVersion, reads = victims,
+          addsKnown = Some(listParquet("g=2")))
+        val live2 = CommitLog.filesAsOf(root, Long.MaxValue)
+        require(live1.filterNot(victims.toSet).forall(live2.toSet),
+          "merge must not touch files outside its victim set")
+        require(victims.forall(!live2.toSet.contains(_)),
+          "merge must remove every victim file")
+        // Cardinality law: |v2| = |v1| − deletes + inserts.
+        val n1 = CommitLog.readAsOf(s, root, 1L).count()
+        val n2 = CommitLog.readAsOf(s, root, Long.MaxValue).count()
+        val nD = mchg.where(col("op") === "D").count()
+        val nI = ins.count()
+        require(n2 == n1 - nD + nI,
+          s"merge cardinality law violated: $n2 != $n1 - $nD + $nI")
+        def rollup(v: Long, label: Long) = CommitLog.readAsOf(s, root, v)
+          .groupBy(col("b").cast("long").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(label).as("as_of"), col("b"), col("n"),
+            col("sum_key"), col("sum_cents"))
+        rollup(1L, 1L).unionAll(rollup(Long.MaxValue, 2L)).orderBy("as_of", "b")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 3 = 1),
+             |mchg AS (
+             |  SELECT o_orderkey AS key,
+             |    floor((o_totalprice * 1.1) * 1e2 + 0.5) / 1e2 AS c_val,
+             |    CASE WHEN o_orderkey % 12 = 10 THEN 'D' ELSE 'U' END AS op
+             |  FROM orders WHERE o_orderkey % 6 = 4),
+             |ins AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 6 = 2),
+             |merged AS (
+             |  SELECT b.key, coalesce(m.c_val, b.val) AS val, b.b
+             |  FROM base b LEFT JOIN mchg m ON m.key = b.key
+             |  WHERE m.op IS NULL OR m.op = 'U'
+             |  UNION ALL
+             |  SELECT key, val, b FROM ins),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM base GROUP BY 2),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM merged GROUP BY 2)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2
              |ORDER BY as_of, b""".stripMargin))
   )
 }

@@ -287,12 +287,14 @@ object CommitLog {
     * other files) commute, and the retry lands at the next version with
     * the SAME action list. Returns the version won. */
   def commitChecked(root: String, genDir: String, readVersion: Long,
-      reads: Seq[String], maxAttempts: Int = 64): Long = {
+      reads: Seq[String], maxAttempts: Int = 64,
+      addsKnown: Option[Seq[String]] = None): Long = {
     val readSet = reads.toSet
     var v = readVersion + 1L
     var attempts = 0
     while (attempts < maxAttempts) {
-      if (tryCommit(root, v, genDir, removes = reads)) return v
+      if (tryCommit(root, v, genDir, removes = reads, addsKnown = addsKnown))
+        return v
       // Lost the race for `v`: someone committed it (and possibly more).
       // Re-validate before retrying above them.
       val latest = latestVersion(root)

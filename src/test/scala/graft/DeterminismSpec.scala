@@ -129,7 +129,7 @@ class DeterminismSpec extends SparkSpec {
     // the partitioned base (file counts per partition change, the
     // file-set identity requires must not); timestamp resolution must be
     // a pure function of the stamped log regardless of scan parallelism
-    "table_delete", "table_timetravel_ts", "table_update",
+    "table_delete", "table_timetravel_ts", "table_update", "table_merge_cow",
     // the autotune CHOICE (cheapest qualifying layout) and the fused
     // tuning counts it is derived from must hold under any band-bucket
     // merge order — integer-exact counts make this a true invariance

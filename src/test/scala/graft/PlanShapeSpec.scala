@@ -665,6 +665,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
   }
 
+  test("table_merge_cow: two as-of rollups, one scan each — the merge " +
+      "rewrite and its discovery never reach the declared read") {
+    val p = plan("table_merge_cow")
+    assert(!p.contains("Join"), "as-of rollups must not join")
+    assert(!p.contains("Window"), "as-of rollups must not window")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
+  }
+
   test("table_timetravel_ts: timestamp resolution adds zero scans — three " +
       "probes, three as-of reads, nothing else") {
     val p = plan("table_timetravel_ts")
