@@ -410,6 +410,31 @@ object Extensibility {
              |  FROM generate_series(0, 40959) t(i))
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // The connector's STREAMING write half (StreamingWrite on
+    // FrameStoreSink, log-backed mode): writeStream.format(...) commits
+    // each micro-batch as one txn-stamped log version — per-epoch
+    // staging under root/stage-x/e<epoch>/, version = epochId + 1, txn
+    // marker <queryId>/<epochId> in the commitInfo. A replayed epoch
+    // (at-least-once re-delivery after recovery; the queryId is stable
+    // across restarts via the checkpoint) finds its version committed
+    // with ITS txn and no-ops, dropping the duplicate staging; a version
+    // held by a FOREIGN txn fails loudly. This is stream_exactly_once's
+    // recipe promoted from foreachBatch user code to the connector
+    // surface — exactly-once streaming ingest for free behind the V2
+    // API, with the table readable and time-travelable mid-stream.
+    // In-query requires pin one version per non-empty batch + txn on
+    // every commit; the declared read drives the V2 READ path over the
+    // committed snapshot and must hash-match the batch oracle (a
+    // duplicated or dropped epoch cannot). FrameStoreSpec drives the
+    // replay and foreign-writer branches directly.
+    QDef(
+      "sink_v2_stream",
+      (s, dir) => graft.streaming.StreamRunner.v2LogStreamingSink(s, dir),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // The V2 write protocol UNIFIED with the transaction log: the same
     // two-phase executor-staged parquet write as sink_custom_v2, but
     // phase two publishes an atomic CommitLog version instead of an

@@ -103,9 +103,11 @@ object CommitLog {
   }
 
   private def commitJson(version: Long, adds: Seq[String],
-      removes: Seq[String], ts: Long): String = {
+      removes: Seq[String], ts: Long, txn: String = ""): String = {
     (adds ++ removes).foreach(requireSafe)
-    (s"""{"commitInfo":{"version":$version,"timestamp":$ts,"adds":${adds.size},"removes":${removes.size}}}""" +:
+    if (txn.nonEmpty) requireSafe(txn)
+    val txnField = if (txn.isEmpty) "" else s""","txn":"$txn""""
+    (s"""{"commitInfo":{"version":$version,"timestamp":$ts$txnField,"adds":${adds.size},"removes":${removes.size}}}""" +:
       (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version}}""") ++
         removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
       .mkString("", "\n", "\n")
@@ -141,7 +143,8 @@ object CommitLog {
   def tryCommit(root: String, version: Long, genDir: String,
       removes: Seq[String] = Nil,
       addsKnown: Option[Seq[String]] = None,
-      ts: Long = -1L): Boolean = {
+      ts: Long = -1L,
+      txn: String = ""): Boolean = {
     val adds = addsKnown.map(_.sorted).getOrElse(withList(Paths.get(root, genDir)) {
       _.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -149,9 +152,26 @@ object CommitLog {
         .map(n => s"$genDir/$n")
     })
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes, stampFor(root, ts)))
+      commitJson(version, adds, removes, stampFor(root, ts), txn))
     if (won && version % CheckpointInterval == 0) writeCheckpoint(root, version)
     won
+  }
+
+  private val TxnField = (""""txn"\s*:\s*"([^"]+)"""").r.unanchored
+
+  /** Writer-transaction marker of `version`'s commit ("" when absent) —
+    * the Delta `txn` action reduced to a commitInfo field: a streaming
+    * writer stamps `<queryId>/<epochId>` so a REPLAYED epoch after
+    * failure recovery can be distinguished from a foreign writer's
+    * commit at the same version (no-op vs loud error). */
+  def txnOf(root: String, version: Long): String = {
+    val p = logDir(root).resolve(f"$version%08d.json")
+    if (version <= 0L || !Files.exists(p)) ""
+    else new String(Files.readAllBytes(p), "UTF-8")
+      .linesIterator.take(1).toSeq.headOption match {
+        case Some(TxnField(t)) => t
+        case _                 => ""
+      }
   }
 
   /** Single-writer commit: version conflicts are protocol violations. */

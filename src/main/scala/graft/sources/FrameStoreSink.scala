@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
 import org.apache.spark.sql.types.StructType
@@ -342,6 +343,7 @@ private class FrameStoreTable(tname: String, writeSchema: StructType,
     }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -353,14 +355,14 @@ private class FrameStoreTable(tname: String, writeSchema: StructType,
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FrameStoreWriteBuilder(tname, info.schema(), root)
+    new FrameStoreWriteBuilder(tname, info.schema(), root, info.queryId())
 }
 
 private class FrameStoreWriteBuilder(tname: String, schema: StructType,
-    root: Option[String], truncate: Boolean = false)
+    root: Option[String], queryId: String, truncate: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new FrameStoreWriteBuilder(tname, schema, root, truncate = true)
+    new FrameStoreWriteBuilder(tname, schema, root, queryId, truncate = true)
   override def build(): Write = new Write {
     override def description(): String =
       s"GraftFrameStoreWrite table=$tname truncate=$truncate" +
@@ -368,6 +370,15 @@ private class FrameStoreWriteBuilder(tname: String, schema: StructType,
     override def toBatch: BatchWrite = root match {
       case Some(r) => new FrameStoreLogBatchWrite(r, schema, truncate)
       case None    => new FrameStoreBatchWrite(tname, schema, truncate)
+    }
+    // STREAMING_WRITE rides the log-backed mode only: per-epoch staging,
+    // batchId-keyed versions, txn-stamped idempotent commits — the
+    // in-memory manifest store has no durable identity to key a replayed
+    // epoch against, so it declines rather than fake exactly-once.
+    override def toStreaming: StreamingWrite = root match {
+      case Some(r) => new FrameStoreLogStreamingWrite(r, schema, queryId, truncate)
+      case None => throw new UnsupportedOperationException(
+        "graft_store streaming write requires option 'root' (log-backed mode)")
     }
   }
 }
@@ -560,6 +571,122 @@ private class FrameStoreLogBatchWrite(root: String, schema: StructType,
     // still be invisible (log-authoritative) and vacuum's job.
     FrameStore.deleteStagingStable(stagingDir)
     FrameStore.abortsSeen.incrementAndGet(): Unit
+  }
+}
+
+/** The connector's STREAMING write half — exactly-once micro-batch commits
+  * into the transaction log, INSIDE the connector (the recipe
+  * `stream_exactly_once` runs through foreachBatch, promoted to the V2
+  * `StreamingWrite` surface so `df.writeStream.format(...)` gets it for
+  * free): each epoch's tasks stage parquet under
+  * `root/<stage>/e<epochId>/` with the SAME [[FrameStoreWriterFactory]]
+  * as batch writes, and the driver-side epoch commit publishes version
+  * `epochId + 1` stamped with the txn marker `<queryId>/<epochId>`.
+  * A REPLAYED epoch (Structured Streaming's at-least-once re-delivery
+  * after failure recovery — the streaming queryId is stable across
+  * restarts via the checkpoint) finds its version already committed with
+  * ITS OWN txn and no-ops, dropping the re-staged duplicate files; a
+  * version held by a FOREIGN txn fails loudly — never silently absorbed.
+  * Complete-mode output arrives as truncate: each epoch commit carries
+  * removes of the previous snapshot (replace semantics), append mode
+  * commits adds only. At 100 TB each epoch commit is O(files-in-batch)
+  * metadata and the table is readable/time-travelable mid-stream like
+  * any log table. */
+private class FrameStoreLogStreamingWrite(root: String, schema: StructType,
+    queryId: String, truncate: Boolean) extends StreamingWrite {
+  private val stageName =
+    "stage-" + java.util.UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new FrameStoreStreamingWriterFactory(schema, root, stageName)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.iterator.collect {
+      case FrameStoreCommit(Some(p), _, _) => p
+      case FrameStoreCommit(None, _, _)    => null
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }.filter(_ != null).toSet
+    FrameStoreEpochCommit.commitEpoch(root, stageName, epochId, queryId,
+      truncate, staged)
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    FrameStore.deleteStagingStable(
+      Paths.get(root, stageName, s"e$epochId").toString)
+    FrameStore.abortsSeen.incrementAndGet(): Unit
+  }
+}
+
+private class FrameStoreStreamingWriterFactory(schema: StructType,
+    root: String, stageName: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // Per-epoch staging subdir; the task-level writer (provisional files,
+    // manifest-bearing commit messages, condemned-dir abort semantics) is
+    // the batch factory's, reused verbatim.
+    val dir = Paths.get(root, stageName, s"e$epochId")
+    Files.createDirectories(dir)
+    new FrameStoreWriterFactory(schema, dir.toString)
+      .createWriter(partitionId, taskId)
+  }
+}
+
+/** Driver-side epoch commit — factored out so FrameStoreSpec can drive the
+  * replay path directly (commit the same epoch twice and pin the no-op). */
+private[graft] object FrameStoreEpochCommit {
+  def commitEpoch(root: String, stageName: String, epochId: Long,
+      queryId: String, truncate: Boolean, staged: Set[String]): Unit = {
+    val version = epochId + 1L
+    val txn = s"$queryId/$epochId"
+    val genDir = s"$stageName/e$epochId"
+    if (CommitLog.commitVersionExists(root, version)) {
+      // Version already in the log: OUR txn = replayed epoch (recovery
+      // re-delivery) → idempotent no-op, reclaim the duplicate staging;
+      // anyone else's txn = a foreign writer owns this version → loud
+      // failure, never a silent absorb.
+      val existing = CommitLog.txnOf(root, version)
+      if (existing != txn)
+        throw new IllegalStateException(
+          s"streaming epoch $epochId maps to version $version, which is " +
+            s"held by foreign txn '$existing' (ours: '$txn') under $root — " +
+            "this table has another writer")
+      graft.FsUtil.deleteRecursively(
+        new java.io.File(Paths.get(root, genDir).toString))
+    } else {
+      // First delivery: validate the staged manifest against the epoch
+      // dir BEFORE publishing (straggler check, as the batch commit), then
+      // commit the explicit manifest under the batchId-keyed version.
+      val onDisk = {
+        import scala.jdk.CollectionConverters._
+        val dir = Paths.get(root, genDir)
+        if (!Files.isDirectory(dir)) Set.empty[String]
+        else {
+          val st = Files.list(dir)
+          try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .map(n => Paths.get(root, genDir, n).toString).toSet
+          finally st.close()
+        }
+      }
+      if (onDisk != staged) {
+        FrameStore.deleteStagingStable(Paths.get(root, genDir).toString)
+        throw new IllegalStateException(
+          s"epoch $epochId staged manifest (${staged.size} files) != staging " +
+            s"dir contents (${onDisk.size}) under $root/$genDir — aborted " +
+            "before publish")
+      }
+      val manifest = staged.toSeq.map(_.stripPrefix(s"$root/")).sorted
+      val removes =
+        if (truncate) CommitLog.filesAsOf(root, version - 1L) else Nil
+      if (!CommitLog.tryCommit(root, version, genDir, removes,
+          addsKnown = Some(manifest), txn = txn))
+        throw new IllegalStateException(
+          s"streaming epoch $epochId lost the version race at $version under " +
+            s"$root — a concurrent writer owns this table")
+      FrameStore.commitsCompleted.incrementAndGet(): Unit
+    }
   }
 }
 

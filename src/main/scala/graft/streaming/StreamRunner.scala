@@ -189,6 +189,49 @@ object StreamRunner {
       .orderBy("band")
   }
 
+  /** Streaming write INTO the custom V2 connector's log table
+    * ([[graft.sources.FrameStoreSink]]'s `StreamingWrite`): the events
+    * replay streams through `df.writeStream.format(...)` straight into
+    * the transaction log — per-epoch staging, batchId-keyed versions,
+    * txn-stamped idempotent commits, all INSIDE the connector (the
+    * `stream_exactly_once` recipe promoted from foreachBatch to the V2
+    * surface). The run `require`s one log version per non-empty
+    * micro-batch and a txn marker on every commit; the declared output
+    * reads the committed table BACK through the V2 read path and
+    * re-aggregates for the oracle — a duplicated or dropped epoch commit
+    * cannot hash-match. FrameStoreSpec drives the replay path directly
+    * (same epoch committed twice no-ops; a foreign writer's version
+    * fails loudly). */
+  def v2LogStreamingSink(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    val root = tmpDir("graft_v2sink_tbl")
+    val q = eventsStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .format("graft.sources.FrameStoreSink")
+      .option("table", "graft_v2_stream_sink")
+      .option("root", root)
+      .option("checkpointLocation", tmpDir("graft_v2sink_ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0L)
+    require(batches >= 1 && CommitLog.latestVersion(root) == batches,
+      s"each micro-batch must commit exactly one log version " +
+        s"(${CommitLog.latestVersion(root)} versions vs $batches batches)")
+    require((1L to batches.toLong).forall(v => CommitLog.txnOf(root, v).nonEmpty),
+      "every streaming commit must carry its txn marker")
+    s.read.format("graft.sources.FrameStoreSink")
+      .option("table", "graft_v2_stream_sink").option("root", root).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1e2 + 0.5) as bigint)"))
+          .cast("long").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** [[customStateAggTws]]'s processor — the `transformWithState` port of
     * the `flatMapGroupsWithState` fold: state lives in a named, typed
     * [[org.apache.spark.sql.streaming.ValueState]] slot obtained from the

@@ -221,6 +221,55 @@ class FrameStoreSpec extends SparkSpec {
       .load().count() === 1L)
   }
 
+  test("streaming write: each epoch commits one txn-stamped log version; " +
+      "a replayed epoch no-ops and a foreign writer's version fails loudly") {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fs_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fs_stream_ck_").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format(fmt)
+      .option("table", "fs_spec_stream").option("root", root)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 20.0))
+    q.processAllAvailable()
+    assert(CommitLog.latestVersion(root) === 1L,
+      "first epoch must land as log version 1")
+    mem.addData((3L, 30.0))
+    q.processAllAvailable()
+    assert(CommitLog.latestVersion(root) === 2L,
+      "second epoch must land as log version 2")
+    q.stop()
+    // Epochs are time-travelable like any log table.
+    def asOf(v: Long) = spark.read.format(fmt).option("table", "fs_spec_stream")
+      .option("root", root).option("asOf", v.toString).load()
+    assert(asOf(1L).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(asOf(2L).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // Every streaming commit carries its txn marker <queryId>/<epochId>.
+    val txn1 = CommitLog.txnOf(root, 1L)
+    val txn2 = CommitLog.txnOf(root, 2L)
+    assert(txn1.endsWith("/0") && txn2.endsWith("/1")
+      && txn1.takeWhile(_ != '/') == txn2.takeWhile(_ != '/'),
+      s"txn markers must be <queryId>/<epoch>: $txn1, $txn2")
+    // REPLAY: recovery re-delivers epoch 0 under the same queryId — the
+    // commit must no-op (log unchanged), not double-publish.
+    val qid = txn1.stripSuffix("/0")
+    graft.sources.FrameStoreEpochCommit.commitEpoch(
+      root, "stage-replay", 0L, qid, truncate = false, staged = Set.empty)
+    assert(CommitLog.latestVersion(root) === 2L
+      && CommitLog.txnOf(root, 1L) === txn1,
+      "a replayed epoch must be an idempotent no-op")
+    assert(asOf(1L).count() === 2L, "replay must not disturb the snapshot")
+    // FOREIGN writer at an occupied version: loud failure, never absorbed.
+    intercept[IllegalStateException] {
+      graft.sources.FrameStoreEpochCommit.commitEpoch(
+        root, "stage-x", 0L, "another-query", truncate = false, staged = Set.empty)
+    }
+  }
+
   test("write plan is a V2 write; read plan scans the committed snapshot") {
     val t = "fs_spec_plan"
     FrameStore.drop(t)

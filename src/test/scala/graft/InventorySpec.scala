@@ -68,6 +68,7 @@ class InventorySpec extends SparkSpec {
     "stream_changefeed", // full two-pass streaming run on construction
     "stream_custom_state_tws", // full transformWithState run on construction
     "scan_v2_stream", // full micro-batch drain of the connector on construction
+    "sink_v2_stream", // full streaming write into the log table on construction
     "sink_v2_log", // three log-committed V2 writes on construction
     "dedup_index_probe", // writes the bucketed band index on construction
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
