@@ -1700,6 +1700,150 @@ object Scans {
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |  FROM merged GROUP BY 2)
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |ORDER BY as_of, b""".stripMargin)),
+
+    // MERGE-ON-READ DELETE via DELETION VECTORS — the other half of the
+    // DML story (table_delete demonstrates copy-on-write): instead of
+    // rewriting victim files, the delete writes their DELETED ROW
+    // POSITIONS to a sidecar and commits a METADATA-ONLY annotation
+    // (remove + re-add of the same path with a `dv` reference — the Delta
+    // DV-update action, CommitLog.commitDVChecked, conflict-checked so a
+    // racing compaction of a victim aborts the attach). `require`d: the
+    // post-delete live FILE SET is path-identical to the pre-delete one —
+    // zero data files move, the merge-on-read bargain: a 100 TB delete
+    // costs O(deleted positions) sidecar + O(victims) metadata, and the
+    // read side subtracts positions at scan time (readAsOf's broadcast
+    // anti-join on the hidden (file, row_index) parquet metadata — the
+    // relational shape of Delta's bitmap filter). The lifecycle closes
+    // in-query: an OPTIMIZE materializes the vectors into rewritten
+    // files (their rollup `require`d row-identical to the MoR read — the
+    // MoR ≡ materialized equivalence law), the annotations retire with
+    // their victims, and VACUUM reclaims the now-unreferenced sidecar
+    // with the victim tombstones. The declared output pins all three
+    // versions' rollups against DuckDB's independent reconstruction.
+    QDef(
+      "table_delete_dv",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_dv_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+          .coalesce(2).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=1")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.commitFiles(root, 1L, adds = listParquet("g=1"), removes = Nil)
+        val readVersion = CommitLog.latestVersion(root)
+        val live1 = CommitLog.filesAsOf(root, readVersion)
+        // DELETE WHERE b = 1 AND key % 5 = 3: victims by partition
+        // pruning, exactly as in the copy-on-write delete …
+        val victims = live1.filter(_.startsWith("g=1/b=1/"))
+        require(victims.nonEmpty && victims.size < live1.size,
+          s"delete must prune to a strict subset of files: ${victims.size}/${live1.size}")
+        // … but only the deleted POSITIONS are written: scan the victims
+        // with the hidden (file_path, row_index) metadata and keep the
+        // rows the predicate kills. Sidecar protocol: `f` = table-relative
+        // data-file path, `pos` = row position within it.
+        s.read.parquet(victims.map(f => s"$root/$f"): _*)
+          .where(col("key") % 5L === 3L)
+          .select(
+            expr("substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
+              + s"${root.length + 2})").as("f"),
+            col("_metadata.row_index").cast("long").as("pos"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/dv2")
+        val dvFile = listParquet("dv2") match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"expected one sidecar file, got $other")
+        }
+        val v2 = CommitLog.commitDVChecked(root, readVersion,
+          victims.map(_ -> dvFile).toMap)
+        require(v2 == 2L, s"DV attach must land at version 2, got $v2")
+        val snap2 = CommitLog.snapshotAsOf(root, v2)
+        require(snap2.live.toSet == live1.toSet,
+          "merge-on-read delete must move NO data file (path identity for the whole table)")
+        require(snap2.dvs.keySet == victims.toSet
+            && snap2.dvs.values.forall(_ == dvFile),
+          s"every victim and only the victims carry the vector: ${snap2.dvs}")
+        def rollup(v: Long, label: Long) = CommitLog.readAsOf(s, root, v)
+          .groupBy(col("b").cast("long").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(label).as("as_of"), col("b"), col("n"),
+            col("sum_key"), col("sum_cents"))
+        // Pin the pre-delete and MoR rollups NOW (tiny, localCheckpoint):
+        // the closing vacuum below retires the files these reads resolve.
+        val r1 = rollup(1L, 1L).localCheckpoint()
+        val r2 = rollup(v2, 2L).localCheckpoint()
+        // OPTIMIZE / MATERIALIZE: rewrite ONLY the annotated partition with
+        // its vectors applied (the MoR read itself feeds the rewrite), then
+        // swap files in one conflict-checked commit — vectors retire with
+        // their victims because the new adds carry no annotation.
+        CommitLog.readAsOf(s, root, v2)
+          .where(col("b") === 1L)
+          .select(col("key"), col("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3/b=1")
+        val v3 = CommitLog.commitChecked(root, "g=3/b=1", v2, reads = victims)
+        require(v3 == 3L, s"materialize must land at version 3, got $v3")
+        val snap3 = CommitLog.snapshotAsOf(root, Long.MaxValue)
+        require(snap3.live.forall(f => !snap3.dvs.contains(f)),
+          "materializing must retire the vectors from every live file " +
+            "(tombstoned victims keep theirs for vacuum retention)")
+        require(victims.forall(!snap3.live.toSet.contains(_))
+            && snap3.live.exists(_.startsWith("g=3/b=1/")),
+          s"materialize must swap victims for rewritten survivors: ${snap3.live}")
+        val r3 = rollup(Long.MaxValue, 3L)
+        // The equivalence law, row for row: scan-time subtraction and the
+        // materialized rewrite must serve identical tables.
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        require(r2.collect().map(keyOf).toSet == r3.collect().map(keyOf).toSet,
+          "merge-on-read and materialized reads must agree")
+        // VACUUM (retention 0): the sidecar is referenced by nothing live
+        // any more — it expires WITH the victim tombstones.
+        val dvAbs = java.nio.file.Paths.get(root, dvFile)
+        require(java.nio.file.Files.exists(dvAbs), "sidecar must exist pre-vacuum")
+        val (_, removed) = CommitLog.vacuum(root, 0L)
+        require(!java.nio.file.Files.exists(dvAbs),
+          "vacuum must reclaim the expired sidecar")
+        require(removed >= victims.size + 1L,
+          s"vacuum must reclaim victims + sidecar, removed only $removed")
+        r1.unionAll(r2).unionAll(r3).orderBy("as_of", "b")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 3 = 2),
+             |kept AS (
+             |  SELECT * FROM base WHERE NOT (b = 1 AND key % 5 = 3)),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM base GROUP BY 2),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM kept GROUP BY 2),
+             |r3 AS (
+             |  SELECT CAST(3 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM kept GROUP BY 2)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
              |ORDER BY as_of, b""".stripMargin))
   )
 }

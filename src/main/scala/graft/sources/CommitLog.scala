@@ -103,12 +103,15 @@ object CommitLog {
   }
 
   private def commitJson(version: Long, adds: Seq[String],
-      removes: Seq[String], ts: Long, txn: String = ""): String = {
-    (adds ++ removes).foreach(requireSafe)
+      removes: Seq[String], ts: Long, txn: String = "",
+      dvs: Map[String, String] = Map.empty): String = {
+    (adds ++ removes ++ dvs.values).foreach(requireSafe)
     if (txn.nonEmpty) requireSafe(txn)
     val txnField = if (txn.isEmpty) "" else s""","txn":"$txn""""
+    def dvField(p: String) =
+      dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
     (s"""{"commitInfo":{"version":$version,"timestamp":$ts$txnField,"adds":${adds.size},"removes":${removes.size}}}""" +:
-      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version}}""") ++
+      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version${dvField(a)}}}""") ++
         removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
       .mkString("", "\n", "\n")
   }
@@ -186,9 +189,10 @@ object CommitLog {
     * metadata-only operations need: RESTORE re-adds an old snapshot's
     * files and removes the current ones without touching a byte of data. */
   def commitFiles(root: String, version: Long, adds: Seq[String],
-      removes: Seq[String], ts: Long = -1L): Unit = {
+      removes: Seq[String], ts: Long = -1L,
+      dvs: Map[String, String] = Map.empty): Unit = {
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes, stampFor(root, ts)))
+      commitJson(version, adds, removes, stampFor(root, ts), dvs = dvs))
     if (!won)
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
@@ -338,11 +342,17 @@ object CommitLog {
   private val RemoveLine = (""""remove"\s*:""").r.unanchored
   private val RemovedAt = (""""removedAt"\s*:\s*(\d+)""").r.unanchored
   private val AddedAt = (""""addedAt"\s*:\s*(\d+)""").r.unanchored
+  private val DvRef = (""""dv"\s*:\s*"([^"]+)"""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
     * tombstones — files removed at some version ≤ the as-of version, still
-    * on disk for older readers until retention expires them. */
-  final case class Snapshot(live: Seq[String], tombstones: Seq[(String, Long)])
+    * on disk for older readers until retention expires them — plus the
+    * DELETION-VECTOR annotations (`dvs`: data-file path → sidecar path,
+    * covering live files AND tombstoned ones whose annotation the log
+    * still carries; readers apply only the live subset, vacuum's retention
+    * protection needs the tombstoned ones too). */
+  final case class Snapshot(live: Seq[String], tombstones: Seq[(String, Long)],
+      dvs: Map[String, String] = Map.empty)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -358,26 +368,47 @@ object CommitLog {
 
   private def applyLog(files: Seq[Path]): Snapshot = {
     // (path -> addedAt) in insertion order; a re-add after a remove
-    // resurrects the file (drops its tombstone), as in Delta.
+    // resurrects the file (drops its tombstone), as in Delta. Within ONE
+    // log file removes apply BEFORE adds: the only same-path overlap the
+    // protocol produces is a deletion-vector attach (remove + re-add with
+    // "dv" in one atomic commit — the Delta DV-update action shape), and
+    // there the add must win with the file staying live. Across files the
+    // version order governs as before.
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     files.foreach { p =>
-      new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach {
-        case l @ AddLine() =>
-          val PathField(path) = l: @unchecked
-          val at = l match { case AddedAt(v) => v.toLong; case _ => 0L }
-          live.put(path, at): Unit
-          tombs.remove(path): Unit
+      val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector
+      lines.foreach {
         case l @ RemoveLine() =>
           val PathField(path) = l: @unchecked
           val at = l match { case RemovedAt(v) => v.toLong; case _ => 0L }
           live.remove(path): Unit
           tombs.put(path, at): Unit
+          // A checkpointed tombstone carries its dv annotation forward so
+          // retention protection still sees it; a remove never CLEARS one.
+          l match { case DvRef(d) => dvs.put(path, d): Unit; case _ => () }
+        case _ => ()
+      }
+      lines.foreach {
+        case l @ AddLine() =>
+          val PathField(path) = l: @unchecked
+          val at = l match { case AddedAt(v) => v.toLong; case _ => 0L }
+          live.put(path, at): Unit
+          tombs.remove(path): Unit
+          // The add action is AUTHORITATIVE about its file's DV state:
+          // annotation present = those positions are deleted, absent =
+          // the whole file is live (so a plain re-add — restore, compact
+          // output — starts clean rather than inheriting a stale vector).
+          l match {
+            case DvRef(d) => dvs.put(path, d): Unit
+            case _        => dvs.remove(path): Unit
+          }
         case _ => ()
       }
     }
     Snapshot(live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1),
-      tombs.toSeq)
+      tombs.toSeq, dvs.toMap)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -418,11 +449,17 @@ object CommitLog {
       }
       m
     }
+    // DV annotations ride the checkpoint too — on the add for live files,
+    // on the remove (tombstone) for removed ones — so resolution from
+    // checkpoint + tail loses neither reader application nor vacuum
+    // protection once the attaching commit is past the checkpoint horizon.
+    def dvField(p: String) =
+      snap.dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
-        (snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}}}""") ++
+        (snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}}}""") ++
           snap.tombstones.map { case (p, at) =>
-            s"""{"remove":{"path":"$p","removedAt":$at}}""" }))
+            s"""{"remove":{"path":"$p","removedAt":$at${dvField(p)}}}""" }))
         .mkString("", "\n", "\n")
     publishLogFile(root, f"$version%08d.checkpoint.json", json): Unit
   }
@@ -434,7 +471,8 @@ object CommitLog {
     * single-root case — a cloned table spans roots, so its generation
     * column must ride IN the rows, not the directory names. */
   def readAsOf(s: SparkSession, root: String, v: Long): DataFrame = {
-    val fs = filesAsOf(root, v)
+    val snap = snapshotAsOf(root, v)
+    val fs = snap.live
     val paths = fs.map(f => if (f.startsWith("/")) f else s"$root/$f")
     val rdr =
       if (fs.forall(!_.startsWith("/"))) s.read.option("basePath", root)
@@ -443,7 +481,80 @@ object CommitLog {
     // snapshot schema is the union across its file set, with absent
     // columns null in older files — the lakehouse read contract. For
     // same-schema tables this only costs extra footer reads at planning.
-    rdr.option("mergeSchema", "true").parquet(paths: _*)
+    val base = rdr.option("mergeSchema", "true").parquet(paths: _*)
+    val liveDvs = fs.filter(snap.dvs.contains)
+    if (liveDvs.isEmpty) base
+    else {
+      // MERGE-ON-READ: subtract deletion-vector positions AT SCAN TIME.
+      // The scan carries the hidden parquet metadata columns (file path +
+      // row index — the same row addressing Delta's DV read uses) and
+      // anti-joins the BROADCAST sidecar set on (file, position): one
+      // distributed scan, zero shuffle of the data side, files without a
+      // vector pass through the same plan untouched. Sidecar protocol:
+      // parquet with `f` = table-relative data-file path, `pos` = BIGINT
+      // row position. At 100 TB the sidecars are a few MB of positions
+      // (that is the point of MoR — deletes cost O(deleted rows), not
+      // O(table rewrite)); production engines compress them to roaring
+      // bitmaps, which this broadcast anti-join is the relational shape of.
+      import org.apache.spark.sql.functions.{broadcast, col, concat, lit, regexp_replace}
+      val cols = base.columns.map(col)
+      val dvPaths = liveDvs.map(snap.dvs).distinct.map(d => s"$root/$d")
+      val dv = s.read.parquet(dvPaths: _*)
+        .select(concat(lit(s"$root/"), col("f")).as("__dv_file"),
+          col("pos").cast("long").as("__dv_pos"))
+      // `_metadata.file_path` is a file URI (file:///…); normalize to the
+      // plain absolute path the log-derived side builds.
+      val withPos = base.select(cols
+        :+ regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("__file")
+        :+ col("_metadata.row_index").cast("long").as("__pos"): _*)
+      withPos.join(broadcast(dv),
+          withPos("__file") === dv("__dv_file") && withPos("__pos") === dv("__dv_pos"),
+          "left_anti")
+        .select(cols: _*)
+    }
+  }
+
+  /** MERGE-ON-READ DELETE COMMIT: attach deletion vectors to live data
+    * files — for each `(dataFile -> sidecar)` entry the commit carries a
+    * remove + re-add of the SAME path with the `dv` annotation (the Delta
+    * DV-update action shape), atomically and conflict-checked exactly like
+    * [[commitChecked]]: the transaction read `readVersion` and its read
+    * set is the victim files, so a concurrent compaction/rewrite of a
+    * victim aborts this attach (and, symmetrically, the attach's remove
+    * lines make a later conflicting rewrite abort). NO data file moves:
+    * the commit is O(victims) metadata plus the sidecar — the merge-on-
+    * read bargain vs copy-on-write's rewrite. A re-attach to an already
+    * annotated file REPLACES the vector, so the writer must pass the
+    * merged position set (Delta semantics). */
+  def commitDVChecked(root: String, readVersion: Long,
+      dvs: Map[String, String], maxAttempts: Int = 64): Long = {
+    require(dvs.nonEmpty, "DV attach with no vectors")
+    val victims = dvs.keys.toSeq.sorted
+    val readSet = victims.toSet
+    var v = readVersion + 1L
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val won = publishLogFile(root, f"$v%08d.json",
+        commitJson(v, adds = victims, removes = victims,
+          ts = stampFor(root, -1L), dvs = dvs))
+      if (won) {
+        if (v % CheckpointInterval == 0) writeCheckpoint(root, v)
+        return v
+      }
+      val latest = latestVersion(root)
+      val conflicting = removedBetween(root, readVersion, latest)
+        .intersect(readSet)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"DV attach on $root read snapshot $readVersion but concurrent " +
+            s"commits (through $latest) removed ${conflicting.size} file(s) " +
+            s"of its victim set (e.g. ${conflicting.toSeq.sorted.head}) — " +
+            "aborting instead of annotating rewritten files")
+      attempts += 1
+      v = math.max(v + 1L, latest + 1L)
+    }
+    throw new IllegalStateException(
+      s"commit on $root lost $maxAttempts straight races — giving up")
   }
 
   /** SHALLOW CLONE: create `dstRoot` as a new table whose log references
@@ -520,7 +631,15 @@ object CommitLog {
         .filterNot(_.startsWith("_log"))
         .toVector
     } finally st.close()
-    val dead = all.filterNot(f => live(f) || protectedTombs(f))
+    // Deletion-vector sidecars are live exactly as long as a data file
+    // that references them is servable (current snapshot or a
+    // retention-protected tombstone); a compaction that materialized its
+    // DVs into rewritten files leaves the sidecar unreferenced → it
+    // expires with its victims' tombstones and is reclaimed here.
+    val protectedDvs = snap.dvs.collect {
+      case (p, d) if live(p) || protectedTombs(p) => d
+    }.toSet
+    val dead = all.filterNot(f => live(f) || protectedTombs(f) || protectedDvs(f))
     dead.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
     // Prune data dirs the deletes emptied — "empty" meaning no real files
     // left (hidden bookkeeping like .crc shadows of deleted parquet goes

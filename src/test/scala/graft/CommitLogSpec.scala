@@ -383,4 +383,153 @@ class CommitLogSpec extends SparkSpec {
       CommitLog.versionAsOfTimestamp(root, t1 - 1L)
     }
   }
+
+  // ---- deletion vectors (merge-on-read DML) ----
+
+  /** Two-generation table with SINGLE-FILE generations (deterministic row
+    * positions): g=1 keys 1,2,3; g=2 keys 4,5. */
+  private def dvTable(): String = {
+    val root = Files.createTempDirectory("graft_dvspec").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+    CommitLog.commit(root, 1L, "g=1")
+    Seq((4L, 40.0), (5L, 50.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+    CommitLog.commit(root, 2L, "g=2")
+    root
+  }
+
+  /** Write the (file, row-position) sidecar for the rows of `victims`
+    * matching `pred`; returns its table-relative path. */
+  private def writeDv(root: String, victims: Seq[String],
+      pred: org.apache.spark.sql.Column, gen: String): String = {
+    spark.read.parquet(victims.map(f => s"$root/$f"): _*)
+      .where(pred)
+      .select(
+        expr("substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
+          + s"${root.length + 2})").as("f"),
+        col("_metadata.row_index").cast("long").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+    Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")
+        && !Paths.get(p).getFileName.toString.startsWith("."))
+      .map(p => Paths.get(root).relativize(Paths.get(p)).toString)
+      .sorted.head
+  }
+
+  private def keysAsOf(root: String, v: Long): Seq[Long] =
+    CommitLog.readAsOf(spark, root, v)
+      .select("key").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("deletion vectors: the attach is metadata-only and as-of isolated, " +
+      "the MoR read subtracts positions via a broadcast anti-join with no " +
+      "data-side shuffle, and a plain re-add clears the annotation") {
+    val root = dvTable()
+    val victims = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=1/"))
+    assert(victims.size === 1)
+    val dv = writeDv(root, victims, col("key") === 2L, "dv3")
+    val v3 = CommitLog.commitDVChecked(root, 2L, Map(victims.head -> dv))
+    assert(v3 === 3L)
+    // Metadata-only: the live FILE SET did not change, only its annotation
+    // (the re-add does bump the victim's addedAt, so the scan ORDER may).
+    assert(CommitLog.snapshotAsOf(root, 3L).live.toSet
+      === CommitLog.snapshotAsOf(root, 2L).live.toSet)
+    assert(CommitLog.snapshotAsOf(root, 3L).dvs === Map(victims.head -> dv))
+    // The deleted position vanishes from v3 but STILL SERVES at v2 — the
+    // annotation is versioned like any other log state.
+    assert(keysAsOf(root, 3L) === Seq(1L, 3L, 4L, 5L))
+    assert(keysAsOf(root, 2L) === Seq(1L, 2L, 3L, 4L, 5L))
+    // Plan shape of the MoR read: broadcast anti-join on (file, position),
+    // and the data side never shuffles (the only Exchange is the broadcast).
+    val p = CommitLog.readAsOf(spark, root, 3L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"MoR read must be a broadcast anti-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"MoR read must not shuffle the data side:\n$p")
+    // An add action is authoritative about its DV state: re-adding the
+    // path bare (restore/compact output) starts clean.
+    CommitLog.commitFiles(root, 4L, adds = victims, removes = Nil)
+    assert(CommitLog.snapshotAsOf(root, 4L).dvs === Map.empty)
+    assert(keysAsOf(root, 4L) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("deletion vectors: the annotation survives checkpoint resolution, " +
+      "retention protects the sidecar while its victims' tombstones serve, " +
+      "and it is reclaimed once they expire") {
+    val root = dvTable()
+    val victims = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=1/"))
+    val dv = writeDv(root, victims, col("key") === 2L, "dv3")
+    CommitLog.commitDVChecked(root, 2L, Map(victims.head -> dv))
+    // Push past a checkpoint boundary with empty appends: resolution at
+    // v10+ opens checkpoint + tail, and the annotation must ride it.
+    (4L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.snapshotAsOf(root, 11L).dvs === Map(victims.head -> dv))
+    assert(keysAsOf(root, 11L) === Seq(1L, 3L, 4L, 5L))
+    // Vacuum with the file live: the referenced sidecar must survive.
+    CommitLog.vacuum(root, 0L)
+    assert(Files.exists(Paths.get(root, dv)), "sidecar of a LIVE file reclaimed")
+    assert(keysAsOf(root, 11L) === Seq(1L, 3L, 4L, 5L))
+    // Materialize: rewrite the victim applying its vector; the new add
+    // carries no annotation, the victim tombstones with its dv reference.
+    val s0 = spark
+    import s0.implicits._
+    CommitLog.readAsOf(spark, root, 11L)
+      .where(col("g") === 1).select("key", "val").as[(Long, Double)]
+      .toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=12")
+    CommitLog.commitChecked(root, "g=12", 11L, reads = victims)
+    // No LIVE file is annotated any more — the tombstoned victim's entry
+    // stays in `dvs` by contract (vacuum retention still needs it).
+    val snapM = CommitLog.snapshotAsOf(root, Long.MaxValue)
+    assert(snapM.live.forall(f => !snapM.dvs.contains(f)))
+    assert(snapM.dvs === Map(victims.head -> dv))
+    // In-window tombstone (removed at 12, latest 12, retain 5): both the
+    // victim and its sidecar must survive for as-of readers…
+    CommitLog.vacuum(root, 5L)
+    assert(Files.exists(Paths.get(root, victims.head)))
+    assert(Files.exists(Paths.get(root, dv)))
+    assert(keysAsOf(root, 11L) === Seq(1L, 3L, 4L, 5L))
+    // …and retention 0 expires them together.
+    CommitLog.vacuum(root, 0L)
+    assert(!Files.exists(Paths.get(root, victims.head)))
+    assert(!Files.exists(Paths.get(root, dv)), "expired sidecar not reclaimed")
+    assert(keysAsOf(root, Long.MaxValue) === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("deletion vectors vs concurrent rewrite: whichever of attach and " +
+      "compaction loses the version race aborts — in both orders") {
+    // Order 1: compaction lands first, the late DV attach must abort (its
+    // victim no longer exists; annotating it would resurrect nothing but
+    // corrupt the read set).
+    val rootA = dvTable()
+    val victimsA = CommitLog.filesAsOf(rootA, 2L).filter(_.startsWith("g=1/"))
+    val dvA = writeDv(rootA, victimsA, col("key") === 2L, "dv3")
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$rootA/g=3")
+    assert(CommitLog.commitChecked(rootA, "g=3", 2L, reads = victimsA) === 3L)
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitDVChecked(rootA, 2L, Map(victimsA.head -> dvA))
+    }
+    // Order 2: the attach lands first; a compaction that read the PRE-DV
+    // snapshot must abort (it would materialize a rewrite WITHOUT the
+    // delete — resurrecting the deleted rows through the swap).
+    val rootB = dvTable()
+    val victimsB = CommitLog.filesAsOf(rootB, 2L).filter(_.startsWith("g=1/"))
+    val dvB = writeDv(rootB, victimsB, col("key") === 2L, "dv3")
+    assert(CommitLog.commitDVChecked(rootB, 2L, Map(victimsB.head -> dvB)) === 3L)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$rootB/g=3")
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitChecked(rootB, "g=3", 2L, reads = victimsB)
+    }
+    assert(keysAsOf(rootB, Long.MaxValue) === Seq(1L, 3L, 4L, 5L),
+      "the aborted compaction must not resurrect the deleted row")
+  }
 }

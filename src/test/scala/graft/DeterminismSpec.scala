@@ -130,6 +130,10 @@ class DeterminismSpec extends SparkSpec {
     // file-set identity requires must not); timestamp resolution must be
     // a pure function of the stamped log regardless of scan parallelism
     "table_delete", "table_timetravel_ts", "table_update", "table_merge_cow",
+    // the merge-on-read delete: file splits (and so the sidecar's (file,
+    // pos) content) change with write partitioning, but the three-version
+    // rollups and the MoR ≡ materialized law must not
+    "table_delete_dv",
     // the autotune CHOICE (cheapest qualifying layout) and the fused
     // tuning counts it is derived from must hold under any band-bucket
     // merge order — integer-exact counts make this a true invariance

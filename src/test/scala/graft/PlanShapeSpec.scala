@@ -674,6 +674,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 2, s"expected 2 snapshot scans, saw $scans:\n$p")
   }
 
+  test("table_delete_dv: the declared union reads ONE parquet scan (the " +
+      "materialized snapshot); the MoR anti-join ran pre-checkpoint and " +
+      "never reaches the declared read") {
+    val p = plan("table_delete_dv")
+    assert(!p.contains("Join"), "declared rollups must not join")
+    assert(!p.contains("Window"), "declared rollups must not window")
+    // r1/r2 are pinned as localCheckpoints (vacuum retires their files);
+    // only the materialized v3 rollup scans parquet. The MoR read's own
+    // broadcast-anti-join/no-shuffle shape is pinned in CommitLogSpec.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 snapshot scan, saw $scans:\n$p")
+  }
+
   test("table_timetravel_ts: timestamp resolution adds zero scans — three " +
       "probes, three as-of reads, nothing else") {
     val p = plan("table_timetravel_ts")
