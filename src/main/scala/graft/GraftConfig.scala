@@ -30,6 +30,13 @@ object GraftConfig {
     * tolerates vs how much candidate volume the cluster affords. */
   val TuneRetentionFloorMicro = 800000L
 
+  /** Auto-tune acceptance floor (sim_autotune): the cheapest IVF cell
+    * count whose measured recall@3 over the probe panel is at least this
+    * (in millionths) is recommended and applied. Production sets this
+    * from the retrieval quality budget — recall tolerated vs candidates
+    * scanned per query (IVF's one knob trades exactly these two). */
+  val SimTuneRecallFloorMicro = 760000L
+
   /** Random-hyperplane signature width (sim_ann_lsh / sim_multiprobe /
     * sim_range / dedup_embed): 2^planes buckets; per-bucket population —
     * and the quadratic term of in-bucket passes — shrinks by 2× per plane.

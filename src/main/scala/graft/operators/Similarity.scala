@@ -309,6 +309,77 @@ object Similarity {
        |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
        |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
 
+  /** sim_autotune oracle: three independent unrolled Lloyd chains (seeds
+    * = first c corpus vectors, KMeansIters steps each), every candidate
+    * probed at nprobe=1 over the same 5-probe panel and scored against
+    * the SHARED exact top-3 — tuning table, floor filter, and the
+    * cheapest-qualifying choice all reconstructed DuckDB-side, so the
+    * DECISION itself is hash-checked, not just the metrics. */
+  private def simAutotuneOracleSql: String = {
+    val floor = graft.GraftConfig.SimTuneRecallFloorMicro
+    def assignSql(src: String, idCol: String, vecCol: String,
+        cents: String): String =
+      s"""SELECT $idCol, $vecCol, cid AS cell FROM (
+         |    SELECT $idCol, $vecCol, cid,
+         |      row_number() OVER (PARTITION BY $idCol
+         |        ORDER BY ${cosSql(vecCol, "centroid")} DESC, cid ASC) AS rn
+         |    FROM $src CROSS JOIN $cents)
+         |  WHERE rn = 1""".stripMargin
+    def meanSql(a: String): String =
+      s"""SELECT cell AS cid, list(mv ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, floor((avg(v)) * 1e6 + 0.5) / 1e6 AS mv FROM (
+         |      SELECT cell, unnest(ce) AS v, generate_subscripts(ce, 1) AS pos
+         |      FROM $a)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell""".stripMargin
+    val chains = Seq(4, 8, 16).map { c =>
+      val iters = (1 to KMeansIters).map { i =>
+        s"""a${i}_$c AS MATERIALIZED (${assignSql("tc0", "vec_id", "ce", s"cents${i - 1}_$c")}),
+           |cents${i}_$c AS MATERIALIZED (${meanSql(s"a${i}_$c")})""".stripMargin
+      }.mkString(",\n")
+      s"""cents0_$c AS MATERIALIZED (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+         |  FROM embeddings WHERE vec_id < $c),
+         |$iters,
+         |ca_$c AS MATERIALIZED (${assignSql("tc0", "vec_id", "ce", s"cents${KMeansIters}_$c")}),
+         |pa_$c AS (${assignSql("tpr", "probe_id", "pe", s"cents${KMeansIters}_$c")}),
+         |scored_$c AS MATERIALIZED (
+         |  SELECT p.probe_id, x.vec_id, ${cosSql("p.pe", "x.ce")} AS raw
+         |  FROM ca_$c x JOIN pa_$c p ON p.cell = x.cell
+         |  WHERE p.probe_id <> x.vec_id),
+         |approx_$c AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY raw DESC, vec_id ASC) AS rank FROM scored_$c)
+         |  WHERE rank <= 3),
+         |row_$c AS (
+         |  SELECT CAST($c AS BIGINT) AS cells,
+         |    (SELECT count(*) FROM scored_$c) AS n_scanned,
+         |    (SELECT count(*) FROM approx_$c a JOIN ex e
+         |       ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id) AS n_hits)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tc0 AS MATERIALIZED (SELECT vec_id, ce FROM ($corpusSql)),
+       |tpr AS MATERIALIZED ($probeSql),
+       |ex AS MATERIALIZED (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ${cosSql("pe", "ce")} DESC, vec_id ASC) AS rank
+       |    FROM tc0 CROSS JOIN tpr WHERE probe_id <> vec_id)
+       |  WHERE rank <= 3),
+       |$chains,
+       |tune AS (
+       |  SELECT cells, n_scanned, n_hits, (n_hits * 1000000) // 15 AS recall_micro
+       |  FROM (SELECT * FROM row_4 UNION ALL SELECT * FROM row_8
+       |        UNION ALL SELECT * FROM row_16)),
+       |pick AS (
+       |  SELECT cells FROM tune WHERE recall_micro >= $floor
+       |  ORDER BY n_scanned, cells LIMIT 1)
+       |SELECT cells, n_scanned, n_hits, recall_micro,
+       |  cells = (SELECT cells FROM pick) AS chosen
+       |FROM tune ORDER BY cells""".stripMargin
+  }
+
   /** The IVFPQ ADC pipeline shared by `sim_ivfpq` (the approx ranking IS
     * the answer, top-5) and `sim_refine` (the approx ranking is a
     * SHORTLIST, re-scored exactly): coarse cells from the shared Lloyd
@@ -970,6 +1041,108 @@ object Similarity {
           .orderBy("cell")
       },
       Some(ivfCellReportOracleSql)),
+
+    // IVF AUTO-TUNING — sim_cell_report/sim_recall_report made ACTIONABLE
+    // (dedup_autotune's pattern on the ANN side): candidate cell counts
+    // {4, 8, 16} are measured through ONE fused corpus pass, the cheapest
+    // layout clearing the recall floor (`SimTuneRecallFloorMicro`) is
+    // recommended, and the chosen layout re-fits STANDALONE with its
+    // realized (n_scanned, n_hits) `require`d equal to its tuning row —
+    // fused ≡ standalone, the property that makes the report a safe
+    // reconfiguration basis (the fused pass shares one argmax over the
+    // UNION of candidate centroid sets; the standalone path is the
+    // production single-config probe). Cost anatomy at 100 TB: the Lloyd
+    // fits run on a sample (centroids are all that survives them), the
+    // fused assignment is one corpus pass against a ≤28-row broadcast
+    // with per-config argmax as partial agg, probe scoring stays confined
+    // to cells, and the report is O(configs) rows. Metrics integer-exact:
+    // candidate volume over the 5-probe panel, hits vs the exact top-3,
+    // recall in micro — so the DECISION itself is oracle-checked.
+    QDef(
+      "sim_autotune",
+      (s, dir) => {
+        val floor = graft.GraftConfig.SimTuneRecallFloorMicro
+        val cfgs = Seq(4, 8, 16)
+        def seedsFor(c: Int) = T.embeddings(s, dir)
+          .where(col("vec_id") < c.toLong)
+          .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
+        def fitFor(c: Int): DataFrame =
+          if (c == IvfCells) sharedFit(s, dir)
+          else ivfFit(corpus(s, dir), seedsFor(c))
+        val centsAll = cfgs.map(c => fitFor(c).withColumn("cells", lit(c.toLong)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        // ONE fused assignment pass measures every candidate layout: the
+        // per-(cells, id) argmax is the same partial-agg shape as
+        // assignCell, just keyed one level wider.
+        def assignAll(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+          df.crossJoin(broadcast(centsAll))
+            .select(col("cells"), col(idCol), col(vecCol),
+              cosine(col(vecCol), col("centroid")).as("ccos"), col("cid"))
+            .groupBy(col("cells"), col(idCol))
+            .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+              first(col(vecCol)).as(vecCol))
+            .select(col("cells"), col(idCol), col(vecCol),
+              (-col("m.ncid")).as("cell"))
+        val scoredAll = assignAll(corpus(s, dir), "vec_id", "ce")
+          .join(broadcast(assignAll(probes(s, dir), "probe_id", "pe")),
+            Seq("cells", "cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("cells"), col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .localCheckpoint()
+        def top3(df: DataFrame, part: Seq[String]): DataFrame = {
+          val w = Window.partitionBy(part.map(col): _*)
+            .orderBy(col("raw").desc, col("vec_id").asc)
+          df.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        }
+        val approx = top3(scoredAll, Seq("cells", "probe_id"))
+          .select("cells", "probe_id", "vec_id")
+        val exact = top3(corpus(s, dir)
+            .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+            .select(col("probe_id"), col("vec_id"),
+              cosine(col("pe"), col("ce")).as("raw")),
+          Seq("probe_id"))
+          .select("probe_id", "vec_id").localCheckpoint()
+        val denom = 3L * 5L // k × probe panel
+        val tuning = scoredAll.groupBy("cells")
+          .agg(count(lit(1)).as("n_scanned"))
+          .join(approx.join(exact, Seq("probe_id", "vec_id"))
+            .groupBy("cells").agg(count(lit(1)).as("n_hits")),
+            Seq("cells"), "left")
+          .select(col("cells"), col("n_scanned"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_micro", expr(s"(n_hits * 1000000) div $denom"))
+          .localCheckpoint()
+        // RECOMMEND: cheapest qualifying layout (bounded 3-row collect).
+        val pick = tuning.where(col("recall_micro") >= floor)
+          .orderBy(col("n_scanned").asc, col("cells").asc)
+          .limit(1).collect()
+        require(pick.nonEmpty,
+          s"no cell count meets the $floor-micro recall floor")
+        val cStar = pick(0).getLong(0)
+        val (nScan, nHits) = (pick(0).getLong(1), pick(0).getLong(2))
+        // APPLY: the chosen layout standalone — own fit, own argmax, own
+        // cell join, the production single-config path — must reproduce
+        // its tuning row exactly.
+        val fitC = fitFor(cStar.toInt)
+        val scoredC = assignCell(corpus(s, dir), "vec_id", "ce", fitC)
+          .join(broadcast(assignCell(probes(s, dir), "probe_id", "pe", fitC)),
+            Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .localCheckpoint()
+        val applied = scoredC.count()
+        val appliedHits = top3(scoredC, Seq("probe_id"))
+          .select("probe_id", "vec_id")
+          .join(exact, Seq("probe_id", "vec_id")).count()
+        require(applied == nScan && appliedHits == nHits,
+          s"applied layout c$cStar diverged from its tuning row: standalone " +
+            s"($applied, $appliedHits) vs fused ($nScan, $nHits)")
+        tuning.withColumn("chosen", col("cells") === lit(cStar))
+          .orderBy("cells")
+      },
+      Some(simAutotuneOracleSql)),
 
     // Embedding-cosine near-dup: top-20 most similar pairs among the LSH
     // candidate pairs — the exact precision pass over hyperplane-bucket

@@ -137,7 +137,11 @@ class DeterminismSpec extends SparkSpec {
     // the autotune CHOICE (cheapest qualifying layout) and the fused
     // tuning counts it is derived from must hold under any band-bucket
     // merge order — integer-exact counts make this a true invariance
-    "dedup_autotune")
+    "dedup_autotune",
+    // same invariance on the ANN side: the fused multi-config argmax and
+    // the cheapest-qualifying cell-count choice must not move with the
+    // corpus partitioning
+    "sim_autotune")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

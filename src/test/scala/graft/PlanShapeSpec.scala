@@ -717,6 +717,15 @@ class PlanShapeSpec extends SparkSpec {
       "the declared read re-scanned the corpus — the decision output is O(layouts) rows")
   }
 
+  test("sim_autotune: the declared output reads the checkpointed tuning " +
+      "table — recommendation and apply-verification add no scan to it") {
+    val p = plan("sim_autotune")
+    assert(p.contains("ExistingRDD"),
+      "output should read the localCheckpointed tuning table")
+    assert(!p.contains("Scan parquet"),
+      "the declared read re-scanned the corpus — the decision output is O(configs) rows")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
