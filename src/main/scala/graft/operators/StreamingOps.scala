@@ -158,6 +158,50 @@ object StreamingOps {
              |  max(sec) AS last_sec
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Event-time TIMERS + composite state on transformWithState — the API
+    // surface stream_custom_state_tws's value-state port leaves
+    // unexercised: sessions fold into a ListState (event seconds) + a
+    // MapState (per-type counts); a successor event past the gap
+    // closes a session inline ('gap'), the registered event-time timer at
+    // lastSec + gap fires in the post-drain no-data batch once the
+    // watermark passes it ('timer'), and a trailing session the final
+    // watermark never reaches is NEVER emitted — the streaming truth,
+    // which the batch oracle reproduces from max(sec). Deterministic
+    // because gap closures are watermark-independent and the fixture
+    // drains in one data batch. State TTL is processing-time-only and
+    // ILLEGAL in EventTime mode (the handle rejects it), so TTL'd state
+    // runs in its legal mode in StreamRunner.ttlStateProbe + spec. The
+    // REAL streaming run must hash-match the oracle.
+    QDef(
+      "stream_tws_timers",
+      (s, dir) => graft.streaming.StreamRunner.sessionTimersTws(s, dir),
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |mx AS (SELECT max(sec) AS m FROM e),
+             |flagged AS (
+             |  SELECT user_id, event_type, sec,
+             |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+             |         WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_type)),
+             |sess0 AS (
+             |  SELECT user_id, event_type, sec,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_type
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |  FROM flagged),
+             |sess AS (
+             |  SELECT user_id, sid, min(sec) AS s_start, max(sec) AS s_end,
+             |    count(*) AS n_events,
+             |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+             |  FROM sess0 GROUP BY 1, 2),
+             |lastsid AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY 1)
+             |SELECT s.user_id, s.s_start, s.s_end, s.n_events, s.n_types,
+             |  CASE WHEN s.sid < l.msid THEN 'gap' ELSE 'timer' END AS closed_by
+             |FROM sess s JOIN lastsid l ON l.user_id = s.user_id
+             |WHERE s.sid < l.msid OR s.s_end + 1800 <= (SELECT m FROM mx)
+             |ORDER BY s.user_id, s.s_start""".stripMargin)),
+
     // Streaming top-k leaderboard: per-(type, user) running counts in keyed
     // state (flatMapGroupsWithState), final rank after the stream drains.
     // Counts are order-independent folds, so this REAL streaming execution

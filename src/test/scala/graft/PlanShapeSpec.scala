@@ -717,6 +717,18 @@ class PlanShapeSpec extends SparkSpec {
       "the declared read re-scanned the corpus — the decision output is O(layouts) rows")
   }
 
+  test("win_pattern: one user-key shuffle, two stacked Window operators, " +
+      "no joins — the MATCH_RECOGNIZE compilation stays sessionization-shaped") {
+    val p = plan("win_pattern")
+    assert(!p.contains("Join"), "pattern matching must not join")
+    val dataExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(dataExchanges === 1, s"expected exactly 1 user-key shuffle:\n$p")
+    // row_number + the three fused predecessor captures = 2 Window ops; a
+    // third would mean the captures split into separate partition passes.
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 Window operators, saw $windows:\n$p")
+  }
+
   test("sim_autotune: the declared output reads the checkpointed tuning " +
       "table — recommendation and apply-verification add no scan to it") {
     val p = plan("sim_autotune")

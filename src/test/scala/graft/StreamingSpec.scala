@@ -194,6 +194,38 @@ class StreamingSpec extends SparkSpec {
       "transformWithState port diverged from the flatMapGroupsWithState original")
   }
 
+  test("stream_tws_timers: event-time timers close exactly the sessions the " +
+      "final watermark reaches, and both closure paths fire") {
+    val rows = SparkEntry.queries("stream_tws_timers")(spark, sf)
+      .select("closed_by").as[String].collect()
+    val byKind = rows.groupBy(identity).view.mapValues(_.length).toMap
+    // Gap closures (a successor event ended the session) must dominate,
+    // and at least one trailing session must have been closed by its
+    // registered event-time timer in the post-drain no-data batch — if
+    // that count is zero, timers never fired and the operator silently
+    // degenerated to plain gap sessionization.
+    assert(byKind.getOrElse("gap", 0) > 0, "no gap-closed sessions")
+    assert(byKind.getOrElse("timer", 0) > 0, "no timer-closed sessions — timers never fired")
+    assert(byKind.keySet === Set("gap", "timer"))
+  }
+
+  test("TTL'd keyed state wires end-to-end in its legal mode " +
+      "(ProcessingTime): inert-TTL counts equal the batch fold") {
+    // TTL is processing-time-only (the handle REJECTS TTLConfig under
+    // TimeMode.EventTime), so the declared inventory keeps wall-clock
+    // expiry out of oracle-checked outputs; this run proves the TTL'd
+    // state path works where it is legal. 1h cannot elapse inside the
+    // drain, so the streamed counts must equal the plain batch counts.
+    val streamed = graft.streaming.StreamRunner.ttlStateProbe(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "TTL'd (inert) streamed counts diverged from the batch fold")
+  }
+
   test("scan_v2_stream: the connector's micro-batch tail ≡ its batch scan " +
       "over the same id window, row-identically") {
     // Raw-row parity (stronger than the declared rollup): stream the
