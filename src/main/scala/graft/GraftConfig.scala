@@ -159,6 +159,14 @@ object GraftConfig {
     * corpus-size. The balance property is independent of the count. */
   val ShardCount = 8L
 
+  /** pipeline_dataloader: loader-worker count (each worker consumes its
+    * own shard of every epoch's permutation) and per-batch token budget.
+    * Production: workers = data-parallel ranks × loader threads, budget =
+    * tokens per optimizer step per rank (4M-token global batches at 100 TB
+    * training runs). 4 × 256 keeps every fixture shard multi-batch. */
+  val LoaderWorkers = 4L
+  val LoaderBatchTokens = 256L
+
   /** Mixture budget divisor for pipeline_mix: the training-run token
     * budget is tot/MixBudgetDen of the corpus. 1 (one full epoch,
     * rebalanced toward the uniform target) is the smallest divisor at

@@ -298,6 +298,44 @@ object Scalars {
              |  CAST(json_extract_string(j, '$.missing') AS INT) AS absent
              |FROM src ORDER BY event_id""".stripMargin)),
 
+    // VARIANT SHREDDING — fn_variant's storage half: the variant column's
+    // hot paths are materialized ONCE as typed parquet subcolumns
+    // ("shredding", the variant storage optimization lakehouse engines
+    // apply under Spark 4's VariantType), and the payoff is require'd IN
+    // the plan: a comparison predicate on the shredded column reaches the
+    // parquet scan as a PushedFilter — impossible through variant_get
+    // over the in-row binary, where every row must decode before any
+    // filter can run. At 100 TB this is the difference between min/max-
+    // pruning the k-subcolumn's row groups and decoding every event
+    // payload; the shred is paid once at write time, every query after
+    // rides typed columnar storage.
+    QDef(
+      "fn_variant_shred",
+      (s, dir) => {
+        val root = Scans.freshRunTmpPath(s, "graft_shred_")
+        T.events(s, dir)
+          .withColumn("v", parse_json(col("props")))
+          .select(col("event_id"), col("event_type"),
+            variant_get(col("v"), "$.k", "int").cast("long").as("k"),
+            expr("cast(floor(value * 1e2 + 0.5) as bigint)").as("cents"))
+          .coalesce(2).write.mode("overwrite").parquet(root)
+        val shredded = s.read.parquet(root).where(col("k") >= 50L)
+        val plan = shredded.queryExecution.executedPlan.toString
+        require(plan.contains("PushedFilters:")
+            && plan.contains("GreaterThanOrEqual(k,50"),
+          s"shredded-column predicate must push to the parquet scan:\n$plan")
+        shredded.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+            sum("cents").cast("long").as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QDef(
       "fn_cast",
       (s, dir) =>

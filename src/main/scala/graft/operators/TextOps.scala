@@ -1391,6 +1391,91 @@ object TextOps {
              |SELECT (rank - 1) % ${graft.GraftConfig.ShardCount} AS shard,
              |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
              |  min(rank) AS first_rank
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TRAINING DATA LOADER manifest — the piece between a curated corpus
+    // and the optimizer step: per EPOCH, a fresh DETERMINISTIC permutation
+    // (multiplicative hash of (doc_id, epoch) — reproducible across
+    // restarts and engines, where an RNG shuffle is neither), sharded to
+    // loader workers, each worker's stream greedily packed into
+    // fixed-token-budget batches (batch = exclusive-prefix-tokens div
+    // budget — the declarative form of "fill until the budget spills").
+    // The loader LAWS are require'd in-query: every epoch covers every
+    // doc exactly once (coverage), and the two epochs produce genuinely
+    // different batch compositions (the permutation actually varies —
+    // epoch reshuffling is the point). Output = the full batch manifest
+    // (epoch, shard, batch, n_docs, tok_sum), hash-checked, so a batch
+    // boundary off by one doc anywhere mismatches. At 100 TB: the
+    // permutation key is a pushdown-able projection (no shuffle to
+    // assign), each (epoch, shard) packs independently under its own
+    // window — the cumsum never crosses workers, exactly like a real
+    // loader — and the manifest is O(corpus/budget) rows of metadata the
+    // trainer consumes instead of re-deriving order at every restart.
+    QDef(
+      "pipeline_dataloader",
+      (s, dir) => {
+        val W = graft.GraftConfig.LoaderWorkers
+        val B = graft.GraftConfig.LoaderBatchTokens
+        val d = T.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val epochs = Seq(0L, 1L).map(e => d.withColumn("epoch", lit(e)))
+          .reduce(_.unionByName(_))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "shard").orderBy("ord", "doc_id")
+        val manifest = epochs
+          .withColumn("ord",
+            (col("doc_id") * 2654435761L + (col("epoch") + 1L) * 40503L)
+              % 1000000007L)
+          .withColumn("shard", col("ord") % W)
+          .withColumn("pre", coalesce(
+            sum("n_tok").over(w.rowsBetween(Long.MinValue, -1L)), lit(0L)))
+          .withColumn("batch", expr(s"pre div $B"))
+          .groupBy("epoch", "shard", "batch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("tok_sum"))
+          .localCheckpoint()
+        // Loader law 1 — COVERAGE: each epoch is exactly one pass.
+        val total = d.count()
+        manifest.groupBy("epoch").agg(sum("n_docs").cast("long").as("n"))
+          .collect().foreach(r => require(r.getLong(1) == total,
+            s"epoch ${r.getLong(0)} covered ${r.getLong(1)} of $total docs"))
+        // Loader law 2 — the permutation VARIES by epoch: at least one
+        // (shard, batch) cell differs in composition between the epochs.
+        val e0 = manifest.where(col("epoch") === 0L)
+          .select(col("shard"), col("batch"), col("n_docs").as("d0"),
+            col("tok_sum").as("t0"))
+        val e1 = manifest.where(col("epoch") === 1L)
+          .select(col("shard"), col("batch"), col("n_docs").as("d1"),
+            col("tok_sum").as("t1"))
+        val differing = e0.join(e1, Seq("shard", "batch"), "full")
+          .where(col("d0").isNull || col("d1").isNull
+            || col("d0") =!= col("d1") || col("t0") =!= col("t1"))
+          .count()
+        require(differing > 0L,
+          "epoch reshuffle produced identical batch compositions")
+        manifest.orderBy("epoch", "shard", "batch")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |ep AS (
+             |  SELECT doc_id, n_tok, CAST(0 AS BIGINT) AS epoch FROM d
+             |  UNION ALL
+             |  SELECT doc_id, n_tok, CAST(1 AS BIGINT) AS epoch FROM d),
+             |k AS (
+             |  SELECT epoch, doc_id, n_tok,
+             |    (doc_id * 2654435761 + (epoch + 1) * 40503) % 1000000007 AS ord
+             |  FROM ep),
+             |sh AS (SELECT *, ord % ${graft.GraftConfig.LoaderWorkers} AS shard FROM k),
+             |p AS (
+             |  SELECT epoch, shard, n_tok,
+             |    coalesce(CAST(sum(n_tok) OVER (PARTITION BY epoch, shard
+             |      ORDER BY ord, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |      0) AS pre
+             |  FROM sh)
+             |SELECT epoch, shard, pre // ${graft.GraftConfig.LoaderBatchTokens} AS batch,
+             |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+             |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

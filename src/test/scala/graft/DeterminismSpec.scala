@@ -141,7 +141,12 @@ class DeterminismSpec extends SparkSpec {
     // same invariance on the ANN side: the fused multi-config argmax and
     // the cheapest-qualifying cell-count choice must not move with the
     // corpus partitioning
-    "sim_autotune")
+    "sim_autotune",
+    // the epoch permutation, shard assignment, and batch boundaries are
+    // pure functions of (doc_id, epoch) — the whole manifest must be
+    // byte-identical under any corpus partitioning (a loader that
+    // reshuffles with the cluster layout is not restart-reproducible)
+    "pipeline_dataloader")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -75,6 +75,7 @@ class InventorySpec extends SparkSpec {
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
     "dedup_autotune", // tunes, applies, and require-verifies on construction
     "sim_autotune", // same: fused tuning pass + standalone apply on construction
+    "pipeline_dataloader", // manifest localCheckpoint + loader-law requires on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank", "graph_cc")  // localCheckpoint per iteration
 

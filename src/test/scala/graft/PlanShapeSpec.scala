@@ -729,6 +729,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows === 2, s"expected 2 Window operators, saw $windows:\n$p")
   }
 
+  test("pipeline_dataloader: the declared output reads the checkpointed " +
+      "manifest — the loader-law verification adds no scan to it") {
+    val p = plan("pipeline_dataloader")
+    assert(p.contains("ExistingRDD"),
+      "output should read the localCheckpointed batch manifest")
+    assert(!p.contains("Scan parquet"),
+      "the declared read re-scanned the corpus — the manifest is O(corpus/budget) rows")
+  }
+
+  test("fn_variant_shred: the declared aggregate reads the shredded table " +
+      "in one scan with map-side partials (the pushdown require runs in-query)") {
+    val p = plan("fn_variant_shred")
+    assert(!p.contains("Join"), "shredded rollup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 shredded-table scan, saw $scans:\n$p")
+    assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
+  }
+
   test("sim_autotune: the declared output reads the checkpointed tuning " +
       "table — recommendation and apply-verification add no scan to it") {
     val p = plan("sim_autotune")
