@@ -800,6 +800,69 @@ object Aggregates {
              |  floor((ybar - sxy / sxx * xbar) * 1e6 + 0.5) / 1e6 AS intercept
              |FROM fit ORDER BY user_id""".stripMargin)),
 
+    // CHANGE-POINT DETECTION [PK — burst/flare/state-transition localization
+    // in a light curve]: the CUSUM statistic (Page 1954), per object over
+    // the time-ordered flux — cp = argmax_k |k·S_n − n·S_k| … written
+    // multiplied through by n so the centered cumsum |S_k − (k/n)·S_n|
+    // needs NO division: BIGINT cents in, BIGINT statistic out, zero FP
+    // anywhere (the ts_ewma lesson — integer exactness beats float parity
+    // every time). Output per object: the split index, the statistic, and
+    // the two segments' EXACT flux sums (means would divide; sums carry
+    // the same information hash-checkably). Objects with one observation
+    // have no interior split and drop out. Scale: one user-key shuffle for
+    // the ordered cumsum window, then the argmax collapses MAP-SIDE as a
+    // max-of-struct partial agg (stat, −k, S_k) — no second window, no
+    // join, no per-candidate passes; the full CUSUM scan of a 100 TB
+    // survey is one shuffle + one partial agg.
+    QDef(
+      "lc_changepoint",
+      (s, dir) => {
+        val byU = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+        val all = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        T.events(s, dir)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"),
+            expr("cast(floor(value * 1e2 + 0.5) as bigint)").as("cents"))
+          .withColumn("k", row_number().over(byU).cast("long"))
+          .withColumn("sk", sum("cents").over(byU.rowsBetween(Long.MinValue, 0L)))
+          .withColumn("n", count(lit(1)).over(all))
+          .withColumn("sn", sum("cents").over(all))
+          .where(col("k") < col("n"))
+          .withColumn("stat", abs(col("n") * col("sk") - col("k") * col("sn")))
+          .groupBy("user_id")
+          .agg(max(struct(col("stat"), (-col("k")).as("nk"), col("sk"))).as("m"),
+            max("n").as("n"), max("sn").as("sn"))
+          .select(col("user_id"), col("n"), (-col("m.nk")).as("cp_idx"),
+            col("m.stat").as("cusum_stat"),
+            col("m.sk").as("pre_sum_cents"),
+            (col("sn") - col("m.sk")).as("post_sum_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             |    CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id,
+             |    CAST(row_number() OVER w AS BIGINT) AS k,
+             |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sn
+             |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |c AS (
+             |  SELECT user_id, n, k, abs(n * sk - k * sn) AS stat, sk, sn
+             |  FROM r WHERE k < n),
+             |best AS (
+             |  SELECT user_id, n, k AS cp_idx, stat AS cusum_stat, sk, sn,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY stat DESC, k ASC) AS rn
+             |  FROM c)
+             |SELECT user_id, n, cp_idx, cusum_stat, sk AS pre_sum_cents,
+             |  sn - sk AS post_sum_cents
+             |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Periodogram peak [PK — the frequency-domain complement to lc_periods'
     // phase-dispersion method]: classical (Schuster) power
     // P(ω) = [(Σ y'·cos ωt)² + (Σ y'·sin ωt)²] / n over the same 24-period

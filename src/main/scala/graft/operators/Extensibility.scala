@@ -515,6 +515,51 @@ object Extensibility {
              |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
              |  CAST(sum(cents) AS BIGINT)
              |FROM g3
-             |ORDER BY as_of""".stripMargin))
+             |ORDER BY as_of""".stripMargin)),
+
+    // RECURSIVE CTE — Spark 4's `WITH RECURSIVE` (SQL:1999 linear
+    // recursion, the ANSI answer to hierarchical queries / CONNECT BY):
+    // a deterministic forest over customer (parent(k) = k div 2, root 1 —
+    // every key's parent chain reaches the root, so the walk covers the
+    // table) traversed top-down, depth and balance rolled up per level.
+    // The engine compiles the recursion to a UnionLoop: each iteration
+    // joins ONLY the previous frontier (linear recursion — the working
+    // set is one level, never the accumulated closure), and iteration
+    // count is the hierarchy DEPTH — log₂(keys) here, so a 100 TB
+    // dimension hierarchy walks in ~40 frontier joins, each one
+    // broadcast-able when the frontier is small. The same SQL (modulo the
+    // div spelling) runs on DuckDB — recursion as a portable query
+    // surface rather than a hand-rolled driver loop (the graph_* family
+    // shows the loop form; this shows the declarative one).
+    QDef(
+      "sql_recursive_cte",
+      (s, dir) => {
+        T.customer(s, dir).createOrReplaceTempView("graft_rcte_customer")
+        s.sql(
+          """WITH RECURSIVE h(key, cents, depth) AS (
+            |  SELECT c_custkey, CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT), 0
+            |  FROM graft_rcte_customer WHERE c_custkey = 1
+            |  UNION ALL
+            |  SELECT c.c_custkey, CAST(floor(c.c_acctbal * 1e2 + 0.5) AS BIGINT),
+            |    h.depth + 1
+            |  FROM graft_rcte_customer c JOIN h ON c.c_custkey div 2 = h.key)
+            |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+            |  CAST(sum(key) AS BIGINT) AS sum_key,
+            |  CAST(max(key) AS BIGINT) AS max_key,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE h(key, cents, depth) AS (
+             |  SELECT c_custkey, CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT), 0
+             |  FROM customer WHERE c_custkey = 1
+             |  UNION ALL
+             |  SELECT c.c_custkey, CAST(floor(c.c_acctbal * 1e2 + 0.5) AS BIGINT),
+             |    h.depth + 1
+             |  FROM customer c JOIN h ON c.c_custkey // 2 = h.key)
+             |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(max(key) AS BIGINT) AS max_key,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM h GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }

@@ -1844,6 +1844,172 @@ object Scans {
              |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |  FROM kept GROUP BY 2)
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
-             |ORDER BY as_of, b""".stripMargin))
+             |ORDER BY as_of, b""".stripMargin)),
+
+    // CHECK CONSTRAINTS through the commit log — the governance piece of
+    // the DML family (Delta's table constraints): a metadata-only commit
+    // declares the table's constraint set (`CommitLog.setConstraints`,
+    // latest meta line wins), and every writer validates its staged adds
+    // against the ACTIVE set before publishing (`validateAdds` — one
+    // distributed scan of the STAGED files only, SQL-standard CHECK
+    // semantics: FALSE violates, UNKNOWN passes). The protocol is
+    // exercised end to end in-query: a violating append is caught
+    // (violations `require`d > 0), the writer ABORTS with nothing
+    // published — the staging is reader-invisible debris `require`d
+    // reclaimed by vacuum, the isolation any crashed writer gets — and a
+    // clean append validates to 0 and lands. At 100 TB: declaring or
+    // changing constraints is O(1) metadata, enforcement is O(staged
+    // data) per write never O(table), and the log carries the contract so
+    // every engine sharing the table enforces the same rules
+    // (CommitLogSpec pins checkpoint carry and drop-by-republish).
+    QDef(
+      "table_constraint",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_constraint_")
+        val o = T.orders(s, dir)
+        def stage(df: org.apache.spark.sql.DataFrame, gen: String) =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        stage(o.where(col("o_orderkey") % 7L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        // Declare the contract: one metadata-only commit.
+        val cs = Seq("val > 0.0", "key IS NOT NULL")
+        CommitLog.setConstraints(root, 2L, cs)
+        require(CommitLog.constraintsAsOf(root, Long.MaxValue) == cs,
+          "declared constraint set must resolve from the log")
+        // A writer stages an append with poisoned rows …
+        stage(o.where(col("o_orderkey") % 7L === 2L)
+          .select(col("o_orderkey").as("key"),
+            when(col("o_orderkey") % 3L === 0L, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("val")), "g=2")
+        val bad = listParquet("g=2")
+        val nViol = CommitLog.validateAdds(s, root, bad)
+        require(nViol > 0L, "the poisoned append must trip the CHECK")
+        // … and therefore ABORTS: nothing published, debris invisible.
+        require(CommitLog.latestVersion(root) == 2L,
+          "a failed CHECK must publish nothing")
+        // A clean writer validates to zero and lands.
+        stage(o.where(col("o_orderkey") % 7L === 3L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")), "g=3")
+        require(CommitLog.validateAdds(s, root, listParquet("g=3")) == 0L,
+          "the clean append must pass the CHECK")
+        CommitLog.commitFiles(root, 3L, adds = listParquet("g=3"), removes = Nil)
+        // The aborted staging is vacuum-reclaimable debris, like any
+        // crashed writer's.
+        val (_, removed) = CommitLog.vacuum(root, 0L)
+        require(removed >= bad.size.toLong,
+          s"vacuum must reclaim the aborted staging, removed only $removed")
+        require(bad.forall(f =>
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(root, f))),
+          "aborted staging files must be gone after vacuum")
+        CommitLog.readAsOf(s, root, Long.MaxValue)
+          .groupBy((col("key") % 4L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 7 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 7 = 3)
+             |SELECT key % 4 AS bucket, count(*) AS n,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DATA SKIPPING through the commit log — per-file min/max column stats
+    // ride the add action (`"smin"/"smax"`, the Delta/Iceberg file-stats
+    // shape), and a range predicate prunes FILES from log metadata alone
+    // before any data file opens (`CommitLog.filesAsOfPruned`). The stats
+    // are gathered at WRITE time in one distributed pass over the staged
+    // files (grouped on `_metadata.file_path` — the writer-side stats
+    // collection every lakehouse writer does), the pruning DECISION itself
+    // is part of the declared output (n_files_scanned — DuckDB re-derives
+    // it from the same per-bucket min/max arithmetic, so a wrong skip
+    // hash-mismatches), and the skipping-safety law is `require`d
+    // in-query: rows from the pruned file set ≡ rows from the full set
+    // under the predicate. Files whose add carries no stats are always
+    // kept (conservative — CommitLogSpec pins that, the boundary
+    // inclusivity, the stat-less-re-add authority rule, and checkpoint
+    // carry). At 100 TB: stats are O(files) log metadata, the decision is
+    // driver-side arithmetic, and the scan that follows touches only the
+    // intersecting files — a point/range query on a sorted-write table
+    // reads a handful of files, not the table.
+    QDef(
+      "table_skipping",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_skip_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        val mx = o.agg(max("key")).head.getLong(0)
+        val w = mx / 8L + 1L
+        // Range-clustered write: one file per key-range bucket (the sorted/
+        // z-ordered layout skipping presupposes — sink_zorder's premise).
+        o.withColumn("g", expr(s"key div ${w}L"))
+          .repartition(8, col("g"))
+          .write.partitionBy("g").mode("overwrite").parquet(root)
+        // Writer-side stats: ONE distributed pass over the staged files.
+        val statRows = s.read.option("basePath", root).parquet(root)
+          .select(col("key"), col("_metadata.file_path").as("fp"))
+          .groupBy("fp").agg(min("key").as("mn"), max("key").as("mx"))
+          .collect()
+        val stats = statRows.map { r =>
+          val abs = r.getString(0)
+          val rel = abs.substring(abs.indexOf(root) + root.length + 1)
+          rel -> (r.getLong(1), r.getLong(2))
+        }.toMap
+        require(stats.size == 8, s"expected 8 range-bucket files, staged ${stats.size}")
+        CommitLog.commitFiles(root, 1L, adds = stats.keys.toSeq.sorted,
+          removes = Nil, stats = stats)
+        val (lo, hi) = (2L * w + w / 2L, 3L * w + w / 4L)
+        val live = CommitLog.filesAsOf(root, Long.MaxValue)
+        val pruned = CommitLog.filesAsOfPruned(root, Long.MaxValue, lo, hi)
+        require(pruned.size < live.size,
+          s"skipping must prune files (kept ${pruned.size} of ${live.size})")
+        require(pruned.toSet.subsetOf(live.toSet), "pruned set must be a subset of live")
+        def matched(paths: Seq[String]) =
+          s.read.parquet(paths.map(f => s"$root/$f"): _*)
+            .where(col("key").between(lo, hi))
+        // The skipping-safety law: pruning may drop FILES, never ROWS.
+        require(matched(pruned).count() == matched(live).count(),
+          "file skipping dropped matching rows")
+        matched(pruned).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(live.size.toLong).as("n_files_total"),
+            lit(pruned.size.toLong).as("n_files_scanned"),
+            col("n_rows"), col("sum_key"), col("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+             |p AS (SELECT CAST(max(key) // 8 + 1 AS BIGINT) AS w FROM o),
+             |b AS (SELECT key, val, key // (SELECT w FROM p) AS g FROM o),
+             |s AS (SELECT g, min(key) AS mn, max(key) AS mx FROM b GROUP BY g),
+             |bounds AS (SELECT 2 * w + w // 2 AS lo, 3 * w + w // 4 AS hi FROM p),
+             |m AS (
+             |  SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM b, bounds WHERE key BETWEEN lo AND hi)
+             |SELECT (SELECT count(*) FROM s) AS n_files_total,
+             |  (SELECT count(*) FROM s, bounds WHERE mx >= lo AND mn <= hi)
+             |    AS n_files_scanned,
+             |  n_rows, sum_key, sum_cents FROM m""".stripMargin))
   )
 }

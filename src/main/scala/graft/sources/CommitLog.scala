@@ -104,14 +104,18 @@ object CommitLog {
 
   private def commitJson(version: Long, adds: Seq[String],
       removes: Seq[String], ts: Long, txn: String = "",
-      dvs: Map[String, String] = Map.empty): String = {
+      dvs: Map[String, String] = Map.empty,
+      stats: Map[String, (Long, Long)] = Map.empty): String = {
     (adds ++ removes ++ dvs.values).foreach(requireSafe)
     if (txn.nonEmpty) requireSafe(txn)
     val txnField = if (txn.isEmpty) "" else s""","txn":"$txn""""
     def dvField(p: String) =
       dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
+    def statField(p: String) =
+      stats.get(p).map { case (mn, mx) => s""","smin":$mn,"smax":$mx""" }
+        .getOrElse("")
     (s"""{"commitInfo":{"version":$version,"timestamp":$ts$txnField,"adds":${adds.size},"removes":${removes.size}}}""" +:
-      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version${dvField(a)}}}""") ++
+      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version${dvField(a)}${statField(a)}}}""") ++
         removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
       .mkString("", "\n", "\n")
   }
@@ -190,9 +194,11 @@ object CommitLog {
     * files and removes the current ones without touching a byte of data. */
   def commitFiles(root: String, version: Long, adds: Seq[String],
       removes: Seq[String], ts: Long = -1L,
-      dvs: Map[String, String] = Map.empty): Unit = {
+      dvs: Map[String, String] = Map.empty,
+      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes, stampFor(root, ts), dvs = dvs))
+      commitJson(version, adds, removes, stampFor(root, ts), dvs = dvs,
+        stats = stats))
     if (!won)
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
@@ -337,12 +343,66 @@ object CommitLog {
       s"commit on $root lost $maxAttempts straight races — giving up")
   }
 
+  /** CHECK-constraint metadata (Delta's table constraints reduced to the
+    * log essentials): a commit may carry ONE `meta` line declaring the
+    * table's FULL active constraint set (SQL boolean expressions over the
+    * row schema; the LATEST meta line wins, so dropping a constraint is
+    * republishing the set without it). Writers are expected to validate
+    * their adds against the active set BEFORE publishing ([[validateAdds]])
+    * — the log records the contract, the writer enforces it at write time,
+    * exactly Delta's split. Expressions are transported inside the
+    * single-line JSON without escaping, so the same requireSafe character
+    * discipline applies as for paths. */
+  def setConstraints(root: String, version: Long, exprs: Seq[String],
+      ts: Long = -1L): Unit = {
+    exprs.foreach(requireSafe)
+    val arr = exprs.map(e => s""""$e"""").mkString("[", ",", "]")
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"constraints":$arr}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** Active constraint set AS OF `v` (empty when none declared). */
+  def constraintsAsOf(root: String, v: Long): Seq[String] =
+    snapshotAsOf(root, v).constraints
+
+  /** Writer-side CHECK enforcement: evaluate the constraint set active at
+    * the CURRENT snapshot against the staged files and return the number
+    * of violating rows — a writer publishes only on 0 (the abort branch
+    * leaves the staging as vacuum-reclaimable debris, invisible to every
+    * reader; the same isolation any crashed writer gets). The validation
+    * is ONE distributed scan of the STAGED files only — cost O(staged
+    * data), never O(table), which is why constraint checks stay cheap on
+    * a 100 TB table taking MB-sized appends. */
+  def validateAdds(s: SparkSession, root: String, staged: Seq[String]): Long = {
+    val exprs = constraintsAsOf(root, Long.MaxValue)
+    if (exprs.isEmpty || staged.isEmpty) return 0L
+    val df = s.read.option("basePath", root)
+      .parquet(staged.map(f => s"$root/$f"): _*)
+    // SQL-standard CHECK semantics: a row violates when the expression is
+    // FALSE; UNKNOWN (null) passes — same as ANSI and Delta.
+    val violating = exprs
+      .map(e => org.apache.spark.sql.functions.expr(e))
+      .map(c => !org.apache.spark.sql.functions.coalesce(c,
+        org.apache.spark.sql.functions.lit(true)))
+      .reduce(_ || _)
+    df.where(violating).count()
+  }
+
   private val PathField = (""""path"\s*:\s*"([^"]+)"""").r.unanchored
   private val AddLine = (""""add"\s*:""").r.unanchored
   private val RemoveLine = (""""remove"\s*:""").r.unanchored
   private val RemovedAt = (""""removedAt"\s*:\s*(\d+)""").r.unanchored
   private val AddedAt = (""""addedAt"\s*:\s*(\d+)""").r.unanchored
   private val DvRef = (""""dv"\s*:\s*"([^"]+)"""").r.unanchored
+  private val MetaLine = (""""meta"\s*:""").r.unanchored
+  private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
+  private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
+  private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
     * tombstones — files removed at some version ≤ the as-of version, still
@@ -350,9 +410,12 @@ object CommitLog {
     * DELETION-VECTOR annotations (`dvs`: data-file path → sidecar path,
     * covering live files AND tombstoned ones whose annotation the log
     * still carries; readers apply only the live subset, vacuum's retention
-    * protection needs the tombstoned ones too). */
+    * protection needs the tombstoned ones too) — plus the ACTIVE
+    * CHECK-constraint set (latest `meta` line wins). */
   final case class Snapshot(live: Seq[String], tombstones: Seq[(String, Long)],
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      constraints: Seq[String] = Nil,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -377,8 +440,22 @@ object CommitLog {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    var constraints: Seq[String] = Nil
     files.foreach { p =>
       val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector
+      lines.foreach {
+        case l @ MetaLine() =>
+          // Latest meta line wins: the commit declares the FULL active set.
+          l match {
+            case ConstraintsField(body) =>
+              constraints =
+                if (body.trim.isEmpty) Nil
+                else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            case _ => ()
+          }
+        case _ => ()
+      }
       lines.foreach {
         case l @ RemoveLine() =>
           val PathField(path) = l: @unchecked
@@ -404,11 +481,20 @@ object CommitLog {
             case DvRef(d) => dvs.put(path, d): Unit
             case _        => dvs.remove(path): Unit
           }
+          // Same authority rule for the skipping stats: an add carrying
+          // (smin, smax) declares its file's key range; an add without
+          // them leaves the file UN-skippable (read conservatively) —
+          // stats never survive a stat-less re-add of the same path.
+          (l, l) match {
+            case (SMinField(mn), SMaxField(mx)) =>
+              stats.put(path, (mn.toLong, mx.toLong)): Unit
+            case _ => stats.remove(path): Unit
+          }
         case _ => ()
       }
     }
     Snapshot(live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1),
-      tombs.toSeq, dvs.toMap)
+      tombs.toSeq, dvs.toMap, constraints, stats.toMap)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -416,6 +502,24 @@ object CommitLog {
 
   /** Table-relative data files live in the snapshot AS OF `v`. */
   def filesAsOf(root: String, v: Long): Seq[String] = snapshotAsOf(root, v).live
+
+  /** DATA SKIPPING: the live files AS OF `v` whose declared key range
+    * intersects [lo, hi] — the Delta/Iceberg file-level min/max pruning,
+    * resolved ENTIRELY from log metadata before any data file opens. A
+    * file whose add carried no stats is always kept (conservative: absent
+    * stats mean "range unknown", never "no rows match"), so skipping can
+    * only subtract files it can PROVE disjoint. O(live files) metadata
+    * arithmetic; the payoff at 100 TB is the scan that follows touching
+    * only the intersecting files. */
+  def filesAsOfPruned(root: String, v: Long, lo: Long, hi: Long): Seq[String] = {
+    val snap = snapshotAsOf(root, v)
+    snap.live.filter { p =>
+      snap.stats.get(p) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+  }
 
   /** Compact the state at `version` into a checkpoint file. Carried
     * content: the live add-set AND the accumulated tombstones (vacuum's
@@ -455,9 +559,23 @@ object CommitLog {
     // protection once the attaching commit is past the checkpoint horizon.
     def dvField(p: String) =
       snap.dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
+    // Skipping stats ride the checkpoint on their live adds, so file
+    // pruning keeps working once the stat-bearing commit is past the
+    // checkpoint horizon.
+    def statField(p: String) =
+      snap.stats.get(p).map { case (mn, mx) => s""","smin":$mn,"smax":$mx""" }
+        .getOrElse("")
+    // The active constraint set rides the checkpoint as its meta line, so
+    // resolution from checkpoint + tail keeps enforcing it once the
+    // declaring commit is past the horizon.
+    val metaLines =
+      if (snap.constraints.isEmpty) Seq.empty[String]
+      else Seq(s"""{"meta":{"constraints":${
+        snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
-        (snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}}}""") ++
+        (metaLines ++
+          snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}${statField(p)}}}""") ++
           snap.tombstones.map { case (p, at) =>
             s"""{"remove":{"path":"$p","removedAt":$at${dvField(p)}}}""" }))
         .mkString("", "\n", "\n")

@@ -532,4 +532,86 @@ class CommitLogSpec extends SparkSpec {
     assert(keysAsOf(rootB, Long.MaxValue) === Seq(1L, 3L, 4L, 5L),
       "the aborted compaction must not resurrect the deleted row")
   }
+
+  test("check constraints: latest meta wins (drop = republish without), " +
+      "UNKNOWN passes per SQL semantics, and the set survives checkpoint " +
+      "resolution") {
+    val root = dvTable() // v1: keys 1,2,3; v2: keys 4,5 (val = key*10)
+    CommitLog.setConstraints(root, 3L, Seq("val > 15.0"))
+    assert(CommitLog.constraintsAsOf(root, Long.MaxValue) === Seq("val > 15.0"))
+    // v2's as-of world predates the declaration — constraints are
+    // versioned state like everything else in the log.
+    assert(CommitLog.constraintsAsOf(root, 2L) === Nil)
+    // Enforcement: g=1 holds (1,10.0) and (2,20.0)|(3,30.0) → 1 violation.
+    val g1 = CommitLog.filesAsOf(root, 2L).filter(_.startsWith("g=1/"))
+    assert(CommitLog.validateAdds(spark, root, g1) === 1L)
+    // UNKNOWN passes: a null-val row trips nothing under 'val > 15.0'.
+    val s0 = spark
+    import s0.implicits._
+    Seq((9L, Option.empty[Double])).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=9")
+    val g9 = Files.list(Paths.get(s"$root/g=9")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(p => Paths.get(root).relativize(Paths.get(p)).toString).toSeq
+    assert(CommitLog.validateAdds(spark, root, g9) === 0L,
+      "NULL must pass a CHECK (UNKNOWN is not a violation)")
+    // Tighten + survive a checkpoint boundary: republishing the set is
+    // the only mutation (latest meta wins), and resolution from
+    // checkpoint + tail keeps it.
+    CommitLog.setConstraints(root, 4L, Seq("val > 0.0", "key IS NOT NULL"))
+    (5L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.constraintsAsOf(root, 11L)
+      === Seq("val > 0.0", "key IS NOT NULL"))
+    assert(CommitLog.validateAdds(spark, root, g1) === 0L,
+      "the loosened set must accept g=1 again")
+    // Drop everything: republish empty — enforcement ends.
+    CommitLog.setConstraints(root, 12L, Nil)
+    assert(CommitLog.constraintsAsOf(root, Long.MaxValue) === Nil)
+  }
+
+  test("file skipping: stat-less files are never pruned, boundaries are " +
+      "inclusive, a stat-less re-add clears stats, and stats survive " +
+      "checkpoint resolution") {
+    val root = Files.createTempDirectory("graft_skipstats").toString
+    val s0 = spark
+    import s0.implicits._
+    def stage(rows: Seq[(Long, Double)], gen: String): String = {
+      rows.toDF("key", "val").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).head
+    }
+    val fA = stage(Seq((10L, 1.0), (19L, 2.0)), "g=1") // range [10, 19]
+    val fB = stage(Seq((30L, 3.0), (39L, 4.0)), "g=2") // range [30, 39]
+    val fC = stage(Seq((50L, 5.0)), "g=3")             // NO stats declared
+    CommitLog.commitFiles(root, 1L, adds = Seq(fA, fB, fC), removes = Nil,
+      stats = Map(fA -> (10L, 19L), fB -> (30L, 39L)))
+    // A disjoint probe keeps only the stat-less file (conservative).
+    assert(CommitLog.filesAsOfPruned(root, Long.MaxValue, 60L, 70L) === Seq(fC),
+      "a stat-less file must never be pruned")
+    // Boundary inclusivity: lo == file max and hi == file min both keep.
+    assert(CommitLog.filesAsOfPruned(root, Long.MaxValue, 19L, 25L).toSet
+      === Set(fA, fC), "lo == smax must keep the file")
+    assert(CommitLog.filesAsOfPruned(root, Long.MaxValue, 25L, 30L).toSet
+      === Set(fB, fC), "hi == smin must keep the file")
+    // A stat-less RE-ADD of the same path clears its stats (the add is
+    // authoritative — same rule as deletion vectors).
+    CommitLog.commitFiles(root, 2L, adds = Seq(fA), removes = Nil)
+    assert(CommitLog.filesAsOfPruned(root, Long.MaxValue, 60L, 70L).toSet
+      === Set(fA, fC), "a stat-less re-add must leave the file un-skippable")
+    // Re-declare and push past a checkpoint boundary: pruning still works
+    // when resolution starts from the checkpoint, not the stat commit.
+    CommitLog.commitFiles(root, 3L, adds = Seq(fA), removes = Nil,
+      stats = Map(fA -> (10L, 19L)))
+    (4L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.filesAsOfPruned(root, 11L, 60L, 70L) === Seq(fC),
+      "stats must survive checkpoint resolution")
+    assert(CommitLog.filesAsOfPruned(root, 11L, 12L, 15L).toSet === Set(fA, fC),
+      "an intersecting probe must keep the stat-bearing file")
+  }
 }

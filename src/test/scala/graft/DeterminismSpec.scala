@@ -146,7 +146,24 @@ class DeterminismSpec extends SparkSpec {
     // pure functions of (doc_id, epoch) — the whole manifest must be
     // byte-identical under any corpus partitioning (a loader that
     // reshuffles with the cluster layout is not restart-reproducible)
-    "pipeline_dataloader")
+    "pipeline_dataloader",
+    // the CUSUM argmax is a max-struct over windowed BIGINT cumsums — the
+    // (stat, −k) tiebreak must pick the same split under any merge order
+    // of the partial maxes (all-integer, so a true invariance)
+    "lc_changepoint",
+    // the CHECK lifecycle (declared set, violation count, abort, vacuum
+    // reclaim) and the final rollup must hold under any write partitioning
+    // of the staged generations — the table_vacuum risk class with
+    // constraint metadata on top
+    "table_constraint",
+    // the written per-file stats, the pruning decision (n_files_scanned),
+    // and the pruned rollup must all hold under any parallelism of the
+    // range-clustered write and the stats-gathering pass
+    "table_skipping",
+    // the UnionLoop's per-level frontier joins must land the same
+    // per-depth integer rollups under any join/merge order — the
+    // graph_cc iterative bet through the declarative recursion surface
+    "sql_recursive_cte")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

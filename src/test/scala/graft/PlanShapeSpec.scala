@@ -756,6 +756,53 @@ class PlanShapeSpec extends SparkSpec {
       "the declared read re-scanned the corpus — the decision output is O(configs) rows")
   }
 
+  test("lc_changepoint: the full CUSUM scan is ONE user-key shuffle — two " +
+      "stacked Windows share it and the argmax collapses as a partial agg") {
+    val p = plan("lc_changepoint")
+    assert(!p.contains("Join"), "change-point must not join — the argmax is a max-struct agg")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 Window operators (ordered cumsum + per-key totals), saw $windows:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one user-key shuffle + the determinism sort), saw $exchanges:\n$p")
+    // the argmax must collapse map-side before any further movement
+    assert(p.contains("SortAggregate") || p.contains("partial_max"),
+      "per-key argmax lost its partial aggregation")
+  }
+
+  test("table_constraint: the declared read scans only the committed live " +
+      "files in one pass with map-side partials (validation ran in-query)") {
+    val p = plan("table_constraint")
+    assert(!p.contains("Join"), "constraint rollup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 live-snapshot scan, saw $scans:\n$p")
+    assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
+  }
+
+  test("table_skipping: the declared aggregate scans ONLY the files the " +
+      "log stats admit — pruning happened before the plan, in metadata") {
+    val p = plan("table_skipping")
+    assert(!p.contains("Join"), "skipped rollup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 pruned-file-set scan, saw $scans:\n$p")
+    // 8 files staged; the range probe must admit a strict subset. The scan's
+    // file index prints one path + "... N entries"; seeing a g= path from
+    // outside buckets 2-3 means pruning silently stopped.
+    assert(!p.contains("g=0/") && !p.contains("g=7/"),
+      s"a range-disjoint file leaked into the scan:\n$p")
+    assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
+  }
+
+  test("sql_recursive_cte: the recursion compiles to a UnionLoop whose step " +
+      "joins only the previous frontier (linear recursion, not closure replay)") {
+    val p = plan("sql_recursive_cte")
+    assert(p.contains("UnionLoop"), s"recursive CTE did not plan as UnionLoop:\n$p")
+    assert(p.contains("UnionLoopRef"),
+      "the step must reference the previous iteration's frontier")
+    val loops = "UnionLoopRef".r.findAllIn(p).size
+    assert(loops === 1, s"expected exactly 1 frontier self-reference, saw $loops")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
