@@ -279,4 +279,12 @@ object GraftConfig {
     * file bins at every scale. The planner is metadata-only — cost scales
     * with file COUNT, not data volume. */
   val CompactTargetBytes = 4000L
+
+  /** mm_scenecut: a frame boundary is a scene CUT when the absolute
+    * difference of adjacent frames' integer byte sums exceeds this.
+    * Calibrated to the fixture's delta distribution (median 52, p90 123)
+    * so cuts fire on ~10% of transitions — the sparse-boundary regime
+    * real scene detection targets; production replaces the byte-sum
+    * signature with a perceptual frame feature, not the machinery. */
+  val SceneCutDelta = 120L
 }

@@ -344,6 +344,68 @@ object Multimodal {
            |  CAST(${terms.map(t => s"$t * $t").mkString(" + ")} AS DOUBLE) / $AudioWinBytes.0 AS energy,
            |  CAST(greatest(${terms.mkString(", ")}) AS BIGINT) AS peak
            |FROM w ORDER BY doc_id, win_no""".stripMargin
+      }),
+
+    // SCENE-CUT DETECTION [EXT — the temporal-video curation primitive]:
+    // adjacent sampled frames whose signature delta exceeds
+    // [[graft.GraftConfig.SceneCutDelta]] mark a scene boundary; scenes
+    // are the running count of boundaries, rolled up per video (frame
+    // count, cut count, longest scene). Scene-level structure is what a
+    // video training pipeline samples by — one clip per scene beats k
+    // uniformly-spaced frames of the same shot. Signatures are INTEGER
+    // byte sums (frame_mean·16 is exact — /16 then ·16 round-trips in
+    // binary), so the cut decision is integer-exact, never an FP
+    // boundary. Scale: the lag, the running scene id, and BOTH rollups
+    // all ride ONE video-key shuffle — the (doc_id, scene) and doc_id
+    // groupings are satisfied by the window's existing hash partitioning
+    // on doc_id (grouping keys ⊇ partition key ⇒ no further Exchange;
+    // PlanShapeSpec pins it), and payloads never shuffle — only the
+    // per-frame signature rows the narrow decode emits.
+    QDef(
+      "mm_scenecut",
+      (s, dir) => {
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("frame_no")
+        sampleFrames(s, dir).toDF()
+          .withColumn("cs", (col("frame_mean") * FrameBytes).cast("long"))
+          .withColumn("cut",
+            when(abs(col("cs") - lag("cs", 1).over(byDoc))
+              > graft.GraftConfig.SceneCutDelta, 1L).otherwise(0L))
+          .withColumn("scene", sum("cut").over(byDoc.rowsBetween(Long.MinValue, 0L)))
+          .groupBy("doc_id", "scene")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("doc_id")
+          .agg(sum("len").cast("long").as("n_frames"),
+            max("scene").as("n_cuts"),
+            max("len").as("max_scene_frames"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val terms = (1 to FrameBytes)
+          .map(j => s"ascii(substr(text, frame_no * $FrameBytes + $j, 1))")
+          .mkString(" + ")
+        s"""WITH f AS (
+           |  SELECT doc_id, text, $FrameEvery * g.i AS frame_no
+           |  FROM documents CROSS JOIN generate_series(0, 63) g(i)
+           |  WHERE ($FrameEvery * g.i + 1) * $FrameBytes <= length(text)),
+           |cs AS (SELECT doc_id, frame_no, $terms AS cs FROM f),
+           |c AS (
+           |  SELECT doc_id, frame_no,
+           |    CASE WHEN abs(cs - lag(cs) OVER (PARTITION BY doc_id
+           |      ORDER BY frame_no)) > ${graft.GraftConfig.SceneCutDelta}
+           |      THEN 1 ELSE 0 END AS cut
+           |  FROM cs),
+           |sc AS (
+           |  SELECT doc_id,
+           |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS scene
+           |  FROM c),
+           |g2 AS (SELECT doc_id, scene, count(*) AS len FROM sc GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+           |  CAST(max(scene) AS BIGINT) AS n_cuts,
+           |  CAST(max(len) AS BIGINT) AS max_scene_frames
+           |FROM g2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
 }

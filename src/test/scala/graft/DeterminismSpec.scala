@@ -163,7 +163,11 @@ class DeterminismSpec extends SparkSpec {
     // the UnionLoop's per-level frontier joins must land the same
     // per-depth integer rollups under any join/merge order — the
     // graph_cc iterative bet through the declarative recursion surface
-    "sql_recursive_cte")
+    "sql_recursive_cte",
+    // the cut decision is an integer byte-sum comparison (frame_mean·16
+    // round-trips exactly), so scene ids and rollups must be identical
+    // under any partitioning of the decode — a true invariance
+    "mm_scenecut")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -803,6 +803,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(loops === 1, s"expected exactly 1 frontier self-reference, saw $loops")
   }
 
+  test("mm_scenecut: decode stays narrow and ONE video-key shuffle carries " +
+      "the lag, the scene ids, and both rollups (grouping keys ⊇ partition key)") {
+    val p = plan("mm_scenecut")
+    assert(!p.contains("Join"), "scene segmentation must not join")
+    assert(p.contains("MapPartitions"),
+      "frame decode should be a narrow typed mapPartitions in the scan stage")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one doc-key shuffle + the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
