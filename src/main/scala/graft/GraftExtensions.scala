@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.Magnitude].getName, "graft_mag"),
       (exprs: Seq[Expression]) =>
         functions.Magnitude(Cast(exprs.head, DoubleType), 25.0)))
+    // The sargable-rewrite rule rides the same entry point: sessions built
+    // with spark.sql.extensions=graft.GraftExtensions push graft_mag range
+    // predicates to the scan with no per-session install() call.
+    ext.injectOptimizerRule(_ => plans.MagSargRewrite)
   }
 }

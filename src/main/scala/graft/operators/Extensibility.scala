@@ -560,6 +560,44 @@ object Extensibility {
              |  CAST(sum(key) AS BIGINT) AS sum_key,
              |  CAST(max(key) AS BIGINT) AS max_key,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents
-             |FROM h GROUP BY depth ORDER BY depth""".stripMargin))
+             |FROM h GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // CUSTOM OPTIMIZER RULE — the THIRD extension tier (expressions:
+    // udf_scalar; connectors: scan_custom_v2; now plan rewrites):
+    // graft.plans.MagSargRewrite turns the native-expression predicate
+    // `graft_mag(value) < 20.3` — which no source-filter API can push —
+    // into the equivalent sargable `value > 10^((25−20.3)/2.5)`, and the
+    // payoff is `require`d IN the plan: the rewritten comparison reaches
+    // the parquet scan as a PushedFilter (GreaterThan(value, …)), which
+    // the magnitude form can never do. Equivalence on the full domain
+    // (0 → +∞, negative → NaN, NULL — all fail both forms) is re-proved
+    // by oracle parity at every scale: DuckDB evaluates the ORIGINAL
+    // magnitude predicate, so a wrong rewrite boundary hash-mismatches.
+    // At 100 TB the rule moves the filter from the compute tier (decode
+    // every value, evaluate codegen'd log10) to the scan's min/max row-
+    // group statistics — the entire point of sargability.
+    QDef(
+      "opt_sarg_rewrite",
+      (s, dir) => {
+        Magnitude.register(s)
+        graft.plans.MagSargRewrite.install(s)
+        val df = T.events(s, dir)
+          .where(expr("graft_mag(value)") < lit(20.3))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(value * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("event_type")
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("PushedFilters") && p.contains("GreaterThan(value"),
+          s"the sargable rewrite did not reach the scan as a pushed filter:\n$p")
+        df
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events
+             |WHERE value > 0 AND -2.5 * log10(value) + 25.0 < 20.3
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -376,6 +376,82 @@ object Joins {
              |SELECT event_id, o_orderkey AS asof_orderkey
              |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // NEAREST as-of join (pandas merge_asof direction='nearest' / kdb wj):
+    // each probe row pairs with the temporally CLOSEST build row in either
+    // direction — the calibration-frame match-up (an observation calibrates
+    // against the nearest reference exposure, before OR after). Same
+    // union-tag idiom as join_asof — which makes the scale point: nearest
+    // is NOT a second join, it is the SAME one shuffle with a second
+    // window capture. Backward candidate = last order-struct over the
+    // preceding frame (greatest (d, okey) ≤ probe — join_asof's pick);
+    // forward candidate = first order-struct over the strictly-following
+    // frame (least (d, okey) > probe; same-date orders sort BEFORE the
+    // probe row via the tag, so they are backward candidates at distance
+    // 0); the pick is min(integer day distance), ties to the backward
+    // side (the as-of convention). All-integer distances — no FP
+    // boundary. The oracle re-derives the same pick from a candidate
+    // rank, so a wrong tiebreak anywhere hash-mismatches.
+    QDef(
+      "join_asof_nearest",
+      (s, dir) => {
+        val e = T.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(
+            (col("user_id") % 50).as("k"),
+            date_add(lit("1995-01-01").cast("date"),
+              (col("event_id") % 2000).cast("int")).as("d"),
+            col("event_id"),
+            lit(null).cast("long").as("o_orderkey"),
+            lit(1).as("tag"))
+        val o = T.orders(s, dir)
+          .select(
+            (col("o_custkey") % 50).as("k"),
+            col("o_orderdate").cast("date").as("d"),
+            lit(null).cast("long").as("event_id"),
+            col("o_orderkey"),
+            lit(0).as("tag"))
+        val ord = Window.partitionBy("k")
+          .orderBy(col("d").asc, col("tag").asc, col("o_orderkey").asc_nulls_last)
+        val bwd = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(1L, Window.unboundedFollowing)
+        val cand = when(col("o_orderkey").isNotNull,
+          struct(col("d").as("od"), col("o_orderkey").as("okey")))
+        o.unionByName(e)
+          .withColumn("b", last(cand, ignoreNulls = true).over(bwd))
+          .withColumn("f", first(cand, ignoreNulls = true).over(fwd))
+          .where(col("tag") === 1)
+          .withColumn("bdist", datediff(col("d"), col("b.od")).cast("long"))
+          .withColumn("fdist", datediff(col("f.od"), col("d")).cast("long"))
+          .withColumn("near", when(col("f").isNull
+              || (col("b").isNotNull && col("bdist") <= col("fdist")),
+            struct(col("b.okey"), col("bdist").as("dist")))
+            .otherwise(struct(col("f.okey"), col("fdist").as("dist"))))
+          // a probe with no candidate in EITHER direction yields a struct
+          // of nulls (not a null struct) — test the field, not the wrapper
+          .where(col("near.okey").isNotNull)
+          .select(col("event_id"), col("near.okey").as("near_orderkey"),
+            col("near.dist").as("day_dist"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id % 50 AS k,
+             |    DATE '1995-01-01' + CAST(event_id % 2000 AS INT) AS d
+             |  FROM events WHERE event_type = 'purchase'),
+             |o AS (
+             |  SELECT o_orderkey, o_custkey % 50 AS k, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders),
+             |c AS (
+             |  SELECT e.event_id, o.o_orderkey,
+             |    CAST(abs(date_diff('day', o.d, e.d)) AS BIGINT) AS dist,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY abs(date_diff('day', o.d, e.d)) ASC,
+             |        (o.d <= e.d) DESC,
+             |        CASE WHEN o.d <= e.d THEN -o.o_orderkey
+             |             ELSE o.o_orderkey END ASC) AS rn
+             |  FROM e JOIN o ON e.k = o.k)
+             |SELECT event_id, o_orderkey AS near_orderkey, dist AS day_dist
+             |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // Skew-salted join: `events.event_type` has ~5 values over 100k+ rows —
     // a textbook hot-key join. Salting spreads each hot key over 16 shuffle
     // partitions (fact gets salt = event_id % 16; the dim replicates ×16 via

@@ -167,7 +167,11 @@ class DeterminismSpec extends SparkSpec {
     // the cut decision is an integer byte-sum comparison (frame_mean·16
     // round-trips exactly), so scene ids and rollups must be identical
     // under any partitioning of the decode — a true invariance
-    "mm_scenecut")
+    "mm_scenecut",
+    // the nearest pick compares integer day distances with a struct-
+    // capture tiebreak on both window directions — the join_asof merge-
+    // order bet twice over
+    "join_asof_nearest")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -814,6 +814,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 Exchanges (one doc-key shuffle + the determinism sort), saw $exchanges:\n$p")
   }
 
+  test("opt_sarg_rewrite: the injected optimizer rule turns the custom-" +
+      "expression predicate into a pushed range filter on the scan") {
+    val p = plan("opt_sarg_rewrite")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(value"),
+      s"graft_mag(value) < m did not reach the scan as GreaterThan(value, t):\n$p")
+    assert(!p.contains("graft_mag"),
+      "the magnitude expression should be rewritten away from the filter entirely")
+  }
+
+  test("join_asof_nearest: nearest is the SAME one shuffle as join_asof — " +
+      "two stacked window captures, never a join operator") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("Join"), "nearest as-of degraded to a join")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 Windows (backward + forward capture), saw $windows:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one key shuffle + the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
