@@ -452,6 +452,41 @@ object Joins {
              |SELECT event_id, o_orderkey AS near_orderkey, dist AS day_dist
              |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // LATERAL correlated subquery (SQL:1999 lateral derived table — the
+    // ANSI spelling of "top-N per row"): for each qualifying customer, the
+    // lateral body re-executes logically per outer row (here: that
+    // customer's top-2 orders by price). The POINT is what Catalyst does
+    // with it: DecorrelateInnerQuery rewrites the per-row LIMIT into a
+    // rank-over-partition + one equi-join — the same plan a hand-written
+    // win_topk_group query gets — so the declarative per-row form costs
+    // ONE shuffle at 100 TB, never customer-count subquery executions
+    // (the nested-loop reading is the semantics, not the execution).
+    // Identical SQL runs on DuckDB (which decorrelates the same way).
+    QDef(
+      "join_lateral",
+      (s, dir) => {
+        T.customer(s, dir).createOrReplaceTempView("graft_lat_cust")
+        T.orders(s, dir).createOrReplaceTempView("graft_lat_ord")
+        s.sql("""SELECT c.c_custkey, l.o_orderkey, l.cents
+                |FROM graft_lat_cust c, LATERAL (
+                |  SELECT o_orderkey,
+                |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+                |  FROM graft_lat_ord o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+                |WHERE c.c_acctbal > 9000.0
+                |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.cents
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+             |WHERE c.c_acctbal > 9000.0
+             |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)),
+
     // Skew-salted join: `events.event_type` has ~5 values over 100k+ rows —
     // a textbook hot-key join. Salting spreads each hot key over 16 shuffle
     // partitions (fact gets salt = event_id % 16; the dim replicates ×16 via

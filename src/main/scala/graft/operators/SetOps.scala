@@ -55,6 +55,17 @@ object SetOps {
       "set_except",
       (s, dir) =>
         bigOrderKeys(s, dir).exceptAll(richCustomerKeys(s, dir)).orderBy("k"),
-      Some(s"SELECT k FROM ($aSql EXCEPT ALL $bSql) ORDER BY k"))
+      Some(s"SELECT k FROM ($aSql EXCEPT ALL $bSql) ORDER BY k")),
+
+    // Set difference (EXCEPT DISTINCT — the ANSI default): each custkey in
+    // A-not-B survives exactly once however many big orders it placed.
+    // Completes the set-op matrix (union/intersect/except × all/distinct).
+    // Same scale shape as the rest of the family: one hash shuffle on the
+    // key with map-side partial distinct; never a sort.
+    QDef(
+      "set_except_distinct",
+      (s, dir) =>
+        bigOrderKeys(s, dir).except(richCustomerKeys(s, dir)).orderBy("k"),
+      Some(s"SELECT k FROM ($aSql EXCEPT $bSql) ORDER BY k"))
   )
 }

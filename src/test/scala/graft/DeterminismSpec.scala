@@ -171,7 +171,10 @@ class DeterminismSpec extends SparkSpec {
     // the nearest pick compares integer day distances with a struct-
     // capture tiebreak on both window directions — the join_asof merge-
     // order bet twice over
-    "join_asof_nearest")
+    "join_asof_nearest",
+    // the decorrelated lateral LIMIT is a rank boundary over (price desc,
+    // okey) — the topk_limit bet through the declarative per-row form
+    "join_lateral")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -834,6 +834,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 Exchanges (one key shuffle + the determinism sort), saw $exchanges:\n$p")
   }
 
+  test("join_lateral: the per-row LIMIT decorrelates to rank-over-partition " +
+      "+ one equi-join — never a per-outer-row nested loop") {
+    val p = plan("join_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lateral subquery executed as a nested loop")
+    assert(p.contains("Window"), "the lateral LIMIT should become a rank window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+    assert(p.contains("GreaterThan(c_acctbal,9000.0)"),
+      "the outer filter should still push to the customer scan")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
