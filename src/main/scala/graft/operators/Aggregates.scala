@@ -863,6 +863,74 @@ object Aggregates {
              |  sn - sk AS post_sum_cents
              |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // MOMENT-SKETCH RE-AGGREGATION — exact higher-moment statistics
+    // (variance, skewness, kurtosis) from MERGEABLE power sums: the
+    // per-shard cube stores (n, Σx, Σx², Σx³, Σx⁴) and any rollup of
+    // shards re-aggregates those five numbers exactly — the same
+    // pre-aggregation contract agg_sketch_reagg demonstrates for distinct
+    // counts and agg_pctile_reagg for percentiles, here with NO
+    // approximation (power sums are closed under addition; the moments
+    // derive at read time). Central-moment identities: μ₃ = E[x³] −
+    // 3μE[x²] + 2μ³, μ₄ = E[x⁴] − 4μE[x³] + 6μ²E[x²] − 3μ⁴ — written
+    // identically on both engines (x*x, never pow; sqrt is correctly
+    // rounded IEEE on both), outputs grid-rounded. At 100 TB the shard
+    // table is the stored artifact: a full-corpus skew/kurtosis profile
+    // costs one O(shards) metadata scan, never a corpus re-read — and
+    // shards merge across days/sources with plain addition.
+    QDef(
+      "agg_moments_reagg",
+      (s, dir) => {
+        val x = col("x")
+        val shard = T.events(s, dir)
+          .select(col("event_type"), (col("user_id") % 8L).as("shard"),
+            col("value").as("x"))
+          .groupBy("event_type", "shard")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).as("s1"), sum(x * x).as("s2"),
+            sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+        shard.groupBy("event_type")
+          .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+            sum("s3").as("s3"), sum("s4").as("s4"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("m2",
+            col("s2") / col("n") - col("mean") * col("mean"))
+          .select(col("event_type"), col("n").cast("long").as("n_rows"),
+            rnd(col("mean"), 6).as("mean"),
+            rnd(col("m2"), 6).as("variance"),
+            rnd((col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n"))
+              + lit(2.0) * col("mean") * col("mean") * col("mean"))
+              / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+            rnd((col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n"))
+              + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+              - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+              / (col("m2") * col("m2")), 6).as("kurtosis"))
+          .orderBy("event_type")
+      },
+      Some("""WITH shard AS (
+             |  SELECT event_type, user_id % 8 AS shard,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    sum(value) AS s1, sum(value * value) AS s2,
+             |    sum(value * value * value) AS s3,
+             |    sum(value * value * value * value) AS s4
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type, sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2,
+             |    sum(s3) AS s3, sum(s4) AS s4
+             |  FROM shard GROUP BY 1),
+             |m AS (
+             |  SELECT event_type, n, s1 / n AS mean,
+             |    s2 / n - (s1 / n) * (s1 / n) AS m2, s2, s3, s4
+             |  FROM agg)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+             |  floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+             |  floor(m2 * 1e6 + 0.5) / 1e6 AS variance,
+             |  floor(((s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+             |    / (m2 * sqrt(m2))) * 1e6 + 0.5) / 1e6 AS skewness,
+             |  floor(((s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+             |    - 3.0 * mean * mean * mean * mean) / (m2 * m2)) * 1e6 + 0.5) / 1e6
+             |    AS kurtosis
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     // Periodogram peak [PK — the frequency-domain complement to lc_periods'
     // phase-dispersion method]: classical (Schuster) power
     // P(ω) = [(Σ y'·cos ωt)² + (Σ y'·sin ωt)²] / n over the same 24-period

@@ -2010,6 +2010,99 @@ object Scans {
              |SELECT (SELECT count(*) FROM s) AS n_files_total,
              |  (SELECT count(*) FROM s, bounds WHERE mx >= lo AND mn <= hi)
              |    AS n_files_scanned,
+             |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
+
+    // GENERATED PARTITION COLUMN (Delta's generated columns reduced to the
+    // log essentials) — and the CONTRAST with per-file stats skipping that
+    // motivates having both: a metadata-only commit declares the table's
+    // `g=` partition values are `key div w` (a MONOTONE transform), so a
+    // key-range predicate prunes partitions BY CONSTRUCTION. The fixture
+    // stages 8 range-bucketed files but declares min/max stats for only
+    // the first half (the real shape: old files stats'd, the fresh append
+    // not yet) — stats skipping must then keep every un-stats'd file
+    // (conservative), while the declared transform prunes ALL generations
+    // the moment they land. Both decisions are part of the declared
+    // output (DuckDB re-derives each from the same arithmetic) and both
+    // safety laws are `require`d in-query. At 100 TB the two compose:
+    // transform pruning cuts partitions with zero bookkeeping, stats
+    // skipping cuts further WITHIN the surviving partitions once files
+    // are stats'd.
+    QDef(
+      "table_gencol",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_gencol_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        val mx = o.agg(max("key")).head.getLong(0)
+        val w = mx / 8L + 1L
+        o.withColumn("g", expr(s"key div ${w}L"))
+          .repartition(8, col("g"))
+          .write.partitionBy("g").mode("overwrite").parquet(root)
+        val statRows = s.read.option("basePath", root).parquet(root)
+          .select(col("key"), col("_metadata.file_path").as("fp"))
+          .groupBy("fp").agg(min("key").as("mn"), max("key").as("mx"))
+          .collect()
+        val all = statRows.map { r =>
+          val abs = r.getString(0)
+          val rel = abs.substring(abs.indexOf(root) + root.length + 1)
+          rel -> (r.getLong(1), r.getLong(2))
+        }.toMap
+        require(all.size == 8, s"expected 8 range-bucket files, staged ${all.size}")
+        // Only the first half is stats'd — the fresh-append simulation.
+        val statsKnown = all.filter { case (p, _) =>
+          p match {
+            case s if s.startsWith("g=0/") || s.startsWith("g=1/")
+              || s.startsWith("g=2/") || s.startsWith("g=3/") => true
+            case _ => false
+          }
+        }
+        CommitLog.commitFiles(root, 1L, adds = all.keys.toSeq.sorted,
+          removes = Nil, stats = statsKnown)
+        CommitLog.setGencolDiv(root, 2L, w)
+        val (lo, hi) = (2L * w + w / 2L, 3L * w + w / 4L)
+        val live = CommitLog.filesAsOf(root, Long.MaxValue)
+        val byStats = CommitLog.filesAsOfPruned(root, Long.MaxValue, lo, hi)
+        val byGencol = CommitLog.filesAsOfGencolPruned(root, Long.MaxValue, lo, hi)
+        // No subset law between the two mechanisms in general (measured
+        // stats can prune a partition the transform must keep) — but here
+        // the un-stats'd half pins stats-skipping to >= 4 kept files while
+        // the transform keeps <= 2, so the ordering is structural.
+        require(byGencol.size < byStats.size && byStats.size < live.size,
+          s"expected gencol < stats < total pruning, got ${byGencol.size}/${byStats.size}/${live.size}")
+        def matched(paths: Seq[String]) =
+          s.read.parquet(paths.map(f => s"$root/$f"): _*)
+            .where(col("key").between(lo, hi))
+        // Both safety laws: neither mechanism may drop matching ROWS.
+        val full = matched(live).count()
+        require(matched(byStats).count() == full, "stats skipping dropped rows")
+        require(matched(byGencol).count() == full, "gencol pruning dropped rows")
+        matched(byGencol).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(live.size.toLong).as("n_files_total"),
+            lit(byStats.size.toLong).as("n_stats_scanned"),
+            lit(byGencol.size.toLong).as("n_gencol_scanned"),
+            col("n_rows"), col("sum_key"), col("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+             |p AS (SELECT CAST(max(key) // 8 + 1 AS BIGINT) AS w FROM o),
+             |b AS (SELECT key, val, key // (SELECT w FROM p) AS g FROM o),
+             |s AS (SELECT g, min(key) AS mn, max(key) AS mx FROM b GROUP BY g),
+             |bounds AS (SELECT 2 * w + w // 2 AS lo, 3 * w + w // 4 AS hi,
+             |  (2 * w + w // 2) // w AS glo, (3 * w + w // 4) // w AS ghi FROM p),
+             |m AS (
+             |  SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM b, bounds WHERE key BETWEEN lo AND hi)
+             |SELECT (SELECT count(*) FROM s) AS n_files_total,
+             |  (SELECT count(*) FROM s, bounds
+             |   WHERE (g <= 3 AND mx >= lo AND mn <= hi) OR g >= 4)
+             |    AS n_stats_scanned,
+             |  (SELECT count(*) FROM s, bounds WHERE g BETWEEN glo AND ghi)
+             |    AS n_gencol_scanned,
              |  n_rows, sum_key, sum_cents FROM m""".stripMargin))
   )
 }

@@ -370,6 +370,52 @@ object CommitLog {
   def constraintsAsOf(root: String, v: Long): Seq[String] =
     snapshotAsOf(root, v).constraints
 
+  /** GENERATED-COLUMN declaration (Delta's generated partition columns
+    * reduced to the demo essentials): a metadata-only commit declares that
+    * the table's `g=` partition values are `key div width` — a MONOTONE
+    * transform of the key — so a key-range predicate prunes partitions BY
+    * CONSTRUCTION, with no per-file stats required. The complement to
+    * per-file min/max skipping: stats must be measured per file (a fresh
+    * append is un-skippable until stats'd), the declared transform prunes
+    * every file the moment it lands in its partition. */
+  def setGencolDiv(root: String, version: Long, width: Long,
+      ts: Long = -1L): Unit = {
+    require(width > 0L, s"gencol width must be positive, got $width")
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"gencolDiv":$width}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** Declared gencol width AS OF `v` (None when never declared). */
+  def gencolDivAsOf(root: String, v: Long): Option[Long] =
+    snapshotAsOf(root, v).gencolDiv
+
+  private val GenPart = ("""^g=(\d+)/""").r.unanchored
+
+  /** PARTITION PRUNING by the declared transform: live files AS OF `v`
+    * whose `g=` partition value lies in [lo div w, hi div w] — the range a
+    * key in [lo, hi] can possibly map to under the monotone `key div w`.
+    * Files outside a `g=` directory (or with no declaration active) are
+    * kept conservatively. O(live files) path arithmetic, zero stats, zero
+    * data reads — and unlike stats skipping it applies to a file the
+    * commit it lands, which is what makes it the fresh-append answer. */
+  def filesAsOfGencolPruned(root: String, v: Long, lo: Long, hi: Long): Seq[String] = {
+    val snap = snapshotAsOf(root, v)
+    snap.gencolDiv match {
+      case None => snap.live
+      case Some(w) =>
+        val (glo, ghi) = (math.floorDiv(lo, w), math.floorDiv(hi, w))
+        snap.live.filter {
+          case GenPart(g) => g.toLong >= glo && g.toLong <= ghi
+          case _          => true
+        }
+    }
+  }
+
   /** Writer-side CHECK enforcement: evaluate the constraint set active at
     * the CURRENT snapshot against the staged files and return the number
     * of violating rows — a writer publishes only on 0 (the abort branch
@@ -403,6 +449,7 @@ object CommitLog {
   private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
+  private val GencolField = (""""gencolDiv"\s*:\s*(\d+)""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
     * tombstones — files removed at some version ≤ the as-of version, still
@@ -415,7 +462,8 @@ object CommitLog {
   final case class Snapshot(live: Seq[String], tombstones: Seq[(String, Long)],
       dvs: Map[String, String] = Map.empty,
       constraints: Seq[String] = Nil,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      gencolDiv: Option[Long] = None)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -442,6 +490,7 @@ object CommitLog {
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     var constraints: Seq[String] = Nil
+    var gencolDiv: Option[Long] = None
     files.foreach { p =>
       val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector
       lines.foreach {
@@ -453,6 +502,13 @@ object CommitLog {
                 if (body.trim.isEmpty) Nil
                 else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
             case _ => ()
+          }
+          // Orthogonal meta facets: a gencol declaration neither clears
+          // nor is cleared by a constraint set (each "latest wins" rule
+          // applies per facet).
+          l match {
+            case GencolField(w) => gencolDiv = Some(w.toLong)
+            case _              => ()
           }
         case _ => ()
       }
@@ -494,7 +550,7 @@ object CommitLog {
       }
     }
     Snapshot(live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1),
-      tombs.toSeq, dvs.toMap, constraints, stats.toMap)
+      tombs.toSeq, dvs.toMap, constraints, stats.toMap, gencolDiv)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -569,9 +625,10 @@ object CommitLog {
     // resolution from checkpoint + tail keeps enforcing it once the
     // declaring commit is past the horizon.
     val metaLines =
-      if (snap.constraints.isEmpty) Seq.empty[String]
-      else Seq(s"""{"meta":{"constraints":${
-        snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")
+      (if (snap.constraints.isEmpty) Seq.empty[String]
+       else Seq(s"""{"meta":{"constraints":${
+         snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+        snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++

@@ -614,4 +614,47 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.filesAsOfPruned(root, 11L, 12L, 15L).toSet === Set(fA, fC),
       "an intersecting probe must keep the stat-bearing file")
   }
+
+  test("gencol pruning: declaration is as-of versioned and orthogonal to " +
+      "constraints, non-partitioned files are kept conservatively, and the " +
+      "declaration survives checkpoint resolution") {
+    val root = Files.createTempDirectory("graft_gencol").toString
+    val s0 = spark
+    import s0.implicits._
+    def stage(rows: Seq[(Long, Double)], gen: String): String = {
+      rows.toDF("key", "val").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).head
+    }
+    val f0 = stage(Seq((5L, 1.0)), "g=0")    // keys div 10 = 0
+    val f2 = stage(Seq((25L, 2.0)), "g=2")   // keys div 10 = 2
+    val fX = stage(Seq((99L, 3.0)), "extra") // NOT in a g= partition
+    CommitLog.commitFiles(root, 1L, adds = Seq(f0, f2, fX), removes = Nil)
+    // No declaration yet: nothing prunes.
+    assert(CommitLog.filesAsOfGencolPruned(root, 1L, 20L, 29L).toSet
+      === Set(f0, f2, fX), "without a declaration every file must be kept")
+    CommitLog.setGencolDiv(root, 2L, 10L)
+    assert(CommitLog.gencolDivAsOf(root, 1L) === None,
+      "the declaration must be as-of versioned")
+    assert(CommitLog.gencolDivAsOf(root, Long.MaxValue) === Some(10L))
+    // Probe keys [20, 29] -> g = 2 only; the non-partitioned file stays.
+    assert(CommitLog.filesAsOfGencolPruned(root, Long.MaxValue, 20L, 29L).toSet
+      === Set(f2, fX), "g=0 must prune; the non-partitioned file must stay")
+    // Constraints are an orthogonal meta facet — declaring them must not
+    // clear the gencol (and vice versa).
+    CommitLog.setConstraints(root, 3L, Seq("val > 0.0"))
+    assert(CommitLog.gencolDivAsOf(root, Long.MaxValue) === Some(10L),
+      "a constraints meta commit must not clear the gencol declaration")
+    (4L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.gencolDivAsOf(root, 11L) === Some(10L),
+      "the declaration must survive checkpoint resolution")
+    assert(CommitLog.constraintsAsOf(root, 11L) === Seq("val > 0.0"),
+      "both meta facets must ride the checkpoint")
+    assert(CommitLog.filesAsOfGencolPruned(root, 11L, 20L, 29L).toSet
+      === Set(f2, fX))
+  }
 }

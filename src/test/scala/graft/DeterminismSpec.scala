@@ -174,7 +174,13 @@ class DeterminismSpec extends SparkSpec {
     "join_asof_nearest",
     // the decorrelated lateral LIMIT is a rank boundary over (price desc,
     // okey) — the topk_limit bet through the declarative per-row form
-    "join_lateral")
+    "join_lateral",
+    // both pruning decisions (stats, transform) and the safety-law counts
+    // must hold under any parallelism of the range-clustered write
+    "table_gencol",
+    // FP power sums over merge-ordered partials feed rounded moment
+    // ratios — the agg_corr centered-moment bet at third and fourth order
+    "agg_moments_reagg")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

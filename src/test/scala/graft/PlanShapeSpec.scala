@@ -846,6 +846,26 @@ class PlanShapeSpec extends SparkSpec {
       "the outer filter should still push to the customer scan")
   }
 
+  test("table_gencol: the declared aggregate scans ONLY the transform-" +
+      "admitted partitions — fewer files than stats skipping can keep") {
+    val p = plan("table_gencol")
+    assert(!p.contains("Join"), "gencol rollup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 pruned-file-set scan, saw $scans:\n$p")
+    assert(!p.contains("g=0/") && !p.contains("g=7/"),
+      s"a transform-disjoint partition leaked into the scan:\n$p")
+  }
+
+  test("agg_moments_reagg: the shard cube partial-aggregates map-side and " +
+      "the re-aggregation is one exchange — no second corpus pass") {
+    val p = plan("agg_moments_reagg")
+    assert(!p.contains("Join"), "moment re-aggregation must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, saw $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "shard cube lost map-side partial aggregation")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
