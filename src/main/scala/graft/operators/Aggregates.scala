@@ -863,6 +863,53 @@ object Aggregates {
              |  sn - sk AS post_sum_cents
              |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // EXACT WEIGHTED MEDIAN — the weighted-quantile operator warehouses
+    // ship (median revenue per unit SOLD, not per line): the smallest
+    // value whose cumulative weight reaches half the total (the lower
+    // weighted median, deterministic by definition). The tie handling IS
+    // the implementation: a RANGE frame makes the running weight
+    // per-VALUE cumulative (all peers of the current value included
+    // regardless of their order), so no pre-grouping pass is needed and
+    // the whole operator is ONE flag-key shuffle — cumulative window +
+    // threshold pick, with the final groupBy satisfied by the window's
+    // partitioning. Integer weights (quantities), integer threshold
+    // comparison (2·cum ≥ tot) — no FP boundary; the median VALUE itself
+    // is an untouched parquet double, bit-identical on both engines.
+    QDef(
+      "agg_weighted_median",
+      (s, dir) => {
+        val byFlag = org.apache.spark.sql.expressions.Window
+          .partitionBy("flag").orderBy("v")
+        val cumFrame = byFlag.rangeBetween(Long.MinValue, 0L)
+        val all = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+        T.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("v"),
+            col("l_quantity").cast("long").as("w"))
+          .withColumn("cum", sum("w").over(cumFrame))
+          .withColumn("tot", sum("w").over(all))
+          .groupBy("flag")
+          .agg(min(when(lit(2L) * col("cum") >= col("tot"), col("v")))
+              .as("wmedian"),
+            max("tot").as("total_weight"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT flag, v, w,
+             |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum,
+             |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+             |  FROM b)
+             |SELECT flag, min(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian,
+             |  CAST(max(tot) AS BIGINT) AS total_weight, count(*) AS n_lines
+             |FROM c GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // MOMENT-SKETCH RE-AGGREGATION — exact higher-moment statistics
     // (variance, skewness, kurtosis) from MERGEABLE power sums: the
     // per-shard cube stores (n, Σx, Σx², Σx³, Σx⁴) and any rollup of

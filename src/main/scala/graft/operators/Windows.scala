@@ -643,6 +643,55 @@ object Windows {
              |SELECT user_id, count(*) AS n_win,
              |  CAST((1000 * sum(cents * (CAST(1 AS BIGINT) << CAST(15 - back AS INT))))
              |    // sum(CAST(1 AS BIGINT) << CAST(15 - back AS INT)) AS BIGINT) AS ewma_mc
-             |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // GAPS-AND-ISLANDS — the ID-continuity twin of win_sessionize's
+    // time-gap sessions (the classic "consecutive active days" query):
+    // per user, the distinct active MINUTES form islands of consecutive
+    // values, found by the canonical trick minute − row_number() — a
+    // quantity CONSTANT within a consecutive run and distinct across runs
+    // (any gap shifts it). Rollup per user: active minutes, number of
+    // streaks, longest streak. All-integer (epoch minutes), so island
+    // boundaries are exact. Scale: ONE user-key shuffle carries the
+    // distinct, the window, and both rollups — the (user, island) and
+    // user groupings are satisfied by the window's hash partitioning
+    // (grouping keys ⊇ partition key, the mm_scenecut observation).
+    QDef(
+      "win_gaps_islands",
+      (s, dir) => {
+        val byU = Window.partitionBy("user_id").orderBy("minute")
+        // Dedup WITHIN the user partition via lag (a distinct() would add
+        // a second (user, minute)-keyed exchange before the window's
+        // user-keyed one) — duplicates are adjacent under the sort, so
+        // keeping first occurrences is a frame-local decision.
+        T.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 60").as("minute"))
+          .withColumn("dup",
+            lag("minute", 1).over(byU) === col("minute"))
+          .where(col("dup").isNull || !col("dup"))
+          .withColumn("island",
+            col("minute") - row_number().over(byU).cast("long"))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum("len").cast("long").as("n_active_minutes"),
+            count(lit(1)).as("n_streaks"),
+            max("len").as("max_streak"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute
+             |  FROM events),
+             |i AS (
+             |  SELECT user_id, minute,
+             |    minute - CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY minute) AS BIGINT) AS island
+             |  FROM m),
+             |g AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_minutes,
+             |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

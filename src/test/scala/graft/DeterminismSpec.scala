@@ -180,7 +180,11 @@ class DeterminismSpec extends SparkSpec {
     "table_gencol",
     // FP power sums over merge-ordered partials feed rounded moment
     // ratios — the agg_corr centered-moment bet at third and fourth order
-    "agg_moments_reagg")
+    "agg_moments_reagg",
+    // the threshold pick (first value whose doubled cumulative weight
+    // reaches the total) is a RANGE-frame boundary — peers must
+    // accumulate identically under any merge order
+    "agg_weighted_median")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -866,6 +866,26 @@ class PlanShapeSpec extends SparkSpec {
       "shard cube lost map-side partial aggregation")
   }
 
+  test("win_gaps_islands: dedup, islands, and both rollups ride ONE " +
+      "user-key shuffle (lag-dedup instead of a distinct exchange)") {
+    val p = plan("win_gaps_islands")
+    assert(!p.contains("Join"), "islands must not join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one user shuffle + the determinism sort), saw $exchanges:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 Windows (lag-dedup + island rank), saw $windows:\n$p")
+  }
+
+  test("agg_weighted_median: the RANGE-frame cumulative + threshold pick is " +
+      "ONE flag-key shuffle — no pre-grouping pass, no join") {
+    val p = plan("agg_weighted_median")
+    assert(!p.contains("Join"), "weighted median must not join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one flag shuffle + the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
