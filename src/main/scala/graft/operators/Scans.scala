@@ -2057,9 +2057,12 @@ object Scans {
             case _ => false
           }
         }
-        CommitLog.commitFiles(root, 1L, adds = all.keys.toSeq.sorted,
+        // The spec is declared BEFORE any write — files bind the width
+        // active when they are added (table creation declares the layout;
+        // table_partition_evolve exercises changing it mid-life).
+        CommitLog.setGencolDiv(root, 1L, w)
+        CommitLog.commitFiles(root, 2L, adds = all.keys.toSeq.sorted,
           removes = Nil, stats = statsKnown)
-        CommitLog.setGencolDiv(root, 2L, w)
         val (lo, hi) = (2L * w + w / 2L, 3L * w + w / 4L)
         val live = CommitLog.filesAsOf(root, Long.MaxValue)
         val byStats = CommitLog.filesAsOfPruned(root, Long.MaxValue, lo, hi)
@@ -2103,6 +2106,102 @@ object Scans {
              |    AS n_stats_scanned,
              |  (SELECT count(*) FROM s, bounds WHERE g BETWEEN glo AND ghi)
              |    AS n_gencol_scanned,
-             |  n_rows, sum_key, sum_cents FROM m""".stripMargin))
+             |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
+
+    // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
+    // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
+    // fine width w2 for the second — WITHOUT rewriting a byte. Each file
+    // binds the spec active when it was added (per-file `gw` in the log;
+    // checkpoint-carried), and a probe applies the right arithmetic to
+    // each: old files prune under w1, new files under w2. The
+    // load-bearing require: applying the LATEST spec to the old files
+    // (what a spec-unaware reader would do) provably DROPS matching rows
+    // on this fixture — per-file spec resolution is correctness, not
+    // optimization. All three pruning counts are oracle-derived, and the
+    // safety law (evolved pruning ≡ full scan under the predicate) is
+    // require'd. At 100 TB this is how a table migrates from daily to
+    // hourly partitioning without a petabyte rewrite: both layouts serve
+    // side by side until compaction retires the old one.
+    QDef(
+      "table_partition_evolve",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_pevolve_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        val mx = o.agg(max("key")).head.getLong(0)
+        val (w1, w2) = (mx / 4L + 1L, mx / 8L + 1L)
+        def stage(parity: Long, sub: String, w: Long, parts: Int): Seq[String] = {
+          o.where(col("key") % 2L === parity)
+            .withColumn("g", expr(s"key div ${w}L"))
+            .repartition(parts, col("g"))
+            .write.partitionBy("g").mode("overwrite").parquet(s"$root/$sub")
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(sub))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.setGencolDiv(root, 1L, w1)
+        val gen1 = stage(0L, "s1", w1, 4)
+        CommitLog.commitFiles(root, 2L, adds = gen1, removes = Nil)
+        CommitLog.setGencolDiv(root, 3L, w2) // the evolution
+        val gen2 = stage(1L, "s2", w2, 8)
+        CommitLog.commitFiles(root, 4L, adds = gen2, removes = Nil)
+        val (lo, hi) = (2L * w2 + w2 / 2L, 3L * w2 + w2 / 4L)
+        val live = CommitLog.filesAsOf(root, Long.MaxValue)
+        val pruned = CommitLog.filesAsOfGencolPruned(root, Long.MaxValue, lo, hi)
+        require(pruned.size < live.size, "evolution-aware pruning must bite")
+        def matched(paths: Seq[String]) =
+          s.read.parquet(paths.map(f => s"$root/$f"): _*)
+            .where(col("key").between(lo, hi))
+        val full = matched(live).count()
+        require(matched(pruned).count() == full,
+          "per-file-spec pruning dropped matching rows")
+        // The spec-UNAWARE reading (latest width applied to every file)
+        // must provably lose rows here — per-file specs are load-bearing.
+        val GenPart = """g=(\d+)/""".r.unanchored
+        val naive = live.filter {
+          case GenPart(g) =>
+            g.toLong >= lo / w2 && g.toLong <= hi / w2
+          case _ => true
+        }
+        require(matched(naive).count() < full,
+          "fixture must demonstrate that latest-spec pruning is WRONG for old files")
+        val nOld = pruned.count(_.startsWith("s1/"))
+        val nNew = pruned.count(_.startsWith("s2/"))
+        matched(pruned).agg(
+            count(lit(1)).as("n_rows"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(live.size.toLong).as("n_files_total"),
+            lit(nOld.toLong).as("n_old_scanned"),
+            lit(nNew.toLong).as("n_new_scanned"),
+            col("n_rows"), col("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+             |p AS (SELECT CAST(max(key) // 4 + 1 AS BIGINT) AS w1,
+             |             CAST(max(key) // 8 + 1 AS BIGINT) AS w2 FROM o),
+             |e AS (SELECT key, val, key // (SELECT w1 FROM p) AS g
+             |      FROM o WHERE key % 2 = 0),
+             |d AS (SELECT key, val, key // (SELECT w2 FROM p) AS g
+             |      FROM o WHERE key % 2 = 1),
+             |bounds AS (SELECT 2 * w2 + w2 // 2 AS lo, 3 * w2 + w2 // 4 AS hi,
+             |           w1, w2 FROM p),
+             |m AS (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM o, bounds WHERE key BETWEEN lo AND hi)
+             |SELECT
+             |  CAST((SELECT count(DISTINCT g) FROM e)
+             |    + (SELECT count(DISTINCT g) FROM d) AS BIGINT) AS n_files_total,
+             |  (SELECT count(DISTINCT g) FROM e, bounds
+             |   WHERE g BETWEEN lo // w1 AND hi // w1) AS n_old_scanned,
+             |  (SELECT count(DISTINCT g) FROM d, bounds
+             |   WHERE g BETWEEN lo // w2 AND hi // w2) AS n_new_scanned,
+             |  n_rows, sum_cents FROM m""".stripMargin))
   )
 }

@@ -394,25 +394,27 @@ object CommitLog {
   def gencolDivAsOf(root: String, v: Long): Option[Long] =
     snapshotAsOf(root, v).gencolDiv
 
-  private val GenPart = ("""^g=(\d+)/""").r.unanchored
+  private val GenPart = ("""g=(\d+)/""").r.unanchored
 
-  /** PARTITION PRUNING by the declared transform: live files AS OF `v`
-    * whose `g=` partition value lies in [lo div w, hi div w] — the range a
-    * key in [lo, hi] can possibly map to under the monotone `key div w`.
-    * Files outside a `g=` directory (or with no declaration active) are
-    * kept conservatively. O(live files) path arithmetic, zero stats, zero
-    * data reads — and unlike stats skipping it applies to a file the
-    * commit it lands, which is what makes it the fresh-append answer. */
+  /** PARTITION PRUNING by the declared transform — PER-FILE SPEC (Iceberg
+    * partition-spec evolution): each live file prunes under the width
+    * that was ACTIVE WHEN IT WAS ADDED, never the latest one. A table can
+    * re-partition (coarse → fine) without rewriting a byte: old files
+    * keep answering under their own spec, new files under the new one,
+    * and a probe applies the right arithmetic to each. A file kept: its
+    * `g=` value lies in [lo div w_f, hi div w_f] for ITS width w_f; files
+    * added before any declaration, or outside a `g=` directory, are kept
+    * conservatively. O(live files) path arithmetic, zero stats, zero data
+    * reads — and unlike stats skipping it applies to a file the commit it
+    * lands, which is what makes it the fresh-append answer. */
   def filesAsOfGencolPruned(root: String, v: Long, lo: Long, hi: Long): Seq[String] = {
     val snap = snapshotAsOf(root, v)
-    snap.gencolDiv match {
-      case None => snap.live
-      case Some(w) =>
-        val (glo, ghi) = (math.floorDiv(lo, w), math.floorDiv(hi, w))
-        snap.live.filter {
-          case GenPart(g) => g.toLong >= glo && g.toLong <= ghi
-          case _          => true
-        }
+    snap.live.filter { p =>
+      (snap.gencolAtAdd.get(p), p) match {
+        case (Some(w), GenPart(g)) =>
+          g.toLong >= math.floorDiv(lo, w) && g.toLong <= math.floorDiv(hi, w)
+        case _ => true
+      }
     }
   }
 
@@ -450,6 +452,7 @@ object CommitLog {
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
   private val GencolField = (""""gencolDiv"\s*:\s*(\d+)""").r.unanchored
+  private val GwField = (""""gw"\s*:\s*(\d+)""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
     * tombstones — files removed at some version ≤ the as-of version, still
@@ -463,7 +466,8 @@ object CommitLog {
       dvs: Map[String, String] = Map.empty,
       constraints: Seq[String] = Nil,
       stats: Map[String, (Long, Long)] = Map.empty,
-      gencolDiv: Option[Long] = None)
+      gencolDiv: Option[Long] = None,
+      gencolAtAdd: Map[String, Long] = Map.empty)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -489,9 +493,14 @@ object CommitLog {
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var constraints: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
     files.foreach { p =>
+      // A checkpoint is an EXACT snapshot serialization: its adds carry
+      // their own per-file spec ("gw") when one was bound, so an absent
+      // gw there means "no spec at add" — never "bind the latest meta".
+      val isCheckpoint = p.getFileName.toString.endsWith(".checkpoint.json")
       val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector
       lines.foreach {
         case l @ MetaLine() =>
@@ -546,11 +555,25 @@ object CommitLog {
               stats.put(path, (mn.toLong, mx.toLong)): Unit
             case _ => stats.remove(path): Unit
           }
+          // PARTITION-SPEC EVOLUTION: a file binds the gencol width active
+          // WHEN IT IS ADDED (its commit's meta lines were applied above,
+          // so a commit declaring-and-adding binds its own spec). A
+          // checkpointed add carries its width explicitly ("gw"), because
+          // checkpoint replay sees only the LATEST declaration.
+          l match {
+            case GwField(w)           => gencolAt.put(path, w.toLong): Unit
+            case _ if isCheckpoint    => gencolAt.remove(path): Unit
+            case _ => gencolDiv match {
+              case Some(w) => gencolAt.put(path, w): Unit
+              case None    => gencolAt.remove(path): Unit
+            }
+          }
         case _ => ()
       }
     }
-    Snapshot(live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1),
-      tombs.toSeq, dvs.toMap, constraints, stats.toMap, gencolDiv)
+    val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
+    Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
+      gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -621,6 +644,11 @@ object CommitLog {
     def statField(p: String) =
       snap.stats.get(p).map { case (mn, mx) => s""","smin":$mn,"smax":$mx""" }
         .getOrElse("")
+    // Per-file gencol width rides the checkpointed add explicitly — replay
+    // sees only the latest declaration, which after an evolution is the
+    // WRONG spec for older files.
+    def gwField(p: String) =
+      snap.gencolAtAdd.get(p).map(w => s""","gw":$w""").getOrElse("")
     // The active constraint set rides the checkpoint as its meta line, so
     // resolution from checkpoint + tail keeps enforcing it once the
     // declaring commit is past the horizon.
@@ -632,7 +660,7 @@ object CommitLog {
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++
-          snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}${statField(p)}}}""") ++
+          snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}${statField(p)}${gwField(p)}}}""") ++
           snap.tombstones.map { case (p, at) =>
             s"""{"remove":{"path":"$p","removedAt":$at${dvField(p)}}}""" }))
         .mkString("", "\n", "\n")

@@ -628,33 +628,51 @@ class CommitLogSpec extends SparkSpec {
         .filter(_.endsWith(".parquet"))
         .map(p => Paths.get(root).relativize(Paths.get(p)).toString).head
     }
-    val f0 = stage(Seq((5L, 1.0)), "g=0")    // keys div 10 = 0
-    val f2 = stage(Seq((25L, 2.0)), "g=2")   // keys div 10 = 2
-    val fX = stage(Seq((99L, 3.0)), "extra") // NOT in a g= partition
-    CommitLog.commitFiles(root, 1L, adds = Seq(f0, f2, fX), removes = Nil)
-    // No declaration yet: nothing prunes.
-    assert(CommitLog.filesAsOfGencolPruned(root, 1L, 20L, 29L).toSet
-      === Set(f0, f2, fX), "without a declaration every file must be kept")
+    // A file added BEFORE any declaration never prunes (no spec bound).
+    val fPre = stage(Seq((5L, 0.5)), "g=0")
+    CommitLog.commitFiles(root, 1L, adds = Seq(fPre), removes = Nil)
     CommitLog.setGencolDiv(root, 2L, 10L)
     assert(CommitLog.gencolDivAsOf(root, 1L) === None,
       "the declaration must be as-of versioned")
     assert(CommitLog.gencolDivAsOf(root, Long.MaxValue) === Some(10L))
-    // Probe keys [20, 29] -> g = 2 only; the non-partitioned file stays.
+    val f0 = stage(Seq((7L, 1.0)), "s1/g=0")  // keys div 10 = 0
+    val f2 = stage(Seq((25L, 2.0)), "s1/g=2") // keys div 10 = 2
+    val fX = stage(Seq((99L, 3.0)), "extra")  // NOT in a g= partition
+    CommitLog.commitFiles(root, 3L, adds = Seq(f0, f2, fX), removes = Nil)
+    // Probe keys [20, 29] -> g = 2 only; the pre-spec file and the
+    // non-partitioned file stay conservatively.
     assert(CommitLog.filesAsOfGencolPruned(root, Long.MaxValue, 20L, 29L).toSet
-      === Set(f2, fX), "g=0 must prune; the non-partitioned file must stay")
+      === Set(fPre, f2, fX),
+      "s1/g=0 must prune; pre-spec and non-partitioned files must stay")
+    // PARTITION-SPEC EVOLUTION: re-declare a finer width; files keep the
+    // spec they were written under, new files bind the new one.
+    CommitLog.setGencolDiv(root, 4L, 5L)
+    val f4 = stage(Seq((22L, 4.0)), "s2/g=4") // keys div 5 = 4
+    val f9 = stage(Seq((46L, 5.0)), "s2/g=9") // keys div 5 = 9
+    CommitLog.commitFiles(root, 5L, adds = Seq(f4, f9), removes = Nil)
+    // [20, 29]: under w=5 that is g in [4, 5] -> f4 kept, f9 pruned;
+    // f2 (written under w=10, g=2 covers [20, 30)) MUST still be kept —
+    // applying the latest spec to it (2 not in [4, 5]) would wrongly
+    // prune a matching file.
+    assert(CommitLog.filesAsOfGencolPruned(root, Long.MaxValue, 20L, 29L).toSet
+      === Set(fPre, f2, fX, f4),
+      "old files must prune under THEIR spec, new files under the new one")
     // Constraints are an orthogonal meta facet — declaring them must not
     // clear the gencol (and vice versa).
-    CommitLog.setConstraints(root, 3L, Seq("val > 0.0"))
-    assert(CommitLog.gencolDivAsOf(root, Long.MaxValue) === Some(10L),
+    CommitLog.setConstraints(root, 6L, Seq("val > 0.0"))
+    assert(CommitLog.gencolDivAsOf(root, Long.MaxValue) === Some(5L),
       "a constraints meta commit must not clear the gencol declaration")
-    (4L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    (7L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
     assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
       _.getFileName.toString.endsWith(".checkpoint.json")))
-    assert(CommitLog.gencolDivAsOf(root, 11L) === Some(10L),
+    assert(CommitLog.gencolDivAsOf(root, 11L) === Some(5L),
       "the declaration must survive checkpoint resolution")
     assert(CommitLog.constraintsAsOf(root, 11L) === Seq("val > 0.0"),
       "both meta facets must ride the checkpoint")
+    // The PER-FILE widths survive the checkpoint too ("gw" on the adds) —
+    // replay must not rebind old files to the latest spec.
     assert(CommitLog.filesAsOfGencolPruned(root, 11L, 20L, 29L).toSet
-      === Set(f2, fX))
+      === Set(fPre, f2, fX, f4),
+      "per-file specs must survive checkpoint resolution")
   }
 }

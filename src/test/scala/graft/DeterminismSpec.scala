@@ -178,6 +178,10 @@ class DeterminismSpec extends SparkSpec {
     // both pruning decisions (stats, transform) and the safety-law counts
     // must hold under any parallelism of the range-clustered write
     "table_gencol",
+    // the per-file spec binding, both generations' pruning decisions,
+    // the wrong-under-latest-spec demonstration, and the safety law must
+    // all hold under any write parallelism
+    "table_partition_evolve",
     // FP power sums over merge-ordered partials feed rounded moment
     // ratios — the agg_corr centered-moment bet at third and fourth order
     "agg_moments_reagg",

@@ -856,6 +856,18 @@ class PlanShapeSpec extends SparkSpec {
       s"a transform-disjoint partition leaked into the scan:\n$p")
   }
 
+  test("table_partition_evolve: the declared aggregate scans only the " +
+      "files each generation's OWN spec admits") {
+    val p = plan("table_partition_evolve")
+    assert(!p.contains("Join"), "evolved rollup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 pruned-file-set scan, saw $scans:\n$p")
+    // under w1 only g=1 survives from s1; under w2 only g=2..3 from s2
+    assert(!p.contains("s1/g=0/") && !p.contains("s1/g=3/")
+      && !p.contains("s2/g=0/") && !p.contains("s2/g=7/"),
+      s"a spec-disjoint partition leaked into the scan:\n$p")
+  }
+
   test("agg_moments_reagg: the shard cube partial-aggregates map-side and " +
       "the re-aggregation is one exchange — no second corpus pass") {
     val p = plan("agg_moments_reagg")
