@@ -365,6 +365,26 @@ object Scalars {
     // latest-record-per-entity idiom for CDC/compaction at 100 TB). Oracle
     // expresses the same argmax as DESC-ordered row_number — identical
     // semantics, exercised both ways.
+    // CRYPTOGRAPHIC CONTENT HASHES — md5 / sha2-256 as CONTENT ADDRESSES
+    // (the dedup-ledger / provenance-manifest primitive: a document's
+    // identity across systems is its hash, not its row id). Standard
+    // algorithms mean the hex digests are ENGINE-INDEPENDENT by
+    // specification — the one family of derived values that transfers
+    // between engines bit-for-bit with no rounding discipline at all
+    // (contrast every rnd()-guarded double in this inventory). Row-wise,
+    // codegen'd, shuffle-free; at 100 TB content addressing runs in the
+    // scan stage and only the 16/32-byte digests ever move.
+    QDef(
+      "fn_hash_crypto",
+      (s, dir) =>
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            md5(col("text")).as("md5_hex"),
+            sha2(col("text"), 256).as("sha256_hex"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QDef(
       "fn_struct",
       (s, dir) =>

@@ -2108,6 +2108,44 @@ object Scans {
              |    AS n_gencol_scanned,
              |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
 
+    // BINARY-FILE INGEST — `spark.read.format("binaryFile")`: the path a
+    // real multimodal corpus enters through (a directory of image/audio
+    // blobs becomes (path, length, content) rows; the mm_* family then
+    // decodes the content column). The fixture stages one .bin file per
+    // document (payload = the text bytes, the same stand-in the stub
+    // codec uses), reads them back through the source, and content-
+    // addresses each blob with md5 — so a byte lost anywhere between
+    // write, the source's content materialization, and the hash would
+    // mismatch the oracle's md5-of-text. At 100 TB: binaryFile scans
+    // parallelize per-file (each file one row, files split across tasks),
+    // pathGlobFilter/recursiveFileLookup prune at the listing, and the
+    // content column never shuffles — the mm_* rule that only derived
+    // features move.
+    QDef(
+      "scan_binary",
+      (s, dir) => {
+        val root = freshRunTmpPath(s, "graft_binary_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        // Stage a small blob store: one file per first-20 document.
+        T.documents(s, dir).select(col("doc_id"), col("text"))
+          .where(col("doc_id") < 20L).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+          .load(root)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("byte_len"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+             |  md5(text) AS content_md5
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

@@ -898,6 +898,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 Exchanges (one flag shuffle + the determinism sort), saw $exchanges:\n$p")
   }
 
+  test("fn_hash_crypto: content addressing runs in the scan stage — " +
+      "row-wise codegen, no join, only the digests move") {
+    val p = plan("fn_hash_crypto")
+    assert(!p.contains("Join"), "hashing must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, saw $scans:\n$p")
+    // The digest projection computes in the scan stage: the ONLY exchange
+    // is the determinism sort (only 16/32-byte digests ever move).
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected 1 Exchange (the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("mm_crossmodal: encoded probes broadcast into the cell join; payloads never shuffle") {
     val p = plan("mm_crossmodal")
     // the cell equi-join against the standing assignment is a broadcast join
