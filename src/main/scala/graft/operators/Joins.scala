@@ -413,12 +413,21 @@ object Joins {
         val ord = Window.partitionBy("k")
           .orderBy(col("d").asc, col("tag").asc, col("o_orderkey").asc_nulls_last)
         val bwd = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ord.rowsBetween(1L, Window.unboundedFollowing)
+        // The forward capture as first() over (1 FOLLOWING, UNBOUNDED
+        // FOLLOWING) is O(partition²): Spark's UnboundedFollowing frame
+        // rescans forward from EVERY row (measured 11 s at sf0.1, the only
+        // non-linear frame in the repo). The same value — least (d, tag,
+        // okey) strictly after the current row — is last() over the
+        // RUNNING frame of the exactly-reversed ordering, which the
+        // engine maintains incrementally in O(partition).
+        val revOrd = Window.partitionBy("k")
+          .orderBy(col("d").desc, col("tag").desc, col("o_orderkey").desc_nulls_first)
+        val fwd = revOrd.rowsBetween(Window.unboundedPreceding, -1L)
         val cand = when(col("o_orderkey").isNotNull,
           struct(col("d").as("od"), col("o_orderkey").as("okey")))
         o.unionByName(e)
           .withColumn("b", last(cand, ignoreNulls = true).over(bwd))
-          .withColumn("f", first(cand, ignoreNulls = true).over(fwd))
+          .withColumn("f", last(cand, ignoreNulls = true).over(fwd))
           .where(col("tag") === 1)
           .withColumn("bdist", datediff(col("d"), col("b.od")).cast("long"))
           .withColumn("fdist", datediff(col("f.od"), col("d")).cast("long"))
