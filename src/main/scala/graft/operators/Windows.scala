@@ -421,13 +421,19 @@ object Windows {
             explode(sequence(col("d0"), col("d1"))).as("day"))
         val wp = Window.partitionBy("user_id").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy("user_id").orderBy("day")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // Forward carrier via the RUNNING frame of the reversed ordering:
+        // first() over (CURRENT ROW, UNBOUNDED FOLLOWING) runs on Spark's
+        // O(partition²) UnboundedFollowing frame (the join_asof_nearest
+        // lesson); last() over the descending running frame is the same
+        // value maintained incrementally — grid days are unique per user,
+        // so the descending sort is an exact reverse.
+        val wn = Window.partitionBy("user_id").orderBy(col("day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val carrier = when(col("obs_v").isNotNull,
           struct(col("day").as("d"), col("obs_v").as("v")))
         grid.join(daily, Seq("user_id", "day"), "left")
           .withColumn("p", last(carrier, ignoreNulls = true).over(wp))
-          .withColumn("nx", first(carrier, ignoreNulls = true).over(wn))
+          .withColumn("nx", last(carrier, ignoreNulls = true).over(wn))
           .select(col("user_id"), col("day"), col("obs_v"),
             rnd(
               when(col("obs_v").isNotNull, col("obs_v"))
