@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.Magnitude
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GreaterThan, LessThan, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, GreaterThan, IsNaN, LessThan, Literal, Not}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -16,10 +16,21 @@ import org.apache.spark.sql.types.DoubleType
   * `flux > 10^((zp − m) / 2.5)` — which pushes down and prunes row groups.
   *
   * Domain edges are preserved exactly: flux = 0 gives mag = +∞ (fails
-  * `< m`) and fails `> t` (t > 0); flux < 0 gives NaN (fails `< m`) and
-  * fails `> t`; NULL fails both. So the rewrite is semantics-preserving on
-  * the FULL domain, and the oracle parity check of the query that uses it
-  * re-proves that on every fixture — a wrong boundary would hash-mismatch.
+  * `< m`) and fails `> t` (t > 0); NULL fails both. flux < 0 (and flux =
+  * NaN) give mag = NaN, which fails `< m` — but Spark's comparison
+  * operators use the TOTAL ordering where NaN is GREATER than every
+  * double, so a bare `flux > t` would be TRUE for NaN flux and silently
+  * flip those rows from excluded to included. The rewrite therefore emits
+  * the conjunction `flux > t AND NOT isnan(flux)`: the sargable
+  * comparison still reaches the scan (source-filter translation pushes
+  * conjuncts independently), and the NaN guard evaluates post-scan for
+  * pennies. (flux < 0 itself is safe — a negative is simply `> t` false —
+  * the guard exists for NaN alone.) `m = NaN` is excluded from the
+  * rewrite entirely: `mag < NaN` is true for every non-NaN magnitude
+  * under the total ordering, which no flux threshold can express. The
+  * oracle parity check of the query that uses the rule re-proves the
+  * boundary behavior on every fixture — a wrong edge would hash-mismatch —
+  * and `ExtensionsSpec` pins the NaN/negative/zero/NULL rows explicitly.
   *
   * At 100 TB this is the difference between decoding every flux value to
   * evaluate a codegen'd expression and never reading most row groups at
@@ -32,9 +43,12 @@ object MagSargRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case LessThan(Magnitude(flux, zp), Literal(m: Double, DoubleType)) =>
-        GreaterThan(stripNoopCast(flux),
-          Literal(math.pow(10.0, (zp - m) / 2.5), DoubleType))
+      case LessThan(Magnitude(flux, zp), Literal(m: Double, DoubleType))
+          if !m.isNaN =>
+        val f = stripNoopCast(flux)
+        And(
+          GreaterThan(f, Literal(math.pow(10.0, (zp - m) / 2.5), DoubleType)),
+          Not(IsNaN(f)))
     }
 
   /** The SQL registration wraps the argument in `Cast(col, double)`; by the

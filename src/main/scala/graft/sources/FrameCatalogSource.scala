@@ -289,7 +289,11 @@ private class FrameCatalogMicroBatch(lo: Long, hi: Long, slice: Long,
   // engine falls back to single-batch Trigger.Once semantics and ignores
   // the read limit): capture the drain target BEFORE the first batch, so
   // the run processes exactly what was available at start — a catalog
-  // growing mid-run is next run's work.
+  // growing mid-run is next run's work. The captured target — not the
+  // live `hi` — caps every subsequent offset answer below, so the
+  // guarantee holds by construction even for a source whose high
+  // watermark moves mid-run (this catalog's `hi` happens to be immutable
+  // per scan, which must not be what the contract leans on).
   private var availableNowTarget: Long = hi
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = hi
@@ -309,11 +313,11 @@ private class FrameCatalogMicroBatch(lo: Long, hi: Long, slice: Long,
       case r: ReadMaxRows => math.max(1L, r.maxRows())
       case _              => math.max(1L, arrive)
     }
-    FrameOffset(math.min(hi, s + step))
+    FrameOffset(math.min(availableNowTarget, s + step))
   }
   // What is AVAILABLE (vs what the next batch admits) — AvailableNow pins
   // this as the drain target before the first batch runs.
-  override def reportLatestOffset(): SOffset = FrameOffset(hi)
+  override def reportLatestOffset(): SOffset = FrameOffset(availableNowTarget)
   override def deserializeOffset(json: String): SOffset =
     FrameOffset(json.trim.toLong)
   override def commit(end: SOffset): Unit = ()

@@ -234,14 +234,36 @@ object FrameStore {
   private[sources] def isCondemned(dir: String): Boolean =
     condemnedStaging.contains(dir)
 
+  /** Staging dirs whose rollback delete did NOT converge (a straggler kept
+    * recreating files past the probe budget). They are already condemned —
+    * no task can write into them again — and log-authoritative visibility
+    * means they are invisible debris, so the right disposition is retry,
+    * not throw: every new write job re-sweeps this list before staging. */
+  private val pendingSweep =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[sources] def sweepPending(): Unit =
+    pendingSweep.toArray(Array.empty[String]).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) graft.FsUtil.deleteRecursively(f)
+      if (!f.exists()) pendingSweep.remove(d): Unit
+    }
+
   /** Job-level rollback deletion of a staging dir: condemn it first (so
     * racing task-level aborts go footer-free and cannot recreate it), then
     * delete-and-reprobe until the dir stays absent for 3 consecutive
     * probes — a single delete can lose to a straggler's in-flight file or
     * `.crc` flush, which is exactly how the "nothing remains after abort"
     * contract used to break under full-suite load. Bounded (~1 s worst
-    * case); fails loudly if the dir will not die. */
-  private[sources] def deleteStagingStable(dir: String): Unit = {
+    * case). Every caller is a rollback path (BatchWrite/StreamingWrite
+    * abort, or a commit-validation failure about to rethrow), so a
+    * non-converging delete must NOT throw — that would replace or mask the
+    * original task/validation failure under exactly the straggler load
+    * this routine exists to absorb. Instead the dir is queued on
+    * [[pendingSweep]] (retried by the next write job) and, when the caller
+    * passes the failure it is about to rethrow, recorded on it as a
+    * suppressed exception so the diagnosis rides the real error. */
+  private[sources] def deleteStagingStable(dir: String,
+      suppressTo: Throwable = null): Unit = {
     condemnedStaging.add(dir): Unit
     val f = new java.io.File(dir)
     var stable = 0
@@ -252,9 +274,14 @@ object FrameStore {
       probes += 1
       if (stable < 3) Thread.sleep(8L)
     }
-    if (f.exists())
-      throw new IllegalStateException(
-        s"rollback could not remove staging dir $dir after $probes probes")
+    if (f.exists()) {
+      pendingSweep.add(dir): Unit
+      val e = new IllegalStateException(
+        s"rollback could not remove staging dir $dir after $probes probes " +
+          "(condemned + queued for re-sweep by the next write job)")
+      if (suppressTo != null) suppressTo.addSuppressed(e)
+      else System.err.println(s"[graft] ${e.getMessage}")
+    }
   }
 }
 
@@ -401,6 +428,7 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
   private val appToken = SparkSession.active.sparkContext
     .applicationId.replaceAll("[^A-Za-z0-9]", "_")
   graft.FsUtil.sweepStaleTmp("graft_fstore_stage_", exclude = appToken)
+  FrameStore.sweepPending()
   private val stagingDir =
     Files.createTempDirectory(s"graft_fstore_stage_${appToken}_").toString
   FrameStore.lastStagingDir.set(stagingDir)
@@ -419,7 +447,9 @@ private class FrameStoreBatchWrite(tname: String, schema: StructType,
       case e: IllegalArgumentException =>
         // Failed validation: staged files are debris; same stable rollback
         // as abort (speculative task duplicates may still be cleaning up).
-        FrameStore.deleteStagingStable(stagingDir)
+        // A non-converging delete rides `e` as a suppressed exception —
+        // the validation failure is the diagnosis, never masked.
+        FrameStore.deleteStagingStable(stagingDir, suppressTo = e)
         throw e
     }
     FrameStore.commitsCompleted.incrementAndGet(): Unit
@@ -507,6 +537,7 @@ private class FrameStoreLogBatchWrite(root: String, schema: StructType,
   private val stageName =
     "stage-" + java.util.UUID.randomUUID().toString.take(8)
   private val stagingDir = {
+    FrameStore.sweepPending()
     val p = Paths.get(root, stageName)
     Files.createDirectories(p)
     p.toString
@@ -542,10 +573,11 @@ private class FrameStoreLogBatchWrite(root: String, schema: StructType,
       }
     }
     if (onDisk != staged) {
-      FrameStore.deleteStagingStable(stagingDir)
-      throw new IllegalStateException(
+      val e = new IllegalStateException(
         s"staged manifest (${staged.size} files) != staging dir contents " +
           s"(${onDisk.size}) under $stagingDir — aborted before publish")
+      FrameStore.deleteStagingStable(stagingDir, suppressTo = e)
+      throw e
     }
     val manifest = staged.toSeq.map(p => p.stripPrefix(s"$root/")).sorted
     val version = CommitLog.commitRetrying(root, stageName,
@@ -671,11 +703,13 @@ private[graft] object FrameStoreEpochCommit {
         }
       }
       if (onDisk != staged) {
-        FrameStore.deleteStagingStable(Paths.get(root, genDir).toString)
-        throw new IllegalStateException(
+        val e = new IllegalStateException(
           s"epoch $epochId staged manifest (${staged.size} files) != staging " +
             s"dir contents (${onDisk.size}) under $root/$genDir — aborted " +
             "before publish")
+        FrameStore.deleteStagingStable(Paths.get(root, genDir).toString,
+          suppressTo = e)
+        throw e
       }
       val manifest = staged.toSeq.map(_.stripPrefix(s"$root/")).sorted
       val removes =
