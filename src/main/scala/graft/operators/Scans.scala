@@ -2012,6 +2012,105 @@ object Scans {
              |    AS n_files_scanned,
              |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
 
+    // FILE-LEVEL BLOOM INDEX (Delta's bloom file index reduced to the log
+    // essentials) — the point-lookup complement to table_skipping's
+    // min/max ranges: the layout here is HASH-bucketed (g = key % 8), so
+    // every file's [min, max] spans nearly the whole key domain and range
+    // stats cannot prune an equality probe — the classic needle-in-100-TB
+    // lookup. The writer persists per-file bloom words (k=2 multiplicative
+    // hashes, join_bloom's exact arithmetic, 4096 bits/file) into the
+    // add-action stats in ONE distributed pass that computes min/max AND
+    // the or-ed words together; `CommitLog.filesAsOfPrunedPoint` then
+    // consults both facets at planning time. No false negatives by
+    // construction (the writer sets every key's bits), `require`d in-query
+    // and pinned with checkpoint carry in CommitLogSpec. The pruning
+    // decisions are part of the declared output — DuckDB re-derives the
+    // bloom verdict per file from the same hash arithmetic (a file's word
+    // has the probe's bit set iff SOME key in it hashes there), so a
+    // build/probe desync hash-mismatches. At 100 TB: the probe is O(live
+    // files · k) driver-side bit tests, and the scan that follows opens
+    // ~1 file instead of the table; words scale by sizing BloomBits to
+    // per-file key cardinality (m/n ≈ 21 here → ~0.8% FP per file).
+    QDef(
+      "table_bloom_index",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_bloomidx_")
+        val o = T.orders(s, dir).where(col("o_orderkey") % 97L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        // Hash-bucketed write: every file's key range spans the domain.
+        o.withColumn("g", expr("key % 8L"))
+          .repartition(8, col("g"))
+          .write.partitionBy("g").mode("overwrite").parquet(root)
+        // Writer-side stats: ONE distributed pass computes the min/max
+        // range AND the bloom words per file (word index = bit div 64).
+        val hs = CommitLog.bloomHashSql("key")
+        val facetRows = s.read.option("basePath", root).parquet(root)
+          .select(col("key"), col("_metadata.file_path").as("fp"))
+          .select(col("key"), col("fp"),
+            explode(array(hs.map(h => expr(h)): _*)).as("bit"))
+          .groupBy(col("fp"), expr("bit div 64").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, cast(pmod(bit, 64) as int)))").as("bits"),
+            min("key").as("mn"), max("key").as("mx"))
+          .collect() // O(files · words-touched) metadata, never rows
+        def rel(abs: String) = abs.substring(abs.indexOf(root) + root.length + 1)
+        val byFile = facetRows.groupBy(r => rel(r.getString(0)))
+        val stats = byFile.view.mapValues(rs =>
+          (rs.map(_.getAs[Long]("mn")).min, rs.map(_.getAs[Long]("mx")).max)).toMap
+        val blooms = byFile.view.mapValues(rs => CommitLog.bloomHexOf(
+          rs.map(r => r.getAs[Long]("w").toInt -> r.getAs[Long]("bits")).toMap)).toMap
+        require(stats.size == 8, s"expected 8 hash-bucket files, staged ${stats.size}")
+        CommitLog.commitFiles(root, 1L, adds = stats.keys.toSeq.sorted,
+          removes = Nil, stats = stats, blooms = blooms)
+        // Point probe: a mid-domain key (≤ half the max, so the top-heavy
+        // max files cannot be range-pruned by accident — the probe must
+        // beat UNCLUSTERED files on bloom evidence alone).
+        val pk = o.where(col("key") <= o.agg(max("key")).head.getLong(0) / 2L)
+          .agg(max("key")).head.getLong(0)
+        val live = CommitLog.filesAsOf(root, Long.MaxValue)
+        val byRange = CommitLog.filesAsOfPruned(root, Long.MaxValue, pk, pk)
+        val byPoint = CommitLog.filesAsOfPrunedPoint(root, Long.MaxValue, pk)
+        require(byPoint.size < byRange.size,
+          s"bloom must out-prune min/max on a hash-bucketed layout " +
+            s"(bloom kept ${byPoint.size}, range kept ${byRange.size})")
+        def matched(paths: Seq[String]) =
+          s.read.parquet(paths.map(f => s"$root/$f"): _*).where(col("key") === pk)
+        // The skipping-safety law: pruning may drop FILES, never ROWS.
+        require(matched(byPoint).count() == matched(live).count(),
+          "bloom point skipping dropped matching rows")
+        matched(byPoint).agg(
+            count(lit(1)).as("n_rows"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(live.size.toLong).as("n_files_total"),
+            lit(byRange.size.toLong).as("n_files_minmax"),
+            lit(byPoint.size.toLong).as("n_files_bloom"),
+            lit(pk).as("probe_key"), col("n_rows"), col("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS key, o_totalprice AS val
+             |           FROM orders WHERE o_orderkey % 97 = 0),
+             |b AS (SELECT key, val, key % 8 AS g FROM o),
+             |probe AS (SELECT max(key) AS pk FROM b
+             |          WHERE key <= (SELECT max(key) // 2 FROM b)),
+             |pbits AS (SELECT (pk * 2654435761) % 4096 AS b0,
+             |                 (pk * 40503 + 17) % 4096 AS b1 FROM probe),
+             |fstat AS (SELECT g, min(key) AS mn, max(key) AS mx,
+             |    max(CASE WHEN (key * 2654435761) % 4096 = b0
+             |              OR (key * 40503 + 17) % 4096 = b0 THEN 1 ELSE 0 END) AS has0,
+             |    max(CASE WHEN (key * 2654435761) % 4096 = b1
+             |              OR (key * 40503 + 17) % 4096 = b1 THEN 1 ELSE 0 END) AS has1
+             |  FROM b, pbits GROUP BY g),
+             |m AS (SELECT count(*) AS n_rows,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM b, probe WHERE key = pk)
+             |SELECT (SELECT count(*) FROM fstat) AS n_files_total,
+             |  (SELECT count(*) FROM fstat, probe WHERE mx >= pk AND mn <= pk)
+             |    AS n_files_minmax,
+             |  (SELECT count(*) FROM fstat, probe
+             |   WHERE mx >= pk AND mn <= pk AND has0 = 1 AND has1 = 1)
+             |    AS n_files_bloom,
+             |  (SELECT pk FROM probe) AS probe_key, n_rows, sum_cents FROM m""".stripMargin)),
+
     // GENERATED PARTITION COLUMN (Delta's generated columns reduced to the
     // log essentials) — and the CONTRAST with per-file stats skipping that
     // motivates having both: a metadata-only commit declares the table's

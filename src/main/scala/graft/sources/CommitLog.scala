@@ -105,20 +105,73 @@ object CommitLog {
   private def commitJson(version: Long, adds: Seq[String],
       removes: Seq[String], ts: Long, txn: String = "",
       dvs: Map[String, String] = Map.empty,
-      stats: Map[String, (Long, Long)] = Map.empty): String = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      blooms: Map[String, String] = Map.empty): String = {
     (adds ++ removes ++ dvs.values).foreach(requireSafe)
     if (txn.nonEmpty) requireSafe(txn)
+    blooms.values.foreach(requireBloomHex)
     val txnField = if (txn.isEmpty) "" else s""","txn":"$txn""""
     def dvField(p: String) =
       dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
     def statField(p: String) =
       stats.get(p).map { case (mn, mx) => s""","smin":$mn,"smax":$mx""" }
         .getOrElse("")
+    def bloomField(p: String) =
+      blooms.get(p).map(b => s""","bloom":"$b"""").getOrElse("")
     (s"""{"commitInfo":{"version":$version,"timestamp":$ts$txnField,"adds":${adds.size},"removes":${removes.size}}}""" +:
-      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version${dvField(a)}${statField(a)}}}""") ++
+      (adds.map(a => s"""{"add":{"path":"$a","addedAt":$version${dvField(a)}${statField(a)}${bloomField(a)}}}""") ++
         removes.map(r => s"""{"remove":{"path":"$r","removedAt":$version}}""")))
       .mkString("", "\n", "\n")
   }
+
+  // ---- FILE-LEVEL BLOOM INDEX (point-lookup skipping) -------------------
+  //
+  // Min/max stats prune RANGE predicates on clustered layouts; they are
+  // blind to an equality probe on a high-NDV UNCLUSTERED key (every file's
+  // range spans the domain — the classic needle-in-100-TB lookup). The
+  // production answer (Delta's bloom file index) is a per-file bloom
+  // filter persisted in the add-action stats and consulted at planning
+  // time: k hash bits per key, a probe keeps only the files whose words
+  // have ALL the probe's bits set. False positives cost a wasted file
+  // scan; false NEGATIVES are impossible by construction (the writer sets
+  // every key's bits in its file's words), which is the safety law
+  // CommitLogSpec pins. The words ride the log exactly like smin/smax —
+  // checkpoint carry included — so pruning works from checkpoint + tail.
+  //
+  // The k=2 multiplicative family is THE SAME arithmetic join_bloom uses
+  // (Joins.scala); writer-side SQL and prober-side Scala are both derived
+  // from the constants below so they cannot desynchronize.
+  private[graft] val BloomBits = 4096L // 64 words · 64 bits = 1024 hex chars
+  private[graft] val BloomWords = (BloomBits / 64L).toInt
+  private[graft] val BloomC1 = 2654435761L
+  private[graft] val BloomC2a = 40503L
+  private[graft] val BloomC2b = 17L
+  /** Writer-side hash SQL over a BIGINT column `keyCol` — one expression
+    * per hash, each yielding a bit position in [0, BloomBits). */
+  private[graft] def bloomHashSql(keyCol: String): Seq[String] = Seq(
+    s"pmod($keyCol * ${BloomC1}L, ${BloomBits}L)",
+    s"pmod($keyCol * ${BloomC2a}L + ${BloomC2b}L, ${BloomBits}L)")
+  /** Prober-side bit positions for `key` — the same arithmetic (Java Long
+    * overflow wraps identically in Spark SQL and Scala). */
+  private[graft] def bloomBitsOf(key: Long): Seq[Long] = Seq(
+    Math.floorMod(key * BloomC1, BloomBits),
+    Math.floorMod(key * BloomC2a + BloomC2b, BloomBits))
+  /** Serialize per-file words (index → or-ed bits) to the fixed-width hex
+    * transport the add action carries. */
+  private[graft] def bloomHexOf(words: Map[Int, Long]): String =
+    (0 until BloomWords).map(i => f"${words.getOrElse(i, 0L)}%016x").mkString
+  private def requireBloomHex(hex: String): Unit =
+    require(hex.length == BloomWords * 16 && hex.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"malformed bloom words (need ${BloomWords * 16} lowercase hex chars): " +
+        s"${hex.take(32)}…")
+  /** Membership probe: may the file behind `hex` contain `key`? */
+  private[graft] def bloomMightContain(hex: String, key: Long): Boolean =
+    bloomBitsOf(key).forall { bit =>
+      val w = java.lang.Long.parseUnsignedLong(
+        hex.substring((bit / 64L).toInt * 16, (bit / 64L).toInt * 16 + 16), 16)
+      ((w >>> (bit % 64L).toInt) & 1L) == 1L
+    }
 
   /** Stage `genDir`'s parquet files as the add-set of version `version`;
     * `removes` are table-relative (or absolute, for clones) paths this
@@ -195,10 +248,11 @@ object CommitLog {
   def commitFiles(root: String, version: Long, adds: Seq[String],
       removes: Seq[String], ts: Long = -1L,
       dvs: Map[String, String] = Map.empty,
-      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      blooms: Map[String, String] = Map.empty): Unit = {
     val won = publishLogFile(root, f"$version%08d.json",
       commitJson(version, adds, removes, stampFor(root, ts), dvs = dvs,
-        stats = stats))
+        stats = stats, blooms = blooms))
     if (!won)
       throw new IllegalStateException(
         s"commit conflict: version $version already exists under $root/_log")
@@ -352,10 +406,19 @@ object CommitLog {
     * — the log records the contract, the writer enforces it at write time,
     * exactly Delta's split. Expressions are transported inside the
     * single-line JSON without escaping, so the same requireSafe character
-    * discipline applies as for paths. */
+    * discipline applies as for paths — EXTENDED here to the array-syntax
+    * characters: the replay parser splits the constraints array on ','
+    * and closes it at the first ']', so an expression like `key IN (1,2)`
+    * or `arr[1] > 0` would round-trip silently corrupted. Reject-at-write
+    * (the requireSafe philosophy: a clear error at the writer, never a
+    * silent wrong replay) — spell such predicates without the characters
+    * (`key = 1 OR key = 2`, `element_at(arr, 1) > 0`). */
   def setConstraints(root: String, version: Long, exprs: Seq[String],
       ts: Long = -1L): Unit = {
     exprs.foreach(requireSafe)
+    exprs.foreach(e => require(!e.exists(c => c == ',' || c == '[' || c == ']'),
+      s"unsafe character in constraint expression (',' '[' ']' break the " +
+        s"log's array transport — rewrite without them): $e"))
     val arr = exprs.map(e => s""""$e"""").mkString("[", ",", "]")
     val json =
       (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
@@ -449,6 +512,7 @@ object CommitLog {
   private val DvRef = (""""dv"\s*:\s*"([^"]+)"""").r.unanchored
   private val MetaLine = (""""meta"\s*:""").r.unanchored
   private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
+  private val BloomField = (""""bloom"\s*:\s*"([0-9a-f]+)"""").r.unanchored
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
   private val GencolField = (""""gencolDiv"\s*:\s*(\d+)""").r.unanchored
@@ -467,7 +531,8 @@ object CommitLog {
       constraints: Seq[String] = Nil,
       stats: Map[String, (Long, Long)] = Map.empty,
       gencolDiv: Option[Long] = None,
-      gencolAtAdd: Map[String, Long] = Map.empty)
+      gencolAtAdd: Map[String, Long] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -493,6 +558,7 @@ object CommitLog {
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var constraints: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
@@ -555,6 +621,13 @@ object CommitLog {
               stats.put(path, (mn.toLong, mx.toLong)): Unit
             case _ => stats.remove(path): Unit
           }
+          // Bloom words follow the stats authority rule exactly: an add
+          // carrying them declares its file's key membership; a bloom-less
+          // re-add leaves the file un-probeable (kept conservatively).
+          l match {
+            case BloomField(hex) => blooms.put(path, hex): Unit
+            case _               => blooms.remove(path): Unit
+          }
           // PARTITION-SPEC EVOLUTION: a file binds the gencol width active
           // WHEN IT IS ADDED (its commit's meta lines were applied above,
           // so a commit declaring-and-adding binds its own spec). A
@@ -573,7 +646,8 @@ object CommitLog {
     }
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
-      gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap)
+      gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
+      blooms.toMap)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -597,6 +671,32 @@ object CommitLog {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
+    }
+  }
+
+  /** POINT-LOOKUP SKIPPING: the live files AS OF `v` that may contain
+    * `key`, consulting BOTH stat facets the add actions carry — the
+    * min/max range (cheap, but blind to an equality probe on an
+    * UNCLUSTERED high-NDV key where every file's range spans the domain)
+    * and the per-file bloom words (which prune exactly that case). A file
+    * missing a facet is kept by that facet (conservative — absent
+    * metadata never claims "no rows match"), so the composite can only
+    * subtract files it can PROVE disjoint: no false negatives, the law
+    * CommitLogSpec pins. O(live files · k) driver-side bit arithmetic;
+    * the payoff at 100 TB is a needle lookup that opens a handful of
+    * files instead of the table. */
+  def filesAsOfPrunedPoint(root: String, v: Long, key: Long): Seq[String] = {
+    val snap = snapshotAsOf(root, v)
+    snap.live.filter { p =>
+      val rangeMay = snap.stats.get(p) match {
+        case Some((mn, mx)) => key >= mn && key <= mx
+        case None           => true
+      }
+      val bloomMay = snap.blooms.get(p) match {
+        case Some(hex) => bloomMightContain(hex, key)
+        case None      => true
+      }
+      rangeMay && bloomMay
     }
   }
 
@@ -644,6 +744,11 @@ object CommitLog {
     def statField(p: String) =
       snap.stats.get(p).map { case (mn, mx) => s""","smin":$mn,"smax":$mx""" }
         .getOrElse("")
+    // Bloom words ride the checkpoint on their live adds like the min/max
+    // stats, so point-lookup pruning keeps working once the bloom-bearing
+    // commit is past the checkpoint horizon.
+    def bloomField(p: String) =
+      snap.blooms.get(p).map(b => s""","bloom":"$b"""").getOrElse("")
     // Per-file gencol width rides the checkpointed add explicitly — replay
     // sees only the latest declaration, which after an evolution is the
     // WRONG spec for older files.
@@ -660,7 +765,7 @@ object CommitLog {
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++
-          snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}${statField(p)}${gwField(p)}}}""") ++
+          snap.live.map(p => s"""{"add":{"path":"$p","addedAt":${addedAt.getOrElse(p, 0L)}${dvField(p)}${statField(p)}${bloomField(p)}${gwField(p)}}}""") ++
           snap.tombstones.map { case (p, at) =>
             s"""{"remove":{"path":"$p","removedAt":$at${dvField(p)}}}""" }))
         .mkString("", "\n", "\n")
@@ -699,16 +804,29 @@ object CommitLog {
       // (that is the point of MoR — deletes cost O(deleted rows), not
       // O(table rewrite)); production engines compress them to roaring
       // bitmaps, which this broadcast anti-join is the relational shape of.
-      import org.apache.spark.sql.functions.{broadcast, col, concat, lit, regexp_replace}
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import s.implicits._
       val cols = base.columns.map(col)
       val dvPaths = liveDvs.map(snap.dvs).distinct.map(d => s"$root/$d")
+      // `_metadata.file_path` is the file's PERCENT-ENCODED `file:` URI
+      // (space → %20, '%' → %25, '#' → %23 …), so a textual comparison
+      // against s"$root/$f" silently misses on any such character and the
+      // deleted rows RESURFACE. Rather than decode the scan column
+      // (url_decode is form-decoding — it also rewrites '+', a legal path
+      // char), reproduce the encoding EXACTLY on the log-derived side:
+      // the annotated file set is known driver-side and small (it is the
+      // broadcast side), and java.io.File.toURI yields the same
+      // single-slash `file:/…` encoding Spark's metadata column carries
+      // (pinned in CommitLogSpec with a root containing ' ', '%', '#').
+      val uriLookup = liveDvs
+        .map(f => (f, new java.io.File(s"$root/$f").toURI.toString))
+        .toDF("__dv_f", "__dv_uri")
       val dv = s.read.parquet(dvPaths: _*)
-        .select(concat(lit(s"$root/"), col("f")).as("__dv_file"),
-          col("pos").cast("long").as("__dv_pos"))
-      // `_metadata.file_path` is a file URI (file:///…); normalize to the
-      // plain absolute path the log-derived side builds.
+        .select(col("f"), col("pos").cast("long").as("__dv_pos"))
+        .join(broadcast(uriLookup), col("f") === col("__dv_f"))
+        .select(col("__dv_uri").as("__dv_file"), col("__dv_pos"))
       val withPos = base.select(cols
-        :+ regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("__file")
+        :+ col("_metadata.file_path").as("__file")
         :+ col("_metadata.row_index").cast("long").as("__pos"): _*)
       withPos.join(broadcast(dv),
           withPos("__file") === dv("__dv_file") && withPos("__pos") === dv("__dv_pos"),

@@ -571,6 +571,137 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.constraintsAsOf(root, Long.MaxValue) === Nil)
   }
 
+  test("check constraints: array-transport characters (',' '[' ']') are " +
+      "rejected at write time — never silently corrupted on replay") {
+    val root = dvTable()
+    // The log's constraints array splits on ',' and closes at the first
+    // ']'; an expression carrying either would round-trip WRONG. The
+    // requireSafe discipline is reject-at-write with a clear error.
+    Seq("key IN (1,2)", "arr[1] > 0", "x ]").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.setConstraints(root, 3L, Seq(bad))
+      }
+      assert(e.getMessage.contains("unsafe character in constraint"),
+        s"wrong rejection message for $bad: ${e.getMessage}")
+    }
+    // Nothing was published by the rejected attempts.
+    assert(CommitLog.constraintsAsOf(root, Long.MaxValue) === Nil)
+    // The comma-free spelling of the same predicate commits and replays.
+    CommitLog.setConstraints(root, 3L, Seq("key = 1 OR key = 2 OR key > 2"))
+    assert(CommitLog.constraintsAsOf(root, Long.MaxValue)
+      === Seq("key = 1 OR key = 2 OR key > 2"))
+  }
+
+  test("merge-on-read with a URI-hostile table root (space, '%', '#'): " +
+      "deleted positions are subtracted, never silently resurfaced") {
+    // `_metadata.file_path` is a PERCENT-ENCODED file: URI; a textual
+    // match against the raw path misses on these characters and the
+    // anti-join silently passes deleted rows through. The read side must
+    // reproduce the encoding exactly (java.io.File.toURI).
+    val root = Files.createTempDirectory("graft_dv uri%41#").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+    CommitLog.commit(root, 1L, "g=1")
+    val victims = CommitLog.filesAsOf(root, 1L)
+    assert(victims.size === 1)
+    // Sidecar built driver-side (the victim's table-relative path is
+    // known): positions of key=2 from the hidden row index.
+    val pos = spark.read.parquet(s"$root/${victims.head}")
+      .where(col("key") === 2L)
+      .select(col("_metadata.row_index").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pos.nonEmpty)
+    pos.map(p => (victims.head, p)).toDF("f", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dv2")
+    val dv = Files.list(Paths.get(s"$root/dv2")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")
+        && !Paths.get(p).getFileName.toString.startsWith("."))
+      .map(p => Paths.get(root).relativize(Paths.get(p)).toString)
+      .sorted.head
+    CommitLog.commitDVChecked(root, 1L, Map(victims.head -> dv))
+    assert(keysAsOf(root, 2L) === Seq(1L, 3L),
+      "deleted row resurfaced under a URI-hostile root — the MoR join " +
+        "missed on percent-encoding")
+    assert(keysAsOf(root, 1L) === Seq(1L, 2L, 3L))
+  }
+
+  test("bloom file index: NO false negatives over every committed key, " +
+      "bloom-less files are never pruned, a bloom-less re-add clears the " +
+      "words, and the index survives checkpoint resolution") {
+    val root = Files.createTempDirectory("graft_bloomidx").toString
+    val s0 = spark
+    import s0.implicits._
+    // Three hash-bucketed files with interleaved (UNCLUSTERED) keys: the
+    // min/max ranges all span the domain, so only the bloom can prune.
+    val byFile = Map(
+      "g=0" -> Seq(3L, 300L, 900L),
+      "g=1" -> Seq(7L, 450L, 888L),
+      "g=2" -> Seq(11L, 600L, 901L))
+    def stage(gen: String, keys: Seq[Long]): String = {
+      keys.map(k => (k, k * 10.0)).toDF("key", "val")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")
+          && !Paths.get(p).getFileName.toString.startsWith("."))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).head
+    }
+    val files = byFile.map { case (g, ks) => g -> stage(g, ks) }
+    def bloomOf(keys: Seq[Long]): String = CommitLog.bloomHexOf(
+      keys.flatMap(CommitLog.bloomBitsOf)
+        .groupBy(b => (b / 64L).toInt)
+        .view.mapValues(_.map(b => 1L << (b % 64L).toInt).reduce(_ | _)).toMap)
+    val stats = byFile.map { case (g, ks) => files(g) -> (ks.min, ks.max) }
+    val blooms = byFile.map { case (g, ks) => files(g) -> bloomOf(ks) }
+    CommitLog.commitFiles(root, 1L, adds = files.values.toSeq.sorted,
+      removes = Nil, stats = stats, blooms = blooms)
+    // THE safety law: for EVERY committed key, the file that holds it
+    // survives the point prune (bloom false negatives are impossible).
+    byFile.foreach { case (g, ks) =>
+      ks.foreach { k =>
+        val kept = CommitLog.filesAsOfPrunedPoint(root, Long.MaxValue, k)
+        assert(kept.contains(files(g)),
+          s"bloom pruning dropped the file holding key $k ($g)")
+      }
+    }
+    // Pruning power: a key present in exactly one file prunes to (almost)
+    // one file — and the min/max facet alone keeps all three (domains
+    // overlap), which is the gap the bloom exists to close.
+    assert(CommitLog.filesAsOfPruned(root, Long.MaxValue, 450L, 450L).size === 3)
+    val kept450 = CommitLog.filesAsOfPrunedPoint(root, Long.MaxValue, 450L)
+    assert(kept450.contains(files("g=1")) && kept450.size < 3)
+    // An ABSENT mid-domain key may hit false positives but never errors;
+    // with these tiny files it prunes everything (all words near-empty).
+    assert(CommitLog.filesAsOfPrunedPoint(root, Long.MaxValue, 451L).size <= 1)
+    // Bloom-less files are never pruned: append a file with range stats
+    // but NO words — every probe keeps it.
+    val f3 = stage("g=3", Seq(5000L))
+    CommitLog.commitFiles(root, 2L, adds = Seq(f3), removes = Nil,
+      stats = Map(f3 -> (1L, 5000L)))
+    assert(CommitLog.filesAsOfPrunedPoint(root, Long.MaxValue, 450L).contains(f3),
+      "a file without bloom words must be kept conservatively")
+    // Checkpoint carry: push past the boundary, resolution from
+    // checkpoint + tail must keep pruning (and keep the safety law).
+    (3L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    val keptCp = CommitLog.filesAsOfPrunedPoint(root, 11L, 450L)
+    assert(keptCp.contains(files("g=1")) && !keptCp.contains(files("g=0")),
+      s"bloom words lost across the checkpoint horizon: $keptCp")
+    // Authority rule: a bloom-less re-add of g=1's file clears its words —
+    // the file reverts to un-probeable (kept for every key), stats too.
+    CommitLog.commitFiles(root, 12L, adds = Seq(files("g=1")), removes = Nil)
+    assert(CommitLog.snapshotAsOf(root, 12L).blooms.get(files("g=1")).isEmpty)
+    assert(CommitLog.filesAsOfPrunedPoint(root, 12L, 3L).contains(files("g=1")),
+      "a bloom-less re-add must clear the stale words")
+    // Malformed words are rejected at write time (requireSafe discipline).
+    intercept[IllegalArgumentException] {
+      CommitLog.commitFiles(root, 13L, adds = Seq(f3), removes = Nil,
+        blooms = Map(f3 -> "deadbeef"))
+    }
+  }
+
   test("file skipping: stat-less files are never pruned, boundaries are " +
       "inclusive, a stat-less re-add clears stats, and stats survive " +
       "checkpoint resolution") {
