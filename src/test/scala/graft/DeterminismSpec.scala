@@ -188,7 +188,11 @@ class DeterminismSpec extends SparkSpec {
     // the threshold pick (first value whose doubled cumulative weight
     // reaches the total) is a RANGE-frame boundary — peers must
     // accumulate identically under any merge order
-    "agg_weighted_median")
+    "agg_weighted_median",
+    // the per-file bloom words are bit_or merges over whatever task
+    // order staged them, and BOTH pruning decisions plus the safety-law
+    // counts must hold under any parallelism of the hash-bucketed write
+    "table_bloom_index")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -793,6 +793,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
   }
 
+  test("table_bloom_index: the declared aggregate scans ONLY the files the " +
+      "bloom words admit — fewer than min/max ranges keep on this layout") {
+    val df = SparkEntry.queries("table_bloom_index")(spark, sf)
+    val row = df.head()
+    val nMinmax = row.getAs[Long]("n_files_minmax")
+    val nBloom = row.getAs[Long]("n_files_bloom")
+    assert(nBloom < nMinmax,
+      s"bloom kept $nBloom of the $nMinmax range-admitted files — no pruning win")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "pruned point lookup must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 pruned-file-set scan, saw $scans:\n$p")
+    // The scan's file index must reference no more bucket dirs than the
+    // bloom admitted (pruning happened in metadata, before the plan).
+    val bucketsInScan = (0 to 7).count(g => p.contains(s"g=$g/"))
+    assert(bucketsInScan <= nBloom,
+      s"scan references $bucketsInScan bucket dirs but bloom admitted $nBloom:\n$p")
+    assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
+  }
+
   test("sql_recursive_cte: the recursion compiles to a UnionLoop whose step " +
       "joins only the previous frontier (linear recursion, not closure replay)") {
     val p = plan("sql_recursive_cte")
