@@ -526,6 +526,70 @@ object Joins {
              |FROM events e JOIN dim d ON e.event_type = d.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    // ENGINE-NATIVE skew handling — the companion to join_skew_salted: at
+    // 100 TB the production lever is AQE's OptimizeSkewedJoin, which
+    // detects a hot reduce partition from the materialized map-output
+    // stats and splits it across the SKEWED side's map-chunk boundaries
+    // while replicating the other side — no salting rewrite, identical
+    // result. The fixture manufactures the textbook shape (75% of orders
+    // on ONE join key, the rest spread over 997) and tunes the detection
+    // floors to fixture bytes: the split granularity is MAP OUTPUT
+    // boundaries, so the fact is staged through an 8-task exchange (the
+    // stand-in for a real many-task scan — a 1-task map side is
+    // physically unsplittable however skewed), and
+    // coalescePartitions.minPartitionSize must drop below the hot
+    // partition's size or the split target clamps to its 1 MB default and
+    // the rule refuses (found empirically; the production defaults assume
+    // 256 MB+ partitions). The skew engagement is `require`d on the
+    // executed adaptive plan — mistuned thresholds fail the query, not
+    // just a spec — and the result is the plain-join oracle. Confs live
+    // on an isolated newSession so nothing leaks to the shared session.
+    QDef(
+      "join_skew_aqe",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "32")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        // Floors sized to the SMALLEST fixture (sf0.001's hot partition is
+        // ~12 KB): detection needs hot > max(threshold, factor · median),
+        // and the split target max(advisory, minPartitionSize) must sit
+        // below the per-map chunk size or zero slices come back. The
+        // RATIOS are what transfer to production; the bytes scale with
+        // the partitions (256 MB threshold / 64 MB advisory at real scale).
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+        s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+        val fact = T.orders(s2, dir)
+          .select(expr("CASE WHEN o_orderkey % 4 != 0 THEN 42L " +
+              "ELSE o_orderkey % 997L END").as("key"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+          .repartition(8)
+        val dim = s2.range(0L, 997L)
+          .select(col("id").as("key"), (col("id") * 7L % 100L).as("w"))
+        val joined = fact.hint("merge").join(dim, "key")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(col("w") * col("cents")).cast("long").as("sum_wcents"))
+        joined.collect(): Unit // materialize stages so AQE re-plans on stats
+        val p = joined.queryExecution.executedPlan.toString
+        require(p.contains("skew=true"),
+          s"AQE OptimizeSkewedJoin did not engage on the hot-key join:\n$p")
+        require(p.contains("skewed"),
+          s"no skewed AQEShuffleRead in the adaptive plan:\n$p")
+        joined
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN o_orderkey % 4 != 0 THEN 42
+             |              ELSE o_orderkey % 997 END AS key,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |dim AS (SELECT range AS key, range * 7 % 100 AS w FROM range(0, 997))
+             |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(w * cents) AS BIGINT) AS sum_wcents
+             |FROM fact JOIN dim USING (key)""".stripMargin)),
+
     // Bounded cartesian of the two tiny dims.
     QDef(
       "join_cross",

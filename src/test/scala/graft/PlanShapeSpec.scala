@@ -793,6 +793,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
   }
 
+  test("join_skew_aqe: OptimizeSkewedJoin splits the hot partition in the " +
+      "ADAPTIVE final plan — SMJ carries skew=true, the hot side reads skewed") {
+    // The adaptive plan only materializes post-execution; the QDef runs
+    // its own collect() and `require`s the markers, so a mistuned
+    // threshold fails the query itself — this pin re-asserts the shape
+    // from the outside so a silently weakened require cannot pass.
+    val df = SparkEntry.queries("join_skew_aqe")(spark, sf)
+    df.collect(): Unit
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin(skew=true)"),
+      s"skew-split SMJ missing from the adaptive final plan:\n$p")
+    assert(p.contains("skewed"),
+      s"no skewed AQEShuffleRead in the adaptive final plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the skew demonstration degraded to a broadcast join")
+  }
+
   test("table_bloom_index: the declared aggregate scans ONLY the files the " +
       "bloom words admit — fewer than min/max ranges keep on this layout") {
     val df = SparkEntry.queries("table_bloom_index")(spark, sf)
