@@ -498,6 +498,62 @@ object Aggregates {
              |  floor((max(dmag)) * 1e6 + 0.5) / 1e6 AS max_dmag
              |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Multi-band photometry [PK: lightcurator-style curation compares
+    // BANDS — color indices and per-band variability — where lc_features
+    // treats each object as one series]. The fixture derives a
+    // deterministic band from event attributes (event_id parity ≈ the
+    // filter wheel; a real survey carries a band column). Spark-first
+    // shape: the "cross-band join" is CONDITIONAL AGGREGATION — both
+    // bands' statistics and the color index come out of ONE groupBy on
+    // the object key (zero joins, one shuffle; a per-band self-join would
+    // shuffle the curve store twice and meet itself on the same key).
+    // Objects need ≥2 observations per band (color and per-band scatter
+    // undefined below that). At 100 TB this is the same single
+    // object-key shuffle as every lc_* op — band fan-out is map-side
+    // arithmetic, not data movement.
+    QDef(
+      "lc_color",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        def inBand(b: String, c: org.apache.spark.sql.Column) =
+          when(col("band") === b, c)
+        T.events(s, dir)
+          .where(col("value") > 0.0) // mag undefined at flux 0
+          .withColumn("band",
+            expr("CASE WHEN event_id % 2 = 0 THEN 'g' ELSE 'r' END"))
+          .withColumn("mag", expr("graft_mag(value)"))
+          .groupBy("user_id")
+          .agg(
+            count(inBand("g", lit(1))).as("n_g"),
+            count(inBand("r", lit(1))).as("n_r"),
+            rnd(avg(inBand("g", col("mag"))), 6).as("mean_g"),
+            rnd(avg(inBand("r", col("mag"))), 6).as("mean_r"),
+            rnd(avg(inBand("g", col("mag"))) - avg(inBand("r", col("mag"))), 6)
+              .as("color_gr"),
+            rnd(stddev_samp(inBand("g", col("mag"))), 6).as("sd_g"),
+            rnd(stddev_samp(inBand("r", col("mag"))), 6).as("sd_r"))
+          .where(col("n_g") >= 2L && col("n_r") >= 2L)
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_id % 2 = 0 THEN 'g' ELSE 'r' END AS band,
+             |    -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0)
+             |SELECT user_id,
+             |  CAST(count(*) FILTER (WHERE band = 'g') AS BIGINT) AS n_g,
+             |  CAST(count(*) FILTER (WHERE band = 'r') AS BIGINT) AS n_r,
+             |  floor((avg(mag) FILTER (WHERE band = 'g')) * 1e6 + 0.5) / 1e6 AS mean_g,
+             |  floor((avg(mag) FILTER (WHERE band = 'r')) * 1e6 + 0.5) / 1e6 AS mean_r,
+             |  floor((avg(mag) FILTER (WHERE band = 'g')
+             |       - avg(mag) FILTER (WHERE band = 'r')) * 1e6 + 0.5) / 1e6 AS color_gr,
+             |  floor((stddev_samp(mag) FILTER (WHERE band = 'g')) * 1e6 + 0.5) / 1e6 AS sd_g,
+             |  floor((stddev_samp(mag) FILTER (WHERE band = 'r')) * 1e6 + 0.5) / 1e6 AS sd_r
+             |FROM m GROUP BY user_id
+             |HAVING count(*) FILTER (WHERE band = 'g') >= 2
+             |   AND count(*) FILTER (WHERE band = 'r') >= 2
+             |ORDER BY user_id""".stripMargin)),
+
     // Period finding [PK: the reference's core *variable-star* step that
     // lc_features stops short of]: phase-dispersion minimization over a
     // deterministic trial-period grid. Fold each object's series at 24 trial

@@ -192,7 +192,11 @@ class DeterminismSpec extends SparkSpec {
     // the per-file bloom words are bit_or merges over whatever task
     // order staged them, and BOTH pruning decisions plus the safety-law
     // counts must hold under any parallelism of the hash-bucketed write
-    "table_bloom_index")
+    "table_bloom_index",
+    // per-band FP means/scatters from merge-ordered partials feed the
+    // rounded color index — the lc_ensemble bet split across two
+    // conditional-aggregation streams in one groupBy
+    "lc_color")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

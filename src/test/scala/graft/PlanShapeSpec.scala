@@ -793,6 +793,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
   }
 
+  test("lc_color: both bands and the color index ride ONE object-key " +
+      "shuffle — conditional aggregation, never a per-band self-join") {
+    val p = plan("lc_color")
+    assert(!p.contains("Join"), "multi-band photometry degraded to a self-join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one object-key shuffle + the determinism sort), saw $exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      "conditional aggregation lost map-side partials")
+  }
+
   test("join_skew_aqe: OptimizeSkewedJoin splits the hot partition in the " +
       "ADAPTIVE final plan — SMJ carries skew=true, the hot side reads skewed") {
     // The adaptive plan only materializes post-execution; the QDef runs
