@@ -2225,12 +2225,20 @@ object Scans {
       (s, dir) => {
         val root = freshRunTmpPath(s, "graft_binary_")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-        // Stage a small blob store: one file per first-20 document.
+        // Stage a small blob store: one file per first-20 document —
+        // EXECUTOR-SIDE (foreachPartition), so rows never materialize on
+        // the driver and the doc_id bound can widen to any blob-store
+        // size without creating a driver bottleneck (local mode shares
+        // the filesystem; on a cluster this writes to the shared store
+        // the same way).
         T.documents(s, dir).select(col("doc_id"), col("text"))
-          .where(col("doc_id") < 20L).collect().foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(root, f"doc_${r.getLong(0)}%05d.bin"),
-              r.getString(1).getBytes("UTF-8"))
+          .where(col("doc_id") < 20L).foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              it.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(root, f"doc_${r.getLong(0)}%05d.bin"),
+                  r.getString(1).getBytes("UTF-8")): Unit
+              }
           }
         s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
           .load(root)
