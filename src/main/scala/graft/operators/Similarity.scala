@@ -1573,6 +1573,143 @@ object Similarity {
             rnd(col("raw"), 6).as("cos"), col("rank"))
           .orderBy("probe_id", "scope", "rank")
       },
-      Some(ivfProbeOracleSql(Some(graft.GraftConfig.AnnDeltaRem))))
+      Some(ivfProbeOracleSql(Some(graft.GraftConfig.AnnDeltaRem)))),
+
+    // THE ANN INDEX AS A COMMIT-LOG TABLE — the two flagship families
+    // unified: sim_index_maintain's artifacts move from metastore tables
+    // into the transaction log, which buys exactly what it buys for data
+    // tables — TIME-TRAVELABLE index versions (a probe AS OF v1 answers
+    // from the pre-append index — reproducibility for yesterday's dedup
+    // decisions), atomic conflict-checked appends, and vacuum reclaiming
+    // retired refits. Mechanics: day-0 fit commits the centroid artifact
+    // (its own log table) and the cell-assigned codes (range-partitioned
+    // by cell, ONE metadata pass computing per-file cell min/max into the
+    // add-action stats — the log's own file skipping becomes CELL
+    // PRUNING, the log-native analog of the metastore bucket join); the
+    // day-1 delta is assigned against the FROZEN v1 centroids read back
+    // from the log and lands as ONE NON-CONSUMING CHECKED commit
+    // (`commitCheckedNonConsuming`): its read set is the v1 code files,
+    // so a concurrent refit (a replace commit) aborts it instead of
+    // letting incompatible cell geometry in — CommitLogSpec pins both
+    // race orders. The probe prunes files by its cells at BOTH versions:
+    // asof=1 answers from the base-only index, asof=2 adds the 'fresh'
+    // lane — versioning observable in the declared output. At 100 TB:
+    // append = O(delta) files + one commit, probe = O(live files) driver
+    // stats arithmetic + a scan of ~probe-cells files, refit = one atomic
+    // replace whose predecessor the log keeps serving until vacuum.
+    QDef(
+      "sim_index_log",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        val day1 = col("vec_id") % m === r
+        val rootCents = Scans.freshRunTmpPath(s, "graft_annlog_cents_")
+        val root = Scans.freshRunTmpPath(s, "graft_annlog_codes_")
+        // v1: day-0 fit on the base slice; centroids committed to their
+        // own log table (versioned like any data — a refit is a new
+        // version, vacuum reclaims the old artifact when it expires).
+        val base = corpus(s, dir).where(!day1)
+        ivfFit(base, ivfSeeds(s, dir))
+          .write.mode("overwrite").parquet(s"$rootCents/s1")
+        CommitLog.commit(rootCents, 1L, "s1")
+        val cents1 = CommitLog.readAsOf(s, rootCents, 1L)
+        def stageCodes(assigned: DataFrame,
+            sub: String): (Seq[String], Map[String, (Long, Long)]) = {
+          // Range-partitioned by cell so each file covers a contiguous
+          // cell range — the per-file (min, max) stats the probe prunes
+          // on stay tight (hash mixing would widen every range).
+          assigned.repartitionByRange(graft.GraftConfig.IvfCells, col("cell"))
+            .write.mode("overwrite").parquet(s"$root/$sub")
+          val rows = s.read.parquet(s"$root/$sub")
+            .groupBy(col("_metadata.file_path").as("fp"))
+            .agg(min("cell").as("mn"), max("cell").as("mx"))
+            .collect() // O(files) metadata, never rows
+          val stats = rows.map { row =>
+            val abs = row.getString(0)
+            abs.substring(abs.indexOf(root) + root.length + 1) ->
+              (row.getLong(1), row.getLong(2))
+          }.toMap
+          (stats.keys.toSeq.sorted, stats)
+        }
+        val (adds1, stats1) = stageCodes(
+          assignCell(base, "vec_id", "ce", cents1), "s1")
+        CommitLog.commitFiles(root, 1L, adds = adds1, removes = Nil,
+          stats = stats1)
+        // Day 1: assign the delta against the FROZEN v1 centroids (read
+        // from the log, as an ingest job would) and land it as ONE
+        // non-consuming checked commit reading the v1 code files.
+        val (adds2, stats2) = stageCodes(
+          assignCell(corpus(s, dir).where(day1), "vec_id", "ce", cents1), "s2")
+        val v2 = CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
+          reads = CommitLog.filesAsOf(root, 1L),
+          addsKnown = Some(adds2), stats = stats2)
+        require(v2 == 2L, s"append landed at $v2, expected 2")
+        // Probe: cells resolved once (≤5 probes — bounded metadata), then
+        // each version's read opens ONLY the files whose declared cell
+        // range intersects a probe cell.
+        val p = assignCell(probes(s, dir), "probe_id", "pe", cents1)
+        val pcells = p.select("cell").distinct()
+          .collect().map(_.getLong(0)).sorted
+        def prunedRead(v: Long): DataFrame = {
+          val live = CommitLog.filesAsOf(root, v)
+          val files = pcells.toSeq
+            .flatMap(c => CommitLog.filesAsOfPruned(root, v, c, c))
+            .distinct.sorted
+          require(files.size < live.size,
+            s"cell-stats pruning must bite at v$v (kept ${files.size} of ${live.size})")
+          require(files.toSet.subsetOf(live.toSet), "pruned ⊄ live")
+          s.read.parquet(files.map(f => s"$root/$f"): _*)
+        }
+        def scoredAt(v: Long): DataFrame = prunedRead(v)
+          .join(p.hint("merge"), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        def lane(df: DataFrame, asof: Long, scope: String, k: Long) = df
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select(lit(asof).as("idx_v"), col("probe_id"),
+            lit(scope).as("scope"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+        val s2d = scoredAt(2L)
+        lane(scoredAt(1L), 1L, "all", 3L)
+          .unionAll(lane(s2d, 2L, "all", 3L))
+          .unionAll(lane(s2d.where(col("vec_id") % m === r), 2L, "fresh", 1L))
+          .orderBy("idx_v", "probe_id", "scope", "rank")
+      },
+      Some {
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        ivfChainSql(Some(r)) + s""",
+          |scored1 AS MATERIALIZED (
+          |  SELECT probe_id, cell, vec_id, ${cosSql("pe", "ce")} AS raw
+          |  FROM c JOIN p USING (cell) WHERE probe_id <> vec_id),
+          |ranked1 AS (
+          |  SELECT probe_id, cell, vec_id, raw,
+          |    row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY raw DESC, vec_id ASC) AS rank
+          |  FROM scored1),
+          |fresh AS (
+          |  SELECT probe_id, cell, vec_id, raw,
+          |    row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY raw DESC, vec_id ASC) AS rank
+          |  FROM scored WHERE vec_id % $m = $r)
+          |SELECT idx_v, probe_id, scope, cell, vec_id, cos, rank FROM (
+          |  SELECT CAST(1 AS BIGINT) AS idx_v, probe_id, 'all' AS scope, cell,
+          |    vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+          |  FROM ranked1 WHERE rank <= 3
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), probe_id, 'all', cell, vec_id,
+          |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+          |  FROM ranked WHERE rank <= 3
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), probe_id, 'fresh', cell, vec_id,
+          |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+          |  FROM fresh WHERE rank = 1)
+          |ORDER BY idx_v, probe_id, scope, rank""".stripMargin
+      })
   )
 }

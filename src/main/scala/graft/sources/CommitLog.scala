@@ -204,7 +204,8 @@ object CommitLog {
       removes: Seq[String] = Nil,
       addsKnown: Option[Seq[String]] = None,
       ts: Long = -1L,
-      txn: String = ""): Boolean = {
+      txn: String = "",
+      stats: Map[String, (Long, Long)] = Map.empty): Boolean = {
     val adds = addsKnown.map(_.sorted).getOrElse(withList(Paths.get(root, genDir)) {
       _.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -212,7 +213,7 @@ object CommitLog {
         .map(n => s"$genDir/$n")
     })
     val won = publishLogFile(root, f"$version%08d.json",
-      commitJson(version, adds, removes, stampFor(root, ts), txn))
+      commitJson(version, adds, removes, stampFor(root, ts), txn, stats = stats))
     if (won && version % CheckpointInterval == 0) writeCheckpoint(root, version)
     won
   }
@@ -392,6 +393,51 @@ object CommitLog {
             "aborting instead of resurrecting rewritten files")
       attempts += 1
       v = math.max(v + 1L, latest + 1L)
+    }
+    throw new IllegalStateException(
+      s"commit on $root lost $maxAttempts straight races — giving up")
+  }
+
+  /** [[commitChecked]] with a NON-CONSUMING read set — the optimistic-
+    * transaction shape for a commit whose adds are only VALID while the
+    * files it read stay live, without removing them: an ANN delta assigned
+    * against the standing index's frozen geometry appends alongside the
+    * base code files it read, but must ABORT if a concurrent refit
+    * replaced them (its cell assignments would land in incompatible
+    * geometry — silent wrong neighbors, not a crash). Same arbitration as
+    * [[commitChecked]]: lose the version race, re-validate that nothing
+    * in the read set was removed between the read snapshot and the
+    * current tip, retry above; the refit side needs no special handling —
+    * a replace commit whose removes resolve AT LANDING TIME
+    * ([[commitRetrying]] with `removesAsOf`) atomically retires any
+    * interleaved append along with the base (CommitLogSpec pins both
+    * orders). */
+  def commitCheckedNonConsuming(root: String, genDir: String,
+      readVersion: Long, reads: Seq[String],
+      addsKnown: Option[Seq[String]] = None, maxAttempts: Int = 64,
+      stats: Map[String, (Long, Long)] = Map.empty): Long = {
+    val readSet = reads.toSet
+    var v = readVersion + 1L
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      // Validate BEFORE the attempt too: winning the next version number
+      // must not publish a delta whose geometry a landed refit already
+      // retired.
+      val latest = latestVersion(root)
+      val conflicting = removedBetween(root, readVersion, latest)
+        .intersect(readSet)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"non-consuming commit on $root read snapshot $readVersion but " +
+            s"concurrent commits (through $latest) removed " +
+            s"${conflicting.size} file(s) of its read set (e.g. " +
+            s"${conflicting.toSeq.sorted.head}) — the adds were derived " +
+            "from retired state, aborting")
+      if (tryCommit(root, v, genDir, removes = Nil, addsKnown = addsKnown,
+          stats = stats))
+        return v
+      attempts += 1
+      v = math.max(v + 1L, latestVersion(root) + 1L)
     }
     throw new IllegalStateException(
       s"commit on $root lost $maxAttempts straight races — giving up")

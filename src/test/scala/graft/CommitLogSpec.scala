@@ -702,6 +702,66 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("ANN index refit vs append arbitration: a non-consuming append whose " +
+      "read set a refit retired ABORTS (incompatible geometry never lands); " +
+      "a refit landing after an append atomically retires the delta too") {
+    // The sim_index_log protocol reduced to its log actions: base code
+    // files at v1, an 'append' = commitCheckedNonConsuming reading them,
+    // a 'refit' = replace commit whose removes resolve at landing time.
+    val root = Files.createTempDirectory("graft_annarb").toString
+    val s0 = spark
+    import s0.implicits._
+    def stage(gen: String, keys: Seq[Long]): Seq[String] = {
+      keys.map(k => (k, k * 1.0)).toDF("vec_id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")
+          && !Paths.get(p).getFileName.toString.startsWith("."))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).sorted.toSeq
+    }
+    val base = stage("s1", Seq(1L, 2L))
+    CommitLog.commitFiles(root, 1L, adds = base, removes = Nil)
+    // ORDER A: the refit lands first (replace commit, removes = live at
+    // landing), then the append — whose read snapshot predates the refit —
+    // must abort: its cell assignments were derived from retired geometry.
+    val refitA = stage("s2", Seq(10L, 20L))
+    val vA = CommitLog.commitRetrying(root, "s2",
+      removesAsOf = v => CommitLog.filesAsOf(root, v - 1L),
+      addsKnown = Some(refitA))
+    assert(vA === 2L)
+    val deltaA = stage("d1", Seq(3L))
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitCheckedNonConsuming(root, "d1", 1L,
+        reads = base, addsKnown = Some(deltaA))
+    }
+    // Nothing of the aborted append is visible; the refit serves alone.
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet === refitA.toSet)
+    // ORDER B: an append lands first (reads the refit-A files), then a
+    // refit whose removes resolve AT LANDING retires base AND delta in
+    // one atomic action list — no stale-geometry rows survive it.
+    val deltaB = stage("d2", Seq(30L))
+    val vB = CommitLog.commitCheckedNonConsuming(root, "d2", vA,
+      reads = refitA, addsKnown = Some(deltaB))
+    assert(vB === 3L)
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet
+      === (refitA ++ deltaB).toSet)
+    val refitB = stage("s3", Seq(100L, 200L))
+    val vC = CommitLog.commitRetrying(root, "s3",
+      removesAsOf = v => CommitLog.filesAsOf(root, v - 1L),
+      addsKnown = Some(refitB))
+    assert(vC === 4L)
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet === refitB.toSet,
+      "an interleaved append must not survive a landing-time-resolved refit")
+    // Time travel still serves every retired index version…
+    assert(CommitLog.filesAsOf(root, vB).toSet === (refitA ++ deltaB).toSet)
+    assert(CommitLog.filesAsOf(root, 1L).toSet === base.toSet)
+    // …until vacuum reclaims the refit-retired artifacts.
+    CommitLog.vacuum(root, 0L)
+    base.foreach(f => assert(!Files.exists(Paths.get(root, f)),
+      s"retired base file $f must be reclaimed"))
+    refitB.foreach(f => assert(Files.exists(Paths.get(root, f))))
+  }
+
   test("file skipping: stat-less files are never pruned, boundaries are " +
       "inclusive, a stat-less re-add clears stats, and stats survive " +
       "checkpoint resolution") {

@@ -196,7 +196,12 @@ class DeterminismSpec extends SparkSpec {
     // per-band FP means/scatters from merge-ordered partials feed the
     // rounded color index — the lc_ensemble bet split across two
     // conditional-aggregation streams in one groupBy
-    "lc_color")
+    "lc_color",
+    // the sim_ivf bet through the log surface: Lloyd centroid means,
+    // rounded-cosine rank boundaries in three lanes, AND the per-file
+    // cell stats + pruning decisions must hold under any parallelism of
+    // the range-partitioned code write
+    "sim_index_log")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
