@@ -56,7 +56,10 @@ object StreamingOps {
 
     // Session windows: 30-minute-gap sessionization per user. Batch form =
     // lag-gap flag + running sum (ANSI in both engines); the streaming form
-    // is session_window(ts, '30 minutes') over the same column.
+    // is session_window(ts, '30 minutes') over the same column —
+    // StreamingSpec runs that NATIVE form (built-in session state, append
+    // mode, watermark-flushed) against these exact expressions and pins
+    // row parity on a boundary-exercising fixture.
     QDef(
       "stream_session",
       (s, dir) => {

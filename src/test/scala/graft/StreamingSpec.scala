@@ -63,6 +63,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("native session_window ≡ stream_session's declared lag-gap batch " +
+      "form: the built-in session state produces the same sessions the " +
+      "batch expressions define (completing the built-in-state matrix)") {
+    implicit val sqlCtx = spark.sqlContext
+    def sec(n: Long) = new Timestamp(n * 1000L)
+    // Boundary-exercising gaps on BOTH sides of 1800s (1799 merges, 1801+
+    // splits — in both forms). The exact-1800 point is deliberately
+    // absent: the lag form's `> 1800` keeps it, the half-open
+    // session_window boundary is engine-defined — a fixture pinning an
+    // agreement that does not exist would be a lie.
+    val data = Seq[(Long, Long, Timestamp)](
+      (1L, 1L, sec(0L)), (1L, 2L, sec(600L)), (1L, 3L, sec(2399L)), // 1 session
+      (1L, 4L, sec(6000L)),                                         // gap 3601
+      (2L, 5L, sec(100L)))
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = mem.toDF().toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("sess_start_sec"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("dur_sec"))
+      .select(col("user_id"), col("sess_start_sec"), col("dur_sec"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sessw_test")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    // Append mode emits a session once the watermark passes its close; a
+    // far-future sentinel (second batch, so the watermark advances past
+    // every real session) flushes them — the tws-timers drain discipline.
+    mem.addData((999L, 99L, sec(1000000L)))
+    q.processAllAvailable()
+    val streamed = spark.table("sessw_test").where(col("user_id") < 999L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    // The DECLARED batch form's expressions (stream_session) on the same
+    // rows — lag-gap flag + running sum, sessions keyed by start second.
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = data.toDF("user_id", "event_id", "ts")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800L, 1L)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "sess_id")
+      .agg(min("sec").as("sess_start_sec"),
+        (max("sec") - min("sec")).as("dur_sec"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start_sec"), col("dur_sec"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"native session_window diverged from the declared lag-gap form:\n" +
+        s"stream=$streamed\nbatch=$batch")
+    assert(streamed === Set((1L, 0L, 2399L, 3L), (1L, 6000L, 0L, 1L),
+      (2L, 100L, 0L, 1L)))
+  }
+
   test("stream_pctile: streamed DDSketch + estimate ≡ batch form on the fixture") {
     // Complete-mode streaming aggregation over the file-replay source must
     // drain to the SAME bucket counts the batch groupBy computes, so the
