@@ -101,6 +101,57 @@ object StreamingOps {
              |FROM sess GROUP BY user_id, sess_id
              |ORDER BY user_id, sess_id""".stripMargin)),
 
+    // The SAME sessionization through Spark's NATIVE session_window
+    // operator — a genuinely different engine path from stream_session's
+    // hand-rolled lag-gap windows: the planner's SessionWindow node
+    // assigns each event [t, t+gap) and MERGES overlapping-or-touching
+    // spans per key (a next-start equal to the current end merges —
+    // probed empirically — which is exactly the lag form's strict
+    // `> 1800` split convention, so the two share one oracle at every
+    // boundary). This is the form that promotes to streaming unchanged
+    // (StreamingSpec runs it under append mode with built-in session
+    // state and pins parity against the lag form). session_window carries
+    // no ordinal, so the output keys sessions by their start second.
+    // At 100 TB both forms cost one user-key shuffle; the native operator
+    // additionally ports to the incremental-state streaming runtime for
+    // free, which the lag form never can (running sums don't checkpoint).
+    QDef(
+      "stream_session_native",
+      (s, dir) =>
+        T.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+          // session_window compares RAW timestamps; the oracle's lag form
+          // compares floored seconds. A 1800.0004s raw gap would split
+          // natively but merge at second granularity — sessionize on the
+          // same second grid both engines see (the fixture carries micros).
+          .groupBy(col("user_id"),
+            session_window(timestamp_seconds(col("sec")), "30 minutes"))
+          .agg(min("sec").as("sess_start_sec"),
+            (max("sec") - min("sec")).as("dur_sec"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("sess_start_sec"), col("dur_sec"),
+            col("n_events"))
+          .orderBy("user_id", "sess_start_sec"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, sec,
+             |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+             |         WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sess AS (
+             |  SELECT user_id, sec,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM flagged)
+             |SELECT user_id,
+             |  min(sec) AS sess_start_sec,
+             |  max(sec) - min(sec) AS dur_sec,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_start_sec""".stripMargin)),
+
     // Stateful dedup, batch form: first event per (user_id, event_type) —
     // the semantics dropDuplicatesWithinWatermark enforces incrementally.
     QDef(

@@ -804,6 +804,18 @@ class PlanShapeSpec extends SparkSpec {
       "conditional aggregation lost map-side partials")
   }
 
+  test("stream_session_native: the planner's MergingSessions operator owns " +
+      "the session merge — one key shuffle, no join, no hand-rolled window") {
+    val p = plan("stream_session_native")
+    assert(p.contains("MergingSessions"),
+      s"native session windowing lost the MergingSessions operator:\n$p")
+    assert(!p.contains("Join"), "session merge degraded to a join")
+    assert(!p.contains("\bWindow\b"), "native form must not fall back to lag windows")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one key shuffle + the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("join_skew_aqe: OptimizeSkewedJoin splits the hot partition in the " +
       "ADAPTIVE final plan — SMJ carries skew=true, the hot side reads skewed") {
     // The adaptive plan only materializes post-execution; the QDef runs

@@ -68,15 +68,16 @@ class StreamingSpec extends SparkSpec {
       "batch expressions define (completing the built-in-state matrix)") {
     implicit val sqlCtx = spark.sqlContext
     def sec(n: Long) = new Timestamp(n * 1000L)
-    // Boundary-exercising gaps on BOTH sides of 1800s (1799 merges, 1801+
-    // splits — in both forms). The exact-1800 point is deliberately
-    // absent: the lag form's `> 1800` keeps it, the half-open
-    // session_window boundary is engine-defined — a fixture pinning an
-    // agreement that does not exist would be a lie.
+    // Boundary-exercising gaps on ALL THREE sides of 1800s: 1799 merges,
+    // 1801+ splits, and the EXACT-1800 point merges in BOTH forms —
+    // session_window treats a next-start equal to the current end as
+    // overlap (probed empirically), matching the lag form's strict
+    // `> 1800` split. user 3 pins that boundary agreement.
     val data = Seq[(Long, Long, Timestamp)](
       (1L, 1L, sec(0L)), (1L, 2L, sec(600L)), (1L, 3L, sec(2399L)), // 1 session
       (1L, 4L, sec(6000L)),                                         // gap 3601
-      (2L, 5L, sec(100L)))
+      (2L, 5L, sec(100L)),
+      (3L, 6L, sec(0L)), (3L, 7L, sec(1800L)))                      // exact gap
     val mem = MemoryStream[(Long, Long, Timestamp)]
     val q = mem.toDF().toDF("user_id", "event_id", "ts")
       .withWatermark("ts", "0 seconds")
@@ -124,7 +125,7 @@ class StreamingSpec extends SparkSpec {
       s"native session_window diverged from the declared lag-gap form:\n" +
         s"stream=$streamed\nbatch=$batch")
     assert(streamed === Set((1L, 0L, 2399L, 3L), (1L, 6000L, 0L, 1L),
-      (2L, 100L, 0L, 1L)))
+      (2L, 100L, 0L, 1L), (3L, 0L, 1800L, 2L)))
   }
 
   test("stream_pctile: streamed DDSketch + estimate ≡ batch form on the fixture") {
