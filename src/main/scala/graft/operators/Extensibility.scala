@@ -105,6 +105,53 @@ object Extensibility {
              |  FROM generate_series(20000, 59999) t(i))
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // The connector REPORTS STATISTICS (SupportsReportStatistics,
+    // sources/FrameCatalogSource.scala): the estimate reflects the
+    // PUSHED-DOWN window — a million-row catalog narrowed to 512 ids
+    // reports ~24 KB — so Catalyst broadcasts the V2 side STATICALLY, with
+    // no hint. The distinction from AQE's runtime SMJ→BHJ conversion is
+    // `require`d on the INITIAL plan (pre-execution): AQE only converts
+    // after the fact side's shuffle map stage has been paid; reported
+    // stats eliminate that shuffle write entirely, which at 100 TB is the
+    // whole cost of joining a big fact to a connector-backed dimension.
+    QDef(
+      "scan_v2_stats",
+      (s, dir) => {
+        val dim = s.read.format("graft.sources.FrameCatalogSource")
+          .option("frames", "1000000").option("slice", "8192")
+          .load()
+          .where(col("frame_id") >= 100000L && col("frame_id") < 100512L)
+          .select("frame_id", "band", "zp_milli")
+        val fact = T.orders(s, dir)
+          .select((col("o_orderkey") % 512L + 100000L).as("frame_id"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+        val joined = fact.join(dim, "frame_id") // NO broadcast hint
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum("cents").cast("long").as("sum_cents"),
+            sum("zp_milli").cast("long").as("sum_zp"))
+          .orderBy("band")
+        val p = joined.queryExecution.executedPlan.toString
+        require(p.contains("BroadcastHashJoin"),
+          s"reported V2 statistics did not drive a STATIC broadcast:\n$p")
+        require(p.contains("GraftFrameCatalogScan lo=100000 hi=100512"),
+          s"the statistic must be computed over the PUSHED window:\n$p")
+        joined
+      },
+      Some("""WITH f AS (
+             |  SELECT i AS frame_id,
+             |    ['u', 'g', 'r', 'i', 'z'][CAST(i % 5 AS INT) + 1] AS band,
+             |    25000 + (i * 2654435761) % 500 AS zp_milli
+             |  FROM generate_series(100000, 100511) t(i)),
+             |fact AS (
+             |  SELECT o_orderkey % 512 + 100000 AS frame_id,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT band, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(zp_milli) AS BIGINT) AS sum_zp
+             |FROM fact JOIN f USING (frame_id)
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // The connector's AGGREGATE pushdown (SupportsPushDownAggregates,
     // sources/FrameCatalogSource.scala): this rollup is answered COMPLETELY
     // by the source — count/min/max per band are interval arithmetic over

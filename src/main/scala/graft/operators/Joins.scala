@@ -526,6 +526,48 @@ object Joins {
              |FROM events e JOIN dim d ON e.event_type = d.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    // NULL-SAFE equi-join (`<=>` / ANSI IS NOT DISTINCT FROM): NULL join
+    // keys MATCH each other instead of silently dropping — the semantics a
+    // curation pipeline needs when "unknown" is itself a join category
+    // (unattributed events rolling up to an 'unknown' dim row; a plain
+    // equi-join would lose every such row and the totals would silently
+    // shrink). Spark plans EqualNullSafe as a true EQUI join key (the
+    // comparison compiles to a null-coalesced hash key), so this stays a
+    // hash/sort-merge join — PlanShapeSpec pins that it never degrades to
+    // the nested-loop a theta-join ON clause would cost. At 100 TB:
+    // identical shuffle economics to join_inner_eq; the NULL key is one
+    // more hash bucket (skew-manageable like any hot key if 'unknown'
+    // dominates — join_skew_aqe's territory).
+    QDef(
+      "join_null_safe",
+      (s, dir) => {
+        val fact = T.orders(s, dir)
+          .select(
+            expr("CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS BIGINT) " +
+              "ELSE o_orderkey % 5 END").as("k"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+        val dim = s.range(0L, 5L).select(col("id").as("k"))
+          .unionAll(s.range(0L, 1L).select(lit(null).cast("long").as("k")))
+          .withColumn("label",
+            coalesce(concat(lit("seg_"), col("k")), lit("unknown")))
+        fact.join(dim, fact("k") <=> dim("k"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+          .orderBy("label")
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |              ELSE o_orderkey % 5 END AS k,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |dim AS (
+             |  SELECT k, coalesce('seg_' || k, 'unknown') AS label FROM (
+             |    SELECT range AS k FROM range(0, 5)
+             |    UNION ALL SELECT NULL))
+             |SELECT label, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.k
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
     // ENGINE-NATIVE skew handling — the companion to join_skew_salted: at
     // 100 TB the production lever is AQE's OptimizeSkewedJoin, which
     // detects a hot reduce partition from the materialized map-output

@@ -204,6 +204,64 @@ object Scans {
              |FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // DYNAMIC PARTITION OVERWRITE — the lakehouse revision write mode
+    // sink_partitioned stops short of: mode("overwrite") with
+    // partitionOverwriteMode=dynamic replaces ONLY the partitions the
+    // incoming frame touches; static overwrite (the default) would wipe
+    // the whole table first. The fixture writes a 4-partition base, then
+    // overwrites a revised slice touching partitions {1,2}: the
+    // UNTOUCHED partitions must survive with their ORIGINAL FILES —
+    // `require`d on the physical file lists, not just row counts (a
+    // rewrite-everything implementation could fake the rows but not the
+    // files) — and the read-back merges revised and original rows. Per
+    // write, not per session: the writer OPTION scopes the mode, nothing
+    // leaks. At 100 TB this is the daily-restate pattern: revising two
+    // hot days costs two directories of I/O, not a table rewrite, and
+    // concurrent readers of untouched partitions never see churn.
+    QDef(
+      "sink_partition_overwrite",
+      (s, dir) => {
+        val out = freshRunTmpPath(s, "graft_sink_dpo_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"),
+            (col("o_orderkey") % 4L).as("g"))
+        o.write.mode("overwrite").partitionBy("g").parquet(out)
+        def filesOf(g: Long): Set[String] = {
+          val d = java.nio.file.Paths.get(out, s"g=$g")
+          val st = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSet
+          } finally st.close()
+        }
+        val before = Map(0L -> filesOf(0L), 1L -> filesOf(1L), 3L -> filesOf(3L))
+        // The revision: partitions 1 and 2 restated with corrected cents.
+        o.where(col("g").isin(1L, 2L))
+          .withColumn("cents", col("cents") + 1000L)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("g").parquet(out)
+        // Untouched partitions kept their PHYSICAL files; touched did not.
+        require(filesOf(0L) == before(0L) && filesOf(3L) == before(3L),
+          "dynamic overwrite rewrote an untouched partition")
+        require(filesOf(1L).nonEmpty && filesOf(1L) != before(1L),
+          "touched partition must have been replaced with new files")
+        s.read.parquet(out)
+          .groupBy(col("g").cast("long").as("g"))
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+          .orderBy("g")
+      },
+      Some("""SELECT g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM (
+             |  SELECT o_orderkey % 4 AS g,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+             |      + CASE WHEN o_orderkey % 4 IN (1, 2) THEN 1000 ELSE 0 END
+             |      AS cents
+             |  FROM orders)
+             |GROUP BY g ORDER BY g""".stripMargin)),
+
     // Parquet schema evolution: two file generations under one root — v=1
     // written before a column existed, v=2 with it — read back with
     // mergeSchema: the unioned schema appears, old rows carry NULL for the

@@ -378,9 +378,27 @@ private class FrameStepReaderFactory(fields: Array[String])
 
 private class FrameCatalogScan(lo: Long, hi: Long, slice: Long,
     required: StructType, arrive: Long = 8192L) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- Statistics (SupportsReportStatistics) ---------------------------
+  // Reported AFTER pushdown — the row count is the pushed [lo, hi) window,
+  // not the table, so a query that narrows a billion-row catalog to a few
+  // hundred ids reports KB, and Catalyst broadcasts that side STATICALLY.
+  // Without this, a V2 relation defaults to defaultSizeInBytes ("assume
+  // huge") and the join plans as a sort-merge: AQE would convert it to a
+  // broadcast at runtime, but only after the fact side's shuffle map
+  // stage has already been paid — reported stats save the shuffle WRITE,
+  // which at 100 TB is the whole cost. ~48 B/row is honest for the
+  // 5-column frame row; only the order of magnitude steers planning.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * 48L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   // Streaming shares the batch scan's pushed [lo, hi) window, slice
   // geometry, and reader factory — the stream is the batch read paced by
   // admission control, nothing else.

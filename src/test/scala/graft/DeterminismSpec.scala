@@ -201,7 +201,11 @@ class DeterminismSpec extends SparkSpec {
     // rounded-cosine rank boundaries in three lanes, AND the per-file
     // cell stats + pruning decisions must hold under any parallelism of
     // the range-partitioned code write
-    "sim_index_log")
+    "sim_index_log",
+    // the physical-file requires (untouched partitions keep their files,
+    // touched are replaced) and the merged rollup must hold under any
+    // write parallelism of both generations
+    "sink_partition_overwrite")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -804,6 +804,15 @@ class PlanShapeSpec extends SparkSpec {
       "conditional aggregation lost map-side partials")
   }
 
+  test("join_null_safe: EqualNullSafe stays a TRUE equi-join key — " +
+      "hash/sort-merge, never the nested loop a theta clause would cost") {
+    val p = plan("join_null_safe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join degraded to a non-equi strategy:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"no equi-join operator:\n$p")
+  }
+
   test("stream_session_native: the planner's MergingSessions operator owns " +
       "the session merge — one key shuffle, no join, no hand-rolled window") {
     val p = plan("stream_session_native")
