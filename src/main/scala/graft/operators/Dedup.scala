@@ -447,6 +447,103 @@ object Dedup {
              |      FROM documents)
              |GROUP BY norm ORDER BY norm""".stripMargin)),
 
+    // URL-CANONICALIZATION dedup — the standard first pass of web-crawl
+    // curation (CCNet/RefinedWeb-style): the same page arrives under
+    // case-varied hosts, default ports, trailing slashes, tracking
+    // parameters, and fragments; canonicalize, THEN exact-dup on the
+    // canonical form. The fixture synthesizes six deterministic URL
+    // variants per document sextet (the documents table carries no URL —
+    // same synthesis discipline as every fixture-derived column); the
+    // canonicalizer is a pure string-expression chain (lowercased
+    // scheme+host, :443 stripped, fragment dropped, utm_* params
+    // filtered at the PARAMETER level so real params like ?page=2
+    // survive, trailing slash trimmed) that runs codegen'd — no UDF —
+    // and identically in DuckDB (substr-based prefix test; LIKE would
+    // wildcard the underscore). Output: per-source URL/canonical/dupe
+    // counts. At 100 TB this is a map-side expression + one groupBy on
+    // the canonical key — the cheapest dedup pass there is, which is why
+    // production pipelines run it before any MinHash.
+    QDef(
+      "dedup_url",
+      (s, dir) => {
+        val urlExpr =
+          """CASE CAST(doc_id % 6 AS INT)
+            |  WHEN 0 THEN concat('https://site', (doc_id div 6) % 7, '.example.com/d/', doc_id div 6)
+            |  WHEN 1 THEN concat('HTTPS://SITE', (doc_id div 6) % 7, '.EXAMPLE.COM/d/', doc_id div 6)
+            |  WHEN 2 THEN concat('https://site', (doc_id div 6) % 7, '.example.com/d/', doc_id div 6,
+            |                     '?utm_source=news&utm_medium=email')
+            |  WHEN 3 THEN concat('https://site', (doc_id div 6) % 7, '.example.com/d/', doc_id div 6, '/')
+            |  WHEN 4 THEN concat('https://site', (doc_id div 6) % 7, '.example.com:443/d/', doc_id div 6)
+            |  ELSE concat('https://site', (doc_id div 6) % 7, '.example.com/d/', doc_id div 6,
+            |              '?page=2#frag')
+            |END""".stripMargin
+        val canonExpr =
+          """concat(
+            |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+            |  regexp_replace(
+            |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+            |    ':443$', ''),
+            |  regexp_replace(
+            |    regexp_extract(regexp_replace(url, '#.*$', ''),
+            |      '^[A-Za-z]+://[^/?#]+([^?]*)', 1),
+            |    '/$', ''),
+            |  CASE WHEN array_join(
+            |      filter(split(regexp_extract(regexp_replace(url, '#.*$', ''),
+            |        '[?](.*)$', 1), '&'),
+            |        p -> substr(p, 1, 4) != 'utm_'), '&') != ''
+            |    THEN concat('?', array_join(
+            |      filter(split(regexp_extract(regexp_replace(url, '#.*$', ''),
+            |        '[?](.*)$', 1), '&'),
+            |        p -> substr(p, 1, 4) != 'utm_'), '&'))
+            |    ELSE '' END)""".stripMargin
+        T.documents(s, dir)
+          .withColumn("url", expr(urlExpr))
+          .withColumn("canon", expr(canonExpr))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("cnt").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("cnt").cast("long").as("n_urls"))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 6 AS INT)
+             |      WHEN 0 THEN concat('https://site', (doc_id // 6) % 7, '.example.com/d/', doc_id // 6)
+             |      WHEN 1 THEN concat('HTTPS://SITE', (doc_id // 6) % 7, '.EXAMPLE.COM/d/', doc_id // 6)
+             |      WHEN 2 THEN concat('https://site', (doc_id // 6) % 7, '.example.com/d/', doc_id // 6,
+             |                         '?utm_source=news&utm_medium=email')
+             |      WHEN 3 THEN concat('https://site', (doc_id // 6) % 7, '.example.com/d/', doc_id // 6, '/')
+             |      WHEN 4 THEN concat('https://site', (doc_id // 6) % 7, '.example.com:443/d/', doc_id // 6)
+             |      ELSE concat('https://site', (doc_id // 6) % 7, '.example.com/d/', doc_id // 6,
+             |                  '?page=2#frag')
+             |    END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT concat(
+             |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+             |    regexp_replace(
+             |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             |      ':443$', ''),
+             |    regexp_replace(
+             |      regexp_extract(regexp_replace(url, '#.*$', ''),
+             |        '^[A-Za-z]+://[^/?#]+([^?]*)', 1),
+             |      '/$', ''),
+             |    CASE WHEN array_to_string(
+             |        list_filter(string_split(regexp_extract(
+             |          regexp_replace(url, '#.*$', ''), '[?](.*)$', 1), '&'),
+             |          p -> substr(p, 1, 4) != 'utm_'), '&') != ''
+             |      THEN concat('?', array_to_string(
+             |        list_filter(string_split(regexp_extract(
+             |          regexp_replace(url, '#.*$', ''), '[?](.*)$', 1), '&'),
+             |          p -> substr(p, 1, 4) != 'utm_'), '&'))
+             |      ELSE '' END) AS canon
+             |  FROM u),
+             |g AS (SELECT canon, count(*) AS cnt FROM c GROUP BY canon)
+             |SELECT cnt AS cluster_size, count(*) AS n_clusters,
+             |  CAST(sum(cnt) AS BIGINT) AS n_urls
+             |FROM g GROUP BY cnt ORDER BY cluster_size""".stripMargin)),
+
     // MinHash + LSH: 6 minhashes per doc, 3 bands × 2 rows → candidate
     // pairs where BOTH hashes of some band collide (r=2 keeps per-band
     // bucket populations small, so the band self-join stays linear — r=1
