@@ -98,6 +98,33 @@ class V2SourceSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("reported statistics: the estimate reflects the PUSHED window and a " +
+      "no-hint join against a narrowed slice broadcasts STATICALLY") {
+    // The logical stats of the V2 relation must be the post-pushdown
+    // window, not the table: a 100k-row catalog narrowed to 300 ids
+    // should read as ~300 rows / ~14 KB to the planner.
+    val dim = table
+      .where(col("frame_id") >= 5000L && col("frame_id") < 5300L)
+      .select("frame_id", "band")
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.longValue === 300L),
+      s"reported numRows must be the pushed window (got ${stats.rowCount})")
+    assert(stats.sizeInBytes.longValue < 1000000L,
+      s"reported sizeInBytes must be window-scaled (got ${stats.sizeInBytes})")
+    // …which is what lets Catalyst broadcast the connector side with NO
+    // hint in the INITIAL plan (AQE's runtime conversion would only fire
+    // after the other side's shuffle map stage was already paid).
+    val s0 = spark
+    import s0.implicits._
+    val fact = s0.range(0L, 50000L)
+      .select((col("id") % 300L + 5000L).as("frame_id"), col("id").as("v"))
+    val p = fact.join(dim, "frame_id")
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"reported stats did not drive a static broadcast:\n$p")
+  }
+
   test("storage-partitioned join: co-partitioned banded scans join with no exchange") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
