@@ -205,7 +205,11 @@ class DeterminismSpec extends SparkSpec {
     // the physical-file requires (untouched partitions keep their files,
     // touched are replaced) and the merged rollup must hold under any
     // write parallelism of both generations
-    "sink_partition_overwrite")
+    "sink_partition_overwrite",
+    // the join_asof_nearest merge-order bet feeding FP color statistics:
+    // both window captures' struct tie-breaks and the rounded per-object
+    // min/max/mean must hold under any partitioning
+    "lc_color_epoch")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -793,6 +793,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "rollup lost map-side partial aggregation")
   }
 
+  test("lc_color_epoch: both nearest-capture windows AND the per-object " +
+      "rollup ride ONE object-key shuffle — never a band self-join, never " +
+      "an UNBOUNDED FOLLOWING frame") {
+    val p = plan("lc_color_epoch")
+    assert(!p.contains("Join"), "epoch color pairing degraded to a band self-join")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 Windows (backward + reversed-forward capture), saw $windows:\n$p")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"forward capture regressed to the O(partition²) frame:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"expected 2 Exchanges (one object-key shuffle + the determinism sort), saw $exchanges:\n$p")
+  }
+
   test("lc_color: both bands and the color index ride ONE object-key " +
       "shuffle — conditional aggregation, never a per-band self-join") {
     val p = plan("lc_color")
