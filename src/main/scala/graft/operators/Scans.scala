@@ -717,6 +717,81 @@ object Scans {
     // Delta/Iceberg commit shape; sources/CommitLog.scala), then the
     // table reconstructed AS OF each version BY THE LOG: the as-of file
     // list is resolved from commits ≤ v (driver-side metadata, KBs — the
+    // DESCRIBE HISTORY — the table's audit surface (Delta's DESCRIBE
+    // HISTORY reduced to the log essentials): one row per commit with the
+    // in-commit timestamp, action counts, the txn marker where a writer
+    // stamped one, and the running live-file count. Everything resolves
+    // from the commitInfo HEAD LINES only — O(commits) driver metadata,
+    // never an action list, never a data file — which is why auditing a
+    // 100 TB table costs KB. The schedule exercises the three commit
+    // kinds (append, compaction with removes, txn-stamped ingest), each
+    // count derived from fixed arithmetic the oracle recomputes, and the
+    // load-bearing require ties the ledger to REALITY: the log's own
+    // snapshot resolution must agree with the history's cumulative
+    // add−remove arithmetic.
+    QDef(
+      "table_history",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_history_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        def stage(v: Long, nFiles: Int): Seq[String] = {
+          o.where(col("key") % 6L === (v - 1L) % 6L).repartition(nFiles)
+            .write.mode("overwrite").parquet(s"$root/s$v")
+          val d = java.nio.file.Paths.get(s"$root/s$v")
+          val st = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+              .map(n => s"s$v/$n").toVector.sorted
+          } finally st.close()
+        }
+        // v1..v4: appends of (v % 3) + 1 files at stamp v·1000.
+        val gens = (1L to 4L).map { v =>
+          val adds = stage(v, ((v % 3L) + 1L).toInt)
+          CommitLog.commitFiles(root, v, adds = adds, removes = Nil,
+            ts = v * 1000L)
+          v -> adds
+        }.toMap
+        // v5: compaction — one file replaces v1's two.
+        CommitLog.commitFiles(root, 5L, adds = stage(5L, 1),
+          removes = gens(1L), ts = 5000L)
+        // v6: a txn-stamped ingest (the exactly-once writer's shape).
+        require(CommitLog.tryCommit(root, 6L, "s6",
+          addsKnown = Some(stage(6L, 1)), ts = 6000L, txn = "ingest/42"),
+          "single-writer v6 commit lost a race on a fresh root")
+        val h = CommitLog.history(root)
+        require(h.map(_._1) == (1L to 6L), s"history out of order: $h")
+        require(h.map(_._2) == (1L to 6L).map(_ * 1000L),
+          "in-commit timestamps must surface exactly")
+        import s.implicits._
+        val hdf = h.toDF("version", "ts", "n_adds", "n_removes", "txn")
+        val W = org.apache.spark.sql.expressions.Window.orderBy("version")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val out = hdf.withColumn("n_live",
+          sum(col("n_adds") - col("n_removes")).over(W).cast("long"))
+          .orderBy("version")
+        // The ledger must agree with the log's OWN snapshot resolution.
+        require(CommitLog.filesAsOf(root, Long.MaxValue).size.toLong ==
+          out.agg(max("n_live")).head.getLong(0),
+          "history arithmetic diverged from snapshot resolution")
+        out
+      },
+      Some("""WITH h AS (
+             |  SELECT v,
+             |    CASE WHEN v >= 5 THEN 1 ELSE (v % 3) + 1 END AS n_adds,
+             |    CASE WHEN v = 5 THEN 2 ELSE 0 END AS n_removes,
+             |    CASE WHEN v = 6 THEN 'ingest/42' ELSE '' END AS txn
+             |  FROM generate_series(1, 6) t(v))
+             |SELECT v AS version, CAST(v * 1000 AS BIGINT) AS ts,
+             |  CAST(n_adds AS BIGINT) AS n_adds,
+             |  CAST(n_removes AS BIGINT) AS n_removes, txn,
+             |  CAST(sum(n_adds - n_removes) OVER (ORDER BY v) AS BIGINT) AS n_live
+             |FROM h ORDER BY version""".stripMargin)),
+
     // same place Delta resolves snapshots), so a version-1 reader never
     // opens generation 2's files, and — the guarantee directory listing
     // cannot give — a data file not in the log does not exist

@@ -752,6 +752,17 @@ class CommitLogSpec extends SparkSpec {
     assert(vC === 4L)
     assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet === refitB.toSet,
       "an interleaved append must not survive a landing-time-resolved refit")
+    // RETRY path: losing the version race to a DISJOINT commit (a
+    // constraint declaration — nothing removed) must NOT abort the
+    // append; it revalidates and lands ABOVE the interloper.
+    CommitLog.setConstraints(root, 5L, Seq("vec_id IS NOT NULL"))
+    val deltaC = stage("d3", Seq(300L))
+    val vD = CommitLog.commitCheckedNonConsuming(root, "d3", 4L,
+      reads = refitB, addsKnown = Some(deltaC))
+    assert(vD === 6L, s"disjoint-commit retry must land above, got $vD")
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet
+      === (refitB ++ deltaC).toSet)
+
     // Time travel still serves every retired index version…
     assert(CommitLog.filesAsOf(root, vB).toSet === (refitA ++ deltaB).toSet)
     assert(CommitLog.filesAsOf(root, 1L).toSet === base.toSet)
