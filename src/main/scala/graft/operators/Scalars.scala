@@ -358,6 +358,66 @@ object Scalars {
              |  CAST('123.5' AS DOUBLE) + floor((value) * 1e2 + 0.5) / 1e2 AS parsed_plus
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // The try_* SAFE-EVALUATION family (ANSI mode's error-absorbing
+    // escape hatch — the ingestion-pipeline reality where a poisoned
+    // string, a zero divisor, or an overflowing accumulator must become a
+    // NULL to count and route, never a job-killing exception 40 TB into a
+    // scan): try_cast over four malformation classes (clean round-trip,
+    // unparsable, empty string, NULL), try_divide's divide-by-zero → NULL
+    // (Spark nulls even the floating-point case, where bare division
+    // would produce Infinity), and try_add's Long-overflow → NULL. The
+    // oracle reproduces each with TRY_CAST / guarded CASE arithmetic —
+    // the overflow lane is expressed as the guard itself, since DuckDB
+    // RAISES on BIGINT overflow (the exact failure mode try_add exists to
+    // absorb). Overflow survivors are summed as deltas from the base so
+    // the SUM cannot itself overflow. All codegen'd expressions — the
+    // whole point of try_* over a validating UDF.
+    QDef(
+      "fn_try",
+      (s, dir) =>
+        T.orders(s, dir)
+          .select(col("o_orderkey").as("key"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+          .withColumn("m", col("key") % 4L)
+          .withColumn("sstr", expr(
+            """CASE WHEN key % 4 = 0 THEN CAST(key AS STRING)
+              |     WHEN key % 4 = 1 THEN concat('x', key)
+              |     WHEN key % 4 = 2 THEN '' ELSE NULL END""".stripMargin))
+          .withColumn("parsed", expr("try_cast(sstr AS BIGINT)"))
+          .withColumn("d", col("key") % 5L)
+          .withColumn("q", expr(
+            "try_divide(cast(cents as double), cast(d as double))"))
+          .withColumn("added", expr("try_add(9223372036854775800L, key % 16)"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n"),
+            count(col("parsed")).cast("long").as("n_parsed"),
+            coalesce(sum(col("parsed")), lit(0L)).cast("long").as("sum_parsed"),
+            count(when(col("d") === 0L, 1)).cast("long").as("n_div_null"),
+            rnd(sum(col("q")), 2).as("sum_div"),
+            count(when(col("added").isNull, 1)).cast("long").as("n_overflow"),
+            sum(col("added") - lit(9223372036854775800L))
+              .cast("long").as("sum_add_delta"))
+          .orderBy("m"),
+      Some("""WITH b AS (
+             |  SELECT o_orderkey AS key,
+             |    CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents,
+             |    o_orderkey % 4 AS m, o_orderkey % 5 AS d, o_orderkey % 16 AS k16,
+             |    CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)
+             |         WHEN o_orderkey % 4 = 1 THEN concat('x', o_orderkey)
+             |         WHEN o_orderkey % 4 = 2 THEN '' ELSE NULL END AS sstr
+             |  FROM orders)
+             |SELECT m, count(*) AS n,
+             |  count(TRY_CAST(sstr AS BIGINT)) AS n_parsed,
+             |  CAST(coalesce(sum(TRY_CAST(sstr AS BIGINT)), 0) AS BIGINT) AS sum_parsed,
+             |  CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+             |  floor((sum(CASE WHEN d = 0 THEN NULL
+             |                  ELSE CAST(cents AS DOUBLE) / d END)) * 1e2 + 0.5) / 1e2
+             |    AS sum_div,
+             |  CAST(sum(CASE WHEN k16 > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+             |  CAST(sum(CASE WHEN k16 > 7 THEN NULL ELSE k16 END) AS BIGINT)
+             |    AS sum_add_delta
+             |FROM b GROUP BY m ORDER BY m""".stripMargin)),
+
     // Nested struct argmax: per customer, the lexicographically-last
     // (date, price, key) order via max(struct(...)) — PARTIAL-AGGREGATING,
     // so latest-per-key never needs a window shuffle of raw rows (map-side
