@@ -850,6 +850,57 @@ object TextOps {
              |  CAST(sum(least(n_tok - start + 1, $ChunkLen)) AS BIGINT) AS chunk_tokens
              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // IN-FLIGHT PIPELINE METRICS via the Observation API (`df.observe`):
+    // the production monitoring primitive — pre-gate volume and post-gate
+    // yield measured DURING the curation pass itself, accumulator-style,
+    // with ZERO extra scans (a separate metrics query would re-read the
+    // corpus; at 100 TB the whole point is that monitoring must be free).
+    // Two observation points bracket the quality gate; the driver reads
+    // them after one action and the declared output carries them as
+    // columns, so the metric VALUES are oracle-checked (DuckDB computes
+    // the same totals from the data) — not just asserted non-null. The
+    // in-query require pins the law that makes observe trustworthy:
+    // observed post-gate count ≡ the rollup's own total.
+    QDef(
+      "pipeline_observe",
+      (s, dir) => {
+        val obsIn = new org.apache.spark.sql.Observation("gate_in")
+        val obsOut = new org.apache.spark.sql.Observation("gate_out")
+        val rollup = T.documents(s, dir)
+          .observe(obsIn, count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+          .where(col("n_chars") >= 200L && col("n_chars") <= 4000L)
+          .observe(obsOut, count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars"))
+        val perLang = rollup.collect() // ONE action fires both observations
+        val nIn = obsIn.get("n").asInstanceOf[Long]
+        val charsIn = obsIn.get("chars").asInstanceOf[Long]
+        val nOut = obsOut.get("n").asInstanceOf[Long]
+        require(nOut == perLang.map(_.getAs[Long]("n_docs")).sum,
+          s"observed post-gate count $nOut diverged from the rollup")
+        rollup
+          .withColumn("total_in", lit(nIn))
+          .withColumn("chars_in", lit(charsIn))
+          .withColumn("total_kept", lit(nOut))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS total_in,
+             |    CAST(sum(n_chars) AS BIGINT) AS chars_in,
+             |    CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 4000
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS total_kept
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  (SELECT total_in FROM t) AS total_in,
+             |  (SELECT chars_in FROM t) AS chars_in,
+             |  (SELECT total_kept FROM t) AS total_kept
+             |FROM documents WHERE n_chars BETWEEN 200 AND 4000
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Subword (BPE-style) tokenization under a LEARNED merge table: the
     // operator that makes token counts/budgets honest — every real LLM
     // pipeline counts tokens under learned merges, not whitespace. Learn:
