@@ -204,6 +204,104 @@ object Scans {
              |FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // NESTED SCHEMA PRUNING — wide structs are how 100 TB curation tables
+    // actually ship (a `meta` struct of dozens of provenance fields); a
+    // query touching two subfields must NOT decode the rest. Catalyst's
+    // nested-schema pruning narrows the parquet ReadSchema to the
+    // accessed LEAVES and the nested predicate pushes to the scan — both
+    // `require`d in-query on the staged struct table: the untouched
+    // subfield's NAME must be absent from the physical plan entirely.
+    // Parquet's columnar layout makes this exact: each leaf is its own
+    // column chunk, so pruning a subfield skips its bytes on disk.
+    QDef(
+      "scan_nested_prune",
+      (s, dir) => {
+        val out = runTmpPath(s, "graft_nested_")
+        T.orders(s, dir)
+          .select(col("o_orderkey").as("key"),
+            struct(
+              expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"),
+              col("o_orderstatus").as("status"),
+              col("o_orderdate").cast("string").as("odate")).as("info"))
+          .write.mode("overwrite").parquet(out)
+        val df = s.read.parquet(out)
+          .where(col("info.status") === "F")
+          .groupBy(col("info.status").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("info.cents")).cast("long").as("sum_cents"))
+          .orderBy("status")
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("ReadSchema") && !p.contains("odate"),
+          s"nested pruning lost: the untouched subfield is still read:\n$p")
+        require(p.contains("PushedFilters") && p.contains("info.status"),
+          s"nested predicate did not reach the scan:\n$p")
+        df
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    // MALFORMED-ROW HANDLING on ingest (PERMISSIVE / DROPMALFORMED — the
+    // CSV reality at crawl scale: some fraction of lines is garbage and
+    // the job must COUNT it, route it, and keep going, never die).
+    // Deterministic fixture: well-formed lines derived from orders plus a
+    // fixed set of poisoned lines (unparsable numerics, wrong arity),
+    // staged as text. PERMISSIVE parses what it can and routes the rest
+    // to the _corrupt_record column — corrupt count and clean rollup are
+    // both declared output; DROPMALFORMED on the same file must yield
+    // exactly the clean rows (`require`d). At 100 TB this is one schema'd
+    // distributed text scan either way; the corrupt column costs only
+    // where rows actually fail.
+    QDef(
+      "scan_csv_malformed",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = runTmpPath(s, "graft_badcsv_")
+        val good = T.orders(s, dir)
+          .where(col("o_orderkey") % 5L === 0L)
+          .select(concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)")).as("line"))
+        val bad = s.range(0L, 7L).select(
+          concat(lit("POISON_"), col("id"), lit(",?,not_a_number")).as("line"))
+        good.unionAll(bad).write.mode("overwrite").text(out)
+        val schema = StructType(Seq(
+          StructField("key", LongType), StructField("status", StringType),
+          StructField("cents", LongType),
+          StructField("_corrupt_record", StringType)))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out)
+          .cache() // required: corrupt-record queries need a stable frame
+        val nCorrupt = parsed.where(col("_corrupt_record").isNotNull).count()
+        // A bare count() over DROPMALFORMED LIES: column pruning hands the
+        // parser an empty projection, nothing is validated, and every line
+        // counts. Converting to RDD rows forces full-width parsing, so the
+        // count reflects what the mode actually admits (a production
+        // gotcha worth pinning: drop-rate dashboards built on count() read
+        // zero drops forever).
+        val dropped = s.read.schema(schema.copy(fields = schema.fields.init))
+          .option("mode", "DROPMALFORMED").csv(out).rdd.count()
+        val rollup = parsed.where(col("_corrupt_record").isNull)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+        require(dropped == rollup.agg(sum("n")).head.getLong(0),
+          "DROPMALFORMED row count diverged from PERMISSIVE's clean rows")
+        val res = rollup
+          .withColumn("n_corrupt", lit(nCorrupt))
+          .orderBy("status")
+        parsed.unpersist()
+        res
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(7 AS BIGINT) AS n_corrupt
+             |FROM orders WHERE o_orderkey % 5 = 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
     // DYNAMIC PARTITION OVERWRITE — the lakehouse revision write mode
     // sink_partitioned stops short of: mode("overwrite") with
     // partitionOverwriteMode=dynamic replaces ONLY the partitions the
