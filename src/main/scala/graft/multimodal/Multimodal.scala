@@ -119,6 +119,39 @@ object Multimodal {
       }
   }
 
+  /** Patchification output: the ViT patch-grid geometry + the first
+    * patch's integer byte sum (exact; the stand-in for a patch embedding). */
+  final case class MMPatched(
+      doc_id: Long, width: Long, height: Long,
+      n_px: Long, n_py: Long, n_patches: Long, patch0_sum: Long)
+
+  val PatchSide = 16L
+
+  /** PATCHIFY — the vision-transformer front door: an image becomes a grid
+    * of ⌈w/P⌉ × ⌈h/P⌉ patches, each embedded independently. The stub codec
+    * computes the grid from the decoded geometry and an integer byte-sum
+    * over the first patch's payload bytes (exact arithmetic, no FP); a real
+    * deployment swaps the sum for a patch-embedding matmul and NOTHING
+    * else changes — the grid arithmetic, the typed mapPartitions shape,
+    * and the payload-never-shuffles rule are the real plumbing. At 100 TB
+    * the patch fan-out (n_patches rows per image) happens map-side in the
+    * scan partition; only patch METADATA and embeddings move. */
+  def patchify(s: SparkSession, dir: String): Dataset[MMPatched] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val f = FakeCodec.decode(r)
+          val npx = (f.width + PatchSide - 1L) / PatchSide
+          val npy = (f.height + PatchSide - 1L) / PatchSide
+          val p0 = r.payload.take(PatchSide.toInt).map(_.toLong & 0xffL).sum
+          MMPatched(r.doc_id, f.width, f.height, npx, npy, npx * npy, p0)
+        }
+      }
+  }
+
   /** One audio analysis window: overlapping 32-byte windows on a 16-byte
     * hop (the STFT frame layout), energy = Σ byte² / 32 (exact — 32 is a
     * power of two), peak = max byte. */
@@ -217,6 +250,26 @@ object Multimodal {
            |  greatest(1, (1 + length(text) % 64) // 2) AS out_w,
            |  greatest(1, (1 + doc_id % 48) // 2) AS out_h,
            |  CAST($terms AS DOUBLE) / 8.0 AS resampled_mean
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    QDef(
+      "mm_patchify",
+      (s, dir) => patchify(s, dir).toDF().orderBy("doc_id"),
+      // Patch grid = ceil-division of the decoded geometry; patch-0 sum =
+      // the first 16 payload bytes (docs are ≥16 bytes in every fixture;
+      // ASCII ⇒ byte i == ascii(char i)) — pure integer arithmetic.
+      Some {
+        val terms = (1 to 16).map(i => s"ascii(substr(text, $i, 1))")
+          .mkString(" + ")
+        s"""SELECT doc_id,
+           |  1 + length(text) % 64 AS width,
+           |  1 + doc_id % 48 AS height,
+           |  (1 + length(text) % 64 + 15) // 16 AS n_px,
+           |  (1 + doc_id % 48 + 15) // 16 AS n_py,
+           |  ((1 + length(text) % 64 + 15) // 16)
+           |    * ((1 + doc_id % 48 + 15) // 16) AS n_patches,
+           |  CAST($terms AS BIGINT) AS patch0_sum
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
