@@ -138,6 +138,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom-index transport law: hexOf/mightContain round-trips every " +
+      "inserted key through the LOG encoding (generated key sets, negatives " +
+      "probed for sane FP)") {
+    // table_bloom_index's serialization layer on top of the bloom law
+    // above: keys → word map → fixed-width hex (the add-action transport)
+    // → probe. No false negatives through the ROUND-TRIP — a hex/shift
+    // bug would corrupt silently where the pure-bitmap test cannot see.
+    import graft.sources.CommitLog
+    val rnd = new Random(13)
+    (1 to 3).foreach { _ =>
+      val keys = Seq.fill(200)(rnd.nextLong().abs % 5000000L)
+      val words = keys.flatMap(CommitLog.bloomBitsOf)
+        .groupBy(b => (b / 64L).toInt)
+        .view.mapValues(_.map(b => 1L << (b % 64L).toInt).reduce(_ | _)).toMap
+      val hex = CommitLog.bloomHexOf(words)
+      keys.foreach(k => assert(CommitLog.bloomMightContain(hex, k),
+        s"key $k lost through the hex transport — silent false negative"))
+      // Negatives: absent keys may false-positive, but at m/n ≈ 20 the
+      // rate must stay far from saturation (a shift bug often reads as
+      // everything-matches).
+      val absent = Seq.fill(500)(5000000L + rnd.nextLong().abs % 5000000L)
+        .filterNot(keys.toSet)
+      val fp = absent.count(CommitLog.bloomMightContain(hex, _))
+      assert(fp < absent.size / 4,
+        s"bloom FP rate $fp/${absent.size} — words look saturated/corrupt")
+    }
+  }
+
   test("count-min law: the cell-min estimate never undercounts (generated tokens)") {
     // Mirror of text_heavyhitters' d=2 × w=256 sketch: for every token,
     // min(cell1, cell2) ≥ its true count — each cell sums the token's own
