@@ -815,6 +815,53 @@ object Scans {
     // Delta/Iceberg commit shape; sources/CommitLog.scala), then the
     // table reconstructed AS OF each version BY THE LOG: the as-of file
     // list is resolved from commits ≤ v (driver-side metadata, KBs — the
+    // PROTOCOL VERSION GATING (Delta's protocol action, reader half): a
+    // table that starts using log features an older reader would silently
+    // MISINTERPRET raises its minimum reader version, and the old reader
+    // REFUSES — the alternative to refusal is wrong results (ignore
+    // deletion vectors → resurrected rows; ignore per-file specs → wrong
+    // pruning). The facet is latest-wins, as-of versioned (snapshots
+    // BEFORE the bump stay readable — exactly Delta's per-snapshot
+    // protocol), checkpoint-carried (CommitLogSpec), and enforced on the
+    // DATA READ surface only, so metadata tooling keeps working. The
+    // refusal is observed in-query and declared in the output; the
+    // pre-bump snapshot's rollup is the data-derived half of the oracle.
+    QDef(
+      "table_protocol",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_protocol_")
+        T.orders(s, dir).where(col("o_orderkey") % 9L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+          .coalesce(2).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        val v1 = CommitLog.readAsOf(s, root, 1L)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+        CommitLog.setMinReader(root, 2L, CommitLog.SupportedReaderVersion + 1L)
+        val refused =
+          try { CommitLog.readAsOf(s, root, Long.MaxValue).count(); 0L }
+          catch { case _: UnsupportedOperationException => 1L }
+        require(refused == 1L,
+          "a reader below the table's protocol must refuse, not misread")
+        require(CommitLog.readAsOf(s, root, 1L).count() > 0L,
+          "the pre-bump snapshot must stay readable (as-of protocol)")
+        v1.withColumn("refused_latest", lit(1L))
+          .withColumn("reader_version", lit(CommitLog.SupportedReaderVersion))
+          .withColumn("required_version",
+            lit(CommitLog.SupportedReaderVersion + 1L))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(1 AS BIGINT) AS refused_latest,
+             |  CAST(2 AS BIGINT) AS reader_version,
+             |  CAST(3 AS BIGINT) AS required_version
+             |FROM orders WHERE o_orderkey % 9 = 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
     // DESCRIBE HISTORY — the table's audit surface (Delta's DESCRIBE
     // HISTORY reduced to the log essentials): one row per commit with the
     // in-commit timestamp, action counts, the txn marker where a writer

@@ -235,6 +235,35 @@ object CommitLog {
       }
   }
 
+  /** PROTOCOL VERSION GATING (Delta's protocol action reduced to the
+    * reader half): a table may RAISE its minimum reader version when a
+    * commit starts using log features an older reader would silently
+    * misinterpret (the alternative to refusal is wrong results — a reader
+    * that ignores deletion vectors resurrects rows; one that ignores
+    * per-file specs prunes wrongly). The declaration is a latest-wins
+    * meta facet like constraints/gencol, as-of versioned (a snapshot
+    * BEFORE the bump stays readable forever) and checkpoint-carried.
+    * Enforcement sits on the DATA READ surface ([[readAsOf]]) — metadata
+    * listing stays harmless for tooling. */
+  val SupportedReaderVersion = 2L
+  def setMinReader(root: String, version: Long, minReader: Long,
+      ts: Long = -1L): Unit = {
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"protocol":{"minReader":$minReader}}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+  private[graft] def requireReadable(snap: Snapshot, root: String): Unit =
+    snap.minReader.filter(_ > SupportedReaderVersion).foreach { need =>
+      throw new UnsupportedOperationException(
+        s"table $root requires reader protocol $need; this engine supports " +
+          s"$SupportedReaderVersion — refusing to read rather than risk " +
+          "misinterpreting newer log features")
+    }
+
   private val AddsCount = (""""adds"\s*:\s*(\d+)""").r.unanchored
   private val RemovesCount = (""""removes"\s*:\s*(\d+)""").r.unanchored
 
@@ -584,6 +613,7 @@ object CommitLog {
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
   private val GencolField = (""""gencolDiv"\s*:\s*(\d+)""").r.unanchored
+  private val MinReaderField = (""""minReader"\s*:\s*(\d+)""").r.unanchored
   private val GwField = (""""gw"\s*:\s*(\d+)""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
@@ -600,7 +630,8 @@ object CommitLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       gencolDiv: Option[Long] = None,
       gencolAtAdd: Map[String, Long] = Map.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      minReader: Option[Long] = None)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -630,6 +661,7 @@ object CommitLog {
     val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var constraints: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
+    var minReader: Option[Long] = None
     files.foreach { p =>
       // A checkpoint is an EXACT snapshot serialization: its adds carry
       // their own per-file spec ("gw") when one was bound, so an absent
@@ -652,6 +684,10 @@ object CommitLog {
           l match {
             case GencolField(w) => gencolDiv = Some(w.toLong)
             case _              => ()
+          }
+          l match {
+            case MinReaderField(v) => minReader = Some(v.toLong)
+            case _                 => ()
           }
         case _ => ()
       }
@@ -715,7 +751,7 @@ object CommitLog {
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
       gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
-      blooms.toMap)
+      blooms.toMap, minReader)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -829,7 +865,8 @@ object CommitLog {
       (if (snap.constraints.isEmpty) Seq.empty[String]
        else Seq(s"""{"meta":{"constraints":${
          snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
-        snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq
+        snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
+        snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++
@@ -848,6 +885,7 @@ object CommitLog {
     * column must ride IN the rows, not the directory names. */
   def readAsOf(s: SparkSession, root: String, v: Long): DataFrame = {
     val snap = snapshotAsOf(root, v)
+    requireReadable(snap, root)
     val fs = snap.live
     val paths = fs.map(f => if (f.startsWith("/")) f else s"$root/$f")
     val rdr =

@@ -702,6 +702,36 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("protocol gating: a raised minReader refuses the data read (never " +
+      "misreads), pre-bump snapshots stay readable, the facet survives " +
+      "checkpoints, metadata tooling keeps working, and latest-wins can " +
+      "restore readability") {
+    val root = freshTable() // v1, v2 data commits
+    assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === 5L)
+    CommitLog.setMinReader(root, 3L, CommitLog.SupportedReaderVersion + 1L)
+    intercept[UnsupportedOperationException] {
+      CommitLog.readAsOf(spark, root, Long.MaxValue).count()
+    }
+    // As-of BEFORE the bump: the per-snapshot protocol allows the read.
+    assert(CommitLog.readAsOf(spark, root, 2L).count() === 5L)
+    // Metadata surfaces are NOT gated (tooling must see the table to
+    // diagnose it): file listing, history, vacuum all work.
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).nonEmpty)
+    assert(CommitLog.history(root).size === 3)
+    CommitLog.vacuum(root, 100L): Unit
+    // Checkpoint carry: resolution from checkpoint + tail keeps refusing.
+    (4L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    intercept[UnsupportedOperationException] {
+      CommitLog.readAsOf(spark, root, 11L).count()
+    }
+    // Latest-wins: an UPGRADE of this engine (or a feature rollback by
+    // the writer) republishes a supported floor and reads resume.
+    CommitLog.setMinReader(root, 12L, CommitLog.SupportedReaderVersion)
+    assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === 5L)
+  }
+
   test("ANN index refit vs append arbitration: a non-consuming append whose " +
       "read set a refit retired ABORTS (incompatible geometry never lands); " +
       "a refit landing after an append atomically retires the delta too") {
