@@ -1322,6 +1322,77 @@ object Aggregates {
              |HAVING count(*) >= 2 AND floor((var_samp(mag)) * 1e6 + 0.5) / 1e6 > 0.0
              |ORDER BY user_id""".stripMargin)),
 
+    // STETSON VARIABILITY INDICES [PK — Stetson 1996, THE standard
+    // survey-curation statistics alongside lc_variability's von-Neumann
+    // eta]: J measures CORRELATED deviation between time-adjacent
+    // observations (true variables deviate in runs, noise alternates) and
+    // K is a robust kurtosis proxy (Σ|δ|/n) / √(Σδ²/n) that separates
+    // smooth variation (K→0.9) from outlier-driven scatter (K→small).
+    // Unit-weight normalization δ_i = √(n/(n−1))·(m_i − m̄)/σ (the fixture
+    // carries no per-observation uncertainties — the [PK] formula's σ_i
+    // slot takes the series' own scatter, the standard fallback);
+    // consecutive pairing via ONE lag window, P = δ_i·δ_{i−1},
+    // J = mean(sgn(P)·√|P|). Two window passes (mean/sd, then δ + lag)
+    // share the single object-key shuffle, the rollup reuses the same
+    // partitioning — identical scale shape to every lc_* op. √ is
+    // IEEE-exact, the sd guard compares the ROUNDED value on both sides
+    // (the lc_variability degenerate-group lesson).
+    QDef(
+      "lc_stetson",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val byU = W.partitionBy("user_id")
+        val ord = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .where(col("value") > 0.0)
+          .withColumn("mag", expr("graft_mag(value)"))
+          .withColumn("n", count(lit(1)).over(byU))
+          .withColumn("mbar", avg(col("mag")).over(byU))
+          .withColumn("sd", stddev_samp(col("mag")).over(byU))
+          .where(col("n") >= 3L)
+          .withColumn("delta",
+            sqrt(col("n").cast("double") / (col("n") - 1L))
+              * (col("mag") - col("mbar")) / col("sd"))
+          .withColumn("p", col("delta") * lag(col("delta"), 1).over(ord))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            count(col("p")).as("n_pairs"),
+            rnd(avg(signum(col("p")) * sqrt(abs(col("p")))), 6).as("stetson_j"),
+            rnd((sum(abs(col("delta"))) / count(lit(1)))
+              / sqrt(sum(col("delta") * col("delta")) / count(lit(1))), 6)
+              .as("stetson_k"),
+            rnd(max(col("sd")), 6).as("sd"))
+          .where(col("sd") > 0.0)
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts, -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |st AS (
+             |  SELECT user_id, event_id, ts, mag,
+             |    count(*) OVER u AS n,
+             |    avg(mag) OVER u AS mbar,
+             |    stddev_samp(mag) OVER u AS sd
+             |  FROM m WINDOW u AS (PARTITION BY user_id)),
+             |d AS (
+             |  SELECT user_id, event_id, ts, n, sd,
+             |    sqrt(CAST(n AS DOUBLE) / (n - 1)) * (mag - mbar) / sd AS delta
+             |  FROM st WHERE n >= 3),
+             |p AS (
+             |  SELECT user_id, n, sd, delta,
+             |    delta * lag(delta) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS p
+             |  FROM d)
+             |SELECT user_id, count(*) AS n_obs, count(p) AS n_pairs,
+             |  floor((avg(sign(p) * sqrt(abs(p)))) * 1e6 + 0.5) / 1e6 AS stetson_j,
+             |  floor(((sum(abs(delta)) / count(*))
+             |    / sqrt(sum(delta * delta) / count(*))) * 1e6 + 0.5) / 1e6 AS stetson_k,
+             |  floor((max(sd)) * 1e6 + 0.5) / 1e6 AS sd
+             |FROM p GROUP BY user_id
+             |HAVING floor((max(sd)) * 1e6 + 0.5) / 1e6 > 0.0
+             |ORDER BY user_id""".stripMargin)),
+
     // Exact distinct counting via bitmap aggregation: each 64-id block of the
     // key space becomes one bit_or'd word — the EXACT, MERGEABLE distinct
     // the roaring-bitmap family gives OLAP engines. Unlike count(DISTINCT),
