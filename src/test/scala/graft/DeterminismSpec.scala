@@ -209,7 +209,11 @@ class DeterminismSpec extends SparkSpec {
     // the join_asof_nearest merge-order bet feeding FP color statistics:
     // both window captures' struct tie-breaks and the rounded per-object
     // min/max/mean must hold under any partitioning
-    "lc_color_epoch")
+    "lc_color_epoch",
+    // whole-partition window means/sds feed normalized residuals, a lag
+    // pairing, and two rounded FP indices — the agg_corr centered-moment
+    // bet through stacked windows
+    "lc_stetson")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
