@@ -1393,6 +1393,58 @@ object Aggregates {
              |HAVING floor((max(sd)) * 1e6 + 0.5) / 1e6 > 0.0
              |ORDER BY user_id""".stripMargin)),
 
+    // SECULAR TREND [PK — the drift gate: a light curve whose magnitude
+    // trends monotonically over the campaign usually means drifting
+    // calibration or a slow transient, either way a curation flag]:
+    // per-object least-squares fit of mag against elapsed DAYS via the
+    // ANSI regr_* aggregate family — regr_slope/intercept/r2 are exact
+    // moment-sum arithmetic (Σt, Σm, Σtm, Σt², n), fully partial-agg'able
+    // and identical in DuckDB. Time is re-based per object (days since
+    // its own first observation, a window min over the SAME key shuffle
+    // the fit uses) so the slope is O(mag/day), not O(mag/epoch-second) —
+    // a 1e-12 raw-seconds slope would vanish under the 1e-6 parity grid.
+    // Degenerate objects (single epoch: zero time variance) drop on the
+    // ROUNDED variance guard, both engines.
+    QDef(
+      "lc_trend",
+      (s, dir) => {
+        graft.functions.Magnitude.register(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val byU = W.partitionBy("user_id")
+        T.events(s, dir)
+          .where(col("value") > 0.0)
+          .withColumn("mag", expr("graft_mag(value)"))
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("t",
+            (col("sec") - min(col("sec")).over(byU)).cast("double") / 86400.0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            rnd(expr("regr_slope(mag, t)"), 6).as("slope_per_day"),
+            rnd(expr("regr_intercept(mag, t)"), 6).as("intercept"),
+            rnd(expr("regr_r2(mag, t)"), 6).as("r2"),
+            rnd(var_samp(col("t")), 6).as("t_var"))
+          .where(col("n_obs") >= 3L && col("t_var") > 0.0)
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, -2.5 * log10(value) + 25.0 AS mag,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events WHERE value > 0.0),
+             |t AS (
+             |  SELECT user_id, mag,
+             |    CAST(sec - min(sec) OVER (PARTITION BY user_id) AS DOUBLE)
+             |      / 86400.0 AS t
+             |  FROM m)
+             |SELECT user_id, count(*) AS n_obs,
+             |  floor((regr_slope(mag, t)) * 1e6 + 0.5) / 1e6 AS slope_per_day,
+             |  floor((regr_intercept(mag, t)) * 1e6 + 0.5) / 1e6 AS intercept,
+             |  floor((regr_r2(mag, t)) * 1e6 + 0.5) / 1e6 AS r2,
+             |  floor((var_samp(t)) * 1e6 + 0.5) / 1e6 AS t_var
+             |FROM t GROUP BY user_id
+             |HAVING count(*) >= 3
+             |   AND floor((var_samp(t)) * 1e6 + 0.5) / 1e6 > 0.0
+             |ORDER BY user_id""".stripMargin)),
+
     // Exact distinct counting via bitmap aggregation: each 64-id block of the
     // key space becomes one bit_or'd word — the EXACT, MERGEABLE distinct
     // the roaring-bitmap family gives OLAP engines. Unlike count(DISTINCT),

@@ -213,7 +213,10 @@ class DeterminismSpec extends SparkSpec {
     // whole-partition window means/sds feed normalized residuals, a lag
     // pairing, and two rounded FP indices — the agg_corr centered-moment
     // bet through stacked windows
-    "lc_stetson")
+    "lc_stetson",
+    // regr_* moment sums over merge-ordered partials feed three rounded
+    // fit parameters — the agg_corr bet through the ANSI regression family
+    "lc_trend")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
