@@ -2331,7 +2331,9 @@ object Scans {
           .agg(expr("bit_or(shiftleft(1L, cast(pmod(bit, 64) as int)))").as("bits"),
             min("key").as("mn"), max("key").as("mx"))
           .collect() // O(files · words-touched) metadata, never rows
-        def rel(abs: String) = abs.substring(abs.indexOf(root) + root.length + 1)
+        // file_path is a percent-encoded URI — relativize via the
+        // encoding-exact helper, never raw index arithmetic on the string.
+        def rel(abs: String) = CommitLog.relToRoot(root, abs)
         val byFile = facetRows.groupBy(r => rel(r.getString(0)))
         val stats = byFile.view.mapValues(rs =>
           (rs.map(_.getAs[Long]("mn")).min, rs.map(_.getAs[Long]("mx")).max)).toMap

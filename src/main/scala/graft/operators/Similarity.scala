@@ -1626,8 +1626,9 @@ object Similarity {
             .agg(min("cell").as("mn"), max("cell").as("mx"))
             .collect() // O(files) metadata, never rows
           val stats = rows.map { row =>
-            val abs = row.getString(0)
-            abs.substring(abs.indexOf(root) + root.length + 1) ->
+            // file_path is a percent-encoded URI — relativize via the
+            // encoding-exact helper, never raw index arithmetic.
+            CommitLog.relToRoot(root, row.getString(0)) ->
               (row.getLong(1), row.getLong(2))
           }.toMap
           (stats.keys.toSeq.sorted, stats)

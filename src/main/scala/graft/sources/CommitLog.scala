@@ -602,11 +602,30 @@ object CommitLog {
   }
 
   private val PathField = (""""path"\s*:\s*"([^"]+)"""").r.unanchored
+
+  /** Table-relative key of a scan-emitted `_metadata.file_path`. The
+    * metadata column is the file's PERCENT-ENCODED `file:` URI (space →
+    * %20, '%' → %25, '#' → %23 …), so raw substring arithmetic on it
+    * throws or silently mis-keys whenever the table root contains such a
+    * character. Parse the URI — `getPath` percent-DECODES — and strip the
+    * root's decoded absolute path: the exact inverse of the
+    * `java.io.File.toURI` construction the MoR read path uses. */
+  def relToRoot(root: String, fileUri: String): String = {
+    val p = new java.net.URI(fileUri).getPath
+    val prefix = new java.io.File(root).getAbsolutePath.stripSuffix("/") + "/"
+    require(p.startsWith(prefix), s"scan file outside table root $root: $fileUri")
+    p.substring(prefix.length)
+  }
   private val AddLine = (""""add"\s*:""").r.unanchored
   private val RemoveLine = (""""remove"\s*:""").r.unanchored
   private val RemovedAt = (""""removedAt"\s*:\s*(\d+)""").r.unanchored
   private val AddedAt = (""""addedAt"\s*:\s*(\d+)""").r.unanchored
   private val DvRef = (""""dv"\s*:\s*"([^"]+)"""").r.unanchored
+  // Sidecar key spelling: the path string under which the deletion-vector
+  // sidecar's `f` column spells this file. Defaults to the add's own
+  // `path`; diverges ONLY when a clone absolutizes a borrowed add whose
+  // inherited (zero-copy) sidecar still spells the source-relative path.
+  private val DvfField = (""""dvf"\s*:\s*"([^"]+)"""").r.unanchored
   private val MetaLine = (""""meta"\s*:""").r.unanchored
   private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
   private val BloomField = (""""bloom"\s*:\s*"([0-9a-f]+)"""").r.unanchored
@@ -631,7 +650,8 @@ object CommitLog {
       gencolDiv: Option[Long] = None,
       gencolAtAdd: Map[String, Long] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      minReader: Option[Long] = None)
+      minReader: Option[Long] = None,
+      dvKeys: Map[String, String] = Map.empty)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -656,6 +676,7 @@ object CommitLog {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val dvKeys = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -716,6 +737,11 @@ object CommitLog {
             case DvRef(d) => dvs.put(path, d): Unit
             case _        => dvs.remove(path): Unit
           }
+          // The sidecar key spelling follows the same add-authority rule.
+          l match {
+            case DvfField(k) => dvKeys.put(path, k): Unit
+            case _           => dvKeys.remove(path): Unit
+          }
           // Same authority rule for the skipping stats: an add carrying
           // (smin, smax) declares its file's key range; an add without
           // them leaves the file UN-skippable (read conservatively) —
@@ -751,7 +777,7 @@ object CommitLog {
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
       gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
-      blooms.toMap, minReader)
+      blooms.toMap, minReader, dvKeys.toMap)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -841,7 +867,8 @@ object CommitLog {
     // checkpoint + tail loses neither reader application nor vacuum
     // protection once the attaching commit is past the checkpoint horizon.
     def dvField(p: String) =
-      snap.dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("")
+      snap.dvs.get(p).map(d => s""","dv":"$d"""").getOrElse("") +
+        snap.dvKeys.get(p).map(k => s""","dvf":"$k"""").getOrElse("")
     // Skipping stats ride the checkpoint on their live adds, so file
     // pruning keeps working once the stat-bearing commit is past the
     // checkpoint horizon.
@@ -913,7 +940,8 @@ object CommitLog {
       import org.apache.spark.sql.functions.{broadcast, col}
       import s.implicits._
       val cols = base.columns.map(col)
-      val dvPaths = liveDvs.map(snap.dvs).distinct.map(d => s"$root/$d")
+      val dvPaths = liveDvs.map(snap.dvs).distinct
+        .map(d => if (d.startsWith("/")) d else s"$root/$d")
       // `_metadata.file_path` is the file's PERCENT-ENCODED `file:` URI
       // (space → %20, '%' → %25, '#' → %23 …), so a textual comparison
       // against s"$root/$f" silently misses on any such character and the
@@ -924,8 +952,18 @@ object CommitLog {
       // broadcast side), and java.io.File.toURI yields the same
       // single-slash `file:/…` encoding Spark's metadata column carries
       // (pinned in CommitLogSpec with a root containing ' ', '%', '#').
+      // Clone-borrowed files carry ABSOLUTE add paths (see `paths` above);
+      // prefixing those with root would produce a `$root//src/...` URI that
+      // never matches and silently resurfaces the deleted rows. The JOIN
+      // key against the sidecar's `f` column is the sidecar's OWN spelling
+      // of the victim (`dvf`, diverging from `path` only for inherited
+      // clone annotations — the sidecar is zero-copy, so its contents
+      // still spell the source-relative path).
       val uriLookup = liveDvs
-        .map(f => (f, new java.io.File(s"$root/$f").toURI.toString))
+        .map { f =>
+          val p = if (f.startsWith("/")) f else s"$root/$f"
+          (snap.dvKeys.getOrElse(f, f), new java.io.File(p).toURI.toString)
+        }
         .toDF("__dv_f", "__dv_uri")
       val dv = s.read.parquet(dvPaths: _*)
         .select(col("f"), col("pos").cast("long").as("__dv_pos"))
@@ -1007,10 +1045,32 @@ object CommitLog {
     }
     entries.foreach { p =>
       val rewritten = new String(Files.readAllBytes(p), "UTF-8")
-        .linesIterator.map {
-          case l @ PathField(path) if !path.startsWith("/") =>
-            l.replace(s""""path":"$path"""", s""""path":"$srcRoot/$path"""")
-          case l => l
+        .linesIterator.map { l0 =>
+          // Both the data-file reference AND its deletion-vector sidecar
+          // reference must go absolute: a relative `dv` on the clone would
+          // resolve under the CLONE root, miss, and resurface deleted rows.
+          val (l1, origRelPath) = l0 match {
+            case l @ PathField(path) if !path.startsWith("/") =>
+              (l.replace(s""""path":"$path"""", s""""path":"$srcRoot/$path""""),
+                Some(path))
+            case l => (l, None)
+          }
+          l1 match {
+            case l @ DvRef(d) if !d.startsWith("/") =>
+              // The borrowed sidecar's CONTENTS still spell the victim by
+              // its source-relative path; record that spelling as `dvf` on
+              // the absolutized add (unless an earlier clone hop already
+              // declared one) so the MoR join key survives the clone.
+              val abs = l.replace(s""""dv":"$d"""", s""""dv":"$srcRoot/$d"""")
+              val alreadyKeyed = DvfField.findFirstIn(l).isDefined
+              origRelPath match {
+                case Some(rel) if !alreadyKeyed =>
+                  abs.replace(s""""dv":"$srcRoot/$d"""",
+                    s""""dv":"$srcRoot/$d","dvf":"$rel"""")
+                case _ => abs
+              }
+            case l => l
+          }
         }.mkString("", "\n", "\n")
       Files.write(logDir(dstRoot).resolve(p.getFileName.toString),
         rewritten.getBytes("UTF-8")): Unit

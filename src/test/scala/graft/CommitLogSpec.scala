@@ -533,6 +533,66 @@ class CommitLogSpec extends SparkSpec {
       "the aborted compaction must not resurrect the deleted row")
   }
 
+  test("shallow clone × deletion vectors: cloned annotations go absolute " +
+      "(data file AND sidecar) and still subtract; a DV attached ON the " +
+      "clone to a borrowed absolute-path file subtracts through the clone " +
+      "and never touches the source") {
+    // Scenario A: clone a table that ALREADY carries a DV. The clone's log
+    // must reference both the victim and its sidecar by absolute path —
+    // a relative sidecar would resolve under the CLONE root, miss, and
+    // silently resurrect the deleted row.
+    val src = dvTable()
+    val victims = CommitLog.filesAsOf(src, 2L).filter(_.startsWith("g=1/"))
+    val dv = writeDv(src, victims, col("key") === 2L, "dv3")
+    CommitLog.commitDVChecked(src, 2L, Map(victims.head -> dv))
+    val dst = Files.createTempDirectory("graft_clonedv").toString
+    CommitLog.cloneTable(src, dst)
+    val snapD = CommitLog.snapshotAsOf(dst, Long.MaxValue)
+    assert(snapD.dvs.nonEmpty && snapD.dvs.forall { case (f, d) =>
+      f.startsWith("/") && d.startsWith("/") },
+      s"clone must borrow victim AND sidecar by absolute path: ${snapD.dvs}")
+    assert(keysAsOf(dst, Long.MaxValue) === Seq(1L, 3L, 4L, 5L),
+      "deleted row resurfaced through the clone's MoR read")
+    assert(keysAsOf(dst, 2L) === Seq(1L, 2L, 3L, 4L, 5L),
+      "pre-attach as-of through the clone must still serve the row")
+    // The sidecar-key spelling (`dvf`) must ride checkpoint serialization:
+    // push the clone past a checkpoint boundary and re-resolve from it.
+    (4L to 11L).foreach(v => CommitLog.commitFiles(dst, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(dst, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(keysAsOf(dst, 11L) === Seq(1L, 3L, 4L, 5L),
+      "clone dvf spelling lost through checkpoint resolution")
+
+    // Scenario B: attach a DV ON a clone to a borrowed ABSOLUTE-path file.
+    // The MoR read's URI lookup must not prefix the clone root onto the
+    // absolute victim ($root//src/... never matches → silent resurrection).
+    val src2 = dvTable()
+    val dst2 = Files.createTempDirectory("graft_clonedv2").toString
+    CommitLog.cloneTable(src2, dst2)
+    val borrowed = CommitLog.filesAsOf(dst2, Long.MaxValue)
+      .filter(_.contains("/g=1/"))
+    assert(borrowed.nonEmpty && borrowed.forall(_.startsWith("/")))
+    // Sidecar lands UNDER the clone root; its `f` keys must spell the
+    // victim exactly as the clone's add actions do (absolute).
+    spark.read.parquet(borrowed: _*)
+      .where(col("key") === 2L)
+      .select(expr("regexp_replace(_metadata.file_path, '^file:/+', '/')")
+          .as("f"),
+        col("_metadata.row_index").cast("long").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst2/dv_local")
+    val dv2 = Files.list(Paths.get(s"$dst2/dv_local")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")
+        && !Paths.get(p).getFileName.toString.startsWith("."))
+      .map(p => Paths.get(dst2).relativize(Paths.get(p)).toString)
+      .sorted.head
+    val v3 = CommitLog.commitDVChecked(dst2, 2L, Map(borrowed.head -> dv2))
+    assert(v3 === 3L)
+    assert(keysAsOf(dst2, Long.MaxValue) === Seq(1L, 3L, 4L, 5L),
+      "DV on a borrowed absolute-path file must subtract through the clone")
+    assert(keysAsOf(src2, Long.MaxValue) === Seq(1L, 2L, 3L, 4L, 5L),
+      "the clone's DV must never leak into the source table")
+  }
+
   test("check constraints: latest meta wins (drop = republish without), " +
       "UNKNOWN passes per SQL semantics, and the set survives checkpoint " +
       "resolution") {

@@ -833,7 +833,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MergingSessions"),
       s"native session windowing lost the MergingSessions operator:\n$p")
     assert(!p.contains("Join"), "session merge degraded to a join")
-    assert(!p.contains("\bWindow\b"), "native form must not fall back to lag windows")
+    assert("\\bWindow\\b".r.findFirstIn(p).isEmpty,
+      "native form must not fall back to lag windows")
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges === 2,
       s"expected 2 Exchanges (one key shuffle + the determinism sort), saw $exchanges:\n$p")
