@@ -862,6 +862,74 @@ object Scans {
              |FROM orders WHERE o_orderkey % 9 = 0
              |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
+    // PROTOCOL VERSION GATING — WRITER HALF (Delta's `minWriterVersion`):
+    // the reader floor alone cannot protect a multi-engine table — a
+    // STALE WRITER that commits to a table whose features it does not
+    // understand corrupts the log for everyone (drops meta facets its
+    // checkpoints don't serialize, compacts away files a newer feature
+    // references, violates invariants it cannot see). So the table also
+    // declares a WRITER floor, and a writer below it REFUSES to commit —
+    // refusal costs O(1) metadata, the alternative is log corruption. The
+    // split-halves law is the point: under a raised WRITER floor every
+    // mutating surface refuses (commits, meta facets, DV attach, vacuum)
+    // while the READ path keeps serving — the exact dual of
+    // `table_protocol`, where a raised reader floor refuses reads while
+    // metadata tooling keeps working. Floor restore (feature rollback) is
+    // a latest-wins republish by a CAPABLE writer, after which the stale
+    // engine's appends land again; both the refusal and the post-restore
+    // append are observed in-query and declared in the output, and the
+    // two committed generations' rollup is the data-derived oracle half.
+    QDef(
+      "table_protocol_writer",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_protow_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+            expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+        // v1: the PRE-BUMP write — it must land (the floor is not yet raised).
+        o.where(col("key") % 11L === 0L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        // A NEWER engine raises the writer floor for a feature it owns.
+        CommitLog.setMinWriter(root, 2L, CommitLog.SupportedWriterVersion + 1L,
+          asWriterVersion = CommitLog.SupportedWriterVersion + 1L)
+        // This engine's append attempt must REFUSE — and land NOTHING.
+        val refused =
+          try { CommitLog.commitFiles(root, 3L, Nil, Nil); 0L }
+          catch { case _: UnsupportedOperationException => 1L }
+        require(refused == 1L,
+          "a writer below the table's writer protocol must refuse to commit")
+        require(CommitLog.latestVersion(root) == 2L,
+          "the refused commit must not have landed anything")
+        // The split-halves law: reads stay OPEN under a raised writer floor.
+        require(CommitLog.readAsOf(s, root, Long.MaxValue).count() > 0L,
+          "a raised WRITER floor must never gate the read path")
+        // Feature rollback: a capable writer restores the floor; the
+        // stale engine's append then lands.
+        CommitLog.setMinWriter(root, 3L, CommitLog.SupportedWriterVersion,
+          asWriterVersion = CommitLog.SupportedWriterVersion + 1L)
+        o.where(col("key") % 11L === 1L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 4L, "g=2")
+        CommitLog.readAsOf(s, root, Long.MaxValue)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+          .withColumn("refused_commit", lit(1L))
+          .withColumn("writer_version", lit(CommitLog.SupportedWriterVersion))
+          .withColumn("required_version",
+            lit(CommitLog.SupportedWriterVersion + 1L))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(1 AS BIGINT) AS refused_commit,
+             |  CAST(3 AS BIGINT) AS writer_version,
+             |  CAST(4 AS BIGINT) AS required_version
+             |FROM orders WHERE o_orderkey % 11 <= 1
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
     // DESCRIBE HISTORY — the table's audit surface (Delta's DESCRIBE
     // HISTORY reduced to the log essentials): one row per commit with the
     // in-commit timestamp, action counts, the txn marker where a writer

@@ -206,6 +206,7 @@ object CommitLog {
       ts: Long = -1L,
       txn: String = "",
       stats: Map[String, (Long, Long)] = Map.empty): Boolean = {
+    requireWritable(root)
     val adds = addsKnown.map(_.sorted).getOrElse(withList(Paths.get(root, genDir)) {
       _.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -248,6 +249,7 @@ object CommitLog {
   val SupportedReaderVersion = 2L
   def setMinReader(root: String, version: Long, minReader: Long,
       ts: Long = -1L): Unit = {
+    requireWritable(root)
     val json =
       (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
         "\n" + s"""{"meta":{"protocol":{"minReader":$minReader}}}""" + "\n")
@@ -263,6 +265,47 @@ object CommitLog {
           s"$SupportedReaderVersion — refusing to read rather than risk " +
           "misinterpreting newer log features")
     }
+
+  /** WRITER-HALF PROTOCOL GATING (Delta's `minWriterVersion`): a stale
+    * writer committing to a table whose log features it does not
+    * understand corrupts the log for everyone — it may drop meta facets
+    * its checkpoints don't serialize, violate invariants (constraints,
+    * DVs, specs) it cannot see, or compact away files a newer feature
+    * still references. Refusal is O(1) metadata; the alternative is log
+    * corruption. The floor is a latest-wins meta facet like `minReader`,
+    * checkpoint-carried, and enforced on every LOG-PUBLISHING surface and
+    * on VACUUM (which deletes data on the strength of its own log
+    * interpretation) — but never on reads or metadata listing: a stale
+    * engine can still QUERY a writer-gated table, which is the entire
+    * point of splitting the two halves. `asWriterVersion` lets a NEWER
+    * engine act through this code path (raise the floor for a feature it
+    * owns, or restore it on feature rollback); a writer may never declare
+    * a floor above its own support. */
+  val SupportedWriterVersion = 3L
+  def setMinWriter(root: String, version: Long, minWriter: Long,
+      ts: Long = -1L,
+      asWriterVersion: Long = SupportedWriterVersion): Unit = {
+    require(asWriterVersion >= minWriter,
+      s"a writer supporting $asWriterVersion cannot declare floor $minWriter " +
+        "above its own support")
+    requireWritable(root, asWriterVersion)
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"protocol":{"minWriter":$minWriter}}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+  private[graft] def requireWritable(root: String,
+      asWriterVersion: Long = SupportedWriterVersion): Unit =
+    snapshotAsOf(root, Long.MaxValue).minWriter
+      .filter(_ > asWriterVersion).foreach { need =>
+        throw new UnsupportedOperationException(
+          s"table $root requires writer protocol $need; this writer supports " +
+            s"$asWriterVersion — refusing to commit rather than risk " +
+            "corrupting a log whose features it does not understand")
+      }
 
   private val AddsCount = (""""adds"\s*:\s*(\d+)""").r.unanchored
   private val RemovesCount = (""""removes"\s*:\s*(\d+)""").r.unanchored
@@ -302,6 +345,7 @@ object CommitLog {
       dvs: Map[String, String] = Map.empty,
       stats: Map[String, (Long, Long)] = Map.empty,
       blooms: Map[String, String] = Map.empty): Unit = {
+    requireWritable(root)
     val won = publishLogFile(root, f"$version%08d.json",
       commitJson(version, adds, removes, stampFor(root, ts), dvs = dvs,
         stats = stats, blooms = blooms))
@@ -512,6 +556,7 @@ object CommitLog {
     * (`key = 1 OR key = 2`, `element_at(arr, 1) > 0`). */
   def setConstraints(root: String, version: Long, exprs: Seq[String],
       ts: Long = -1L): Unit = {
+    requireWritable(root)
     exprs.foreach(requireSafe)
     exprs.foreach(e => require(!e.exists(c => c == ',' || c == '[' || c == ']'),
       s"unsafe character in constraint expression (',' '[' ']' break the " +
@@ -540,6 +585,7 @@ object CommitLog {
     * every file the moment it lands in its partition. */
   def setGencolDiv(root: String, version: Long, width: Long,
       ts: Long = -1L): Unit = {
+    requireWritable(root)
     require(width > 0L, s"gencol width must be positive, got $width")
     val json =
       (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
@@ -633,6 +679,7 @@ object CommitLog {
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
   private val GencolField = (""""gencolDiv"\s*:\s*(\d+)""").r.unanchored
   private val MinReaderField = (""""minReader"\s*:\s*(\d+)""").r.unanchored
+  private val MinWriterField = (""""minWriter"\s*:\s*(\d+)""").r.unanchored
   private val GwField = (""""gw"\s*:\s*(\d+)""").r.unanchored
 
   /** Resolved snapshot: live data files in (addedAt, path) order, plus the
@@ -651,7 +698,8 @@ object CommitLog {
       gencolAtAdd: Map[String, Long] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       minReader: Option[Long] = None,
-      dvKeys: Map[String, String] = Map.empty)
+      dvKeys: Map[String, String] = Map.empty,
+      minWriter: Option[Long] = None)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -683,6 +731,7 @@ object CommitLog {
     var constraints: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
     var minReader: Option[Long] = None
+    var minWriter: Option[Long] = None
     files.foreach { p =>
       // A checkpoint is an EXACT snapshot serialization: its adds carry
       // their own per-file spec ("gw") when one was bound, so an absent
@@ -708,6 +757,10 @@ object CommitLog {
           }
           l match {
             case MinReaderField(v) => minReader = Some(v.toLong)
+            case _                 => ()
+          }
+          l match {
+            case MinWriterField(v) => minWriter = Some(v.toLong)
             case _                 => ()
           }
         case _ => ()
@@ -777,7 +830,7 @@ object CommitLog {
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
       gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
-      blooms.toMap, minReader, dvKeys.toMap)
+      blooms.toMap, minReader, dvKeys.toMap, minWriter)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -893,7 +946,8 @@ object CommitLog {
        else Seq(s"""{"meta":{"constraints":${
          snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
         snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
-        snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq
+        snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq ++
+        snap.minWriter.map(v => s"""{"meta":{"protocol":{"minWriter":$v}}}""").toSeq
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++
@@ -993,6 +1047,7 @@ object CommitLog {
     * merged position set (Delta semantics). */
   def commitDVChecked(root: String, readVersion: Long,
       dvs: Map[String, String], maxAttempts: Int = 64): Long = {
+    requireWritable(root)
     require(dvs.nonEmpty, "DV attach with no vectors")
     val victims = dvs.keys.toSeq.sorted
     val readSet = victims.toSet
@@ -1096,6 +1151,11 @@ object CommitLog {
     * deletes fan out, but the decision set is still log-vs-listing. Empty
     * directories left behind are pruned too (`_log` never touched). */
   def vacuum(root: String, retainVersions: Long = 0L): (Long, Long) = {
+    // VACUUM deletes data on the strength of this engine's own log
+    // interpretation — a newer feature may reference files in ways this
+    // reader does not parse, so the writer floor gates it (Delta does the
+    // same); read-only metadata listing stays open.
+    requireWritable(root)
     val rootP = Paths.get(root)
     val latest = latestVersion(root)
     val snap = snapshotAsOf(root, Long.MaxValue)

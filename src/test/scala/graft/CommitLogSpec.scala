@@ -792,6 +792,72 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === 5L)
   }
 
+  test("writer protocol gating: a raised minWriter refuses EVERY commit " +
+      "surface and vacuum (pre-bump writes worked), reads and metadata " +
+      "listing stay open, the floor survives checkpoints, a stale writer " +
+      "cannot restore it, and a capable writer can") {
+    val root = freshTable() // v1, v2 = the pre-bump writes; they landed
+    val s0 = spark
+    import s0.implicits._
+    // Fill to v9 so the capable writer's floor bump at v10 writes the
+    // checkpoint that must carry the facet.
+    (3L to 9L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    CommitLog.setMinWriter(root, 10L, CommitLog.SupportedWriterVersion + 1L,
+      asWriterVersion = CommitLog.SupportedWriterVersion + 1L)
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")),
+      "the bump commit must have produced the checkpoint this test pins")
+    // Every mutating surface this engine has refuses — commit kinds,
+    // meta facets, DV attach, protocol writes, and vacuum (which deletes
+    // data on the strength of its own log interpretation)…
+    intercept[UnsupportedOperationException] {
+      CommitLog.commit(root, 11L, "g=1")
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.commitFiles(root, 11L, Nil, Nil)
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.commitChecked(root, "g=1", 10L, reads = Nil)
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.commitDVChecked(root, 10L, Map("g=1/x.parquet" -> "dv/x"))
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.setConstraints(root, 11L, Seq("key > 0"))
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.setGencolDiv(root, 11L, 2L)
+    }
+    intercept[UnsupportedOperationException] {
+      CommitLog.setMinReader(root, 11L, CommitLog.SupportedReaderVersion)
+    }
+    // …including a STALE writer trying to lower the floor back down.
+    intercept[UnsupportedOperationException] {
+      CommitLog.setMinWriter(root, 11L, CommitLog.SupportedWriterVersion)
+    }
+    intercept[UnsupportedOperationException] { CommitLog.vacuum(root) }
+    // …and nothing landed.
+    assert(CommitLog.latestVersion(root) === 10L)
+    // The READ half is untouched by the writer floor: that is the point
+    // of splitting the two — a stale engine still queries the table.
+    assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === 5L)
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).nonEmpty)
+    assert(CommitLog.history(root).nonEmpty)
+    // A writer may never declare a floor above its own support.
+    intercept[IllegalArgumentException] {
+      CommitLog.setMinWriter(root, 11L, CommitLog.SupportedWriterVersion + 2L,
+        asWriterVersion = CommitLog.SupportedWriterVersion + 1L)
+    }
+    // Floor-restore (feature rollback) by a CAPABLE writer; this engine's
+    // writes then resume.
+    CommitLog.setMinWriter(root, 11L, CommitLog.SupportedWriterVersion,
+      asWriterVersion = CommitLog.SupportedWriterVersion + 1L)
+    Seq((9L, 90.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3")
+    CommitLog.commit(root, 12L, "g=3")
+    assert(CommitLog.readAsOf(spark, root, Long.MaxValue).count() === 6L)
+  }
+
   test("ANN index refit vs append arbitration: a non-consuming append whose " +
       "read set a refit retired ABORTS (incompatible geometry never lands); " +
       "a refit landing after an append atomically retires the delta too") {
