@@ -2192,6 +2192,147 @@ object Scans {
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
              |ORDER BY as_of, b""".stripMargin)),
 
+    // MERGE-ON-READ UPDATE via DELETION VECTORS — completing the MoR DML
+    // pair (table_delete_dv covers DELETE; table_update is copy-on-write):
+    // the matched rows' OLD images die by deletion vector on their victim
+    // files while their NEW images land as freshly appended files, in ONE
+    // atomic metadata commit (CommitLog.commitDVChecked with `adds` — the
+    // Delta DV-update transaction), so no reader ever sees both images or
+    // neither. ONE scan of the pruned victim set derives both halves
+    // (positions sidecar + updated rows). `require`d: every pre-update
+    // file is still live post-update (zero victim rewrites — the MoR
+    // bargain: a point update of k rows in a TB-sized file costs KBs),
+    // the update adds are live, and only victims carry vectors. The
+    // lifecycle closes in-query exactly as for the delete: OPTIMIZE
+    // materializes the partition (vectors applied + updates folded in),
+    // conflict-checked against BOTH the victims and the update files; the
+    // MoR ≡ materialized equivalence is require'd row for row; VACUUM
+    // reclaims the expired sidecar with the victim tombstones. All three
+    // versions' rollups are pinned against DuckDB's reconstruction.
+    QDef(
+      "table_update_dv",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_dvu_")
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") % 4L).as("b"))
+          .coalesce(2).write.partitionBy("b").mode("overwrite")
+          .parquet(s"$root/g=1")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.commitFiles(root, 1L, adds = listParquet("g=1"), removes = Nil)
+        val live1 = CommitLog.filesAsOf(root, 1L)
+        // UPDATE SET val = val*1.1 WHERE b = 2 AND key % 5 = 1: victims by
+        // partition pruning, then ONE scan of only the victim files
+        // derives both halves of the update.
+        val victims = live1.filter(_.startsWith("g=1/b=2/"))
+        require(victims.nonEmpty && victims.size < live1.size,
+          s"update must prune to a strict subset of files: ${victims.size}/${live1.size}")
+        val matched = s.read.parquet(victims.map(f => s"$root/$f"): _*)
+          .where(col("key") % 5L === 1L)
+          .select(col("key"), col("val"),
+            expr("substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
+              + s"${root.length + 2})").as("f"),
+            col("_metadata.row_index").cast("long").as("pos"))
+          .localCheckpoint() // one victim scan feeds both writes below
+        matched.select(col("f"), col("pos"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/dvu")
+        matched.select(col("key"), (col("val") * 1.1).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2/b=2")
+        val dvFile = listParquet("dvu") match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"expected one sidecar file, got $other")
+        }
+        val updAdds = listParquet("g=2")
+        require(updAdds.nonEmpty, "the update must append new-image files")
+        val v2 = CommitLog.commitDVChecked(root, 1L,
+          victims.map(_ -> dvFile).toMap, adds = updAdds)
+        require(v2 == 2L, s"MoR update must land at version 2, got $v2")
+        val snap2 = CommitLog.snapshotAsOf(root, v2)
+        require(snap2.live.toSet == live1.toSet ++ updAdds,
+          "MoR update must move NO pre-update file and add ONLY the new images")
+        require(snap2.dvs.keySet == victims.toSet
+            && snap2.dvs.values.forall(_ == dvFile),
+          s"every victim and only the victims carry the vector: ${snap2.dvs}")
+        def rollup(v: Long, label: Long) = CommitLog.readAsOf(s, root, v)
+          .groupBy(col("b").cast("long").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(label).as("as_of"), col("b"), col("n"),
+            col("sum_key"), col("sum_cents"))
+        val r1 = rollup(1L, 1L).localCheckpoint()
+        val r2 = rollup(v2, 2L).localCheckpoint()
+        // OPTIMIZE / MATERIALIZE: fold the vectors and the update files
+        // into one rewritten partition file; the swap is conflict-checked
+        // against BOTH halves of the update (a racing second update of
+        // either would abort it, and vice versa).
+        CommitLog.readAsOf(s, root, v2)
+          .where(col("b") === 2L)
+          .select(col("key"), col("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=3/b=2")
+        val v3 = CommitLog.commitChecked(root, "g=3/b=2", v2,
+          reads = victims ++ updAdds)
+        require(v3 == 3L, s"materialize must land at version 3, got $v3")
+        val snap3 = CommitLog.snapshotAsOf(root, Long.MaxValue)
+        require(snap3.live.forall(f => !snap3.dvs.contains(f)),
+          "materializing must retire the vectors from every live file")
+        require((victims ++ updAdds).forall(!snap3.live.toSet.contains(_))
+            && snap3.live.exists(_.startsWith("g=3/b=2/")),
+          s"materialize must swap victims + update files for the rewrite: ${snap3.live}")
+        val r3 = rollup(Long.MaxValue, 3L)
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        require(r2.collect().map(keyOf).toSet == r3.collect().map(keyOf).toSet,
+          "merge-on-read and materialized update reads must agree")
+        val dvAbs = java.nio.file.Paths.get(root, dvFile)
+        require(java.nio.file.Files.exists(dvAbs), "sidecar must exist pre-vacuum")
+        val (_, removed) = CommitLog.vacuum(root, 0L)
+        require(!java.nio.file.Files.exists(dvAbs),
+          "vacuum must reclaim the expired sidecar")
+        require(removed >= victims.size + updAdds.size + 1L,
+          s"vacuum must reclaim victims + update files + sidecar, removed $removed")
+        r1.unionAll(r2).unionAll(r3).orderBy("as_of", "b")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_orderkey % 4 AS b
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |upd AS (
+             |  SELECT key,
+             |    CASE WHEN b = 2 AND key % 5 = 1 THEN val * 1.1 ELSE val END AS val,
+             |    b
+             |  FROM base),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM base GROUP BY 2),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM upd GROUP BY 2),
+             |r3 AS (
+             |  SELECT CAST(3 AS BIGINT) AS as_of, CAST(b AS BIGINT) AS b,
+             |    count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM upd GROUP BY 2)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+             |ORDER BY as_of, b""".stripMargin)),
+
     // CHECK CONSTRAINTS through the commit log — the governance piece of
     // the DML family (Delta's table constraints): a metadata-only commit
     // declares the table's constraint set (`CommitLog.setConstraints`,

@@ -1044,9 +1044,19 @@ object CommitLog {
     * the commit is O(victims) metadata plus the sidecar — the merge-on-
     * read bargain vs copy-on-write's rewrite. A re-attach to an already
     * annotated file REPLACES the vector, so the writer must pass the
-    * merged position set (Delta semantics). */
+    * merged position set (Delta semantics).
+    *
+    * `adds` makes this the MERGE-ON-READ UPDATE commit: the matched rows'
+    * OLD images die by deletion vector while their NEW images land as
+    * freshly appended files — one atomic metadata commit (Delta's
+    * DV-update transaction: remove+re-add-with-dv of each victim PLUS the
+    * plain adds), so no reader ever sees both images or neither. The
+    * update costs O(matched rows) sidecar + appended data + O(victims)
+    * metadata — never a victim-file rewrite, which is the entire point at
+    * 100 TB: a point update of k rows in a TB-sized file is KBs of delta. */
   def commitDVChecked(root: String, readVersion: Long,
-      dvs: Map[String, String], maxAttempts: Int = 64): Long = {
+      dvs: Map[String, String], maxAttempts: Int = 64,
+      adds: Seq[String] = Nil): Long = {
     requireWritable(root)
     require(dvs.nonEmpty, "DV attach with no vectors")
     val victims = dvs.keys.toSeq.sorted
@@ -1055,7 +1065,7 @@ object CommitLog {
     var attempts = 0
     while (attempts < maxAttempts) {
       val won = publishLogFile(root, f"$v%08d.json",
-        commitJson(v, adds = victims, removes = victims,
+        commitJson(v, adds = victims ++ adds.sorted, removes = victims,
           ts = stampFor(root, -1L), dvs = dvs))
       if (won) {
         if (v % CheckpointInterval == 0) writeCheckpoint(root, v)

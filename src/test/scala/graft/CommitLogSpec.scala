@@ -533,6 +533,64 @@ class CommitLogSpec extends SparkSpec {
       "the aborted compaction must not resurrect the deleted row")
   }
 
+  test("MoR update (DV + adds) vs concurrent rewrite: whichever loses the " +
+      "version race aborts whole — an aborted update lands NEITHER half " +
+      "(no vector, no new image; the staged file is vacuum debris), and a " +
+      "landed update makes the stale compaction abort") {
+    val s0 = spark
+    import s0.implicits._
+    def stageUpd(root: String): Seq[String] = {
+      Seq((2L, 21.0)).toDF("key", "val")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/g=9")
+      Files.list(Paths.get(s"$root/g=9")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")
+          && !Paths.get(p).getFileName.toString.startsWith("."))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).sorted
+    }
+    def valOfKey2(root: String): Seq[Double] =
+      CommitLog.readAsOf(spark, root, Long.MaxValue)
+        .where(col("key") === 2L).select("val")
+        .collect().map(_.getDouble(0)).sorted.toSeq
+    // Order 1: compaction lands first; the late update must abort WHOLE.
+    val rootA = dvTable()
+    val victimsA = CommitLog.filesAsOf(rootA, 2L).filter(_.startsWith("g=1/"))
+    val dvA = writeDv(rootA, victimsA, col("key") === 2L, "dv3")
+    val updA = stageUpd(rootA)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$rootA/g=3")
+    assert(CommitLog.commitChecked(rootA, "g=3", 2L, reads = victimsA) === 3L)
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitDVChecked(rootA, 2L, Map(victimsA.head -> dvA),
+        adds = updA)
+    }
+    assert(!CommitLog.filesAsOf(rootA, Long.MaxValue).exists(_.startsWith("g=9/")),
+      "aborted update leaked its staged new image into the live set")
+    assert(valOfKey2(rootA) === Seq(20.0),
+      "aborted update must leave the old image alone (atomicity: no half-update)")
+    val (_, removedA) = CommitLog.vacuum(rootA, 100L)
+    assert(removedA >= 2L && !Files.exists(Paths.get(rootA, updA.head)),
+      "the aborted update's staging must be vacuum-reclaimable debris")
+    // Order 2: the update lands first; a compaction that read the
+    // PRE-update snapshot must abort (it would drop the new image and
+    // resurrect the old one through the swap).
+    val rootB = dvTable()
+    val victimsB = CommitLog.filesAsOf(rootB, 2L).filter(_.startsWith("g=1/"))
+    val dvB = writeDv(rootB, victimsB, col("key") === 2L, "dv3")
+    val updB = stageUpd(rootB)
+    assert(CommitLog.commitDVChecked(rootB, 2L, Map(victimsB.head -> dvB),
+      adds = updB) === 3L)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$rootB/g=3")
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitChecked(rootB, "g=3", 2L, reads = victimsB)
+    }
+    // Atomicity of the landed update: exactly the new image serves —
+    // never both images, never neither.
+    assert(valOfKey2(rootB) === Seq(21.0),
+      "the landed MoR update must serve exactly the new image")
+    assert(keysAsOf(rootB, Long.MaxValue) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("shallow clone × deletion vectors: cloned annotations go absolute " +
       "(data file AND sidecar) and still subtract; a DV attached ON the " +
       "clone to a borrowed absolute-path file subtracts through the clone " +
