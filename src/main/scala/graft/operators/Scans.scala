@@ -1574,6 +1574,140 @@ object Scans {
              |SELECT CAST(3 AS BIGINT), n, sum_key, sum_cents FROM roll
              |ORDER BY as_of""".stripMargin)),
 
+    // OPTIMIZE ZORDER — clustered compaction, the maintenance command
+    // production users actually run: `table_optimize`'s atomic adds+
+    // removes transaction COMPOSED with `sink_zorder`'s bit-interleave
+    // clustering, with the payoff MEASURED through `table_skipping`'s
+    // stat facets rather than asserted. The pre state is the write-
+    // amplified smell: 12 hash-spread files (g = key % 12) whose per-file
+    // z ranges each span the whole domain — a 2-D box probe must open
+    // every file. OPTIMIZE rewrites the live set clustered on the z
+    // value (zc = z div 342 → 12 contiguous z-slices), publishing
+    // adds(12 clustered) + removes(12 scattered) with fresh per-file z
+    // stats in ONE atomic commit. Interval pruning on z is SAFE for a
+    // box because bit-interleave is an order-embedding per axis (x ≤ x',
+    // y ≤ y' ⇒ z ≤ z'), so every box row's z lies in [z(x0,y0),
+    // z(x1,y1)]; for the power-of-2-aligned box probed here the interval
+    // is exactly the box's 64 cells. `require`d: row identity across the
+    // compaction, the skipping-safety law at both versions (pruning
+    // drops FILES, never rows), and the payoff — the clustered snapshot
+    // prunes STRICTLY more files than the scattered one. Both layouts
+    // and both pruning counts are deterministic integer arithmetic, so
+    // DuckDB reconstructs all of it. At 100 TB this is the lever that
+    // turns a needle-box query from a full scan into ~1 file: clustering
+    // is useless without stats, stats are useless without clustering,
+    // and only the composed transaction delivers the read-side win.
+    QDef(
+      "table_optimize_zorder",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_optz_")
+        def zExpr(xc: String, yc: String) = (0 until 6).map { i =>
+          val p = 1L << i
+          expr(s"(($xc div $p) % 2) * ${1L << (2 * i)} + (($yc div $p) % 2) * ${1L << (2 * i + 1)}")
+        }.reduce(_ + _)
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_custkey") % 64L).as("x"),
+            (expr("unix_timestamp(o_orderdate) div 86400") % 64L).as("y"))
+          .withColumn("z", zExpr("x", "y"))
+        def statsOf(sub: String): Map[String, (Long, Long)] = {
+          val rows = s.read.option("basePath", root).parquet(s"$root/$sub")
+            .groupBy(col("_metadata.file_path").as("fp"))
+            .agg(min("z").as("mn"), max("z").as("mx"))
+            .collect() // O(files) metadata, never rows
+          rows.map(r => CommitLog.relToRoot(root, r.getString(0)) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        }
+        // v1 — the scattered snapshot: one file per hash bucket.
+        o.withColumn("gen", lit(1L)).withColumn("g", col("key") % 12L)
+          .repartition(12, col("g"))
+          .write.partitionBy("gen", "g").mode("overwrite").parquet(root)
+        val stats1 = statsOf("gen=1")
+        require(stats1.size == 12, s"expected 12 hash files, got ${stats1.size}")
+        CommitLog.commitFiles(root, 1L, adds = stats1.keys.toSeq.sorted,
+          removes = Nil, stats = stats1)
+        val small = CommitLog.filesAsOf(root, 1L)
+        // OPTIMIZE ZORDER: rewrite the LIVE SET (read through the log)
+        // clustered on z, stats computed in the same staging pass, then
+        // ONE atomic swap commit.
+        CommitLog.readAsOf(s, root, 1L)
+          .select("key", "val", "x", "y", "z")
+          .withColumn("gen", lit(2L))
+          .withColumn("zc", expr("(z % 4096) div 342"))
+          .repartition(12, col("zc"))
+          .sortWithinPartitions("z")
+          .write.partitionBy("gen", "zc").mode("append").parquet(root)
+        val stats2 = statsOf("gen=2")
+        require(stats2.size == 12, s"expected 12 z-clusters, got ${stats2.size}")
+        CommitLog.commitFiles(root, 2L, adds = stats2.keys.toSeq.sorted,
+          removes = small, stats = stats2)
+        val after = CommitLog.filesAsOf(root, 2L)
+        require(after.size == 12 && after.forall(_.startsWith("gen=2/")),
+          s"clustered compaction must leave exactly the z-slices: $after")
+        // The aligned 8×8 box probe: x ∈ [16,23], y ∈ [24,31] ⇒ z ∈
+        // [z(16,24), z(23,31)] exactly (aligned box = one z interval).
+        val (zlo, zhi) = (896L, 959L)
+        val keptPre = CommitLog.filesAsOfPruned(root, 1L, zlo, zhi)
+        val keptPost = CommitLog.filesAsOfPruned(root, 2L, zlo, zhi)
+        // THE PAYOFF, measured: strictly more files pruned post-OPTIMIZE.
+        require(small.size - keptPre.size < after.size - keptPost.size,
+          s"z-clustering must out-prune the scattered layout " +
+            s"(pre kept ${keptPre.size}/${small.size}, post kept ${keptPost.size}/${after.size})")
+        def matched(paths: Seq[String]) =
+          s.read.parquet(paths.map(f => s"$root/$f"): _*)
+            .where(col("x").between(16L, 23L) && col("y").between(24L, 31L))
+        // Skipping-safety law at BOTH versions: files may drop, rows never.
+        require(matched(keptPre).count() == matched(small).count(),
+          "pre-optimize pruning dropped matching rows")
+        require(matched(keptPost).count() == matched(after).count(),
+          "post-optimize pruning dropped matching rows")
+        // Row identity across the compaction (the table_optimize law).
+        def rollup(v: Long) = CommitLog.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum(col("key")).cast("long").as("sk"))
+          .collect().map(_.toSeq).toSeq
+        require(rollup(1L) == rollup(2L),
+          "clustered compaction changed the table contents")
+        matched(keptPost).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(small.size.toLong).as("n_files"),
+            lit(keptPre.size.toLong).as("n_kept_scattered"),
+            lit(keptPost.size.toLong).as("n_kept_zorder"),
+            col("n_rows"), col("sum_key"), col("sum_cents"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val,
+             |    o_custkey % 64 AS x,
+             |    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 64 AS y
+             |  FROM orders),
+             |zd AS (
+             |  SELECT key, val, x, y,
+             |    ( ((x//1)%2)*1 + ((x//2)%2)*4 + ((x//4)%2)*16
+             |    + ((x//8)%2)*64 + ((x//16)%2)*256 + ((x//32)%2)*1024
+             |    + 2*( ((y//1)%2)*1 + ((y//2)%2)*4 + ((y//4)%2)*16
+             |        + ((y//8)%2)*64 + ((y//16)%2)*256 + ((y//32)%2)*1024 )
+             |    ) AS z
+             |  FROM keyed),
+             |pre AS (
+             |  SELECT key % 12 AS g, min(z) AS mn, max(z) AS mx
+             |  FROM zd GROUP BY 1),
+             |post AS (
+             |  SELECT (z % 4096) // 342 AS zc, min(z) AS mn, max(z) AS mx
+             |  FROM zd GROUP BY 1),
+             |m AS (
+             |  SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  FROM zd WHERE x BETWEEN 16 AND 23 AND y BETWEEN 24 AND 31)
+             |SELECT (SELECT count(*) FROM pre) AS n_files,
+             |  (SELECT count(*) FROM pre WHERE mx >= 896 AND mn <= 959)
+             |    AS n_kept_scattered,
+             |  (SELECT count(*) FROM post WHERE mx >= 896 AND mn <= 959)
+             |    AS n_kept_zorder,
+             |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
+
     // OPTIMISTIC-CONCURRENCY CONFLICT CHECKING — the arbitration step that
     // makes multi-writer maintenance SAFE (Delta/Iceberg's conflict
     // checker, CommitLog.commitChecked): two writers both read snapshot
@@ -2457,9 +2591,8 @@ object Scans {
           .groupBy("fp").agg(min("key").as("mn"), max("key").as("mx"))
           .collect()
         val stats = statRows.map { r =>
-          val abs = r.getString(0)
-          val rel = abs.substring(abs.indexOf(root) + root.length + 1)
-          rel -> (r.getLong(1), r.getLong(2))
+          CommitLog.relToRoot(root, r.getString(0)) ->
+            (r.getLong(1), r.getLong(2))
         }.toMap
         require(stats.size == 8, s"expected 8 range-bucket files, staged ${stats.size}")
         CommitLog.commitFiles(root, 1L, adds = stats.keys.toSeq.sorted,
