@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with spark.sql.extensions=graft.GraftExtensions push graft_mag range
     // predicates to the scan with no per-session install() call.
     ext.injectOptimizerRule(_ => plans.MagSargRewrite)
+    // Stats-driven broadcast: joins against ANALYZEd tables (registered in
+    // plans.TableStatsRegistry) flip to broadcast when the artifact bounds
+    // the filtered side under the threshold.
+    ext.injectOptimizerRule(_ => plans.StatsBroadcastRule)
   }
 }

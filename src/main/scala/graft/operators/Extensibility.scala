@@ -645,6 +645,90 @@ object Extensibility {
              |    AS sum_cents
              |FROM events
              |WHERE value > 0 AND -2.5 * log10(value) + 25.0 < 20.3
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // STATS-DRIVEN BROADCAST — the CBO loop closed through the optimizer-
+    // rule tier (plans/StatsBroadcast.scala, injected like MagSargRewrite):
+    // the engine PRODUCES statistics (`table_stats`/`table_histogram`) but
+    // until this tier nothing consumed them. Spark's size-only estimator
+    // carries a scan's FULL file bytes through a Filter, so an equality-
+    // filtered slice of a large dimension plans as a shuffle join even
+    // when the matching bucket is tiny — the classic missed broadcast.
+    // Here an ANALYZE pass registers per-bucket counts + average row
+    // width; the rule bounds the filtered side at rows(bucket)×width and,
+    // when the bound clears autoBroadcastJoinThreshold, sets the
+    // broadcast strategy on the Join hint — derived from statistics, with
+    // NO hint anywhere in the query. Both directions are require'd
+    // in-query on INITIAL plans (before AQE could convert anything at
+    // runtime): a control session WITHOUT the rule plans the shuffle
+    // join; the rule session plans BroadcastHashJoin. The threshold is
+    // set to half the dimension's real staged bytes, so the native
+    // size-only path can never broadcast it at any fixture scale — only
+    // the stats can. At 100 TB the stakes are one full shuffle of the
+    // fact table per missed broadcast; the bound is exact counts × real
+    // width, so the flip is as safe as the same-size user hint.
+    QDef(
+      "opt_stats_broadcast",
+      (s, dir) => {
+        val root = Scans.freshRunTmpPath(s, "graft_cbo_")
+        val dimPath = s"$root/g=1"
+        T.orders(s, dir)
+          .select(col("o_orderkey").as("key"),
+            (col("o_orderkey") % 16L).as("b"),
+            col("o_custkey").as("cust"))
+          .coalesce(2).write.mode("overwrite").parquet(dimPath)
+        // ANALYZE: one distributed pass → per-bucket counts (O(buckets)
+        // driver-side); row width from the staged footprint.
+        val counts = s.read.parquet(dimPath).groupBy("b").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val totalRows = counts.values.sum
+        val bytes = {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(dimPath))
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).sum
+          finally st.close()
+        }
+        val avg = math.max(1L, bytes / math.max(1L, totalRows))
+        def joined(sx: org.apache.spark.sql.SparkSession) = {
+          sx.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            (bytes / 2L).toString)
+          val fact = T.orders(sx, dir)
+            .select(col("o_orderkey").as("key"),
+              expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
+          val dim = sx.read.parquet(dimPath).where(col("b") === 7L)
+          fact.join(dim, "key") // NO hint anywhere
+            .agg(count(lit(1)).as("n"),
+              sum("cents").cast("long").as("sum_cents"),
+              sum("cust").cast("long").as("sum_cust"))
+            .select(lit(7L).as("bucket"), col("n"), col("sum_cents"),
+              col("sum_cust"))
+        }
+        // Control: same query, same threshold, NO STATS REGISTERED — the
+        // rule (present in extension-built sessions) must change nothing
+        // without an artifact, and the size-only estimator must plan the
+        // shuffle join (proving the stats, not the sizes, drive the flip).
+        val p0 = joined(s.newSession()).queryExecution.executedPlan.toString
+        require(!p0.contains("BroadcastHashJoin"),
+          s"control plan must not broadcast on size-only estimates:\n$p0")
+        // ANALYZE published: the artifact bounds the b=7 slice under the
+        // threshold → STATIC BroadcastHashJoin, no hint.
+        graft.plans.TableStatsRegistry.register(dimPath,
+          graft.plans.TableStatsRegistry.Artifact("b", counts, avg))
+        val s2 = s.newSession()
+        graft.plans.StatsBroadcastRule.install(s2)
+        val df = joined(s2)
+        val p = df.queryExecution.executedPlan.toString
+        graft.plans.TableStatsRegistry.unregister(dimPath)
+        require(p.contains("BroadcastHashJoin"),
+          s"engine statistics did not drive the broadcast flip:\n$p")
+        df
+      },
+      Some("""SELECT CAST(7 AS BIGINT) AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM orders WHERE o_orderkey % 16 = 7""".stripMargin))
   )
 }

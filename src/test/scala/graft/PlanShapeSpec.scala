@@ -907,6 +907,19 @@ class PlanShapeSpec extends SparkSpec {
       "the magnitude expression should be rewritten away from the filter entirely")
   }
 
+  test("opt_stats_broadcast: the ANALYZE artifact drives a hint-free STATIC " +
+      "BroadcastHashJoin on the initial plan — no shuffle join survives") {
+    // The QDef's in-query control already proves the size-only session
+    // plans a shuffle join at the same threshold; this re-asserts the
+    // rule session's shape from the outside so a silently weakened
+    // require cannot pass.
+    val p = plan("opt_stats_broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats-driven flip lost the static broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a shuffle join survived next to the stats-driven broadcast:\n$p")
+  }
+
   test("join_asof_nearest: nearest is the SAME one shuffle as join_asof — " +
       "two stacked window captures, never a join operator") {
     val p = plan("join_asof_nearest")
