@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** Audience membership rows for the theta-sketch family: one (id, aud)
+    * row per audience an active customer-month belongs to. Audience "a" =
+    * customer-months in Jan–Aug, "b" = Jun–Dec — genuinely overlapping
+    * sets with a non-trivial difference at every fixture scale. */
+  private[graft] def thetaAudiences(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    T.orders(s, dir)
+      .select((col("o_custkey") * 100L + month(col("o_orderdate"))).as("id"),
+        month(col("o_orderdate")).as("m"))
+      .select(col("id"), explode(array(
+        when(col("m").between(1, 8), lit("a")),
+        when(col("m").between(6, 12), lit("b")))).as("aud"))
+      .where(col("aud").isNotNull)
+
+  /** Relational theta/KMV sketch state: the bottom-`k` DISTINCT 62-bit
+    * hash values per audience, as plain (aud, hv, rk) rows. One corpus
+    * pass with map-side partial aggregation builds the distinct set; the
+    * bottom-k window adds NO exchange because its partition key is a
+    * prefix of the grouping keys. Mergeable by construction: a global
+    * bottom-k element is inside every shard's bottom-k, so shard-union +
+    * re-rank ≡ direct (the ApproxSpec law). */
+  private[graft] def thetaSamples(aud: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("aud").orderBy("hv")
+    aud
+      .select(col("aud"), pmod(xxhash64(col("id")), lit(1L << 62)).as("hv"))
+      .groupBy("aud", "hv").agg(count(lit(1)).as("c")).drop("c")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** Best trial period per object by phase-dispersion minimization — shared
     * by `lc_periods` (which emits it) and `lc_fold` (which folds the curve
     * at it). See the lc_periods QDef comment for the algorithm and the
@@ -237,6 +269,83 @@ object Aggregates {
             count(lit(1)).as("n_days"),
             sum(col("n_rows")).as("n_rows"))
           .orderBy("event_type")
+      },
+      None),
+
+    // THETA SKETCH SET ALGEBRA — the one query the HLL family above cannot
+    // answer: audience OVERLAP. An HLL union estimates |A ∪ B|, but HLL
+    // state supports union only; intersection/difference need a sketch
+    // whose state is a uniform SAMPLE of the set — the Datasketches theta
+    // sketch, kept RELATIONAL here exactly like the DDSketch construction:
+    // a sketch is the bottom-k distinct hash rows of its audience
+    // ((aud, hv) rows, hv = 62-bit uniform hash), θ is the k-th smallest
+    // hv (or the hash-space max M in exact mode, n < k). The construction
+    // is mergeable like its siblings — any hv in the global bottom-k is in
+    // its shard's bottom-k, so merge = union + re-rank, and merged ≡
+    // direct EXACTLY (ApproxSpec law). Set algebra runs at the COMMON
+    // θ = min(θ_A, θ_B): on the sample rows below θ it is EXACT relational
+    // algebra (the inclusion-exclusion and partition identities are
+    // require'd as exact integer equalities in-query); only the scale-up
+    // est = |samples| · M / θ is approximate, and each of the five
+    // measures is require'd within 25% of its exact count (k = 512 ⇒
+    // rse ≈ 4.4%). Declared WITHOUT an oracle (the hash is
+    // engine-specific); the output carries est AND exact side by side.
+    // Scale shape: ONE corpus pass builds (aud, hv) with map-side partial
+    // agg; the bottom-k window adds NO exchange (grouping keys ⊇ partition
+    // key); everything after runs on ≤ 2k sample rows regardless of corpus
+    // size — audience overlap over 100 TB from two KB-sized sketches.
+    QDef(
+      "agg_theta_sketch",
+      (s, dir) => {
+        val k = 512
+        val M = 1L << 62
+        val samples = thetaSamples(thetaAudiences(s, dir), k)
+          .localCheckpoint() // ≤ 2k rows, reused by θ + both sample scans
+        val th = samples.groupBy("aud")
+          .agg(count(lit(1)).as("n"), max("hv").as("mx"))
+          .select(col("aud"),
+            when(col("n") < k, lit(M)).otherwise(col("mx")).as("th"))
+        val thC = broadcast(th.agg(min("th").as("thc"))) // common θ, 1 row
+        def below(aud: String) = samples.where(col("aud") === aud)
+          .crossJoin(thC).where(col("hv") < col("thc")).select("hv")
+        // Sample sets below the common θ: ONE full-outer flag join makes
+        // all five measures exact relational algebra on ≤ 2k rows.
+        val fl = below("a").withColumn("ina", lit(1L))
+          .join(below("b").withColumn("inb", lit(1L)), Seq("hv"), "full_outer")
+          .na.fill(0L, Seq("ina", "inb"))
+        val cnt = fl.agg(
+          sum("ina").cast("long").as("c_a"),
+          sum("inb").cast("long").as("c_b"),
+          count(lit(1)).as("c_u"),
+          sum(col("ina") * col("inb")).cast("long").as("c_i"),
+          sum(col("ina") * (lit(1L) - col("inb"))).cast("long").as("c_d"))
+        // Exact ground truth, one corpus pass (for the output + the bound).
+        val ex = thetaAudiences(s, dir).groupBy("id")
+          .agg(max(when(col("aud") === "a", 1L).otherwise(0L)).as("ina"),
+            max(when(col("aud") === "b", 1L).otherwise(0L)).as("inb"))
+          .agg(sum("ina").cast("long").as("e_a"),
+            sum("inb").cast("long").as("e_b"),
+            count(lit(1)).as("e_u"),
+            sum(col("ina") * col("inb")).cast("long").as("e_i"),
+            sum(col("ina") * (lit(1L) - col("inb"))).cast("long").as("e_d"))
+        val one = cnt.crossJoin(ex).crossJoin(thC).head()
+        def g(n: String) = one.getLong(one.fieldIndex(n))
+        val thc = g("thc")
+        // The set-algebra identities are EXACT on the sample sets.
+        require(g("c_u") == g("c_a") + g("c_b") - g("c_i"),
+          "inclusion-exclusion must hold exactly on theta samples")
+        require(g("c_a") == g("c_i") + g("c_d"),
+          "the intersect/difference partition must hold exactly on samples")
+        val rows = Seq(("a", "c_a", "e_a"), ("b", "c_b", "e_b"),
+          ("union", "c_u", "e_u"), ("intersect", "c_i", "e_i"),
+          ("a_minus_b", "c_d", "e_d")).map { case (m, c, e) =>
+          val est = g(c).toDouble * M.toDouble / thc.toDouble
+          require(g(e) > 0L && math.abs(est / g(e) - 1.0) <= 0.25,
+            s"theta estimate for $m out of tolerance: est=$est exact=${g(e)}")
+          (m, g(c), math.floor(est * 1e4 + 0.5) / 1e4, g(e))
+        }
+        import s.implicits._
+        rows.toDF("measure", "n_samples", "est", "exact").orderBy("measure")
       },
       None),
 

@@ -55,6 +55,47 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("agg_theta_sketch: shard-merge ≡ direct sketch EXACTLY, and the " +
+      "declared query's estimates sit within tolerance of the exact counts " +
+      "it carries") {
+    val k = 512
+    val aud = operators.Aggregates.thetaAudiences(spark, sf)
+    val direct = operators.Aggregates.thetaSamples(aud, k)
+      .select("aud", "hv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // Mergeability law: a global bottom-k element is inside its shard's
+    // bottom-k, so sharded build + union + re-rank must reproduce the
+    // direct sketch STATE exactly — same (aud, hv) rows, hence the same θ
+    // and the same every-downstream-estimate.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("aud").orderBy("hv")
+    val merged = (0L to 1L)
+      .map(p => operators.Aggregates.thetaSamples(
+        aud.where(pmod(col("id"), lit(2L)) === p), k))
+      .reduce(_ unionAll _)
+      .select("aud", "hv").distinct()
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("aud", "hv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === direct,
+      "sharded theta sketches did not merge to the direct sketch state")
+    // The declared query require's the exact set-algebra identities and
+    // the 25% bound in-query; execute it and sanity-check the carried
+    // exact counts against an independent reconstruction.
+    val rows = SparkEntry.queries("agg_theta_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set("a", "b", "union", "intersect", "a_minus_b"))
+    val eA = rows("a")._3; val eB = rows("b")._3
+    val eU = rows("union")._3; val eI = rows("intersect")._3
+    assert(eU === eA + eB - eI, "exact counts violate inclusion-exclusion")
+    assert(rows("a_minus_b")._3 === eA - eI, "exact counts violate partition")
+    rows.foreach { case (m, (_, est, exact)) =>
+      assert(math.abs(est / exact - 1.0) <= 0.25,
+        s"$m: theta estimate $est vs exact $exact (>25% off)")
+    }
+  }
+
   test("agg_pctile_reagg: daily DDSketch merge ≡ direct sketch, both within α of exact") {
     val merged = SparkEntry.queries("agg_pctile_reagg")(spark, sf)
     // Mergeability law: bucket-wise sum is associative/commutative, so the
