@@ -1787,6 +1787,200 @@ object Aggregates {
              |FROM tot LEFT JOIN f USING (user_id)
              |ORDER BY tot.user_id""".stripMargin)),
 
+    // THE NIGHTLY PIPELINE [PK — SURVEY §3.1 steps 1–3 as ONE composition]:
+    // lightcurator's end-to-end unified with the lakehouse family the way
+    // sim_index_log unified ANN with it. A night of new detections
+    // arrives (events as photometry, the lc_ family's model; scan_fits
+    // covers the upstream file format) and flows through: (1) ENSEMBLE
+    // CALIBRATION — the night's zero-point from residuals against the
+    // STANDING object catalog's mergeable per-object states (n, Σmag),
+    // lc_ensemble's machinery pointed at the standing table instead of a
+    // self-join; (2) SKY CROSS-MATCH — night detections carry only a
+    // (dithered) position, identity is RECOVERED by join_sky_nn's
+    // zone-join nearest-neighbour against the catalog (zone join + ±1
+    // zone explode: candidates linear in detections, never all-pairs);
+    // (3) CONFLICT-CHECKED APPEND — calibrated rows land in the standing
+    // light-curve table through CommitLog.commitCheckedNonConsuming
+    // reading the v1 files, so a concurrent recalibration that retired
+    // them aborts this append instead of mixing zero-point regimes
+    // (CommitLogSpec pins both race orders); (4) INCREMENTAL FEATURE
+    // REFRESH — per-object states absorb ONLY the change feed's added
+    // files (changesAt v2), never re-scanning history, and the IVM law
+    // (refreshed ≡ full recompute over the v2 snapshot) is require'd.
+    // Unmatched detections are quarantined (counted, not appended) — the
+    // new-source-candidate queue. Every stage is reconstructed by the
+    // DuckDB oracle, cross-match arithmetic included. At 100 TB: the
+    // nightly cost is O(night + objects-touched) — one zone-join of the
+    // night against the catalog, one state merge — while history stays
+    // unread on disk; that is the entire point of the standing table.
+    QDef(
+      "pipeline_nightly",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        graft.functions.Magnitude.register(s)
+        val root = Scans.freshRunTmpPath(s, "graft_nightly_")
+        val det = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id").as("u"), col("event_id").as("eid"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            expr("graft_mag(value)").as("mag"))
+        val nightDay = det.agg(max("day")).head.getLong(0) // the new epoch
+        // v1 — the standing light-curve table: all pre-night epochs.
+        det.where(col("day") < nightDay)
+          .coalesce(2).write.mode("overwrite").parquet(s"$root/h1")
+        CommitLog.commit(root, 1L, "h1")
+        // Standing object catalog: mergeable per-object state + position.
+        val objState = CommitLog.readAsOf(s, root, 1L).groupBy("u")
+          .agg(count(lit(1)).as("n_h"), sum("mag").as("sum_h"))
+        val obj = objState
+          .withColumn("ra", (col("u") * 7919L % 36000L).cast("double") / 100.0)
+          .withColumn("dec",
+            (col("u") * 104729L % 18001L).cast("double") / 100.0 - 90.0)
+          .withColumn("zone", floor((col("dec") + 90.0) / 5.0).cast("long"))
+        // The night's detections: position only (dithered ≤ 4e-5 deg) —
+        // identity must be recovered by the cross-match.
+        val night = det.where(col("day") === nightDay)
+          .withColumn("ra_d", (col("u") * 7919L % 36000L).cast("double") / 100.0
+            + (col("eid") % 7L - 3L).cast("double") / 100000.0)
+          .withColumn("dec_d",
+            (col("u") * 104729L % 18001L).cast("double") / 100.0 - 90.0
+            + (col("eid") % 5L - 2L).cast("double") / 100000.0)
+          .drop("u")
+        val nightN = night.count()
+        val cand = night
+          .withColumn("z0", floor((col("dec_d") + 90.0) / 5.0).cast("long"))
+          .withColumn("zone",
+            explode(array(col("z0") - 1L, col("z0"), col("z0") + 1L)))
+          .join(obj, Seq("zone"))
+          .where(abs(col("dec_d") - col("dec")) <= 5.0)
+        val sd = sin(radians(col("dec_d") - col("dec")) / 2)
+        val sr = sin(radians(col("ra_d") - col("ra")) / 2)
+        val hav = degrees(lit(2.0) * asin(sqrt(sd * sd +
+          cos(radians(col("dec_d"))) * cos(radians(col("dec"))) * (sr * sr))))
+        val wnn = org.apache.spark.sql.expressions.Window
+          .partitionBy("eid").orderBy(col("dist").asc, col("u").asc)
+        val matched = cand
+          .withColumn("dist", rnd(hav, 6))
+          .withColumn("rn", row_number().over(wnn))
+          .where(col("rn") === 1 && col("dist") <= 0.01)
+          .select(col("eid"), col("u"), col("day"), col("mag"),
+            col("n_h"), col("sum_h"))
+          .localCheckpoint() // small (≤ night size); reused 3× below
+        val matchedN = matched.count()
+        // Ensemble zero-point of the night vs the standing means.
+        val zpDf = broadcast(matched
+          .agg(avg(col("mag") - col("sum_h") / col("n_h")).as("zp")))
+        val zpNight = {
+          val z = zpDf.head.getDouble(0)
+          math.floor(z * 1e6 + 0.5) / 1e6
+        }
+        matched.crossJoin(zpDf)
+          .select(col("u"), col("eid"), col("day"),
+            rnd(col("mag") - col("zp"), 6).as("mag"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/n2")
+        // Conflict-checked, NON-consuming append: a recalibration that
+        // retired the files this night was calibrated against must abort
+        // this commit (both orders pinned in CommitLogSpec).
+        val v2 = CommitLog.commitCheckedNonConsuming(root, "n2", 1L,
+          reads = CommitLog.filesAsOf(root, 1L))
+        require(v2 == 2L, s"nightly append landed at $v2, expected 2")
+        // Change-feed incremental refresh: delta states from ONLY the
+        // night's added files — history stays unread.
+        val (adds, removes) = CommitLog.changesAt(root, v2)
+        require(removes.isEmpty && adds.nonEmpty,
+          "the nightly append must be add-only in the change feed")
+        val delta = s.read.parquet(adds.map(f => s"$root/$f"): _*)
+          .groupBy("u").agg(count(lit(1)).as("dn"), sum("mag").as("dsum"))
+        val refreshed = objState.join(delta, Seq("u"), "full_outer")
+          .na.fill(0L, Seq("n_h", "dn")).na.fill(0.0, Seq("sum_h", "dsum"))
+          .select(col("u").as("object_id"), col("n_h").as("n_before"),
+            col("dn").as("n_added"),
+            (col("n_h") + col("dn")).as("n_after"),
+            (col("sum_h") + col("dsum")).as("sum_after"))
+        // The IVM law: state-merge ≡ full recompute over the v2 snapshot.
+        val full = CommitLog.readAsOf(s, root, v2).groupBy("u")
+          .agg(count(lit(1)).as("n"), sum("mag").as("sm"))
+        def asMap(df: org.apache.spark.sql.DataFrame, k: String, n: String,
+            sm: String) =
+          df.select(col(k), col(n), rnd(col(sm), 6)).collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        require(asMap(refreshed, "object_id", "n_after", "sum_after")
+            == asMap(full, "u", "n", "sm"),
+          "incremental feature refresh diverged from full recomputation")
+        refreshed
+          .select(col("object_id"), col("n_before"), col("n_added"),
+            col("n_after"),
+            rnd(col("sum_after") / col("n_after"), 6).as("mean_after"))
+          .withColumn("night_day", lit(nightDay))
+          .withColumn("n_night", lit(nightN))
+          .withColumn("n_matched", lit(matchedN))
+          .withColumn("n_unmatched", lit(nightN - matchedN))
+          .withColumn("zp_night", lit(zpNight))
+          .orderBy("object_id")
+      },
+      Some("""WITH det AS (
+             |  SELECT user_id AS u, event_id AS eid,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0),
+             |nd AS (SELECT max(day) AS nightday FROM det),
+             |objstate AS (
+             |  SELECT u, count(*) AS n_h, sum(mag) AS sum_h
+             |  FROM det, nd WHERE day < nightday GROUP BY u),
+             |obj AS (
+             |  SELECT u, n_h, sum_h,
+             |    CAST((u * 7919) % 36000 AS DOUBLE) / 100.0 AS ra,
+             |    CAST((u * 104729) % 18001 AS DOUBLE) / 100.0 - 90.0 AS dec
+             |  FROM objstate),
+             |night AS (
+             |  SELECT d.*,
+             |    CAST((u * 7919) % 36000 AS DOUBLE) / 100.0
+             |      + CAST(eid % 7 - 3 AS DOUBLE) / 100000.0 AS ra_d,
+             |    CAST((u * 104729) % 18001 AS DOUBLE) / 100.0 - 90.0
+             |      + CAST(eid % 5 - 2 AS DOUBLE) / 100000.0 AS dec_d
+             |  FROM det d, nd WHERE day = nightday),
+             |cand AS (
+             |  SELECT n.eid, n.day, n.mag, o.u, o.n_h, o.sum_h,
+             |    floor((degrees(2.0 * asin(sqrt(
+             |      sin(radians(n.dec_d - o.dec) / 2) * sin(radians(n.dec_d - o.dec) / 2) +
+             |      cos(radians(n.dec_d)) * cos(radians(o.dec)) *
+             |      (sin(radians(n.ra_d - o.ra) / 2) * sin(radians(n.ra_d - o.ra) / 2))
+             |    )))) * 1e6 + 0.5) / 1e6 AS dist
+             |  FROM night n JOIN obj o
+             |    ON CAST(floor((o.dec + 90.0) / 5.0) AS BIGINT)
+             |       BETWEEN CAST(floor((n.dec_d + 90.0) / 5.0) AS BIGINT) - 1
+             |           AND CAST(floor((n.dec_d + 90.0) / 5.0) AS BIGINT) + 1
+             |   AND abs(n.dec_d - o.dec) <= 5.0),
+             |mt AS (
+             |  SELECT * FROM (
+             |    SELECT c.*, row_number() OVER (PARTITION BY eid
+             |      ORDER BY dist ASC, u ASC) AS rn
+             |    FROM cand c)
+             |  WHERE rn = 1 AND dist <= 0.01),
+             |zp AS (SELECT avg(mag - sum_h / n_h) AS zp FROM mt),
+             |cal AS (
+             |  SELECT u, floor((mag - zp) * 1e6 + 0.5) / 1e6 AS mag
+             |  FROM mt, zp),
+             |delta AS (SELECT u, count(*) AS dn, sum(mag) AS dsum FROM cal GROUP BY u),
+             |ref AS (
+             |  SELECT coalesce(o.u, d.u) AS object_id,
+             |    coalesce(o.n_h, 0) AS n_before, coalesce(d.dn, 0) AS n_added,
+             |    coalesce(o.n_h, 0) + coalesce(d.dn, 0) AS n_after,
+             |    (coalesce(o.sum_h, 0) + coalesce(d.dsum, 0))
+             |      / (coalesce(o.n_h, 0) + coalesce(d.dn, 0)) AS mean_after
+             |  FROM objstate o FULL OUTER JOIN delta d ON o.u = d.u)
+             |SELECT object_id,
+             |  CAST(n_before AS BIGINT) AS n_before,
+             |  CAST(n_added AS BIGINT) AS n_added,
+             |  CAST(n_after AS BIGINT) AS n_after,
+             |  floor(mean_after * 1e6 + 0.5) / 1e6 AS mean_after,
+             |  (SELECT nightday FROM nd) AS night_day,
+             |  (SELECT count(*) FROM night) AS n_night,
+             |  (SELECT count(*) FROM mt) AS n_matched,
+             |  (SELECT count(*) FROM night) - (SELECT count(*) FROM mt) AS n_unmatched,
+             |  (SELECT floor(zp * 1e6 + 0.5) / 1e6 FROM zp) AS zp_night
+             |FROM ref ORDER BY object_id""".stripMargin)),
+
     // Distribution-drift monitor (PSI): compare the value distribution of
     // each event type across the two halves of the observed time range —
     // the data-quality gate a training pipeline runs between snapshot N and

@@ -987,6 +987,72 @@ class CommitLogSpec extends SparkSpec {
     refitB.foreach(f => assert(Files.exists(Paths.get(root, f))))
   }
 
+  test("nightly append vs recalibration arbitration: an append calibrated " +
+      "against retired history ABORTS (no mixed zero-point regimes ever " +
+      "serve); a recalibration landing after a nightly atomically retires " +
+      "the night rows it would mis-calibrate") {
+    // pipeline_nightly's commit protocol reduced to its log actions: the
+    // standing light-curve table at v1, a 'nightly' =
+    // commitCheckedNonConsuming whose read set is the history its
+    // zero-point was derived from, a 'recalibration' = replace commit
+    // whose removes resolve at landing time.
+    val root = Files.createTempDirectory("graft_nightlyarb").toString
+    val s0 = spark
+    import s0.implicits._
+    def stage(gen: String, rows: Seq[(Long, Long, Double)]): Seq[String] = {
+      rows.toDF("u", "day", "mag")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")
+          && !Paths.get(p).getFileName.toString.startsWith("."))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).sorted.toSeq
+    }
+    def magsNow(): Seq[Double] =
+      CommitLog.readAsOf(spark, root, Long.MaxValue)
+        .select("mag").collect().map(_.getDouble(0)).sorted.toSeq
+    // v1: the standing table under zero-point regime A.
+    val hist = stage("h1", Seq((1L, 10L, 20.0), (2L, 10L, 21.0)))
+    CommitLog.commitFiles(root, 1L, adds = hist, removes = Nil)
+    // ORDER A: a recalibration (regime B, −0.5 shift) lands first as a
+    // replace commit; the nightly — calibrated against regime A's files —
+    // must ABORT, because appending it would mix zero-point regimes.
+    val recalA = stage("h2", Seq((1L, 10L, 19.5), (2L, 10L, 20.5)))
+    assert(CommitLog.commitRetrying(root, "h2",
+      removesAsOf = v => CommitLog.filesAsOf(root, v - 1L),
+      addsKnown = Some(recalA)) === 2L)
+    val nightA = stage("n1", Seq((1L, 11L, 20.1)))
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitCheckedNonConsuming(root, "n1", 1L,
+        reads = hist, addsKnown = Some(nightA))
+    }
+    assert(magsNow() === Seq(19.5, 20.5),
+      "an aborted nightly must leave exactly the recalibrated regime serving")
+    // ORDER B: a nightly calibrated against regime B lands cleanly…
+    val nightB = stage("n2", Seq((1L, 11L, 19.6)))
+    assert(CommitLog.commitCheckedNonConsuming(root, "n2", 2L,
+      reads = recalA, addsKnown = Some(nightB)) === 3L)
+    assert(magsNow() === Seq(19.5, 19.6, 20.5))
+    // …then a later full recalibration (regime C) resolves its removes AT
+    // LANDING: history and the regime-B night retire in ONE atomic action
+    // list — no mixed-regime row survives the swap.
+    val recalC = stage("h3",
+      Seq((1L, 10L, 19.0), (2L, 10L, 20.0), (1L, 11L, 19.1)))
+    assert(CommitLog.commitRetrying(root, "h3",
+      removesAsOf = v => CommitLog.filesAsOf(root, v - 1L),
+      addsKnown = Some(recalC)) === 4L)
+    assert(CommitLog.filesAsOf(root, Long.MaxValue).toSet === recalC.toSet,
+      "the landing-time recalibration must retire the interleaved night too")
+    assert(magsNow() === Seq(19.0, 19.1, 20.0))
+    // Time travel serves each retired regime inside retention; the aborted
+    // night's staging is debris vacuum reclaims.
+    assert(CommitLog.filesAsOf(root, 3L).toSet === (recalA ++ nightB).toSet)
+    assert(CommitLog.filesAsOf(root, 1L).toSet === hist.toSet)
+    CommitLog.vacuum(root, 0L)
+    nightA.foreach(f => assert(!Files.exists(Paths.get(root, f)),
+      s"aborted nightly staging $f must be vacuum-reclaimed"))
+    recalC.foreach(f => assert(Files.exists(Paths.get(root, f))))
+  }
+
   test("file skipping: stat-less files are never pruned, boundaries are " +
       "inclusive, a stat-less re-add clears stats, and stats survive " +
       "checkpoint resolution") {
