@@ -216,7 +216,28 @@ class DeterminismSpec extends SparkSpec {
     "lc_stetson",
     // regr_* moment sums over merge-ordered partials feed three rounded
     // fit parameters — the agg_corr bet through the ANSI regression family
-    "lc_trend")
+    "lc_trend",
+    // round-14: the MoR update's file splits (sidecar content AND the
+    // appended new-image file set) change with write partitioning, but
+    // the three-version rollups and the MoR ≡ materialized law must not
+    "table_update_dv",
+    // both layouts' per-file z stats, both pruning decisions, and the
+    // box rollup must hold under any parallelism of the hash write and
+    // the z-clustered rewrite — the table_skipping bet twice over
+    "table_optimize_zorder",
+    // the bottom-k sample SET is a pure function of the hash — ranks,
+    // the θ pick, and all five sample counts must not move with the
+    // distinct-merge topology (integer hv, a true invariance)
+    "agg_theta_sketch",
+    // the flagship nightly: percentile-free but zp = avg over matched
+    // residuals (FP merge order) feeds every calibrated mag at a 1e-6
+    // grid, the NN pick is a rounded-distance rank boundary, and the
+    // IVM-law require must hold under any write partitioning
+    "pipeline_nightly",
+    // the header pivot + md5 content address are pure per-file functions,
+    // but the staging fan-out and binaryFile listing order must not
+    // change any of the 24 rows — a true invariance
+    "scan_fits")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
