@@ -1355,6 +1355,138 @@ object Scans {
              |FROM g3
              |ORDER BY version, change""".stripMargin)),
 
+    // CDC APPLY — the downstream half of the change feed: an independent
+    // REPLICA table maintained purely from the source's row-level change
+    // feed, never from a source re-scan (the Delta CDF → downstream MERGE
+    // replication pattern). Source history: v1 seeds 4 range-bucketed
+    // files with min/max key stats, v2 appends a cohort, v3 is a
+    // retention purge (DELETE key < k1) — the low bucket drops as PURE
+    // metadata while the straddling append file is rewritten. The feed is
+    // file-level (changesAt), so the replica derives the NET row deltas
+    // by differencing added-file rows against removed-file rows
+    // (exceptAll both ways — a rewritten-but-unchanged row cancels out;
+    // CDF volume is O(touched files), never O(table)). Apply is a
+    // stats-pruned copy-on-write merge on the replica's OWN layout (5
+    // bucketed files — deliberately misaligned with the source's 4): only
+    // replica files whose [min,max] intersects the net-delete key range
+    // rewrite; the rest carry as metadata, require'd non-empty at v3, and
+    // a pure append (v2) rewrites nothing, require'd too. After every
+    // apply the replica must equal the source snapshot EXACTLY —
+    // exceptAll in both directions, require'd — which is the whole
+    // replication contract. At 100 TB: feed extraction reads only changed
+    // files, the apply rewrites only stat-intersecting replica files, and
+    // the equality law runs on the replica's own commit versions, so a
+    // replica can trail by any lag and still converge deterministically.
+    QDef(
+      "table_apply_cdf",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val src = freshRunTmpPath(s, "graft_cdcsrc_")
+        val dst = freshRunTmpPath(s, "graft_cdcdst_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        val mx = o.agg(max("key")).head.getLong(0)
+        val k1 = mx / 4L + 1L // retention boundary: v3 purges key < k1
+        // Stage `df` under `root/gen` as `buckets` range files and return
+        // their table-relative paths with (min,max) key stats — the
+        // add-action manifest a stats-carrying writer publishes.
+        def stage(df: org.apache.spark.sql.DataFrame, root: String, gen: String,
+            buckets: Int): Map[String, (Long, Long)] = {
+          val w = mx / buckets + 1L
+          // Gen dirs are k=v-form partition directories (string-valued) so
+          // every file across the table shares ONE two-level partition
+          // scheme (g, b) — mixed non-partition dir levels make Spark's
+          // partition discovery refuse the multi-gen reads below.
+          df.withColumn("b", expr(s"key div ${w}L"))
+            .repartition(buckets, col("b"))
+            .write.partitionBy("b").mode("overwrite").parquet(s"$root/g=$gen")
+          s.read.option("basePath", s"$root/g=$gen").parquet(s"$root/g=$gen")
+            .select(col("key"), col("_metadata.file_path").as("fp"))
+            .groupBy("fp").agg(min("key").as("mn"), max("key").as("mxk"))
+            .collect() // bounded: one row per staged FILE
+            .map(r => CommitLog.relToRoot(root, r.getString(0)) ->
+              (r.getLong(1), r.getLong(2)))
+            .toMap
+        }
+        def commitStats(root: String, v: Long, adds: Map[String, (Long, Long)],
+            removes: Seq[String]): Unit =
+          CommitLog.commitFiles(root, v, adds.keys.toSeq.sorted, removes,
+            stats = adds)
+        def rowsOf(root: String, fs: Seq[String]): org.apache.spark.sql.DataFrame =
+          s.read.option("basePath", root)
+            .parquet(fs.map(f => s"$root/$f"): _*).select("key", "val")
+        // ---- source history --------------------------------------------
+        commitStats(src, 1L, stage(o.where(col("key") % 2L === 1L), src, "s1", 4), Nil)
+        commitStats(src, 2L, stage(o.where(col("key") % 6L === 2L), src, "s2", 1), Nil)
+        val live2 = CommitLog.filesAsOf(src, 2L)
+        val victims = CommitLog.filesAsOfPruned(src, 2L, 1L, k1 - 1L)
+        val survivors3 = rowsOf(src, victims).where(col("key") >= k1)
+        commitStats(src, 3L, stage(survivors3, src, "s3", 1), victims)
+        require(victims.toSet.subsetOf(live2.toSet) && victims.size < live2.size,
+          "the purge must touch a strict subset of the live set (stats pruning)")
+        // ---- replica: seed from v1, then replay the feed ---------------
+        commitStats(dst, 1L, stage(CommitLog.readAsOf(s, src, 1L)
+          .select("key", "val"), dst, "r1", 5), Nil)
+        (2L to 3L).foreach { v =>
+          val (adds, rems) = CommitLog.changesAt(src, v)
+          val ins = if (adds.isEmpty) o.limit(0) else rowsOf(src, adds)
+          val del = if (rems.isEmpty) o.limit(0) else rowsOf(src, rems)
+          val netIns = ins.exceptAll(del).localCheckpoint()
+          val netDel = del.exceptAll(ins).localCheckpoint()
+          val delRange = netDel.agg(min("key"), max("key")).head
+          if (delRange.isNullAt(0)) {
+            // pure append: zero replica rewrites by construction
+            commitStats(dst, v, stage(netIns, dst, s"r${v}a", 1), Nil)
+          } else {
+            val hit = CommitLog.filesAsOfPruned(dst, v - 1L,
+              delRange.getLong(0), delRange.getLong(1))
+            require(hit.size < CommitLog.filesAsOf(dst, v - 1L).size,
+              "stats pruning must carry at least one untouched replica file")
+            val kept = rowsOf(dst, hit)
+              .join(netDel.select("key"), Seq("key"), "left_anti")
+              .unionAll(netIns)
+            commitStats(dst, v, stage(kept, dst, s"r${v}m", 2), hit)
+          }
+          val (rep, sv) = (CommitLog.readAsOf(s, dst, v).select("key", "val"),
+            CommitLog.readAsOf(s, src, v).select("key", "val"))
+          require(rep.exceptAll(sv).isEmpty && sv.exceptAll(rep).isEmpty,
+            s"replica must equal source snapshot exactly at applied version $v")
+        }
+        // ---- output: per-version replica rollup (oracled) --------------
+        (1L to 3L).map { v =>
+          CommitLog.readAsOf(s, dst, v)
+            .agg(count(lit(1)).as("n"), sum("key").cast("long").as("sum_key"),
+              sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("n"), col("sum_key"),
+              col("sum_cents"))
+        }.reduce(_ unionAll _).orderBy("version")
+      },
+      Some("""WITH k AS (
+             |  SELECT (SELECT max(o_orderkey) FROM orders) // 4 + 1 AS k1),
+             |v1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 1),
+             |v2 AS (
+             |  SELECT * FROM v1
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 6 = 2),
+             |v3 AS (SELECT * FROM v2 WHERE key >= (SELECT k1 FROM k))
+             |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM v1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM v2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(key) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM v3
+             |ORDER BY version""".stripMargin)),
+
     // RESTORE — the time-travel WRITE side (Delta RESTORE TABLE … VERSION
     // AS OF): version 2 is the bad deploy (an overwrite that repriced and
     // dropped rows — adds g=2, removes the base's files, atomically);
@@ -2553,6 +2685,114 @@ object Scans {
              |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SCHEMA ENFORCEMENT — schema-on-WRITE, the guarantee that makes a
+    // table more than a directory of parquet files: the table declares
+    // its column list as a metadata commit (`CommitLog.setSchema`) and
+    // every writer validates its staged generation against the ACTIVE
+    // declaration before publishing — a type-drifted producer and a
+    // column-smuggling producer are both REFUSED at commit time (footer
+    // read only, O(staged) — never discovered by a reader's cast error
+    // three jobs downstream). Legal EVOLUTION is one more deliberate
+    // metadata commit: after the widened declaration the previously
+    // refused wider append lands, while the drifted one stays refused
+    // under both declarations; refused staging is vacuum-reclaimable
+    // debris exactly like a failed CHECK. Old narrow files read back
+    // with the new column null via the snapshot's mergeSchema read — the
+    // evolution contract `table_schema_evolve` exercises, now GATED on
+    // the write side.
+    QDef(
+      "table_schema_enforce",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_schenf_")
+        val o = T.orders(s, dir)
+        def stage(df: org.apache.spark.sql.DataFrame, gen: String) =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        def listParquet(gen: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base.resolve(gen))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
+        CommitLog.setSchema(root, 1L,
+          Seq("key" -> "bigint", "val" -> "double"))
+        require(CommitLog.schemaAsOf(root, Long.MaxValue) ==
+            Seq("key bigint", "val double"),
+          "declared schema must resolve from the log")
+        // Conforming writer lands.
+        stage(o.where(col("o_orderkey") % 2L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")),
+          "g=n1")
+        require(CommitLog.validateSchemaGen(s, root, "g=n1").isEmpty,
+          "the conforming append must validate clean")
+        CommitLog.commitFiles(root, 2L, adds = listParquet("g=n1"),
+          removes = Nil)
+        // A type-drifted producer (val became a string) is REFUSED.
+        stage(o.where(col("o_orderkey") % 2L === 0L)
+          .select(col("o_orderkey").as("key"),
+            format_number(col("o_totalprice"), 2).as("val")), "g=d1")
+        val drift = CommitLog.validateSchemaGen(s, root, "g=d1")
+        require(drift.exists(_.contains("val string")),
+          s"the type drift must refuse with the drifted type named: $drift")
+        // A column-smuggling producer (extra column) is REFUSED too.
+        stage(o.where(col("o_orderkey") % 2L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"),
+            (col("o_orderkey") * 3L).as("extra")), "g=w1")
+        require(CommitLog.validateSchemaGen(s, root, "g=w1").isDefined,
+          "an undeclared extra column must refuse")
+        require(CommitLog.latestVersion(root) == 2L,
+          "refused writers must publish nothing")
+        // Deliberate EVOLUTION: the widened declaration lands as one
+        // metadata commit — now the wide append validates and lands,
+        // while the drifted one stays refused under the new declaration.
+        CommitLog.setSchema(root, 3L,
+          Seq("key" -> "bigint", "val" -> "double", "extra" -> "bigint"))
+        require(CommitLog.validateSchemaGen(s, root, "g=w1").isEmpty,
+          "the wide append must validate clean after evolution")
+        require(CommitLog.validateSchemaGen(s, root, "g=d1").isDefined,
+          "the drifted append must stay refused after evolution")
+        CommitLog.commitFiles(root, 4L, adds = listParquet("g=w1"),
+          removes = Nil)
+        // Refused staging is reclaimable debris, like any crashed writer.
+        val bad = listParquet("g=d1")
+        val (_, removed) = CommitLog.vacuum(root, 0L)
+        require(removed >= bad.size.toLong,
+          s"vacuum must reclaim the refused staging, removed only $removed")
+        // Per-version rollup: the narrow snapshot, then the widened one
+        // (old files serve the new column as null — mergeSchema read).
+        Seq(2L, 4L).map { v =>
+          val snap = CommitLog.readAsOf(s, root, v)
+          val withExtra = // the narrow snapshot predates the column
+            if (snap.columns.contains("extra")) snap
+            else snap.withColumn("extra", lit(null).cast("long"))
+          withExtra
+            .agg(count(lit(1)).as("n"), sum("key").cast("long").as("sum_key"),
+              count(col("extra")).as("n_extra"),
+              coalesce(sum("extra"), lit(0L)).cast("long").as("sum_extra"))
+            .select(lit(v).as("version"), col("n"), col("sum_key"),
+              col("n_extra"), col("sum_extra"))
+        }.reduce(_ unionAll _).orderBy("version")
+      },
+      Some("""WITH odd AS (
+             |  SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1),
+             |ev AS (
+             |  SELECT o_orderkey AS key, o_orderkey * 3 AS extra
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(0 AS BIGINT) AS n_extra, CAST(0 AS BIGINT) AS sum_extra
+             |FROM odd
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), (SELECT count(*) FROM odd) + count(*),
+             |  (SELECT CAST(sum(key) AS BIGINT) FROM odd) + CAST(sum(key) AS BIGINT),
+             |  count(*), CAST(sum(extra) AS BIGINT)
+             |FROM ev
+             |ORDER BY version""".stripMargin)),
+
     // DATA SKIPPING through the commit log — per-file min/max column stats
     // ride the add action (`"smin"/"smax"`, the Delta/Iceberg file-stats
     // shape), and a range predicate prunes FILES from log metadata alone
@@ -2765,9 +3005,11 @@ object Scans {
           .groupBy("fp").agg(min("key").as("mn"), max("key").as("mx"))
           .collect()
         val all = statRows.map { r =>
-          val abs = r.getString(0)
-          val rel = abs.substring(abs.indexOf(root) + root.length + 1)
-          rel -> (r.getLong(1), r.getLong(2))
+          // URI-safe relativization (the `_metadata.file_path` column is a
+          // percent-encoded file: URI — raw indexOf on it mis-keys under
+          // any root containing ' ', '%', '#').
+          CommitLog.relToRoot(root, r.getString(0)) ->
+            (r.getLong(1), r.getLong(2))
         }.toMap
         require(all.size == 8, s"expected 8 range-bucket files, staged ${all.size}")
         // Only the first half is stats'd — the fresh-append simulation.

@@ -414,6 +414,29 @@ object StreamingOps {
     // the one new commit. Same history as table_incr_refresh, so the
     // final view shares its oracle (and StreamingSpec asserts streamed ≡
     // batch-folded row-identically). See StreamRunner.changefeedView.
+    // Streaming CDC APPLY — table_apply_cdf's replica maintenance as a
+    // RUNNING Structured Streaming query: the replica tails the source
+    // table's `_log`, folds each batch's file actions into NET row deltas
+    // (in-batch churn cancels at the file level first — AvailableNow can
+    // group several source commits into one batch, and a replica must
+    // converge at any lag), and applies them to its OWN commit-log table
+    // with the stats-pruned copy-on-write merge — across a stream
+    // RESTART, with the retention purge committed while the stream is
+    // down and replica ≡ source require'd after every pass. See
+    // StreamRunner.cdcApplyReplica.
+    QDef(
+      "stream_cdc_apply",
+      (s, dir) => graft.streaming.StreamRunner.cdcApplyReplica(s, dir),
+      Some("""WITH k AS (
+             |  SELECT (SELECT max(o_orderkey) FROM orders) // 4 + 1 AS k1),
+             |v3 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val FROM orders
+             |  WHERE (o_orderkey % 2 = 1 OR o_orderkey % 6 = 2)
+             |    AND o_orderkey >= (SELECT k1 FROM k))
+             |SELECT key % 8 AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),

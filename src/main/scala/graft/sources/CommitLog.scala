@@ -575,6 +575,65 @@ object CommitLog {
   def constraintsAsOf(root: String, v: Long): Seq[String] =
     snapshotAsOf(root, v).constraints
 
+  /** SCHEMA declaration (Delta's schema-enforcement metadata reduced to
+    * the demo essentials): a metadata-only commit declares the table's
+    * column list as ordered `"name type"` entries. Writers validate their
+    * staged files against the ACTIVE declaration before publishing
+    * ([[validateSchemaGen]]) — schema-on-WRITE, the lakehouse guarantee
+    * that distinguishes a table from a directory of parquet files (a
+    * drifted producer is refused at commit time, never discovered by a
+    * reader's cast error three jobs downstream). Latest declaration wins
+    * per facet and is checkpoint-carried, so legal EVOLUTION is one more
+    * metadata commit — after which previously-refused wider files can
+    * land, while the drifted ones stay refused. */
+  def setSchema(root: String, version: Long, cols: Seq[(String, String)],
+      ts: Long = -1L): Unit = {
+    requireWritable(root)
+    require(cols.nonEmpty, "a schema declaration needs at least one column")
+    cols.foreach { case (n, t) =>
+      require((n + t).forall(c => c != ',' && c != '[' && c != ']' &&
+          c != '"' && !c.isWhitespace),
+        s"unsafe character in schema entry ($n, $t) — ',' '[' ']' '\"' and " +
+          "whitespace break the log's array transport")
+    }
+    val arr = cols.map { case (n, t) => s""""$n $t"""" }.mkString("[", ",", "]")
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"schema":$arr}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** Active schema declaration AS OF `v` as `"name type"` entries (empty
+    * when never declared — an undeclared table accepts any layout, the
+    * pre-enforcement behavior every other op relies on). */
+  def schemaAsOf(root: String, v: Long): Seq[String] =
+    snapshotAsOf(root, v).schemaCols
+
+  /** Writer-side SCHEMA enforcement: compare a staged generation's
+    * parquet schema against the declaration active at the current
+    * snapshot. Returns None on conformance, Some(reason) on refusal — the
+    * writer publishes only on None, leaving refused staging as
+    * vacuum-reclaimable debris exactly like a failed CHECK. The
+    * comparison is ORDERED and exact on (name, type): a missing column,
+    * an extra column, a reordering, or a type drift all refuse — schema
+    * EVOLUTION is a deliberate [[setSchema]] commit, never an accidental
+    * side effect of whatever a producer happened to write. Cost: ONE
+    * footer read of the staged files (schema only, zero data rows) —
+    * O(staged), never O(table). */
+  def validateSchemaGen(s: SparkSession, root: String,
+      genDir: String): Option[String] = {
+    val declared = schemaAsOf(root, Long.MaxValue)
+    if (declared.isEmpty) return None
+    val staged = s.read.parquet(s"$root/$genDir").schema.fields
+      .map(f => s"${f.name} ${f.dataType.simpleString}").toSeq
+    if (staged == declared) None
+    else Some(s"schema mismatch: staged [${staged.mkString(", ")}] vs " +
+      s"declared [${declared.mkString(", ")}]")
+  }
+
   /** GENERATED-COLUMN declaration (Delta's generated partition columns
     * reduced to the demo essentials): a metadata-only commit declares that
     * the table's `g=` partition values are `key div width` — a MONOTONE
@@ -674,6 +733,7 @@ object CommitLog {
   private val DvfField = (""""dvf"\s*:\s*"([^"]+)"""").r.unanchored
   private val MetaLine = (""""meta"\s*:""").r.unanchored
   private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
+  private val SchemaField = (""""schema"\s*:\s*\[([^\]]*)\]""").r.unanchored
   private val BloomField = (""""bloom"\s*:\s*"([0-9a-f]+)"""").r.unanchored
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
@@ -699,7 +759,8 @@ object CommitLog {
       blooms: Map[String, String] = Map.empty,
       minReader: Option[Long] = None,
       dvKeys: Map[String, String] = Map.empty,
-      minWriter: Option[Long] = None)
+      minWriter: Option[Long] = None,
+      schemaCols: Seq[String] = Nil)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -729,6 +790,7 @@ object CommitLog {
     val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var constraints: Seq[String] = Nil
+    var schemaCols: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
     var minReader: Option[Long] = None
     var minWriter: Option[Long] = None
@@ -744,6 +806,13 @@ object CommitLog {
           l match {
             case ConstraintsField(body) =>
               constraints =
+                if (body.trim.isEmpty) Nil
+                else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            case _ => ()
+          }
+          l match {
+            case SchemaField(body) =>
+              schemaCols =
                 if (body.trim.isEmpty) Nil
                 else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
             case _ => ()
@@ -830,7 +899,7 @@ object CommitLog {
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
       gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
-      blooms.toMap, minReader, dvKeys.toMap, minWriter)
+      blooms.toMap, minReader, dvKeys.toMap, minWriter, schemaCols)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -945,6 +1014,9 @@ object CommitLog {
       (if (snap.constraints.isEmpty) Seq.empty[String]
        else Seq(s"""{"meta":{"constraints":${
          snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+        (if (snap.schemaCols.isEmpty) Seq.empty[String]
+         else Seq(s"""{"meta":{"schema":${
+           snap.schemaCols.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
         snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
         snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq ++
         snap.minWriter.map(v => s"""{"meta":{"protocol":{"minWriter":$v}}}""").toSeq

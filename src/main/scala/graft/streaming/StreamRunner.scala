@@ -660,6 +660,118 @@ object StreamRunner {
     refreshed.orderBy("bucket")
   }
 
+  /** STREAMING CDC APPLY — table_apply_cdf's replica maintenance run as a
+    * Structured Streaming query: the replica TAILS the source's `_log`
+    * (file-stream source, each commit one immutable file) and applies
+    * every batch's NET row deltas to its own commit-log table with the
+    * same stats-pruned copy-on-write merge — across a RESTART, with the
+    * retention purge landing while the stream is down. A batch may carry
+    * SEVERAL source commits (AvailableNow groups the backlog): files both
+    * added and removed within the batch cancel at the file level first,
+    * then exceptAll derives the net row deltas — a replica trails at any
+    * lag and still converges. Replica ≡ source require'd after each pass;
+    * the declared output is the final replica's per-bucket rollup, which
+    * the DuckDB oracle reconstructs from the v3 snapshot predicate. */
+  def cdcApplyReplica(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    val src = tmpDir("graft_cdca_src")
+    val dst = tmpDir("graft_cdca_dst")
+    val ord = T.orders(s, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+    val mx = ord.agg(max("key")).head.getLong(0)
+    val k1 = mx / 4L + 1L // retention boundary purged at source v3
+    def writeGen(df: DataFrame, gen: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$src/$gen")
+    writeGen(ord.where(col("key") % 2L === 1L), "g=1")
+    CommitLog.commit(src, 1L, "g=1")
+    writeGen(ord.where(col("key") % 6L === 2L), "g=2")
+    CommitLog.commit(src, 2L, "g=2")
+    def rowsOf(root: String, fs: Seq[String]): DataFrame =
+      s.read.option("basePath", root)
+        .parquet(fs.map(f => s"$root/$f"): _*).select("key", "val")
+    def stage(df: DataFrame, gen: String, buckets: Int): Map[String, (Long, Long)] = {
+      val w = mx / buckets + 1L
+      df.withColumn("b", expr(s"key div ${w}L"))
+        .repartition(buckets, col("b"))
+        .write.partitionBy("b").mode("overwrite").parquet(s"$dst/g=$gen")
+      s.read.option("basePath", s"$dst/g=$gen").parquet(s"$dst/g=$gen")
+        .select(col("key"), col("_metadata.file_path").as("fp"))
+        .groupBy("fp").agg(min("key").as("mn"), max("key").as("mxk"))
+        .collect() // bounded: one row per staged file
+        .map(r => CommitLog.relToRoot(dst, r.getString(0)) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    }
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val acts = batch
+        .where(!col("src").endsWith(".checkpoint.json"))
+        .select(get_json_object(col("value"), "$.add.path").as("a"),
+          get_json_object(col("value"), "$.remove.path").as("r"))
+        .collect() // bounded: one row per log LINE in the batch
+      val addsAll = acts.flatMap(r => Option(r.getString(0))).toSeq
+      val remsAll = acts.flatMap(r => Option(r.getString(1))).toSeq
+      val adds = addsAll.filterNot(remsAll.toSet) // in-batch churn cancels
+      val rems = remsAll.filterNot(addsAll.toSet)
+      if (adds.nonEmpty || rems.nonEmpty) {
+        val ins = if (adds.isEmpty) ord.limit(0) else rowsOf(src, adds)
+        val del = if (rems.isEmpty) ord.limit(0) else rowsOf(src, rems)
+        val netIns = ins.exceptAll(del).localCheckpoint()
+        val netDel = del.exceptAll(ins).localCheckpoint()
+        val v = CommitLog.latestVersion(dst) + 1L
+        val dr = netDel.agg(min("key"), max("key")).head
+        if (dr.isNullAt(0)) {
+          val st = stage(netIns, s"a$v", if (v == 1L) 5 else 1)
+          CommitLog.commitFiles(dst, v, st.keys.toSeq.sorted, Nil, stats = st)
+        } else {
+          val hit = CommitLog.filesAsOfPruned(dst, v - 1L,
+            dr.getLong(0), dr.getLong(1))
+          require(hit.size < CommitLog.filesAsOf(dst, v - 1L).size,
+            "stats pruning must carry at least one untouched replica file")
+          val kept = rowsOf(dst, hit)
+            .join(netDel.select("key"), Seq("key"), "left_anti")
+            .unionAll(netIns)
+          val st = stage(kept, s"m$v", 2)
+          CommitLog.commitFiles(dst, v, st.keys.toSeq.sorted, hit, stats = st)
+        }
+      }
+    }
+    val ckpt = tmpDir("graft_cdca_ckpt")
+    def runPass(): Unit = {
+      val q = s.readStream.text(s"$src/_log")
+        .select(col("value"), col("_metadata.file_path").as("src"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch _)
+        .start()
+      q.awaitTermination()
+    }
+    def requireReplicaEqualsSource(): Unit = {
+      val rep = CommitLog.readAsOf(s, dst, CommitLog.latestVersion(dst))
+        .select("key", "val")
+      val sv = rowsOf(src, CommitLog.filesAsOf(src, Long.MaxValue))
+      require(rep.exceptAll(sv).isEmpty && sv.exceptAll(rep).isEmpty,
+        "streamed replica diverged from the source snapshot")
+    }
+    runPass() // pass 1: the backlog (v1 + v2) in one batch
+    requireReplicaEqualsSource()
+    // The retention purge lands while the replica stream is DOWN: one
+    // atomic commit removes both generations and re-adds the survivors.
+    writeGen(ord.where((col("key") % 2L === 1L || col("key") % 6L === 2L)
+      && col("key") >= k1), "g=3")
+    CommitLog.commit(src, 3L, "g=3",
+      removes = CommitLog.filesAsOf(src, 2L))
+    runPass() // pass 2: resumes from the checkpoint, applies the purge
+    requireReplicaEqualsSource()
+    CommitLog.readAsOf(s, dst, CommitLog.latestVersion(dst))
+      .groupBy((col("key") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+          .cast("long").as("cents"))
+      .orderBy("bucket")
+  }
+
   /** foreachBatch sink: each micro-batch's per-type aggregate is upserted
     * (overwritten by batch id) into a parquet target, then read back and
     * re-aggregated — the idempotent-sink pattern for exactly-once output. */

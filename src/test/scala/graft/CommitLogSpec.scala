@@ -710,6 +710,53 @@ class CommitLogSpec extends SparkSpec {
       === Seq("key = 1 OR key = 2 OR key > 2"))
   }
 
+  test("schema enforcement: as-of versioned, ordered-exact validation " +
+      "(drift, extra, reorder all refuse), evolution gates the same " +
+      "producer differently, and the declaration survives a checkpoint") {
+    val root = dvTable() // v1/v2 predate any declaration
+    // Undeclared table accepts anything (pre-enforcement behavior).
+    assert(CommitLog.validateSchemaGen(spark, root, "g=1").isEmpty)
+    CommitLog.setSchema(root, 3L, Seq("key" -> "bigint", "val" -> "double"))
+    assert(CommitLog.schemaAsOf(root, Long.MaxValue)
+      === Seq("key bigint", "val double"))
+    assert(CommitLog.schemaAsOf(root, 2L) === Nil,
+      "v2's as-of world must predate the declaration")
+    // Conforming staging validates clean.
+    assert(CommitLog.validateSchemaGen(spark, root, "g=1").isEmpty)
+    val s0 = spark
+    import s0.implicits._
+    // Type drift refuses with the drifted type named.
+    Seq((7L, "oops")).toDF("key", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=drift")
+    assert(CommitLog.validateSchemaGen(spark, root, "g=drift")
+      .exists(_.contains("val string")))
+    // Column order is part of the contract (positional readers exist).
+    Seq((1.0, 7L)).toDF("val", "key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=reorder")
+    assert(CommitLog.validateSchemaGen(spark, root, "g=reorder").isDefined)
+    // Extra column refuses until a deliberate evolution declares it.
+    Seq((7L, 70.0, 21L)).toDF("key", "val", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/g=wide")
+    assert(CommitLog.validateSchemaGen(spark, root, "g=wide").isDefined)
+    CommitLog.setSchema(root, 4L,
+      Seq("key" -> "bigint", "val" -> "double", "extra" -> "bigint"))
+    assert(CommitLog.validateSchemaGen(spark, root, "g=wide").isEmpty,
+      "the wide staging must validate clean after evolution")
+    assert(CommitLog.validateSchemaGen(spark, root, "g=drift").isDefined,
+      "the drifted staging must stay refused after evolution")
+    // Transport-unsafe entries are rejected at write time, like constraints.
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.setSchema(root, 5L, Seq("a,b" -> "bigint"))
+    }
+    assert(e.getMessage.contains("unsafe character in schema entry"))
+    // The declaration rides checkpoints: resolution from checkpoint + tail.
+    (5L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.schemaAsOf(root, 11L)
+      === Seq("key bigint", "val double", "extra bigint"))
+  }
+
   test("merge-on-read with a URI-hostile table root (space, '%', '#'): " +
       "deleted positions are subtracted, never silently resurfaced") {
     // `_metadata.file_path` is a PERCENT-ENCODED file: URI; a textual
