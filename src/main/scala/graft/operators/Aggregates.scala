@@ -795,6 +795,155 @@ object Aggregates {
               |FROM obs o JOIN best b USING (user_id)
               |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Conditional entropy period search [PK — Graham et al. 2013, the
+    // information-theoretic member of the period-finder family next to
+    // PDM (lc_periods), Lomb–Scargle and BLS]: at the true period the
+    // folded curve's magnitude distribution becomes strongly phase-
+    // dependent, so the conditional entropy of magnitude given phase,
+    //   CE = Σ_{i,j} (n_ij / N) · ln(n_i / n_ij)
+    // over an 8-phase × 4-magnitude occupancy grid, is MINIMIZED.
+    // Everything upstream of the final ln is integer: the phase bin is
+    // the family's exact fold ((t mod P)·8 div P), the magnitude bin
+    // normalizes by the per-object min/max (one tiny pre-aggregate,
+    // broadcast back), and the grid cells are counts — so the only FP is
+    // ln of integer ratios, summed and rounded to the 1e-6 grid, with the
+    // argmin determinized by (rounded CE, period) as everywhere else in
+    // the family. Scale shape is lc_periods': the ×24 trial fan-out
+    // collapses map-side into per-(user, period, pbin, mbin) partials
+    // before any shuffle; the phase-bin marginal n_i comes from a window
+    // over the CELL table (aggregate-sized, never a second corpus pass).
+    QDef(
+      "lc_ce",
+      (s, dir) => {
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            col("value"))
+        val rng = t.groupBy("user_id")
+          .agg(min("value").as("vmn"), max("value").as("vmx"))
+        val cells = t.join(broadcast(rng), "user_id")
+          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("period_s", lit(43200L) + lit(21600L) * col("k"))
+          .withColumn("pbin", expr("((t % period_s) * 8) div period_s"))
+          .withColumn("mbin", least(floor(
+            (col("value") - col("vmn")) /
+              (col("vmx") - col("vmn") + lit(1e-9)) * lit(4.0)), lit(3L)))
+          .groupBy("user_id", "period_s", "pbin", "mbin")
+          .agg(count(lit(1)).as("n_pm"))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "period_s", "pbin")
+        val ce = cells
+          .withColumn("n_p", sum("n_pm").over(wp))
+          .groupBy("user_id", "period_s")
+          .agg(rnd(
+            sum(col("n_pm").cast("double") *
+              log(col("n_p").cast("double") / col("n_pm").cast("double"))) /
+              sum("n_pm").cast("double"), 6).as("ce"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ce"), col("period_s"))
+        ce.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("period_s").as("best_period_s"),
+            col("ce"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+             |  FROM events WHERE value > 0.0),
+             |rng AS (
+             |  SELECT user_id, min(value) AS vmn, max(value) AS vmx
+             |  FROM t GROUP BY user_id),
+             |cells AS (
+             |  SELECT t.user_id, 43200 + 21600 * g.k AS period_s,
+             |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS pbin,
+             |    least(CAST(floor((value - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin,
+             |    CAST(count(*) AS BIGINT) AS n_pm
+             |  FROM t JOIN rng USING (user_id) CROSS JOIN generate_series(0, 23) g(k)
+             |  GROUP BY 1, 2, 3, 4),
+             |marg AS (
+             |  SELECT user_id, period_s, pbin, mbin, n_pm,
+             |    CAST(sum(n_pm) OVER (PARTITION BY user_id, period_s, pbin) AS BIGINT) AS n_p
+             |  FROM cells),
+             |ce AS (
+             |  SELECT user_id, period_s,
+             |    floor((sum(CAST(n_pm AS DOUBLE) *
+             |      ln(CAST(n_p AS DOUBLE) / CAST(n_pm AS DOUBLE))) /
+             |      CAST(sum(n_pm) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
+             |  FROM marg GROUP BY user_id, period_s),
+             |best AS (
+             |  SELECT user_id, period_s AS best_period_s, ce,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ce, period_s) AS rn
+             |  FROM ce)
+             |SELECT user_id, best_period_s, ce FROM best
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ALERT STREAM [PK — the transient-detection step every survey broker
+    // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
+    // when its LATEST epoch deviates more than 3σ from its own history's
+    // baseline (mean/stddev over every EARLIER epoch — the current epoch
+    // must not contaminate the baseline it is tested against), with a
+    // minimum-history gate so young objects can't alert off noise. The
+    // latest epoch is the determinized argmax (t, event_id) — the
+    // family's tie discipline; baseline moments use the same
+    // avg/stddev_samp parity as agg_stats; z and the 3σ compare happen on
+    // the 1e-6 grid so the boolean is engine-stable. Scale shape: ONE
+    // shuffle on the object key serves both the argmax and the history
+    // moments (grouping key ⊇ window partition key — no second
+    // exchange); at 100 TB the baseline comes from the standing
+    // per-object STATE (agg_incremental's mergeable moments), so a
+    // night's alerting cost is O(night), not O(history) — this query is
+    // the recompute-from-scratch form the incremental path must equal.
+    QDef(
+      "lc_alerts",
+      (s, dir) => {
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"), col("value"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("t").desc, col("event_id").desc)
+        val marked = t.withColumn("rn", row_number().over(w))
+        val latest = marked.where(col("rn") === 1)
+          .select(col("user_id"), col("value").as("last_value"))
+        val base = marked.where(col("rn") > 1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hist"), avg("value").as("mu"),
+            stddev_samp(col("value")).as("sigma"))
+        latest.join(base, "user_id")
+          .withColumn("z", rnd((col("last_value") - col("mu")) / col("sigma"), 6))
+          .select(col("user_id"), col("n_hist"),
+            rnd(col("last_value"), 6).as("last_value"),
+            rnd(col("mu"), 6).as("mu"), col("z"),
+            (col("n_hist") >= 20L && abs(col("z")) > lit(3.0)).as("alert"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    value
+             |  FROM events WHERE value > 0.0),
+             |marked AS (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY t DESC, event_id DESC) AS rn
+             |  FROM t),
+             |latest AS (
+             |  SELECT user_id, value AS last_value FROM marked WHERE rn = 1),
+             |base AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hist,
+             |    avg(value) AS mu, stddev_samp(value) AS sigma
+             |  FROM marked WHERE rn > 1 GROUP BY user_id)
+             |SELECT l.user_id, n_hist,
+             |  floor((last_value) * 1e6 + 0.5) / 1e6 AS last_value,
+             |  floor((mu) * 1e6 + 0.5) / 1e6 AS mu,
+             |  floor(((last_value - mu) / sigma) * 1e6 + 0.5) / 1e6 AS z,
+             |  (n_hist >= 20 AND
+             |   abs(floor(((last_value - mu) / sigma) * 1e6 + 0.5) / 1e6) > 3.0)
+             |    AS alert
+             |FROM latest l JOIN base USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // Box least squares transit search [PK — Kovács, Zucker & Mazeh 2002,
     // the standard detached-eclipse/transit period finder; completes the
     // period trio next to lc_periods (PDM) and lc_lombscargle]: for each
@@ -2052,6 +2201,89 @@ object Aggregates {
               |  floor((sum((p - q) * ln(p / q))) * 1e6 + 0.5) / 1e6
               |    >= ${graft.GraftConfig.DriftPsiAlert} AS drifted
               |FROM term GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov drift test — the NONPARAMETRIC
+    // companion to agg_drift's binned PSI: where PSI needs a bucket width
+    // (and misses shape changes inside a bucket), KS compares the two
+    // empirical CDFs at EVERY observed value: D = sup_x |F_ref(x) −
+    // F_cur(x)|, here over the same before/after-midpoint split of the
+    // event stream. The statistic stays INTEGER until the final division:
+    // per (type, value) sample counts, running cumulatives over the value
+    // order, and the sup as max |cum_ref·n_cur − cum_cur·n_ref| — one
+    // exact BIGINT per type — divided once by n_ref·n_cur (long products
+    // fit comfortably at per-type counts; at 1e9+-row types a production
+    // run divides per-row first, noted here because the integer form is
+    // what makes the oracle hash-exact). The α=0.05 rejection bound
+    // c·√((n1+n2)/(n1·n2)) with c = 1.358 is IEEE-exact (sqrt, one
+    // division). Scale shape: the (type, value) pre-aggregate collapses
+    // the corpus map-side; the window runs inside each type partition
+    // over VALUE-DISTINCT rows (bounded by value cardinality, not rows);
+    // totals attach via broadcast.
+    QDef(
+      "agg_ks_test",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), col("value"),
+            unix_timestamp(col("ts")).as("t"))
+        val mid = obs.agg(expr("(min(t) + max(t)) div 2").as("mid"))
+        val g = obs.crossJoin(broadcast(mid))
+          .groupBy("event_type", "value")
+          .agg(count(when(col("t") < col("mid"), 1)).as("nr"),
+            count(when(col("t") >= col("mid"), 1)).as("nc"))
+        val tot = g.groupBy("event_type")
+          .agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("value")
+        g.withColumn("cr", sum("nr").over(w))
+          .withColumn("cc", sum("nc").over(w))
+          .join(broadcast(tot), "event_type")
+          .withColumn("dn", abs(col("cr") * col("n_cur") - col("cc") * col("n_ref")))
+          .groupBy("event_type")
+          .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+            max("dn").as("d_num"))
+          .withColumn("ks", rnd(col("d_num").cast("double") /
+            (col("n_ref") * col("n_cur")).cast("double"), 6))
+          .withColumn("crit", rnd(lit(1.358) *
+            sqrt((col("n_ref") + col("n_cur")).cast("double") /
+              (col("n_ref") * col("n_cur")).cast("double")), 6))
+          .withColumn("drifted", col("ks") > col("crit"))
+          .select("event_type", "n_ref", "n_cur", "d_num", "ks", "crit",
+            "drifted")
+          .orderBy("event_type")
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+             |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM obs),
+             |g AS (
+             |  SELECT event_type, value,
+             |    CAST(count(*) FILTER (WHERE t < mid) AS BIGINT) AS nr,
+             |    CAST(count(*) FILTER (WHERE t >= mid) AS BIGINT) AS nc
+             |  FROM obs CROSS JOIN m GROUP BY event_type, value),
+             |tot AS (
+             |  SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+             |    CAST(sum(nc) AS BIGINT) AS n_cur
+             |  FROM g GROUP BY event_type),
+             |cum AS (
+             |  SELECT event_type, value, nr, nc,
+             |    CAST(sum(nr) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cr,
+             |    CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cc
+             |  FROM g),
+             |d AS (
+             |  SELECT c.event_type, tot.n_ref, tot.n_cur,
+             |    abs(c.cr * tot.n_cur - c.cc * tot.n_ref) AS dn
+             |  FROM cum c JOIN tot USING (event_type)),
+             |agg AS (
+             |  SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             |    max(dn) AS d_num
+             |  FROM d GROUP BY event_type)
+             |SELECT event_type, n_ref, n_cur, d_num,
+             |  floor((CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
+             |  floor((1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS crit,
+             |  floor((CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |    > floor((1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS drifted
+             |FROM agg ORDER BY event_type""".stripMargin)),
 
     // Cohort retention — the product-analytics matrix (users cohorted by
     // first conversion day × day offsets of continued activity). Cohort

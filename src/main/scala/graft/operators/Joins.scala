@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** The adaptive final plan of join_skew_aqe's last execution. The QDef
+    * returns the already-computed aggregate as a LOCAL relation (the AQE
+    * engagement pin inside it had to execute the join; re-running it at
+    * harness materialization would double-charge the bench), which hides
+    * the adaptive plan from the returned frame — this hook keeps the
+    * independent PlanShapeSpec re-assertion possible. */
+  @volatile private[graft] var lastSkewAqePlan: String = ""
+
   /** Zones-algorithm sky match set (a_id, b_id, dist_deg ≤ 5°) — shared by
     * `join_sky` (all pairs) and `join_sky_nn` (nearest per a-side source).
     * See the join_sky QDef comment for the algorithm and parity notes. */
@@ -614,13 +622,19 @@ object Joins {
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).cast("long").as("sum_cents"),
             sum(col("w") * col("cents")).cast("long").as("sum_wcents"))
-        joined.collect(): Unit // materialize stages so AQE re-plans on stats
+        val rows = joined.collect() // materialize so AQE re-plans on stats
         val p = joined.queryExecution.executedPlan.toString
+        lastSkewAqePlan = p // PlanShapeSpec re-asserts the shape externally
         require(p.contains("skew=true"),
           s"AQE OptimizeSkewedJoin did not engage on the hot-key join:\n$p")
         require(p.contains("skewed"),
           s"no skewed AQEShuffleRead in the adaptive plan:\n$p")
-        joined
+        // Hand the harness the ALREADY-COMPUTED one-row aggregate as a
+        // local relation: the engagement pin above had to execute the
+        // join (AQE decisions only exist on a run plan), so returning the
+        // live frame would silently run the whole skew join a second time
+        // at materialization.
+        s2.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
       },
       Some("""WITH fact AS (
              |  SELECT CASE WHEN o_orderkey % 4 != 0 THEN 42

@@ -594,6 +594,131 @@ object Similarity {
               |SELECT probe_id, vec_id, label, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
               |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin)),
 
+    // HYBRID RETRIEVAL — reciprocal-rank fusion of a LEXICAL ranking
+    // (BM25, k1 = 1.2, b = 0.75 — the Robertson/Sparck Jones defaults)
+    // with the VECTOR ranking (cosine over `embeddings`, the sim_knn_topk
+    // plan), the standard modern retrieval stack for curation and RAG:
+    // each side retrieves its top-20 per probe document, the lists merge
+    // FULL OUTER on (probe, doc), and rrf = Σ 1/(60 + rank) over the
+    // lists that retrieved the doc (Cormack et al. 2009's k = 60). Rank
+    // arithmetic is integral, and 1/(60+r) is a single IEEE division, so
+    // the fused score is deterministic; the BM25 ranking itself orders by
+    // the 1e-6-ROUNDED score (its Σ-over-terms is FP-order-sensitive,
+    // unlike the dot product's sequential-order native expression, which
+    // lets the vector side rank raw exactly as sim_knn_topk does).
+    // Scale: tf/df/dlen are corpus aggregates computed once (the
+    // text_tfidf shuffles); per-probe candidates are the posting-list
+    // join on the probe's own terms (never a corpus scan per query); the
+    // vector side broadcasts probes and streams the corpus once; both
+    // top-20 cuts are partial-aggregating windows, and the fusion join
+    // runs on O(probes × 20) rows.
+    QDef(
+      "sim_rrf_fusion",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val tf = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dlen = d.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"))
+        val stats = dlen.agg(count(lit(1)).as("n_docs"),
+          avg("dl").as("avgdl"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qt = tf.where(col("doc_id") < 5L)
+          .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+        val bm = tf.join(qt, "tok").where(col("doc_id") =!= col("probe_id"))
+          .join(broadcast(df), "tok").join(dlen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))))
+          .withColumn("st", col("idf") *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("probe_id", "doc_id")
+          .agg(rnd(sum("st"), 6).as("bm25"))
+        val wl = Window.partitionBy("probe_id")
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        val lex = bm.withColumn("r_lex", row_number().over(wl).cast("long"))
+          .where(col("r_lex") <= 20L).select("probe_id", "doc_id", "r_lex")
+        val wv = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        val vec = corpus(s, dir)
+          .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("r_vec", row_number().over(wv).cast("long"))
+          .where(col("r_vec") <= 20L)
+          .select(col("probe_id"), col("vec_id").as("doc_id"), col("r_vec"))
+        val wf = Window.partitionBy("probe_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60L) + col("r_lex")).cast("double"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("r_vec")).cast("double"), lit(0.0)))
+          .withColumn("rank", row_number().over(wf).cast("long"))
+          .where(col("rank") <= 10L)
+          .select(col("probe_id"), col("doc_id"),
+            coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+            coalesce(col("r_vec"), lit(0L)).as("r_vec"),
+            rnd(col("rrf"), 6).as("rrf"), col("rank"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+              |  GROUP BY doc_id, tok),
+              |dlen AS (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+              |stats AS (
+              |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+              |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              |qt AS (
+              |  SELECT DISTINCT doc_id AS probe_id, tok FROM tf WHERE doc_id < 5),
+              |bm AS (
+              |  SELECT probe_id, tf.doc_id,
+              |    floor((sum(
+              |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+              |        (CAST(df AS DOUBLE) + 0.5)) *
+              |      (CAST(tf AS DOUBLE) * 2.2) /
+              |      (CAST(tf AS DOUBLE) + 1.2 *
+              |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))) * 1e6 + 0.5) / 1e6
+              |      AS bm25
+              |  FROM tf JOIN qt USING (tok) JOIN df USING (tok)
+              |    JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN stats
+              |  WHERE tf.doc_id <> probe_id
+              |  GROUP BY probe_id, tf.doc_id),
+              |lex AS (
+              |  SELECT probe_id, doc_id, r_lex FROM (
+              |    SELECT probe_id, doc_id, row_number() OVER (
+              |      PARTITION BY probe_id ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+              |    FROM bm) WHERE r_lex <= 20),
+              |p AS ($probeSql), c AS ($corpusSql),
+              |vec AS (
+              |  SELECT probe_id, doc_id, r_vec FROM (
+              |    SELECT probe_id, vec_id AS doc_id, row_number() OVER (
+              |      PARTITION BY probe_id
+              |      ORDER BY ${cosSql("pe", "ce")} DESC, vec_id ASC) AS r_vec
+              |    FROM c JOIN p ON probe_id <> vec_id) WHERE r_vec <= 20),
+              |fused AS (
+              |  SELECT coalesce(lex.probe_id, vec.probe_id) AS probe_id,
+              |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+              |    coalesce(r_lex, 0) AS r_lex, coalesce(r_vec, 0) AS r_vec,
+              |    coalesce(1.0 / CAST(60 + r_lex AS DOUBLE), 0.0) +
+              |      coalesce(1.0 / CAST(60 + r_vec AS DOUBLE), 0.0) AS rrf
+              |  FROM lex FULL OUTER JOIN vec
+              |    ON lex.probe_id = vec.probe_id AND lex.doc_id = vec.doc_id)
+              |SELECT probe_id, doc_id, r_lex, r_vec,
+              |  floor((rrf) * 1e6 + 0.5) / 1e6 AS rrf, rank
+              |FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY probe_id
+              |    ORDER BY rrf DESC, doc_id ASC) AS rank
+              |  FROM fused)
+              |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin)),
+
     // ANN scale path: 4 fixed pseudo-random hyperplanes → 4-bit bucket;
     // probes compare only against their own bucket, then top-3 per probe.
     // Plane j component i = ((j*64+i)*2654435761 % 1000)/1000 - 0.5 —

@@ -1444,6 +1444,93 @@ object TextOps {
              |  min(rank) AS first_rank
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REPRODUCIBLE DATASET RELEASE — the shard manifest PINNED to a
+    // commit-log snapshot version: "train run X used dataset release v1"
+    // must mean the same bytes forever, even as the corpus table keeps
+    // ingesting. The corpus lands in a commit-log table (v1 = the 80%
+    // slice, v2 = the rest appended); the shard manifest (pipeline_shard's
+    // rank-without-global-sort layout) is computed AS OF an explicit
+    // version, and the reproducibility LAW is require'd in-query: the v1
+    // manifest computed BEFORE the v2 append and the v1 manifest computed
+    // AFTER it are row-identical (time travel makes the release immutable),
+    // while the v2 manifest genuinely differs (the append was not a
+    // no-op). Output = both releases' manifests, hash-checked, so a
+    // single doc landing in a different shard anywhere mismatches. At
+    // 100 TB this is the release discipline that replaces "copy the
+    // corpus per experiment": a release is O(1) metadata (a version
+    // number), the manifest recomputes deterministically from the pinned
+    // snapshot, and nightly ingest appends never disturb published
+    // releases — the lakehouse side (time travel) doing for TRAINING DATA
+    // what it does for tables.
+    QDef(
+      "pipeline_train_snapshot",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = Scans.freshRunTmpPath(s, "graft_release_")
+        val S = graft.GraftConfig.ShardCount
+        val d = T.documents(s, dir).select(col("doc_id"),
+          size(tokens).cast("long").as("n_tok"))
+        d.where(col("doc_id") % 5L =!= 0L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        def manifest(v: Long): DataFrame = {
+          val snap = CommitLog.readAsOf(s, root, v).select("doc_id", "n_tok")
+          val off = snap.groupBy("n_tok").agg(count(lit(1)).as("c"))
+            .withColumn("offset", coalesce(
+              sum("c").over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("n_tok").desc).rowsBetween(Long.MinValue, -1L)),
+              lit(0L)))
+            .select("n_tok", "offset")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("n_tok").orderBy("doc_id")
+          snap.withColumn("lr", row_number().over(w).cast("long"))
+            .join(broadcast(off), Seq("n_tok"))
+            .withColumn("rank", col("offset") + col("lr"))
+            .withColumn("shard", (col("rank") - 1L) % S)
+            .groupBy("shard")
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_tok").cast("long").as("tok_total"),
+              sum("doc_id").cast("long").as("id_sum"),
+              min("rank").as("first_rank"))
+            .select(lit(v).as("version"), col("shard"), col("n_docs"),
+              col("tok_total"), col("id_sum"), col("first_rank"))
+        }
+        def rows(m: DataFrame) = // bounded: ShardCount rows
+          m.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+        val release1 = rows(manifest(1L))
+        d.where(col("doc_id") % 5L === 0L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        require(rows(manifest(1L)) == release1,
+          "a published release must be byte-stable across later ingest")
+        require(rows(manifest(2L)) != release1,
+          "the appended release must genuinely differ")
+        manifest(1L).unionAll(manifest(2L)).orderBy("version", "shard")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r1 AS (
+             |  SELECT doc_id, n_tok,
+             |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+             |  FROM d WHERE doc_id % 5 <> 0),
+             |r2 AS (
+             |  SELECT doc_id, n_tok,
+             |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+             |  FROM d)
+             |SELECT CAST(1 AS BIGINT) AS version,
+             |  (rank - 1) % ${graft.GraftConfig.ShardCount} AS shard,
+             |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum, min(rank) AS first_rank
+             |FROM r1 GROUP BY 1, 2
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), (rank - 1) % ${graft.GraftConfig.ShardCount},
+             |  count(*), CAST(sum(n_tok) AS BIGINT),
+             |  CAST(sum(doc_id) AS BIGINT), min(rank)
+             |FROM r2 GROUP BY 1, 2
+             |ORDER BY version, shard""".stripMargin)),
+
     // TRAINING DATA LOADER manifest — the piece between a curated corpus
     // and the optimizer step: per EPOCH, a fresh DETERMINISTIC permutation
     // (multiplicative hash of (doc_id, epoch) — reproducible across
