@@ -237,7 +237,20 @@ class DeterminismSpec extends SparkSpec {
     // the header pivot + md5 content address are pure per-file functions,
     // but the staging fan-out and binaryFile listing order must not
     // change any of the 24 rows — a true invariance
-    "scan_fits")
+    "scan_fits",
+    // round-14 second batch: the replica's staged file SPLITS change with
+    // write partitioning but the per-version rollups and the exceptAll
+    // equality law must not (apply_cdf); CE sums ln over merge-ordered
+    // cell counts into a rounded argmin (ce); BM25 Σ-over-terms is
+    // FP-order-sensitive and feeds a rank boundary, fused with the raw
+    // cosine ranks (rrf); the release manifest must be byte-stable under
+    // any parallelism of BOTH commits (train_snapshot); the KS sup is an
+    // integer max — a true invariance (ks_test)
+    "table_apply_cdf", "lc_ce", "sim_rrf_fusion", "pipeline_train_snapshot",
+    "agg_ks_test",
+    // baseline mean/stddev are FP merge-order bets feeding a rounded z
+    // and a 3σ boolean — the agg_stats bet through the alert gate
+    "lc_alerts")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -845,10 +845,14 @@ class PlanShapeSpec extends SparkSpec {
     // The adaptive plan only materializes post-execution; the QDef runs
     // its own collect() and `require`s the markers, so a mistuned
     // threshold fails the query itself — this pin re-asserts the shape
-    // from the outside so a silently weakened require cannot pass.
+    // from the outside so a silently weakened require cannot pass. The
+    // QDef returns the computed aggregate as a LOCAL relation (so the
+    // harness doesn't re-run the join), so the adaptive plan is read from
+    // the execution hook, not the returned frame.
     val df = SparkEntry.queries("join_skew_aqe")(spark, sf)
     df.collect(): Unit
-    val p = df.queryExecution.executedPlan.toString
+    val p = graft.operators.Joins.lastSkewAqePlan
+    assert(p.nonEmpty, "join_skew_aqe did not record its adaptive plan")
     assert(p.contains("SortMergeJoin(skew=true)"),
       s"skew-split SMJ missing from the adaptive final plan:\n$p")
     assert(p.contains("skewed"),
@@ -1018,5 +1022,90 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "a real join degraded to a cartesian product")
     assert(p.contains("MapPartitions"),
       "media encode should be a narrow typed mapPartitions in the scan stage")
+  }
+
+  test("lc_ce: grid fan-out collapses map-side; phase marginal keeps its " +
+      "partition spec; argmin plans as a window group limit") {
+    val p = plan("lc_ce")
+    assert(p.contains("partial_"), "CE occupancy grid lost partial aggregation")
+    assert("windowspecdefinition\\(user_id.*pbin".r
+        .findFirstIn(p.toLowerCase).isDefined,
+      "phase-marginal window lost its (user, period, pbin) partitioning")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 argmin no longer plans as a window group limit")
+  }
+
+  test("agg_ks_test: cumulative window partitioned per type; totals broadcast") {
+    val p = plan("agg_ks_test")
+    assert("windowspecdefinition\\(event_type".r
+        .findFirstIn(p.toLowerCase).isDefined,
+      "KS cumulative window lost its event_type partitioning (global sort)")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type totals must attach by broadcast")
+    assert(p.contains("partial_"),
+      "(type, value) pre-aggregate lost map-side partials")
+  }
+
+  test("sim_rrf_fusion: both top-20 cuts plan as window group limits; " +
+      "corpus stats attach by broadcast; no cartesian") {
+    val p = plan("sim_rrf_fusion")
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits >= 2,
+      s"lexical + vector top-k cuts should both prune map-side, saw $limits group limits")
+    assert(p.contains("BroadcastHashJoin"),
+      "df/stats corpus aggregates must attach by broadcast")
+    // the only nested loop allowed is the tiny probe broadcast (the
+    // sim_cosine shape); a cartesian anywhere is a degraded plan
+    assert(!p.contains("CartesianProduct"),
+      "fusion degraded to a cartesian product")
+  }
+
+  test("pipeline_train_snapshot: release manifests keep the shard idiom — " +
+      "partitioned rank windows, offsets by broadcast, no cartesian") {
+    val p = plan("pipeline_train_snapshot")
+    assert("windowspecdefinition\\(n_tok".r.findFirstIn(p.toLowerCase).isDefined,
+      "doc-level row_number lost its n_tok partitioning (global single-reducer sort)")
+    assert(p.contains("BroadcastHashJoin"), "class offsets must attach by broadcast")
+    assert(p.contains("partial_"), "shard rollup lost map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lc_alerts: latest-epoch cut prunes map-side and broadcasts onto " +
+      "the baseline moments; filters reach the scan") {
+    val p = plan("lc_alerts")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn=1 latest cut must prune map-side before its exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny latest-epoch side must broadcast onto the baseline")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"each branch shuffles once on the object key, saw $exchanges")
+    assert(p.contains("GreaterThan(value,0.0)"),
+      "the positivity filter must reach the parquet scan")
+  }
+
+  test("stream_cdc_apply: the final replica rollup is join- and window-free " +
+      "with partial aggregation") {
+    val p = plan("stream_cdc_apply")
+    assert(!p.contains("Join"), "the per-bucket rollup should never join")
+    assert(p.contains("partial_"), "replica rollup lost map-side partials")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("table_schema_enforce: the version rollup is join-free with partial " +
+      "aggregation") {
+    val p = plan("table_schema_enforce")
+    assert(!p.contains("Join"), "the version rollup should never join")
+    assert(p.contains("partial_"), "version rollup lost map-side partials")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("table_apply_cdf: the replica rollup is a pure union of snapshot " +
+      "aggregates — no join, no window, partial aggregation intact") {
+    val p = plan("table_apply_cdf")
+    assert(!p.contains("Join"), "per-version rollups should never join")
+    assert(!p.contains("Window"), "per-version rollups should never window")
+    assert(p.contains("partial_"), "snapshot rollups lost map-side partials")
+    assert(!p.contains("CartesianProduct"))
   }
 }
