@@ -3259,6 +3259,121 @@ object Scans {
              |FROM built b JOIN pay p ON p.i = b.i
              |ORDER BY frame_id""".stripMargin)),
 
+    // APERTURE PHOTOMETRY [PK — the source-extraction step between pixel
+    // calibration and the light-curve catalog; with scan_fits (ingest)
+    // and lc_ensemble (calibration) this closes the pixel-tier boundary
+    // SURVEY §1.1 scopes]: for each catalog position, flux = Σ(5×5
+    // aperture) − 25 · mean(annulus ring at Chebyshev radius 4–5) — the
+    // classic background-subtracted aperture sum. The pixel tier itself
+    // is the stub layer (the container has no FITS pixel codec): frames
+    // synthesize as a DETERMINISTIC pixel function — flat background per
+    // frame + an integer hash-noise field + flat 3×3 star boxes at
+    // catalog positions — so every pixel is exactly reproducible in both
+    // engines, while the Spark-side plumbing (pixel explode, per-source
+    // neighborhood join, background statistics, map-side partials) is the
+    // real distributed shape. Scale: pixels explode map-side from frame
+    // metadata (at 100 TB the same plan reads them from scan_binary
+    // payloads via the mm codec path); the per-source neighborhood is an
+    // EQUI-join on the pixel's (frame, cellx, celly) — each pixel lands
+    // in at most 9 source cells via a bounded explode, candidates linear
+    // in pixels, never pixels × sources.
+    QDef(
+      "frame_photometry",
+      (s, dir) => {
+        val nFrames = 8L
+        val grid = 32L // 32×32 pixels per frame
+        val cell = 11L // source-cell size ≥ 2·annulusMax+1 → 9-cell probe
+        // Star catalog: 3 sources per frame at fixed positions, flux
+        // scaling with the star index (flat 3×3 box PSF).
+        val stars = s.range(0L, nFrames)
+          .select(col("id").as("frame_id"),
+            explode(sequence(lit(0L), lit(2L))).as("star"))
+          .select(col("frame_id"), col("star"),
+            (lit(8L) + col("star") * 8L).as("sx"),
+            (lit(9L) + col("star") * 7L).as("sy"),
+            (lit(500L) + col("star") * 250L + col("frame_id") * 10L).as("flux_in"))
+        // Deterministic pixel field: bg(frame) + hash noise + star boxes.
+        val px = s.range(0L, nFrames)
+          .select(col("id").as("frame_id"),
+            explode(sequence(lit(0L), lit(grid * grid - 1L))).as("p"))
+          .select(col("frame_id"), (col("p") % grid).as("x"),
+            expr(s"p div $grid").as("y"))
+          .join(stars.groupBy("frame_id").agg(
+            collect_list(struct(col("sx"), col("sy"), col("flux_in"))).as("cat")),
+            Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"),
+            ((lit(100L) + col("frame_id")) +
+              ((col("x") * 73L + col("y") * 149L + col("frame_id") * 31L) *
+                2654435761L % 97L).cast("double") / 97.0 +
+              aggregate(col("cat"), lit(0L),
+                (acc, st) => acc + when(
+                  abs(col("x") - st.getField("sx")) <= 1L &&
+                    abs(col("y") - st.getField("sy")) <= 1L,
+                  st.getField("flux_in")).otherwise(0L)).cast("double"))
+              .as("v"))
+        // Each pixel probes the ≤9 source cells it can serve; the source
+        // joins its own cell — an equi-join, never pixels × sources.
+        val probed = px
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .select(col("frame_id"), col("x"), col("y"), col("v"),
+            (expr(s"x div $cell") + col("dcx")).as("cx"),
+            (expr(s"y div $cell") + col("dcy")).as("cy"))
+        val joined = probed.join(stars
+            .select(col("frame_id"), col("star"), col("sx"), col("sy"),
+              col("flux_in"), expr(s"sx div $cell").as("cx"),
+              expr(s"sy div $cell").as("cy")),
+          Seq("frame_id", "cx", "cy"))
+          .withColumn("cheb", greatest(abs(col("x") - col("sx")),
+            abs(col("y") - col("sy"))))
+        val ap = joined.where(col("cheb") <= 2L)
+          .groupBy("frame_id", "star", "flux_in")
+          .agg(sum("v").as("ap_sum"), count(lit(1)).as("n_ap"))
+        val ann = joined.where(col("cheb") >= 4L && col("cheb") <= 5L)
+          .groupBy("frame_id", "star")
+          .agg(avg("v").as("bg"), count(lit(1)).as("n_ann"))
+        ap.join(ann, Seq("frame_id", "star"))
+          .select(col("frame_id"), col("star"), col("flux_in"),
+            col("n_ap"), col("n_ann"),
+            rnd(col("ap_sum") - col("n_ap").cast("double") * col("bg"), 6)
+              .as("flux"))
+          .orderBy("frame_id", "star")
+      },
+      Some("""WITH f AS (SELECT i AS frame_id FROM generate_series(0, 7) t(i)),
+             |stars AS (
+             |  SELECT frame_id, s.j AS star, 8 + s.j * 8 AS sx,
+             |    9 + s.j * 7 AS sy,
+             |    500 + s.j * 250 + frame_id * 10 AS flux_in
+             |  FROM f CROSS JOIN generate_series(0, 2) s(j)),
+             |px AS (
+             |  SELECT f.frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    (100 + f.frame_id) +
+             |    CAST(((p.i % 32) * 73 + (p.i // 32) * 149 + f.frame_id * 31)
+             |      * 2654435761 % 97 AS DOUBLE) / 97.0 +
+             |    CAST((SELECT coalesce(sum(st.flux_in), 0) FROM stars st
+             |      WHERE st.frame_id = f.frame_id
+             |        AND abs((p.i % 32) - st.sx) <= 1
+             |        AND abs((p.i // 32) - st.sy) <= 1) AS DOUBLE) AS v
+             |  FROM f CROSS JOIN generate_series(0, 1023) p(i)),
+             |joined AS (
+             |  SELECT st.frame_id, st.star, st.flux_in, px.v,
+             |    greatest(abs(px.x - st.sx), abs(px.y - st.sy)) AS cheb
+             |  FROM stars st JOIN px ON px.frame_id = st.frame_id),
+             |ap AS (
+             |  SELECT frame_id, star, flux_in, sum(v) AS ap_sum,
+             |    CAST(count(*) AS BIGINT) AS n_ap
+             |  FROM joined WHERE cheb <= 2 GROUP BY 1, 2, 3),
+             |ann AS (
+             |  SELECT frame_id, star, avg(v) AS bg,
+             |    CAST(count(*) AS BIGINT) AS n_ann
+             |  FROM joined WHERE cheb >= 4 AND cheb <= 5 GROUP BY 1, 2)
+             |SELECT ap.frame_id, ap.star, ap.flux_in, n_ap, n_ann,
+             |  floor((ap_sum - CAST(n_ap AS DOUBLE) * bg) * 1e6 + 0.5) / 1e6
+             |    AS flux
+             |FROM ap JOIN ann ON ap.frame_id = ann.frame_id
+             |  AND ap.star = ann.star
+             |ORDER BY ap.frame_id, ap.star""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

@@ -1167,6 +1167,87 @@ object TextOps {
     // shuffles, and there is no per-source total order anywhere (an
     // exact prefix-by-hash selection would need one; the rate form is
     // what a 100 TB mixer actually runs).
+    // CURRICULUM MIXING SCHEDULE — the anneal between two mixtures every
+    // staged training run performs (start on the corpus's natural source
+    // shares, end uniform — or any warmup→final recipe): per step t of S,
+    // the target weight interpolates w_t = (start·(S−1−t) + end·t)/(S−1),
+    // and a fixed per-step batch of B documents is allocated to sources
+    // by the LARGEST-REMAINDER method (base = floor share, the deficit
+    // goes to the largest remainders, ties → source order) — the exact,
+    // deterministic integer allocation samplers then consume. EVERYTHING
+    // is fixed-point integer (micro-weights, bases, remainders, ranked
+    // deficit), so the schedule is bit-reproducible in both engines; the
+    // interpolation numerator is kept non-negative because integer
+    // division FLOORS in DuckDB but TRUNCATES on the JVM — they only
+    // agree on non-negatives. In-query law: every step's allocation sums
+    // exactly to B (step 0 equals the natural shares by construction —
+    // (sh·(S−1)) div (S−1) is exact). Scale: ONE
+    // corpus pass for the per-source counts; the schedule itself is
+    // O(steps × sources) metadata.
+    QDef(
+      "pipeline_anneal",
+      (s, dir) => {
+        val S = 4L; val B = 1000L; val M = 1000000L
+        // localCheckpoint pins ONE corpus pass: both the totals and the
+        // schedule fan-out reference this #sources-row frame (the
+        // pipeline_mix lesson — without it each branch inlines its own
+        // corpus scan+agg).
+        val avail = T.documents(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_src"))
+          .localCheckpoint()
+        val glob = avail.agg(sum("n_src").cast("long").as("tot"),
+          count(lit(1)).as("ns"))
+        val w = avail.crossJoin(broadcast(glob))
+          .withColumn("sh", expr(s"(n_src * ${M}L) div tot"))
+          .withColumn("ufp", expr(s"${M}L div ns"))
+          .withColumn("step", explode(sequence(lit(0L), lit(S - 1L))))
+          .withColumn("w_micro", expr(
+            s"(sh * (${S - 1L}L - step) + ufp * step) div ${S - 1L}L"))
+          .withColumn("base", expr(s"(${B}L * w_micro) div ${M}L"))
+          .withColumn("rem", expr(s"(${B}L * w_micro) % ${M}L"))
+        val ws = org.apache.spark.sql.expressions.Window.partitionBy("step")
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy("step")
+          .orderBy(col("rem").desc, col("source").asc)
+        val alloc = w
+          .withColumn("deficit", lit(B) - sum("base").over(ws))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("alloc",
+            col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .select("step", "source", "w_micro", "alloc")
+        // Law: every step allocates EXACTLY the batch.
+        val sums = alloc.groupBy("step").agg(sum("alloc").cast("long").as("t"))
+          .collect() // bounded: S rows
+        require(sums.forall(_.getLong(1) == B),
+          s"largest-remainder allocation must sum to $B per step")
+        alloc.orderBy("step", "source")
+      },
+      Some(s"""WITH avail AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+             |  FROM documents GROUP BY source),
+             |tots AS (
+             |  SELECT CAST(sum(n_src) AS BIGINT) AS tot, count(*) AS ns
+             |  FROM avail),
+             |w AS (
+             |  SELECT source, g.k AS step,
+             |    ((n_src * 1000000) // tot * (3 - g.k) +
+             |     (1000000 // ns) * g.k) // 3 AS w_micro
+             |  FROM avail CROSS JOIN tots CROSS JOIN generate_series(0, 3) g(k)),
+             |e AS (
+             |  SELECT step, source, w_micro,
+             |    (1000 * w_micro) // 1000000 AS base,
+             |    (1000 * w_micro) % 1000000 AS rem
+             |  FROM w),
+             |r AS (
+             |  SELECT *,
+             |    1000 - CAST(sum(base) OVER (PARTITION BY step) AS BIGINT)
+             |      AS deficit,
+             |    row_number() OVER (PARTITION BY step
+             |      ORDER BY rem DESC, source ASC) AS rk
+             |  FROM e)
+             |SELECT step, source, w_micro,
+             |  base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc
+             |FROM r ORDER BY step, source""".stripMargin)),
+
     QDef(
       "pipeline_mix",
       (s, dir) => {

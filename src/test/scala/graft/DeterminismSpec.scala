@@ -250,7 +250,14 @@ class DeterminismSpec extends SparkSpec {
     "agg_ks_test",
     // baseline mean/stddev are FP merge-order bets feeding a rounded z
     // and a 3σ boolean — the agg_stats bet through the alert gate
-    "lc_alerts")
+    "lc_alerts",
+    // aperture sums and annulus means are FP merge-order bets over the
+    // exploded pixel field feeding a rounded flux; the pixel function
+    // itself is integer-exact — a mixed invariance worth pinning
+    "frame_photometry",
+    // all-integer largest-remainder allocation: ranks, deficits, and
+    // every alloc must not move with the shuffle topology
+    "pipeline_anneal")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

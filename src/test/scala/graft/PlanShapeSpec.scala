@@ -1100,6 +1100,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("frame_photometry: pixel-source neighborhood stays an equi-join " +
+      "on the cell key — never pixels × sources") {
+    val p = plan("frame_photometry")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "photometry degraded to an all-pairs plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+    assert(p.contains("partial_"),
+      "aperture/annulus stats lost map-side partials")
+  }
+
+  test("pipeline_anneal: schedule windows are per-step partitioned; the " +
+      "corpus is aggregated once") {
+    val p = plan("pipeline_anneal")
+    assert("windowspecdefinition\\(step".r.findFirstIn(p.toLowerCase).isDefined,
+      "deficit/rank windows lost their per-step partitioning")
+    assert(p.contains("partial_"),
+      "per-source counts lost map-side partials")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"expected at most 1 corpus scan, saw $scans")
+  }
+
   test("table_apply_cdf: the replica rollup is a pure union of snapshot " +
       "aggregates — no join, no window, partial aggregation intact") {
     val p = plan("table_apply_cdf")
