@@ -2793,6 +2793,140 @@ object Scans {
              |FROM ev
              |ORDER BY version""".stripMargin)),
 
+    // COLUMN MAPPING — rename WITHOUT rewrite (Delta column mapping):
+    // physical parquet schemas are immutable once written, so a rename
+    // that rewrote files would cost a table scan per ALTER. Instead the
+    // log declares `logical physical` pairs as one metadata commit;
+    // mapped reads project logical names over every file (old and new —
+    // writers keep staging under the stable physical names), and a
+    // re-rename is just a republished mapping (latest wins). require'd:
+    // the rename commit changes NO file set (pure metadata), reads
+    // pinned before the rename still serve the old names (as-of
+    // versioned state), and both post-rename logical names serve the
+    // same physical column. At 100 TB an ALTER ... RENAME is O(1) log
+    // metadata — the same trade RESTORE and partition evolution make.
+    QDef(
+      "table_colmap",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_colmap_")
+        val o = T.orders(s, dir)
+        def stage(df: org.apache.spark.sql.DataFrame, gen: String) =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        stage(o.where(col("o_orderkey") % 2L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")),
+          "g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        val filesBefore = CommitLog.filesAsOf(root, 1L)
+        CommitLog.setColMap(root, 2L, Seq("amount" -> "val"))
+        require(CommitLog.filesAsOf(root, 2L) == filesBefore,
+          "a rename must be pure metadata — zero file-set change")
+        // Reads pinned BEFORE the rename keep the old name.
+        require(CommitLog.readAsOfMapped(s, root, 1L)
+            .columns.toSeq == Seq("key", "val", "g"),
+          "a pre-rename pinned read must serve the physical names")
+        require(CommitLog.readAsOfMapped(s, root, 2L)
+            .columns.contains("amount"),
+          "the mapped read must serve the logical name")
+        // Writers after the rename stage under the PHYSICAL name.
+        stage(o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")),
+          "g=2")
+        CommitLog.commit(root, 3L, "g=2")
+        // Re-rename: republish the mapping (latest wins).
+        CommitLog.setColMap(root, 4L, Seq("price" -> "val"))
+        def roll(v: Long, c: String) =
+          CommitLog.readAsOfMapped(s, root, v)
+            .agg(count(lit(1)).as("n"),
+              sum(expr(s"cast(floor($c * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("n"), col("sum_cents"))
+        Seq(roll(1L, "val"), roll(3L, "amount"), roll(4L, "price"))
+          .reduce(_ unionAll _).orderBy("version")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 1),
+             |v3 AS (
+             |  SELECT val FROM v1
+             |  UNION ALL
+             |  SELECT o_totalprice FROM orders WHERE o_orderkey % 6 = 2)
+             |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM v1
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), count(*),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM v3
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), count(*),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM v3
+             |ORDER BY version""".stripMargin)),
+
+    // NAMED REFS (Iceberg tags): human-readable pointers into the version
+    // history — "the Q3 release" instead of "version 17". A tag
+    // declaration is one metadata commit carrying the FULL tag set
+    // (latest wins, so re-pointing a tag republishes the set — an audit
+    // trail of every re-point survives in the log); resolution is
+    // O(snapshot metadata); tag reads are ordinary as-of reads, require'd
+    // row-identical to their direct-version counterparts. At 100 TB tags
+    // are what make time travel OPERABLE: release pipelines and
+    // reproductions reference names, not raw version numbers that shift
+    // between environments.
+    QDef(
+      "table_tag",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_tag_")
+        val o = T.orders(s, dir)
+        def stage(df: org.apache.spark.sql.DataFrame, gen: String) =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+        stage(o.where(col("o_orderkey") % 2L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")),
+          "g=1")
+        CommitLog.commit(root, 1L, "g=1")
+        stage(o.where(col("o_orderkey") % 6L === 2L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val")),
+          "g=2")
+        CommitLog.commit(root, 2L, "g=2")
+        CommitLog.setTags(root, 3L, Seq("stable" -> 1L, "candidate" -> 2L))
+        require(CommitLog.versionOfTag(root, "stable") == 1L &&
+          CommitLog.versionOfTag(root, "candidate") == 2L,
+          "declared tags must resolve from the log")
+        // Re-point: republish the full set; 'stable' moves, the other stays.
+        CommitLog.setTags(root, 4L, Seq("stable" -> 2L, "candidate" -> 2L))
+        require(CommitLog.versionOfTag(root, "stable") == 2L,
+          "a re-pointed tag must resolve to its new target")
+        // A tag read IS the as-of read of its target version.
+        def rollTag(tag: String) = {
+          val v = CommitLog.versionOfTag(root, tag)
+          CommitLog.readAsOf(s, root, v)
+            .agg(count(lit(1)).as("n"),
+              sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("sum_cents"))
+            .select(lit(tag).as("tag"), lit(v).as("version"), col("n"),
+              col("sum_cents"))
+        }
+        rollTag("candidate").unionAll(rollTag("stable")).orderBy("tag")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT o_totalprice AS val
+             |  FROM orders WHERE o_orderkey % 2 = 1
+             |  UNION ALL
+             |  SELECT o_totalprice FROM orders WHERE o_orderkey % 6 = 2)
+             |SELECT 'candidate' AS tag, CAST(2 AS BIGINT) AS version,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM v2
+             |UNION ALL
+             |SELECT 'stable', CAST(2 AS BIGINT), count(*),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM v2
+             |ORDER BY tag""".stripMargin)),
+
     // DATA SKIPPING through the commit log — per-file min/max column stats
     // ride the add action (`"smin"/"smax"`, the Delta/Iceberg file-stats
     // shape), and a range predicate prunes FILES from log metadata alone
@@ -3373,6 +3507,110 @@ object Scans {
              |FROM ap JOIN ann ON ap.frame_id = ann.frame_id
              |  AND ap.star = ann.star
              |ORDER BY ap.frame_id, ap.star""".stripMargin)),
+
+    // FRAME REGISTRATION [PK — the astroalign-style alignment step
+    // between raw frames and photometry, reduced to CATALOG space: a
+    // survey's nightly frames are translation-dithered, and registration
+    // recovers each frame's (dx, dy) against the reference by DELTA
+    // VOTING — every magnitude-compatible star pair between the two
+    // catalogs votes for its displacement, and the true offset is the
+    // mode (full similarity transforms use triangle side-ratio invariants
+    // the same way; the translation case is the nightly-dither workload).
+    // Robustness is the point: each dithered frame DROPS some reference
+    // stars and adds spurious detections, and the vote still lands —
+    // recovered == injected is require'd in-query, with inlier counts
+    // declared. All-integer positions, magnitudes, and votes → hash-exact
+    // in both engines. Scale: candidates come from an EQUI-join on the
+    // quantized magnitude (stars only meet within their mag class, never
+    // all-pairs across catalogs); the vote is a (pair, dx, dy) count with
+    // map-side partials; the winning mode is the determinized max-struct
+    // argmax — one narrow shuffle per stage at any catalog size.
+    QDef(
+      "frame_registration",
+      (s, dir) => {
+        val nStars = 40L
+        def h(seed: org.apache.spark.sql.Column, k: Long): org.apache.spark.sql.Column =
+          (seed * 2654435761L + lit(k)) % 1000L
+        // Reference catalog: deterministic star field (position + mag).
+        val ref = s.range(0L, nStars)
+          .select(col("id").as("star"),
+            h(col("id") * 7L + 13L, 17L).as("x"),
+            h(col("id") * 11L + 5L, 29L).as("y"),
+            (col("id") % 8L + 100L).as("magq"))
+        // Dithered frames 1..4: injected offsets, 1-in-5 stars dropped,
+        // plus 6 spurious detections per frame.
+        val frames = s.range(1L, 5L)
+          .select(col("id").as("frame_id"),
+            (col("id") * 17L - 40L).as("dx_true"),
+            (lit(23L) - col("id") * 9L).as("dy_true"))
+        val dithered = ref.crossJoin(frames)
+          .where((col("star") + col("frame_id")) % 5L =!= 0L)
+          .select(col("frame_id"), col("dx_true"), col("dy_true"),
+            (col("x") + col("dx_true")).as("bx"),
+            (col("y") + col("dy_true")).as("by"), col("magq"))
+        val spurious = s.range(0L, 6L).crossJoin(frames)
+          .select(col("frame_id"), col("dx_true"), col("dy_true"),
+            h(col("id") * 13L + col("frame_id"), 7L).as("bx"),
+            h(col("id") * 19L + col("frame_id"), 3L).as("by"),
+            (col("id") * 3L % 8L + 100L).as("magq"))
+        val detections = dithered.unionAll(spurious)
+        // Delta voting: pairs meet ONLY within their magnitude class.
+        val votes = detections.join(ref.select(col("x"), col("y"), col("magq")),
+            Seq("magq"))
+          .groupBy(col("frame_id"), col("dx_true"), col("dy_true"),
+            (col("bx") - col("x")).as("dx"), (col("by") - col("y")).as("dy"))
+          .agg(count(lit(1)).as("n_votes"))
+        val won = votes
+          .groupBy("frame_id", "dx_true", "dy_true")
+          .agg(max(struct(col("n_votes"), (-col("dx")).as("ndx"),
+            (-col("dy")).as("ndy"))).as("m"),
+            sum("n_votes").cast("long").as("n_candidates"))
+          .select(col("frame_id"),
+            (-col("m.ndx")).as("dx"), (-col("m.ndy")).as("dy"),
+            col("m.n_votes").as("n_inliers"), col("n_candidates"),
+            col("dx_true"), col("dy_true"))
+        // The vote must recover every injected dither exactly.
+        require(won.where(col("dx") =!= col("dx_true") ||
+            col("dy") =!= col("dy_true")).isEmpty,
+          "delta voting failed to recover an injected offset")
+        won.select("frame_id", "dx", "dy", "n_inliers", "n_candidates")
+          .orderBy("frame_id")
+      },
+      Some("""WITH ref AS (
+             |  SELECT i AS star,
+             |    ((i * 7 + 13) * 2654435761 + 17) % 1000 AS x,
+             |    ((i * 11 + 5) * 2654435761 + 29) % 1000 AS y,
+             |    i % 8 + 100 AS magq
+             |  FROM generate_series(0, 39) t(i)),
+             |frames AS (
+             |  SELECT f AS frame_id, f * 17 - 40 AS dx_true, 23 - f * 9 AS dy_true
+             |  FROM generate_series(1, 4) t(f)),
+             |dithered AS (
+             |  SELECT frame_id, x + dx_true AS bx, y + dy_true AS by, magq
+             |  FROM ref CROSS JOIN frames
+             |  WHERE (star + frame_id) % 5 <> 0),
+             |spurious AS (
+             |  SELECT frame_id,
+             |    ((i * 13 + frame_id) * 2654435761 + 7) % 1000 AS bx,
+             |    ((i * 19 + frame_id) * 2654435761 + 3) % 1000 AS by,
+             |    i * 3 % 8 + 100 AS magq
+             |  FROM generate_series(0, 5) t(i) CROSS JOIN frames),
+             |detections AS (
+             |  SELECT * FROM dithered UNION ALL SELECT * FROM spurious),
+             |votes AS (
+             |  SELECT d.frame_id, d.bx - r.x AS dx, d.by - r.y AS dy,
+             |    CAST(count(*) AS BIGINT) AS n_votes
+             |  FROM detections d JOIN ref r USING (magq)
+             |  GROUP BY 1, 2, 3),
+             |won AS (
+             |  SELECT frame_id, dx, dy, n_votes,
+             |    CAST(sum(n_votes) OVER (PARTITION BY frame_id) AS BIGINT)
+             |      AS n_candidates,
+             |    row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY n_votes DESC, dx ASC, dy ASC) AS rn
+             |  FROM votes)
+             |SELECT frame_id, dx, dy, n_votes AS n_inliers, n_candidates
+             |FROM won WHERE rn = 1 ORDER BY frame_id""".stripMargin)),
 
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,

@@ -612,6 +612,83 @@ object CommitLog {
   def schemaAsOf(root: String, v: Long): Seq[String] =
     snapshotAsOf(root, v).schemaCols
 
+  /** COLUMN MAPPING (Delta's column-mapping rename reduced to the demo
+    * essentials): a metadata-only commit declares `logical physical` name
+    * pairs; physical parquet schemas NEVER change (writers keep staging
+    * under the stable physical names), and mapped reads project logical
+    * names over every file — old and new alike — so a RENAME is O(1) log
+    * metadata instead of a table rewrite. Latest declaration wins,
+    * checkpoint-carried; entries use the same transport-safe discipline
+    * as [[setSchema]]. */
+  def setColMap(root: String, version: Long,
+      pairs: Seq[(String, String)], ts: Long = -1L): Unit = {
+    requireWritable(root)
+    require(pairs.nonEmpty, "a column mapping needs at least one pair")
+    pairs.foreach { case (l, ph) =>
+      require((l + ph).forall(c => c != ',' && c != '[' && c != ']' &&
+          c != '"' && !c.isWhitespace),
+        s"unsafe character in column-mapping entry ($l, $ph)")
+    }
+    val arr = pairs.map { case (l, ph) => s""""$l $ph"""" }
+      .mkString("[", ",", "]")
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"colmap":$arr}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** Active column mapping AS OF `v` as (logical, physical) pairs. */
+  def colMapAsOf(root: String, v: Long): Seq[(String, String)] =
+    snapshotAsOf(root, v).colmap.map { e =>
+      val Array(l, ph) = e.split(" ", 2); (l, ph)
+    }
+
+  /** MAPPED READ: [[readAsOf]] with the column mapping active AT `v`
+    * projected on top — physical columns surface under their logical
+    * names. Reads pinned to a pre-rename version keep serving the old
+    * names: the mapping is as-of versioned state like everything else. */
+  def readAsOfMapped(s: SparkSession, root: String, v: Long): DataFrame =
+    colMapAsOf(root, v).foldLeft(readAsOf(s, root, v)) {
+      case (df, (l, ph)) => df.withColumnRenamed(ph, l)
+    }
+
+  /** NAMED REFS (Iceberg tags): a metadata-only commit declares
+    * `name version` pairs — human-readable, immutable-by-convention
+    * pointers into the version history ("release-2026q3" → v17). Latest
+    * declaration wins (re-tagging = republishing the full set),
+    * checkpoint-carried. Resolution is O(snapshot metadata). */
+  def setTags(root: String, version: Long,
+      pairs: Seq[(String, Long)], ts: Long = -1L): Unit = {
+    requireWritable(root)
+    require(pairs.nonEmpty, "a tag declaration needs at least one entry")
+    pairs.foreach { case (n, _) =>
+      require(n.nonEmpty && n.forall(c => c != ',' && c != '[' && c != ']' &&
+          c != '"' && !c.isWhitespace),
+        s"unsafe character in tag name $n")
+    }
+    val arr = pairs.map { case (n, tv) => s""""$n $tv"""" }
+      .mkString("[", ",", "]")
+    val json =
+      (s"""{"commitInfo":{"version":$version,"timestamp":${stampFor(root, ts)},"adds":0,"removes":0}}""" +
+        "\n" + s"""{"meta":{"tags":$arr}}""" + "\n")
+    if (!publishLogFile(root, f"$version%08d.json", json))
+      throw new IllegalStateException(
+        s"commit conflict: version $version already exists under $root/_log")
+    if (version % CheckpointInterval == 0) writeCheckpoint(root, version)
+  }
+
+  /** Resolve a tag to its target version (as of the latest snapshot). */
+  def versionOfTag(root: String, name: String): Long = {
+    val hit = snapshotAsOf(root, Long.MaxValue).tags.collectFirst {
+      case e if e.startsWith(name + " ") => e.stripPrefix(name + " ").toLong
+    }
+    require(hit.isDefined, s"unknown tag '$name' under $root")
+    hit.get
+  }
+
   /** Writer-side SCHEMA enforcement: compare a staged generation's
     * parquet schema against the declaration active at the current
     * snapshot. Returns None on conformance, Some(reason) on refusal — the
@@ -734,6 +811,8 @@ object CommitLog {
   private val MetaLine = (""""meta"\s*:""").r.unanchored
   private val ConstraintsField = (""""constraints"\s*:\s*\[([^\]]*)\]""").r.unanchored
   private val SchemaField = (""""schema"\s*:\s*\[([^\]]*)\]""").r.unanchored
+  private val ColmapField = (""""colmap"\s*:\s*\[([^\]]*)\]""").r.unanchored
+  private val TagsField = (""""tags"\s*:\s*\[([^\]]*)\]""").r.unanchored
   private val BloomField = (""""bloom"\s*:\s*"([0-9a-f]+)"""").r.unanchored
   private val SMinField = (""""smin"\s*:\s*(-?\d+)""").r.unanchored
   private val SMaxField = (""""smax"\s*:\s*(-?\d+)""").r.unanchored
@@ -760,7 +839,9 @@ object CommitLog {
       minReader: Option[Long] = None,
       dvKeys: Map[String, String] = Map.empty,
       minWriter: Option[Long] = None,
-      schemaCols: Seq[String] = Nil)
+      schemaCols: Seq[String] = Nil,
+      colmap: Seq[String] = Nil,
+      tags: Seq[String] = Nil)
 
   /** The log files a snapshot AS OF `v` resolves from: the newest
     * checkpoint at or below `v` (if any) plus the commit tail after it —
@@ -791,6 +872,8 @@ object CommitLog {
     val gencolAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var constraints: Seq[String] = Nil
     var schemaCols: Seq[String] = Nil
+    var colmap: Seq[String] = Nil
+    var tags: Seq[String] = Nil
     var gencolDiv: Option[Long] = None
     var minReader: Option[Long] = None
     var minWriter: Option[Long] = None
@@ -813,6 +896,20 @@ object CommitLog {
           l match {
             case SchemaField(body) =>
               schemaCols =
+                if (body.trim.isEmpty) Nil
+                else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            case _ => ()
+          }
+          l match {
+            case ColmapField(body) =>
+              colmap =
+                if (body.trim.isEmpty) Nil
+                else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            case _ => ()
+          }
+          l match {
+            case TagsField(body) =>
+              tags =
                 if (body.trim.isEmpty) Nil
                 else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
             case _ => ()
@@ -899,7 +996,8 @@ object CommitLog {
     val liveSeq = live.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
     Snapshot(liveSeq, tombs.toSeq, dvs.toMap, constraints, stats.toMap,
       gencolDiv, gencolAt.toMap.view.filterKeys(live.contains).toMap,
-      blooms.toMap, minReader, dvKeys.toMap, minWriter, schemaCols)
+      blooms.toMap, minReader, dvKeys.toMap, minWriter, schemaCols,
+      colmap, tags)
   }
 
   def snapshotAsOf(root: String, v: Long): Snapshot =
@@ -1017,6 +1115,12 @@ object CommitLog {
         (if (snap.schemaCols.isEmpty) Seq.empty[String]
          else Seq(s"""{"meta":{"schema":${
            snap.schemaCols.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+        (if (snap.colmap.isEmpty) Seq.empty[String]
+         else Seq(s"""{"meta":{"colmap":${
+           snap.colmap.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+        (if (snap.tags.isEmpty) Seq.empty[String]
+         else Seq(s"""{"meta":{"tags":${
+           snap.tags.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
         snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
         snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq ++
         snap.minWriter.map(v => s"""{"meta":{"protocol":{"minWriter":$v}}}""").toSeq

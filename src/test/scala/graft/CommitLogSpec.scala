@@ -757,6 +757,46 @@ class CommitLogSpec extends SparkSpec {
       === Seq("key bigint", "val double", "extra bigint"))
   }
 
+  test("column mapping and tags: as-of versioned, latest set wins, " +
+      "orthogonal to other facets, checkpoint-carried, unsafe names " +
+      "rejected at write") {
+    val root = dvTable() // v1/v2 data commits
+    CommitLog.setColMap(root, 3L, Seq("amount" -> "val"))
+    CommitLog.setTags(root, 4L, Seq("stable" -> 1L, "candidate" -> 2L))
+    assert(CommitLog.colMapAsOf(root, 2L) === Nil,
+      "pre-declaration snapshots carry no mapping")
+    assert(CommitLog.colMapAsOf(root, Long.MaxValue) === Seq(("amount", "val")))
+    assert(CommitLog.versionOfTag(root, "stable") === 1L)
+    assert(CommitLog.readAsOfMapped(spark, root, Long.MaxValue)
+      .columns.contains("amount"))
+    assert(!CommitLog.readAsOfMapped(spark, root, 2L)
+      .columns.contains("amount"),
+      "a pre-rename pinned read must keep the physical name")
+    // Facets are orthogonal: a later tag republish leaves the mapping.
+    CommitLog.setTags(root, 5L, Seq("stable" -> 2L))
+    assert(CommitLog.colMapAsOf(root, Long.MaxValue) === Seq(("amount", "val")))
+    assert(CommitLog.versionOfTag(root, "stable") === 2L)
+    val eTag = intercept[IllegalArgumentException] {
+      CommitLog.setTags(root, 6L, Seq("a,b" -> 1L))
+    }
+    assert(eTag.getMessage.contains("unsafe character in tag name"))
+    val eMap = intercept[IllegalArgumentException] {
+      CommitLog.setColMap(root, 6L, Seq("a b" -> "val"))
+    }
+    assert(eMap.getMessage.contains("unsafe character in column-mapping"))
+    // Unknown tag resolution is a clear error, not a silent default.
+    val eMiss = intercept[IllegalArgumentException] {
+      CommitLog.versionOfTag(root, "nope")
+    }
+    assert(eMiss.getMessage.contains("unknown tag"))
+    // Both facets ride checkpoints.
+    (6L to 11L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    assert(CommitLog.logFilesForSnapshot(root, 11L).exists(
+      _.getFileName.toString.endsWith(".checkpoint.json")))
+    assert(CommitLog.colMapAsOf(root, 11L) === Seq(("amount", "val")))
+    assert(CommitLog.versionOfTag(root, "stable") === 2L)
+  }
+
   test("merge-on-read with a URI-hostile table root (space, '%', '#'): " +
       "deleted positions are subtracted, never silently resurfaced") {
     // `_metadata.file_path` is a PERCENT-ENCODED file: URI; a textual

@@ -257,7 +257,10 @@ class DeterminismSpec extends SparkSpec {
     "frame_photometry",
     // all-integer largest-remainder allocation: ranks, deficits, and
     // every alloc must not move with the shuffle topology
-    "pipeline_anneal")
+    "pipeline_anneal",
+    // all-integer delta voting: the mode argmax and both counts must
+    // not move with the merge topology — a true invariance
+    "frame_registration")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

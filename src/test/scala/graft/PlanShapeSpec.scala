@@ -1123,6 +1123,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 1, s"expected at most 1 corpus scan, saw $scans")
   }
 
+  test("frame_registration: star pairs meet only within their magnitude " +
+      "class — an equi-join, never all-pairs across catalogs") {
+    val p = plan("frame_registration")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "no equi-join operator in the voting plan")
+    assert(p.contains("partial_"), "delta votes lost map-side partials")
+  }
+
   test("table_apply_cdf: the replica rollup is a pure union of snapshot " +
       "aggregates — no join, no window, partial aggregation intact") {
     val p = plan("table_apply_cdf")
