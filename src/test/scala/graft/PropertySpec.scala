@@ -486,4 +486,45 @@ class PropertySpec extends SparkSpec {
       assert(rate >= 0L && rate <= m, s"rate $rate outside [0, $m] — wrapped?")
     }
   }
+
+  test("facet transport law: schema/colmap/tags round-trip the log AND a " +
+      "checkpoint for generated transport-safe names (generated)") {
+    import graft.sources.CommitLog
+    val rnd = new Random(77)
+    val alpha = ('a' to 'z') ++ ('0' to '9') ++ Seq('_', '-', '.')
+    def name(): String =
+      (1 to (2 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.size)))
+        .mkString
+    (1 to 5).foreach { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_facetprop").toString
+      Seq((1L, 10.0)).toDF("key", "val")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/g=1")
+      CommitLog.commit(root, 1L, "g=1")
+      val schema = (1 to 1 + rnd.nextInt(4)).map(_ => name() -> "bigint")
+        .distinctBy(_._1)
+      val colmap = (1 to 1 + rnd.nextInt(3)).map(_ => name() -> name())
+        .distinctBy(_._1)
+      val tags = (1 to 1 + rnd.nextInt(3)).map(_ => name() -> rnd.nextInt(2).toLong.max(1L))
+        .distinctBy(_._1)
+      CommitLog.setSchema(root, 2L, schema)
+      CommitLog.setColMap(root, 3L, colmap)
+      CommitLog.setTags(root, 4L, tags)
+      // Force a checkpoint boundary, then resolve from checkpoint + tail.
+      (5L to CommitLog.CheckpointInterval + 1L).foreach(v =>
+        CommitLog.commitFiles(root, v, Nil, Nil))
+      val v = CommitLog.CheckpointInterval + 1L
+      assert(CommitLog.logFilesForSnapshot(root, v).exists(
+        _.getFileName.toString.endsWith(".checkpoint.json")))
+      assert(CommitLog.schemaAsOf(root, v)
+        === schema.map { case (n, t) => s"$n $t" },
+        s"schema facet corrupted in transport: $schema")
+      assert(CommitLog.colMapAsOf(root, v) === colmap,
+        s"colmap facet corrupted in transport: $colmap")
+      tags.foreach { case (n, tv) =>
+        assert(CommitLog.versionOfTag(root, n) === tv,
+          s"tag $n corrupted in transport")
+      }
+    }
+  }
 }
