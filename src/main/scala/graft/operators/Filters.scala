@@ -100,6 +100,55 @@ object Filters {
               |WHERE (d.doc_id * 2654435761) % ${graft.GraftConfig.TempSampleModulus} < t.thresh
               |ORDER BY d.lang, d.doc_id""".stripMargin)),
 
+    // PER-EXAMPLE importance sampling — the complement to
+    // sample_temperature's SOURCE-level reweighting: each document is
+    // accepted with probability proportional to its own utility (here the
+    // token-budget proxy n_tok/400, capped at 1), the standard shape for
+    // quality-weighted subsampling. Acceptance is the deterministic
+    // Knuth-hash threshold the whole sample family uses — a pure function
+    // of the key in fixed-point micro units, reproducible on any engine,
+    // stable under re-partitioning. Output: per-source kept counts and
+    // token mass plus the fixed-point expected count (Σ w div 1e6) — the
+    // sampler's own calibration readout. Scale: the weight and the accept
+    // bit are pushdown-able projections (no shuffle to decide a row);
+    // everything aggregates map-side into #sources rows.
+    QDef(
+      "sample_importance",
+      (s, dir) => {
+        val M = 1000000L
+        val d = T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("w_micro",
+            least(lit(M), expr(s"(n_tok * ${M}L) div 400L")))
+          .withColumn("kept",
+            (col("doc_id") * 2654435761L) % lit(M) < col("w_micro"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("kept"), col("n_tok")).otherwise(0L))
+              .cast("long").as("tok_kept"),
+            expr(s"cast(sum(w_micro) div ${M}L as bigint)").as("exp_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |w AS (
+             |  SELECT source, n_tok,
+             |    least(1000000, (n_tok * 1000000) // 400) AS w_micro,
+             |    (doc_id * 2654435761) % 1000000
+             |      < least(1000000, (n_tok * 1000000) // 400) AS kept
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             |    AS tok_kept,
+             |  CAST(CAST(sum(w_micro) AS BIGINT) // 1000000 AS BIGINT)
+             |    AS exp_kept
+             |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
     // Deterministic train/validation/test split: every document lands in
     // exactly one split by Knuth-hash bucket (80/10/10), so the assignment
     // is a pure function of the key — re-runnable on any engine, stable

@@ -352,6 +352,51 @@ object Windows {
              |FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
              |ORDER BY user_id, valid_from""".stripMargin)),
 
+    // SEASONAL PROFILE — the hour-of-day decomposition step a monitoring
+    // or cadence-analysis pass runs before anomaly detection: per event
+    // type, each hour's mean value relative to the type's overall mean
+    // (idx > 1 = the hot hours). The ratio of two FP means is the only
+    // FP, computed from integer-exact (sum, count) pairs carried
+    // side-by-side and rounded once on the 1e-6 grid — the agg_stats
+    // parity discipline. Scale shape: the (type, hour) pre-aggregate
+    // collapses the corpus map-side into ≤ types×24 rows; the per-type
+    // totals re-aggregate from THAT table (never a second corpus pass)
+    // and attach back by broadcast.
+    QDef(
+      "ts_seasonal",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+            col("value"))
+        val byHour = obs.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .localCheckpoint() // totals fold from this table, not the corpus
+        val tot = byHour.groupBy("event_type")
+          .agg(sum("n").cast("long").as("n_all"), sum("sv").as("sv_all"))
+        byHour.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("hr"), col("n"),
+            rnd((col("sv") / col("n").cast("double")) /
+              (col("sv_all") / col("n_all").cast("double")), 6).as("idx"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+             |byhour AS (
+             |  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+             |    sum(value) AS sv
+             |  FROM obs GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+             |    sum(sv) AS sv_all
+             |  FROM byhour GROUP BY 1)
+             |SELECT b.event_type, hr, n,
+             |  floor(((sv / CAST(n AS DOUBLE)) /
+             |    (sv_all / CAST(n_all AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS idx
+             |FROM byhour b JOIN tot USING (event_type)
+             |ORDER BY event_type, hr""".stripMargin)),
+
     // Time-series gap fill + forward fill (last observation carried
     // forward): densify each key's daily series over its own [min_day,
     // max_day] span, then LOCF via last(ignoreNulls) over the day order —

@@ -260,7 +260,10 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_anneal",
     // all-integer delta voting: the mode argmax and both counts must
     // not move with the merge topology — a true invariance
-    "frame_registration")
+    "frame_registration",
+    // fixed-point hash acceptance: every per-source count is an integer
+    // invariant; FP hour-mean ratios feed a rounded index (seasonal)
+    "sample_importance", "ts_seasonal")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -1132,6 +1132,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), "delta votes lost map-side partials")
   }
 
+  test("sample_importance: the accept bit decides in the scan stage — " +
+      "one corpus scan, no join, partial aggregation") {
+    val p = plan("sample_importance")
+    assert(!p.contains("Join"), "importance acceptance must not join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, saw $scans")
+    assert(p.contains("partial_"), "per-source rollup lost map-side partials")
+  }
+
+  test("ts_seasonal: totals fold from the checkpointed hour table and " +
+      "attach by broadcast — one corpus scan") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type totals must attach by broadcast")
+    assert(p.contains("ExistingRDD"),
+      "totals must fold from the checkpointed (type, hour) table")
+    assert(!p.contains("parquet"),
+      "corpus scan leaked past the checkpoint — a branch re-scans")
+  }
+
   test("table_apply_cdf: the replica rollup is a pure union of snapshot " +
       "aggregates — no join, no window, partial aggregation intact") {
     val p = plan("table_apply_cdf")
