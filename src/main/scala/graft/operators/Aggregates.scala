@@ -2285,6 +2285,88 @@ object Aggregates {
              |    > floor((1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS drifted
              |FROM agg ORDER BY event_type""".stripMargin)),
 
+    // Welch's two-sample t-test — the MEAN-shift member of the drift
+    // battery (PSI = binned shape, KS = full-CDF sup, t = location):
+    // t = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂) with Welch–Satterthwaite
+    // degrees of freedom, over the same before/after-midpoint split.
+    // Means and variances come from the mergeable (n, Σx, Σx²) moment
+    // sums — the agg_moments_reagg state, so at 100 TB this test runs on
+    // STANDING per-window moments without a corpus re-scan; the identical
+    // x·x (never pow) arithmetic on both engines keeps the 1e-6-rounded
+    // statistic and the |t| > 1.96 flag engine-stable. One corpus pass
+    // with map-side partials into #types rows.
+    QDef(
+      "agg_ttest",
+      (s, dir) => {
+        val obs = T.events(s, dir)
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), col("value"),
+            unix_timestamp(col("ts")).as("t"))
+        val mid = obs.agg(expr("(min(t) + max(t)) div 2").as("mid"))
+        obs.crossJoin(broadcast(mid))
+          .groupBy("event_type")
+          .agg(count(when(col("t") < col("mid"), 1)).as("n1"),
+            sum(when(col("t") < col("mid"), col("value"))).as("s1"),
+            sum(when(col("t") < col("mid"), col("value") * col("value")))
+              .as("q1"),
+            count(when(col("t") >= col("mid"), 1)).as("n2"),
+            sum(when(col("t") >= col("mid"), col("value"))).as("s2"),
+            sum(when(col("t") >= col("mid"), col("value") * col("value")))
+              .as("q2"))
+          .withColumn("m1", col("s1") / col("n1").cast("double"))
+          .withColumn("m2", col("s2") / col("n2").cast("double"))
+          .withColumn("v1", (col("q1") - col("s1") * col("s1") /
+            col("n1").cast("double")) / (col("n1") - 1L).cast("double"))
+          .withColumn("v2", (col("q2") - col("s2") * col("s2") /
+            col("n2").cast("double")) / (col("n2") - 1L).cast("double"))
+          .withColumn("se2", col("v1") / col("n1").cast("double") +
+            col("v2") / col("n2").cast("double"))
+          .withColumn("tstat", rnd((col("m1") - col("m2")) / sqrt(col("se2")), 6))
+          .withColumn("df", rnd(col("se2") * col("se2") /
+            (col("v1") * col("v1") /
+              (col("n1").cast("double") * col("n1").cast("double") *
+                (col("n1") - 1L).cast("double")) +
+              col("v2") * col("v2") /
+                (col("n2").cast("double") * col("n2").cast("double") *
+                  (col("n2") - 1L).cast("double"))), 6))
+          .withColumn("shifted", abs(col("tstat")) > lit(1.96))
+          .select(col("event_type"), col("n1"), col("n2"),
+            rnd(col("m1"), 6).as("m1"), rnd(col("m2"), 6).as("m2"),
+            col("tstat"), col("df"), col("shifted"))
+          .orderBy("event_type")
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+             |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM obs),
+             |g AS (
+             |  SELECT event_type,
+             |    CAST(count(*) FILTER (WHERE t < mid) AS BIGINT) AS n1,
+             |    sum(value) FILTER (WHERE t < mid) AS s1,
+             |    sum(value * value) FILTER (WHERE t < mid) AS q1,
+             |    CAST(count(*) FILTER (WHERE t >= mid) AS BIGINT) AS n2,
+             |    sum(value) FILTER (WHERE t >= mid) AS s2,
+             |    sum(value * value) FILTER (WHERE t >= mid) AS q2
+             |  FROM obs CROSS JOIN m GROUP BY event_type),
+             |d AS (
+             |  SELECT event_type, n1, n2,
+             |    s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+             |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+             |    (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+             |  FROM g),
+             |e AS (
+             |  SELECT *, v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+             |  FROM d)
+             |SELECT event_type, n1, n2,
+             |  floor((m1) * 1e6 + 0.5) / 1e6 AS m1,
+             |  floor((m2) * 1e6 + 0.5) / 1e6 AS m2,
+             |  floor(((m1 - m2) / sqrt(se2)) * 1e6 + 0.5) / 1e6 AS tstat,
+             |  floor((se2 * se2 /
+             |    (v1 * v1 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) +
+             |     v2 * v2 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS df,
+             |  abs(floor(((m1 - m2) / sqrt(se2)) * 1e6 + 0.5) / 1e6) > 1.96 AS shifted
+             |FROM e ORDER BY event_type""".stripMargin)),
+
     // Cohort retention — the product-analytics matrix (users cohorted by
     // first conversion day × day offsets of continued activity). Cohort
     // anchor = each user's first PURCHASE day (first-touch collapses on

@@ -1449,7 +1449,8 @@ object Scans {
           }
           val (rep, sv) = (CommitLog.readAsOf(s, dst, v).select("key", "val"),
             CommitLog.readAsOf(s, src, v).select("key", "val"))
-          require(rep.exceptAll(sv).isEmpty && sv.exceptAll(rep).isEmpty,
+          // one symmetric-difference action, not two isEmpty jobs
+          require(rep.exceptAll(sv).unionAll(sv.exceptAll(rep)).isEmpty,
             s"replica must equal source snapshot exactly at applied version $v")
         }
         // ---- output: per-version replica rollup (oracled) --------------

@@ -751,7 +751,8 @@ object StreamRunner {
       val rep = CommitLog.readAsOf(s, dst, CommitLog.latestVersion(dst))
         .select("key", "val")
       val sv = rowsOf(src, CommitLog.filesAsOf(src, Long.MaxValue))
-      require(rep.exceptAll(sv).isEmpty && sv.exceptAll(rep).isEmpty,
+      // one symmetric-difference action, not two isEmpty jobs
+      require(rep.exceptAll(sv).unionAll(sv.exceptAll(rep)).isEmpty,
         "streamed replica diverged from the source snapshot")
     }
     runPass() // pass 1: the backlog (v1 + v2) in one batch

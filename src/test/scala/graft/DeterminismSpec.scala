@@ -263,7 +263,10 @@ class DeterminismSpec extends SparkSpec {
     "frame_registration",
     // fixed-point hash acceptance: every per-source count is an integer
     // invariant; FP hour-mean ratios feed a rounded index (seasonal)
-    "sample_importance", "ts_seasonal")
+    "sample_importance", "ts_seasonal",
+    // moment sums under merge order feed a cancellation-sensitive
+    // variance and a rounded t + boolean — the agg_corr bet again
+    "agg_ttest")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

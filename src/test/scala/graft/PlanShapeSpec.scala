@@ -1132,6 +1132,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), "delta votes lost map-side partials")
   }
 
+  test("agg_ttest: both halves fold in ONE conditional-aggregate corpus " +
+      "pass — a single scan, map-side partials") {
+    val p = plan("agg_ttest")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, // corpus + the one-row midpoint aggregate
+      s"expected at most 2 parquet scans (corpus + midpoint), saw $scans")
+    assert(p.contains("partial_"), "moment sums lost map-side partials")
+    assert(!p.contains("SortMergeJoin"),
+      "the one-row midpoint must broadcast, never shuffle-join")
+  }
+
   test("sample_importance: the accept bit decides in the scan stage — " +
       "one corpus scan, no join, partial aggregation") {
     val p = plan("sample_importance")
