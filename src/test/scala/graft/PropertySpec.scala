@@ -487,6 +487,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KS law: the integer cross-multiplied sup equals a driver-side " +
+      "two-sample KS on generated samples (generated)") {
+    val rnd = new Random(41)
+    (1 to 5).foreach { _ =>
+      val a = Seq.fill(60)((rnd.nextInt(30) + 1).toDouble)
+      val b = Seq.fill(80)((rnd.nextInt(30) + 1 + rnd.nextInt(6)).toDouble)
+      // Relational form: (value, na, nb) counts → running cums → integer sup.
+      val df = (a.map((_, 1L, 0L)) ++ b.map((_, 0L, 1L))).toDF("v", "na", "nb")
+        .groupBy("v").agg(sum("na").as("ca"), sum("nb").as("cb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      val got = df
+        .withColumn("cra", sum("ca").over(w)).withColumn("crb", sum("cb").over(w))
+        .agg(max(abs(col("cra") * b.size - col("crb") * a.size)).as("d"))
+        .as[Long].head()
+      // Driver-side: D = sup |F_a - F_b| over the pooled support.
+      val support = (a ++ b).distinct.sorted
+      val exact = support.map { x =>
+        math.abs(a.count(_ <= x).toLong * b.size - b.count(_ <= x).toLong * a.size)
+      }.max
+      assert(got === exact, s"relational KS sup $got ≠ brute force $exact")
+    }
+  }
+
+  test("largest-remainder law: allocations sum to the batch and differ " +
+      "from floor shares by at most 1 (generated)") {
+    val rnd = new Random(43)
+    (1 to 5).foreach { _ =>
+      val B = 1000L; val M = 1000000L
+      val n = 3 + rnd.nextInt(5)
+      // Random micro-weights; deliberately NOT summing to exactly 1e6 —
+      // the allocator must absorb the floor slack like the query does.
+      val w = Seq.fill(n)((rnd.nextInt(900000) + 50000).toLong)
+      val scale = w.sum
+      val wm = w.map(x => x * M / scale)
+      val df = wm.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("src", "w_micro")
+        .withColumn("base", expr(s"($B * w_micro) div ${M}L"))
+        .withColumn("rem", expr(s"($B * w_micro) % ${M}L"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("rem").desc, col("src").asc)
+      val alloc = df
+        .withColumn("deficit", lit(B) - sum("base").over(ws))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+        .select("src", "base", "alloc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(alloc.map(_._3).sum === B, "allocation must sum to the batch")
+      alloc.foreach { case (src, base, a) =>
+        assert(a == base || a == base + 1L,
+          s"src $src: alloc $a strays from floor share $base by more than 1")
+      }
+    }
+  }
+
   test("facet transport law: schema/colmap/tags round-trip the log AND a " +
       "checkpoint for generated transport-safe names (generated)") {
     import graft.sources.CommitLog
