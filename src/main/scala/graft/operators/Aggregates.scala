@@ -33,8 +33,13 @@ object Aggregates {
   /** Relational theta/KMV sketch state: the bottom-`k` DISTINCT 62-bit
     * hash values per audience, as plain (aud, hv, rk) rows. One corpus
     * pass with map-side partial aggregation builds the distinct set; the
-    * bottom-k window adds NO exchange because its partition key is a
-    * prefix of the grouping keys. Mergeable by construction: a global
+    * bottom-k window then DOES re-exchange on `aud` (HashPartitioning
+    * (aud, hv) does not satisfy ClusteredDistribution(aud) — satisfaction
+    * needs the partitioning exprs to be a SUBSET of the window keys), but
+    * the rank-≤-k filter triggers WindowGroupLimit's partial mode, so each
+    * map task ships only its local bottom-k per audience: the exchange
+    * carries O(audiences · k · tasks) rows, never the full distinct set.
+    * Mergeable by construction: a global
     * bottom-k element is inside every shard's bottom-k, so shard-union +
     * re-rank ≡ direct (the ApproxSpec law). */
   private[graft] def thetaSamples(aud: org.apache.spark.sql.DataFrame,
@@ -291,8 +296,10 @@ object Aggregates {
     // rse ≈ 4.4%). Declared WITHOUT an oracle (the hash is
     // engine-specific); the output carries est AND exact side by side.
     // Scale shape: ONE corpus pass builds (aud, hv) with map-side partial
-    // agg; the bottom-k window adds NO exchange (grouping keys ⊇ partition
-    // key); everything after runs on ≤ 2k sample rows regardless of corpus
+    // agg; the bottom-k window re-exchanges on aud, but WindowGroupLimit's
+    // partial mode prunes each map task to its local bottom-k first, so
+    // that exchange carries O(audiences·k·tasks) rows, not the distinct
+    // set; everything after runs on ≤ 2k sample rows regardless of corpus
     // size — audience overlap over 100 TB from two KB-sized sketches.
     QDef(
       "agg_theta_sketch",

@@ -720,9 +720,24 @@ object Extensibility {
         graft.plans.StatsBroadcastRule.install(s2)
         val df = joined(s2)
         val p = df.queryExecution.executedPlan.toString
-        graft.plans.TableStatsRegistry.unregister(dimPath)
         require(p.contains("BroadcastHashJoin"),
           s"engine statistics did not drive the broadcast flip:\n$p")
+        // Soundness guard: the SAME equality under an OR does not bound
+        // the side (`b = 7 OR key > 0` can emit the whole dimension), so
+        // the rule must bail — a bucket equality only counts when it is a
+        // top-level conjunct of the filter. Plan-only probe, no job runs.
+        // (The probe aggregates every dim column so column pruning cannot
+        // shrink the size-only estimate under the threshold — the flip, if
+        // any, can only come from the stats rule.)
+        val dimOr = s2.read.parquet(dimPath)
+          .where(col("b") === 7L || col("key") > 0L)
+        val pOr = T.orders(s2, dir).select(col("o_orderkey").as("key"))
+          .join(dimOr, "key")
+          .agg(count(lit(1)).as("n"), sum("b").as("sb"), sum("cust").as("sc"))
+          .queryExecution.executedPlan.toString
+        graft.plans.TableStatsRegistry.unregister(dimPath)
+        require(!pOr.contains("BroadcastHashJoin"),
+          s"a disjunctive filter must not be bounded by one arm's bucket:\n$pOr")
         df
       },
       Some("""SELECT CAST(7 AS BIGINT) AS bucket, count(*) AS n,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -88,7 +88,13 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     case fs: HadoopFsRelation =>
       val roots = fs.location.rootPaths.map(_.toUri.getPath)
       TableStatsRegistry.forPaths(roots).flatMap { art =>
-        val eqLits = cond.collect {
+        // Only a TOP-LEVEL conjunct `bucketCol = lit` bounds the output:
+        // the same equality under Or/Not/CaseWhen does not constrain the
+        // row count (e.g. `b = 7 OR key > 100` can emit the whole table),
+        // so collecting it from anywhere in the tree would under-bound
+        // and hint a broadcast of an arbitrarily large side. Split the
+        // And-tree and accept an EqualTo only when it IS a conjunct.
+        val eqLits = conjuncts(cond).collect {
           case EqualTo(a: AttributeReference, Literal(v: Long, LongType))
               if a.name == art.bucketCol => v
           case EqualTo(Literal(v: Long, LongType), a: AttributeReference)
@@ -99,6 +105,11 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
         }
       }
     case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
   }
 
   /** Idempotent programmatic injection (see [[MagSargRewrite.install]]). */

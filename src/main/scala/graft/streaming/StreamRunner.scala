@@ -703,6 +703,14 @@ object StreamRunner {
           (r.getLong(1), r.getLong(2))).toMap
     }
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      // foreachBatch is at-least-once: a mid-batch failure replays the
+      // whole micro-batch. Every commit below is stamped with a
+      // batchId-keyed txn marker; a replayed batch finds its own marker
+      // on the replica's head commit and no-ops, so the net deltas are
+      // never applied twice (the repo's idempotent-sink pattern).
+      val txn = s"cdca/$batchId"
+      val head = CommitLog.latestVersion(dst)
+      if (head > 0L && CommitLog.txnOf(dst, head) == txn) return
       val acts = batch
         .where(!col("src").endsWith(".checkpoint.json"))
         .select(get_json_object(col("value"), "$.add.path").as("a"),
@@ -717,11 +725,13 @@ object StreamRunner {
         val del = if (rems.isEmpty) ord.limit(0) else rowsOf(src, rems)
         val netIns = ins.exceptAll(del).localCheckpoint()
         val netDel = del.exceptAll(ins).localCheckpoint()
-        val v = CommitLog.latestVersion(dst) + 1L
+        val v = head + 1L
         val dr = netDel.agg(min("key"), max("key")).head
         if (dr.isNullAt(0)) {
           val st = stage(netIns, s"a$v", if (v == 1L) 5 else 1)
-          CommitLog.commitFiles(dst, v, st.keys.toSeq.sorted, Nil, stats = st)
+          require(CommitLog.tryCommit(dst, v, s"g=a$v",
+            addsKnown = Some(st.keys.toSeq.sorted), txn = txn, stats = st),
+            s"replica commit $v raced an unknown writer")
         } else {
           val hit = CommitLog.filesAsOfPruned(dst, v - 1L,
             dr.getLong(0), dr.getLong(1))
@@ -731,7 +741,9 @@ object StreamRunner {
             .join(netDel.select("key"), Seq("key"), "left_anti")
             .unionAll(netIns)
           val st = stage(kept, s"m$v", 2)
-          CommitLog.commitFiles(dst, v, st.keys.toSeq.sorted, hit, stats = st)
+          require(CommitLog.tryCommit(dst, v, s"g=m$v", removes = hit,
+            addsKnown = Some(st.keys.toSeq.sorted), txn = txn, stats = st),
+            s"replica commit $v raced an unknown writer")
         }
       }
     }

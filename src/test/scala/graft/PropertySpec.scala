@@ -562,7 +562,7 @@ class PropertySpec extends SparkSpec {
         .distinctBy(_._1)
       val colmap = (1 to 1 + rnd.nextInt(3)).map(_ => name() -> name())
         .distinctBy(_._1)
-      val tags = (1 to 1 + rnd.nextInt(3)).map(_ => name() -> rnd.nextInt(2).toLong.max(1L))
+      val tags = (1 to 1 + rnd.nextInt(3)).map(_ => name() -> (rnd.nextInt(2) + 1).toLong)
         .distinctBy(_._1)
       CommitLog.setSchema(root, 2L, schema)
       CommitLog.setColMap(root, 3L, colmap)
