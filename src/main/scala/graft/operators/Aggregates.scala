@@ -1433,6 +1433,120 @@ object Aggregates {
              |SELECT user_id, p AS ls_period_s, power AS ls_power
              |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // ERROR-WEIGHTED (generalized) Lomb-Scargle [PK: Zechmeister & Kürster
+    // 2009, A&A 496, 577 — the floating-mean, inverse-variance-weighted
+    // periodogram]. Survey photometry carries per-point uncertainties; the
+    // classic Schuster form (`lc_lombscargle` above) weights every epoch
+    // equally and pins the mean to the unweighted average. GLS instead
+    // solves the weighted least-squares fit y ~ a·cos ωt + b·sin ωt + c per
+    // trial frequency; with normalized weights the power is
+    //   P = (SS·YC² + CC·YS² − 2·CS·YC·YS) / (YY·(CC·SS − CS²))
+    // where every term is a CENTERED weighted second moment (YY = Σwy²−Y²,
+    // etc.) — all derivable from ONE pass of weighted power sums, exactly
+    // the mergeable-moments discipline of agg_moments_reagg. The fixture's
+    // events carry no flux_err, so the per-point weight is a deterministic
+    // brightness-derived inverse-variance proxy, w = 1/(1+|y|)², computed
+    // identically in both engines (abs/add/mul/div are IEEE-exact);
+    // normalization by Σw happens INSIDE the formula (each moment divides
+    // by W after aggregation), so no pre-pass window is needed. The trial
+    // grid, integer phase fold (t mod P before cos/sin — see the argument-
+    // reduction note on lc_lombscargle), 1e-6 rounding, and deterministic
+    // argmax tie-break all mirror lc_lombscargle. Scale shape: the ×24
+    // fan-out collapses map-side (partial agg on (user_id, p)) — one
+    // shuffle of grid-bounded state, then a 24-row-per-object window.
+    QDef(
+      "lc_gls",
+      (s, dir) => {
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("power").desc, col("p").asc)
+        val tau = 6.283185307179586
+        val m = T.events(s, dir)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            col("value").as("y"))
+          .withColumn("w",
+            lit(1.0) / ((lit(1.0) + abs(col("y"))) * (lit(1.0) + abs(col("y")))))
+          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("p", lit(43200L) + col("k") * 21600L)
+          .withColumn("cs",
+            cos(lit(tau) * ((col("t") % col("p")).cast("double") / col("p"))))
+          .withColumn("sn",
+            sin(lit(tau) * ((col("t") % col("p")).cast("double") / col("p"))))
+          .groupBy("user_id", "p")
+          .agg(
+            sum(col("w")).as("sw"),
+            sum(col("w") * col("y")).as("swy"),
+            sum(col("w") * col("cs")).as("swc"),
+            sum(col("w") * col("sn")).as("sws"),
+            sum(col("w") * col("y") * col("y")).as("swyy"),
+            sum(col("w") * col("y") * col("cs")).as("swyc"),
+            sum(col("w") * col("y") * col("sn")).as("swys"),
+            sum(col("w") * col("cs") * col("cs")).as("swcc"),
+            sum(col("w") * col("sn") * col("sn")).as("swss"),
+            sum(col("w") * col("cs") * col("sn")).as("swcs"))
+        val yM = col("swy") / col("sw")
+        val cM = col("swc") / col("sw")
+        val sM = col("sws") / col("sw")
+        val yy = col("swyy") / col("sw") - yM * yM
+        val yc = col("swyc") / col("sw") - yM * cM
+        val ys = col("swys") / col("sw") - yM * sM
+        val cc = col("swcc") / col("sw") - cM * cM
+        val ss = col("swss") / col("sw") - sM * sM
+        val cx = col("swcs") / col("sw") - cM * sM
+        m.withColumn("power",
+            rnd((ss * yc * yc + cc * ys * ys - lit(2.0) * cx * yc * ys)
+              / (yy * (cc * ss - cx * cx)), 6))
+          .withColumn("rn", row_number().over(wr))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("p").as("gls_period_s"),
+            col("power").as("gls_power"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    value AS y,
+             |    1e0 / ((1e0 + abs(value)) * (1e0 + abs(value))) AS w
+             |  FROM events),
+             |grid AS (
+             |  SELECT o.*, 43200 + k * 21600 AS p,
+             |    cos(6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
+             |      / (43200 + k * 21600))) AS cs,
+             |    sin(6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
+             |      / (43200 + k * 21600))) AS sn
+             |  FROM obs o, (SELECT unnest(range(0, 24)) AS k)),
+             |ms AS (
+             |  SELECT user_id, p,
+             |    sum(w) AS sw, sum(w * y) AS swy, sum(w * cs) AS swc,
+             |    sum(w * sn) AS sws, sum(w * y * y) AS swyy,
+             |    sum(w * y * cs) AS swyc, sum(w * y * sn) AS swys,
+             |    sum(w * cs * cs) AS swcc, sum(w * sn * sn) AS swss,
+             |    sum(w * cs * sn) AS swcs
+             |  FROM grid GROUP BY user_id, p),
+             |pw AS (
+             |  SELECT user_id, p,
+             |    floor((((swss / sw - (sws / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |      + (swcc / sw - (swc / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |      - 2e0 * (swcs / sw - (swc / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw)))
+             |      / ((swyy / sw - (swy / sw) * (swy / sw))
+             |        * ((swcc / sw - (swc / sw) * (swc / sw))
+             |          * (swss / sw - (sws / sw) * (sws / sw))
+             |          - (swcs / sw - (swc / sw) * (sws / sw))
+             |          * (swcs / sw - (swc / sw) * (sws / sw)))))
+             |      * 1e6 + 0.5) / 1e6 AS power
+             |  FROM ms),
+             |best AS (
+             |  SELECT user_id, p, power,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY power DESC, p ASC) AS rn
+             |  FROM pw)
+             |SELECT user_id, p AS gls_period_s, power AS gls_power
+             |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Pearson correlation per group in CENTERED form (same rationale as
     // lc_detrend: the raw-moment form n·Σxy − Σx·Σy cancels catastrophically
     // for weakly-correlated data and amplifies merge-order noise past the

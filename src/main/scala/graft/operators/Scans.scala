@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  /** Executed plan of frame_astrometry's pre-checkpoint voting chain —
+    * the localCheckpoint that lets one vote computation feed require +
+    * output truncates the declared query's own plan to an ExistingRDD
+    * scan, so PlanShapeSpec re-asserts the interesting shape from here
+    * (the join_skew_aqe precedent, `Joins.lastSkewAqePlan`). */
+  @volatile private[graft] var lastAstrometryPlan: String = ""
+
   /** Per-run tmp path `<tmpdir>/<prefix><applicationId>`, with best-effort
     * GC of STALE siblings ([[graft.FsUtil.sweepStaleTmp]] — dead JVMs'
     * leftovers; a live concurrent run's dir is minutes old and untouched,
@@ -3611,6 +3618,286 @@ object Scans {
              |      ORDER BY n_votes DESC, dx ASC, dy ASC) AS rn
              |  FROM votes)
              |SELECT frame_id, dx, dy, n_votes AS n_inliers, n_candidates
+             |FROM won WHERE rn = 1 ORDER BY frame_id""".stripMargin)),
+
+    // ASTROMETRIC PLATE SOLVE [PK — the astroalign mechanism (Beroiz,
+    // Cabral & Sanchez 2020): full SIMILARITY-transform recovery via
+    // triangle side-ratio invariants, generalizing frame_registration's
+    // translation-only delta voting]. Each frame is related to the
+    // reference by x' = a·x − b·y + dx, y' = b·x + a·y + dy with
+    // (a, b) = scale·(cos θ, sin θ). Triangles are similarity-COVARIANT:
+    // side lengths all scale by the same factor, so the ratios of squared
+    // side lengths are exact invariants — and because the injected
+    // rotations are Pythagorean-triple rationals (cos, sin) = (p/h, q/h)
+    // over a catalog staged on the h-grid, every transformed coordinate,
+    // every squared side, and every invariant is an exact INTEGER
+    // identical in both engines (floor of equal rationals is equal, so
+    // the truncated ratio quantization matches bit-for-bit between the
+    // k²-scaled frame triangle and its reference counterpart). Matched
+    // triangles vote: the two vertices opposite the longest and middle
+    // sides determine (a, b) in milli units via an exact rational
+    // division — candidates whose division carries a remainder are
+    // dropped BEFORE the vote (the same rows in both engines, keeping
+    // truncation semantics out of the result) — then (dx, dy) follow
+    // linearly. The mode wins per frame; recovered == injected is
+    // require'd with inlier counts declared, under dropped stars AND
+    // spurious detections. Scale shape: triangles form within bounded
+    // magnitude classes (3 chained equi-joins, candidates linear in
+    // class-size³ with bounded classes — spatial cells at survey scale);
+    // ref↔frame matching is an EQUI-join on (class, invariant pair),
+    // never all-pairs; votes collapse map-side; the winner is the
+    // determinized max-struct argmax.
+    QDef(
+      "frame_astrometry",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val nStars = 32L
+        def h(seed: Column, k: Long): Column =
+          (seed * 2654435761L + lit(k)) % 200L
+        // Reference catalog on the ×5 grid (h = 5 for the 3-4-5 rotations
+        // below ⇒ all transformed coordinates are exact integers).
+        val ref = s.range(0L, nStars)
+          .select(col("id").as("star"),
+            (h(col("id") * 7L + 13L, 17L) * 5L).as("x"),
+            (h(col("id") * 11L + 5L, 29L) * 5L).as("y"),
+            (col("id") % 8L + 100L).as("magq"))
+        // Injected similarity transforms, (a, b) in milli units:
+        // f1: rot(3/5, 4/5) scale 1; f2: rot(4/5, −3/5) scale 1;
+        // f3: identity rotation scale 2; f4: rot(−4/5, 3/5) scale 2.
+        val frames = s.range(1L, 5L)
+          .select(col("id").as("frame_id"),
+            expr("element_at(array(600L, 800L, 2000L, -1600L), cast(id as int))")
+              .as("a_true"),
+            expr("element_at(array(800L, -600L, 0L, 1200L), cast(id as int))")
+              .as("b_true"),
+            expr("element_at(array(-23L, 17L, 5L, -8L), cast(id as int))")
+              .as("dx_true"),
+            expr("element_at(array(31L, -40L, 9L, -15L), cast(id as int))")
+              .as("dy_true"))
+        val dithered = ref.crossJoin(frames) // 4-row broadcast fan-out
+          .where((col("star") + col("frame_id")) % 5L =!= 0L)
+          .select(col("frame_id"),
+            (expr("(a_true * x - b_true * y) div 1000") + col("dx_true")).as("bx"),
+            (expr("(b_true * x + a_true * y) div 1000") + col("dy_true")).as("by"),
+            col("magq"))
+        val spurious = s.range(0L, 6L).crossJoin(frames)
+          .select(col("frame_id"),
+            (((col("id") * 13L + col("frame_id")) * 2654435761L + lit(7L)) % 1000L).as("bx"),
+            (((col("id") * 19L + col("frame_id")) * 2654435761L + lit(3L)) % 1000L).as("by"),
+            (col("id") * 3L % 8L + 100L).as("magq"))
+        val det = dithered.unionAll(spurious)
+        // All 3-subsets within a class, enumerated by strict lexicographic
+        // order on position (classes are bounded ⇒ linear candidates).
+        def triangles(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+            px: String, py: String): org.apache.spark.sql.DataFrame = {
+          def leg(n: Int) = df.select(
+            keys.map(col) :+ col(px).as(s"x$n") :+ col(py).as(s"y$n"): _*)
+          def lt(i: Int, j: Int) =
+            col(s"x$i") < col(s"x$j") ||
+              (col(s"x$i") === col(s"x$j") && col(s"y$i") < col(s"y$j"))
+          leg(1).join(leg(2), keys).where(lt(1, 2))
+            .join(leg(3), keys).where(lt(2, 3))
+        }
+        // Canonical vertex labels from the squared sides (s_i is the side
+        // OPPOSITE vertex i): V1 faces the longest side, V2 the middle —
+        // a labeling every similarity transform preserves exactly.
+        // Triangles with tied sides are ambiguous and excluded.
+        def canon(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          def sq(i: Int, j: Int) =
+            (col(s"x$i") - col(s"x$j")) * (col(s"x$i") - col(s"x$j")) +
+              (col(s"y$i") - col(s"y$j")) * (col(s"y$i") - col(s"y$j"))
+          def pick(of: String) =
+            when(col("s1") > col("s2") && col("s1") > col("s3"), col(s"${of}1"))
+              .when(col("s2") > col("s1") && col("s2") > col("s3"), col(s"${of}2"))
+              .otherwise(col(s"${of}3"))
+          def pickMid(of: String) =
+            when((col("s1") > col("s2")) =!= (col("s1") > col("s3")), col(s"${of}1"))
+              .when((col("s2") > col("s1")) =!= (col("s2") > col("s3")), col(s"${of}2"))
+              .otherwise(col(s"${of}3"))
+          t.withColumn("s1", sq(2, 3))
+            .withColumn("s2", sq(1, 3))
+            .withColumn("s3", sq(1, 2))
+            .where(col("s1") =!= col("s2") && col("s1") =!= col("s3") &&
+              col("s2") =!= col("s3"))
+            .withColumn("v1x", pick("x")).withColumn("v1y", pick("y"))
+            .withColumn("v2x", pickMid("x")).withColumn("v2y", pickMid("y"))
+            .withColumn("smax", greatest(col("s1"), col("s2"), col("s3")))
+            .withColumn("smin", least(col("s1"), col("s2"), col("s3")))
+            .withColumn("smid",
+              col("s1") + col("s2") + col("s3") - col("smax") - col("smin"))
+            .withColumn("r1", expr("(1000 * smid) div smax"))
+            .withColumn("r2", expr("(1000 * smin) div smax"))
+        }
+        val rt = canon(triangles(ref, Seq("magq"), "x", "y"))
+          .select("magq", "r1", "r2", "v1x", "v1y", "v2x", "v2y")
+        val ft = canon(triangles(det, Seq("frame_id", "magq"), "bx", "by"))
+          .select(col("frame_id"), col("magq"), col("r1"), col("r2"),
+            col("v1x").as("w1x"), col("v1y").as("w1y"),
+            col("v2x").as("w2x"), col("v2y").as("w2y"))
+        // Triangles meet ONLY within their invariant class; the exact-
+        // division filter keeps the vote integer-identical cross-engine.
+        val cand = ft.join(rt, Seq("magq", "r1", "r2"))
+          .withColumn("ux", col("v2x") - col("v1x"))
+          .withColumn("uy", col("v2y") - col("v1y"))
+          .withColumn("vx", col("w2x") - col("w1x"))
+          .withColumn("vy", col("w2y") - col("w1y"))
+          .withColumn("den", col("ux") * col("ux") + col("uy") * col("uy"))
+          .withColumn("dot", col("vx") * col("ux") + col("vy") * col("uy"))
+          .withColumn("crs", col("vy") * col("ux") - col("vx") * col("uy"))
+          .where(col("dot") * 1000L % col("den") === 0L &&
+            col("crs") * 1000L % col("den") === 0L)
+          .withColumn("am", expr("(dot * 1000) div den"))
+          .withColumn("bm", expr("(crs * 1000) div den"))
+          .withColumn("dxm",
+            col("w1x") * 1000L - (col("am") * col("v1x") - col("bm") * col("v1y")))
+          .withColumn("dym",
+            col("w1y") * 1000L - (col("bm") * col("v1x") + col("am") * col("v1y")))
+        val votes = cand.groupBy("frame_id", "am", "bm", "dxm", "dym")
+          .agg(count(lit(1)).as("n_votes"))
+        val won = votes.groupBy("frame_id")
+          .agg(max(struct(col("n_votes"), (-col("am")).as("na"),
+            (-col("bm")).as("nb"), (-col("dxm")).as("nx"),
+            (-col("dym")).as("ny"))).as("m"),
+            sum("n_votes").cast("long").as("n_candidates"))
+          .select(col("frame_id"), (-col("m.na")).as("am"),
+            (-col("m.nb")).as("bm"),
+            expr("(-m.nx) div 1000").as("dx"), expr("(-m.ny) div 1000").as("dy"),
+            col("m.n_votes").as("n_inliers"), col("n_candidates"))
+        // The solve must recover every injected transform exactly.
+        val checkedPre = won.join(broadcast(frames), Seq("frame_id"))
+        lastAstrometryPlan =
+          checkedPre.queryExecution.executedPlan.toString
+        val checked = checkedPre
+          .localCheckpoint() // one vote computation feeds require + output
+        require(checked.count() == 4L,
+          "a frame produced no plate-solve candidates at all")
+        require(checked.where(col("am") =!= col("a_true") ||
+            col("bm") =!= col("b_true") || col("dx") =!= col("dx_true") ||
+            col("dy") =!= col("dy_true")).isEmpty,
+          "triangle voting failed to recover an injected similarity transform")
+        checked.select(col("frame_id"), col("am").as("cos_scale_milli"),
+            col("bm").as("sin_scale_milli"),
+            expr("(am * am + bm * bm) div 1000").as("scale_sq_milli"),
+            col("dx"), col("dy"), col("n_inliers"), col("n_candidates"))
+          .orderBy("frame_id")
+      },
+      Some("""WITH ref AS (
+             |  SELECT i AS star,
+             |    (((i * 7 + 13) * 2654435761 + 17) % 200) * 5 AS x,
+             |    (((i * 11 + 5) * 2654435761 + 29) % 200) * 5 AS y,
+             |    i % 8 + 100 AS magq
+             |  FROM generate_series(0, 31) t(i)),
+             |frames AS (
+             |  SELECT f AS frame_id,
+             |    [600, 800, 2000, -1600][CAST(f AS INT)] AS a_true,
+             |    [800, -600, 0, 1200][CAST(f AS INT)] AS b_true,
+             |    [-23, 17, 5, -8][CAST(f AS INT)] AS dx_true,
+             |    [31, -40, 9, -15][CAST(f AS INT)] AS dy_true
+             |  FROM generate_series(1, 4) t(f)),
+             |det AS (
+             |  SELECT frame_id,
+             |    (a_true * x - b_true * y) // 1000 + dx_true AS bx,
+             |    (b_true * x + a_true * y) // 1000 + dy_true AS by, magq
+             |  FROM ref CROSS JOIN frames WHERE (star + frame_id) % 5 <> 0
+             |  UNION ALL
+             |  SELECT frame_id,
+             |    ((i * 13 + frame_id) * 2654435761 + 7) % 1000 AS bx,
+             |    ((i * 19 + frame_id) * 2654435761 + 3) % 1000 AS by,
+             |    i * 3 % 8 + 100 AS magq
+             |  FROM generate_series(0, 5) t(i) CROSS JOIN frames),
+             |rtri AS (
+             |  SELECT a.magq, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+             |    c.x AS x3, c.y AS y3
+             |  FROM ref a
+             |  JOIN ref b ON a.magq = b.magq
+             |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+             |  JOIN ref c ON b.magq = c.magq
+             |    AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))),
+             |rsides AS (
+             |  SELECT magq,
+             |    (x2-x3)*(x2-x3) + (y2-y3)*(y2-y3) AS s1,
+             |    (x1-x3)*(x1-x3) + (y1-y3)*(y1-y3) AS s2,
+             |    (x1-x2)*(x1-x2) + (y1-y2)*(y1-y2) AS s3,
+             |    x1, y1, x2, y2, x3, y3
+             |  FROM rtri),
+             |rt AS (
+             |  SELECT magq,
+             |    (1000 * (s1+s2+s3 - greatest(s1,s2,s3) - least(s1,s2,s3)))
+             |      // greatest(s1,s2,s3) AS r1,
+             |    (1000 * least(s1,s2,s3)) // greatest(s1,s2,s3) AS r2,
+             |    CASE WHEN s1 > s2 AND s1 > s3 THEN x1
+             |         WHEN s2 > s1 AND s2 > s3 THEN x2 ELSE x3 END AS v1x,
+             |    CASE WHEN s1 > s2 AND s1 > s3 THEN y1
+             |         WHEN s2 > s1 AND s2 > s3 THEN y2 ELSE y3 END AS v1y,
+             |    CASE WHEN (s1 > s2) <> (s1 > s3) THEN x1
+             |         WHEN (s2 > s1) <> (s2 > s3) THEN x2 ELSE x3 END AS v2x,
+             |    CASE WHEN (s1 > s2) <> (s1 > s3) THEN y1
+             |         WHEN (s2 > s1) <> (s2 > s3) THEN y2 ELSE y3 END AS v2y
+             |  FROM rsides WHERE s1 <> s2 AND s1 <> s3 AND s2 <> s3),
+             |ftri AS (
+             |  SELECT a.frame_id, a.magq, a.bx AS x1, a.by AS y1,
+             |    b.bx AS x2, b.by AS y2, c.bx AS x3, c.by AS y3
+             |  FROM det a
+             |  JOIN det b ON a.frame_id = b.frame_id AND a.magq = b.magq
+             |    AND (a.bx < b.bx OR (a.bx = b.bx AND a.by < b.by))
+             |  JOIN det c ON b.frame_id = c.frame_id AND b.magq = c.magq
+             |    AND (b.bx < c.bx OR (b.bx = c.bx AND b.by < c.by))),
+             |fsides AS (
+             |  SELECT frame_id, magq,
+             |    (x2-x3)*(x2-x3) + (y2-y3)*(y2-y3) AS s1,
+             |    (x1-x3)*(x1-x3) + (y1-y3)*(y1-y3) AS s2,
+             |    (x1-x2)*(x1-x2) + (y1-y2)*(y1-y2) AS s3,
+             |    x1, y1, x2, y2, x3, y3
+             |  FROM ftri),
+             |ft AS (
+             |  SELECT frame_id, magq,
+             |    (1000 * (s1+s2+s3 - greatest(s1,s2,s3) - least(s1,s2,s3)))
+             |      // greatest(s1,s2,s3) AS r1,
+             |    (1000 * least(s1,s2,s3)) // greatest(s1,s2,s3) AS r2,
+             |    CASE WHEN s1 > s2 AND s1 > s3 THEN x1
+             |         WHEN s2 > s1 AND s2 > s3 THEN x2 ELSE x3 END AS w1x,
+             |    CASE WHEN s1 > s2 AND s1 > s3 THEN y1
+             |         WHEN s2 > s1 AND s2 > s3 THEN y2 ELSE y3 END AS w1y,
+             |    CASE WHEN (s1 > s2) <> (s1 > s3) THEN x1
+             |         WHEN (s2 > s1) <> (s2 > s3) THEN x2 ELSE x3 END AS w2x,
+             |    CASE WHEN (s1 > s2) <> (s1 > s3) THEN y1
+             |         WHEN (s2 > s1) <> (s2 > s3) THEN y2 ELSE y3 END AS w2y
+             |  FROM fsides WHERE s1 <> s2 AND s1 <> s3 AND s2 <> s3),
+             |cand AS (
+             |  SELECT ft.frame_id,
+             |    (ft.w2x - ft.w1x) * (rt.v2x - rt.v1x)
+             |      + (ft.w2y - ft.w1y) * (rt.v2y - rt.v1y) AS dot,
+             |    (ft.w2y - ft.w1y) * (rt.v2x - rt.v1x)
+             |      - (ft.w2x - ft.w1x) * (rt.v2y - rt.v1y) AS crs,
+             |    (rt.v2x - rt.v1x) * (rt.v2x - rt.v1x)
+             |      + (rt.v2y - rt.v1y) * (rt.v2y - rt.v1y) AS den,
+             |    rt.v1x, rt.v1y, ft.w1x, ft.w1y
+             |  FROM ft JOIN rt ON ft.magq = rt.magq
+             |    AND ft.r1 = rt.r1 AND ft.r2 = rt.r2),
+             |ex AS (
+             |  SELECT frame_id, (dot * 1000) // den AS am,
+             |    (crs * 1000) // den AS bm,
+             |    w1x, w1y, v1x, v1y
+             |  FROM cand
+             |  WHERE dot * 1000 % den = 0 AND crs * 1000 % den = 0),
+             |votes AS (
+             |  SELECT frame_id, am, bm,
+             |    w1x * 1000 - (am * v1x - bm * v1y) AS dxm,
+             |    w1y * 1000 - (bm * v1x + am * v1y) AS dym,
+             |    CAST(count(*) AS BIGINT) AS n_votes
+             |  FROM ex GROUP BY 1, 2, 3, 4, 5),
+             |won AS (
+             |  SELECT frame_id, am, bm, dxm, dym, n_votes,
+             |    CAST(sum(n_votes) OVER (PARTITION BY frame_id) AS BIGINT)
+             |      AS n_candidates,
+             |    row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY n_votes DESC, am ASC, bm ASC, dxm ASC, dym ASC)
+             |      AS rn
+             |  FROM votes)
+             |SELECT frame_id, am AS cos_scale_milli, bm AS sin_scale_milli,
+             |  (am * am + bm * bm) // 1000 AS scale_sq_milli,
+             |  dxm // 1000 AS dx, dym // 1000 AS dy,
+             |  n_votes AS n_inliers, n_candidates
              |FROM won WHERE rn = 1 ORDER BY frame_id""".stripMargin)),
 
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table

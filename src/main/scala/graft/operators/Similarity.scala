@@ -27,6 +27,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
+  /** Executed plan of sim_graph_ann's pre-checkpoint beam chain — the
+    * localCheckpoints that bound lineage (standing graph artifact; one
+    * result feeding recall + require + output) truncate the declared
+    * query's own plan to ExistingRDD scans, so PlanShapeSpec re-asserts
+    * the beam shape from here (the join_skew_aqe precedent). */
+  @volatile private[graft] var lastGraphAnnPlan: String = ""
+
   /** Embedding cast FLOAT[] → DOUBLE[]. */
   private def emb(c: Column): Column = transform(c, _.cast("double"))
 
@@ -1836,6 +1843,192 @@ object Similarity {
           |    floor((raw) * 1e6 + 0.5) / 1e6, rank
           |  FROM fresh WHERE rank = 1)
           |ORDER BY idx_v, probe_id, scope, rank""".stripMargin
+      }),
+
+    // GRAPH-BASED ANN [PK — the HNSW/NSW family (Malkov & Yashunin 2018)
+    // re-expressed RELATIONALLY]: the modern ANN default is beam search
+    // over a bounded-degree neighbor graph. The graph's base layer is
+    // built from the IVF candidate structure (within-cell pairs — the
+    // same linear-candidate discipline as dedup_semantic, never
+    // all-pairs), each node keeping its top-M in-cell neighbors; the
+    // navigable "upper layer" is each node's top-M links onto the
+    // IvfCells seed vectors (hub nodes, one per cell region) — HNSW's
+    // hierarchy collapsed to one hub tier, giving the beam a cross-cell
+    // escape route a pure within-cell graph lacks. Search enters at the
+    // probe's OWN IVF cell (the coarse-quantizer entry every production
+    // HNSW/IVF hybrid uses), then runs a FIXED-ROUND relational beam:
+    // the frontier joins the edge table (equi-join on the node id —
+    // graph_bfs's shape), candidates dedup, score against the probe, and
+    // the determinized top-B survive to the next round — so the result
+    // dominates the plain IVF probe (entry candidates are beam members)
+    // and the graph hops add back cross-cell neighbors IVF loses. Raw
+    // cosines come from the sequential-order graft_dot ≡
+    // list_dot_product, so ranks are bit-identical cross-engine (the
+    // sim_ivf bet); output cosines are rounded. Recall against the EXACT
+    // top-k is computed in-query, declared per probe, and a floor is
+    // require'd (sim_autotune's discipline). Scale shape: graph build is
+    // one cell equi-join + one broadcast-seed pass, both WindowGroupLimit
+    // top-M (linear in per-cell pairs, paid at INDEX time); each search
+    // round moves O(probes × beam × degree) rows through one equi-join —
+    // corpus size appears nowhere in the per-query cost, the entire
+    // point of graph ANN at 100 TB.
+    QDef(
+      "sim_graph_ann",
+      (s, dir) => {
+        val (mDeg, entryE, beamB, rounds, k) = (4, 4, 6, 2, 3)
+        val fitted = sharedFit(s, dir)
+        val assigned = sharedAssigned(s, dir)
+        val co = corpus(s, dir)
+        val pr = probes(s, dir)
+        val wEdge = Window.partitionBy("vec_id")
+          .orderBy(col("raw").desc, col("nb").asc)
+        def topM(edges: DataFrame): DataFrame = edges
+          .where(col("vec_id") =!= col("nb"))
+          .select(col("vec_id"), col("nb"),
+            cosine(col("ce"), col("nbe")).as("raw"))
+          .withColumn("rn", row_number().over(wEdge))
+          .where(col("rn") <= mDeg)
+          .select("vec_id", "nb")
+        // Base layer: top-M cosine per node within its IVF cell; hub
+        // layer: top-M links onto the broadcast seed vectors.
+        val inCell = topM(assigned.select(col("vec_id"), col("ce"), col("cell"))
+          .join(assigned.select(col("vec_id").as("nb"),
+            col("ce").as("nbe"), col("cell")), Seq("cell")))
+        val toSeed = topM(co.select("vec_id", "ce")
+          .crossJoin(broadcast(co.where(col("vec_id") < IvfCells.toLong)
+            .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
+        val graph = inCell.union(toSeed)
+          .localCheckpoint() // the standing index artifact, reused per round
+        val wProbe = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        def score(cand: DataFrame): DataFrame = cand
+          .join(co.select("vec_id", "ce"), Seq("vec_id"))
+          .join(broadcast(pr), Seq("probe_id"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+        // Entry: the probe's own cell, best E members (the IVF entry).
+        val pA = assignCell(pr, "probe_id", "pe", fitted)
+        val f0 = assigned.select("vec_id", "ce", "cell")
+          .join(broadcast(pA), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rn", row_number().over(wProbe))
+          .where(col("rn") <= entryE)
+          .select("probe_id", "vec_id", "raw")
+        // Fixed-round beam: frontier ∪ frontier's neighbors, dedup,
+        // re-score, keep the determinized top-B.
+        val fR = (1 to rounds).foldLeft(f0) { (f, _) =>
+          val cd = f.select("probe_id", "vec_id")
+            .union(f.join(graph, Seq("vec_id"))
+              .select(col("probe_id"), col("nb").as("vec_id")))
+            .distinct()
+          score(cd)
+            .withColumn("rn", row_number().over(wProbe))
+            .where(col("rn") <= beamB)
+            .select("probe_id", "vec_id", "raw")
+        }
+        val approxPre = fR
+          .withColumn("rank", row_number().over(wProbe).cast("long"))
+          .where(col("rank") <= k)
+        lastGraphAnnPlan =
+          approxPre.queryExecution.executedPlan.toString
+        val approx = approxPre
+          .localCheckpoint() // feeds recall + require + output in one shape
+        // Recall vs the exact top-k (one brute-force corpus pass — the
+        // sim_recall_report baseline; probes broadcast, corpus streams).
+        val exact = co.crossJoin(broadcast(pr))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .withColumn("rn", row_number().over(wProbe))
+          .where(col("rn") <= k)
+          .select("probe_id", "vec_id")
+        val hits = approx.join(exact, Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("h"))
+        val out = approx.join(broadcast(hits), Seq("probe_id"), "left")
+          .na.fill(0L, Seq("h"))
+          .select(col("probe_id"), col("vec_id"), rnd(col("raw"), 6).as("cos"),
+            col("rank"), (col("h") * 100L / k).cast("long").as("recall_pct"))
+          .localCheckpoint()
+        // The beam must find at least 60% of the exact neighbors overall —
+        // below that the graph/entry budget is mistuned and the index is
+        // not serving its contract.
+        val tot = out.where(col("rank") === 1L)
+          .agg(sum("recall_pct").cast("long"), count(lit(1))).head
+        require(tot.getLong(0) >= 60L * tot.getLong(1),
+          s"beam-search recall ${tot.getLong(0) / tot.getLong(1)}% fell below the 60% floor")
+        out.orderBy("probe_id", "rank")
+      },
+      Some {
+        val (mDeg, entryE, beamB, k) = (4, 4, 6, 3)
+        def beamSql(prev: String, name: String) =
+          s"""$name AS MATERIALIZED (
+             |  SELECT probe_id, vec_id, raw FROM (
+             |    SELECT cd.probe_id, cd.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+             |      row_number() OVER (PARTITION BY cd.probe_id
+             |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, cd.vec_id ASC) AS rn
+             |    FROM (
+             |      SELECT DISTINCT probe_id, vec_id FROM (
+             |        SELECT probe_id, vec_id FROM $prev
+             |        UNION ALL
+             |        SELECT f.probe_id, g.nb AS vec_id
+             |        FROM $prev f JOIN g ON g.vec_id = f.vec_id)) cd
+             |    JOIN call x ON x.vec_id = cd.vec_id
+             |    JOIN pr p ON p.probe_id = cd.probe_id
+             |    WHERE cd.probe_id <> cd.vec_id)
+             |  WHERE rn <= $beamB)""".stripMargin
+        s"""${ivfChainSql(None)},
+           |g AS MATERIALIZED (
+           |  SELECT vec_id, nb FROM (
+           |    SELECT a.vec_id, b.vec_id AS nb,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.ce", "b.ce")} DESC, b.vec_id ASC) AS rn
+           |    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+           |  WHERE rn <= $mDeg
+           |  UNION ALL
+           |  SELECT vec_id, nb FROM (
+           |    SELECT a.vec_id, s.vec_id AS nb,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
+           |    FROM call a CROSS JOIN
+           |      (SELECT vec_id, ce FROM call WHERE vec_id < $IvfCells) s
+           |    WHERE a.vec_id <> s.vec_id)
+           |  WHERE rn <= $mDeg),
+           |pr AS MATERIALIZED ($probeSql),
+           |f0 AS MATERIALIZED (
+           |  SELECT probe_id, vec_id, raw FROM (
+           |    SELECT p.probe_id, x.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, x.vec_id ASC) AS rn
+           |    FROM p JOIN c x USING (cell)
+           |    WHERE p.probe_id <> x.vec_id)
+           |  WHERE rn <= $entryE),
+           |${beamSql("f0", "f1")},
+           |${beamSql("f1", "f2")},
+           |appr AS MATERIALIZED (
+           |  SELECT probe_id, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM f2 QUALIFY rank <= $k),
+           |exact AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, x.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, x.vec_id ASC) AS rn
+           |    FROM pr p CROSS JOIN call x WHERE p.probe_id <> x.vec_id)
+           |  WHERE rn <= $k),
+           |hits AS (
+           |  SELECT a.probe_id, CAST(count(*) AS BIGINT) AS h
+           |  FROM appr a JOIN exact e
+           |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+           |  GROUP BY 1)
+           |SELECT a.probe_id, a.vec_id,
+           |  floor((a.raw) * 1e6 + 0.5) / 1e6 AS cos, a.rank,
+           |  coalesce(h.h, 0) * 100 // $k AS recall_pct
+           |FROM appr a LEFT JOIN hits h ON a.probe_id = h.probe_id
+           |ORDER BY a.probe_id, a.rank""".stripMargin
       })
   )
 }

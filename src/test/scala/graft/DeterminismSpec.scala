@@ -266,7 +266,14 @@ class DeterminismSpec extends SparkSpec {
     "sample_importance", "ts_seasonal",
     // moment sums under merge order feed a cancellation-sensitive
     // variance and a rounded t + boolean — the agg_corr bet again
-    "agg_ttest")
+    "agg_ttest",
+    // all-integer triangle voting (astrometry): invariants, exact
+    // divisions, and the 4-way mode must not move with the topology;
+    // weighted trig moment sums feeding a rounded ratio power (gls)
+    "frame_astrometry", "lc_gls",
+    // beam-search ranks on raw sequential dots: frontier membership and
+    // the recall join must not move with the merge topology
+    "sim_graph_ann")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

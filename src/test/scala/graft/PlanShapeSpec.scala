@@ -74,6 +74,42 @@ class PlanShapeSpec extends SparkSpec {
       "rn=1 argmax no longer plans as a window group limit")
   }
 
+  test("lc_gls: weighted moment sums collapse map-side; argmax filter " +
+      "becomes a group limit; no self-join anywhere") {
+    val p = plan("lc_gls")
+    assert(p.contains("partial_"), "GLS moment sums lost partial aggregation")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 argmax no longer plans as a window group limit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the one-pass weighted-moment chain grew a join")
+  }
+
+  test("frame_astrometry: triangles meet only within their invariant " +
+      "class — equi-joins end to end, never all-pairs across catalogs") {
+    plan("frame_astrometry") // runs the QDef, which records the pre-
+    // checkpoint voting plan (the declared output is an ExistingRDD scan)
+    val p = graft.operators.Scans.lastAstrometryPlan
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "no equi-join operator in the triangle-matching plan")
+    assert(!p.contains("CartesianProduct"),
+      "triangle matching degraded to a cartesian product")
+    assert(p.contains("partial_"), "transform votes lost map-side partials")
+  }
+
+  test("sim_graph_ann: beam rounds stay equi-joins; frontier expansion " +
+      "never goes cartesian against the corpus") {
+    plan("sim_graph_ann") // runs the QDef, which records the pre-
+    // checkpoint beam plan (the declared output is an ExistingRDD scan)
+    val p = graft.operators.Similarity.lastGraphAnnPlan
+    assert(!p.contains("CartesianProduct"),
+      "a beam stage degraded to a cartesian product")
+    assert(p.contains("WindowGroupLimit"),
+      "top-B rank filters no longer plan as window group limits")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe attachment lost its broadcast")
+  }
+
   test("win_sessionize: both window passes share one user_id shuffle") {
     val p = plan("win_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
