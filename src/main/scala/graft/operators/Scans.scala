@@ -3516,6 +3516,160 @@ object Scans {
              |  AND ap.star = ann.star
              |ORDER BY ap.frame_id, ap.star""".stripMargin)),
 
+    // PHOTOMETRY FROM DECODED BYTES — the pixel tier closed end to end:
+    // where frame_photometry explodes its deterministic pixel function
+    // from frame METADATA (the documented stub), this QDef stages real
+    // FITS files whose BITPIX=16 data unit carries those pixels as
+    // big-endian shorts, reads them back through binaryFile, decodes the
+    // payload in a typed mapPartitions (the mm codec path's shape,
+    // multimodal/Multimodal.scala: media bytes never shuffle, only
+    // decoded rows do — no Catalyst expression parses a data unit), and
+    // runs the SAME aperture chain on the decoded rows. The oracle
+    // reconstructs the pixels from the generator arithmetic alone, so a
+    // byte lost or misread anywhere between the writer, the binaryFile
+    // materialization, and the short decode hash-mismatches. All-integer
+    // pixels (the one FP step is the annulus mean, exact for integer
+    // sums < 2^53 in IEEE double under any order). Scale: decode
+    // parallelizes per file and emits only (frame, x, y, v) rows; the
+    // per-source neighborhood stays frame_photometry's bounded ≤9-cell
+    // equi-join probe — candidates linear in pixels, never
+    // pixels × sources.
+    QDef(
+      "frame_photometry_bytes",
+      (s, dir) => {
+        val root = freshRunTmpPath(s, "graft_fitspx_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        val nFrames = 8L
+        val grid = 32L
+        val cell = 11L
+        s.range(0L, nFrames).toDF("i")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            def card(k: String, v: String): String =
+              (k.padTo(8, ' ') + "= " + (" " * (20 - v.length)) + v)
+                .padTo(80, ' ')
+            it.foreach { r =>
+              val i = r.getLong(0)
+              val hdr = (card("SIMPLE", "T") + card("BITPIX", "16") +
+                card("NAXIS", "2") + card("NAXIS1", "32") +
+                card("NAXIS2", "32") + card("FRAMEID", i.toString) +
+                "END".padTo(80, ' ')).padTo(2880, ' ')
+              val n = (grid * grid).toInt
+              // data unit = 2048 bytes of shorts, zero-padded to one block
+              val buf = java.nio.ByteBuffer.allocate(2880 + 2880)
+              buf.put(hdr.getBytes("US-ASCII"))
+              var j = 0
+              while (j < n) {
+                val x = j % 32; val y = j / 32
+                var v = 100L + i +
+                  ((x * 73L + y * 149L + i * 31L) * 2654435761L) % 97L
+                var st = 0
+                while (st < 3) {
+                  if (math.abs(x - (8 + st * 8)) <= 1 &&
+                      math.abs(y - (9 + st * 7)) <= 1)
+                    v += 500L + st * 250L + i * 10L
+                  st += 1
+                }
+                buf.putShort(v.toShort)
+                j += 1
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(root, f"frame_$i%05d.fits"),
+                buf.array()): Unit
+            }
+          }
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.fits").load(root)
+        // The FITS size law against the real on-disk lengths (8 rows).
+        require(bin.select("length").collect()
+            .forall(_.getLong(0) == 5760L),
+          "a staged BITPIX=16 frame violates the FITS block-size law")
+        import s.implicits._
+        val px = bin.select(col("content")).as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              val hdr = new String(bytes, 0, 2880, "US-ASCII")
+              def kv(k: String): Long = {
+                val at = hdr.indexOf(k.padTo(8, ' ') + "=")
+                require(at >= 0, s"FITS card $k missing")
+                hdr.substring(at + 10, at + 30).trim.toLong
+              }
+              val (fid, n1, n2) = (kv("FRAMEID"), kv("NAXIS1"), kv("NAXIS2"))
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              (0L until n1 * n2).iterator.map { j =>
+                (fid, j % n1, j / n1,
+                  bb.getShort((2880 + 2 * j).toInt).toLong)
+              }
+            }
+          }.toDF("frame_id", "x", "y", "v")
+        val stars = s.range(0L, nFrames)
+          .select(col("id").as("frame_id"),
+            explode(sequence(lit(0L), lit(2L))).as("star"))
+          .select(col("frame_id"), col("star"),
+            (lit(8L) + col("star") * 8L).as("sx"),
+            (lit(9L) + col("star") * 7L).as("sy"),
+            (lit(500L) + col("star") * 250L + col("frame_id") * 10L).as("flux_in"))
+        val probed = px
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .select(col("frame_id"), col("x"), col("y"), col("v"),
+            (expr(s"x div $cell") + col("dcx")).as("cx"),
+            (expr(s"y div $cell") + col("dcy")).as("cy"))
+        val joined = probed.join(stars
+            .select(col("frame_id"), col("star"), col("sx"), col("sy"),
+              col("flux_in"), expr(s"sx div $cell").as("cx"),
+              expr(s"sy div $cell").as("cy")),
+          Seq("frame_id", "cx", "cy"))
+          .withColumn("cheb", greatest(abs(col("x") - col("sx")),
+            abs(col("y") - col("sy"))))
+        val ap = joined.where(col("cheb") <= 2L)
+          .groupBy("frame_id", "star", "flux_in")
+          .agg(sum("v").as("ap_sum"), count(lit(1)).as("n_ap"))
+        val ann = joined.where(col("cheb") >= 4L && col("cheb") <= 5L)
+          .groupBy("frame_id", "star")
+          .agg(avg("v").as("bg"), count(lit(1)).as("n_ann"))
+        ap.join(ann, Seq("frame_id", "star"))
+          .select(col("frame_id"), col("star"), col("flux_in"),
+            col("ap_sum"), col("n_ap"), col("n_ann"),
+            rnd(col("ap_sum") - col("n_ap").cast("double") * col("bg"), 6)
+              .as("flux"))
+          .orderBy("frame_id", "star")
+      },
+      Some("""WITH f AS (SELECT i AS frame_id FROM generate_series(0, 7) t(i)),
+             |stars AS (
+             |  SELECT frame_id, s.j AS star, 8 + s.j * 8 AS sx,
+             |    9 + s.j * 7 AS sy,
+             |    500 + s.j * 250 + frame_id * 10 AS flux_in
+             |  FROM f CROSS JOIN generate_series(0, 2) s(j)),
+             |px AS (
+             |  SELECT f.frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    (100 + f.frame_id) +
+             |    ((p.i % 32) * 73 + (p.i // 32) * 149 + f.frame_id * 31)
+             |      * 2654435761 % 97 +
+             |    (SELECT coalesce(sum(st.flux_in), 0) FROM stars st
+             |      WHERE st.frame_id = f.frame_id
+             |        AND abs((p.i % 32) - st.sx) <= 1
+             |        AND abs((p.i // 32) - st.sy) <= 1) AS v
+             |  FROM f CROSS JOIN generate_series(0, 1023) p(i)),
+             |joined AS (
+             |  SELECT st.frame_id, st.star, st.flux_in, px.v,
+             |    greatest(abs(px.x - st.sx), abs(px.y - st.sy)) AS cheb
+             |  FROM stars st JOIN px ON px.frame_id = st.frame_id),
+             |ap AS (
+             |  SELECT frame_id, star, flux_in,
+             |    CAST(sum(v) AS BIGINT) AS ap_sum,
+             |    CAST(count(*) AS BIGINT) AS n_ap
+             |  FROM joined WHERE cheb <= 2 GROUP BY 1, 2, 3),
+             |ann AS (
+             |  SELECT frame_id, star, avg(v) AS bg,
+             |    CAST(count(*) AS BIGINT) AS n_ann
+             |  FROM joined WHERE cheb >= 4 AND cheb <= 5 GROUP BY 1, 2)
+             |SELECT ap.frame_id, ap.star, ap.flux_in, ap_sum, n_ap, n_ann,
+             |  floor((ap_sum - CAST(n_ap AS DOUBLE) * bg) * 1e6 + 0.5) / 1e6
+             |    AS flux
+             |FROM ap JOIN ann ON ap.frame_id = ann.frame_id
+             |  AND ap.star = ann.star
+             |ORDER BY ap.frame_id, ap.star""".stripMargin)),
+
     // FRAME REGISTRATION [PK — the astroalign-style alignment step
     // between raw frames and photometry, reduced to CATALOG space: a
     // survey's nightly frames are translation-dithered, and registration

@@ -273,7 +273,10 @@ class DeterminismSpec extends SparkSpec {
     "frame_astrometry", "lc_gls",
     // beam-search ranks on raw sequential dots: frontier membership and
     // the recall join must not move with the merge topology
-    "sim_graph_ann")
+    "sim_graph_ann",
+    // decoded-byte pixel rows feeding a rounded flux: the decode + the
+    // annulus mean must be invariant to file/partition assignment
+    "frame_photometry_bytes")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

@@ -1159,6 +1159,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 1, s"expected at most 1 corpus scan, saw $scans")
   }
 
+  test("frame_photometry_bytes: decoded pixels meet sources only on the " +
+      "cell key — an equi-join, never pixels × sources") {
+    val p = plan("frame_photometry_bytes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pixel-source neighborhood degraded to all-pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "no equi-join operator in the neighborhood plan")
+    assert(p.contains("partial_"), "aperture stats lost map-side partials")
+  }
+
   test("frame_registration: star pairs meet only within their magnitude " +
       "class — an equi-join, never all-pairs across catalogs") {
     val p = plan("frame_registration")
