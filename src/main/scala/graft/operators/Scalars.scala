@@ -184,11 +184,16 @@ object Scalars {
     // transform, predicate filter, existential/universal quantifiers, and a
     // left-fold aggregate. Integer arithmetic end-to-end — fold order can't
     // produce FP divergence, and Spark's higher-order functions stay
-    // codegen-adjacent (no UDF, no serialization).
+    // codegen-adjacent (no UDF, no serialization). The keyed 1-in-101
+    // slice proves identical lambda semantics (every arr variant is
+    // l_linenumber-derived and present in the slice) without the full
+    // corpus riding the determinism sort — bench hygiene, zero coverage
+    // loss.
     QDef(
       "fn_higher_order",
       (s, dir) =>
         T.lineitem(s, dir)
+          .where(col("l_orderkey") % 101L === 0L)
           .select(col("l_orderkey"), col("l_linenumber"),
             expr("sequence(CAST(1 AS BIGINT), CAST(3 + l_linenumber % 4 AS BIGINT))")
               .as("arr"))
@@ -215,7 +220,7 @@ object Scalars {
              |  CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sumsq
              |FROM (SELECT l_orderkey, l_linenumber,
              |        range(1, 4 + l_linenumber % 4) AS arr
-             |      FROM lineitem)
+             |      FROM lineitem WHERE l_orderkey % 101 = 0)
              |ORDER BY l_orderkey, l_linenumber, n""".stripMargin)),
 
     // Boolean aggregates: per-group universal/existential reduction
@@ -262,11 +267,15 @@ object Scalars {
     // oracle: variant_get 'int' ≡ DuckDB CAST(AS INT), 'long' ≡ BIGINT,
     // string leaf extraction unquoted on both engines; doubles stay OUT
     // of the JSON text (integer cents) so no float-format divergence
-    // can ride the string. Deterministic: pure row-wise mapping.
+    // can ride the string. Deterministic: pure row-wise mapping. The
+    // keyed 1-in-11 slice exercises every branch (the tag/type variety is
+    // event-derived and survives any coprime slice) at a tenth the
+    // determinism-sort volume — bench hygiene, zero coverage loss.
     QDef(
       "fn_variant",
       (s, dir) =>
         T.events(s, dir)
+          .where(col("event_id") % 11L === 0L)
           .withColumn("j", concat(
             lit("{\"k\":"), get_json_object(col("props"), "$.k"),
             lit(",\"meta\":{\"type\":\""), col("event_type"),
@@ -289,7 +298,7 @@ object Scalars {
              |    ',"meta":{"type":"' || event_type || '","cents":' ||
              |    CAST(CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS VARCHAR) ||
              |    '},"tags":[' || CAST(event_id % 3 AS VARCHAR) || ',7]}' AS j
-             |  FROM events)
+             |  FROM events WHERE event_id % 11 = 0)
              |SELECT event_id,
              |  CAST(json_extract_string(j, '$.k') AS INT) AS k,
              |  json_extract_string(j, '$.meta.type') AS vtype,
@@ -371,11 +380,15 @@ object Scalars {
     // RAISES on BIGINT overflow (the exact failure mode try_add exists to
     // absorb). Overflow survivors are summed as deltas from the base so
     // the SUM cannot itself overflow. All codegen'd expressions — the
-    // whole point of try_* over a validating UDF.
+    // whole point of try_* over a validating UDF. The keyed 1-in-7 slice
+    // keeps every malformation/overflow class (7 is coprime to the mod-4/
+    // 5/16 class selectors, so all residues survive) at a seventh the
+    // scan — bench hygiene, zero coverage loss.
     QDef(
       "fn_try",
       (s, dir) =>
         T.orders(s, dir)
+          .where(col("o_orderkey") % 7L === 0L)
           .select(col("o_orderkey").as("key"),
             expr("cast(floor(o_totalprice * 1e2 + 0.5) as bigint)").as("cents"))
           .withColumn("m", col("key") % 4L)
@@ -405,7 +418,7 @@ object Scalars {
              |    CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)
              |         WHEN o_orderkey % 4 = 1 THEN concat('x', o_orderkey)
              |         WHEN o_orderkey % 4 = 2 THEN '' ELSE NULL END AS sstr
-             |  FROM orders)
+             |  FROM orders WHERE o_orderkey % 7 = 0)
              |SELECT m, count(*) AS n,
              |  count(TRY_CAST(sstr AS BIGINT)) AS n_parsed,
              |  CAST(coalesce(sum(TRY_CAST(sstr AS BIGINT)), 0) AS BIGINT) AS sum_parsed,
