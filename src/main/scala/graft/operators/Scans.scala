@@ -3014,6 +3014,134 @@ object Scans {
              |    AS n_files_scanned,
              |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
 
+    // COLUMNAR COMMIT-LOG CHECKPOINT (Delta's `checkpoint.parquet` [PK]):
+    // the JSON checkpoint is O(live files) of text parsed on the driver —
+    // fine at fixture scale, a resolution bottleneck at the millions of
+    // files a 100 TB table carries. This QDef checkpoints the SAME action
+    // set as a typed parquet table (distributed multi-part write,
+    // atomic directory-rename publish), resolves a later snapshot from
+    // columnar checkpoint + JSON tail, and `require`s FULL equivalence
+    // with the JSON path — live set, tombstones, AND per-file skipping
+    // stats (replay is shared by construction: each row reconstructs its
+    // action line into the one parser). The columnar payoff is require'd
+    // in the plan: a stats-pruned metadata probe filters smin/smax IN THE
+    // CHECKPOINT SCAN (PushedFilters on the action table) and its result,
+    // unioned with the pruned JSON tail, equals filesAsOfPruned — at
+    // 100 TB that is min/max file pruning executed as a pushed-down
+    // columnar scan instead of a driver-side parse of every live file's
+    // JSON line. The table history includes a mid-life compaction
+    // (remove + re-add in one commit) so the checkpoint carries a real
+    // tombstone across the horizon.
+    QDef(
+      "table_checkpoint_parquet",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_ckptpq_")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        val mx = o.agg(max("key")).head.getLong(0)
+        val w = mx / 12L + 1L
+        o.withColumn("g", expr(s"key div ${w}L"))
+          .repartition(12, col("g"))
+          .write.partitionBy("g").mode("overwrite").parquet(root)
+        val statRows = s.read.option("basePath", root).parquet(root)
+          .select(col("key"), col("_metadata.file_path").as("fp"))
+          .groupBy("fp").agg(min("key").as("mn"), max("key").as("mxk"))
+          .collect() // bounded: one row per staged bucket file
+        val stats = statRows.map { r =>
+          CommitLog.relToRoot(root, r.getString(0)) ->
+            (r.getLong(1), r.getLong(2))
+        }.toMap
+        require(stats.size == 12, s"expected 12 bucket files, got ${stats.size}")
+        val byBucket = stats.toSeq.sortBy(_._2._1) // one add per version
+        byBucket.zipWithIndex.foreach { case ((f, st), i) =>
+          CommitLog.commitFiles(root, i + 1L, Seq(f), Nil,
+            stats = Map(f -> st))
+        }
+        // v5 also compacted bucket 0 (remove + re-add new path, same
+        // rows): the checkpoint must carry the tombstone across the
+        // horizon. Staged as a second physical file in the bucket dir.
+        val (f0, st0) = byBucket.head
+        o.where(expr(s"key div ${w}L") === 0L)
+          .coalesce(1).write.mode("append")
+          .parquet(s"$root/${f0.split('/').head}")
+        val f0r = {
+          val gdir = f0.split('/').head
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(root, gdir))
+          val names = try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .toSeq.sorted finally st.close()
+          names.map(n => s"$gdir/$n").filterNot(_ == f0) match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected exactly one rewrite file, got $other")
+          }
+        }
+        CommitLog.commitFiles(root, 13L, Seq(f0r), Seq(f0),
+          stats = Map(f0r -> st0))
+        // v14..v20 idle commits push past the checkpoint interval so the
+        // auto JSON checkpoint (v20) and the columnar one coexist; then
+        // two tail appends land AFTER both checkpoints.
+        (14L to 20L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+        CommitLog.writeParquetCheckpoint(s, root, 20L)
+        val lastV = 20L
+        // Tail: re-add nothing new (fixture staged 12 buckets), so the
+        // tail is the empty-commit pair — resolution still crosses it.
+        (21L to 22L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+        val vNow = 22L
+        val viaJson = CommitLog.snapshotAsOf(root, vNow)
+        val viaPq = CommitLog.snapshotAsOfParquet(s, root, vNow)
+        require(viaPq.live == viaJson.live &&
+            viaPq.tombstones == viaJson.tombstones &&
+            viaPq.stats == viaJson.stats,
+          "columnar-checkpoint resolution diverged from the JSON path")
+        require(viaJson.tombstones.map(_._1) == Seq(f0),
+          "the compacted file's tombstone was lost")
+        // Pushed-down metadata probe: smin/smax filter IN the checkpoint
+        // scan; ∪ pruned tail adds ≡ the JSON path's filesAsOfPruned.
+        val (lo, hi) = (2L * w + w / 2L, 3L * w + w / 4L)
+        val probe = s.read.parquet(
+            CommitLog.parquetCheckpointDir(root, lastV))
+          .where(col("kind") === "add" && col("smax") >= lo &&
+            col("smin") <= hi)
+          .select("path")
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("PushedFilters:") &&
+            plan.contains("GreaterThanOrEqual(smax"),
+          s"the stats probe must push into the checkpoint scan:\n$plan")
+        val ckptPruned = probe.collect().map(_.getString(0)).toSet
+        require(ckptPruned ==
+            CommitLog.filesAsOfPruned(root, vNow, lo, hi).toSet,
+          "pushed-down checkpoint pruning diverged from the JSON path")
+        val matched = s.read.option("basePath", root)
+          .parquet(ckptPruned.toSeq.sorted.map(f => s"$root/$f"): _*)
+          .where(col("key").between(lo, hi))
+        matched.agg(count(lit(1)).as("n_rows"),
+            sum(col("key")).cast("long").as("sum_key"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .select(lit(viaPq.live.size.toLong).as("n_live"),
+            lit(viaPq.tombstones.size.toLong).as("n_tombstones"),
+            lit(ckptPruned.size.toLong).as("n_files_scanned"),
+            col("n_rows"), col("sum_key"), col("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+             |p AS (SELECT CAST(max(key) // 12 + 1 AS BIGINT) AS w FROM o),
+             |b AS (SELECT key, val, key // (SELECT w FROM p) AS g FROM o),
+             |s AS (SELECT g, min(key) AS mn, max(key) AS mx FROM b GROUP BY g),
+             |bounds AS (SELECT 2 * w + w // 2 AS lo, 3 * w + w // 4 AS hi FROM p),
+             |m AS (
+             |  SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_key,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS sum_cents
+             |  FROM b, bounds WHERE key BETWEEN lo AND hi)
+             |SELECT (SELECT count(*) FROM s) AS n_live,
+             |  CAST(1 AS BIGINT) AS n_tombstones,
+             |  (SELECT count(*) FROM s, bounds WHERE mx >= lo AND mn <= hi)
+             |    AS n_files_scanned,
+             |  n_rows, sum_key, sum_cents FROM m""".stripMargin)),
+
     // FILE-LEVEL BLOOM INDEX (Delta's bloom file index reduced to the log
     // essentials) — the point-lookup complement to table_skipping's
     // min/max ranges: the layout here is HASH-bucketed (g = key % 8), so

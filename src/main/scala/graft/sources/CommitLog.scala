@@ -855,7 +855,18 @@ object CommitLog {
       commits.collect { case (cv, p) if cv > floor && cv <= v => p }
   }
 
-  private def applyLog(files: Seq[Path]): Snapshot = {
+  private def applyLog(files: Seq[Path]): Snapshot =
+    applyLogUnits(files.map { p =>
+      (new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector,
+        p.getFileName.toString.endsWith(".checkpoint.json"))
+    })
+
+  /** One replay unit = one log file's lines + whether it is a checkpoint
+    * (exact snapshot serialization). Factored from [[applyLog]] so the
+    * COLUMNAR checkpoint path ([[snapshotAsOfParquet]]) can feed its
+    * reconstructed action lines through the same parser instead of
+    * duplicating the replay semantics. */
+  private def applyLogUnits(units: Seq[(Vector[String], Boolean)]): Snapshot = {
     // (path -> addedAt) in insertion order; a re-add after a remove
     // resurrects the file (drops its tombstone), as in Delta. Within ONE
     // log file removes apply BEFORE adds: the only same-path overlap the
@@ -877,12 +888,10 @@ object CommitLog {
     var gencolDiv: Option[Long] = None
     var minReader: Option[Long] = None
     var minWriter: Option[Long] = None
-    files.foreach { p =>
+    units.foreach { case (lines, isCheckpoint) =>
       // A checkpoint is an EXACT snapshot serialization: its adds carry
       // their own per-file spec ("gw") when one was bound, so an absent
       // gw there means "no spec at add" — never "bind the latest meta".
-      val isCheckpoint = p.getFileName.toString.endsWith(".checkpoint.json")
-      val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector
       lines.foreach {
         case l @ MetaLine() =>
           // Latest meta line wins: the commit declares the FULL active set.
@@ -1108,22 +1117,7 @@ object CommitLog {
     // The active constraint set rides the checkpoint as its meta line, so
     // resolution from checkpoint + tail keeps enforcing it once the
     // declaring commit is past the horizon.
-    val metaLines =
-      (if (snap.constraints.isEmpty) Seq.empty[String]
-       else Seq(s"""{"meta":{"constraints":${
-         snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
-        (if (snap.schemaCols.isEmpty) Seq.empty[String]
-         else Seq(s"""{"meta":{"schema":${
-           snap.schemaCols.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
-        (if (snap.colmap.isEmpty) Seq.empty[String]
-         else Seq(s"""{"meta":{"colmap":${
-           snap.colmap.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
-        (if (snap.tags.isEmpty) Seq.empty[String]
-         else Seq(s"""{"meta":{"tags":${
-           snap.tags.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
-        snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
-        snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq ++
-        snap.minWriter.map(v => s"""{"meta":{"protocol":{"minWriter":$v}}}""").toSeq
+    val metaLines = metaLinesOf(snap)
     val json =
       (s"""{"checkpoint":{"version":$version,"adds":${snap.live.size},"tombstones":${snap.tombstones.size}}}""" +:
         (metaLines ++
@@ -1132,6 +1126,147 @@ object CommitLog {
             s"""{"remove":{"path":"$p","removedAt":$at${dvField(p)}}}""" }))
         .mkString("", "\n", "\n")
     publishLogFile(root, f"$version%08d.checkpoint.json", json): Unit
+  }
+
+  /** The snapshot's active meta facets serialized as checkpoint meta
+    * lines — shared by the JSON checkpoint writer and the columnar
+    * checkpoint's meta rows (one facet per line, latest-wins on replay). */
+  private def metaLinesOf(snap: Snapshot): Seq[String] =
+    (if (snap.constraints.isEmpty) Seq.empty[String]
+     else Seq(s"""{"meta":{"constraints":${
+       snap.constraints.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+      (if (snap.schemaCols.isEmpty) Seq.empty[String]
+       else Seq(s"""{"meta":{"schema":${
+         snap.schemaCols.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+      (if (snap.colmap.isEmpty) Seq.empty[String]
+       else Seq(s"""{"meta":{"colmap":${
+         snap.colmap.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+      (if (snap.tags.isEmpty) Seq.empty[String]
+       else Seq(s"""{"meta":{"tags":${
+         snap.tags.map(e => s""""$e"""").mkString("[", ",", "]")}}}""")) ++
+      snap.gencolDiv.map(w => s"""{"meta":{"gencolDiv":$w}}""").toSeq ++
+      snap.minReader.map(v => s"""{"meta":{"protocol":{"minReader":$v}}}""").toSeq ++
+      snap.minWriter.map(v => s"""{"meta":{"protocol":{"minWriter":$v}}}""").toSeq
+
+  // ---- COLUMNAR CHECKPOINT (the Delta `checkpoint.parquet` shape) ----
+  //
+  // The JSON checkpoint is O(live files) of TEXT parsed line-by-line on
+  // the driver — fine at thousands of files, a resolution bottleneck at
+  // the millions a 100 TB table carries. The columnar checkpoint stores
+  // the SAME action set as one typed parquet table under
+  // `_log/%08d.checkpoint.parquet/` (a directory of parts — Delta's
+  // multi-part checkpoint), so (a) writing it is a distributed job, and
+  // (b) metadata queries PUSH DOWN: a stats-pruned probe filters
+  // smin/smax in the parquet scan and only matching action rows ever
+  // reach the driver. Replay semantics are IDENTICAL by construction:
+  // resolution reconstructs each row's action line and feeds the same
+  // parser as the JSON path ([[applyLogUnits]]), with the explicit `seq`
+  // ordinal pinning replay order across part files.
+
+  /** One columnar-checkpoint action row. `kind` ∈ add | remove | meta;
+    * `at` = addedAt / removedAt; meta rows carry their serialized line
+    * verbatim (facet grammar unchanged); per-file annotations (dv
+    * sidecar, sidecar key, skipping stats, bloom words, bound gencol
+    * width) ride as typed nullable columns. */
+  final case class CkptRow(seq: Long, kind: String, path: String, at: Long,
+      dv: Option[String], dvf: Option[String], smin: Option[Long],
+      smax: Option[Long], bloom: Option[String], gw: Option[Long],
+      meta: Option[String])
+
+  private val ParquetCheckpointName = """(\d{8})\.checkpoint\.parquet""".r
+
+  def parquetCheckpointDir(root: String, v: Long): String =
+    logDir(root).resolve(f"$v%08d.checkpoint.parquet").toString
+
+  /** Versions holding a columnar checkpoint, ascending. */
+  def parquetCheckpoints(root: String): Seq[Long] =
+    if (!Files.isDirectory(logDir(root))) Nil
+    else withList(logDir(root)) { it =>
+      it.flatMap(p => p.getFileName.toString match {
+        case ParquetCheckpointName(v) => Some(v.toLong)
+        case _                        => None
+      }).toVector.sorted
+    }
+
+  /** Write the snapshot AS OF `version` as a columnar checkpoint: a
+    * distributed parquet write of the action table, published atomically
+    * by directory rename (a reader never sees a partial part set). */
+  def writeParquetCheckpoint(s: SparkSession, root: String,
+      version: Long): Unit = {
+    val files = logFilesForSnapshot(root, version)
+    val snap = applyLog(files)
+    val addedAt = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      files.foreach { p =>
+        new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach {
+          case l @ AddLine() =>
+            val PathField(path) = l: @unchecked
+            val at = l match { case AddedAt(v) => v.toLong; case _ => 0L }
+            m.put(path, at): Unit
+          case _ => ()
+        }
+      }
+      m
+    }
+    val rows =
+      metaLinesOf(snap).zipWithIndex.map { case (l, i) =>
+        CkptRow(i.toLong, "meta", "", 0L, None, None, None, None, None,
+          None, Some(l))
+      } ++
+        snap.live.zipWithIndex.map { case (p, i) =>
+          CkptRow(1000000L + i, "add", p, addedAt.getOrElse(p, 0L),
+            snap.dvs.get(p), snap.dvKeys.get(p),
+            snap.stats.get(p).map(_._1), snap.stats.get(p).map(_._2),
+            snap.blooms.get(p), snap.gencolAtAdd.get(p), None)
+        } ++
+        snap.tombstones.zipWithIndex.map { case ((p, at), i) =>
+          // Tombstones carry their dv annotation forward so vacuum's
+          // retention protection survives the checkpoint horizon.
+          CkptRow(2000000L + i, "remove", p, at, snap.dvs.get(p), None,
+            None, None, None, None, None)
+        }
+    import s.implicits._
+    val tmp = logDir(root).resolve(
+      s".tmp-ckpt-${java.util.UUID.randomUUID().toString.take(8)}")
+    s.createDataset(rows).repartition(2)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, Paths.get(parquetCheckpointDir(root, version))): Unit
+  }
+
+  /** Snapshot resolution through the newest columnar checkpoint ≤ `v`
+    * plus the JSON commit tail — the same replay as [[snapshotAsOf]]
+    * (each checkpoint row reconstructs its action line and runs through
+    * the shared parser), falling back to the JSON path when no columnar
+    * checkpoint exists. */
+  def snapshotAsOfParquet(s: SparkSession, root: String, v: Long): Snapshot =
+    parquetCheckpoints(root).filter(_ <= v).lastOption match {
+      case None => snapshotAsOf(root, v)
+      case Some(cv) =>
+        import s.implicits._
+        val rows = s.read.parquet(parquetCheckpointDir(root, cv))
+          .as[CkptRow].collect().sortBy(_.seq)
+        val lines = rows.map(ckptRowLine).toVector
+        val (commits, _) = listLog(root)
+        val tail = commits.collect { case (tv, p) if tv > cv && tv <= v => p }
+        applyLogUnits((lines, true) +: tail.map { p =>
+          (new String(Files.readAllBytes(p), "UTF-8").linesIterator.toVector,
+            false)
+        })
+    }
+
+  private def ckptRowLine(r: CkptRow): String = r.kind match {
+    case "meta" => r.meta.getOrElse("""{"meta":{}}""")
+    case "add" =>
+      val opt = r.dv.map(d => s""","dv":"$d"""").getOrElse("") +
+        r.dvf.map(k => s""","dvf":"$k"""").getOrElse("") +
+        (for { mn <- r.smin; mx <- r.smax }
+          yield s""","smin":$mn,"smax":$mx""").getOrElse("") +
+        r.bloom.map(b => s""","bloom":"$b"""").getOrElse("") +
+        r.gw.map(w => s""","gw":$w""").getOrElse("")
+      s"""{"add":{"path":"${r.path}","addedAt":${r.at}$opt}}"""
+    case _ =>
+      val dv = r.dv.map(d => s""","dv":"$d"""").getOrElse("")
+      s"""{"remove":{"path":"${r.path}","removedAt":${r.at}$dv}}"""
   }
 
   /** The snapshot AS OF `v` as a DataFrame: log-resolved file list into one

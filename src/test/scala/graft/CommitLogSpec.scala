@@ -1244,4 +1244,48 @@ class CommitLogSpec extends SparkSpec {
       === Set(fPre, f2, fX, f4),
       "per-file specs must survive checkpoint resolution")
   }
+
+  test("columnar checkpoint: every Snapshot facet is equivalent to the " +
+      "JSON path, and a tail remove replays over it") {
+    val root = freshTable()
+    // Annotate heavily so the equivalence covers every facet: stats +
+    // bloom on a re-add, dv sidecar, every meta facet, a tombstone.
+    CommitLog.setConstraints(root, 3L, Seq("val > 0.0"))
+    CommitLog.setSchema(root, 4L, Seq("key" -> "bigint", "val" -> "double"))
+    CommitLog.setColMap(root, 5L, Seq("key" -> "k_phys"))
+    CommitLog.setTags(root, 6L, Seq("rel" -> 2L))
+    CommitLog.setGencolDiv(root, 7L, 10L)
+    val f1 = CommitLog.filesAsOf(root, 1L).head
+    val f2 = CommitLog.filesAsOf(root, 2L).filterNot(_ == f1).head
+    // v8: rewrite f1 (remove + re-add at the same path is illegal; re-add
+    // the OTHER file with annotations and tombstone f1).
+    CommitLog.commitFiles(root, 8L, adds = Seq(f2), removes = Seq(f1),
+      dvs = Map(f2 -> "dv/f2.parquet"),
+      stats = Map(f2 -> (2L, 4L)), blooms = Map(f2 -> ("0" * 1020 + "00ff")))
+    (9L to 10L).foreach(v => CommitLog.commitFiles(root, v, Nil, Nil))
+    CommitLog.writeParquetCheckpoint(spark, root, 10L)
+    // Tail past the columnar checkpoint: one more add, then a remove.
+    val s0 = spark
+    import s0.implicits._
+    Seq((9L, 90.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$root/g=3")
+    CommitLog.commit(root, 11L, "g=3")
+    val f3 = CommitLog.filesAsOf(root, 11L).filterNot(Set(f1, f2)).head
+    CommitLog.commitFiles(root, 12L, Nil, removes = Seq(f2))
+    Seq(10L, 11L, 12L).foreach { v =>
+      val j = CommitLog.snapshotAsOf(root, v)
+      val q = CommitLog.snapshotAsOfParquet(spark, root, v)
+      assert(q === j, s"columnar resolution diverged from JSON at v=$v")
+    }
+    val fin = CommitLog.snapshotAsOfParquet(spark, root, 12L)
+    assert(!fin.live.contains(f2) && fin.live.contains(f3),
+      "the tail remove must replay over the columnar checkpoint")
+    assert(fin.tombstones.map(_._1).toSet === Set(f1, f2))
+    assert(fin.dvs.get(f2) === Some("dv/f2.parquet"),
+      "the tombstoned file's dv annotation must survive for vacuum protection")
+    assert(fin.constraints === Seq("val > 0.0") &&
+      fin.schemaCols.nonEmpty && fin.colmap.nonEmpty && fin.tags.nonEmpty &&
+      fin.gencolDiv === Some(10L),
+      "every meta facet must ride the columnar checkpoint")
+  }
 }
