@@ -437,6 +437,25 @@ object StreamingOps {
              |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
              |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // STREAMING NIGHTLY REFRESH — pipeline_nightly's incremental-feature
+    // leg as a RUNNING stream: per-object (n, Σmag) moment states
+    // maintained by a foreachBatch job tailing the light-curve table's
+    // log, folding only each batch's added files (history stays unread),
+    // with the IVM law (streamed state ≡ batch recompute at the batch's
+    // high-water version) require'd INSIDE every micro-batch and night 2
+    // landing across a stream restart. batchId-txn-stamped state commits
+    // make replays no-ops. See StreamRunner.nightlyRefreshStream.
+    QDef(
+      "stream_nightly",
+      (s, dir) => graft.streaming.StreamRunner.nightlyRefreshStream(s, dir),
+      Some("""WITH det AS (
+             |  SELECT user_id AS u, -2.5 * log10(value) + 25.0 AS mag
+             |  FROM events WHERE value > 0.0)
+             |SELECT u AS object_id, count(*) AS n_total,
+             |  floor((sum(mag) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_mag,
+             |  CAST(2 AS BIGINT) AS n_state_versions
+             |FROM det GROUP BY u ORDER BY object_id""".stripMargin)),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),
