@@ -356,6 +356,75 @@ object Aggregates {
       },
       None),
 
+    // Count–Min sketch [PK — Cormode & Muthukrishnan 2005: the linear
+    // frequency sketch every streaming/telemetry stack ships]. Unlike the
+    // theta/HLL/DDSketch family, CMS is FULLY DETERMINISTIC given its hash
+    // functions — depth×width integer counters, estimate = min over rows —
+    // so this one sketch query is hash-ORACLED end to end (DuckDB rebuilds
+    // the identical counters from the same multiply-mod hashes), not just
+    // law-tested. Both sketch laws still run in-query: the MERGE law
+    // (counters built per half-stream and summed ≡ the one-pass sketch —
+    // CMS merge is plain vector addition, the property that makes it
+    // re-aggregable across 100 TB of daily partitions) and the
+    // NO-UNDERESTIMATE guarantee (est ≥ true for EVERY key, require'd).
+    // Scale shape: the only corpus pass is the depth-way fan-out that
+    // collapses map-side into (d, bucket) partials — the sketch is
+    // 4×64 = 256 rows no matter the corpus; estimates join the
+    // aggregate-sized key list against the broadcast-sized sketch.
+    QDef(
+      "agg_cms",
+      (s, dir) => {
+        import s.implicits._
+        val p = Seq((1L, 2654435761L, 17L), (2L, 2246822519L, 101L),
+          (3L, 3266489917L, 293L), (4L, 668265263L, 7L))
+          .toDF("d", "ha", "hb")
+        def bucket = ((col("user_id") * col("ha") + col("hb"))
+          % 2147483647L % 64L).as("b")
+        val ev = T.events(s, dir).select(col("user_id"),
+          (col("event_id") % 2L).as("half"))
+        val fan = ev.crossJoin(broadcast(p))
+        val cnt = fan.groupBy(col("d"), bucket)
+          .agg(count(lit(1)).as("c"))
+        // Merge law: per-half counters sum to the one-pass counters.
+        val merged = fan.groupBy(col("half"), col("d"), bucket)
+          .agg(count(lit(1)).as("hc"))
+          .groupBy("d", "b").agg(sum("hc").as("c"))
+        require(merged.exceptAll(cnt).unionAll(cnt.exceptAll(merged))
+            .isEmpty,
+          "summed per-half CMS counters diverged from the one-pass sketch")
+        val tru = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+        val est = tru.crossJoin(broadcast(p))
+          .select(col("user_id"), col("true_n"), col("d"), bucket)
+          .join(cnt, Seq("d", "b"))
+          .groupBy("user_id", "true_n").agg(min("c").as("est_n"))
+        val out = est
+          .select(col("user_id"), col("true_n"), col("est_n"),
+            (col("est_n") - col("true_n")).as("overcount"))
+          .localCheckpoint() // one sketch probe feeds the law and the output
+        // The CMS guarantee: a point estimate never undercounts.
+        require(out.where(col("est_n") < col("true_n")).isEmpty,
+          "a Count-Min estimate undercounted a key")
+        out.orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT * FROM (VALUES (2654435761, 17), (2246822519, 101),
+             |    (3266489917, 293), (668265263, 7)) t(ha, hb)),
+             |cnt AS (
+             |  SELECT ha, (e.user_id * ha + hb) % 2147483647 % 64 AS b,
+             |    count(*) AS c
+             |  FROM events e CROSS JOIN p GROUP BY 1, 2),
+             |tru AS (
+             |  SELECT user_id, count(*) AS true_n FROM events GROUP BY 1),
+             |est AS (
+             |  SELECT t.user_id, t.true_n, min(c.c) AS est_n
+             |  FROM tru t CROSS JOIN p
+             |  JOIN cnt c ON c.ha = p.ha
+             |    AND c.b = (t.user_id * p.ha + p.hb) % 2147483647 % 64
+             |  GROUP BY 1, 2)
+             |SELECT user_id, true_n, CAST(est_n AS BIGINT) AS est_n,
+             |  CAST(est_n - true_n AS BIGINT) AS overcount
+             |FROM est ORDER BY user_id""".stripMargin)),
+
     // Quantile-sketch re-aggregation — the quantile sibling of
     // agg_sketch_reagg and the other sketch a 100 TB monitoring stack
     // re-aggregates daily: per-day DDSketches (log-grid histograms, Masson
@@ -950,6 +1019,74 @@ object Aggregates {
              |    AS alert
              |FROM latest l JOIN base USING (user_id)
              |ORDER BY user_id""".stripMargin)),
+
+    // Flare detection [PK — stellar-flare / transient-brightening search:
+    // an astronomer's flare is not ONE bright point (lc_alerts' shape) but
+    // a RUN of consecutive elevated observations]. Per object: z-score
+    // every observation against the object's own mean/stddev (the
+    // ensemble-free self-calibration lc_alerts uses, z rounded once onto
+    // the 1e-6 grid before the cut so the flag is the same boundary in
+    // both engines), flag z > 1.5, then group consecutive flagged
+    // observations with the win_gaps_islands key (global row_number minus
+    // flagged row_number — constant within a run, shifted by any gap) and
+    // keep runs of length ≥ 2. Ordering ties break on (t, event_id) —
+    // total order, engine-identical. Output: per-object flare census
+    // (count, longest run, peak z, total flared points). Scale: ONE
+    // object-key shuffle carries the stats join, both windows, and the
+    // census rollup (grouping keys ⊇ partition key); per-object state is
+    // the series length — the lc-family premise.
+    QDef(
+      "lc_flares",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val obs = T.events(s, dir)
+          .where(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"), col("value"))
+        val stats = obs.groupBy("user_id")
+          .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+        val z = obs.join(stats, "user_id")
+          .withColumn("z", rnd((col("value") - col("mu")) / col("sigma"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy("t", "event_id")))
+        val flagged = z.where(col("z") > 1.5)
+          .withColumn("rno", row_number().over(
+            Window.partitionBy("user_id").orderBy("t", "event_id")))
+          .withColumn("island", col("rn") - col("rno"))
+        flagged.groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"), max("z").as("zpk"))
+          .where(col("len") >= 2L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_flares"), max("len").as("longest"),
+            rnd(max(col("zpk")), 6).as("peak_z"),
+            sum("len").cast("long").as("n_flare_points"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT)
+             |    AS t, value
+             |  FROM events WHERE value IS NOT NULL),
+             |stats AS (
+             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+             |  FROM obs GROUP BY 1),
+             |z AS (
+             |  SELECT o.user_id, o.event_id, o.t,
+             |    floor(((o.value - mu) / sigma) * 1e6 + 0.5) / 1e6 AS z,
+             |    row_number() OVER (PARTITION BY o.user_id
+             |      ORDER BY o.t, o.event_id) AS rn
+             |  FROM obs o JOIN stats USING (user_id)),
+             |flagged AS (
+             |  SELECT user_id, z, rn - row_number() OVER (
+             |    PARTITION BY user_id ORDER BY t, event_id) AS island
+             |  FROM z WHERE z > 1.5),
+             |runs AS (
+             |  SELECT user_id, island, count(*) AS len, max(z) AS zpk
+             |  FROM flagged GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT user_id, count(*) AS n_flares,
+             |  CAST(max(len) AS BIGINT) AS longest,
+             |  floor((max(zpk)) * 1e6 + 0.5) / 1e6 AS peak_z,
+             |  CAST(sum(len) AS BIGINT) AS n_flare_points
+             |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Box least squares transit search [PK — Kovács, Zucker & Mazeh 2002,
     // the standard detached-eclipse/transit period finder; completes the
@@ -1905,6 +2042,70 @@ object Aggregates {
              |  floor((avg(dm * dm)) * 1e6 + 0.5) / 1e6 AS sf_sq
              |FROM p GROUP BY user_id, lag_days
              |ORDER BY user_id, lag_days""".stripMargin)),
+
+    // dm–dt fingerprint [PK — Mahabal et al. 2017's light-curve
+    // representation for ML classifiers: every same-object observation
+    // pair within the lag horizon drops into a 2-D (Δt, Δmag) histogram,
+    // and the normalized grid IS the feature vector]. Pair generation is
+    // lc_structfunc's TIME-BUCKETED self-join (both sides bucket epoch
+    // seconds by the horizon, the later side explodes into its own and
+    // the previous bucket, join keys on (user_id, bucket)) — per-pair
+    // cost is bounded by observations-per-horizon, never series length²,
+    // and long series split across reducers instead of hot-spotting.
+    // Binning is ALL-INTEGER: Δt against fixed second edges, Δm against
+    // fixed micro-unit edges after each value rounds ONCE onto the 1e-6
+    // grid — so no boundary can float between engines and the histogram
+    // is hash-exact. The fingerprint collapses map-side into
+    // (user, dtb, dmb) partials; only bin counts shuffle.
+    QDef(
+      "lc_dmdt",
+      (s, dir) => {
+        val winS = 86400L
+        val obs = T.events(s, dir)
+          .where(col("value").isNotNull)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vu"))
+        val e1 = obs.select(col("user_id"), col("t").as("t1"), col("vu").as("v1"))
+          .withColumn("jb", expr(s"t1 div $winS"))
+        val e2 = obs.select(col("user_id"), col("t").as("t2"), col("vu").as("v2"))
+          .withColumn("jb",
+            explode(array(expr(s"t2 div $winS"), expr(s"t2 div $winS - 1"))))
+        val dtb = when(col("dt") <= 60L, 0L)
+          .when(col("dt") <= 300L, 1L).when(col("dt") <= 1800L, 2L)
+          .when(col("dt") <= 7200L, 3L).when(col("dt") <= 21600L, 4L)
+          .otherwise(5L)
+        val dmb = when(col("dm") <= -100000000L, 0L)
+          .when(col("dm") <= -10000000L, 1L).when(col("dm") <= -1000000L, 2L)
+          .when(col("dm") <= 0L, 3L).when(col("dm") <= 1000000L, 4L)
+          .when(col("dm") <= 10000000L, 5L).when(col("dm") <= 100000000L, 6L)
+          .otherwise(7L)
+        e1.join(e2, Seq("user_id", "jb"))
+          .where(col("t2") > col("t1") && col("t2") - col("t1") <= winS)
+          .withColumn("dt", col("t2") - col("t1"))
+          .withColumn("dm", col("v2") - col("v1"))
+          .select(col("user_id"), dtb.as("dtb"), dmb.as("dmb"))
+          .groupBy("user_id", "dtb", "dmb")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id", "dtb", "dmb")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+             |  FROM events WHERE value IS NOT NULL),
+             |p AS (
+             |  SELECT a.user_id, b.t - a.t AS dt, b.vu - a.vu AS dm
+             |  FROM m a JOIN m b ON a.user_id = b.user_id
+             |    AND b.t > a.t AND b.t - a.t <= 86400)
+             |SELECT user_id,
+             |  CAST(CASE WHEN dt <= 60 THEN 0 WHEN dt <= 300 THEN 1
+             |       WHEN dt <= 1800 THEN 2 WHEN dt <= 7200 THEN 3
+             |       WHEN dt <= 21600 THEN 4 ELSE 5 END AS BIGINT) AS dtb,
+             |  CAST(CASE WHEN dm <= -100000000 THEN 0 WHEN dm <= -10000000 THEN 1
+             |       WHEN dm <= -1000000 THEN 2 WHEN dm <= 0 THEN 3
+             |       WHEN dm <= 1000000 THEN 4 WHEN dm <= 10000000 THEN 5
+             |       WHEN dm <= 100000000 THEN 6 ELSE 7 END AS BIGINT) AS dmb,
+             |  count(*) AS n_pairs
+             |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // Sequential EWMA smoothing [PK — exponential smoothing is the
     // standard online detrender/denoiser for irregular light curves; an

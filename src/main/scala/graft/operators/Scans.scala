@@ -1211,6 +1211,125 @@ object Scans {
              |  FROM cl)
              |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY tbl""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH [PK — Iceberg's WAP / Delta's blessed staging
+    // pattern: new data lands on an AUDIT BRANCH first, quality gates run
+    // against the branch snapshot, and only a passing batch is PUBLISHED —
+    // a metadata-only fast-forward that adopts the audited files by
+    // reference; readers on main can NEVER observe unaudited rows]. The
+    // branch is a zero-copy shallow clone (cloneTable's absolute-path
+    // by-reference log), staging writes under the BRANCH root, and both
+    // outcomes run: a clean batch audits green and publishes (published
+    // snapshot ≡ audited branch snapshot, require'd as aggregates), and a
+    // POISONED batch (negative totals injected) trips the audit and
+    // ABORTS — its branch root is discarded whole and main's log never
+    // learns it existed (latestVersion pinned before/after). The
+    // visibility law is the load-bearing require: main's version is
+    // UNCHANGED while the branch stages and audits. Scale: the branch
+    // costs O(log) metadata regardless of table size, the audit is one
+    // distributed scan of the STAGED files only, and publish moves zero
+    // bytes — exactly why WAP is the pattern for 100 TB ingest gates.
+    QDef(
+      "table_wap",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val main = freshRunTmpPath(s, "graft_wap_main_")
+        val br = freshRunTmpPath(s, "graft_wap_br1_")
+        val br2 = freshRunTmpPath(s, "graft_wap_br2_")
+        val o = T.orders(s, dir)
+        def cents(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+            .select(lit(label).as("phase"), col("n_rows"), col("sum_cents"))
+        // v1 on main: the already-published base batch.
+        o.where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$main/g=1")
+        CommitLog.commit(main, 1L, "g=1")
+        // WAP cycle 1: branch, stage, audit, publish.
+        CommitLog.cloneTable(main, br)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$br/g=2")
+        CommitLog.commit(br, 2L, "g=2")
+        val branchSnap = CommitLog.readAsOf(s, br, Long.MaxValue)
+        val audit1 = branchSnap
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("key").isNull || col("val") <= 0.0, 1L)
+              .otherwise(0L)).as("bad")).head
+        require(audit1.getLong(1) == 0L, "WAP audit failed on a clean batch")
+        // Visibility law: main is untouched while the branch audits.
+        require(CommitLog.latestVersion(main) == 1L,
+          "staging on the audit branch leaked a commit into main")
+        // Publish: adopt the branch's audited files by absolute path —
+        // a metadata-only fast-forward, no byte moves.
+        val staged = CommitLog.changesAt(br, 2L)._1
+          .map(f => if (f.startsWith("/")) f else s"$br/$f")
+        CommitLog.commitFiles(main, 2L, staged, Nil)
+        val published = CommitLog.readAsOf(s, main, Long.MaxValue)
+        val pubAgg = cents(published, "3_published").head
+        require(pubAgg.getLong(1) == audit1.getLong(0),
+          "published snapshot diverged from the audited branch")
+        // WAP cycle 2: a poisoned batch trips the audit and aborts whole.
+        CommitLog.cloneTable(main, br2)
+        o.where(col("o_orderkey") % 3L === 2L)
+          .select(col("o_orderkey").as("key"),
+            when(col("o_orderkey") % 5L === 0L, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$br2/g=3")
+        CommitLog.commit(br2, CommitLog.latestVersion(br2) + 1L, "g=3")
+        val rejected = CommitLog.readAsOf(s, br2, Long.MaxValue)
+          .where(col("val") <= 0.0)
+        val rejAgg = cents(rejected, "4_audit_rejected").head
+        require(rejAgg.getLong(1) > 0L, "the poisoned batch must trip the audit")
+        // ABORT: discard the branch root whole; main never learns of it.
+        graft.FsUtil.deleteRecursively(new java.io.File(br2))
+        require(CommitLog.latestVersion(main) == 2L,
+          "an aborted audit branch mutated main's log")
+        cents(o.where(col("o_orderkey") % 3L === 0L)
+            .select(col("o_totalprice").as("val")), "1_base")
+          .unionAll(cents(branchSnap.select(col("val")), "2_branch_audited"))
+          .unionAll(cents(published.select(col("val")), "3_published"))
+          .unionAll(s.range(1L).select(lit("4_audit_rejected").as("phase"),
+            lit(rejAgg.getLong(1)).as("n_rows"),
+            lit(rejAgg.getLong(2)).as("sum_cents")))
+          .unionAll(cents(CommitLog.readAsOf(s, main, Long.MaxValue)
+            .select(col("val")), "5_after_abort"))
+          .orderBy("phase")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val FROM orders
+             |  WHERE o_orderkey % 3 = 0),
+             |b AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val FROM orders
+             |  WHERE o_orderkey % 3 = 1),
+             |c AS (
+             |  SELECT o_orderkey AS key,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN -o_totalprice
+             |         ELSE o_totalprice END AS val
+             |  FROM orders WHERE o_orderkey % 3 = 2),
+             |ab AS (SELECT val FROM a UNION ALL SELECT val FROM b)
+             |SELECT '1_base' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents FROM a
+             |UNION ALL
+             |SELECT '2_branch_audited', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM ab
+             |UNION ALL
+             |SELECT '3_published', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM ab
+             |UNION ALL
+             |SELECT '4_audit_rejected', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM c WHERE val <= 0.0
+             |UNION ALL
+             |SELECT '5_after_abort', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |  FROM ab
+             |ORDER BY phase""".stripMargin)),
+
     // VACUUM — the physical-cleanup half of the commit-log story
     // (table_timetravel reads BY the log; vacuum deletes what the log does
     // not reference): two committed generations plus a whole generation
@@ -4181,6 +4300,414 @@ object Scans {
              |  dxm // 1000 AS dx, dym // 1000 AS dy,
              |  n_votes AS n_inliers, n_candidates
              |FROM won WHERE rn = 1 ORDER BY frame_id""".stripMargin)),
+
+    // DIFFERENCE IMAGING [PK — the image-subtraction transient search at
+    // the heart of time-domain surveys (ZTF/LSST alert pipelines): science
+    // frame minus reference reveals what CHANGED]. Reduced to the repo's
+    // deterministic pixel model: a static scene (integer hash background —
+    // fixed stars cancel in the difference by construction), a flat
+    // per-frame sky offset, and PEAKED transients (amplitude A at the
+    // center, A/2 on the 8 neighbors) injected into the odd frames at
+    // literal positions. The pipeline re-derives everything the injector
+    // knew: per-frame sky = the determinized MODE of the pixel difference
+    // (count argmax, ties → smallest value), residual = difference − sky,
+    // detections = residual ≥ threshold, and a source CENTER = a detected
+    // pixel strictly brighter than all 8 neighbors (the peaked profile
+    // makes the max unique — flat profiles are exactly why real pipelines
+    // fit PSFs). recovered == injected is require'd (position AND flux =
+    // 5A exactly, since flux = A + 8·(A div 2) with A even); frames
+    // without transients must yield zero detections. All-integer
+    // arithmetic end to end ⇒ hash-exact. Scale shape: the difference is
+    // frame-local (at archive scale each aligned frame pair diffs
+    // MAP-SIDE — pixels never shuffle across frames); the sky mode
+    // collapses into (frame, value) partials before its shuffle; only the
+    // SPARSE detections enter the neighbor probe, a bounded ≤9-cell
+    // equi-join like frame_photometry's — candidates linear in detections,
+    // never pixels × pixels.
+    QDef(
+      "frame_difference",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val grid = 32L
+        val thresh = 200L
+        // Injected transients: (frame_id, x, y, amp) — odd frames only,
+        // boxes ≥ 4 apart (Chebyshev) so profiles never blend.
+        val inj = s.range(0L, 6L)
+          .select(col("id"),
+            expr("element_at(array(1L, 1L, 3L, 3L, 5L, 5L), cast(id + 1 as int))")
+              .as("frame_id"),
+            expr("element_at(array(6L, 24L, 9L, 22L, 15L, 27L), cast(id + 1 as int))")
+              .as("tx"),
+            expr("element_at(array(8L, 19L, 25L, 6L, 14L, 27L), cast(id + 1 as int))")
+              .as("ty"),
+            (lit(400L) + col("id") % 2L * 150L +
+              expr("element_at(array(1L, 1L, 3L, 3L, 5L, 5L), cast(id + 1 as int))")
+                * 10L).as("amp"))
+          .drop("id")
+        // Science frames 0..6: static scene + flat sky(7·i) + transients.
+        val px = s.range(0L, 7L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .withColumn("base",
+            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .groupBy("frame_id", "x", "y", "base")
+          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+              col("amp")).otherwise(expr("amp div 2"))).as("tr"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
+              .as("v"))
+        // Difference vs the reference epoch (frame 0): the static scene
+        // cancels pixel-for-pixel; the 1024-row reference side broadcasts.
+        val refpx = px.where(col("frame_id") === 0L)
+          .select(col("x"), col("y"), col("v").as("v0"))
+        val diff = px.where(col("frame_id") > 0L)
+          .join(broadcast(refpx), Seq("x", "y"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("v") - col("v0")).as("d"))
+        // Per-frame sky = determinized mode of the difference.
+        val sky = diff.groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
+          .groupBy("frame_id")
+          .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
+          .select(col("frame_id"), (-col("m.nd")).as("sky"))
+        val resid = diff.join(broadcast(sky), Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("d") - col("sky")).as("r"))
+        val det = resid.where(col("r") >= thresh)
+        // A center is strictly brighter than all 8 neighbors; the probe
+        // joins the SPARSE detections back to the residual image.
+        val centers = det.select(col("frame_id"), col("x"), col("y"),
+            col("r").as("peak"))
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"))
+          .groupBy("frame_id", "x", "y", "peak")
+          .agg(sum(when(col("dcx") =!= 0L || col("dcy") =!= 0L,
+              when(col("nr") >= col("peak"), 1L).otherwise(0L))
+            .otherwise(0L)).as("n_ge"),
+            sum(col("nr")).as("flux"),
+            sum(when(col("nr") >= thresh, 1L).otherwise(0L)).as("n_px"))
+          .where(col("n_ge") === 0L)
+          .select(col("frame_id"), col("x"), col("y"), col("peak"),
+            col("flux"), col("n_px"))
+        // The subtraction must recover every injected transient exactly —
+        // position, peak amplitude, and total flux 5A — and nothing else.
+        val checked = centers
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              col("x") === col("tx") && col("y") === col("ty"), "full")
+          .localCheckpoint()
+        require(checked.where(col("ifr").isNull || col("peak").isNull).isEmpty,
+          "difference imaging missed an injected transient or detected a ghost")
+        require(checked.where(col("peak") =!= col("amp") ||
+            col("flux") =!= col("amp") * 5L || col("n_px") =!= 9L).isEmpty,
+          "a recovered transient's photometry diverged from the injection")
+        checked.join(broadcast(sky), Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"), col("peak"),
+            col("flux"), col("n_px"), col("sky"))
+          .orderBy("frame_id", "x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 6, 8, 410), (1, 24, 19, 560), (3, 9, 25, 430),
+             |    (3, 22, 6, 580), (5, 15, 14, 450), (5, 27, 27, 600))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0) AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y, c.r AS peak,
+             |    CAST(sum(n.r) AS BIGINT) AS flux,
+             |    CAST(sum(CASE WHEN n.r >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_px
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0)
+             |SELECT c.frame_id, c.x, c.y, c.peak, c.flux, c.n_px, s.sky
+             |FROM centers c JOIN sky s USING (frame_id)
+             |ORDER BY c.frame_id, c.x""".stripMargin)),
+
+    // MEDIAN COADD [PK — image stacking, the survey's deep-reference
+    // builder: N aligned exposures collapse into one image whose per-pixel
+    // MEDIAN rejects anything not present in most frames (transients,
+    // cosmic rays) — the rejection property IS the operator]. Same pixel
+    // model as frame_difference: static scene, flat per-frame sky,
+    // peaked transients in the odd frames. Each frame first ALIGNS
+    // photometrically (subtract the determinized mode of its difference
+    // against the epoch-0 exposure — the same sky estimator), then the
+    // stack is the exact element_at(array_sort(collect_list), 4) median
+    // of the 7 aligned values per pixel — integer, no FP, no
+    // interpolation. The rejection law is require'd pixel-for-pixel:
+    // stack == static scene on ALL 1024 pixels (every injected transient
+    // lands in exactly one frame per pixel, so 6 of 7 values are clean),
+    // while the MEAN coadd provably diverges on exactly the 54 transient
+    // pixels — declared per row band as n_hot with the rejected excess
+    // flux. Scale shape: alignment reuses the map-side-collapsing mode;
+    // the stack itself is ONE groupBy(x, y) over (pixel, frame) rows —
+    // at archive scale the shuffle partitions by sky tile and each tile
+    // stacks independently; collect_list is bounded by the stack DEPTH
+    // (7 here, dozens in practice), never by the corpus.
+    QDef(
+      "frame_stack",
+      (s, dir) => {
+        val grid = 32L
+        val inj = s.range(0L, 6L)
+          .select(col("id"),
+            expr("element_at(array(1L, 1L, 3L, 3L, 5L, 5L), cast(id + 1 as int))")
+              .as("frame_id"),
+            expr("element_at(array(6L, 24L, 9L, 22L, 15L, 27L), cast(id + 1 as int))")
+              .as("tx"),
+            expr("element_at(array(8L, 19L, 25L, 6L, 14L, 27L), cast(id + 1 as int))")
+              .as("ty"),
+            (lit(400L) + col("id") % 2L * 150L +
+              expr("element_at(array(1L, 1L, 3L, 3L, 5L, 5L), cast(id + 1 as int))")
+                * 10L).as("amp"))
+          .drop("id")
+        val px = s.range(0L, 7L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .withColumn("base",
+            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .groupBy("frame_id", "x", "y", "base")
+          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+              col("amp")).otherwise(expr("amp div 2"))).as("tr"))
+          .select(col("frame_id"), col("x"), col("y"), col("base"),
+            (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
+              .as("v"))
+        val refpx = px.where(col("frame_id") === 0L)
+          .select(col("x"), col("y"), col("v").as("v0"))
+        val sky = px.join(broadcast(refpx), Seq("x", "y"))
+          .select(col("frame_id"), (col("v") - col("v0")).as("d"))
+          .groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
+          .groupBy("frame_id")
+          .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
+          .select(col("frame_id"), (-col("m.nd")).as("sky"))
+        val aligned = px.join(broadcast(sky), Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"), col("base"),
+            (col("v") - col("sky")).as("av"))
+        val stacked = aligned.groupBy("x", "y", "base")
+          .agg(expr("element_at(array_sort(collect_list(av)), 4)").as("stack"),
+            sum("av").as("s7"), count(lit(1)).as("nf"))
+          .localCheckpoint() // one stack feeds both laws and the rollup
+        require(stacked.where(col("nf") =!= 7L).isEmpty,
+          "a pixel lost a frame before stacking")
+        // The rejection law: the median coadd IS the static scene.
+        require(stacked.where(col("stack") =!= col("base")).isEmpty,
+          "the median stack failed to reject an injected transient")
+        // The mean coadd diverges on exactly the 54 transient pixels.
+        require(stacked.where(col("s7") =!= col("stack") * 7L).count() == 54L,
+          "the mean-vs-median divergence set is not the injected pixel set")
+        stacked.groupBy("y")
+          .agg(sum("stack").cast("long").as("sum_stack"),
+            sum(when(col("s7") =!= col("stack") * 7L, 1L).otherwise(0L))
+              .cast("long").as("n_hot"),
+            sum(col("s7") - col("stack") * 7L).cast("long").as("sum_excess"))
+          .orderBy("y")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 6, 8, 410), (1, 24, 19, 560), (3, 9, 25, 430),
+             |    (3, 22, 6, 580), (5, 15, 14, 450), (5, 27, 27, 600))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      AS base,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0) AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT a.frame_id, a.v - b.v AS d, row_number() OVER (
+             |      PARTITION BY a.frame_id ORDER BY count(*) DESC, a.v - b.v ASC)
+             |      AS rn
+             |    FROM px a JOIN px b ON b.frame_id = 0 AND a.x = b.x
+             |      AND a.y = b.y
+             |    GROUP BY a.frame_id, a.v - b.v) WHERE rn = 1),
+             |aligned AS (
+             |  SELECT x, y, base, v - sky AS av
+             |  FROM px JOIN sky USING (frame_id)),
+             |stacked AS (
+             |  SELECT x, y, base,
+             |    CAST(quantile_disc(av, 0.5) AS BIGINT) AS stack,
+             |    CAST(sum(av) AS BIGINT) AS s7
+             |  FROM aligned GROUP BY x, y, base)
+             |SELECT y, CAST(sum(stack) AS BIGINT) AS sum_stack,
+             |  CAST(sum(CASE WHEN s7 <> stack * 7 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hot,
+             |  CAST(sum(s7 - stack * 7) AS BIGINT) AS sum_excess
+             |FROM stacked GROUP BY y ORDER BY y""".stripMargin)),
+
+    // SOURCE SHAPE MOMENTS [PK — SExtractor's windowed-moment measurement:
+    // flux-weighted centroid and second central moments are how a survey
+    // measures source position, size, and elongation; the ellipticity
+    // moments feed star/galaxy separation and PSF monitoring]. Detection
+    // is blind (threshold + strict 8-neighbor local max on the raw image,
+    // frame_difference's discipline); per source the 3×3 probe collects
+    // pedestal-subtracted pixel weights and ALL moment numerators as
+    // integer sums — the two divisions and one square happen ONCE at the
+    // end on identical integer operands, so the doubles agree bit-for-bit
+    // cross-engine before the single 1e-6 rounding (the lc-family
+    // moments discipline). recovered == injected require'd for all 8
+    // sources, and each centroid must land within half a pixel of its
+    // injected center. Scale: candidates = SPARSE thresholded pixels
+    // only; the probe is the bounded ≤9-cell equi-join; moment partials
+    // collapse map-side — at survey scale this is a per-tile scan
+    // emitting one 8-number row per detected source.
+    QDef(
+      "frame_moments",
+      (s, dir) => {
+        val grid = 32L
+        val inj = s.range(0L, 8L)
+          .select(col("id"),
+            expr("element_at(array(0L,0L,1L,1L,2L,2L,3L,3L), cast(id + 1 as int))")
+              .as("frame_id"),
+            expr("element_at(array(6L,24L,9L,22L,15L,27L,11L,20L), cast(id + 1 as int))")
+              .as("tx"),
+            expr("element_at(array(8L,19L,25L,6L,14L,27L,11L,26L), cast(id + 1 as int))")
+              .as("ty"),
+            (lit(400L) + col("id") % 2L * 150L +
+              expr("element_at(array(0L,0L,1L,1L,2L,2L,3L,3L), cast(id + 1 as int))")
+                * 20L).as("amp"))
+          .drop("id")
+        val px = s.range(0L, 4L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .withColumn("base",
+            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .groupBy("frame_id", "x", "y", "base")
+          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+              col("amp")).otherwise(expr("amp div 2"))).as("tr"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("base") + coalesce(col("tr"), lit(0L))).as("v"))
+        val cand = px.where(col("v") >= 250L)
+        val probed = cand.select(col("frame_id"), col("x"), col("y"),
+            col("v").as("vc"))
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(px.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("v").as("nv")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"))
+        val centers = probed
+          .groupBy("frame_id", "x", "y", "vc")
+          .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+              col("nv") >= col("vc"), 1L).otherwise(0L)).as("n_ge"),
+            sum(col("nv") - 100L).as("sw"),
+            sum(col("nx") * (col("nv") - 100L)).as("sx"),
+            sum(col("ny") * (col("nv") - 100L)).as("sy"),
+            sum(col("nx") * col("nx") * (col("nv") - 100L)).as("sxx"),
+            sum(col("ny") * col("ny") * (col("nv") - 100L)).as("syy"),
+            sum(col("nx") * col("ny") * (col("nv") - 100L)).as("sxy"))
+          .where(col("n_ge") === 0L)
+        val out = centers.select(col("frame_id"), col("x"), col("y"),
+            col("sw").as("flux"),
+            rnd(col("sx") / col("sw"), 6).as("cx"),
+            rnd(col("sy") / col("sw"), 6).as("cy"),
+            rnd(col("sxx") / col("sw")
+              - (col("sx") / col("sw")) * (col("sx") / col("sw")), 6).as("mxx"),
+            rnd(col("syy") / col("sw")
+              - (col("sy") / col("sw")) * (col("sy") / col("sw")), 6).as("myy"),
+            rnd(col("sxy") / col("sw")
+              - (col("sx") / col("sw")) * (col("sy") / col("sw")), 6).as("mxy"))
+          .localCheckpoint() // one detection pass feeds the laws and output
+        val chk = out.join(inj.withColumnRenamed("frame_id", "ifr"),
+          col("frame_id") === col("ifr") &&
+            col("x") === col("tx") && col("y") === col("ty"), "full")
+        require(chk.where(col("ifr").isNull || col("flux").isNull).isEmpty,
+          "moment measurement missed an injected source or found a ghost")
+        require(out.where(abs(col("cx") - col("x").cast("double")) > 0.5 ||
+            abs(col("cy") - col("y").cast("double")) > 0.5).isEmpty,
+          "a flux-weighted centroid drifted more than half a pixel")
+        out.orderBy("frame_id", "x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (0, 6, 8, 400), (0, 24, 19, 550), (1, 9, 25, 420),
+             |    (1, 22, 6, 570), (2, 15, 14, 440), (2, 27, 27, 590),
+             |    (3, 11, 11, 460), (3, 20, 26, 610))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 3) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.v - 100) AS BIGINT) AS sw,
+             |    CAST(sum(n.x * (n.v - 100)) AS BIGINT) AS sx,
+             |    CAST(sum(n.y * (n.v - 100)) AS BIGINT) AS sy,
+             |    CAST(sum(n.x * n.x * (n.v - 100)) AS BIGINT) AS sxx,
+             |    CAST(sum(n.y * n.y * (n.v - 100)) AS BIGINT) AS syy,
+             |    CAST(sum(n.x * n.y * (n.v - 100)) AS BIGINT) AS sxy
+             |  FROM px c JOIN px n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.v >= 250
+             |  GROUP BY c.frame_id, c.x, c.y, c.v
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.v >= c.v THEN 1 ELSE 0 END) = 0)
+             |SELECT frame_id, x, y, sw AS flux,
+             |  floor((sx / sw) * 1e6 + 0.5) / 1e6 AS cx,
+             |  floor((sy / sw) * 1e6 + 0.5) / 1e6 AS cy,
+             |  floor((sxx / sw - (sx / sw) * (sx / sw)) * 1e6 + 0.5) / 1e6
+             |    AS mxx,
+             |  floor((syy / sw - (sy / sw) * (sy / sw)) * 1e6 + 0.5) / 1e6
+             |    AS myy,
+             |  floor((sxy / sw - (sx / sw) * (sy / sw)) * 1e6 + 0.5) / 1e6
+             |    AS mxy
+             |FROM centers ORDER BY frame_id, x""".stripMargin)),
 
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,

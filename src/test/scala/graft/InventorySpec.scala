@@ -77,7 +77,8 @@ class InventorySpec extends SparkSpec {
     "sim_autotune", // same: fused tuning pass + standalone apply on construction
     "pipeline_dataloader", // manifest localCheckpoint + loader-law requires on construction
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
-    "graph_pagerank", "graph_cc")  // localCheckpoint per iteration
+    "graph_pagerank", "graph_cc",  // localCheckpoint per iteration
+    "table_wap")                   // stages, audits, and publishes on construction
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
