@@ -1766,6 +1766,115 @@ object Scans {
              |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
              |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // JOIN MATERIALIZED VIEW with FILE-LEVEL LINEAGE [PK — the join twin
+    // of table_incr_refresh's aggregate IVM, and the shape warehouse
+    // matview engines actually maintain: fact ⋈ broadcast dim, refreshed
+    // per fact COMMIT by joining only the commit's changed files]. The
+    // lineage rule does the heavy lifting: each fact data file maps to
+    // exactly ONE view file (name = md5 of the fact file's table-relative
+    // path), so a fact REMOVE translates to a view remove by pure path
+    // arithmetic — no diffing, no scan. Three fact versions run (base,
+    // append, copy-on-write reprice rewrite); each refresh reads O(that
+    // commit's files) and commits the view transactionally at the SAME
+    // version number. The IVM contract is require'd at the head: the
+    // maintained view ≡ a from-scratch recompute of fact ⋈ dim, as ONE
+    // symmetric-difference action. History pins the refresh SHAPE: the
+    // rewrite's view commit removes exactly the one lineage-mapped file.
+    // At 100 TB this is how a curated join stays current: the dim
+    // broadcasts, the fact never re-scans, removals are metadata.
+    QDef(
+      "table_matview_join",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        import scala.jdk.CollectionConverters._
+        val fact = freshRunTmpPath(s, "graft_mvj_fact_")
+        val view = freshRunTmpPath(s, "graft_mvj_view_")
+        val o = T.orders(s, dir)
+        val dim = T.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        def md5hex(t: String): String =
+          java.security.MessageDigest.getInstance("MD5").digest(
+            t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def partsOf(root: String, gdir: String): Seq[String] = {
+          val st = java.nio.file.Files.list(
+            java.nio.file.Paths.get(root, gdir))
+          val names = try st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .toSeq.sorted finally st.close()
+          names.map(n => s"$gdir/$n")
+        }
+        def viewFileOf(factRel: String): String = s"m=${md5hex(factRel)}"
+        // Refresh the view for fact version v: join ONLY the commit's
+        // added files; translate its removed files by lineage arithmetic.
+        def refresh(v: Long): Unit = {
+          val (adds, removes) = CommitLog.changesAt(fact, v)
+          val mvAdds = adds.flatMap { f =>
+            val mdir = viewFileOf(f)
+            s.read.parquet(s"$fact/$f")
+              .join(broadcast(dim), col("custkey") === col("c_custkey"))
+              .select(col("key"), col("val"), col("c_nationkey").as("nation"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$view/$mdir")
+            partsOf(view, mdir)
+          }
+          val mvRemoves = removes.flatMap(f => partsOf(view, viewFileOf(f)))
+          CommitLog.commitFiles(view, v, mvAdds, mvRemoves)
+        }
+        // v1: base slice. v2: append. v3: copy-on-write reprice rewrite.
+        o.where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_custkey").as("custkey"),
+            col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fact/g=1")
+        CommitLog.commit(fact, 1L, "g=1")
+        refresh(1L)
+        o.where(col("o_orderkey") % 3L === 1L)
+          .select(col("o_orderkey").as("key"), col("o_custkey").as("custkey"),
+            col("o_totalprice").as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fact/g=2")
+        CommitLog.commit(fact, 2L, "g=2")
+        refresh(2L)
+        val v1Files = CommitLog.changesAt(fact, 1L)._1
+        o.where(col("o_orderkey") % 3L === 0L)
+          .select(col("o_orderkey").as("key"), col("o_custkey").as("custkey"),
+            rnd(col("o_totalprice") * 1.1, 2).as("val"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fact/g=3")
+        CommitLog.commitFiles(fact, 3L, partsOf(fact, "g=3"), v1Files)
+        refresh(3L)
+        // The IVM contract: maintained view ≡ from-scratch recompute.
+        val maintained = CommitLog.readAsOf(s, view, Long.MaxValue)
+        val recomputed = CommitLog.readAsOf(s, fact, Long.MaxValue)
+          .join(broadcast(dim), col("custkey") === col("c_custkey"))
+          .select(col("key"), col("val"), col("c_nationkey").as("nation"))
+        require(maintained.select("key", "val", "nation")
+            .exceptAll(recomputed)
+            .unionAll(recomputed.exceptAll(
+              maintained.select("key", "val", "nation")))
+            .isEmpty,
+          "the maintained join view diverged from the from-scratch recompute")
+        // The refresh SHAPE: the rewrite removed exactly one lineage file.
+        val (_, v3rm) = CommitLog.changesAt(view, 3L)
+        require(v3rm.size == 1 &&
+            v3rm.head.startsWith(viewFileOf(v1Files.head)),
+          "the rewrite's view refresh did not remove its lineage-mapped file")
+        maintained.groupBy("nation")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("nation")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey AS key, o_custkey AS custkey,
+             |    floor((o_totalprice * 1.1) * 1e2 + 0.5) / 1e2 AS val
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT c.c_nationkey AS nation, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM snap JOIN customer c ON c.c_custkey = snap.custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // OPTIMIZE — log-transactional compaction (Delta OPTIMIZE / Iceberg
     // rewrite_data_files), completing the maintenance story the log
     // enables: two commits land TWELVE small files (the streaming-append

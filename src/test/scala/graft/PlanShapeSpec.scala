@@ -1219,4 +1219,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), "snapshot rollups lost map-side partials")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("lc_dmdt: bucketed pair generation stays an equi-join, bins collapse map-side") {
+    val p = plan("lc_dmdt")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "dm-dt pair generation degraded to a non-equi join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi-join operator in the plan")
+    assert(p.contains("partial_count"), "histogram bins lost map-side partials")
+  }
+
+  test("lc_flares: stats join + both windows + census share the object-key partitioning") {
+    val p = plan("lc_flares")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"flare census should reuse the user_id shuffle, saw $exchanges hash exchanges")
+    assert("Window".r.findAllIn(p).length >= 2, "island-key windows missing")
+  }
+
+  test("frame_difference: neighbor probe and injection checks stay equi-joins") {
+    val p = plan("frame_difference")
+    assert(!p.contains("CartesianProduct"),
+      "a pixel-side join degraded to a cartesian product")
+  }
 }
