@@ -276,7 +276,19 @@ class DeterminismSpec extends SparkSpec {
     "sim_graph_ann",
     // decoded-byte pixel rows feeding a rounded flux: the decode + the
     // annulus mean must be invariant to file/partition assignment
-    "frame_photometry_bytes")
+    "frame_photometry_bytes",
+    // round-15 batch 2: stddev/mean partials feed the rounded z flag
+    // BOUNDARY that defines island membership (flares — the lc_alerts
+    // bet compounded by the run grouping); the sky-mode count argmax
+    // under merge order (difference + stack — frame_registration's
+    // integer struct-max bet), with the stack's sorted-median on top;
+    // integer moment sums feeding end-only divisions (moments); min
+    // over merge-ordered counter partials (cms)
+    "lc_flares", "frame_difference", "frame_stack", "frame_moments",
+    "agg_cms",
+    // integer pair histogram under bucketed join order (dmdt — the
+    // structfunc bet with integer bins)
+    "lc_dmdt")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
