@@ -4818,6 +4818,187 @@ object Scans {
              |    AS mxy
              |FROM centers ORDER BY frame_id, x""".stripMargin)),
 
+    // TRANSIENT PIPELINE [PK — the survey's actual purpose, end to end:
+    // difference imaging finds what changed, cross-epoch ASSOCIATION
+    // stitches detections at the same position into a transient light
+    // curve, and the curve's shape classifies the object (rising
+    // candidate → alert; single-epoch orphan → cosmic-ray suspect)].
+    // Composes frame_difference's full chain (sky mode, residual
+    // threshold, strict local max) over an injection SCHEDULE: one
+    // transient rising across three epochs, one fading across two, one
+    // single-epoch orphan. Association is ONE groupBy(x, y) over the
+    // sparse detections; classification reads consecutive flux deltas
+    // from a lag window per candidate (all-integer fluxes — 5A exactly —
+    // so rise/fade boundaries cannot float). recovered == injected
+    // require'd for every (epoch, flux) pair AND for the classification
+    // itself against the injected schedule's expectation. Scale: the
+    // per-epoch work is frame-local map-side pixel arithmetic; only
+    // sparse detections shuffle — once for the neighbor probe, once on
+    // the position key that carries association, the lag window, and the
+    // census (grouping keys ⊇ partition key).
+    QDef(
+      "pipeline_transient",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val grid = 32L
+        val thresh = 200L
+        val inj = s.range(0L, 6L)
+          .select(col("id"),
+            expr("element_at(array(1L,3L,5L,3L,5L,5L), cast(id + 1 as int))")
+              .as("frame_id"),
+            expr("element_at(array(10L,10L,10L,24L,24L,5L), cast(id + 1 as int))")
+              .as("tx"),
+            expr("element_at(array(10L,10L,10L,20L,20L,25L), cast(id + 1 as int))")
+              .as("ty"),
+            expr("element_at(array(400L,500L,600L,600L,520L,420L), cast(id + 1 as int))")
+              .as("amp"))
+          .drop("id")
+        val px = s.range(0L, 7L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .withColumn("base",
+            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .groupBy("frame_id", "x", "y", "base")
+          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+              col("amp")).otherwise(expr("amp div 2"))).as("tr"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
+              .as("v"))
+        val refpx = px.where(col("frame_id") === 0L)
+          .select(col("x"), col("y"), col("v").as("v0"))
+        val diff = px.where(col("frame_id") > 0L)
+          .join(broadcast(refpx), Seq("x", "y"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("v") - col("v0")).as("d"))
+        val sky = diff.groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
+          .groupBy("frame_id")
+          .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
+          .select(col("frame_id"), (-col("m.nd")).as("sky"))
+        val resid = diff.join(broadcast(sky), Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("d") - col("sky")).as("r"))
+        val det = resid.where(col("r") >= thresh)
+        val centers = det.select(col("frame_id"), col("x"), col("y"),
+            col("r").as("peak"))
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"))
+          .groupBy("frame_id", "x", "y", "peak")
+          .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+              col("nr") >= col("peak"), 1L).otherwise(0L)).as("n_ge"),
+            sum(col("nr")).as("flux"))
+          .where(col("n_ge") === 0L)
+          .select(col("frame_id"), col("x"), col("y"), col("flux"))
+          .localCheckpoint() // detections feed the law joins and association
+        // Every (epoch, position, flux=5A) pair must match the schedule.
+        val lawJoin = centers.join(
+          inj.withColumnRenamed("frame_id", "ifr"),
+          col("frame_id") === col("ifr") &&
+            col("x") === col("tx") && col("y") === col("ty"), "full")
+        require(lawJoin.where(col("ifr").isNull || col("flux").isNull ||
+            col("flux") =!= col("amp") * 5L).isEmpty,
+          "the transient pipeline missed, invented, or misphotometered an epoch")
+        // Association + light-curve classification on ONE position key.
+        val w = Window.partitionBy("x", "y").orderBy("frame_id")
+        val curve = centers
+          .withColumn("dflux", col("flux") - lag("flux", 1).over(w))
+        val census = curve.groupBy("x", "y")
+          .agg(count(lit(1)).as("n_epochs"),
+            min("frame_id").as("first_frame"),
+            max("frame_id").as("last_frame"),
+            max("flux").as("peak_flux"),
+            sum("flux").cast("long").as("total_flux"),
+            min("dflux").as("min_d"), max("dflux").as("max_d"))
+          .withColumn("class",
+            when(col("n_epochs") === 1L, "single")
+              .when(col("min_d") > 0L, "rising")
+              .when(col("max_d") < 0L, "fading")
+              .otherwise("mixed"))
+        // The classification itself must match the injected schedule.
+        val expected = s.range(0L, 3L).select(
+          expr("element_at(array(10L, 24L, 5L), cast(id + 1 as int))").as("ex"),
+          expr("element_at(array(10L, 20L, 25L), cast(id + 1 as int))").as("ey"),
+          expr("element_at(array('rising', 'fading', 'single'), cast(id + 1 as int))")
+            .as("eclass"))
+        val checked = census.join(expected,
+            col("x") === col("ex") && col("y") === col("ey"), "full")
+          .localCheckpoint()
+        require(checked.where(col("eclass").isNull || col("class").isNull ||
+            col("class") =!= col("eclass")).isEmpty,
+          "a transient light curve classified against its injected schedule")
+        checked.select(col("x"), col("y"), col("n_epochs"),
+            col("first_frame"), col("last_frame"), col("peak_flux"),
+            col("total_flux"), col("class"))
+          .orderBy("x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 400), (3, 10, 10, 500), (5, 10, 10, 600),
+             |    (3, 24, 20, 600), (5, 24, 20, 520), (5, 5, 25, 420))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.r) AS BIGINT) AS flux
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0),
+             |curve AS (
+             |  SELECT frame_id, x, y, flux,
+             |    flux - lag(flux, 1) OVER (PARTITION BY x, y
+             |      ORDER BY frame_id) AS dflux
+             |  FROM centers),
+             |census AS (
+             |  SELECT x, y, count(*) AS n_epochs,
+             |    CAST(min(frame_id) AS BIGINT) AS first_frame,
+             |    CAST(max(frame_id) AS BIGINT) AS last_frame,
+             |    CAST(max(flux) AS BIGINT) AS peak_flux,
+             |    CAST(sum(flux) AS BIGINT) AS total_flux,
+             |    min(dflux) AS min_d, max(dflux) AS max_d
+             |  FROM curve GROUP BY x, y)
+             |SELECT x, y, n_epochs, first_frame, last_frame, peak_flux,
+             |  total_flux,
+             |  CASE WHEN n_epochs = 1 THEN 'single'
+             |       WHEN min_d > 0 THEN 'rising'
+             |       WHEN max_d < 0 THEN 'fading'
+             |       ELSE 'mixed' END AS class
+             |FROM census ORDER BY x""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

@@ -288,7 +288,11 @@ class DeterminismSpec extends SparkSpec {
     "agg_cms",
     // integer pair histogram under bucketed join order (dmdt — the
     // structfunc bet with integer bins)
-    "lc_dmdt")
+    "lc_dmdt",
+    // the frame_difference bet composed: sky-mode argmax per epoch, then
+    // association + lag-window deltas on the position key — schedule
+    // classification must not move with the merge topology
+    "pipeline_transient")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
