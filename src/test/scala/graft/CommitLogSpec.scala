@@ -1288,4 +1288,60 @@ class CommitLogSpec extends SparkSpec {
       fin.gencolDiv === Some(10L),
       "every meta facet must ride the columnar checkpoint")
   }
+
+  test("WAP publish vs a concurrent direct commit: the fast-forward loses the " +
+      "version race cleanly and re-publishes at the next version") {
+    val main = freshTable() // versions 1..2 exist
+    val br = Files.createTempDirectory("graft_wap_race_br").toString
+    // Branch from main@2, stage version 3 on the branch.
+    CommitLog.cloneTable(main, br)
+    val s0 = spark
+    import s0.implicits._
+    Seq((5L, 50.0), (6L, 60.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$br/g=3")
+    CommitLog.commit(br, 3L, "g=3")
+    val staged = CommitLog.changesAt(br, 3L)._1
+      .map(f => if (f.startsWith("/")) f else s"$br/$f")
+    // A concurrent writer lands main@3 FIRST.
+    Seq((9L, 90.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$main/g=3")
+    CommitLog.commit(main, 3L, "g=3")
+    // The publish at the stale version must fail whole — never clobber.
+    intercept[IllegalStateException] {
+      CommitLog.commitFiles(main, 3L, staged, Nil)
+    }
+    val after = CommitLog.readAsOf(spark, main, 3L)
+      .select("key").as[Long].collect().toSet
+    assert(after === Set(1L, 2L, 3L, 4L, 9L),
+      "a losing WAP publish mutated the concurrent writer's snapshot")
+    // Retry against the new head: the branch files are still audited and
+    // still on disk — publish lands at version 4 by reference.
+    CommitLog.commitFiles(main, 4L, staged, Nil)
+    val head = CommitLog.readAsOf(spark, main, 4L)
+      .select("key").as[Long].collect().toSet
+    assert(head === Set(1L, 2L, 3L, 4L, 5L, 6L, 9L),
+      "the re-published audit branch did not land whole at the next version")
+  }
+
+  test("matview refresh replay: re-committing a view version is a conflict " +
+      "no-op — the maintained view cannot double-apply a fact commit") {
+    val view = Files.createTempDirectory("graft_mvj_replay").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$view/m=a")
+    CommitLog.commit(view, 1L, "m=a")
+    Seq((2L, 20.0)).toDF("key", "val")
+      .write.mode("overwrite").parquet(s"$view/m=b")
+    CommitLog.commit(view, 2L, "m=b")
+    val adds2 = CommitLog.changesAt(view, 2L)._1
+    // A replayed refresh of fact version 2 re-attempts the same commit.
+    intercept[IllegalStateException] {
+      CommitLog.commitFiles(view, 2L, adds2, Nil)
+    }
+    // The view is exactly the once-applied state.
+    assert(CommitLog.readAsOf(spark, view, Long.MaxValue)
+      .select("key").as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "a replayed refresh double-applied a fact commit")
+  }
 }
