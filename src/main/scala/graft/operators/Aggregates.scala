@@ -1088,6 +1088,69 @@ object Aggregates {
              |  CAST(sum(len) AS BIGINT) AS n_flare_points
              |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Hampel filter [PK — the rolling-median robust outlier detector, the
+    // standard alternative to z-scores when the series itself drifts: a
+    // point is an outlier against its LOCAL window median, not the global
+    // mean, so trends and level shifts don't mask (or fake) outliers].
+    // Per object, time-ordered: a ±3-row window collects values (micro-
+    // unit integers after ONE 1e-6 rounding), the window median is the
+    // sorted-list LOWER median — exact integer, defined identically at
+    // series edges where the frame shrinks — and MAD = median(|v − med|)
+    // from the SAME collected list; flag dev > 3·MAD. Every comparison is
+    // integer, so the flag cannot float between engines. Scale: ONE
+    // object-key shuffle carries the window and the census (grouping key
+    // ⊇ partition key); per-row state is the BOUNDED ±3 frame — constant
+    // memory at any series length, unlike a global-stats pass.
+    QDef(
+      "lc_hampel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(-3, 3)
+        T.events(s, dir)
+          .where(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vu"))
+          .withColumn("lst", collect_list("vu").over(w))
+          .withColumn("med",
+            expr("element_at(array_sort(lst), cast((size(lst) + 1) div 2 as int))"))
+          .withColumn("mad",
+            expr("element_at(array_sort(transform(lst, x -> abs(x - med)))," +
+              " cast((size(lst) + 1) div 2 as int))"))
+          .withColumn("dev", abs(col("vu") - col("med")))
+          .withColumn("flagged", col("dev") > col("mad") * 3L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+            max(when(col("flagged"), col("dev"))).as("max_dev"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT)
+             |    AS t, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+             |  FROM events WHERE value IS NOT NULL),
+             |win AS (
+             |  SELECT user_id, vu, list(vu) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS lst
+             |  FROM obs),
+             |med AS (
+             |  SELECT user_id, vu,
+             |    list_sort(lst)[(len(lst) + 1) // 2] AS med, lst
+             |  FROM win),
+             |dev AS (
+             |  SELECT user_id, abs(vu - med) AS dev,
+             |    abs(vu - med) > 3 * list_sort(
+             |      list_transform(lst, x -> abs(x - med)))[(len(lst) + 1) // 2]
+             |      AS flagged
+             |  FROM med)
+             |SELECT user_id, count(*) AS n_obs,
+             |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_flagged,
+             |  CAST(max(CASE WHEN flagged THEN dev END) AS BIGINT) AS max_dev
+             |FROM dev GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Box least squares transit search [PK — Kovács, Zucker & Mazeh 2002,
     // the standard detached-eclipse/transit period finder; completes the
     // period trio next to lc_periods (PDM) and lc_lombscargle]: for each

@@ -1321,6 +1321,90 @@ object Similarity {
               |SELECT d1, d2, cos FROM pairs
               |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin)),
 
+    // MATRYOSHKA two-stage retrieval [PK — Kusupati et al. 2022: MRL
+    // embeddings are trained so a PREFIX of the vector is itself a valid
+    // lower-dimensional embedding; retrieval ranks coarsely on the first
+    // m dims and re-ranks the shortlist on the full vector (m = 32 here:
+    // the fixture embeddings are random, not MRL-trained, so the prefix
+    // needs half the dims for a 0.8+ recall — a trained MRL model gets
+    // the same recall from 8) — the modern
+    // codebook-free alternative to sim_refine's PQ shortlist]. Coarse
+    // stage: cosine over slice(·, 1, m) — the ONLY corpus pass, 64/m× fewer
+    // multiply-adds, and at rest the prefix can live as its OWN thin
+    // column so the coarse scan reads m/64 of the vector bytes (column
+    // pruning does the shrinking, no second index to maintain). Exact
+    // stage: full-dim cosine on probes × shortlist rows only. Recall vs
+    // the exact full-scan top-5 is require'd ≥ 0.6 in-query AND declared
+    // per row (the sim_graph_ann honesty contract). Rank boundaries use
+    // raw sequential-order dots (graft_dot ≡ list_dot_product) with
+    // vec_id tie-breaks — deterministic cross-engine, rounding only on
+    // the declared score.
+    QDef(
+      "sim_mrl",
+      (s, dir) => {
+        val mDims = 32
+        val shortlist = 100L
+        val k = 5L
+        val p = probes(s, dir).withColumn("pp", slice(col("pe"), 1, mDims))
+        val c = corpus(s, dir).withColumn("cp", slice(col("ce"), 1, mDims))
+        val coarseW = Window.partitionBy("probe_id")
+          .orderBy(col("craw").desc, col("vec_id").asc)
+        val short = c.join(broadcast(p), col("probe_id") =!= col("vec_id"))
+          .withColumn("craw", cosine(col("pp"), col("cp")))
+          .withColumn("crank", row_number().over(coarseW).cast("long"))
+          .where(col("crank") <= shortlist)
+        val exactW = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        val mrl = short
+          .withColumn("raw", cosine(col("pe"), col("ce")))
+          .withColumn("rank", row_number().over(exactW).cast("long"))
+          .where(col("rank") <= k)
+          .select(col("probe_id"), col("rank"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"))
+        // Ground truth: the exact full-scan top-k (sim_knn_topk's plan).
+        val gt = corpus(s, dir)
+          .join(broadcast(probes(s, dir)), col("probe_id") =!= col("vec_id"))
+          .withColumn("raw", cosine(col("pe"), col("ce")))
+          .withColumn("grank", row_number().over(exactW).cast("long"))
+          .where(col("grank") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(true).as("hit"))
+        val out = mrl.join(gt, Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"),
+            coalesce(col("hit"), lit(false)).as("hit"))
+          .localCheckpoint() // one retrieval feeds the law and the output
+        val rec = out.agg((sum(when(col("hit"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("recall")).head.getDouble(0)
+        require(rec >= 0.6,
+          f"MRL prefix retrieval recall $rec%.2f fell below the 0.6 floor")
+        out.orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH p AS ($probeSql), c AS ($corpusSql),
+              |coarse AS (
+              |  SELECT probe_id, vec_id, pe, ce,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY ${cosSql("pe[1:32]", "ce[1:32]")} DESC,
+              |        vec_id ASC) AS crank
+              |  FROM c JOIN p ON probe_id <> vec_id),
+              |mrl AS (
+              |  SELECT probe_id, vec_id,
+              |    ${cosSql("pe", "ce")} AS raw,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY ${cosSql("pe", "ce")} DESC, vec_id ASC) AS rank
+              |  FROM coarse WHERE crank <= 100),
+              |gt AS (
+              |  SELECT probe_id, vec_id FROM (
+              |    SELECT probe_id, vec_id,
+              |      row_number() OVER (PARTITION BY probe_id
+              |        ORDER BY ${cosSql("pe", "ce")} DESC, vec_id ASC) AS g
+              |    FROM c JOIN p ON probe_id <> vec_id) WHERE g <= 5)
+              |SELECT m.probe_id, m.rank, m.vec_id,
+              |  floor((m.raw) * 1e6 + 0.5) / 1e6 AS cos,
+              |  (g.vec_id IS NOT NULL) AS hit
+              |FROM mrl m LEFT JOIN gt g
+              |  ON g.probe_id = m.probe_id AND g.vec_id = m.vec_id
+              |WHERE m.rank <= 5
+              |ORDER BY m.probe_id, m.rank""".stripMargin)),
+
     // SemDeDup-style semantic deduplication [PK — cluster the embedding
     // space, then drop the most-similar members within each cluster]:
     // the CLUSTER-SCOPED complement of dedup_embed's LSH-bucket near-dup

@@ -292,7 +292,12 @@ class DeterminismSpec extends SparkSpec {
     // the frame_difference bet composed: sky-mode argmax per epoch, then
     // association + lag-window deltas on the position key — schedule
     // classification must not move with the merge topology
-    "pipeline_transient")
+    "pipeline_transient",
+    // integer rolling median/MAD over a bounded frame (hampel — the flag
+    // is an integer compare, pinned as a true invariance), and rank
+    // boundaries on raw sequential dots through TWO window stages (mrl —
+    // the sim_knn_topk bet squared, plus the recall join)
+    "lc_hampel", "sim_mrl")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
