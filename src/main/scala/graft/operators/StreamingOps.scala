@@ -456,6 +456,51 @@ object StreamingOps {
              |  CAST(2 AS BIGINT) AS n_state_versions
              |FROM det GROUP BY u ORDER BY object_id""".stripMargin)),
 
+    // STREAMING TRANSIENT ASSOCIATION [PK — the alert-broker stage
+    // downstream of pipeline_transient's image subtraction: ZTF/LSST
+    // brokers consume a DETECTION stream, not pixels, and associate
+    // same-position detections into evolving transient light curves].
+    // Detections arrive one epoch per micro-batch (file source,
+    // maxFilesPerTrigger = 1); a flatMapGroupsWithState fold keyed on
+    // POSITION accumulates the (epoch, flux) list and re-derives the
+    // census + rising/fading/single classification on every update. The
+    // state is ORDER-INDEPENDENT (sorted at emit), so out-of-order epoch
+    // replay cannot corrupt the curve, and its size is bounded by
+    // epochs-per-candidate. The streamed-≡-batch law is require'd inside
+    // the run; the declared output re-derives the same census the DuckDB
+    // oracle computes from the literal detection schedule. See
+    // StreamRunner.transientAssocStream.
+    QDef(
+      "stream_transient",
+      (s, dir) => graft.streaming.StreamRunner.transientAssocStream(s, dir),
+      Some("""WITH det AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 2000), (3, 10, 10, 2500), (5, 10, 10, 3000),
+             |    (3, 24, 20, 3000), (5, 24, 20, 2600), (5, 5, 25, 2100),
+             |    (2, 7, 30, 1500), (4, 28, 3, 1800))
+             |    t(frame_id, x, y, flux)),
+             |curve AS (
+             |  SELECT frame_id, x, y, flux,
+             |    flux - lag(flux, 1) OVER (PARTITION BY x, y
+             |      ORDER BY frame_id) AS dflux
+             |  FROM det),
+             |census AS (
+             |  SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             |    count(*) AS n_epochs,
+             |    CAST(min(frame_id) AS BIGINT) AS first_frame,
+             |    CAST(max(frame_id) AS BIGINT) AS last_frame,
+             |    CAST(max(flux) AS BIGINT) AS peak_flux,
+             |    CAST(sum(flux) AS BIGINT) AS total_flux,
+             |    min(dflux) AS min_d, max(dflux) AS max_d
+             |  FROM curve GROUP BY x, y)
+             |SELECT x, y, n_epochs, first_frame, last_frame, peak_flux,
+             |  total_flux,
+             |  CASE WHEN n_epochs = 1 THEN 'single'
+             |       WHEN min_d > 0 THEN 'rising'
+             |       WHEN max_d < 0 THEN 'fading'
+             |       ELSE 'mixed' END AS class
+             |FROM census ORDER BY x""".stripMargin)),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),

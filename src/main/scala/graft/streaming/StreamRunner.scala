@@ -1021,4 +1021,96 @@ object StreamRunner {
       .where(col("rank") <= k)
       .orderBy("event_type", "rank")
   }
+
+  /** Streaming transient association — the alert-broker stage downstream of
+    * pipeline_transient's image subtraction: DETECTIONS arrive per epoch
+    * (one file per night, maxFilesPerTrigger = 1 forces one micro-batch per
+    * epoch), and a flatMapGroupsWithState fold keyed on the POSITION
+    * accumulates each candidate's (epoch, flux) list, re-deriving the
+    * light-curve census and its rising/fading/single classification on
+    * every update. The state is the accumulated epoch list — ORDER-
+    * INDEPENDENT (sorted at emit time), so association is correct even if
+    * the file source replays epochs out of order; its size is bounded by
+    * epochs-per-candidate, the lc-family premise. The streamed-≡-batch law
+    * is require'd in here: the final streamed census must equal the batch
+    * census computed from the same detection table. */
+  def transientAssocStream(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    // Deterministic detection table: the injected schedule (flux = 5A, the
+    // peaked-profile identity pipeline_transient proves from pixels) plus
+    // two spurious single-epoch detections.
+    val det = Seq(
+      (1L, 10L, 10L, 2000L), (3L, 10L, 10L, 2500L), (5L, 10L, 10L, 3000L),
+      (3L, 24L, 20L, 3000L), (5L, 24L, 20L, 2600L),
+      (5L, 5L, 25L, 2100L),
+      (2L, 7L, 30L, 1500L), (4L, 28L, 3L, 1800L))
+      .toDF("frame_id", "x", "y", "flux")
+    val root = tmpDir("graft_transient_src")
+    (1L to 5L).foreach { f =>
+      det.where(col("frame_id") === f).coalesce(1)
+        .write.mode("append").parquet(root)
+    }
+    val sch = s.read.parquet(root).schema
+    def classify(curve: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, String) = {
+      val sorted = curve.sortBy(_._1)
+      val deltas = sorted.sliding(2).collect {
+        case Seq((_, a), (_, b)) => b - a
+      }.toSeq
+      val cls =
+        if (sorted.size == 1) "single"
+        else if (deltas.forall(_ > 0L)) "rising"
+        else if (deltas.forall(_ < 0L)) "fading"
+        else "mixed"
+      (sorted.size.toLong, sorted.head._1, sorted.last._1,
+        sorted.map(_._2).max, sorted.map(_._2).sum, cls)
+    }
+    val fold = (pos: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[Seq[(Long, Long)]]) => {
+      val st = state.getOption.getOrElse(Seq.empty) ++
+        rows.map(r => (r._1, r._4))
+      state.update(st)
+      val (n, first, last, peak, total, cls) = classify(st)
+      Iterator.single((pos._1, pos._2, n, first, last, peak, total, cls))
+    }
+    val qn = "graft_trans_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(root)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+      .toDF("x", "y", "n_epochs", "first_frame", "last_frame", "peak_flux",
+        "total_flux", "class")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_trans_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode emits one census per touched position per micro-batch;
+    // the final census per position is the max-epoch row (monotonic).
+    val w = Window.partitionBy("x", "y").orderBy(col("n_epochs").desc)
+    val streamed = s.table(qn)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    // The streamed-≡-batch law: the same census from the batch plan.
+    val lagW = Window.partitionBy("x", "y").orderBy("frame_id")
+    val batch = det
+      .withColumn("dflux", col("flux") - lag("flux", 1).over(lagW))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_epochs"),
+        min("frame_id").as("first_frame"), max("frame_id").as("last_frame"),
+        max("flux").as("peak_flux"), sum("flux").cast("long").as("total_flux"),
+        min("dflux").as("min_d"), max("dflux").as("max_d"))
+      .withColumn("class",
+        when(col("n_epochs") === 1L, "single")
+          .when(col("min_d") > 0L, "rising")
+          .when(col("max_d") < 0L, "fading")
+          .otherwise("mixed"))
+      .drop("min_d", "max_d")
+    require(streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+        .isEmpty,
+      "the streamed transient census diverged from the batch association")
+    streamed.orderBy("x")
+  }
 }

@@ -79,7 +79,8 @@ class InventorySpec extends SparkSpec {
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank", "graph_cc",  // localCheckpoint per iteration
     "table_wap",                   // stages, audits, and publishes on construction
-    "table_matview_join")          // three refresh cycles commit on construction
+    "table_matview_join",          // three refresh cycles commit on construction
+    "stream_transient")            // full association stream run on construction
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager
