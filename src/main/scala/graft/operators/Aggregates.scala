@@ -378,7 +378,10 @@ object Aggregates {
         val p = Seq((1L, 2654435761L, 17L), (2L, 2246822519L, 101L),
           (3L, 3266489917L, 293L), (4L, 668265263L, 7L))
           .toDF("d", "ha", "hb")
-        def bucket = ((col("user_id") * col("ha") + col("hb"))
+        // user_id is reduced mod p BEFORE the multiply so the widest
+        // product is (p-1)*ha_max ≈ 7.0e18 < 2^63 — no Int64 wrap on any
+        // id domain (Spark would wrap silently where DuckDB raises).
+        def bucket = ((col("user_id") % 2147483647L * col("ha") + col("hb"))
           % 2147483647L % 64L).as("b")
         val ev = T.events(s, dir).select(col("user_id"),
           (col("event_id") % 2L).as("half"))
@@ -410,7 +413,8 @@ object Aggregates {
              |  SELECT * FROM (VALUES (2654435761, 17), (2246822519, 101),
              |    (3266489917, 293), (668265263, 7)) t(ha, hb)),
              |cnt AS (
-             |  SELECT ha, (e.user_id * ha + hb) % 2147483647 % 64 AS b,
+             |  SELECT ha, (e.user_id % 2147483647 * ha + hb)
+             |    % 2147483647 % 64 AS b,
              |    count(*) AS c
              |  FROM events e CROSS JOIN p GROUP BY 1, 2),
              |tru AS (
@@ -419,7 +423,8 @@ object Aggregates {
              |  SELECT t.user_id, t.true_n, min(c.c) AS est_n
              |  FROM tru t CROSS JOIN p
              |  JOIN cnt c ON c.ha = p.ha
-             |    AND c.b = (t.user_id * p.ha + p.hb) % 2147483647 % 64
+             |    AND c.b = (t.user_id % 2147483647 * p.ha + p.hb)
+             |      % 2147483647 % 64
              |  GROUP BY 1, 2)
              |SELECT user_id, true_n, CAST(est_n AS BIGINT) AS est_n,
              |  CAST(est_n - true_n AS BIGINT) AS overcount
@@ -1022,19 +1027,28 @@ object Aggregates {
 
     // Flare detection [PK — stellar-flare / transient-brightening search:
     // an astronomer's flare is not ONE bright point (lc_alerts' shape) but
-    // a RUN of consecutive elevated observations]. Per object: z-score
-    // every observation against the object's own mean/stddev (the
-    // ensemble-free self-calibration lc_alerts uses, z rounded once onto
-    // the 1e-6 grid before the cut so the flag is the same boundary in
-    // both engines), flag z > 1.5, then group consecutive flagged
-    // observations with the win_gaps_islands key (global row_number minus
-    // flagged row_number — constant within a run, shifted by any gap) and
-    // keep runs of length ≥ 2. Ordering ties break on (t, event_id) —
-    // total order, engine-identical. Output: per-object flare census
+    // a RUN of consecutive elevated observations]. Per object: flag
+    // observations elevated beyond 1.5σ of the object's own mean/stddev,
+    // then group consecutive flagged observations with the
+    // win_gaps_islands key (global row_number minus flagged row_number —
+    // constant within a run, shifted by any gap) and keep runs of length
+    // ≥ 2. THE FLAG IS INTEGER-EXACT (lc_hampel's discipline): values
+    // round once onto the micro-unit grid, and z > 1.5 is evaluated as
+    // the cross-multiplied inequality 4·(n−1)·(n·v − S)² > 9·n·(n·Q − S²)
+    // with n·v > S, where S = Σv and Q = Σv² are exact decimal sums — no
+    // avg/stddev float ever reaches a comparison, so a low-bit FP
+    // difference between engines cannot flip a flag and restructure the
+    // whole gaps-and-islands census (the compounding an FP boundary would
+    // invite). The reported peak z is display-only, derived from the same
+    // integer sums and rounded once. Ordering ties break on (t, event_id)
+    // — total order, engine-identical. Output: per-object flare census
     // (count, longest run, peak z, total flared points). Scale: ONE
     // object-key shuffle carries the stats join, both windows, and the
     // census rollup (grouping keys ⊇ partition key); per-object state is
-    // the series length — the lc-family premise.
+    // the series length — the lc-family premise. Decimal(38) headroom:
+    // the widest term 4n·(nv−S)² stays under 1e38 for series up to ~1e6
+    // points per object at micro-unit values < 1e12 — the lc premise by
+    // orders of magnitude.
     QDef(
       "lc_flares",
       (s, dir) => {
@@ -1042,19 +1056,31 @@ object Aggregates {
         val obs = T.events(s, dir)
           .where(col("value").isNotNull)
           .select(col("user_id"), col("event_id"),
-            unix_timestamp(col("ts")).as("t"), col("value"))
+            unix_timestamp(col("ts")).as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vu"))
         val stats = obs.groupBy("user_id")
-          .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("vu").cast("decimal(38,0)")).as("sv"),
+            sum(col("vu").cast("decimal(38,0)") * col("vu")).as("qv"))
         val z = obs.join(stats, "user_id")
-          .withColumn("z", rnd((col("value") - col("mu")) / col("sigma"), 6))
+          .withColumn("dd",
+            col("n").cast("decimal(38,0)") * col("vu") - col("sv"))
+          .withColumn("varnum", col("n") * col("qv") - col("sv") * col("sv"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("user_id").orderBy("t", "event_id")))
-        val flagged = z.where(col("z") > 1.5)
+        val flagged = z
+          .where(col("dd") > 0 &&
+            col("dd") * col("dd") * (lit(4L) * (col("n") - 1L)) >
+              col("varnum") * (lit(9L) * col("n")))
+          .withColumn("zf", rnd(
+            col("dd").cast("double") / col("n").cast("double") /
+              sqrt(col("varnum").cast("double") /
+                (col("n") * (col("n") - 1L)).cast("double")), 6))
           .withColumn("rno", row_number().over(
             Window.partitionBy("user_id").orderBy("t", "event_id")))
           .withColumn("island", col("rn") - col("rno"))
         flagged.groupBy("user_id", "island")
-          .agg(count(lit(1)).as("len"), max("z").as("zpk"))
+          .agg(count(lit(1)).as("len"), max("zf").as("zpk"))
           .where(col("len") >= 2L)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_flares"), max("len").as("longest"),
@@ -1064,23 +1090,31 @@ object Aggregates {
       },
       Some("""WITH obs AS (
              |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT)
-             |    AS t, value
+             |    AS t, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
              |  FROM events WHERE value IS NOT NULL),
              |stats AS (
-             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(vu AS HUGEINT)) AS HUGEINT) AS sv,
+             |    CAST(sum(CAST(vu AS HUGEINT) * vu) AS HUGEINT) AS qv
              |  FROM obs GROUP BY 1),
              |z AS (
              |  SELECT o.user_id, o.event_id, o.t,
-             |    floor(((o.value - mu) / sigma) * 1e6 + 0.5) / 1e6 AS z,
+             |    CAST(n AS HUGEINT) * vu - sv AS dd,
+             |    n * qv - sv * sv AS varnum, n,
              |    row_number() OVER (PARTITION BY o.user_id
              |      ORDER BY o.t, o.event_id) AS rn
              |  FROM obs o JOIN stats USING (user_id)),
              |flagged AS (
-             |  SELECT user_id, z, rn - row_number() OVER (
-             |    PARTITION BY user_id ORDER BY t, event_id) AS island
-             |  FROM z WHERE z > 1.5),
+             |  SELECT user_id,
+             |    floor((CAST(dd AS DOUBLE) / n
+             |      / sqrt(CAST(varnum AS DOUBLE) / (n * (n - 1))))
+             |      * 1e6 + 0.5) / 1e6 AS zf,
+             |    rn - row_number() OVER (
+             |      PARTITION BY user_id ORDER BY t, event_id) AS island
+             |  FROM z WHERE dd > 0
+             |    AND dd * dd * (4 * (n - 1)) > varnum * (9 * n)),
              |runs AS (
-             |  SELECT user_id, island, count(*) AS len, max(z) AS zpk
+             |  SELECT user_id, island, count(*) AS len, max(zf) AS zpk
              |  FROM flagged GROUP BY 1, 2 HAVING count(*) >= 2)
              |SELECT user_id, count(*) AS n_flares,
              |  CAST(max(len) AS BIGINT) AS longest,

@@ -1217,17 +1217,23 @@ object Scans {
     // a metadata-only fast-forward that adopts the audited files by
     // reference; readers on main can NEVER observe unaudited rows]. The
     // branch is a zero-copy shallow clone (cloneTable's absolute-path
-    // by-reference log), staging writes under the BRANCH root, and both
-    // outcomes run: a clean batch audits green and publishes (published
-    // snapshot ≡ audited branch snapshot, require'd as aggregates), and a
-    // POISONED batch (negative totals injected) trips the audit and
-    // ABORTS — its branch root is discarded whole and main's log never
-    // learns it existed (latestVersion pinned before/after). The
-    // visibility law is the load-bearing require: main's version is
-    // UNCHANGED while the branch stages and audits. Scale: the branch
-    // costs O(log) metadata regardless of table size, the audit is one
-    // distributed scan of the STAGED files only, and publish moves zero
-    // bytes — exactly why WAP is the pattern for 100 TB ingest gates.
+    // by-reference log) holding METADATA ONLY; the staged batch's DATA
+    // FILES land under MAIN'S OWN ROOT (a staging generation dir, the
+    // Iceberg/Delta shape: data files live under the table location from
+    // the start, branches and publishes are purely metadata), so main's
+    // published snapshot never depends on a disposable branch directory
+    // surviving. Both outcomes run: a clean batch audits green and
+    // publishes (published snapshot ≡ audited branch snapshot, require'd
+    // as aggregates) — publish adopts the IN-ROOT files and moves zero
+    // bytes; and a POISONED batch (negative totals injected) trips the
+    // audit and ABORTS — the abort deletes exactly the staged generation
+    // dir plus the branch's log and provably cannot touch a file main
+    // references (disjoint generation dirs). The visibility law is the
+    // load-bearing require: main's version is UNCHANGED while the branch
+    // stages and audits. Scale: the branch costs O(log) metadata
+    // regardless of table size, the audit is one distributed scan of the
+    // STAGED files only, and publish moves zero bytes — exactly why WAP
+    // is the pattern for 100 TB ingest gates.
     QDef(
       "table_wap",
       (s, dir) => {
@@ -1241,51 +1247,81 @@ object Scans {
             sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
               .cast("long").as("sum_cents"))
             .select(lit(label).as("phase"), col("n_rows"), col("sum_cents"))
+        def stagedFiles(sub: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(main)
+          val st = java.nio.file.Files.walk(base.resolve(sub))
+          try st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith("."))
+            .map(p => base.relativize(p).toString).toVector.sorted
+          finally st.close()
+        }
         // v1 on main: the already-published base batch.
         o.where(col("o_orderkey") % 3L === 0L)
           .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$main/g=1")
-        CommitLog.commit(main, 1L, "g=1")
-        // WAP cycle 1: branch, stage, audit, publish.
+          .coalesce(1).write.mode("overwrite").parquet(s"$main/gen1")
+        CommitLog.commit(main, 1L, "gen1")
+        // WAP cycle 1: branch (metadata), stage IN MAIN'S ROOT, audit
+        // via the branch snapshot, publish by adopting the in-root files.
         CommitLog.cloneTable(main, br)
         o.where(col("o_orderkey") % 3L === 1L)
           .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$br/g=2")
-        CommitLog.commit(br, 2L, "g=2")
+          .coalesce(1).write.mode("overwrite").parquet(s"$main/staging/gen2")
+        val gen2 = stagedFiles("staging/gen2")
+        CommitLog.commitFiles(br, 2L, gen2.map(f => s"$main/$f"), Nil)
         val branchSnap = CommitLog.readAsOf(s, br, Long.MaxValue)
         val audit1 = branchSnap
           .agg(count(lit(1)).as("n"),
             sum(when(col("key").isNull || col("val") <= 0.0, 1L)
               .otherwise(0L)).as("bad")).head
         require(audit1.getLong(1) == 0L, "WAP audit failed on a clean batch")
-        // Visibility law: main is untouched while the branch audits.
+        // Visibility law: main is untouched while the branch audits
+        // (the staged files exist under main's root but NO main commit
+        // references them yet — invisible to every main reader).
         require(CommitLog.latestVersion(main) == 1L,
           "staging on the audit branch leaked a commit into main")
-        // Publish: adopt the branch's audited files by absolute path —
-        // a metadata-only fast-forward, no byte moves.
-        val staged = CommitLog.changesAt(br, 2L)._1
-          .map(f => if (f.startsWith("/")) f else s"$br/$f")
-        CommitLog.commitFiles(main, 2L, staged, Nil)
+        // Publish: adopt the audited IN-ROOT files — a metadata-only
+        // fast-forward, no byte moves, no cross-root references.
+        CommitLog.commitFiles(main, 2L, gen2, Nil)
         val published = CommitLog.readAsOf(s, main, Long.MaxValue)
         val pubAgg = cents(published, "3_published").head
         require(pubAgg.getLong(1) == audit1.getLong(0),
           "published snapshot diverged from the audited branch")
-        // WAP cycle 2: a poisoned batch trips the audit and aborts whole.
+        // The branch is now disposable: delete it whole and re-read main —
+        // the published snapshot must not depend on the branch surviving.
+        graft.FsUtil.deleteRecursively(new java.io.File(br))
+        require(cents(CommitLog.readAsOf(s, main, Long.MaxValue), "x")
+            .head.getLong(1) == audit1.getLong(0),
+          "published snapshot depended on the disposable branch directory")
+        // WAP cycle 2: a poisoned batch trips the audit and aborts.
         CommitLog.cloneTable(main, br2)
         o.where(col("o_orderkey") % 3L === 2L)
           .select(col("o_orderkey").as("key"),
             when(col("o_orderkey") % 5L === 0L, -col("o_totalprice"))
               .otherwise(col("o_totalprice")).as("val"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$br2/g=3")
-        CommitLog.commit(br2, CommitLog.latestVersion(br2) + 1L, "g=3")
+          .coalesce(1).write.mode("overwrite").parquet(s"$main/staging/gen3")
+        val gen3 = stagedFiles("staging/gen3")
+        CommitLog.commitFiles(br2, CommitLog.latestVersion(br2) + 1L,
+          gen3.map(f => s"$main/$f"), Nil)
         val rejected = CommitLog.readAsOf(s, br2, Long.MaxValue)
           .where(col("val") <= 0.0)
         val rejAgg = cents(rejected, "4_audit_rejected").head
         require(rejAgg.getLong(1) > 0L, "the poisoned batch must trip the audit")
-        // ABORT: discard the branch root whole; main never learns of it.
+        // ABORT: delete exactly the staged generation + the branch log.
+        // Disjointness law first: nothing main references is in the blast
+        // radius (the same check a production abort runs before cleanup).
+        val mainLive = CommitLog.filesAsOf(main, Long.MaxValue).toSet
+        require(gen3.forall(f => !mainLive.contains(f)),
+          "abort blast radius intersected main's live file set")
+        graft.FsUtil.deleteRecursively(
+          new java.io.File(s"$main/staging/gen3"))
         graft.FsUtil.deleteRecursively(new java.io.File(br2))
         require(CommitLog.latestVersion(main) == 2L,
           "an aborted audit branch mutated main's log")
+        require(cents(CommitLog.readAsOf(s, main, Long.MaxValue), "x")
+            .head.getLong(1) == audit1.getLong(0),
+          "aborting the poisoned generation corrupted main")
         cents(o.where(col("o_orderkey") % 3L === 0L)
             .select(col("o_totalprice").as("val")), "1_base")
           .unionAll(cents(branchSnap.select(col("val")), "2_branch_audited"))

@@ -1088,8 +1088,12 @@ object StreamRunner {
       .start()
     q.awaitTermination()
     // Update mode emits one census per touched position per micro-batch;
-    // the final census per position is the max-epoch row (monotonic).
-    val w = Window.partitionBy("x", "y").orderBy(col("n_epochs").desc)
+    // the final census per position is the max-epoch row (state strictly
+    // grows on every emission today, but last_frame desc is a second sort
+    // key so a future timeout-driven emission without state growth still
+    // picks deterministically).
+    val w = Window.partitionBy("x", "y")
+      .orderBy(col("n_epochs").desc, col("last_frame").desc)
     val streamed = s.table(qn)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .localCheckpoint()
