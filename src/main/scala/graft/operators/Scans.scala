@@ -23,6 +23,12 @@ object Scans {
     * (the join_skew_aqe precedent, `Joins.lastSkewAqePlan`). */
   @volatile private[graft] var lastAstrometryPlan: String = ""
 
+  /** Executed plan of frame_forced_photometry's pre-checkpoint forced
+    * probe (the declared output is an ExistingRDD scan past its
+    * localCheckpoint) — PlanShapeSpec pins the ≤9-cell equi-join +
+    * map-side partial aggregation shape from here. */
+  @volatile private[graft] var lastForcedPhotPlan: String = ""
+
   /** Per-run tmp path `<tmpdir>/<prefix><applicationId>`, with best-effort
     * GC of STALE siblings ([[graft.FsUtil.sweepStaleTmp]] — dead JVMs'
     * leftovers; a live concurrent run's dir is minutes old and untouched,
@@ -47,6 +53,83 @@ object Scans {
     val p = runTmpPath(s, prefix)
     graft.FsUtil.deleteRecursively(new java.io.File(p))
     p
+  }
+
+  /** The shared transient SCENE for the pipeline/forced-photometry pair:
+    * 7 epochs of a 32×32 deterministic field (static hash noise + a
+    * per-epoch pedestal) with an injection SCHEDULE — one transient
+    * rising across epochs 1/3/5 at (10,10), one fading across 3/5 at
+    * (24,20), one single-epoch orphan at 5 (5,25). Returns
+    * (injections, difference-image residuals, detections): residuals are
+    * epoch − reference with the sky pedestal removed (the mode of the
+    * difference), so they are EXACTLY the injected pattern (A at center,
+    * A div 2 on the 8 neighbors) and 0 elsewhere — every downstream flux
+    * is all-integer. Detections are threshold + strict local max over
+    * the bounded ≤9-cell probe, checkpointed once so laws and output
+    * share one detection pass. Scale: per-epoch work is frame-local
+    * map-side pixel arithmetic; only SPARSE detections shuffle. */
+  private def transientScene(s: org.apache.spark.sql.SparkSession)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val grid = 32L
+    val thresh = 200L
+    val inj = s.range(0L, 6L)
+      .select(col("id"),
+        expr("element_at(array(1L,3L,5L,3L,5L,5L), cast(id + 1 as int))")
+          .as("frame_id"),
+        expr("element_at(array(10L,10L,10L,24L,24L,5L), cast(id + 1 as int))")
+          .as("tx"),
+        expr("element_at(array(10L,10L,10L,20L,20L,25L), cast(id + 1 as int))")
+          .as("ty"),
+        expr("element_at(array(400L,500L,600L,600L,520L,420L), cast(id + 1 as int))")
+          .as("amp"))
+      .drop("id")
+    val px = s.range(0L, 7L).select(col("id").as("frame_id"))
+      .crossJoin(s.range(0L, grid * grid).select(
+        expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+      .withColumn("base",
+        lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+      .join(inj.withColumnRenamed("frame_id", "ifr"),
+        col("frame_id") === col("ifr") &&
+          greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+        "left")
+      .groupBy("frame_id", "x", "y", "base")
+      .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+          col("amp")).otherwise(expr("amp div 2"))).as("tr"))
+      .select(col("frame_id"), col("x"), col("y"),
+        (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
+          .as("v"))
+    val refpx = px.where(col("frame_id") === 0L)
+      .select(col("x"), col("y"), col("v").as("v0"))
+    val diff = px.where(col("frame_id") > 0L)
+      .join(broadcast(refpx), Seq("x", "y"))
+      .select(col("frame_id"), col("x"), col("y"),
+        (col("v") - col("v0")).as("d"))
+    val sky = diff.groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
+      .groupBy("frame_id")
+      .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
+      .select(col("frame_id"), (-col("m.nd")).as("sky"))
+    val resid = diff.join(broadcast(sky), Seq("frame_id"))
+      .select(col("frame_id"), col("x"), col("y"),
+        (col("d") - col("sky")).as("r"))
+    val det = resid.where(col("r") >= thresh)
+    val centers = det.select(col("frame_id"), col("x"), col("y"),
+        col("r").as("peak"))
+      .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+      .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+          col("y").as("ny"), col("r").as("nr")),
+        col("nfr") === col("frame_id") &&
+          col("nx") === col("x") + col("dcx") &&
+          col("ny") === col("y") + col("dcy"))
+      .groupBy("frame_id", "x", "y", "peak")
+      .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+          col("nr") >= col("peak"), 1L).otherwise(0L)).as("n_ge"),
+        sum(col("nr")).as("flux"))
+      .where(col("n_ge") === 0L)
+      .select(col("frame_id"), col("x"), col("y"), col("flux"))
+      .localCheckpoint() // detections feed the law joins and association
+    (inj, resid, centers)
   }
 
   private val eventJsonSchema = StructType(Seq(
@@ -4876,64 +4959,7 @@ object Scans {
       "pipeline_transient",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val grid = 32L
-        val thresh = 200L
-        val inj = s.range(0L, 6L)
-          .select(col("id"),
-            expr("element_at(array(1L,3L,5L,3L,5L,5L), cast(id + 1 as int))")
-              .as("frame_id"),
-            expr("element_at(array(10L,10L,10L,24L,24L,5L), cast(id + 1 as int))")
-              .as("tx"),
-            expr("element_at(array(10L,10L,10L,20L,20L,25L), cast(id + 1 as int))")
-              .as("ty"),
-            expr("element_at(array(400L,500L,600L,600L,520L,420L), cast(id + 1 as int))")
-              .as("amp"))
-          .drop("id")
-        val px = s.range(0L, 7L).select(col("id").as("frame_id"))
-          .crossJoin(s.range(0L, grid * grid).select(
-            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
-          .withColumn("base",
-            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
-          .join(inj.withColumnRenamed("frame_id", "ifr"),
-            col("frame_id") === col("ifr") &&
-              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
-            "left")
-          .groupBy("frame_id", "x", "y", "base")
-          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
-              col("amp")).otherwise(expr("amp div 2"))).as("tr"))
-          .select(col("frame_id"), col("x"), col("y"),
-            (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
-              .as("v"))
-        val refpx = px.where(col("frame_id") === 0L)
-          .select(col("x"), col("y"), col("v").as("v0"))
-        val diff = px.where(col("frame_id") > 0L)
-          .join(broadcast(refpx), Seq("x", "y"))
-          .select(col("frame_id"), col("x"), col("y"),
-            (col("v") - col("v0")).as("d"))
-        val sky = diff.groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
-          .groupBy("frame_id")
-          .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
-          .select(col("frame_id"), (-col("m.nd")).as("sky"))
-        val resid = diff.join(broadcast(sky), Seq("frame_id"))
-          .select(col("frame_id"), col("x"), col("y"),
-            (col("d") - col("sky")).as("r"))
-        val det = resid.where(col("r") >= thresh)
-        val centers = det.select(col("frame_id"), col("x"), col("y"),
-            col("r").as("peak"))
-          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
-          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
-          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
-              col("y").as("ny"), col("r").as("nr")),
-            col("nfr") === col("frame_id") &&
-              col("nx") === col("x") + col("dcx") &&
-              col("ny") === col("y") + col("dcy"))
-          .groupBy("frame_id", "x", "y", "peak")
-          .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
-              col("nr") >= col("peak"), 1L).otherwise(0L)).as("n_ge"),
-            sum(col("nr")).as("flux"))
-          .where(col("n_ge") === 0L)
-          .select(col("frame_id"), col("x"), col("y"), col("flux"))
-          .localCheckpoint() // detections feed the law joins and association
+        val (inj, _, centers) = transientScene(s)
         // Every (epoch, position, flux=5A) pair must match the schedule.
         val lawJoin = centers.join(
           inj.withColumnRenamed("frame_id", "ifr"),
@@ -5034,6 +5060,139 @@ object Scans {
              |       WHEN max_d < 0 THEN 'fading'
              |       ELSE 'mixed' END AS class
              |FROM census ORDER BY x""".stripMargin)),
+
+    // FORCED PHOTOMETRY [PK — the broker follow-up stage: once a
+    // transient candidate exists, go back to EVERY epoch and aperture-sum
+    // at the candidate's position whether or not anything was detected
+    // there. Non-detections become flux measurements (upper limits), and
+    // only with them is the light curve honest: the detected-only curve
+    // of a transient that blinks looks monotonically rising, the
+    // completed curve shows the dips]. Candidates = the distinct
+    // detection positions from pipeline_transient's scene; for each, the
+    // SAME 3×3 aperture sum over the difference-image residuals runs at
+    // every science epoch. Three exact laws: (1) completeness — every
+    // candidate emits exactly one row per epoch; (2) consistency — at a
+    // detected epoch the forced aperture equals the detection's flux
+    // bit-for-bit (same pixels, same sum); (3) honesty — at least one
+    // candidate whose detected-only curve is strictly rising has a
+    // non-rising completed curve (the non-detection dips are real
+    // measurements, not absences). All fluxes are integers (residuals
+    // are exactly the injected pattern), so the completed curves are
+    // hash-oracled end to end. Scale: candidates are aggregate-sized and
+    // the probe is the bounded ≤9-cell equi-join against the residual
+    // tile — cost O(candidates × epochs × 9), never pixels × candidates;
+    // the per-epoch residual work stays frame-local map-side. At survey
+    // scale this is the plan that re-measures a million candidates over
+    // ten years of epochs as one shuffle on the position key.
+    QDef(
+      "frame_forced_photometry",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (_, resid, centers) = transientScene(s)
+        val cand = centers.select(col("x").as("cx"), col("y").as("cy"))
+          .distinct()
+        val forced = cand
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(resid.select(col("frame_id"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nx") === col("cx") + col("dcx") &&
+              col("ny") === col("cy") + col("dcy"))
+          .groupBy("cx", "cy", "frame_id")
+          .agg(sum("nr").as("forced_flux"))
+        val outPre = forced.join(
+            centers.select(col("frame_id"), col("x").as("cx"),
+              col("y").as("cy"), col("flux")),
+            Seq("cx", "cy", "frame_id"), "left")
+          .select(col("cx").as("x"), col("cy").as("y"), col("frame_id"),
+            col("forced_flux"), col("flux"),
+            col("flux").isNotNull.as("detected"))
+        lastForcedPhotPlan = outPre.queryExecution.executedPlan.toString
+        val out =
+          outPre.localCheckpoint() // one forced pass feeds all 3 laws + output
+        // (1) completeness: one row per candidate per science epoch.
+        val nEpochs = 6L
+        require(out.groupBy("x", "y").agg(count(lit(1)).as("n"))
+            .where(col("n") =!= nEpochs).isEmpty,
+          "a forced-photometry curve is missing an epoch or duplicated one")
+        // (2) consistency: forced aperture ≡ detection flux where detected.
+        require(out.where(col("detected") &&
+            col("forced_flux") =!= col("flux")).isEmpty,
+          "forced photometry disagreed with the detection at a detected epoch")
+        // (3) honesty: a detected-only 'rising' curve stops being rising
+        // once the non-detection epochs are measured in.
+        val wc = Window.partitionBy("x", "y").orderBy("frame_id")
+        def curveClass(df: org.apache.spark.sql.DataFrame, fluxCol: String) =
+          df.withColumn("dflux", col(fluxCol) - lag(fluxCol, 1).over(wc))
+            .groupBy("x", "y")
+            .agg(count(lit(1)).as("n"), min("dflux").as("min_d"))
+            .select(col("x"), col("y"),
+              (col("n") > 1L && col("min_d") > 0L).as("rising"))
+        val detRising = curveClass(
+          centers.select(col("x"), col("y"), col("frame_id"), col("flux")),
+          "flux")
+        val fullRising = curveClass(
+          out.select(col("x"), col("y"), col("frame_id"), col("forced_flux")),
+          "forced_flux")
+        require(!detRising.withColumnRenamed("rising", "det_rising")
+            .join(fullRising, Seq("x", "y"))
+            .where(col("det_rising") && !col("rising")).isEmpty,
+          "no curve demonstrated the detected-only rising bias — fixture broken")
+        out.select(col("x"), col("y"), col("frame_id"), col("forced_flux"),
+            col("detected"))
+          .orderBy("x", "y", "frame_id")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 400), (3, 10, 10, 500), (5, 10, 10, 600),
+             |    (3, 24, 20, 600), (5, 24, 20, 520), (5, 5, 25, 420))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.r) AS BIGINT) AS flux
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0),
+             |cand AS (SELECT DISTINCT x, y FROM centers),
+             |forced AS (
+             |  SELECT c.x, c.y, r.frame_id,
+             |    CAST(sum(r.r) AS BIGINT) AS forced_flux
+             |  FROM cand c JOIN resid r
+             |    ON abs(r.x - c.x) <= 1 AND abs(r.y - c.y) <= 1
+             |  GROUP BY 1, 2, 3)
+             |SELECT f.x, f.y, f.frame_id, f.forced_flux,
+             |  d.flux IS NOT NULL AS detected
+             |FROM forced f LEFT JOIN centers d
+             |  ON d.x = f.x AND d.y = f.y AND d.frame_id = f.frame_id
+             |ORDER BY f.x, f.y, f.frame_id""".stripMargin)),
 
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,

@@ -297,7 +297,12 @@ class DeterminismSpec extends SparkSpec {
     // is an integer compare, pinned as a true invariance), and rank
     // boundaries on raw sequential dots through TWO window stages (mrl —
     // the sim_knn_topk bet squared, plus the recall join)
-    "lc_hampel", "sim_mrl")
+    "lc_hampel", "sim_mrl",
+    // round-16: the pipeline_transient bet extended — forced apertures
+    // re-measure every (candidate, epoch) through the sky-mode argmax and
+    // the ≤9-cell probe, so the completed curves must not move with the
+    // merge topology
+    "frame_forced_photometry")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture

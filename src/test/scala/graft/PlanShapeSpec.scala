@@ -110,6 +110,28 @@ class PlanShapeSpec extends SparkSpec {
       "probe attachment lost its broadcast")
   }
 
+  test("frame_forced_photometry: candidate probe stays a bounded equi-join " +
+      "with map-side aperture partials — never pixels × candidates") {
+    plan("frame_forced_photometry") // runs the QDef, which records the
+    // pre-checkpoint forced-probe plan (declared output is an ExistingRDD)
+    val p = graft.operators.Scans.lastForcedPhotPlan
+    // The scene GENERATOR legitimately contains a range×range cartesian
+    // (pixels explode from frame metadata — fixture-only; at archive
+    // scale pixels stream from files), so a blanket no-cartesian assert
+    // would pin the fixture, not the operator. Pin the probe itself: the
+    // candidate fan-out must meet the residual tile via EQUI keys on the
+    // cell arithmetic, and the aperture sums must collapse map-side.
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[\(cx#\d+L? \+ dcx"""
+        .r.findFirstIn(p).isDefined,
+      "candidate→residual probe is no longer an equi-join on the cell keys")
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cx#\d+L?, cy#\d+L?, frame_id#\d+L?\]"""
+        .r.findFirstIn(p).isDefined,
+      "forced↔detected association is no longer an equi-join on (pos, epoch)")
+    assert(p.contains("partial_sum"), "aperture sums lost map-side partials")
+  }
+
   test("win_sessionize: both window passes share one user_id shuffle") {
     val p = plan("win_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
