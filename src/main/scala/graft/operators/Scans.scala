@@ -4937,6 +4937,198 @@ object Scans {
              |    AS mxy
              |FROM centers ORDER BY frame_id, x""".stripMargin)),
 
+    // PSF FITTING FROM MOMENT SUMS [PK — the PSFEx/SExtractor stage real
+    // pipelines run after shape moments: the second central moments ARE
+    // the elliptical-Gaussian PSF fit in moment form — eigenvalues of the
+    // covariance give the major/minor FWHM, the eigenvector the position
+    // angle, their ratio the ellipticity; focus monitoring and
+    // star/galaxy separation read exactly these numbers]. The scene is a
+    // calibration field: flat background + 8 injected anisotropic
+    // quadratic stamps A·(B − P·dx² − Q·dy² − R·dx·dy) whose moment
+    // numerators are known CLOSED-FORM integers (Σv = A(9B−6P−6Q),
+    // Σdx²v = A(6B−6P−4Q), Σdxdyv = −4AR), so recovered == injected is
+    // require'd as INTEGER cross-multiplied identities on all four
+    // moment sums — no tolerance anywhere. The eigen-decomposition is
+    // end-only double arithmetic on identical integer operands: +,−,×,÷,
+    // sqrt are IEEE correctly-rounded in both engines, so fwhm/
+    // ellipticity agree bit-for-bit before the single grid rounding; the
+    // position angle uses atan2 (libm, engine-approximate in the last
+    // ulp) rounded onto the 1e-3 grid — the lc_alerts VALUE-level bet,
+    // not a structural boundary. Scale: identical to frame_moments —
+    // candidates are the sparse thresholded pixels, the probe is the
+    // bounded ≤9-cell equi-join, moment partials collapse map-side; one
+    // 8-number row per source leaves the tile.
+    QDef(
+      "frame_psf",
+      (s, dir) => {
+        val grid = 32L
+        val inj = s.range(0L, 8L).select(
+          expr("element_at(array(0L,0L,1L,1L,2L,2L,3L,3L), cast(id+1 as int))")
+            .as("frame_id"),
+          expr("element_at(array(6L,24L,9L,22L,15L,27L,11L,20L), cast(id+1 as int))")
+            .as("tx"),
+          expr("element_at(array(8L,19L,25L,6L,14L,27L,11L,26L), cast(id+1 as int))")
+            .as("ty"),
+          expr("element_at(array(40L,50L,45L,55L,60L,42L,48L,52L), cast(id+1 as int))")
+            .as("amp"),
+          lit(10L).as("pb"),
+          expr("element_at(array(2L,1L,3L,2L,2L,1L,3L,2L), cast(id+1 as int))")
+            .as("pp"),
+          expr("element_at(array(2L,3L,1L,2L,2L,2L,2L,3L), cast(id+1 as int))")
+            .as("pq"),
+          expr("element_at(array(0L,0L,0L,1L,-1L,1L,-1L,1L), cast(id+1 as int))")
+            .as("pr"))
+        val px = s.range(0L, 4L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .select(col("frame_id"), col("x"), col("y"),
+            (lit(100L) + coalesce(col("amp") * (col("pb")
+              - col("pp") * (col("x") - col("tx")) * (col("x") - col("tx"))
+              - col("pq") * (col("y") - col("ty")) * (col("y") - col("ty"))
+              - col("pr") * (col("x") - col("tx")) * (col("y") - col("ty"))),
+              lit(0L))).as("v"))
+        val cand = px.where(col("v") >= 250L)
+        val centers = cand.select(col("frame_id"), col("x"), col("y"),
+            col("v").as("vc"))
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(px.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("v").as("nv")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"))
+          .groupBy("frame_id", "x", "y", "vc")
+          .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+              col("nv") >= col("vc"), 1L).otherwise(0L)).as("n_ge"),
+            sum(col("nv") - 100L).as("sw"),
+            sum(col("nx") * (col("nv") - 100L)).as("sx"),
+            sum(col("ny") * (col("nv") - 100L)).as("sy"),
+            sum(col("nx") * col("nx") * (col("nv") - 100L)).as("sxx"),
+            sum(col("ny") * col("ny") * (col("nv") - 100L)).as("syy"),
+            sum(col("nx") * col("ny") * (col("nv") - 100L)).as("sxy"))
+          .where(col("n_ge") === 0L)
+          .localCheckpoint() // one moment pass feeds the laws and output
+        val lawJ = centers.join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              col("x") === col("tx") && col("y") === col("ty"), "full")
+          .localCheckpoint()
+        require(lawJ.where(col("ifr").isNull || col("sw").isNull).isEmpty,
+          "the PSF pass missed an injected source or found a ghost")
+        // recovered == injected, cross-multiplied to stay in integers:
+        // central numerator (sw·sᵢⱼ − sᵢsⱼ) over sw² must equal the
+        // closed-form injected moment over its Σv — with Σv also matched,
+        // both reduce to one integer equality per moment.
+        val badMoment = lawJ
+          .withColumn("isw",
+            col("amp") * (lit(9L) * col("pb") - lit(6L) * col("pp")
+              - lit(6L) * col("pq")))
+          .withColumn("ixx",
+            col("amp") * (lit(6L) * col("pb") - lit(6L) * col("pp")
+              - lit(4L) * col("pq")))
+          .withColumn("iyy",
+            col("amp") * (lit(6L) * col("pb") - lit(4L) * col("pp")
+              - lit(6L) * col("pq")))
+          .withColumn("ixy", lit(-4L) * col("amp") * col("pr"))
+          .where(col("sw") =!= col("isw") ||
+            col("sw") * col("sxx") - col("sx") * col("sx")
+              =!= col("ixx") * col("sw") ||
+            col("sw") * col("syy") - col("sy") * col("sy")
+              =!= col("iyy") * col("sw") ||
+            col("sw") * col("sxy") - col("sx") * col("sy")
+              =!= col("ixy") * col("sw"))
+        require(badMoment.isEmpty,
+          "a recovered second moment diverged from its injected closed form")
+        centers
+          .withColumn("cmxx",
+            (col("sw") * col("sxx") - col("sx") * col("sx")).cast("double")
+              / (col("sw") * col("sw")).cast("double"))
+          .withColumn("cmyy",
+            (col("sw") * col("syy") - col("sy") * col("sy")).cast("double")
+              / (col("sw") * col("sw")).cast("double"))
+          .withColumn("cmxy",
+            (col("sw") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("sw") * col("sw")).cast("double"))
+          .withColumn("disc",
+            sqrt(((col("cmxx") - col("cmyy")) / lit(2.0))
+              * ((col("cmxx") - col("cmyy")) / lit(2.0))
+              + col("cmxy") * col("cmxy")))
+          .withColumn("lamp",
+            (col("cmxx") + col("cmyy")) / lit(2.0) + col("disc"))
+          .withColumn("lamm",
+            (col("cmxx") + col("cmyy")) / lit(2.0) - col("disc"))
+          .select(col("frame_id"), col("x"), col("y"), col("sw").as("flux"),
+            rnd(lit(2.354820045) * sqrt(col("lamp")), 6).as("fwhm_major"),
+            rnd(lit(2.354820045) * sqrt(col("lamm")), 6).as("fwhm_minor"),
+            expr("cast(floor(0.5 * atan2(2.0 * cmxy, cmxx - cmyy) * 1e3 + 0.5) as bigint)")
+              .as("theta_milli"),
+            expr("cast(floor((1.0 - sqrt(lamm / lamp)) * 1e6 + 0.5) as bigint)")
+              .as("ellipticity_ppm"))
+          .orderBy("frame_id", "x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (0, 6, 8, 40, 10, 2, 2, 0), (0, 24, 19, 50, 10, 1, 3, 0),
+             |    (1, 9, 25, 45, 10, 3, 1, 0), (1, 22, 6, 55, 10, 2, 2, 1),
+             |    (2, 15, 14, 60, 10, 2, 2, -1), (2, 27, 27, 42, 10, 1, 2, 1),
+             |    (3, 11, 11, 48, 10, 3, 2, -1), (3, 20, 26, 52, 10, 2, 3, 1))
+             |    t(frame_id, tx, ty, amp, pb, pp, pq, pr)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + coalesce(CAST((SELECT sum(j.amp * (j.pb
+             |          - j.pp * (p.i % 32 - j.tx) * (p.i % 32 - j.tx)
+             |          - j.pq * (p.i // 32 - j.ty) * (p.i // 32 - j.ty)
+             |          - j.pr * (p.i % 32 - j.tx) * (p.i // 32 - j.ty)))
+             |        FROM inj j WHERE j.frame_id = f.i
+             |          AND greatest(abs(p.i % 32 - j.tx),
+             |                       abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 3) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.v - 100) AS BIGINT) AS sw,
+             |    CAST(sum(n.x * (n.v - 100)) AS BIGINT) AS sx,
+             |    CAST(sum(n.y * (n.v - 100)) AS BIGINT) AS sy,
+             |    CAST(sum(n.x * n.x * (n.v - 100)) AS BIGINT) AS sxx,
+             |    CAST(sum(n.y * n.y * (n.v - 100)) AS BIGINT) AS syy,
+             |    CAST(sum(n.x * n.y * (n.v - 100)) AS BIGINT) AS sxy
+             |  FROM px c JOIN px n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.v >= 250
+             |  GROUP BY c.frame_id, c.x, c.y, c.v
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.v >= c.v THEN 1 ELSE 0 END) = 0),
+             |m AS (
+             |  SELECT frame_id, x, y, sw,
+             |    CAST(sw * sxx - sx * sx AS DOUBLE) / CAST(sw * sw AS DOUBLE)
+             |      AS cmxx,
+             |    CAST(sw * syy - sy * sy AS DOUBLE) / CAST(sw * sw AS DOUBLE)
+             |      AS cmyy,
+             |    CAST(sw * sxy - sx * sy AS DOUBLE) / CAST(sw * sw AS DOUBLE)
+             |      AS cmxy
+             |  FROM centers),
+             |e AS (
+             |  SELECT frame_id, x, y, sw, cmxx, cmyy, cmxy,
+             |    (cmxx + cmyy) / 2.0 + sqrt(((cmxx - cmyy) / 2.0)
+             |      * ((cmxx - cmyy) / 2.0) + cmxy * cmxy) AS lamp,
+             |    (cmxx + cmyy) / 2.0 - sqrt(((cmxx - cmyy) / 2.0)
+             |      * ((cmxx - cmyy) / 2.0) + cmxy * cmxy) AS lamm
+             |  FROM m)
+             |SELECT frame_id, x, y, sw AS flux,
+             |  floor(2.354820045 * sqrt(lamp) * 1e6 + 0.5) / 1e6
+             |    AS fwhm_major,
+             |  floor(2.354820045 * sqrt(lamm) * 1e6 + 0.5) / 1e6
+             |    AS fwhm_minor,
+             |  CAST(floor(0.5 * atan2(2.0 * cmxy, cmxx - cmyy) * 1e3 + 0.5)
+             |    AS BIGINT) AS theta_milli,
+             |  CAST(floor((1.0 - sqrt(lamm / lamp)) * 1e6 + 0.5) AS BIGINT)
+             |    AS ellipticity_ppm
+             |FROM e ORDER BY frame_id, x""".stripMargin)),
+
     // TRANSIENT PIPELINE [PK — the survey's actual purpose, end to end:
     // difference imaging finds what changed, cross-epoch ASSOCIATION
     // stitches detections at the same position into a transient light

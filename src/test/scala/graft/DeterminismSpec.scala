@@ -302,7 +302,10 @@ class DeterminismSpec extends SparkSpec {
     // re-measure every (candidate, epoch) through the sky-mode argmax and
     // the ≤9-cell probe, so the completed curves must not move with the
     // merge topology
-    "frame_forced_photometry")
+    "frame_forced_photometry",
+    // integer moment sums feeding end-only eigen arithmetic (psf — the
+    // frame_moments bet plus the sqrt/atan2 tail)
+    "frame_psf")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
