@@ -3443,6 +3443,11 @@ object Scans {
             viaPq.tombstones == viaJson.tombstones &&
             viaPq.stats == viaJson.stats,
           "columnar-checkpoint resolution diverged from the JSON path")
+        // The READ path's DISTRIBUTED resolve (kind-filter pushed into
+        // the checkpoint scan, tail removes anti-joined executor-side,
+        // only net live rows collected) must agree with the JSON replay.
+        require(CommitLog.liveFilesAsOfParquet(s, root, vNow) == viaJson.live,
+          "distributed live-set resolution diverged from the JSON path")
         require(viaJson.tombstones.map(_._1) == Seq(f0),
           "the compacted file's tombstone was lost")
         // Pushed-down metadata probe: smin/smax filter IN the checkpoint

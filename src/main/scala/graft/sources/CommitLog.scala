@@ -1254,6 +1254,77 @@ object CommitLog {
         })
     }
 
+  /** Row count the last [[liveFilesAsOfParquet]] call collected from the
+    * columnar checkpoint, and the executed plan of that collect —
+    * CommitLogSpec pins the count to the NET live size (tombstones, meta
+    * rows, and tail-superseded adds must stay in the executors) and the
+    * plan to a pushed kind-filter + broadcast anti-join. */
+  @volatile private[graft] var lastLiveResolveCollected: Int = -1
+  @volatile private[graft] var lastLiveResolvePlan: String = ""
+
+  /** The live file list AS OF `v`, resolved DISTRIBUTED through the
+    * newest columnar checkpoint ≤ `v`: the checkpoint scan keeps only
+    * `kind = 'add'` rows (the filter pushes into the parquet scan, so
+    * tombstone/meta row groups never deserialize) anti-joined against the
+    * BROADCAST set of paths the JSON tail removes — the driver collects
+    * exactly the net live rows, never the full checkpoint. The O(tail)
+    * overlay (tail adds, re-adds) then replays driver-side over the
+    * collected net set. This is the READ path's resolution: a reader
+    * needs the live list, not the full Snapshot; vacuum/maintenance keep
+    * [[snapshotAsOfParquet]], whose result (live + every tombstone +
+    * retained annotations) is inherently O(snapshot). At 100 TB the
+    * difference is millions of action rows filtered where they live
+    * instead of shipped to one driver heap. Falls back to the JSON path
+    * when no columnar checkpoint exists. */
+  def liveFilesAsOfParquet(s: SparkSession, root: String, v: Long)
+      : Seq[String] =
+    parquetCheckpoints(root).filter(_ <= v).lastOption match {
+      case None => snapshotAsOf(root, v).live
+      case Some(cv) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val (commits, _) = listLog(root)
+        val tailLines = commits.collect {
+          case (tv, p) if tv > cv && tv <= v =>
+            new String(Files.readAllBytes(p), "UTF-8")
+              .linesIterator.toVector
+        }
+        // Tail overlay in replay order; within one commit removes apply
+        // before adds (the DV-attach shape), mirroring [[applyLogUnits]].
+        val overlay: Seq[Either[String, (String, Long)]] =
+          tailLines.flatMap { lines =>
+            lines.collect { case l @ RemoveLine() =>
+              val PathField(p) = l: @unchecked
+              Left(p): Either[String, (String, Long)]
+            } ++
+              lines.collect { case l @ AddLine() =>
+                val PathField(p) = l: @unchecked
+                val at = l match { case AddedAt(a) => a.toLong; case _ => 0L }
+                Right(p -> at): Either[String, (String, Long)]
+              }
+          }
+        val tailRemoved = overlay.collect { case Left(p) => p }.distinct
+        val ckAdds = s.read.parquet(parquetCheckpointDir(root, cv))
+          .where(col("kind") === "add").select(col("path"), col("at"))
+        val net =
+          if (tailRemoved.isEmpty) ckAdds
+          else {
+            import s.implicits._
+            ckAdds.join(
+              broadcast(s.createDataset(tailRemoved).toDF("rpath")),
+              col("path") === col("rpath"), "left_anti")
+          }
+        lastLiveResolvePlan = net.queryExecution.executedPlan.toString
+        val collected = net.collect().map(r => r.getString(0) -> r.getLong(1))
+        lastLiveResolveCollected = collected.length
+        val state =
+          scala.collection.mutable.LinkedHashMap.from(collected)
+        overlay.foreach {
+          case Left(p)        => state.remove(p): Unit
+          case Right((p, at)) => state.put(p, at): Unit
+        }
+        state.toSeq.sortBy { case (p, at) => (at, p) }.map(_._1)
+    }
+
   private def ckptRowLine(r: CkptRow): String = r.kind match {
     case "meta" => r.meta.getOrElse("""{"meta":{}}""")
     case "add" =>

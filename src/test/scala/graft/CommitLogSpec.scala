@@ -1287,6 +1287,32 @@ class CommitLogSpec extends SparkSpec {
       fin.schemaCols.nonEmpty && fin.colmap.nonEmpty && fin.tags.nonEmpty &&
       fin.gencolDiv === Some(10L),
       "every meta facet must ride the columnar checkpoint")
+    // Distributed live-set resolution: equivalent to the JSON replay, with
+    // the collect bounded to the NET live rows. The checkpoint at v10
+    // carries f2 as an add row and the tail removes it at v12 — that row
+    // must be filtered in the executors (broadcast anti-join), never reach
+    // the driver; f3 arrives via the O(tail) overlay, not the collect.
+    Seq(10L, 11L, 12L).foreach { v =>
+      assert(CommitLog.liveFilesAsOfParquet(spark, root, v) ===
+        CommitLog.snapshotAsOf(root, v).live,
+        s"distributed live resolution diverged from the JSON replay at v=$v")
+    }
+    val netCkptLive =
+      CommitLog.snapshotAsOf(root, 10L).live.count(_ != f2)
+    assert(CommitLog.lastLiveResolveCollected === netCkptLive,
+      "the v12 resolve must collect exactly the checkpointed-live-minus-" +
+        "tail-removed rows (f2's row filters executor-side; f3 arrives " +
+        "via the tail overlay, not the collect)")
+    val ckAddRows = spark.read.parquet(
+        CommitLog.parquetCheckpointDir(root, 10L))
+      .where(org.apache.spark.sql.functions.col("kind") === "add").count()
+    assert(ckAddRows > 0 && CommitLog.lastLiveResolveCollected < ckAddRows,
+      "the full checkpoint add set reached the driver")
+    assert(CommitLog.lastLiveResolvePlan.contains("PushedFilters") &&
+      CommitLog.lastLiveResolvePlan.contains("EqualTo(kind,add)"),
+      "the kind filter must push into the checkpoint parquet scan")
+    assert(CommitLog.lastLiveResolvePlan.contains("LeftAnti"),
+      "tail removes must anti-join in the executors, not on the driver")
   }
 
   test("WAP publish vs a concurrent direct commit: the fast-forward loses the " +
