@@ -501,6 +501,63 @@ object StreamingOps {
              |       ELSE 'mixed' END AS class
              |FROM census ORDER BY x""".stripMargin)),
 
+    // STATE EVICTION + LATE-DETECTION RESURRECTION [PK — the broker
+    // reality at survey scale: candidates are unbounded, live state is
+    // not]. stream_transient's association plus the watermark leg:
+    // candidates idle past an event-time timeout EVICT to the curve
+    // table (one mid-stream, one in the post-drain no-data batch), and a
+    // LATE detection restarts the association with initialState re-read
+    // FROM the table — the evicted candidate resurrects with its
+    // pre-eviction history intact. Three laws require'd in-run: the
+    // evict set equals the watermark arithmetic's verdict (the same
+    // integer inequality the oracle evaluates: last on-time epoch ≤
+    // horizon), the combined census ≡ the batch association over ALL
+    // detections (on-time + late), and every resurrected candidate
+    // counts more epochs than its late rows alone. See
+    // StreamRunner.transientWatermarkStream.
+    QDef(
+      "stream_transient_watermark",
+      (s, dir) => graft.streaming.StreamRunner.transientWatermarkStream(s, dir),
+      Some("""WITH ontime AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 2000), (3, 10, 10, 2500), (5, 10, 10, 3000),
+             |    (3, 24, 20, 3000), (5, 24, 20, 2600), (5, 5, 25, 2100),
+             |    (2, 7, 30, 1500), (4, 28, 3, 1800))
+             |    t(frame_id, x, y, flux)),
+             |late AS (
+             |  SELECT * FROM (VALUES (3, 7, 30, 1700), (6, 10, 10, 3500))
+             |    t(frame_id, x, y, flux)),
+             |alldet AS (
+             |  SELECT * FROM ontime UNION ALL SELECT * FROM late),
+             |ev AS (
+             |  SELECT x, y, max(frame_id) <= 4 AS evicted
+             |  FROM ontime GROUP BY 1, 2),
+             |curve AS (
+             |  SELECT frame_id, x, y, flux,
+             |    flux - lag(flux, 1) OVER (PARTITION BY x, y
+             |      ORDER BY frame_id) AS dflux
+             |  FROM alldet),
+             |census AS (
+             |  SELECT x, y, count(*) AS n_epochs,
+             |    CAST(min(frame_id) AS BIGINT) AS first_frame,
+             |    CAST(max(frame_id) AS BIGINT) AS last_frame,
+             |    CAST(max(flux) AS BIGINT) AS peak_flux,
+             |    CAST(sum(flux) AS BIGINT) AS total_flux,
+             |    min(dflux) AS min_d, max(dflux) AS max_d
+             |  FROM curve GROUP BY x, y)
+             |SELECT CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+             |  c.n_epochs, c.first_frame, c.last_frame, c.peak_flux,
+             |  c.total_flux,
+             |  CASE WHEN c.n_epochs = 1 THEN 'single'
+             |       WHEN c.min_d > 0 THEN 'rising'
+             |       WHEN c.max_d < 0 THEN 'fading'
+             |       ELSE 'mixed' END AS class,
+             |  e.evicted,
+             |  e.evicted AND EXISTS (SELECT 1 FROM late l
+             |    WHERE l.x = c.x AND l.y = c.y) AS resurrected
+             |FROM census c JOIN ev e USING (x, y)
+             |ORDER BY c.x""".stripMargin)),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),

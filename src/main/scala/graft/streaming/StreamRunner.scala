@@ -1117,4 +1117,220 @@ object StreamRunner {
       "the streamed transient census diverged from the batch association")
     streamed.orderBy("x")
   }
+
+  /** Streaming transient association WITH STATE EVICTION + RESURRECTION —
+    * the broker reality at survey scale: the candidate population is
+    * unbounded, so live state cannot be. Phase A replays the on-time
+    * epochs under an event-time watermark (0 s delay; one epoch per
+    * micro-batch); a candidate idle past its ~1-day timeout is EVICTED:
+    * its census AND full curve emit to the curve table (the memory sink
+    * here; a parquet upsert in production) and its state is removed. The
+    * fixture exercises both firing paths — one candidate evicts
+    * MID-STREAM (a data batch's timeout sweep), one in the POST-DRAIN
+    * no-data batch when the final watermark passes it. Phase B replays
+    * LATE detections (event time behind phase A's final watermark): the
+    * association restarts with `initialState` re-read FROM the curve
+    * table, so an evicted candidate RESURRECTS with its pre-eviction
+    * history intact and a live candidate simply continues. Laws
+    * require'd in here: (1) the evict set is exactly what the watermark
+    * arithmetic predicts (last on-time epoch ≤ horizon — the same
+    * integer inequality the oracle evaluates); (2) the COMBINED streamed
+    * census (phase B overriding phase A) ≡ the batch census over ALL
+    * detections, on-time + late; (3) every resurrected candidate's
+    * census counts MORE epochs than its late rows alone — resurrection
+    * rebuilt from the table, not from scratch. Scale: live state is
+    * bounded by the watermark horizon regardless of how many candidates
+    * ever existed; eviction and resurrection both move one census row +
+    * one bounded curve per candidate, and the association still shuffles
+    * once on the position key. */
+  def transientWatermarkStream(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import s.implicits._
+    val dayMs = 86400L * 1000L
+    // Timeout gap just UNDER a day so a candidate whose last epoch is d
+    // times out once the watermark reaches day d+1 regardless of the
+    // engine's strict-vs-inclusive boundary convention.
+    val gapMs = 86300L * 1000L
+    val onTime = Seq(
+      (1L, 10L, 10L, 2000L), (3L, 10L, 10L, 2500L), (5L, 10L, 10L, 3000L),
+      (3L, 24L, 20L, 3000L), (5L, 24L, 20L, 2600L),
+      (5L, 5L, 25L, 2100L),
+      (2L, 7L, 30L, 1500L), (4L, 28L, 3L, 1800L))
+    val lateDet = Seq((3L, 7L, 30L, 1700L), (6L, 10L, 10L, 3500L))
+    val rootA = tmpDir("graft_transwm_src")
+    val onDf = onTime.toDF("frame_id", "x", "y", "flux")
+    (1L to 5L).foreach { f =>
+      onDf.where(col("frame_id") === f).coalesce(1)
+        .write.mode("append").parquet(rootA)
+    }
+    val sch = s.read.parquet(rootA).schema
+    def classify(curve: Seq[(Long, Long)])
+        : (Long, Long, Long, Long, Long, String) = {
+      val sorted = curve.sortBy(_._1)
+      val deltas = sorted.sliding(2).collect {
+        case Seq((_, a), (_, b)) => b - a
+      }.toSeq
+      val cls =
+        if (sorted.size == 1) "single"
+        else if (deltas.forall(_ > 0L)) "rising"
+        else if (deltas.forall(_ < 0L)) "fading"
+        else "mixed"
+      (sorted.size.toLong, sorted.head._1, sorted.last._1,
+        sorted.map(_._2).max, sorted.map(_._2).sum, cls)
+    }
+    def emitRow(pos: (Long, Long), st: Seq[(Long, Long)], kind: String,
+        wm: Long): (Long, Long, Long, Long, Long, Long, Long, String,
+          String, Long, Seq[Long], Seq[Long]) = {
+      val (n, first, last, peak, total, cls) = classify(st)
+      val sorted = st.sortBy(_._1)
+      (pos._1, pos._2, n, first, last, peak, total, cls, kind, wm,
+        sorted.map(_._1), sorted.map(_._2))
+    }
+    val foldA = (pos: (Long, Long),
+        rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[Seq[(Long, Long)]]) => {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(emitRow(pos, st, "evict",
+          state.getCurrentWatermarkMs()))
+      } else {
+        val st = state.getOption.getOrElse(Seq.empty) ++
+          rows.map(r => (r._3, r._4))
+        state.update(st)
+        state.setTimeoutTimestamp(st.map(_._1).max * dayMs + gapMs)
+        Iterator.single(emitRow(pos, st, "live",
+          state.getCurrentWatermarkMs()))
+      }
+    }
+    val qnA = "graft_transwm_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qa = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(rootA)
+      .select(col("x"), col("y"), col("frame_id"), col("flux"),
+        timestamp_seconds(col("frame_id") * 86400L).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(foldA)
+      .toDF("x", "y", "n_epochs", "first_frame", "last_frame", "peak_flux",
+        "total_flux", "class", "kind", "emit_wm", "epochs", "fluxes")
+      .writeStream.format("memory").queryName(qnA).outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_transwm_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qa.awaitTermination()
+    val tableA = s.table(qnA).localCheckpoint()
+    // Latest emission per position: state grows monotonically and emit_wm
+    // strictly increases across batches; an evict row outranks its final
+    // live row at equal count.
+    val wPick = Window.partitionBy("x", "y")
+      .orderBy(col("n_epochs").desc, col("emit_wm").desc,
+        when(col("kind") === "evict", 1L).otherwise(0L).desc)
+    val lastA = tableA.withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1).drop("rn").localCheckpoint()
+    // Law 1: the evict set is exactly the watermark arithmetic's verdict.
+    val evict = tableA.where(col("kind") === "evict")
+      .select(col("x"), col("y")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lastEpochHorizon = onTime.map(_._1).max - 1L
+    val expectedEvict = onTime.groupBy(d => (d._2, d._3)).collect {
+      case (pos, ds) if ds.map(_._1).max <= lastEpochHorizon => pos
+    }.toSet
+    require(evict == expectedEvict,
+      s"evict set $evict diverged from the watermark arithmetic $expectedEvict")
+    // Phase B: late detections over initialState REBUILT FROM THE TABLE.
+    val rootB = tmpDir("graft_transwm_late")
+    lateDet.toDF("frame_id", "x", "y", "flux").coalesce(1)
+      .write.mode("append").parquet(rootB)
+    val initState = lastA
+      .select(col("x"), col("y"), col("epochs"), col("fluxes"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map(r => ((r._1, r._2), r._3.zip(r._4)))
+      .groupByKey(_._1).mapValues(_._2)
+    val foldB = (pos: (Long, Long),
+        rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[Seq[(Long, Long)]]) => {
+      // The engine also invokes the function for initial-state keys with
+      // no data in the batch — those are NOT touched: emit nothing, so
+      // "resumed" means "received a late detection", not "was seeded".
+      val newRows = rows.map(r => (r._3, r._4)).toSeq
+      if (newRows.isEmpty) Iterator.empty
+      else {
+        val st = state.getOption.getOrElse(Seq.empty) ++ newRows
+        state.update(st)
+        Iterator.single(emitRow(pos, st, "resume", Long.MaxValue))
+      }
+    }
+    val qnB = "graft_transwmb_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qb = s.readStream.schema(sch).parquet(rootB)
+      .select(col("x"), col("y"), col("frame_id"), col("flux"),
+        timestamp_seconds(col("frame_id") * 86400L).as("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout(), initState)(foldB)
+      .toDF("x", "y", "n_epochs", "first_frame", "last_frame", "peak_flux",
+        "total_flux", "class", "kind", "emit_wm", "epochs", "fluxes")
+      .writeStream.format("memory").queryName(qnB).outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_transwmb_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qb.awaitTermination()
+    val lastB = s.table(qnB).localCheckpoint()
+      .withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1).drop("rn").localCheckpoint()
+    // Law 3: resurrection carried the pre-eviction history.
+    val resurrect = evict.intersect(lateDet.map(d => (d._2, d._3)).toSet)
+    require(resurrect.nonEmpty,
+      "fixture must exercise an eviction + resurrection cycle")
+    resurrect.foreach { case (rx, ry) =>
+      val nLate = lateDet.count(d => (d._2, d._3) == (rx, ry)).toLong
+      require(lastB.where(col("x") === rx && col("y") === ry &&
+          col("n_epochs") > nLate).count() == 1L,
+        "a resurrected candidate lost its pre-eviction history")
+    }
+    // Law 2: combined streamed census ≡ batch census over ALL detections.
+    val censusCols =
+      Seq("x", "y", "n_epochs", "first_frame", "last_frame", "peak_flux",
+        "total_flux", "class").map(col)
+    val combined = lastB.select(censusCols: _*)
+      .unionAll(lastA.select(censusCols: _*)
+        .join(lastB.select(col("x").as("bx"), col("y").as("by")),
+          col("x") === col("bx") && col("y") === col("by"), "left_anti"))
+      .localCheckpoint()
+    val lagW = Window.partitionBy("x", "y").orderBy("frame_id")
+    val batch = (onTime ++ lateDet).toDF("frame_id", "x", "y", "flux")
+      .withColumn("dflux", col("flux") - lag("flux", 1).over(lagW))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_epochs"),
+        min("frame_id").as("first_frame"),
+        max("frame_id").as("last_frame"),
+        max("flux").as("peak_flux"),
+        sum("flux").cast("long").as("total_flux"),
+        min("dflux").as("min_d"), max("dflux").as("max_d"))
+      .withColumn("class",
+        when(col("n_epochs") === 1L, "single")
+          .when(col("min_d") > 0L, "rising")
+          .when(col("max_d") < 0L, "fading")
+          .otherwise("mixed"))
+      .drop("min_d", "max_d")
+    require(combined.exceptAll(batch).unionAll(batch.exceptAll(combined))
+        .isEmpty,
+      "the watermarked streamed census diverged from the batch association")
+    val evictDf = evict.toSeq.toDF("ex", "ey")
+    val touchedB = lastB.select(col("x").as("bx"), col("y").as("by"))
+    combined
+      .join(broadcast(evictDf),
+        col("x") === col("ex") && col("y") === col("ey"), "left")
+      .withColumn("evicted", col("ex").isNotNull)
+      .drop("ex", "ey")
+      .join(broadcast(touchedB),
+        col("x") === col("bx") && col("y") === col("by"), "left")
+      .withColumn("resurrected", col("evicted") && col("bx").isNotNull)
+      .drop("bx", "by")
+      .orderBy("x")
+  }
 }

@@ -80,7 +80,8 @@ class InventorySpec extends SparkSpec {
     "graph_pagerank", "graph_cc",  // localCheckpoint per iteration
     "table_wap",                   // stages, audits, and publishes on construction
     "table_matview_join",          // three refresh cycles commit on construction
-    "stream_transient")            // full association stream run on construction
+    "stream_transient",            // full association stream run on construction
+    "stream_transient_watermark")  // two-phase eviction/resurrection stream run
 
   test("every batch query analyzes (schema resolves) against the fixtures") {
     val skip = eager

@@ -496,6 +496,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set((10L, 20L), (11L, 22L)))
   }
 
+  test("stream_transient_watermark: an evicted candidate resurrects from the " +
+      "curve table with its pre-eviction history intact") {
+    // The streamed-≡-batch and evict-set laws are require'd inside the
+    // run; this pins the eviction + resurrection cycle's observable
+    // outcome: the mid-stream-evicted candidate (7,30) ends with BOTH its
+    // pre-eviction epoch and its late epoch, classified from the full
+    // curve, while the drain-evicted candidate (28,3) stays a single.
+    val out = SparkEntry.queries("stream_transient_watermark")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val d = out((7L, 30L))
+    assert(d.getLong(2) === 2L, "resurrected candidate must count 2 epochs")
+    assert(d.getLong(3) === 2L, "first_frame must be the PRE-eviction epoch")
+    assert(d.getString(7) === "rising")
+    assert(d.getBoolean(8) && d.getBoolean(9), "evicted + resurrected flags")
+    val e = out((28L, 3L))
+    assert(e.getLong(2) === 1L && e.getBoolean(8) && !e.getBoolean(9),
+      "the drain-evicted candidate stays an evicted, un-resurrected single")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
