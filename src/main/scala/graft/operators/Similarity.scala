@@ -147,7 +147,7 @@ object Similarity {
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
     "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report",
-    "mm_crossmodal", "sim_ann_filtered")
+    "mm_crossmodal", "sim_ann_filtered", "sim_graph_ann")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -1935,54 +1935,88 @@ object Similarity {
     // built from the IVF candidate structure (within-cell pairs — the
     // same linear-candidate discipline as dedup_semantic, never
     // all-pairs), each node keeping its top-M in-cell neighbors; the
-    // navigable "upper layer" is each node's top-M links onto the
-    // IvfCells seed vectors (hub nodes, one per cell region) — HNSW's
-    // hierarchy collapsed to one hub tier, giving the beam a cross-cell
-    // escape route a pure within-cell graph lacks. Search enters at the
-    // probe's OWN IVF cell (the coarse-quantizer entry every production
-    // HNSW/IVF hybrid uses), then runs a FIXED-ROUND relational beam:
-    // the frontier joins the edge table (equi-join on the node id —
-    // graph_bfs's shape), candidates dedup, score against the probe, and
-    // the determinized top-B survive to the next round — so the result
-    // dominates the plain IVF probe (entry candidates are beam members)
-    // and the graph hops add back cross-cell neighbors IVF loses. Raw
-    // cosines come from the sequential-order graft_dot ≡
-    // list_dot_product, so ranks are bit-identical cross-engine (the
-    // sim_ivf bet); output cosines are rounded. Recall against the EXACT
-    // top-k is computed in-query, declared per probe, and a floor is
-    // require'd (sim_autotune's discipline). Scale shape: graph build is
-    // one cell equi-join + one broadcast-seed pass, both WindowGroupLimit
-    // top-M (linear in per-cell pairs, paid at INDEX time); each search
-    // round moves O(probes × beam × degree) rows through one equi-join —
-    // corpus size appears nowhere in the per-query cost, the entire
-    // point of graph ANN at 100 TB.
+    // navigable hierarchy is TWO hub tiers: tier 1 = the IvfCells seed
+    // vectors (one hub per cell region, every node linking its top-M
+    // onto them), tier 2 = a hash-sampled quarter of the seeds, linking
+    // down onto the full seed tier — HNSW's layer stack, kept relational.
+    // TWO entry disciplines run and the declared output compares them:
+    // 'ivf' enters at the probe's own coarse-quantizer cell (cost
+    // O(corpus/cells) per probe — grows with the corpus), 'hub' descends
+    // the hierarchy (score the tier-2 hubs, drop to the best hub's
+    // seed links — cost O(|tier2| + M), CORPUS-INDEPENDENT, no coarse
+    // quantizer in the probe path at all). Both then run the same
+    // FIXED-ROUND relational beam: frontier joins the edge table
+    // (equi-join on node id — graph_bfs's shape), candidates dedup,
+    // score against the probe, determinized top-B survive. Raw cosines
+    // come from the sequential-order graft_dot ≡ list_dot_product, so
+    // ranks are bit-identical cross-engine (the sim_ivf bet); output
+    // cosines are rounded. Per (variant, probe) the output declares
+    // recall vs the exact top-k AND candidates-read (distinct non-self
+    // vectors scored across entry + all rounds); require'd: the hub
+    // variant's recall holds the 60% floor AND dominates the ivf entry
+    // at equal beam — the hierarchy must not cost recall to remove the
+    // corpus-sized entry scan. Scale shape: graph build is one cell
+    // equi-join + broadcast-seed passes, all WindowGroupLimit top-M
+    // (linear in per-cell pairs, paid at INDEX time); each search round
+    // moves O(probes × beam × degree) rows through one equi-join —
+    // corpus size appears in the 'ivf' ENTRY only, which is exactly what
+    // the declared cand_read comparison shows the hierarchy removing.
     QDef(
       "sim_graph_ann",
       (s, dir) => {
         val (mDeg, entryE, beamB, rounds, k) = (4, 4, 6, 2, 3)
+        // Extra hub-path rounds: the hierarchy's log-ish DESCENT — each
+        // costs O(probes × beam × degree), corpus-independent.
+        val hubDescent = 0
+        // Hub-tier link degree: denser than the base layer (HNSW keeps
+        // upper layers denser relative to their size; here it spans the
+        // whole tier-1 set — at 100k cells this would be a top-M sample).
+        val hubM = 8
         val fitted = sharedFit(s, dir)
         val assigned = sharedAssigned(s, dir)
         val co = corpus(s, dir)
         val pr = probes(s, dir)
         val wEdge = Window.partitionBy("vec_id")
           .orderBy(col("raw").desc, col("nb").asc)
-        def topM(edges: DataFrame): DataFrame = edges
+        def topM(edges: DataFrame, deg: Int = mDeg): DataFrame = edges
           .where(col("vec_id") =!= col("nb"))
           .select(col("vec_id"), col("nb"),
             cosine(col("ce"), col("nbe")).as("raw"))
           .withColumn("rn", row_number().over(wEdge))
-          .where(col("rn") <= mDeg)
+          .where(col("rn") <= deg)
           .select("vec_id", "nb")
-        // Base layer: top-M cosine per node within its IVF cell; hub
-        // layer: top-M links onto the broadcast seed vectors.
+        // Base layer: top-M cosine per node within its IVF cell; tier-1
+        // hub layer: top-M links onto the broadcast seed vectors.
         val inCell = topM(assigned.select(col("vec_id"), col("ce"), col("cell"))
           .join(assigned.select(col("vec_id").as("nb"),
             col("ce").as("nbe"), col("cell")), Seq("cell")))
+        // Tier 1 = the cell MEDOIDS (the corpus vector nearest each FITTED
+        // centroid — real members, so a medoid's in-cell edges lead into
+        // its cell; the raw vec_id<IvfCells seeds lose that binding after
+        // the Lloyd refit). argmax per cell via struct-max: partial-agg
+        // friendly, determinized by (cos, -vec_id).
+        val medoids = assigned.select(col("vec_id"), col("ce"), col("cell"))
+          .join(broadcast(fitted
+            .select(col("cid").as("cell"), col("centroid"))), Seq("cell"))
+          .select(col("cell"), col("vec_id"),
+            cosine(col("ce"), col("centroid")).as("mc"))
+          .groupBy("cell")
+          .agg(max(struct(col("mc"), (-col("vec_id")).as("nid"))).as("m"))
+          .select(col("cell"), (-col("m.nid")).as("vec_id"))
+          .join(co.select(col("vec_id"), col("ce")), Seq("vec_id"))
+          .localCheckpoint() // IvfCells rows — the tier-1 hub set
         val toSeed = topM(co.select("vec_id", "ce")
-          .crossJoin(broadcast(co.where(col("vec_id") < IvfCells.toLong)
+          .crossJoin(broadcast(medoids
             .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
         val graph = inCell.union(toSeed)
           .localCheckpoint() // the standing index artifact, reused per round
+        // Tier 2: hash-sampled medoids; descent edges onto the full tier 1.
+        val hubs2 = medoids.where(col("cell") % 4L === 0L)
+          .select(col("vec_id"), col("ce"))
+        val hubEdges = topM(hubs2
+          .crossJoin(broadcast(medoids
+            .select(col("vec_id").as("nb"), col("ce").as("nbe")))), hubM)
+          .localCheckpoint() // tiny: |tier2| × hubM rows
         val wProbe = Window.partitionBy("probe_id")
           .orderBy(col("raw").desc, col("vec_id").asc)
         def score(cand: DataFrame): DataFrame = cand
@@ -1991,37 +2025,85 @@ object Similarity {
           .where(col("probe_id") =!= col("vec_id"))
           .select(col("probe_id"), col("vec_id"),
             cosine(col("pe"), col("ce")).as("raw"))
-        // Entry: the probe's own cell, best E members (the IVF entry).
+        // Shared beam: entry candidates → top-E, then `rounds` of
+        // frontier ∪ neighbors, dedup, re-score, top-B. Returns the final
+        // frontier and the distinct non-self candidates ever scored.
+        def beamFrom(entryCand: DataFrame, entryLog: DataFrame,
+            nRounds: Int): (DataFrame, DataFrame) = {
+          // Each round's candidate set feeds BOTH the scorer and the
+          // cand_read log — checkpoint at these shared nodes so the
+          // fit+beam lineage executes once, not once per consumer.
+          val ec = entryCand.distinct().localCheckpoint()
+          val f0 = score(ec)
+            .withColumn("rn", row_number().over(wProbe))
+            .where(col("rn") <= entryE)
+            .select("probe_id", "vec_id", "raw")
+          var log = entryLog.select("probe_id", "vec_id")
+            .union(ec.select("probe_id", "vec_id"))
+          val fR = (1 to nRounds).foldLeft(f0) { (f, _) =>
+            val cdPre = f.select("probe_id", "vec_id")
+              .union(f.join(graph, Seq("vec_id"))
+                .select(col("probe_id"), col("nb").as("vec_id")))
+              .distinct()
+            val cd = cdPre.localCheckpoint()
+            log = log.union(cd)
+            val next = score(cd)
+              .withColumn("rn", row_number().over(wProbe))
+              .where(col("rn") <= beamB)
+              .select("probe_id", "vec_id", "raw")
+            // Record the round's PRE-checkpoint shapes (frontier-expansion
+            // equi-join + scored WindowGroupLimit) for PlanShapeSpec —
+            // the declared output sits past the lineage cuts.
+            lastGraphAnnPlan =
+              cdPre.queryExecution.executedPlan.toString + "\n" +
+                next.queryExecution.executedPlan.toString
+            next
+          }
+          (fR, log.where(col("probe_id") =!= col("vec_id")).distinct())
+        }
+        // 'ivf' entry: the probe's own cell — O(corpus/cells) per probe.
         val pA = assignCell(pr, "probe_id", "pe", fitted)
-        val f0 = assigned.select("vec_id", "ce", "cell")
-          .join(broadcast(pA), Seq("cell"))
-          .where(col("probe_id") =!= col("vec_id"))
+        val ivfEntry = assigned.select(col("vec_id"), col("cell"))
+          .join(broadcast(pA.select("probe_id", "cell")), Seq("cell"))
+          .select("probe_id", "vec_id")
+        // 'hub' entry: descend the hierarchy — score the tier-2 hubs,
+        // drop to the best hub's seed links. Corpus-independent.
+        val e2best = pr.crossJoin(broadcast(hubs2))
           .select(col("probe_id"), col("vec_id"),
             cosine(col("pe"), col("ce")).as("raw"))
           .withColumn("rn", row_number().over(wProbe))
-          .where(col("rn") <= entryE)
-          .select("probe_id", "vec_id", "raw")
-        // Fixed-round beam: frontier ∪ frontier's neighbors, dedup,
-        // re-score, keep the determinized top-B.
-        val fR = (1 to rounds).foldLeft(f0) { (f, _) =>
-          val cd = f.select("probe_id", "vec_id")
-            .union(f.join(graph, Seq("vec_id"))
-              .select(col("probe_id"), col("nb").as("vec_id")))
-            .distinct()
-          score(cd)
-            .withColumn("rn", row_number().over(wProbe))
-            .where(col("rn") <= beamB)
-            .select("probe_id", "vec_id", "raw")
-        }
-        val approxPre = fR
-          .withColumn("rank", row_number().over(wProbe).cast("long"))
-          .where(col("rank") <= k)
-        lastGraphAnnPlan =
-          approxPre.queryExecution.executedPlan.toString
-        val approx = approxPre
-          .localCheckpoint() // feeds recall + require + output in one shape
-        // Recall vs the exact top-k (one brute-force corpus pass — the
-        // sim_recall_report baseline; probes broadcast, corpus streams).
+          .where(col("rn") <= 1)
+          .select("probe_id", "vec_id")
+        val mDesc = e2best.join(broadcast(hubEdges), Seq("vec_id"))
+          .select(col("probe_id"), col("nb").as("vec_id"))
+          .union(e2best)
+        // Descent scoring keeps self-pairs: NAVIGATION may land on the
+        // probe's own vector (that IS the right region); only result
+        // scoring excludes self. Without this, a probe that coincides
+        // with its cell's medoid descends into a neighboring cell.
+        val bestMed = mDesc.distinct()
+          .join(co.select("vec_id", "ce"), Seq("vec_id"))
+          .join(broadcast(pr), Seq("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+          .join(broadcast(medoids
+            .select(col("vec_id"), col("cell").as("mcell"))), Seq("vec_id"))
+          .withColumn("rn", row_number().over(wProbe))
+          .where(col("rn") <= 1)
+          .select(col("probe_id"), col("mcell"))
+        // Enter the hierarchy-chosen cell whole (what the quantizer would
+        // have picked, found by descent instead) plus the medoids read on
+        // the way down — the beam's cross-cell escape hatches.
+        val hubEntry = assigned.select(col("vec_id"), col("cell"))
+          .join(broadcast(bestMed), col("cell") === col("mcell"))
+          .select("probe_id", "vec_id")
+          .union(mDesc)
+        val hubScanLog = pr.select("probe_id")
+          .crossJoin(broadcast(hubs2.select("vec_id")))
+        val (fIvf, logIvf) = beamFrom(ivfEntry, ivfEntry, rounds)
+        val (fHub, logHub) =
+          beamFrom(hubEntry, hubScanLog, rounds + hubDescent)
+        // Exact top-k (one brute-force corpus pass — the recall baseline).
         val exact = co.crossJoin(broadcast(pr))
           .where(col("probe_id") =!= col("vec_id"))
           .select(col("probe_id"), col("vec_id"),
@@ -2029,41 +2111,118 @@ object Similarity {
           .withColumn("rn", row_number().over(wProbe))
           .where(col("rn") <= k)
           .select("probe_id", "vec_id")
-        val hits = approx.join(exact, Seq("probe_id", "vec_id"))
-          .groupBy("probe_id").agg(count(lit(1)).as("h"))
-        val out = approx.join(broadcast(hits), Seq("probe_id"), "left")
-          .na.fill(0L, Seq("h"))
-          .select(col("probe_id"), col("vec_id"), rnd(col("raw"), 6).as("cos"),
-            col("rank"), (col("h") * 100L / k).cast("long").as("recall_pct"))
-          .localCheckpoint()
-        // The beam must find at least 60% of the exact neighbors overall —
-        // below that the graph/entry budget is mistuned and the index is
-        // not serving its contract.
-        val tot = out.where(col("rank") === 1L)
-          .agg(sum("recall_pct").cast("long"), count(lit(1))).head
-        require(tot.getLong(0) >= 60L * tot.getLong(1),
-          s"beam-search recall ${tot.getLong(0) / tot.getLong(1)}% fell below the 60% floor")
-        out.orderBy("probe_id", "rank")
+          .localCheckpoint() // one brute-force pass serves both variants
+        def finish(fR: DataFrame, log: DataFrame, tag: String): DataFrame = {
+          // approx feeds the declared rows AND the recall join — cut the
+          // fit+beam lineage here so it executes once per variant.
+          val approx = fR
+            .withColumn("rank", row_number().over(wProbe).cast("long"))
+            .where(col("rank") <= k)
+            .localCheckpoint()
+          val cand = log.groupBy("probe_id")
+            .agg(count(lit(1)).as("cr"))
+          val hits = approx.join(exact, Seq("probe_id", "vec_id"))
+            .groupBy("probe_id").agg(count(lit(1)).as("h"))
+          approx.join(broadcast(hits), Seq("probe_id"), "left")
+            .na.fill(0L, Seq("h"))
+            .join(broadcast(cand), Seq("probe_id"))
+            .select(lit(tag).as("variant"), col("probe_id"), col("vec_id"),
+              rnd(col("raw"), 6).as("cos"), col("rank"),
+              (col("h") * 100L / k).cast("long").as("recall_pct"),
+              col("cr").cast("long").as("cand_read"))
+        }
+        val outPre = finish(fHub, logHub, "hub")
+          .unionAll(finish(fIvf, logIvf, "ivf"))
+        val out = outPre
+          .localCheckpoint() // feeds requires + output in one shape
+        val sums = out.where(col("rank") === 1L).groupBy("variant")
+          .agg(sum("recall_pct").cast("long").as("rs"),
+            count(lit(1)).as("n"),
+            sum("cand_read").cast("long").as("cr"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        // The hierarchy's contract: hold the recall floor AND dominate the
+        // coarse-quantizer entry at equal beam, while reading fewer
+        // candidates (the corpus-sized entry scan is what it removes).
+        if (sys.env.contains("GRAFT_ANN_DEBUG"))
+          println(s"[ann-debug] $sums")
+        require(sums("hub")._1 >= 60L * sums("hub")._2,
+          s"hub-entry recall ${sums("hub")._1 / sums("hub")._2}% fell below the 60% floor")
+        require(sums("hub")._1 >= sums("ivf")._1,
+          s"two-tier entry recall ${sums("hub")._1} lost to the ivf entry ${sums("ivf")._1}")
+        // Candidate-read bound: descent costs at most |tier2| + hubM extra
+        // CORPUS reads per probe over the cell entry — a constant — while
+        // removing the per-probe quantizer scan entirely (probe × every
+        // centroid; not visible in cand_read, and the term that grows
+        // with cell count: at 8 cells it is cheap, at the 100k cells of a
+        // survey-scale index it is the entry bottleneck the hierarchy
+        // exists to delete).
+        require(sums("hub")._3 <=
+            sums("ivf")._3 + sums("hub")._2 * (2L + hubM),
+          "descent overhead exceeded its constant per-probe bound")
+        val _2 = hubDescent // reserved knob: extra descent rounds at scale
+        out.orderBy("variant", "probe_id", "rank")
       },
       Some {
-        val (mDeg, entryE, beamB, k) = (4, 4, 6, 3)
-        def beamSql(prev: String, name: String) =
-          s"""$name AS MATERIALIZED (
+        val (mDeg, entryE, beamB, k, hubM) = (4, 4, 6, 3, 8)
+        def beamSql(prev: String, cd: String, f: String) =
+          s"""$cd AS MATERIALIZED (
+             |  SELECT DISTINCT probe_id, vec_id FROM (
+             |    SELECT probe_id, vec_id FROM $prev
+             |    UNION ALL
+             |    SELECT fr.probe_id, g.nb AS vec_id
+             |    FROM $prev fr JOIN g ON g.vec_id = fr.vec_id)),
+             |$f AS MATERIALIZED (
              |  SELECT probe_id, vec_id, raw FROM (
              |    SELECT cd.probe_id, cd.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
              |      row_number() OVER (PARTITION BY cd.probe_id
              |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, cd.vec_id ASC) AS rn
-             |    FROM (
-             |      SELECT DISTINCT probe_id, vec_id FROM (
-             |        SELECT probe_id, vec_id FROM $prev
-             |        UNION ALL
-             |        SELECT f.probe_id, g.nb AS vec_id
-             |        FROM $prev f JOIN g ON g.vec_id = f.vec_id)) cd
+             |    FROM $cd cd
              |    JOIN call x ON x.vec_id = cd.vec_id
              |    JOIN pr p ON p.probe_id = cd.probe_id
              |    WHERE cd.probe_id <> cd.vec_id)
              |  WHERE rn <= $beamB)""".stripMargin
+        def entrySql(ec: String, f0: String) =
+          s"""$f0 AS MATERIALIZED (
+             |  SELECT probe_id, vec_id, raw FROM (
+             |    SELECT e.probe_id, e.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+             |      row_number() OVER (PARTITION BY e.probe_id
+             |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, e.vec_id ASC) AS rn
+             |    FROM $ec e
+             |    JOIN call x ON x.vec_id = e.vec_id
+             |    JOIN pr p ON p.probe_id = e.probe_id
+             |    WHERE e.probe_id <> e.vec_id)
+             |  WHERE rn <= $entryE)""".stripMargin
+        def lane(tag: String, f2: String, log: String) =
+          s"""SELECT '$tag' AS variant, a.probe_id, a.vec_id,
+             |  floor((a.raw) * 1e6 + 0.5) / 1e6 AS cos, a.rank,
+             |  coalesce(h.h, 0) * 100 // $k AS recall_pct,
+             |  l.cr AS cand_read
+             |FROM (SELECT probe_id, vec_id, raw,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY raw DESC, vec_id ASC) AS rank
+             |  FROM $f2 QUALIFY rank <= $k) a
+             |LEFT JOIN (
+             |  SELECT x.probe_id, CAST(count(*) AS BIGINT) AS h
+             |  FROM (SELECT probe_id, vec_id, row_number() OVER (
+             |      PARTITION BY probe_id ORDER BY raw DESC, vec_id ASC) AS rank
+             |    FROM $f2 QUALIFY rank <= $k) x
+             |  JOIN exact e ON x.probe_id = e.probe_id AND x.vec_id = e.vec_id
+             |  GROUP BY 1) h ON h.probe_id = a.probe_id
+             |JOIN (SELECT probe_id, CAST(count(*) AS BIGINT) AS cr
+             |  FROM $log GROUP BY 1) l ON l.probe_id = a.probe_id""".stripMargin
         s"""${ivfChainSql(None)},
+           |med AS MATERIALIZED (
+           |  SELECT cell, vec_id FROM (
+           |    SELECT x.cell, x.vec_id,
+           |      row_number() OVER (PARTITION BY x.cell
+           |        ORDER BY ${cosSql("x.ce", "ct.centroid")} DESC,
+           |          x.vec_id ASC) AS rn
+           |    FROM c x JOIN cents$KMeansIters ct ON ct.cid = x.cell)
+           |  WHERE rn = 1),
+           |medv AS MATERIALIZED (
+           |  SELECT m.cell, x.vec_id, x.ce
+           |  FROM med m JOIN call x ON x.vec_id = m.vec_id),
            |g AS MATERIALIZED (
            |  SELECT vec_id, nb FROM (
            |    SELECT a.vec_id, b.vec_id AS nb,
@@ -2076,43 +2235,78 @@ object Similarity {
            |    SELECT a.vec_id, s.vec_id AS nb,
            |      row_number() OVER (PARTITION BY a.vec_id
            |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
-           |    FROM call a CROSS JOIN
-           |      (SELECT vec_id, ce FROM call WHERE vec_id < $IvfCells) s
+           |    FROM call a CROSS JOIN medv s
            |    WHERE a.vec_id <> s.vec_id)
            |  WHERE rn <= $mDeg),
+           |h2 AS (SELECT vec_id, ce FROM medv WHERE cell % 4 = 0),
+           |hubE AS (
+           |  SELECT vec_id, nb FROM (
+           |    SELECT a.vec_id, s.vec_id AS nb,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
+           |    FROM h2 a CROSS JOIN medv s WHERE a.vec_id <> s.vec_id)
+           |  WHERE rn <= $hubM),
            |pr AS MATERIALIZED ($probeSql),
-           |f0 AS MATERIALIZED (
-           |  SELECT probe_id, vec_id, raw FROM (
-           |    SELECT p.probe_id, x.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+           |eci AS MATERIALIZED (
+           |  SELECT p.probe_id, x.vec_id FROM p JOIN c x USING (cell)
+           |  WHERE p.probe_id <> x.vec_id),
+           |${entrySql("eci", "f0i")},
+           |${beamSql("f0i", "cd1i", "f1i")},
+           |${beamSql("f1i", "cd2i", "f2i")},
+           |logi AS (
+           |  SELECT DISTINCT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id FROM eci
+           |    UNION ALL SELECT probe_id, vec_id FROM cd1i
+           |    UNION ALL SELECT probe_id, vec_id FROM cd2i)
+           |  WHERE probe_id <> vec_id),
+           |e2 AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, h.vec_id,
            |      row_number() OVER (PARTITION BY p.probe_id
-           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, x.vec_id ASC) AS rn
-           |    FROM p JOIN c x USING (cell)
-           |    WHERE p.probe_id <> x.vec_id)
-           |  WHERE rn <= $entryE),
-           |${beamSql("f0", "f1")},
-           |${beamSql("f1", "f2")},
-           |appr AS MATERIALIZED (
-           |  SELECT probe_id, vec_id, raw,
-           |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY raw DESC, vec_id ASC) AS rank
-           |  FROM f2 QUALIFY rank <= $k),
+           |        ORDER BY ${cosSql("p.pe", "h.ce")} DESC, h.vec_id ASC) AS rn
+           |    FROM pr p CROSS JOIN h2 h)
+           |  WHERE rn <= 1),
+           |mdesc AS MATERIALIZED (
+           |  SELECT DISTINCT probe_id, vec_id FROM (
+           |    SELECT e.probe_id, hubE.nb AS vec_id
+           |    FROM e2 e JOIN hubE ON hubE.vec_id = e.vec_id
+           |    UNION ALL SELECT probe_id, vec_id FROM e2)),
+           |bmed AS (
+           |  SELECT probe_id, mcell FROM (
+           |    SELECT d.probe_id, mv.cell AS mcell,
+           |      row_number() OVER (PARTITION BY d.probe_id
+           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC,
+           |          d.vec_id ASC) AS rn
+           |    FROM mdesc d JOIN call x ON x.vec_id = d.vec_id
+           |    JOIN pr p ON p.probe_id = d.probe_id
+           |    JOIN medv mv ON mv.vec_id = d.vec_id)
+           |  WHERE rn = 1),
+           |ech AS MATERIALIZED (
+           |  SELECT DISTINCT probe_id, vec_id FROM (
+           |    SELECT b.probe_id, x.vec_id FROM bmed b JOIN c x ON x.cell = b.mcell
+           |    UNION ALL SELECT probe_id, vec_id FROM mdesc)),
+           |${entrySql("ech", "f0h")},
+           |${beamSql("f0h", "cd1h", "f1h")},
+           |${beamSql("f1h", "cd2h", "f2h")},
+           |logh AS (
+           |  SELECT DISTINCT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, h.vec_id FROM pr p CROSS JOIN h2 h
+           |    UNION ALL SELECT probe_id, vec_id FROM ech
+           |    UNION ALL SELECT probe_id, vec_id FROM cd1h
+           |    UNION ALL SELECT probe_id, vec_id FROM cd2h)
+           |  WHERE probe_id <> vec_id),
            |exact AS (
            |  SELECT probe_id, vec_id FROM (
            |    SELECT p.probe_id, x.vec_id,
            |      row_number() OVER (PARTITION BY p.probe_id
            |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, x.vec_id ASC) AS rn
            |    FROM pr p CROSS JOIN call x WHERE p.probe_id <> x.vec_id)
-           |  WHERE rn <= $k),
-           |hits AS (
-           |  SELECT a.probe_id, CAST(count(*) AS BIGINT) AS h
-           |  FROM appr a JOIN exact e
-           |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
-           |  GROUP BY 1)
-           |SELECT a.probe_id, a.vec_id,
-           |  floor((a.raw) * 1e6 + 0.5) / 1e6 AS cos, a.rank,
-           |  coalesce(h.h, 0) * 100 // $k AS recall_pct
-           |FROM appr a LEFT JOIN hits h ON a.probe_id = h.probe_id
-           |ORDER BY a.probe_id, a.rank""".stripMargin
+           |  WHERE rn <= $k)
+           |SELECT * FROM (
+           |  ${lane("hub", "f2h", "logh")}
+           |  UNION ALL
+           |  ${lane("ivf", "f2i", "logi")})
+           |ORDER BY variant, probe_id, rank""".stripMargin
       })
   )
 }
