@@ -1449,6 +1449,146 @@ object Scans {
              |  FROM ab
              |ORDER BY phase""".stripMargin)),
 
+    // CROSS-TABLE ATOMIC COMMIT [PK — the Iceberg REST-catalog multi-
+    // table transaction shape: the nightly pipeline commits a CURVE table
+    // and a derived per-object STATE table; with independent logs a
+    // reader can land between the two commits and see them at MIXED
+    // versions — state that does not aggregate its own curves]. The fix
+    // is a CATALOG level above both logs: each txn PREPARES by
+    // committing to the participant tables' own logs (those versions are
+    // invisible to anyone resolving through the catalog), then ONE
+    // setTags commit on the catalog publishes the whole pin-set (curves
+    // → v, state → v) in a single atomic file-create — readers resolve
+    // versions via CommitLog.pinnedVersions and can never observe the
+    // pair torn. The query drives a full txn with BOTH crash points
+    // exercised: after the curve prepare (catalog readers still get the
+    // old consistent pair — require'd, with the load-bearing
+    // counter-require that the TORN pair provably violates the
+    // state-aggregates-curves invariant), and after both prepares but
+    // before publish (still the old pair). Publish flips both pins at
+    // once; a duplicate publish of the same txn version fails cleanly
+    // (the create-if-absent log), which is what makes crash RECOVERY
+    // idempotent: re-drive the txn, and whoever publishes second gets a
+    // conflict, not a double-apply. Scale: the catalog commit is O(1)
+    // metadata regardless of how many tables or bytes the txn touched —
+    // the same reason a REST catalog can coordinate thousand-table
+    // transactions.
+    QDef(
+      "table_txn_multi",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val root = freshRunTmpPath(s, "graft_txnmulti_")
+        val (curves, state, cat) =
+          (s"$root/curves", s"$root/state", s"$root/catalog")
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("val"))
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy((col("key") % 8L).as("bucket"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("cast(floor(val * 1e2 + 0.5) as bigint)"))
+                .cast("long").as("cents"))
+        // v1 on both tables + the catalog pinning the pair (1, 1).
+        o.where(col("key") % 3L =!= 0L)
+          .coalesce(2).write.mode("overwrite").parquet(s"$curves/gen1")
+        CommitLog.commit(curves, 1L, "gen1")
+        stateOf(CommitLog.readAsOf(s, curves, 1L))
+          .coalesce(1).write.mode("overwrite").parquet(s"$state/gen1")
+        CommitLog.commit(state, 1L, "gen1")
+        CommitLog.setTags(cat, 1L, Seq("curves" -> 1L, "state" -> 1L))
+        def pair(): (Long, Long) = {
+          val p = CommitLog.pinnedVersions(cat)
+          (p("curves"), p("state"))
+        }
+        def invariant(vc: Long, vs: Long): Boolean = {
+          val fromCurves = stateOf(CommitLog.readAsOf(s, curves, vc))
+          val stored = CommitLog.readAsOf(s, state, vs)
+            .select("bucket", "n", "cents")
+          fromCurves.exceptAll(stored).unionAll(stored.exceptAll(fromCurves))
+            .isEmpty
+        }
+        // TXN: prepare the curve append (the nightly batch).
+        o.where(col("key") % 3L === 0L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$curves/gen2")
+        CommitLog.commit(curves, 2L, "gen2")
+        // CRASH POINT 1 — between the two table commits. Catalog readers
+        // still resolve the OLD pair, which still satisfies the invariant;
+        // the torn pair provably does not (the fixture's load-bearing
+        // counter-require: pinning is correctness, not hygiene).
+        require(pair() == (1L, 1L),
+          "a table prepare leaked into the catalog before publish")
+        require(invariant(1L, 1L),
+          "the catalog-resolved pair broke the state≡agg(curves) invariant")
+        require(!invariant(2L, 1L),
+          "fixture must demonstrate the torn pair is actually inconsistent")
+        // Prepare the state refresh (full recompute at curves v2; the
+        // state table's generation is replaced, not appended).
+        stateOf(CommitLog.readAsOf(s, curves, 2L))
+          .coalesce(1).write.mode("overwrite").parquet(s"$state/gen2")
+        CommitLog.commit(state, 2L, "gen2",
+          removes = CommitLog.filesAsOf(state, 1L))
+        // CRASH POINT 2 — both prepared, publish not yet run: readers
+        // still get the old pair, still consistent.
+        require(pair() == (1L, 1L),
+          "an unpublished txn became visible through the catalog")
+        require(invariant(1L, 1L), "pre-publish reads lost consistency")
+        // PUBLISH: both pins flip in one atomic catalog commit.
+        CommitLog.setTags(cat, 2L, Seq("curves" -> 2L, "state" -> 2L))
+        require(pair() == (2L, 2L), "publish did not advance the pin pair")
+        require(invariant(2L, 2L),
+          "the published pair broke the state≡agg(curves) invariant")
+        // Idempotent recovery: a second publish of the SAME txn version
+        // conflicts instead of double-applying.
+        val dup = try {
+          CommitLog.setTags(cat, 2L, Seq("curves" -> 2L, "state" -> 2L))
+          false
+        } catch { case _: IllegalStateException => true }
+        require(dup, "a duplicate publish must conflict, not double-apply")
+        def snap(label: String, vc: Long, vs: Long) = {
+          val c = CommitLog.readAsOf(s, curves, vc)
+            .agg(count(lit(1)).cast("long").as("n_rows")).head.getLong(0)
+          val st = CommitLog.readAsOf(s, state, vs)
+            .agg(count(lit(1)).cast("long").as("nb"),
+              sum("cents").cast("long").as("sc")).head
+          (label, vc, vs, c, st.getLong(0), st.getLong(1))
+        }
+        import s.implicits._
+        Seq(snap("1_initial", 1L, 1L),
+            snap("2_prepared_crash", 1L, 1L),
+            snap("3_published", 2L, 2L))
+          .toDF("phase", "curves_v", "state_v", "n_rows", "n_buckets",
+            "sum_cents")
+          .orderBy("phase")
+      },
+      Some("""WITH c1 AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val FROM orders
+             |  WHERE o_orderkey % 3 <> 0),
+             |call AS (
+             |  SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+             |s1 AS (
+             |  SELECT key % 8 AS bucket,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM c1 GROUP BY 1),
+             |s2 AS (
+             |  SELECT key % 8 AS bucket,
+             |    CAST(sum(CAST(floor(val * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM call GROUP BY 1)
+             |SELECT '1_initial' AS phase, CAST(1 AS BIGINT) AS curves_v,
+             |  CAST(1 AS BIGINT) AS state_v,
+             |  (SELECT count(*) FROM c1) AS n_rows,
+             |  (SELECT count(*) FROM s1) AS n_buckets,
+             |  (SELECT CAST(sum(cents) AS BIGINT) FROM s1) AS sum_cents
+             |UNION ALL
+             |SELECT '2_prepared_crash', 1, 1,
+             |  (SELECT count(*) FROM c1), (SELECT count(*) FROM s1),
+             |  (SELECT CAST(sum(cents) AS BIGINT) FROM s1)
+             |UNION ALL
+             |SELECT '3_published', 2, 2,
+             |  (SELECT count(*) FROM call), (SELECT count(*) FROM s2),
+             |  (SELECT CAST(sum(cents) AS BIGINT) FROM s2)
+             |ORDER BY phase""".stripMargin)),
+
     // VACUUM — the physical-cleanup half of the commit-log story
     // (table_timetravel reads BY the log; vacuum deletes what the log does
     // not reference): two committed generations plus a whole generation

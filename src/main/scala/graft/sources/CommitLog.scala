@@ -660,6 +660,22 @@ object CommitLog {
     * pointers into the version history ("release-2026q3" → v17). Latest
     * declaration wins (re-tagging = republishing the full set),
     * checkpoint-carried. Resolution is O(snapshot metadata). */
+  /** CATALOG-LEVEL version pins: the tags facet of `catalogRoot`'s latest
+    * snapshot parsed as (table-name → pinned version). The multi-table
+    * transaction shape (Iceberg REST-catalog style): participant tables
+    * PREPARE by committing to their own logs (invisible to catalog
+    * readers), then one [[setTags]] commit on the catalog publishes the
+    * whole pin-set atomically — a reader that resolves versions through
+    * here can never observe the pair torn, because the pair changes in
+    * exactly one file-create. */
+  def pinnedVersions(catalogRoot: String): Map[String, Long] =
+    snapshotAsOf(catalogRoot, Long.MaxValue).tags.flatMap { t =>
+      t.split(' ') match {
+        case Array(n, v) => v.toLongOption.map(n -> _)
+        case _           => None
+      }
+    }.toMap
+
   def setTags(root: String, version: Long,
       pairs: Seq[(String, Long)], ts: Long = -1L): Unit = {
     requireWritable(root)

@@ -25,6 +25,43 @@ class CommitLogSpec extends SparkSpec {
     root
   }
 
+  test("catalog-pinned multi-table txn: a crash injected between the two " +
+      "table commits cannot produce a torn read") {
+    val root = Files.createTempDirectory("graft_txnm").toString
+    val (a, b, cat) = (s"$root/a", s"$root/b", s"$root/cat")
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, 10.0)).toDF("key", "val").write.parquet(s"$a/g1")
+    CommitLog.commit(a, 1L, "g1")
+    Seq((1L, 1L)).toDF("bucket", "n").write.parquet(s"$b/g1")
+    CommitLog.commit(b, 1L, "g1")
+    CommitLog.setTags(cat, 1L, Seq("a" -> 1L, "b" -> 1L))
+    // Crash point 1: table a prepared, table b not — the catalog must
+    // keep serving the old pair (the prepare is invisible through it).
+    Seq((2L, 20.0)).toDF("key", "val").write.parquet(s"$a/g2")
+    CommitLog.commit(a, 2L, "g2")
+    assert(CommitLog.pinnedVersions(cat) === Map("a" -> 1L, "b" -> 1L),
+      "a single-table prepare leaked through the catalog (torn read)")
+    // Crash point 2: both prepared, publish not run — still the old pair.
+    Seq((2L, 1L)).toDF("bucket", "n").write.parquet(s"$b/g2")
+    CommitLog.commit(b, 2L, "g2")
+    assert(CommitLog.pinnedVersions(cat) === Map("a" -> 1L, "b" -> 1L),
+      "an unpublished txn became visible through the catalog")
+    // Readers resolving via the pins see only version-1 files on both
+    // sides — never a (2, 1) or (1, 2) mix.
+    val pins = CommitLog.pinnedVersions(cat)
+    assert(CommitLog.filesAsOf(a, pins("a")).forall(_.startsWith("g1/")))
+    assert(CommitLog.filesAsOf(b, pins("b")).forall(_.startsWith("g1/")))
+    // Publish: both pins flip in one atomic commit.
+    CommitLog.setTags(cat, 2L, Seq("a" -> 2L, "b" -> 2L))
+    assert(CommitLog.pinnedVersions(cat) === Map("a" -> 2L, "b" -> 2L))
+    // Recovery idempotence: a second publish of the same txn version
+    // conflicts (create-if-absent log) instead of double-applying.
+    intercept[IllegalStateException] {
+      CommitLog.setTags(cat, 2L, Seq("a" -> 2L, "b" -> 2L))
+    }
+  }
+
   test("as-of file resolution: version 1 never lists (or scans) version 2's files") {
     val root = freshTable()
     val f1 = CommitLog.filesAsOf(root, 1L)

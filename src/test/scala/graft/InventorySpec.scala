@@ -79,6 +79,7 @@ class InventorySpec extends SparkSpec {
     "dedup_cluster", "dedup_keep", // localCheckpoint materializes edges on construction
     "graph_pagerank", "graph_cc",  // localCheckpoint per iteration
     "table_wap",                   // stages, audits, and publishes on construction
+    "table_txn_multi",             // drives the full two-phase txn on construction
     "table_matview_join",          // three refresh cycles commit on construction
     "stream_transient",            // full association stream run on construction
     "stream_transient_watermark")  // two-phase eviction/resurrection stream run
