@@ -5531,6 +5531,124 @@ object Scans {
              |  ON d.x = f.x AND d.y = f.y AND d.frame_id = f.frame_id
              |ORDER BY f.x, f.y, f.frame_id""".stripMargin)),
 
+    // ALERT CUTOUTS [PK — every ZTF/LSST alert packet ships a postage
+    // stamp: the small pixel window around the detection, cut from the
+    // difference image, so a downstream vetter (human or ML real/bogus
+    // classifier) can see the detection's shape without touching the
+    // archive]. For each detection of the shared transient scene, the
+    // 5×5 residual window extracts ROW-MAJOR into one array column via
+    // the bounded ≤25-cell equi-join probe (explode of the fixed offset
+    // grid — candidates × 25, never candidates × pixels), assembled with
+    // sort_array over (dy, dx)-keyed structs so the pixel order is a
+    // total integer order in both engines. Exact laws require'd: every
+    // stamp has all 25 pixels (the scene pads beyond the grid edge with
+    // zeros — the FITS-cutout edge convention); the stamp CENTER equals
+    // the detection's residual peak; and the stamp SUM equals the
+    // detection's aperture flux (residuals are exactly the injected
+    // pattern: A + 8·(A div 2) inside the 3×3, zero in the outer ring).
+    // All-integer pixels ⇒ the arrays hash-oracle end to end. Scale:
+    // cutout extraction is the same shuffle the detections already make
+    // — one bounded probe per candidate; stamps are 25 ints, so a
+    // million-alert night moves megabytes, not the image archive.
+    QDef(
+      "frame_cutouts",
+      (s, dir) => {
+        val (_, resid, centers) = transientScene(s)
+        val half = 2L
+        val stamps = centers.select(col("frame_id"), col("x"), col("y"),
+            col("flux"))
+          .withColumn("dcx", explode(sequence(lit(-half), lit(half))))
+          .withColumn("dcy", explode(sequence(lit(-half), lit(half))))
+          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"), "left")
+          .groupBy("frame_id", "x", "y", "flux")
+          .agg(count(lit(1)).as("n_px"),
+            sort_array(collect_list(struct(
+              col("dcy"), col("dcx"),
+              coalesce(col("nr"), lit(0L)).as("v")))).as("sp"),
+            sum(coalesce(col("nr"), lit(0L))).as("stamp_sum"),
+            sum(when(col("dcx") === 0L && col("dcy") === 0L, col("nr")))
+              .as("center"))
+          .select(col("frame_id"), col("x"), col("y"), col("flux"),
+            col("n_px"),
+            transform(col("sp"), p => p.getField("v")).as("stamp_arr"),
+            col("stamp_sum"), col("center"))
+          // Arrays serialize to one canonical string (the
+          // agg_collect_sorted convention — oracle-comparable, hashable).
+          .withColumn("stamp", concat_ws(",", col("stamp_arr")))
+          .localCheckpoint() // one probe feeds the laws and the output
+        require(stamps.where(col("n_px") =!= 25L).isEmpty,
+          "a cutout is missing pixels — the edge-padding convention broke")
+        require(stamps.where(size(col("stamp_arr")) =!= 25).isEmpty,
+          "a stamp array did not assemble all 25 pixels")
+        require(stamps.where(col("stamp_sum") =!= col("flux")).isEmpty,
+          "a stamp's pixel sum diverged from the detection's aperture flux")
+        require(stamps.where(
+            col("center") =!= expr("element_at(stamp_arr, 13)")).isEmpty,
+          "row-major assembly misplaced the central pixel")
+        stamps.select(col("frame_id"), col("x"), col("y"), col("flux"),
+            col("stamp"), col("center").as("peak"))
+          .orderBy("frame_id", "x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 400), (3, 10, 10, 500), (5, 10, 10, 600),
+             |    (3, 24, 20, 600), (5, 24, 20, 520), (5, 5, 25, 420))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.r) AS BIGINT) AS flux
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0),
+             |grid AS (
+             |  SELECT a.i AS dcy, b.i AS dcx
+             |  FROM generate_series(-2, 2) a(i)
+             |    CROSS JOIN generate_series(-2, 2) b(i)),
+             |cells AS (
+             |  SELECT c.frame_id, c.x, c.y, c.flux, g.dcy, g.dcx,
+             |    coalesce(CAST(r.r AS BIGINT), 0) AS v
+             |  FROM centers c CROSS JOIN grid g
+             |  LEFT JOIN resid r ON r.frame_id = c.frame_id
+             |    AND r.x = c.x + g.dcx AND r.y = c.y + g.dcy)
+             |SELECT frame_id, x, y, flux,
+             |  string_agg(v::VARCHAR, ',' ORDER BY dcy, dcx) AS stamp,
+             |  CAST(sum(CASE WHEN dcx = 0 AND dcy = 0 THEN v END) AS BIGINT)
+             |    AS peak
+             |FROM cells GROUP BY frame_id, x, y, flux
+             |ORDER BY frame_id, x""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

@@ -305,7 +305,10 @@ class DeterminismSpec extends SparkSpec {
     "frame_forced_photometry",
     // integer moment sums feeding end-only eigen arithmetic (psf — the
     // frame_moments bet plus the sqrt/atan2 tail)
-    "frame_psf")
+    "frame_psf",
+    // row-major stamp assembly from the sky-mode scene under merge order
+    // (cutouts — the pipeline_transient bet with an array output)
+    "frame_cutouts")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
