@@ -2160,7 +2160,6 @@ object Similarity {
         require(sums("hub")._3 <=
             sums("ivf")._3 + sums("hub")._2 * (2L + hubM),
           "descent overhead exceeded its constant per-probe bound")
-        val _2 = hubDescent // reserved knob: extra descent rounds at scale
         out.orderBy("variant", "probe_id", "rank")
       },
       Some {
