@@ -5649,6 +5649,202 @@ object Scans {
              |FROM cells GROUP BY frame_id, x, y, flux
              |ORDER BY frame_id, x""".stripMargin)),
 
+    // ALERT PACKET ASSEMBLY [PK — the broker's OUTPUT artifact: every
+    // ZTF/LSST detection ships downstream as one self-contained packet
+    // carrying the detection, its postage stamp, its PRIOR history at
+    // that position (detections AND forced upper limits — the
+    // prv_candidates block), and the curve classification; consumers
+    // never touch the archive]. Composes the whole transient chain over
+    // the shared scene: difference-image detections × 5×5 cutout stamps
+    // × forced-photometry history strictly BEFORE the packet's epoch ×
+    // the association census class. Exact laws require'd: packet ↔
+    // detection bijection (full-outer join, no orphans either way); the
+    // prv block is COMPLETE — exactly frame_id−1 entries, one per prior
+    // science epoch, upper limits included (the honesty
+    // frame_forced_photometry proves, carried into the product); and
+    // forced flux ≡ detection flux at every detected epoch. All-integer
+    // fluxes and canonical "epoch:flux" strings ⇒ hash-oracled end to
+    // end. Scale: everything shuffles on the position key the
+    // association already uses; a packet is a few hundred bytes, so the
+    // night's alert stream is detections-sized — the archive stays put.
+    QDef(
+      "pipeline_alert",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (_, resid, centers) = transientScene(s)
+        val cand = centers.select(col("x").as("cx"), col("y").as("cy"))
+          .distinct()
+        val forced = cand
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(resid.select(col("frame_id").as("pf"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nx") === col("cx") + col("dcx") &&
+              col("ny") === col("cy") + col("dcy"))
+          .groupBy("cx", "cy", "pf")
+          .agg(sum("nr").as("ff"))
+          .localCheckpoint() // feeds prv, the consistency law, and counts
+        // Forced ≡ detected at detected epochs (the follow-up-stage law,
+        // re-require'd here because the packet embeds both numbers).
+        require(forced.join(centers,
+            col("cx") === col("x") && col("cy") === col("y") &&
+              col("pf") === col("frame_id"))
+            .where(col("ff") =!= col("flux")).isEmpty,
+          "a packet's forced history disagreed with its detection flux")
+        val half = 2L
+        val stamps = centers.select(col("frame_id"), col("x"), col("y"))
+          .withColumn("dcx", explode(sequence(lit(-half), lit(half))))
+          .withColumn("dcy", explode(sequence(lit(-half), lit(half))))
+          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"), "left")
+          .groupBy("frame_id", "x", "y")
+          .agg(sort_array(collect_list(struct(col("dcy"), col("dcx"),
+            coalesce(col("nr"), lit(0L)).as("v")))).as("sp"))
+          .select(col("frame_id"), col("x"), col("y"),
+            concat_ws(",", transform(col("sp"), p => p.getField("v")
+              .cast("string"))).as("stamp"))
+        val wLag = Window.partitionBy("x", "y").orderBy("frame_id")
+        val census = centers
+          .withColumn("dflux", col("flux") - lag("flux", 1).over(wLag))
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("n_det"),
+            min("dflux").as("min_d"), max("dflux").as("max_d"))
+          .withColumn("class",
+            when(col("n_det") === 1L, "single")
+              .when(col("min_d") > 0L, "rising")
+              .when(col("max_d") < 0L, "fading")
+              .otherwise("mixed"))
+          .select("x", "y", "n_det", "class")
+        val prv = centers.select(col("frame_id"), col("x"), col("y"))
+          .join(forced,
+            col("cx") === col("x") && col("cy") === col("y") &&
+              col("pf") < col("frame_id"), "left")
+          .groupBy("frame_id", "x", "y")
+          .agg(count(col("pf")).as("n_prv"),
+            concat_ws(",", transform(
+              sort_array(collect_list(struct(col("pf"), col("ff")))),
+              p => concat(p.getField("pf").cast("string"), lit(":"),
+                p.getField("ff").cast("string")))).as("prv"))
+        val packets = centers
+          .join(stamps, Seq("frame_id", "x", "y"))
+          .join(prv, Seq("frame_id", "x", "y"))
+          .join(census, Seq("x", "y"))
+          .select(
+            (col("frame_id") * 100000L + col("y") * 32L + col("x"))
+              .as("candid"),
+            col("frame_id"), col("x"), col("y"), col("flux"),
+            col("stamp"), col("prv"), col("n_prv"), col("n_det"),
+            col("class"))
+          .localCheckpoint() // one assembly feeds the laws and the output
+        // Bijection: one packet per detection, no orphans either way.
+        val bij = packets.select(col("frame_id").as("bf"), col("x").as("bx"),
+            col("y").as("by"))
+          .join(centers, col("bf") === col("frame_id") &&
+            col("bx") === col("x") && col("by") === col("y"), "full")
+        require(bij.where(col("bf").isNull || col("frame_id").isNull)
+            .isEmpty, "packet ↔ detection bijection broke")
+        // prv completeness: one entry per prior science epoch, upper
+        // limits included — exactly frame_id − 1 entries.
+        require(packets.where(col("n_prv") =!= col("frame_id") - 1L)
+            .isEmpty, "a packet's prior-history block is incomplete")
+        packets.orderBy("candid")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 10, 10, 400), (3, 10, 10, 500), (5, 10, 10, 600),
+             |    (3, 24, 20, 600), (5, 24, 20, 520), (5, 5, 25, 420))
+             |    t(frame_id, tx, ty, amp)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp ELSE j.amp // 2 END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 6) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id)),
+             |centers AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(sum(n.r) AS BIGINT) AS flux
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0),
+             |cand AS (SELECT DISTINCT x, y FROM centers),
+             |forced AS (
+             |  SELECT c.x, c.y, r.frame_id AS pf,
+             |    CAST(sum(r.r) AS BIGINT) AS ff
+             |  FROM cand c JOIN resid r
+             |    ON abs(r.x - c.x) <= 1 AND abs(r.y - c.y) <= 1
+             |  GROUP BY 1, 2, 3),
+             |grid AS (
+             |  SELECT a.i AS dcy, b.i AS dcx
+             |  FROM generate_series(-2, 2) a(i)
+             |    CROSS JOIN generate_series(-2, 2) b(i)),
+             |stamps AS (
+             |  SELECT frame_id, x, y,
+             |    string_agg(v::VARCHAR, ',' ORDER BY dcy, dcx) AS stamp
+             |  FROM (
+             |    SELECT c.frame_id, c.x, c.y, g.dcy, g.dcx,
+             |      coalesce(CAST(r.r AS BIGINT), 0) AS v
+             |    FROM centers c CROSS JOIN grid g
+             |    LEFT JOIN resid r ON r.frame_id = c.frame_id
+             |      AND r.x = c.x + g.dcx AND r.y = c.y + g.dcy)
+             |  GROUP BY 1, 2, 3),
+             |census AS (
+             |  SELECT x, y, count(*) AS n_det,
+             |    min(dflux) AS min_d, max(dflux) AS max_d
+             |  FROM (SELECT frame_id, x, y, flux,
+             |      flux - lag(flux) OVER (PARTITION BY x, y
+             |        ORDER BY frame_id) AS dflux
+             |    FROM centers)
+             |  GROUP BY x, y),
+             |prv AS (
+             |  SELECT c.frame_id, c.x, c.y,
+             |    CAST(count(f.pf) AS BIGINT) AS n_prv,
+             |    coalesce(string_agg(f.pf::VARCHAR || ':' || f.ff::VARCHAR,
+             |      ',' ORDER BY f.pf), '') AS prv
+             |  FROM centers c LEFT JOIN forced f
+             |    ON f.x = c.x AND f.y = c.y AND f.pf < c.frame_id
+             |  GROUP BY 1, 2, 3)
+             |SELECT CAST(c.frame_id * 100000 + c.y * 32 + c.x AS BIGINT)
+             |    AS candid,
+             |  CAST(c.frame_id AS BIGINT) AS frame_id,
+             |  CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y, c.flux,
+             |  s.stamp, p.prv, p.n_prv, ce.n_det,
+             |  CASE WHEN ce.n_det = 1 THEN 'single'
+             |       WHEN ce.min_d > 0 THEN 'rising'
+             |       WHEN ce.max_d < 0 THEN 'fading'
+             |       ELSE 'mixed' END AS class
+             |FROM centers c
+             |JOIN stamps s ON s.frame_id = c.frame_id AND s.x = c.x
+             |  AND s.y = c.y
+             |JOIN prv p ON p.frame_id = c.frame_id AND p.x = c.x
+             |  AND p.y = c.y
+             |JOIN census ce ON ce.x = c.x AND ce.y = c.y
+             |ORDER BY candid""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

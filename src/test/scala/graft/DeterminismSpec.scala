@@ -308,7 +308,11 @@ class DeterminismSpec extends SparkSpec {
     "frame_psf",
     // row-major stamp assembly from the sky-mode scene under merge order
     // (cutouts — the pipeline_transient bet with an array output)
-    "frame_cutouts")
+    "frame_cutouts",
+    // the packet assembly composes every scene consumer (stamps, forced
+    // history strings, census class) — all string assemblies must hold
+    // under the merge topology
+    "pipeline_alert")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
