@@ -5845,6 +5845,151 @@ object Scans {
              |JOIN census ce ON ce.x = c.x AND ce.y = c.y
              |ORDER BY candid""".stripMargin)),
 
+    // REAL/BOGUS VETTING [PK — the stage between detection and alert:
+    // difference imaging fires on cosmic rays, hot pixels, and bad
+    // subtractions as readily as on real transients, so every broker
+    // runs a vetter (ZTF's braai-style classifier) before shipping
+    // packets. Modeled deterministically: the discriminating physics is
+    // that a REAL source has a PSF — flux spread over wings — while a
+    // cosmic ray deposits in essentially one pixel]. A local scene
+    // injects two PSF profiles (A at center, A div 2 on the 8 wings)
+    // AND one COSMIC RAY (all flux in one pixel, no wings); detection
+    // runs the standard threshold + strict-local-max chain, then two
+    // INTEGER features decide: concentration (is more than half the
+    // aperture flux in the center pixel? — 2·center > flux, a
+    // cross-multiplied rational, never a float) and n_wings (count of
+    // nonzero 8-neighbors). bogus ⇔ concentrated OR wingless. Laws
+    // require'd: every injection is detected with its exact flux (5A
+    // for PSFs, A for the CR), the CR classifies bogus, both PSFs
+    // classify real, and no detection is unclassified. All-integer ⇒
+    // hash-oracled. Scale: identical to the detection chain it extends
+    // — the features come from the SAME bounded ≤9-cell probe the
+    // local-max test already pays; vetting adds zero passes.
+    QDef(
+      "frame_realbogus",
+      (s, dir) => {
+        val grid = 32L
+        val thresh = 200L
+        // (frame, x, y, amp, wings): wings=1 → PSF profile, 0 → cosmic ray.
+        val inj = s.range(0L, 3L).select(
+          expr("element_at(array(1L,1L,2L), cast(id + 1 as int))")
+            .as("frame_id"),
+          expr("element_at(array(9L,22L,15L), cast(id + 1 as int))")
+            .as("tx"),
+          expr("element_at(array(11L,24L,6L), cast(id + 1 as int))")
+            .as("ty"),
+          expr("element_at(array(400L,520L,460L), cast(id + 1 as int))")
+            .as("amp"),
+          expr("element_at(array(1L,1L,0L), cast(id + 1 as int))")
+            .as("wings"))
+        val px = s.range(0L, 3L).select(col("id").as("frame_id"))
+          .crossJoin(s.range(0L, grid * grid).select(
+            expr(s"id % $grid").as("x"), expr(s"id div $grid").as("y")))
+          .withColumn("base",
+            lit(100L) + (col("x") * 73L + col("y") * 149L) * 2654435761L % 97L)
+          .join(inj.withColumnRenamed("frame_id", "ifr"),
+            col("frame_id") === col("ifr") &&
+              greatest(abs(col("x") - col("tx")), abs(col("y") - col("ty"))) <= 1L,
+            "left")
+          .groupBy("frame_id", "x", "y", "base")
+          .agg(sum(when(col("tx") === col("x") && col("ty") === col("y"),
+              col("amp"))
+            .otherwise(col("wings") * expr("amp div 2"))).as("tr"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("base") + col("frame_id") * 7L + coalesce(col("tr"), lit(0L)))
+              .as("v"))
+        val refpx = px.where(col("frame_id") === 0L)
+          .select(col("x"), col("y"), col("v").as("v0"))
+        val diff = px.where(col("frame_id") > 0L)
+          .join(broadcast(refpx), Seq("x", "y"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("v") - col("v0")).as("d"))
+        val sky = diff.groupBy("frame_id", "d").agg(count(lit(1)).as("n"))
+          .groupBy("frame_id")
+          .agg(max(struct(col("n"), (-col("d")).as("nd"))).as("m"))
+          .select(col("frame_id"), (-col("m.nd")).as("sky"))
+        val resid = diff.join(broadcast(sky), Seq("frame_id"))
+          .select(col("frame_id"), col("x"), col("y"),
+            (col("d") - col("sky")).as("r"))
+        val vetted = resid.where(col("r") >= thresh)
+          .select(col("frame_id"), col("x"), col("y"), col("r").as("peak"))
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .join(resid.select(col("frame_id").as("nfr"), col("x").as("nx"),
+              col("y").as("ny"), col("r").as("nr")),
+            col("nfr") === col("frame_id") &&
+              col("nx") === col("x") + col("dcx") &&
+              col("ny") === col("y") + col("dcy"))
+          .groupBy("frame_id", "x", "y", "peak")
+          .agg(sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+              col("nr") >= col("peak"), 1L).otherwise(0L)).as("n_ge"),
+            sum(col("nr")).as("flux"),
+            sum(when((col("dcx") =!= 0L || col("dcy") =!= 0L) &&
+              col("nr") =!= 0L, 1L).otherwise(0L)).as("n_wings"))
+          .where(col("n_ge") === 0L)
+          .select(col("frame_id"), col("x"), col("y"), col("flux"),
+            col("peak"), col("n_wings"),
+            (col("peak") * 2L > col("flux") || col("n_wings") === 0L)
+              .as("bogus"))
+          .localCheckpoint() // one vetting pass feeds the laws + output
+        val lawJ = vetted.join(inj.withColumnRenamed("frame_id", "ifr"),
+          col("frame_id") === col("ifr") &&
+            col("x") === col("tx") && col("y") === col("ty"), "full")
+        require(lawJ.where(col("ifr").isNull || col("flux").isNull).isEmpty,
+          "the vetter missed an injection or detected a ghost")
+        require(lawJ.where(col("wings") === 1L &&
+            (col("flux") =!= col("amp") * 5L || col("bogus"))).isEmpty,
+          "a PSF injection mis-measured or classified bogus")
+        require(lawJ.where(col("wings") === 0L &&
+            (col("flux") =!= col("amp") || !col("bogus"))).isEmpty,
+          "the cosmic ray mis-measured or classified real")
+        vetted.orderBy("frame_id", "x")
+      },
+      Some("""WITH inj AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 9, 11, 400, 1), (1, 22, 24, 520, 1), (2, 15, 6, 460, 0))
+             |    t(frame_id, tx, ty, amp, wings)),
+             |px AS (
+             |  SELECT f.i AS frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    100 + ((p.i % 32) * 73 + (p.i // 32) * 149) * 2654435761 % 97
+             |      + f.i * 7
+             |      + coalesce(CAST((SELECT sum(CASE WHEN j.tx = p.i % 32
+             |            AND j.ty = p.i // 32 THEN j.amp
+             |            ELSE j.wings * (j.amp // 2) END)
+             |          FROM inj j WHERE j.frame_id = f.i
+             |            AND greatest(abs(p.i % 32 - j.tx),
+             |                         abs(p.i // 32 - j.ty)) <= 1) AS BIGINT), 0)
+             |      AS v
+             |  FROM generate_series(0, 2) f(i)
+             |    CROSS JOIN generate_series(0, 1023) p(i)),
+             |diff AS (
+             |  SELECT a.frame_id, a.x, a.y, a.v - b.v AS d
+             |  FROM px a JOIN px b ON b.frame_id = 0
+             |    AND a.x = b.x AND a.y = b.y
+             |  WHERE a.frame_id > 0),
+             |sky AS (
+             |  SELECT frame_id, d AS sky FROM (
+             |    SELECT frame_id, d, row_number() OVER (PARTITION BY frame_id
+             |      ORDER BY count(*) DESC, d ASC) AS rn
+             |    FROM diff GROUP BY frame_id, d) WHERE rn = 1),
+             |resid AS (
+             |  SELECT diff.frame_id, x, y, d - sky AS r
+             |  FROM diff JOIN sky USING (frame_id))
+             |SELECT frame_id, x, y, flux, peak, n_wings,
+             |  (peak * 2 > flux OR n_wings = 0) AS bogus
+             |FROM (
+             |  SELECT c.frame_id, c.x, c.y, c.r AS peak,
+             |    CAST(sum(n.r) AS BIGINT) AS flux,
+             |    CAST(sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |      AND n.r <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wings
+             |  FROM resid c JOIN resid n ON n.frame_id = c.frame_id
+             |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+             |  WHERE c.r >= 200
+             |  GROUP BY c.frame_id, c.x, c.y, c.r
+             |  HAVING sum(CASE WHEN (n.x <> c.x OR n.y <> c.y)
+             |    AND n.r >= c.r THEN 1 ELSE 0 END) = 0)
+             |ORDER BY frame_id, x""".stripMargin)),
+
     // PARTITION-SPEC EVOLUTION (Iceberg's signature capability): the table
     // RE-PARTITIONS mid-life — coarse width w1 for the first generation,
     // fine width w2 for the second — WITHOUT rewriting a byte. Each file

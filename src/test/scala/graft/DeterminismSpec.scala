@@ -312,7 +312,10 @@ class DeterminismSpec extends SparkSpec {
     // the packet assembly composes every scene consumer (stamps, forced
     // history strings, census class) — all string assemblies must hold
     // under the merge topology
-    "pipeline_alert")
+    "pipeline_alert",
+    // the sky-mode argmax + integer feature cuts (realbogus — the
+    // frame_difference bet with a boolean classification on top)
+    "frame_realbogus")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
