@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * for 100 TB" plan-reading into measurement.
   *
   * Replication discipline (what makes the timing honest):
-  *  - every key column shifts by `i * (max+1)` so joins keep their
-  *    per-replica fan-out (each replica is a disjoint component — graph
-  *    operators see `factor`× components, not one `factor`²-denser blob);
+  *  - every key column shifts by `i * stride(domain)` — ONE stride per key
+  *    DOMAIN (custkey, orderkey, partkey, suppkey, doc/vec, event), computed
+  *    as max over every column drawing from that space + 1 — so joins keep
+  *    their per-replica fan-out (each replica is a disjoint component —
+  *    graph operators see `factor`× components, not one `factor`²-denser
+  *    blob) AND dim↔fact pairings survive replication (per-column maxima
+  *    differ whenever a dimension key is unreferenced on the fact side,
+  *    which would scramble replica i>=1 pairings);
   *  - `documents.text` is word-salted per replica (`w` → `w`x`i`), so
   *    replicas are NOT near-duplicates of each other: the dedup family's
   *    candidate structure scales ~linearly instead of exploding on
@@ -47,20 +52,34 @@ object ScaleStage {
   }
 
   /** Union `factor` replicas of `df`, shifting each column in `keys` by
-    * `i * (max+1)` per replica — disjoint key spaces, preserved structure. */
+    * `i * stride` per replica — disjoint key spaces, preserved structure.
+    *
+    * Each key maps to its DOMAIN stride (see [[domainStride]]): foreign-key
+    * columns that reference the same key space (c_custkey / o_custkey /
+    * user_id; o_orderkey / l_orderkey; doc_id / vec_id; ...) must shift by
+    * the SAME stride, or replicas i>=1 would scramble dim↔fact pairings and
+    * dangle keys at replica boundaries — per-column maxima differ whenever a
+    * dimension key is unreferenced on the fact side. */
   private def replicate(s: SparkSession, df: DataFrame, factor: Int,
-      keys: Seq[String], extra: (DataFrame, Int) => DataFrame = (d, _) => d)
+      keys: Seq[(String, Long)], extra: (DataFrame, Int) => DataFrame = (d, _) => d)
       : DataFrame = {
-    val strides: Map[String, Long] = keys.map { k =>
-      k -> (df.agg(max(col(k))).head.getLong(0) + 1L)
-    }.toMap
     (0 until factor).map { i =>
-      val shifted = keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, col(k) + lit(i.toLong * strides(k)))
+      val shifted = keys.foldLeft(df) { case (d, (k, stride)) =>
+        d.withColumn(k, col(k) + lit(i.toLong * stride))
       }
       extra(shifted, i)
     }.reduce(_ unionAll _)
   }
+
+  /** One stride per key DOMAIN: max over EVERY column that draws from the
+    * key space (dimension key + all foreign keys), + 1. Taking the max
+    * across members (not just the owning dimension) keeps replicas disjoint
+    * even if a fact-side value exceeds the dimension's max in the synthetic
+    * fixtures. */
+  private def domainStride(members: (DataFrame, String)*): Long =
+    members.map { case (df, k) =>
+      df.agg(max(col(k).cast("long"))).head.getLong(0)
+    }.max + 1L
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
@@ -81,29 +100,56 @@ object ScaleStage {
     singleFile(s, Tables.region(s, srcDir), outDir, "region")
     singleFile(s, Tables.nation(s, srcDir), outDir, "nation")
 
-    singleFile(s, replicate(s, Tables.customer(s, srcDir), factor,
-      Seq("c_custkey")), outDir, "customer")
-    singleFile(s, replicate(s, Tables.supplier(s, srcDir), factor,
-      Seq("s_suppkey")), outDir, "supplier")
-    singleFile(s, replicate(s, Tables.part(s, srcDir), factor,
-      Seq("p_partkey")), outDir, "part")
-    singleFile(s, replicate(s, Tables.orders(s, srcDir), factor,
-      Seq("o_orderkey", "o_custkey")), outDir, "orders")
-    singleFile(s, replicate(s, Tables.lineitem(s, srcDir), factor,
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), outDir, "lineitem")
-
     // events: raw read keeps ts in its on-disk physical type (LONG nanos
     // under the loader's legacy conf) so the staged file round-trips
     // through Tables.events identically.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsRaw = s.read.parquet(s"$srcDir/events.parquet")
+
+    val customer = Tables.customer(s, srcDir)
+    val supplier = Tables.supplier(s, srcDir)
+    val part = Tables.part(s, srcDir)
+    val orders = Tables.orders(s, srcDir)
+    val lineitem = Tables.lineitem(s, srcDir)
+    val documents = Tables.documents(s, srcDir)
+    val embeddings = Tables.embeddings(s, srcDir)
+
+    // One stride per key DOMAIN, shared by every column referencing it
+    // (stream_enrich joins events.user_id = customer.c_custkey;
+    // multimodal_join joins documents.doc_id = embeddings.vec_id).
+    val custStride = domainStride((customer, "c_custkey"),
+      (orders, "o_custkey"), (eventsRaw, "user_id"))
+    val suppStride = domainStride((supplier, "s_suppkey"),
+      (lineitem, "l_suppkey"))
+    val partStride = domainStride((part, "p_partkey"),
+      (lineitem, "l_partkey"))
+    val orderStride = domainStride((orders, "o_orderkey"),
+      (lineitem, "l_orderkey"))
+    val docStride = domainStride((documents, "doc_id"),
+      (embeddings, "vec_id"))
+    val eventStride = domainStride((eventsRaw, "event_id"))
+
+    singleFile(s, replicate(s, customer, factor,
+      Seq("c_custkey" -> custStride)), outDir, "customer")
+    singleFile(s, replicate(s, supplier, factor,
+      Seq("s_suppkey" -> suppStride)), outDir, "supplier")
+    singleFile(s, replicate(s, part, factor,
+      Seq("p_partkey" -> partStride)), outDir, "part")
+    singleFile(s, replicate(s, orders, factor,
+      Seq("o_orderkey" -> orderStride, "o_custkey" -> custStride)),
+      outDir, "orders")
+    singleFile(s, replicate(s, lineitem, factor,
+      Seq("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride)), outDir, "lineitem")
+
     singleFile(s, replicate(s, eventsRaw, factor,
-      Seq("event_id", "user_id")), outDir, "events")
+      Seq("event_id" -> eventStride, "user_id" -> custStride)),
+      outDir, "events")
 
     // documents: word-salt the text per replica (deterministic, content
     // preserved within a replica) so cross-replica pairs are NOT near-dups.
-    singleFile(s, replicate(s, Tables.documents(s, srcDir), factor,
-      Seq("doc_id"),
+    singleFile(s, replicate(s, documents, factor,
+      Seq("doc_id" -> docStride),
       (d, i) =>
         if (i == 0) d
         else d.withColumn("text",
@@ -111,8 +157,8 @@ object ScaleStage {
           .withColumn("n_chars", length(col("text")).cast("long"))),
       outDir, "documents")
 
-    singleFile(s, replicate(s, Tables.embeddings(s, srcDir), factor,
-      Seq("vec_id")), outDir, "embeddings")
+    singleFile(s, replicate(s, embeddings, factor,
+      Seq("vec_id" -> docStride)), outDir, "embeddings")
 
     val counts = Seq("customer", "orders", "lineitem", "events",
       "documents", "embeddings").map { t =>

@@ -1046,9 +1046,14 @@ object Aggregates {
     // object-key shuffle carries the stats join, both windows, and the
     // census rollup (grouping keys ⊇ partition key); per-object state is
     // the series length — the lc-family premise. Decimal(38) headroom:
-    // the widest term 4n·(nv−S)² stays under 1e38 for series up to ~1e6
-    // points per object at micro-unit values < 1e12 — the lc premise by
-    // orders of magnitude.
+    // the widest term 4(n−1)·dd² with dd = n·v − S ≤ 2n·vmax needs
+    // 16·n³·vmax² < 1e38 — safe for n·vmax ≲ 1e17 (e.g. n=1e6 points at
+    // micro-unit values < ~2.5e11), NOT for arbitrary 1e12-unit values.
+    // Past that, Spark's non-ANSI decimal multiply NULLs and the WHERE
+    // would silently unflag rows (DuckDB HUGEINT would error instead) — so
+    // a row-level assert_true guard (double-precision magnitude check with
+    // a 10% margin, fused into the filter so column pruning cannot drop
+    // it) makes overflow fail LOUDLY instead of diverging cross-engine.
     QDef(
       "lc_flares",
       (s, dir) => {
@@ -1068,8 +1073,25 @@ object Aggregates {
           .withColumn("varnum", col("n") * col("qv") - col("sv") * col("sv"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("user_id").orderBy("t", "event_id")))
+        // Overflow guard: the exact-integer flag is only trustworthy while
+        // every decimal(38) term stays in range — checked here in DOUBLE
+        // (magnitudes only, 10% margin) so an out-of-premise series raises
+        // instead of silently unflagging via non-ANSI decimal NULLs. The
+        // double-side varnum is recomputed from raw sums because the
+        // decimal varnum itself may already be NULL on overflow; a NULL
+        // condition also raises (assert_true throws on null or false).
+        val nD = col("n").cast("double")
+        val inRange = assert_true(
+          greatest(
+            lit(4.0) * (nD - 1.0) * pow(col("dd").cast("double"), 2),
+            lit(9.0) * nD *
+              (nD * col("qv").cast("double") -
+                pow(col("sv").cast("double"), 2))) < lit(9e37),
+          lit("lc_flares: decimal(38) overflow risk (series length × value" +
+            " magnitude exceeds the exact-flag premise n·vmax ≲ 1e17)"))
         val flagged = z
-          .where(col("dd") > 0 &&
+          .where(inRange.isNull &&
+            col("dd") > 0 &&
             col("dd") * col("dd") * (lit(4L) * (col("n") - 1L)) >
               col("varnum") * (lit(9L) * col("n")))
           .withColumn("zf", rnd(

@@ -29,6 +29,30 @@ object StreamRunner {
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
+  /** Write one parquet file per epoch into `root` with STRICTLY INCREASING
+    * mtimes. FileStreamSource orders same-batch discoveries by modification
+    * time; with `maxFilesPerTrigger=1` two epoch files landing in the same
+    * mtime millisecond could replay out of order, and under a 0-second
+    * watermark the earlier epoch's rows would then be dropped — the
+    * streamed-≡-batch requires would fail loudly but FLAKILY. Stamping each
+    * file `base + epoch` seconds makes the replay order explicit. */
+  private def writeEpochFiles(df: DataFrame, root: String,
+      epochCol: String, epochs: Seq[Long]): Unit = {
+    val seen = scala.collection.mutable.Set[String]()
+    val base = 1600000000000L // fixed past instant; only relative order matters
+    epochs.foreach { e =>
+      df.where(col(epochCol) === e).coalesce(1)
+        .write.mode("append").parquet(root)
+      new java.io.File(root).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(base + e * 1000L),
+            s"could not stamp mtime on ${f.getName}")
+          seen += f.getName
+        }
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` scoped down to a small
     * value, restoring the session conf afterwards. A streaming aggregation
     * creates one state store per shuffle partition per micro-batch; for the
@@ -1047,10 +1071,7 @@ object StreamRunner {
       (2L, 7L, 30L, 1500L), (4L, 28L, 3L, 1800L))
       .toDF("frame_id", "x", "y", "flux")
     val root = tmpDir("graft_transient_src")
-    (1L to 5L).foreach { f =>
-      det.where(col("frame_id") === f).coalesce(1)
-        .write.mode("append").parquet(root)
-    }
+    writeEpochFiles(det, root, "frame_id", 1L to 5L)
     val sch = s.read.parquet(root).schema
     def classify(curve: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, String) = {
       val sorted = curve.sortBy(_._1)
@@ -1159,10 +1180,7 @@ object StreamRunner {
     val lateDet = Seq((3L, 7L, 30L, 1700L), (6L, 10L, 10L, 3500L))
     val rootA = tmpDir("graft_transwm_src")
     val onDf = onTime.toDF("frame_id", "x", "y", "flux")
-    (1L to 5L).foreach { f =>
-      onDf.where(col("frame_id") === f).coalesce(1)
-        .write.mode("append").parquet(rootA)
-    }
+    writeEpochFiles(onDf, rootA, "frame_id", 1L to 5L)
     val sch = s.read.parquet(rootA).schema
     def classify(curve: Seq[(Long, Long)])
         : (Long, Long, Long, Long, Long, String) = {
