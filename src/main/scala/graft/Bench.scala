@@ -45,19 +45,19 @@ object Bench {
     // maintained index — instead of charging seven queries for one signature
     // pipeline each. Semantics-free (warm≡cold spec); skipped when no
     // sharing query is picked.
-    val keepIds: Set[Int] = {
-      val d =
-        if (picked.exists(q => graft.operators.Dedup.sharedFamily(q._1)))
-          graft.operators.Dedup.warmShared(spark, sfDir)
-        else Set.empty[Int]
-      // Same contract for the IVF family (centroids + cell assignment —
-      // the standing index sim_index_probe persists).
-      val a =
-        if (picked.exists(q => graft.operators.Similarity.sharedFamily(q._1)))
-          graft.operators.Similarity.warmShared(spark, sfDir)
-        else Set.empty[Int]
-      d ++ a
-    }
+    if (picked.exists(q => graft.operators.Dedup.sharedFamily(q._1)))
+      graft.operators.Dedup.warmShared(spark, sfDir)
+    // Same contract for the IVF family (centroids + cell assignment —
+    // the standing index sim_index_probe persists).
+    if (picked.exists(q => graft.operators.Similarity.sharedFamily(q._1)))
+      graft.operators.Similarity.warmShared(spark, sfDir)
+    // Consulted PER SWEEP, not snapshotted: the graph-ANN tiers warm
+    // lazily on first use mid-run (at whatever dir the triggering query
+    // ran against), and unpersisting a localCheckpoint orphans every
+    // later read of it.
+    def keepIds: Set[Int] =
+      graft.operators.Dedup.warmKeepIds ++
+        graft.operators.Similarity.warmKeepIds
     // clearCache drops SQL-cache entries; the unpersist sweep additionally
     // drops RDD storage blocks it does not cover (localCheckpoint'd edge
     // lists in the clustering queries). The warm frames are exempt —

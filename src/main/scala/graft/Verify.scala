@@ -32,19 +32,17 @@ object Verify {
     // seven queries stop re-deriving one signature pipeline. Semantics-free
     // (the warm≡cold spec proves it); skipped entirely when no sharing
     // query is selected.
-    val keep: Set[Int] = {
-      val d =
-        if (selected.keys.exists(operators.Dedup.sharedFamily))
-          operators.Dedup.warmShared(spark, sfDir)
-        else Set.empty[Int]
-      // Same contract for the IVF family's standing artifacts (centroids +
-      // cell assignment — the index sim_index_probe persists).
-      val a =
-        if (selected.keys.exists(operators.Similarity.sharedFamily))
-          operators.Similarity.warmShared(spark, sfDir)
-        else Set.empty[Int]
-      d ++ a
-    }
+    if (selected.keys.exists(operators.Dedup.sharedFamily))
+      operators.Dedup.warmShared(spark, sfDir)
+    // Same contract for the IVF family's standing artifacts (centroids +
+    // cell assignment — the index sim_index_probe persists).
+    if (selected.keys.exists(operators.Similarity.sharedFamily))
+      operators.Similarity.warmShared(spark, sfDir)
+    // Consulted PER SWEEP, not snapshotted: the graph-ANN tiers warm
+    // lazily on first use mid-run, and unpersisting a localCheckpoint
+    // orphans every later read of it.
+    def keep: Set[Int] =
+      operators.Dedup.warmKeepIds ++ operators.Similarity.warmKeepIds
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Recursive delete for pre-run cleanup (below).
     def rmTree(p: java.nio.file.Path): Unit =

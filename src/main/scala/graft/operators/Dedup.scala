@@ -299,6 +299,11 @@ object Dedup {
     warm = None
   }
 
+  /** RDD ids currently backing the warm frames — harness cache sweeps
+    * consult this per sweep (the Similarity family warms some frames
+    * lazily mid-run, so sweeps read the CURRENT id set, not a snapshot). */
+  def warmKeepIds: Set[Int] = warm.map(_.ids).getOrElse(Set.empty)
+
   private def warmOf(s: SparkSession, dir: String): Option[Warm] =
     warm.filter(w => (w.s eq s) && w.dir == dir)
 

@@ -147,7 +147,8 @@ object Similarity {
     * full-corpus fit. */
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
     "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report",
-    "mm_crossmodal", "sim_ann_filtered", "sim_graph_ann")
+    "mm_crossmodal", "sim_ann_filtered", "sim_graph_ann",
+    "sim_graph_ann_persist")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
@@ -161,13 +162,30 @@ object Similarity {
   }
 
   /** Drop the warm frames (test hygiene — warm≡cold specs must not leak). */
-  def clearWarm(): Unit = warm.foreach { w =>
-    val ids = w.ids
-    w.s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => ids(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    warm = None
+  def clearWarm(): Unit = {
+    warm.foreach { w =>
+      val ids = w.ids
+      w.s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => ids(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      warm = None
+    }
+    warmG.foreach { w =>
+      val ids = w.ids
+      w.s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => ids(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      warmG = None
+    }
   }
+
+  /** RDD ids currently backing warm frames (fit/assignment AND the lazily
+    * built graph tiers) — harness cache sweeps consult this PER SWEEP, not
+    * once at warm time, because the graph tiers warm on FIRST USE mid-run
+    * (unpersisting a localCheckpoint orphans every later read of it). */
+  def warmKeepIds: Set[Int] =
+    warm.map(_.ids).getOrElse(Set.empty) ++
+      warmG.map(_.ids).getOrElse(Set.empty)
 
   private def warmOf(s: SparkSession, dir: String): Option[Warm] =
     warm.filter(w => (w.s eq s) && w.dir == dir)
@@ -179,6 +197,262 @@ object Similarity {
   private def sharedAssigned(s: SparkSession, dir: String): DataFrame =
     warmOf(s, dir).map(_.assigned)
       .getOrElse(assignCell(corpus(s, dir), "vec_id", "ce", sharedFit(s, dir)))
+
+  // ---- shared two-tier graph-ANN index (sim_graph_ann / _persist) ----
+
+  /** Graph-ANN knobs — ONE definition feeding the index builder, both query
+    * variants, and the mirrored oracle SQL (a drifting copy would silently
+    * diverge the hash compare). */
+  private val GannDeg = 4 // base / tier-1 link degree (top-M per node)
+  private val GannEntryE = 4 // entry candidates kept before the beam
+  private val GannBeamB = 6 // beam width per round
+  private val GannRounds = 2 // fixed beam rounds
+  private val GannK = 3 // declared top-k
+  private val GannHubM = 8 // tier-2 hub link degree
+  private val GannHubMod = 4L // tier-2 sampling modulus over medoid cells
+
+  /** The two-tier graph index: base edges (top-M within IVF cell + top-M
+    * onto the tier-1 medoids), the tier-1 medoid set (vec_id, cell, ce),
+    * the tier-2 hash-sampled hub set, and the tier-2 descent edges. graph /
+    * medoids / hubEdges are checkpointed — together they ARE the standing
+    * artifact the probe path reads (sim_graph_ann_persist commits exactly
+    * these rows to the transaction log). */
+  private final case class GraphTiers(graph: DataFrame, medoids: DataFrame,
+    hubs2: DataFrame, hubEdges: DataFrame)
+
+  private def buildGraphTiers(s: SparkSession, dir: String): GraphTiers = {
+    val fitted = sharedFit(s, dir)
+    val assigned = sharedAssigned(s, dir)
+    val co = corpus(s, dir)
+    val wEdge = Window.partitionBy("vec_id")
+      .orderBy(col("raw").desc, col("nb").asc)
+    def topM(edges: DataFrame, deg: Int = GannDeg): DataFrame = edges
+      .where(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("nb"),
+        cosine(col("ce"), col("nbe")).as("raw"))
+      .withColumn("rn", row_number().over(wEdge))
+      .where(col("rn") <= deg)
+      .select("vec_id", "nb")
+    // Base layer: top-M cosine per node within its IVF cell; tier-1
+    // hub layer: top-M links onto the broadcast seed vectors.
+    val inCell = topM(assigned.select(col("vec_id"), col("ce"), col("cell"))
+      .join(assigned.select(col("vec_id").as("nb"),
+        col("ce").as("nbe"), col("cell")), Seq("cell")))
+    // Tier 1 = the cell MEDOIDS (the corpus vector nearest each FITTED
+    // centroid — real members, so a medoid's in-cell edges lead into
+    // its cell; the raw vec_id<IvfCells seeds lose that binding after
+    // the Lloyd refit). argmax per cell via struct-max: partial-agg
+    // friendly, determinized by (cos, -vec_id).
+    val medoids = assigned.select(col("vec_id"), col("ce"), col("cell"))
+      .join(broadcast(fitted
+        .select(col("cid").as("cell"), col("centroid"))), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        cosine(col("ce"), col("centroid")).as("mc"))
+      .groupBy("cell")
+      .agg(max(struct(col("mc"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("cell"), (-col("m.nid")).as("vec_id"))
+      .join(co.select(col("vec_id"), col("ce")), Seq("vec_id"))
+      .localCheckpoint() // IvfCells rows — the tier-1 hub set
+    val toSeed = topM(co.select("vec_id", "ce")
+      .crossJoin(broadcast(medoids
+        .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
+    val graph = inCell.union(toSeed)
+      .localCheckpoint() // the standing index artifact, reused per round
+    // Tier 2: hash-sampled medoids; descent edges onto the full tier 1.
+    val hubs2 = medoids.where(col("cell") % GannHubMod === 0L)
+      .select(col("vec_id"), col("ce"))
+    val hubEdges = topM(hubs2
+      .crossJoin(broadcast(medoids
+        .select(col("vec_id").as("nb"), col("ce").as("nbe")))), GannHubM)
+      .localCheckpoint() // tiny: |tier2| × hubM rows
+    GraphTiers(graph, medoids, hubs2, hubEdges)
+  }
+
+  private final case class WarmG(s: SparkSession, dir: String,
+    tiers: GraphTiers, ids: Set[Int])
+  @volatile private var warmG: Option[WarmG] = None
+
+  /** The standing two-tier graph index for (s, dir): built + checkpointed
+    * on FIRST USE, then reused by every later graph-ANN query in the same
+    * harness run — the per-query index REBUILD retired (a production user
+    * probes a persisted index; sim_graph_ann_persist is that lifecycle on
+    * disk, this is its in-process stand-in, the [[warmShared]] contract).
+    * Declared queries are unchanged when cold; harnesses exempt
+    * [[warmKeepIds]] from cache sweeps so the lazily-built tiers survive. */
+  private def sharedGraphTiers(s: SparkSession, dir: String): GraphTiers =
+    warmG.filter(w => (w.s eq s) && w.dir == dir).map(_.tiers).getOrElse {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val t = buildGraphTiers(s, dir)
+      val ids = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      warmG = Some(WarmG(s, dir, t, ids))
+      t
+    }
+
+  /** The hub-entry probe path over a two-tier graph index, parameterized by
+    * the index FRAMES so the same arithmetic runs against the in-memory
+    * build (sim_graph_ann's warm tiers) or the cold on-disk artifact
+    * (sim_graph_ann_persist): score the tier-2 hubs, drop along the best
+    * hub's descent links to the best tier-1 medoid, enter that medoid's
+    * cell whole, then GannRounds of frontier-∪-neighbors beam. Descent
+    * scoring keeps self-pairs (navigation may land on the probe's own
+    * vector — that IS the right region); only candidate scoring excludes
+    * self. Returns (probe_id, vec_id, raw) — the final frontier. */
+  private def gannHubProbe(pr: DataFrame, co: DataFrame, cells: DataFrame,
+      medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame,
+      graph: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("raw").desc, col("vec_id").asc)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+      .join(broadcast(pr), Seq("probe_id"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("ce")).as("raw"))
+    val e2best = pr.crossJoin(broadcast(hubs2))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("ce")).as("raw"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= 1)
+      .select("probe_id", "vec_id")
+    val mDesc = e2best.join(broadcast(hubEdges), Seq("vec_id"))
+      .select(col("probe_id"), col("nb").as("vec_id"))
+      .union(e2best)
+    val bestMed = mDesc.distinct()
+      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+      .join(broadcast(pr), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("ce")).as("raw"))
+      .join(broadcast(medoids
+        .select(col("vec_id"), col("cell").as("mcell"))), Seq("vec_id"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= 1)
+      .select(col("probe_id"), col("mcell"))
+    val hubEntry = cells
+      .join(broadcast(bestMed), col("cell") === col("mcell"))
+      .select("probe_id", "vec_id")
+      .union(mDesc)
+    val f0 = score(hubEntry.distinct())
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= GannEntryE)
+      .select("probe_id", "vec_id", "raw")
+    (1 to GannRounds).foldLeft(f0) { (f, _) =>
+      score(f.select("probe_id", "vec_id")
+          .union(f.join(graph, Seq("vec_id"))
+            .select(col("probe_id"), col("nb").as("vec_id")))
+          .distinct())
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= GannBeamB)
+        .select("probe_id", "vec_id", "raw")
+    }
+  }
+
+  /** Oracle-SQL builders for the graph-ANN family — ONE definition of the
+    * index + hub-lane arithmetic shared by sim_graph_ann (which appends the
+    * ivf lane, candidate logs, and the recall baseline) and
+    * sim_graph_ann_persist (which selects straight from the hub beam:
+    * persistence is semantics-free, so the same WITH-chain oracles both). */
+  private def gannBeamSql(prev: String, cd: String, f: String): String =
+    s"""$cd AS MATERIALIZED (
+       |  SELECT DISTINCT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id FROM $prev
+       |    UNION ALL
+       |    SELECT fr.probe_id, g.nb AS vec_id
+       |    FROM $prev fr JOIN g ON g.vec_id = fr.vec_id)),
+       |$f AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, raw FROM (
+       |    SELECT cd.probe_id, cd.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+       |      row_number() OVER (PARTITION BY cd.probe_id
+       |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, cd.vec_id ASC) AS rn
+       |    FROM $cd cd
+       |    JOIN call x ON x.vec_id = cd.vec_id
+       |    JOIN pr p ON p.probe_id = cd.probe_id
+       |    WHERE cd.probe_id <> cd.vec_id)
+       |  WHERE rn <= $GannBeamB)""".stripMargin
+
+  private def gannEntrySql(ec: String, f0: String): String =
+    s"""$f0 AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, raw FROM (
+       |    SELECT e.probe_id, e.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
+       |      row_number() OVER (PARTITION BY e.probe_id
+       |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, e.vec_id ASC) AS rn
+       |    FROM $ec e
+       |    JOIN call x ON x.vec_id = e.vec_id
+       |    JOIN pr p ON p.probe_id = e.probe_id
+       |    WHERE e.probe_id <> e.vec_id)
+       |  WHERE rn <= $GannEntryE)""".stripMargin
+
+  /** The shared WITH-chain: IVF fit, two-tier index (med/medv/g/h2/hubE),
+    * probes, hub descent (e2/mdesc/bmed/ech), and the hub lane's entry +
+    * GannRounds beam rounds ending in `f2h`. NOTE the beam rounds are
+    * unrolled literally — two gannBeamSql calls ⇔ GannRounds == 2. */
+  private def gannCommonSql: String = {
+    require(GannRounds == 2, "gannCommonSql unrolls exactly 2 beam rounds")
+    s"""${ivfChainSql(None)},
+       |med AS MATERIALIZED (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT x.cell, x.vec_id,
+       |      row_number() OVER (PARTITION BY x.cell
+       |        ORDER BY ${cosSql("x.ce", "ct.centroid")} DESC,
+       |          x.vec_id ASC) AS rn
+       |    FROM c x JOIN cents$KMeansIters ct ON ct.cid = x.cell)
+       |  WHERE rn = 1),
+       |medv AS MATERIALIZED (
+       |  SELECT m.cell, x.vec_id, x.ce
+       |  FROM med m JOIN call x ON x.vec_id = m.vec_id),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id, nb FROM (
+       |    SELECT a.vec_id, b.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a.ce", "b.ce")} DESC, b.vec_id ASC) AS rn
+       |    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $GannDeg
+       |  UNION ALL
+       |  SELECT vec_id, nb FROM (
+       |    SELECT a.vec_id, s.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
+       |    FROM call a CROSS JOIN medv s
+       |    WHERE a.vec_id <> s.vec_id)
+       |  WHERE rn <= $GannDeg),
+       |h2 AS (SELECT vec_id, ce FROM medv WHERE cell % $GannHubMod = 0),
+       |hubE AS (
+       |  SELECT vec_id, nb FROM (
+       |    SELECT a.vec_id, s.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
+       |    FROM h2 a CROSS JOIN medv s WHERE a.vec_id <> s.vec_id)
+       |  WHERE rn <= $GannHubM),
+       |pr AS MATERIALIZED ($probeSql),
+       |e2 AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, h.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "h.ce")} DESC, h.vec_id ASC) AS rn
+       |    FROM pr p CROSS JOIN h2 h)
+       |  WHERE rn <= 1),
+       |mdesc AS MATERIALIZED (
+       |  SELECT DISTINCT probe_id, vec_id FROM (
+       |    SELECT e.probe_id, hubE.nb AS vec_id
+       |    FROM e2 e JOIN hubE ON hubE.vec_id = e.vec_id
+       |    UNION ALL SELECT probe_id, vec_id FROM e2)),
+       |bmed AS (
+       |  SELECT probe_id, mcell FROM (
+       |    SELECT d.probe_id, mv.cell AS mcell,
+       |      row_number() OVER (PARTITION BY d.probe_id
+       |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC,
+       |          d.vec_id ASC) AS rn
+       |    FROM mdesc d JOIN call x ON x.vec_id = d.vec_id
+       |    JOIN pr p ON p.probe_id = d.probe_id
+       |    JOIN medv mv ON mv.vec_id = d.vec_id)
+       |  WHERE rn = 1),
+       |ech AS MATERIALIZED (
+       |  SELECT DISTINCT probe_id, vec_id FROM (
+       |    SELECT b.probe_id, x.vec_id FROM bmed b JOIN c x ON x.cell = b.mcell
+       |    UNION ALL SELECT probe_id, vec_id FROM mdesc)),
+       |${gannEntrySql("ech", "f0h")},
+       |${gannBeamSql("f0h", "cd1h", "f1h")},
+       |${gannBeamSql("f1h", "cd2h", "f2h")}""".stripMargin
+  }
 
   /** IVF probe oracle — the Lloyd fit unrolled to CTEs (a<i> = assignment
     * to cents<i-1>, cents<i> = rounded per-cell mean), shared by `sim_ivf`
@@ -1964,59 +2238,26 @@ object Similarity {
     QDef(
       "sim_graph_ann",
       (s, dir) => {
-        val (mDeg, entryE, beamB, rounds, k) = (4, 4, 6, 2, 3)
+        val (entryE, beamB, rounds, k) = (GannEntryE, GannBeamB, GannRounds, GannK)
         // Extra hub-path rounds: the hierarchy's log-ish DESCENT — each
         // costs O(probes × beam × degree), corpus-independent.
         val hubDescent = 0
         // Hub-tier link degree: denser than the base layer (HNSW keeps
         // upper layers denser relative to their size; here it spans the
         // whole tier-1 set — at 100k cells this would be a top-M sample).
-        val hubM = 8
+        val hubM = GannHubM
         val fitted = sharedFit(s, dir)
         val assigned = sharedAssigned(s, dir)
         val co = corpus(s, dir)
         val pr = probes(s, dir)
-        val wEdge = Window.partitionBy("vec_id")
-          .orderBy(col("raw").desc, col("nb").asc)
-        def topM(edges: DataFrame, deg: Int = mDeg): DataFrame = edges
-          .where(col("vec_id") =!= col("nb"))
-          .select(col("vec_id"), col("nb"),
-            cosine(col("ce"), col("nbe")).as("raw"))
-          .withColumn("rn", row_number().over(wEdge))
-          .where(col("rn") <= deg)
-          .select("vec_id", "nb")
-        // Base layer: top-M cosine per node within its IVF cell; tier-1
-        // hub layer: top-M links onto the broadcast seed vectors.
-        val inCell = topM(assigned.select(col("vec_id"), col("ce"), col("cell"))
-          .join(assigned.select(col("vec_id").as("nb"),
-            col("ce").as("nbe"), col("cell")), Seq("cell")))
-        // Tier 1 = the cell MEDOIDS (the corpus vector nearest each FITTED
-        // centroid — real members, so a medoid's in-cell edges lead into
-        // its cell; the raw vec_id<IvfCells seeds lose that binding after
-        // the Lloyd refit). argmax per cell via struct-max: partial-agg
-        // friendly, determinized by (cos, -vec_id).
-        val medoids = assigned.select(col("vec_id"), col("ce"), col("cell"))
-          .join(broadcast(fitted
-            .select(col("cid").as("cell"), col("centroid"))), Seq("cell"))
-          .select(col("cell"), col("vec_id"),
-            cosine(col("ce"), col("centroid")).as("mc"))
-          .groupBy("cell")
-          .agg(max(struct(col("mc"), (-col("vec_id")).as("nid"))).as("m"))
-          .select(col("cell"), (-col("m.nid")).as("vec_id"))
-          .join(co.select(col("vec_id"), col("ce")), Seq("vec_id"))
-          .localCheckpoint() // IvfCells rows — the tier-1 hub set
-        val toSeed = topM(co.select("vec_id", "ce")
-          .crossJoin(broadcast(medoids
-            .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
-        val graph = inCell.union(toSeed)
-          .localCheckpoint() // the standing index artifact, reused per round
-        // Tier 2: hash-sampled medoids; descent edges onto the full tier 1.
-        val hubs2 = medoids.where(col("cell") % 4L === 0L)
-          .select(col("vec_id"), col("ce"))
-        val hubEdges = topM(hubs2
-          .crossJoin(broadcast(medoids
-            .select(col("vec_id").as("nb"), col("ce").as("nbe")))), hubM)
-          .localCheckpoint() // tiny: |tier2| × hubM rows
+        // The standing two-tier index — built once per harness run
+        // ([[sharedGraphTiers]]), probed here; the on-disk lifecycle of the
+        // SAME artifact is sim_graph_ann_persist.
+        val tiers = sharedGraphTiers(s, dir)
+        val graph = tiers.graph
+        val medoids = tiers.medoids
+        val hubs2 = tiers.hubs2
+        val hubEdges = tiers.hubEdges
         val wProbe = Window.partitionBy("probe_id")
           .orderBy(col("raw").desc, col("vec_id").asc)
         def score(cand: DataFrame): DataFrame = cand
@@ -2156,42 +2397,17 @@ object Similarity {
         // centroid; not visible in cand_read, and the term that grows
         // with cell count: at 8 cells it is cheap, at the 100k cells of a
         // survey-scale index it is the entry bottleneck the hierarchy
-        // exists to delete).
+        // exists to delete). |tier2| is COUNTED (hubs2 is sampling-modulus
+        // dependent: cell % 4 of IvfCells cells), never hardcoded — a
+        // literal would silently invalidate the bound if either knob moved.
+        val tier2Count = hubs2.count()
         require(sums("hub")._3 <=
-            sums("ivf")._3 + sums("hub")._2 * (2L + hubM),
+            sums("ivf")._3 + sums("hub")._2 * (tier2Count + hubM),
           "descent overhead exceeded its constant per-probe bound")
         out.orderBy("variant", "probe_id", "rank")
       },
       Some {
-        val (mDeg, entryE, beamB, k, hubM) = (4, 4, 6, 3, 8)
-        def beamSql(prev: String, cd: String, f: String) =
-          s"""$cd AS MATERIALIZED (
-             |  SELECT DISTINCT probe_id, vec_id FROM (
-             |    SELECT probe_id, vec_id FROM $prev
-             |    UNION ALL
-             |    SELECT fr.probe_id, g.nb AS vec_id
-             |    FROM $prev fr JOIN g ON g.vec_id = fr.vec_id)),
-             |$f AS MATERIALIZED (
-             |  SELECT probe_id, vec_id, raw FROM (
-             |    SELECT cd.probe_id, cd.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
-             |      row_number() OVER (PARTITION BY cd.probe_id
-             |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, cd.vec_id ASC) AS rn
-             |    FROM $cd cd
-             |    JOIN call x ON x.vec_id = cd.vec_id
-             |    JOIN pr p ON p.probe_id = cd.probe_id
-             |    WHERE cd.probe_id <> cd.vec_id)
-             |  WHERE rn <= $beamB)""".stripMargin
-        def entrySql(ec: String, f0: String) =
-          s"""$f0 AS MATERIALIZED (
-             |  SELECT probe_id, vec_id, raw FROM (
-             |    SELECT e.probe_id, e.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
-             |      row_number() OVER (PARTITION BY e.probe_id
-             |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC, e.vec_id ASC) AS rn
-             |    FROM $ec e
-             |    JOIN call x ON x.vec_id = e.vec_id
-             |    JOIN pr p ON p.probe_id = e.probe_id
-             |    WHERE e.probe_id <> e.vec_id)
-             |  WHERE rn <= $entryE)""".stripMargin
+        val k = GannK
         def lane(tag: String, f2: String, log: String) =
           s"""SELECT '$tag' AS variant, a.probe_id, a.vec_id,
              |  floor((a.raw) * 1e6 + 0.5) / 1e6 AS cos, a.rank,
@@ -2210,83 +2426,19 @@ object Similarity {
              |  GROUP BY 1) h ON h.probe_id = a.probe_id
              |JOIN (SELECT probe_id, CAST(count(*) AS BIGINT) AS cr
              |  FROM $log GROUP BY 1) l ON l.probe_id = a.probe_id""".stripMargin
-        s"""${ivfChainSql(None)},
-           |med AS MATERIALIZED (
-           |  SELECT cell, vec_id FROM (
-           |    SELECT x.cell, x.vec_id,
-           |      row_number() OVER (PARTITION BY x.cell
-           |        ORDER BY ${cosSql("x.ce", "ct.centroid")} DESC,
-           |          x.vec_id ASC) AS rn
-           |    FROM c x JOIN cents$KMeansIters ct ON ct.cid = x.cell)
-           |  WHERE rn = 1),
-           |medv AS MATERIALIZED (
-           |  SELECT m.cell, x.vec_id, x.ce
-           |  FROM med m JOIN call x ON x.vec_id = m.vec_id),
-           |g AS MATERIALIZED (
-           |  SELECT vec_id, nb FROM (
-           |    SELECT a.vec_id, b.vec_id AS nb,
-           |      row_number() OVER (PARTITION BY a.vec_id
-           |        ORDER BY ${cosSql("a.ce", "b.ce")} DESC, b.vec_id ASC) AS rn
-           |    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-           |  WHERE rn <= $mDeg
-           |  UNION ALL
-           |  SELECT vec_id, nb FROM (
-           |    SELECT a.vec_id, s.vec_id AS nb,
-           |      row_number() OVER (PARTITION BY a.vec_id
-           |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
-           |    FROM call a CROSS JOIN medv s
-           |    WHERE a.vec_id <> s.vec_id)
-           |  WHERE rn <= $mDeg),
-           |h2 AS (SELECT vec_id, ce FROM medv WHERE cell % 4 = 0),
-           |hubE AS (
-           |  SELECT vec_id, nb FROM (
-           |    SELECT a.vec_id, s.vec_id AS nb,
-           |      row_number() OVER (PARTITION BY a.vec_id
-           |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
-           |    FROM h2 a CROSS JOIN medv s WHERE a.vec_id <> s.vec_id)
-           |  WHERE rn <= $hubM),
-           |pr AS MATERIALIZED ($probeSql),
+        s"""$gannCommonSql,
            |eci AS MATERIALIZED (
            |  SELECT p.probe_id, x.vec_id FROM p JOIN c x USING (cell)
            |  WHERE p.probe_id <> x.vec_id),
-           |${entrySql("eci", "f0i")},
-           |${beamSql("f0i", "cd1i", "f1i")},
-           |${beamSql("f1i", "cd2i", "f2i")},
+           |${gannEntrySql("eci", "f0i")},
+           |${gannBeamSql("f0i", "cd1i", "f1i")},
+           |${gannBeamSql("f1i", "cd2i", "f2i")},
            |logi AS (
            |  SELECT DISTINCT probe_id, vec_id FROM (
            |    SELECT probe_id, vec_id FROM eci
            |    UNION ALL SELECT probe_id, vec_id FROM cd1i
            |    UNION ALL SELECT probe_id, vec_id FROM cd2i)
            |  WHERE probe_id <> vec_id),
-           |e2 AS (
-           |  SELECT probe_id, vec_id FROM (
-           |    SELECT p.probe_id, h.vec_id,
-           |      row_number() OVER (PARTITION BY p.probe_id
-           |        ORDER BY ${cosSql("p.pe", "h.ce")} DESC, h.vec_id ASC) AS rn
-           |    FROM pr p CROSS JOIN h2 h)
-           |  WHERE rn <= 1),
-           |mdesc AS MATERIALIZED (
-           |  SELECT DISTINCT probe_id, vec_id FROM (
-           |    SELECT e.probe_id, hubE.nb AS vec_id
-           |    FROM e2 e JOIN hubE ON hubE.vec_id = e.vec_id
-           |    UNION ALL SELECT probe_id, vec_id FROM e2)),
-           |bmed AS (
-           |  SELECT probe_id, mcell FROM (
-           |    SELECT d.probe_id, mv.cell AS mcell,
-           |      row_number() OVER (PARTITION BY d.probe_id
-           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC,
-           |          d.vec_id ASC) AS rn
-           |    FROM mdesc d JOIN call x ON x.vec_id = d.vec_id
-           |    JOIN pr p ON p.probe_id = d.probe_id
-           |    JOIN medv mv ON mv.vec_id = d.vec_id)
-           |  WHERE rn = 1),
-           |ech AS MATERIALIZED (
-           |  SELECT DISTINCT probe_id, vec_id FROM (
-           |    SELECT b.probe_id, x.vec_id FROM bmed b JOIN c x ON x.cell = b.mcell
-           |    UNION ALL SELECT probe_id, vec_id FROM mdesc)),
-           |${entrySql("ech", "f0h")},
-           |${beamSql("f0h", "cd1h", "f1h")},
-           |${beamSql("f1h", "cd2h", "f2h")},
            |logh AS (
            |  SELECT DISTINCT probe_id, vec_id FROM (
            |    SELECT p.probe_id, h.vec_id FROM pr p CROSS JOIN h2 h
@@ -2306,6 +2458,103 @@ object Similarity {
            |  UNION ALL
            |  ${lane("ivf", "f2i", "logi")})
            |ORDER BY variant, probe_id, rank""".stripMargin
-      })
+      }),
+
+    // THE GRAPH-ANN INDEX AS A STANDING, VERSIONED ON-DISK ARTIFACT — the
+    // lifecycle sim_index_log gives the IVF codes, extended to the graph
+    // tier: build commits the WHOLE two-tier index (base edges, tier-1
+    // medoid assignments, tier-2 hub links) as ONE commit-log version, and
+    // the probe path reads that artifact COLD — no fit, no edge
+    // construction, no corpus pass beyond scoring the candidates it
+    // actually visits. The artifact is a unified long schema
+    // (kind, tier, src, dst): node rows carry (vec_id → cell) with tier
+    // 0/1/2 = member/medoid/hub-2, edge rows carry (vec_id → nb) with tier
+    // 0 = base graph, 2 = hub descent links. Vectors are NOT copied in:
+    // the index references vec_ids and scoring joins the data table, so
+    // the artifact stays O(V·deg) longs, not O(V·dims) floats. Laws
+    // require'd in-query: (1) the committed artifact round-trips the disk
+    // hop EXACTLY (both exceptAll directions empty); (2) the cold probe's
+    // declared results ≡ probing the freshly-built in-memory index — the
+    // VERDICT-r16 contract that persistence is invisible to semantics.
+    // Scale: build is paid ONCE per index version (the same candidate-
+    // bucketed passes as sim_graph_ann); a probe moves O(|tier2| + hubM +
+    // rounds × beam × degree) rows, corpus-independent, against an
+    // artifact read of O(V·deg) longs — at survey scale the read prunes
+    // further by kind/tier (pushed filters on the artifact scan).
+    QDef(
+      "sim_graph_ann_persist",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val assigned = sharedAssigned(s, dir)
+        val co = corpus(s, dir)
+        val pr = probes(s, dir)
+        val tiers = sharedGraphTiers(s, dir)
+        // BUILD → COMMIT: one version, one atomic publish.
+        val nodeRows = assigned.select(col("vec_id"), col("cell"))
+          .join(tiers.medoids.select(col("vec_id"), lit(1L).as("isMed")),
+            Seq("vec_id"), "left")
+          .join(tiers.hubs2.select(col("vec_id"), lit(1L).as("isHub")),
+            Seq("vec_id"), "left")
+          .select(lit("node").as("kind"),
+            coalesce(col("isHub") * 2L, col("isMed"), lit(0L)).as("tier"),
+            col("vec_id").as("src"), col("cell").as("dst"))
+        val edgeRows = tiers.graph
+          .select(lit("edge").as("kind"), lit(0L).as("tier"),
+            col("vec_id").as("src"), col("nb").as("dst"))
+          .unionAll(tiers.hubEdges
+            .select(lit("edge").as("kind"), lit(2L).as("tier"),
+              col("vec_id").as("src"), col("nb").as("dst")))
+        val art = nodeRows.unionAll(edgeRows)
+          .localCheckpoint() // feeds the write AND the round-trip law
+        val root = Scans.freshRunTmpPath(s, "graft_gann_idx_")
+        art.write.mode("overwrite").parquet(s"$root/s1")
+        CommitLog.commit(root, 1L, "s1")
+        // COLD: everything below this line reads the v1 artifact from disk.
+        val artC = CommitLog.readAsOf(s, root, 1L)
+          .localCheckpoint() // one disk read feeds 5 consumers + the law
+        require(artC.exceptAll(art).unionAll(art.exceptAll(artC)).isEmpty,
+          "the committed graph-ANN artifact did not round-trip the disk hop")
+        val cNodes = artC.where(col("kind") === "node")
+          .select(col("src").as("vec_id"), col("dst").as("cell"),
+            col("tier"))
+        val cCells = cNodes.select("vec_id", "cell")
+        val cMedoids = cNodes.where(col("tier") >= 1L)
+          .select(col("vec_id"), col("cell"))
+          .join(co.select("vec_id", "ce"), Seq("vec_id"))
+        val cHubs2 = cNodes.where(col("tier") === 2L).select("vec_id")
+          .join(co.select("vec_id", "ce"), Seq("vec_id"))
+        def cEdges(t: Long) = artC
+          .where(col("kind") === "edge" && col("tier") === t)
+          .select(col("src").as("vec_id"), col("dst").as("nb"))
+        val coldRaw = gannHubProbe(pr, co, cCells, cMedoids, cHubs2,
+          cEdges(2L), cEdges(0L))
+        val wP = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        def top(df: DataFrame): DataFrame = df
+          .withColumn("rank", row_number().over(wP).cast("long"))
+          .where(col("rank") <= GannK.toLong)
+          .select(col("probe_id"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+        val cold = top(coldRaw)
+          .localCheckpoint() // feeds the ≡-rebuilt law AND the output
+        // The artifact contract: probing the COLD on-disk index returns
+        // exactly what probing the freshly-built in-memory index returns.
+        val rebuilt = top(gannHubProbe(pr, co,
+          assigned.select("vec_id", "cell"),
+          tiers.medoids.select("vec_id", "cell"),
+          tiers.hubs2, tiers.hubEdges, tiers.graph))
+        require(cold.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(cold))
+            .isEmpty,
+          "cold probe of the persisted index diverged from the rebuilt index")
+        cold.orderBy("probe_id", "rank")
+      },
+      Some(s"""$gannCommonSql
+           |SELECT probe_id, vec_id,
+           |  floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+           |FROM (SELECT probe_id, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM f2h QUALIFY rank <= $GannK)
+           |ORDER BY probe_id, rank""".stripMargin))
   )
 }

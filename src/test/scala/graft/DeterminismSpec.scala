@@ -315,7 +315,11 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_alert",
     // the sky-mode argmax + integer feature cuts (realbogus — the
     // frame_difference bet with a boolean classification on top)
-    "frame_realbogus")
+    "frame_realbogus",
+    // round-17: the sim_graph_ann beam bet routed through a disk hop —
+    // cold-probe ranks from the committed artifact must not move with
+    // the merge topology (nor with the artifact's file layout)
+    "sim_graph_ann_persist")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
@@ -335,8 +339,16 @@ class DeterminismSpec extends SparkSpec {
     try {
       risky.foreach { name =>
         val fn = SparkEntry.queries(name)
+        // The graph-ANN queries SELF-warm their shared index tiers on
+        // first use (sharedGraphTiers); without a clear between runs the
+        // 7-partition pass would reuse tiers checkpointed under 1
+        // partition and the flip would be vacuous for the index build.
+        graft.operators.Similarity.clearWarm()
+        graft.operators.Dedup.clearWarm()
         spark.conf.set(partitionsKey, "1")
         val a = fn(spark, sf).collect().map(_.toString).toSeq
+        graft.operators.Similarity.clearWarm()
+        graft.operators.Dedup.clearWarm()
         spark.conf.set(partitionsKey, "7")
         val b = fn(spark, sf).collect().map(_.toString).toSeq
         assert(a === b, s"$name diverges across partitioning")
