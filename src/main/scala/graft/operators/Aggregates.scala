@@ -959,6 +959,161 @@ object Aggregates {
              |SELECT user_id, best_period_s, ce FROM best
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // COARSE→ZOOM PERIOD REFINEMENT [PK — a real variable-star search scans
+    // 10⁴–10⁵ trial frequencies (astropy LombScargle's auto grid); a flat
+    // grid that dense is pure fan-out, so production period pipelines run
+    // TWO stages: a coarse scan locates the minimum's neighborhood, a
+    // per-object zoom grid around the coarse argmin refines it — the
+    // bounded-fan-out form of the dense search]. Demonstrated on a
+    // calibration series whose true period is INJECTED OFF THE COARSE
+    // GRID: per object, the first 48 epochs (determinized (t, event_id)
+    // order) are re-timed onto an exact 10300 s cadence and valued as a
+    // TRIANGLE wave of the 8-bin phase at P_inj = coarse point + k·180 s
+    // (k ∈ ±1..±4 by user hash, never 0 — P_inj is never a coarse trial,
+    // so only the zoom stage can recover it). Constants are calibrated,
+    // not arbitrary: the triangle |4 − bin| is WRAP-CONTINUOUS (a sawtooth
+    // put v=7 next to v=0 at the phase wrap, so one boundary epoch poisoned
+    // a bin's variance and aliased the coarse argmin), and the 10300 s
+    // cadence is incommensurate with every injected period (a half-period
+    // cadence sampled only two phase arcs, leaving distant trials tied at
+    // zero variance) while wrapping often enough that every ±180 s zoom
+    // neighbor flips at least one epoch's bin — verified exhaustive over
+    // all 8 injection classes (the series depends on user_id only mod 8).
+    // The BOUNDED series makes recovery scale-invariant: the same 48-epoch
+    // series folds identically at every sf, so the coarse stage's
+    // partial-coherence argmin cannot drift with corpus size. Stage 1 =
+    // lc_periods' PDM over the 24-point coarse grid; stage 2 = PDM over
+    // center ± 60 × 180 s (121 trials — half the coarse spacing each
+    // side, so ANY true period between grid points is reachable). At
+    // P_inj the fold reproduces the value exactly per bin ⇒ pooled
+    // within-bin variance is EXACTLY 0, the argmin's floor; require'd
+    // in-query: every full-series object recovers best == injected. All
+    // bin assignments are integer; the only FP is var_samp of small
+    // integers (exact partials), rounded once before the (pdm, trial)
+    // determinized argmin — the family discipline.
+    // Scale: both fan-outs are map-side explodes collapsed by partial
+    // aggregation (state bounded by objects × grid, never observations ×
+    // grid post-shuffle); per-object zoom centers are aggregate-sized and
+    // broadcast back onto the series — no corpus re-shuffle between
+    // stages. A 10⁴-frequency production search is this same plan with a
+    // denser zoom (or a third stage): fan-out stays grid-bounded.
+    QDef(
+      "lc_period_zoom",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wOrd = W.partitionBy("user_id")
+          .orderBy(col("t0").asc, col("event_id").asc)
+        val obs = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+            unix_timestamp(col("ts")).as("t0"))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") <= 48L)
+          .withColumn("t", (col("rn") - 1L).cast("long") * 10300L)
+          .withColumn("p_inj",
+            lit(43200L) + lit(21600L) * (col("user_id") % 2L) +
+              lit(180L) * when(col("user_id") % 8L < 4L,
+                col("user_id") % 8L - 4L)
+                .otherwise(col("user_id") % 8L - 3L))
+          .withColumn("v", expr("abs(4 - ((t % p_inj) * 8) div p_inj)"))
+          .localCheckpoint() // 32 rows/object; feeds both stages + census
+        def pdmOver(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame = df
+          .withColumn("bin", expr("((t % trial) * 8) div trial"))
+          .groupBy((keys :+ "bin").map(col): _*)
+          .agg(count(lit(1)).as("n_b"), var_samp(col("v")).as("v_b"))
+          .where(col("n_b") >= 2L)
+          .groupBy(keys.map(col): _*)
+          .agg(rnd(sum((col("n_b") - 1L) * col("v_b")) /
+            sum(col("n_b") - 1L).cast("double"), 6).as("pdm"))
+        val wMin = W.partitionBy("user_id")
+          .orderBy(col("pdm"), col("trial"))
+        val centers = pdmOver(obs
+            .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+            .withColumn("trial", lit(43200L) + lit(21600L) * col("k")),
+          Seq("user_id", "trial"))
+          .withColumn("rn", row_number().over(wMin))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("trial").as("coarse_period_s"))
+        val zoom = pdmOver(obs
+            .join(broadcast(centers), "user_id")
+            .withColumn("j", explode(sequence(lit(-60L), lit(60L))))
+            .withColumn("trial", col("coarse_period_s") + lit(180L) * col("j")),
+          Seq("user_id", "coarse_period_s", "trial"))
+        val inj = obs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_epochs"),
+            max("p_inj").as("injected_period_s"))
+        val out = zoom
+          .withColumn("rn", row_number().over(wMin))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("coarse_period_s"),
+            col("trial").as("best_period_s"), col("pdm").as("pdm_s2"))
+          .join(inj, "user_id")
+          .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
+            col("best_period_s"), col("pdm_s2"), col("injected_period_s"))
+          .localCheckpoint() // feeds the recovery law AND the output
+        val bad = out.where(col("n_epochs") === 48L &&
+          col("best_period_s") =!= col("injected_period_s")).count()
+        require(bad == 0L,
+          s"$bad full-series objects failed to recover their injected period")
+        out.orderBy("user_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+             |  FROM events WHERE value > 0.0),
+             |obsv AS (
+             |  SELECT user_id, t, p_inj, abs(4 - ((t % p_inj) * 8) // p_inj) AS v
+             |  FROM (
+             |    SELECT user_id, (rn - 1) * 10300 AS t,
+             |      43200 + 21600 * (user_id % 2) + 180 * (CASE
+             |        WHEN user_id % 8 < 4 THEN user_id % 8 - 4
+             |        ELSE user_id % 8 - 3 END) AS p_inj
+             |    FROM (SELECT user_id, event_id, t0, row_number() OVER (
+             |        PARTITION BY user_id ORDER BY t0, event_id) AS rn
+             |      FROM t0)
+             |    WHERE rn <= 48)),
+             |cbins AS (
+             |  SELECT user_id, 43200 + 21600 * g.k AS trial,
+             |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n_b, var_samp(v) AS v_b
+             |  FROM obsv CROSS JOIN generate_series(0, 23) g(k)
+             |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+             |cpdm AS (
+             |  SELECT user_id, trial,
+             |    floor((sum((n_b - 1) * v_b) / CAST(sum(n_b - 1) AS DOUBLE))
+             |      * 1e6 + 0.5) / 1e6 AS pdm
+             |  FROM cbins GROUP BY 1, 2),
+             |centers AS MATERIALIZED (
+             |  SELECT user_id, trial AS coarse_period_s
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY pdm, trial) AS rn FROM cpdm)
+             |  WHERE rn = 1),
+             |zbins AS (
+             |  SELECT o.user_id, c.coarse_period_s,
+             |    c.coarse_period_s + 180 * g.j AS trial,
+             |    ((o.t % (c.coarse_period_s + 180 * g.j)) * 8)
+             |      // (c.coarse_period_s + 180 * g.j) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n_b, var_samp(o.v) AS v_b
+             |  FROM obsv o JOIN centers c USING (user_id)
+             |  CROSS JOIN generate_series(-60, 60) g(j)
+             |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+             |zpdm AS (
+             |  SELECT user_id, coarse_period_s, trial,
+             |    floor((sum((n_b - 1) * v_b) / CAST(sum(n_b - 1) AS DOUBLE))
+             |      * 1e6 + 0.5) / 1e6 AS pdm
+             |  FROM zbins GROUP BY 1, 2, 3),
+             |inj AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
+             |    max(p_inj) AS injected_period_s
+             |  FROM obsv GROUP BY 1)
+             |SELECT z.user_id, n_epochs, coarse_period_s,
+             |  trial AS best_period_s, pdm AS pdm_s2, injected_period_s
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY pdm, trial) AS rn FROM zpdm) z
+             |JOIN inj USING (user_id)
+             |WHERE z.rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
     // when its LATEST epoch deviates more than 3σ from its own history's

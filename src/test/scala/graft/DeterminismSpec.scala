@@ -319,7 +319,11 @@ class DeterminismSpec extends SparkSpec {
     // round-17: the sim_graph_ann beam bet routed through a disk hop —
     // cold-probe ranks from the committed artifact must not move with
     // the merge topology (nor with the artifact's file layout)
-    "sim_graph_ann_persist")
+    "sim_graph_ann_persist",
+    // two chained argmins on rounded variance pools (coarse center, then
+    // zoom winner) — var_samp partials of small integers must merge
+    // identically under any topology for the recovery law to hold
+    "lc_period_zoom")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
