@@ -53,6 +53,26 @@ object Aggregates {
       .where(col("rk") <= k)
   }
 
+  /** Deterministic per-point photometric uncertainty proxy [PK — survey
+    * photometry is Poisson-limited: σ_flux ∝ √flux]: σ_v = 0.02·√v. The
+    * `events` fixture carries no error column; real survey pipelines
+    * propagate per-point errors, so this DOCUMENTED proxy threads the
+    * weighted forms of the lc statistics end to end (Stetson 1996's actual
+    * error-normalized J/K in `lc_stetson`; `lc_alerts`' z against the
+    * variance-weighted baseline with the point's own error in quadrature)
+    * with cross-engine-identical arithmetic. Magnitude-space error by
+    * propagation through m = −2.5·log10(v) + 25:
+    * σ_m = (2.5/ln 10)·σ_v/v — both engines fold the same constants and
+    * apply the same IEEE op sequence, so the doubles agree bit-for-bit
+    * before any rounding. */
+  private def fluxErr(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = lit(0.02) * sqrt(v)
+
+  /** Magnitude-space per-point error: (2.5/ln 10)·σ_v/v (see [[fluxErr]]). */
+  private def magErr(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (lit(2.5) / log(lit(10.0))) * fluxErr(v) / v
+
   /** Best trial period per object by phase-dispersion minimization — shared
     * by `lc_periods` (which emits it) and `lc_fold` (which folds the curve
     * at it). See the lc_periods QDef comment for the algorithm and the
@@ -1117,17 +1137,24 @@ object Aggregates {
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
     // when its LATEST epoch deviates more than 3σ from its own history's
-    // baseline (mean/stddev over every EARLIER epoch — the current epoch
-    // must not contaminate the baseline it is tested against), with a
-    // minimum-history gate so young objects can't alert off noise. The
+    // baseline (over every EARLIER epoch — the current epoch must not
+    // contaminate the baseline it is tested against), with a
+    // minimum-history gate so young objects can't alert off noise.
+    // ERROR-WEIGHTED (round 17, the [[fluxErr]] proxy threaded through):
+    // the baseline mean is the inverse-variance-weighted mean with Poisson
+    // weights w = 1/σ_v² = 2500/v — the constant cancels, so
+    // μ_w = n/Σ(1/v), the harmonic mean — and the z denominator adds the
+    // latest point's OWN measurement error in quadrature:
+    // z = (v_last − μ_w)/√(σ_hist² + σ_last²), the broker form (a bright
+    // noisy point must clear a higher bar than a faint precise one). The
     // latest epoch is the determinized argmax (t, event_id) — the
-    // family's tie discipline; baseline moments use the same
-    // avg/stddev_samp parity as agg_stats; z and the 3σ compare happen on
-    // the 1e-6 grid so the boolean is engine-stable. Scale shape: ONE
-    // shuffle on the object key serves both the argmax and the history
-    // moments (grouping key ⊇ window partition key — no second
-    // exchange); at 100 TB the baseline comes from the standing
-    // per-object STATE (agg_incremental's mergeable moments), so a
+    // family's tie discipline; σ_hist uses the same stddev_samp parity as
+    // agg_stats; z and the 3σ compare happen on the 1e-6 grid so the
+    // boolean is engine-stable. Scale shape: ONE shuffle on the object
+    // key serves both the argmax and the history moments (grouping key ⊇
+    // window partition key — no second exchange); Σ(1/v) is as mergeable
+    // as Σv, so at 100 TB the baseline still comes from standing
+    // per-object STATE (agg_incremental's mergeable moments) and a
     // night's alerting cost is O(night), not O(history) — this query is
     // the recompute-from-scratch form the incremental path must equal.
     QDef(
@@ -1145,13 +1172,19 @@ object Aggregates {
           .select(col("user_id"), col("value").as("last_value"))
         val base = marked.where(col("rn") > 1)
           .groupBy("user_id")
-          .agg(count(lit(1)).as("n_hist"), avg("value").as("mu"),
+          .agg(count(lit(1)).as("n_hist"),
+            (count(lit(1)).cast("double") / sum(lit(1.0) / col("value")))
+              .as("mu"),
             stddev_samp(col("value")).as("sigma"))
         latest.join(base, "user_id")
-          .withColumn("z", rnd((col("last_value") - col("mu")) / col("sigma"), 6))
+          .withColumn("last_err", fluxErr(col("last_value")))
+          .withColumn("z", rnd((col("last_value") - col("mu")) /
+            sqrt(col("sigma") * col("sigma") +
+              col("last_err") * col("last_err")), 6))
           .select(col("user_id"), col("n_hist"),
             rnd(col("last_value"), 6).as("last_value"),
-            rnd(col("mu"), 6).as("mu"), col("z"),
+            rnd(col("mu"), 6).as("mu"),
+            rnd(col("last_err"), 6).as("last_err"), col("z"),
             (col("n_hist") >= 20L && abs(col("z")) > lit(3.0)).as("alert"))
           .orderBy("user_id")
       },
@@ -1168,16 +1201,21 @@ object Aggregates {
              |  SELECT user_id, value AS last_value FROM marked WHERE rn = 1),
              |base AS (
              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hist,
-             |    avg(value) AS mu, stddev_samp(value) AS sigma
+             |    CAST(count(*) AS DOUBLE) / sum(1.0 / value) AS mu,
+             |    stddev_samp(value) AS sigma
              |  FROM marked WHERE rn > 1 GROUP BY user_id)
-             |SELECT l.user_id, n_hist,
+             |SELECT user_id, n_hist,
              |  floor((last_value) * 1e6 + 0.5) / 1e6 AS last_value,
              |  floor((mu) * 1e6 + 0.5) / 1e6 AS mu,
-             |  floor(((last_value - mu) / sigma) * 1e6 + 0.5) / 1e6 AS z,
-             |  (n_hist >= 20 AND
-             |   abs(floor(((last_value - mu) / sigma) * 1e6 + 0.5) / 1e6) > 3.0)
-             |    AS alert
-             |FROM latest l JOIN base USING (user_id)
+             |  floor((0.02 * sqrt(last_value)) * 1e6 + 0.5) / 1e6 AS last_err,
+             |  z,
+             |  (n_hist >= 20 AND abs(z) > 3.0) AS alert
+             |FROM (
+             |  SELECT l.user_id, n_hist, last_value, mu,
+             |    floor(((last_value - mu) / sqrt(sigma * sigma +
+             |      (0.02 * sqrt(last_value)) * (0.02 * sqrt(last_value))))
+             |      * 1e6 + 0.5) / 1e6 AS z
+             |  FROM latest l JOIN base USING (user_id))
              |ORDER BY user_id""".stripMargin)),
 
     // Flare detection [PK — stellar-flare / transient-brightening search:
@@ -2118,15 +2156,21 @@ object Aggregates {
     // observations (true variables deviate in runs, noise alternates) and
     // K is a robust kurtosis proxy (Σ|δ|/n) / √(Σδ²/n) that separates
     // smooth variation (K→0.9) from outlier-driven scatter (K→small).
-    // Unit-weight normalization δ_i = √(n/(n−1))·(m_i − m̄)/σ (the fixture
-    // carries no per-observation uncertainties — the [PK] formula's σ_i
-    // slot takes the series' own scatter, the standard fallback);
-    // consecutive pairing via ONE lag window, P = δ_i·δ_{i−1},
-    // J = mean(sgn(P)·√|P|). Two window passes (mean/sd, then δ + lag)
-    // share the single object-key shuffle, the rollup reuses the same
-    // partitioning — identical scale shape to every lc_* op. √ is
-    // IEEE-exact, the sd guard compares the ROUNDED value on both sides
-    // (the lc_variability degenerate-group lesson).
+    // ERROR-WEIGHTED (round 17 — Stetson 1996's ACTUAL form, the
+    // [[fluxErr]]/[[magErr]] proxy threaded through): per-point magnitude
+    // error σ_i = (2.5/ln 10)·σ_v/v; the reference magnitude is the
+    // inverse-variance-weighted mean m̄_w = Σ(m_i/σ_i²)/Σ(1/σ_i²) (the
+    // non-iterated weighted form), and each residual normalizes by its
+    // OWN error: δ_i = √(n/(n−1))·(m_i − m̄_w)/σ_i — a deviation in a
+    // precise bright point now outweighs the same deviation in a noisy
+    // faint one, which is the entire point of the statistic. Consecutive
+    // pairing via ONE lag window, P = δ_i·δ_{i−1}, J = mean(sgn(P)·√|P|).
+    // Two window passes (weighted moments, then δ + lag) share the single
+    // object-key shuffle, the rollup reuses the same partitioning —
+    // identical scale shape to every lc_* op; Σ(m/σ²) and Σ(1/σ²) are as
+    // mergeable as plain sums. √ is IEEE-exact; the degenerate-series
+    // guard compares the ROUNDED unweighted scatter on both sides (the
+    // lc_variability lesson) — σ_i itself is never 0 (v > 0).
     QDef(
       "lc_stetson",
       (s, dir) => {
@@ -2137,13 +2181,16 @@ object Aggregates {
         T.events(s, dir)
           .where(col("value") > 0.0)
           .withColumn("mag", expr("graft_mag(value)"))
+          .withColumn("sigi", magErr(col("value")))
+          .withColumn("wi", lit(1.0) / (col("sigi") * col("sigi")))
           .withColumn("n", count(lit(1)).over(byU))
-          .withColumn("mbar", avg(col("mag")).over(byU))
+          .withColumn("mbar",
+            sum(col("wi") * col("mag")).over(byU) / sum(col("wi")).over(byU))
           .withColumn("sd", stddev_samp(col("mag")).over(byU))
           .where(col("n") >= 3L)
           .withColumn("delta",
             sqrt(col("n").cast("double") / (col("n") - 1L))
-              * (col("mag") - col("mbar")) / col("sd"))
+              * (col("mag") - col("mbar")) / col("sigi"))
           .withColumn("p", col("delta") * lag(col("delta"), 1).over(ord))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_obs"),
@@ -2157,17 +2204,19 @@ object Aggregates {
           .orderBy("user_id")
       },
       Some("""WITH m AS (
-             |  SELECT user_id, event_id, ts, -2.5 * log10(value) + 25.0 AS mag
+             |  SELECT user_id, event_id, ts, -2.5 * log10(value) + 25.0 AS mag,
+             |    (2.5 / ln(10)) * (0.02 * sqrt(value)) / value AS sigi
              |  FROM events WHERE value > 0.0),
              |st AS (
-             |  SELECT user_id, event_id, ts, mag,
+             |  SELECT user_id, event_id, ts, mag, sigi,
              |    count(*) OVER u AS n,
-             |    avg(mag) OVER u AS mbar,
+             |    sum((1.0 / (sigi * sigi)) * mag) OVER u
+             |      / sum(1.0 / (sigi * sigi)) OVER u AS mbar,
              |    stddev_samp(mag) OVER u AS sd
              |  FROM m WINDOW u AS (PARTITION BY user_id)),
              |d AS (
              |  SELECT user_id, event_id, ts, n, sd,
-             |    sqrt(CAST(n AS DOUBLE) / (n - 1)) * (mag - mbar) / sd AS delta
+             |    sqrt(CAST(n AS DOUBLE) / (n - 1)) * (mag - mbar) / sigi AS delta
              |  FROM st WHERE n >= 3),
              |p AS (
              |  SELECT user_id, n, sd, delta,
