@@ -22,16 +22,28 @@ class OracleParitySpec extends SparkSpec {
     var skipped = List.empty[String]
     var mismatched = List.empty[String]
 
+    // Dialect probe runs PARSE + ANALYZE only, via the analyzer directly:
+    // probing with s.sql(...).collect() posted a FAILED execution event per
+    // dialect-skip, and Spark's ObservationManager listener (registered
+    // session-wide once any query uses .observe(), e.g. pipeline_observe)
+    // re-throws the analysis exception inside ExecutionListenerBus — a
+    // swallowed ERROR line per skip that could mask a REAL listener
+    // failure. Analyzer-level probing never reaches the execution-event
+    // machinery, so the test log stays clean.
+    def analyzes(sql: String): Boolean =
+      try {
+        s.sessionState.analyzer.executeAndCheck(
+          s.sessionState.sqlParser.parsePlan(sql),
+          new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+        true
+      } catch { case _: Exception => false } // DuckDB-only dialect
     SparkEntry.all.foreach { q =>
       q.oracle.foreach { sql =>
-        val viaSql: Option[Array[String]] =
-          try Some(s.sql(sql).collect().map(_.toString).sorted)
-          catch { case _: Exception => None } // DuckDB-only dialect
-        viaSql match {
-          case None => skipped ::= q.name
-          case Some(a) =>
-            val b = q.fn(s, sf).collect().map(_.toString).sorted
-            if (a.sameElements(b)) passed ::= q.name else mismatched ::= q.name
+        if (!analyzes(sql)) skipped ::= q.name
+        else {
+          val a = s.sql(sql).collect().map(_.toString).sorted
+          val b = q.fn(s, sf).collect().map(_.toString).sorted
+          if (a.sameElements(b)) passed ::= q.name else mismatched ::= q.name
         }
       }
     }
