@@ -821,18 +821,36 @@ object StreamRunner {
     * the source snapshot at the batch's high-water version (compared on
     * the 1e-6 grid as ONE symmetric-difference action). Night 2 lands
     * while the stream is DOWN; the restarted stream resumes from its
-    * checkpoint and folds only the new night. State commits are
-    * batchId-txn-stamped so a replayed micro-batch no-ops (the
-    * cdcApplyReplica idempotence pattern). At scale the state rewrite
-    * would partition by object range and rewrite touched partitions
-    * only; the fixture-size state table rewrites whole, through the same
-    * conflict-checked commit protocol. */
+    * checkpoint and folds only the new night.
+    *
+    * MULTI-TABLE ATOMICITY (round 17 — table_txn_multi's catalog pin-set
+    * on the STREAMING path): each micro-batch publishes TWO tables — the
+    * moment STATE and the derived per-object FEATURES (the table
+    * consumers actually read) — and with independent logs a reader could
+    * land between the two commits and see features that do not derive
+    * from the state (the torn pair). So the batch runs a two-phase
+    * publish: both tables PREPARE on their own logs (txn-stamped,
+    * invisible to catalog readers), then ONE setTags commit on the
+    * catalog flips the pin pair atomically. The crash window is
+    * require'd inside every post-backlog batch: with both prepares
+    * landed and publish not yet run, catalog readers still resolve the
+    * OLD pair, that pair still satisfies features ≡ derived(state), and
+    * the TORN pair (new state, old features) provably does not — the
+    * load-bearing counter-require. Replay/recovery are txn-driven: a
+    * fully published batch no-ops; a batch that crashed between prepare
+    * and publish re-drives by SKIPPING already-prepared tables (txn
+    * match) and publishing once — a duplicate publish conflicts on the
+    * create-if-absent catalog log instead of double-applying. At scale
+    * the catalog commit is O(1) metadata however many tables the batch
+    * touched. */
   def nightlyRefreshStream(s: SparkSession, dir: String): DataFrame =
       withFewStatePartitions(s, 4) {
     import graft.sources.CommitLog
     graft.functions.Magnitude.register(s)
     val src = tmpDir("graft_snight_src")
     val st = tmpDir("graft_snight_state")
+    val ft = tmpDir("graft_snight_features")
+    val cat = tmpDir("graft_snight_catalog")
     val det = T.events(s, dir)
       .where(col("value") > 0.0)
       .select(col("user_id").as("u"),
@@ -846,10 +864,23 @@ object StreamRunner {
     writeGen(det.where(col("day") === mxDay - 1L), "g=2") // night 1
     CommitLog.commit(src, 2L, "g=2")
     val VFile = """.*/(\d{8})\.json$""".r
+    def featsOf(vs: Long): DataFrame = CommitLog.readAsOf(s, st, vs)
+      .select(col("u"), col("n"),
+        graft.Rnd.rnd(col("sm") / col("n"), 6).as("mean_mag"))
+    def pairConsistent(vs: Long, vf: Long): Boolean = {
+      val a = featsOf(vs)
+      val b = CommitLog.readAsOf(s, ft, vf).select("u", "n", "mean_mag")
+      a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+    }
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
       val txn = s"snight/$batchId"
+      val pins0 =
+        if (CommitLog.latestVersion(cat) == 0L) Map.empty[String, Long]
+        else CommitLog.pinnedVersions(cat)
       val head = CommitLog.latestVersion(st)
-      if (head > 0L && CommitLog.txnOf(st, head) == txn) return // replay
+      val stPrepared = head > 0L && CommitLog.txnOf(st, head) == txn
+      // FULL replay: this batch already PUBLISHED through the catalog.
+      if (stPrepared && pins0.get("state").contains(head)) return
       val acts = batch
         .where(!col("src").endsWith(".checkpoint.json"))
         .select(get_json_object(col("value"), "$.add.path").as("a"),
@@ -860,23 +891,51 @@ object StreamRunner {
       val vMax = acts.map(_.getString(1)).collect {
         case VFile(v) => v.toLong
       }.max // the batch's high-water source version
-      val delta = s.read.option("basePath", src)
-        .parquet(adds.map(f => s"$src/$f"): _*)
-        .groupBy("u").agg(count(lit(1)).as("dn"), sum("mag").as("dsum"))
-      val prev =
-        if (head == 0L) delta.limit(0).select(col("u"),
-          col("dn").as("n"), col("dsum").as("sm"))
-        else CommitLog.readAsOf(s, st, head).select("u", "n", "sm")
-      val merged = prev.join(delta, Seq("u"), "full_outer")
-        .na.fill(0L, Seq("n", "dn")).na.fill(0.0, Seq("sm", "dsum"))
-        .select(col("u"), (col("n") + col("dn")).as("n"),
-          (col("sm") + col("dsum")).as("sm"))
-      val v = head + 1L
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$st/g=$v")
-      require(CommitLog.tryCommit(st, v, s"g=$v", txn = txn,
-          removes = if (head == 0L) Nil else CommitLog.filesAsOf(st, head)),
-        s"state commit $v raced an unknown writer")
-      // The IVM law, inside the batch: merged state ≡ full recompute
+      // PREPARE 1 — the moment state (skipped on a crash-recovery
+      // re-drive whose state prepare already landed: txn match).
+      val v = if (stPrepared) head else head + 1L
+      if (!stPrepared) {
+        val delta = s.read.option("basePath", src)
+          .parquet(adds.map(f => s"$src/$f"): _*)
+          .groupBy("u").agg(count(lit(1)).as("dn"), sum("mag").as("dsum"))
+        val prev =
+          if (head == 0L) delta.limit(0).select(col("u"),
+            col("dn").as("n"), col("dsum").as("sm"))
+          else CommitLog.readAsOf(s, st, head).select("u", "n", "sm")
+        val merged = prev.join(delta, Seq("u"), "full_outer")
+          .na.fill(0L, Seq("n", "dn")).na.fill(0.0, Seq("sm", "dsum"))
+          .select(col("u"), (col("n") + col("dn")).as("n"),
+            (col("sm") + col("dsum")).as("sm"))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/g=$v")
+        require(CommitLog.tryCommit(st, v, s"g=$v", txn = txn,
+            removes = if (head == 0L) Nil else CommitLog.filesAsOf(st, head)),
+          s"state commit $v raced an unknown writer")
+      }
+      // PREPARE 2 — the derived features table, from the PREPARED state.
+      val ftHead = CommitLog.latestVersion(ft)
+      if (!(ftHead > 0L && CommitLog.txnOf(ft, ftHead) == txn)) {
+        featsOf(v).coalesce(1).write.mode("overwrite").parquet(s"$ft/g=$v")
+        require(CommitLog.tryCommit(ft, v, s"g=$v", txn = txn,
+            removes = if (ftHead == 0L) Nil
+                      else CommitLog.filesAsOf(ft, ftHead)),
+          s"features commit $v raced an unknown writer")
+      }
+      // CRASH WINDOW — both prepares landed, publish not yet run. The
+      // catalog still resolves the OLD pair; that pair is consistent;
+      // the torn pair provably is not (pinning is correctness, not
+      // hygiene). First batch has no published pair to protect yet.
+      if (v > 1L) {
+        require(CommitLog.pinnedVersions(cat) ==
+            Map("state" -> (v - 1L), "features" -> (v - 1L)),
+          "a table prepare leaked into the catalog before publish")
+        require(pairConsistent(v - 1L, v - 1L),
+          "the catalog-resolved pair broke features ≡ derived(state)")
+        require(!pairConsistent(v, v - 1L),
+          "fixture must demonstrate the torn pair is actually inconsistent")
+      }
+      // PUBLISH — one atomic catalog commit flips both pins.
+      CommitLog.setTags(cat, v, Seq("state" -> v, "features" -> v))
+      // The IVM law, inside the batch: published state ≡ full recompute
       // over the source snapshot at the batch's high-water version,
       // on the 1e-6 grid, as ONE symmetric-difference action.
       val stRows = CommitLog.readAsOf(s, st, v)
@@ -905,10 +964,16 @@ object StreamRunner {
     writeGen(det.where(col("day") === mxDay), "g=3")
     CommitLog.commit(src, 3L, "g=3")
     runPass() // pass 2: resumes from the checkpoint, folds only night 2
-    val nStateVersions = CommitLog.latestVersion(st)
-    CommitLog.readAsOf(s, st, nStateVersions)
+    // Consumers resolve BOTH tables through the catalog — the pin pair is
+    // the only read path, so a torn observation is impossible by
+    // construction.
+    val pins = CommitLog.pinnedVersions(cat)
+    require(pins("state") == pins("features"),
+      "the published pin pair must advance in lockstep")
+    val nStateVersions = pins("state")
+    CommitLog.readAsOf(s, ft, pins("features"))
       .select(col("u").as("object_id"), col("n").as("n_total"),
-        graft.Rnd.rnd(col("sm") / col("n"), 6).as("mean_mag"),
+        col("mean_mag"),
         lit(nStateVersions).as("n_state_versions"))
       .orderBy("object_id")
   }

@@ -62,6 +62,56 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("streaming pin-set publish (stream_nightly's shape): a micro-batch " +
+      "crash between prepare and publish cannot tear a catalog reader, and " +
+      "the txn-driven re-drive recovers by publishing exactly once") {
+    val root = Files.createTempDirectory("graft_snpin").toString
+    val (st, ft, cat) = (s"$root/state", s"$root/features", s"$root/cat")
+    val s0 = spark
+    import s0.implicits._
+    // Batch 0 published the pair (1, 1).
+    Seq((1L, 2L, 30.0)).toDF("u", "n", "sm").write.parquet(s"$st/g=1")
+    CommitLog.commit(st, 1L, "g=1")
+    Seq((1L, 2L, 15.0)).toDF("u", "n", "mean_mag").write.parquet(s"$ft/g=1")
+    CommitLog.commit(ft, 1L, "g=1")
+    CommitLog.setTags(cat, 1L, Seq("state" -> 1L, "features" -> 1L))
+    // Batch 1 (txn "snight/1") prepares BOTH tables, then CRASHES before
+    // the catalog publish — exactly applyBatch's crash window.
+    val txn = "snight/1"
+    Seq((1L, 3L, 60.0)).toDF("u", "n", "sm").write.parquet(s"$st/g=2")
+    assert(CommitLog.tryCommit(st, 2L, "g=2", txn = txn,
+      removes = CommitLog.filesAsOf(st, 1L)))
+    Seq((1L, 3L, 20.0)).toDF("u", "n", "mean_mag").write.parquet(s"$ft/g=2")
+    assert(CommitLog.tryCommit(ft, 2L, "g=2", txn = txn,
+      removes = CommitLog.filesAsOf(ft, 1L)))
+    // <crash> — a reader resolving through the catalog still sees the OLD
+    // pair on both sides: never (2, 1), (1, 2), or any mix of files.
+    val pins = CommitLog.pinnedVersions(cat)
+    assert(pins === Map("state" -> 1L, "features" -> 1L),
+      "a prepared-but-unpublished micro-batch leaked through the catalog")
+    assert(CommitLog.filesAsOf(st, pins("state")).forall(_.startsWith("g=1/")))
+    assert(CommitLog.filesAsOf(ft, pins("features"))
+      .forall(_.startsWith("g=1/")))
+    // RECOVERY re-drive (the restarted stream replays batch 1): both
+    // prepares are detected by their txn stamp and SKIPPED — re-preparing
+    // would conflict on the create-if-absent version files...
+    assert(CommitLog.txnOf(st, CommitLog.latestVersion(st)) === txn)
+    assert(CommitLog.txnOf(ft, CommitLog.latestVersion(ft)) === txn)
+    assert(!CommitLog.tryCommit(st, 2L, "g=2", txn = txn),
+      "a re-drive that re-prepares must conflict, proving the skip is load-bearing")
+    // ...and the publish runs once, flipping both pins atomically.
+    CommitLog.setTags(cat, 2L, Seq("state" -> 2L, "features" -> 2L))
+    assert(CommitLog.pinnedVersions(cat) ===
+      Map("state" -> 2L, "features" -> 2L))
+    // A second replay is a full no-op: the pin already names the prepared
+    // head (applyBatch's replay guard), and a duplicate publish conflicts.
+    assert(CommitLog.pinnedVersions(cat).get("state")
+      .contains(CommitLog.latestVersion(st)))
+    intercept[IllegalStateException] {
+      CommitLog.setTags(cat, 2L, Seq("state" -> 2L, "features" -> 2L))
+    }
+  }
+
   test("as-of file resolution: version 1 never lists (or scans) version 2's files") {
     val root = freshTable()
     val f1 = CommitLog.filesAsOf(root, 1L)
