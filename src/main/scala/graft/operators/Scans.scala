@@ -1543,20 +1543,22 @@ object Scans {
           false
         } catch { case _: IllegalStateException => true }
         require(dup, "a duplicate publish must conflict, not double-apply")
-        def snap(label: String, vc: Long, vs: Long) = {
-          val c = CommitLog.readAsOf(s, curves, vc)
-            .agg(count(lit(1)).cast("long").as("n_rows")).head.getLong(0)
-          val st = CommitLog.readAsOf(s, state, vs)
-            .agg(count(lit(1)).cast("long").as("nb"),
-              sum("cents").cast("long").as("sc")).head
-          (label, vc, vs, c, st.getLong(0), st.getLong(1))
-        }
-        import s.implicits._
-        Seq(snap("1_initial", 1L, 1L),
-            snap("2_prepared_crash", 1L, 1L),
-            snap("3_published", 2L, 2L))
-          .toDF("phase", "curves_v", "state_v", "n_rows", "n_buckets",
-            "sum_cents")
+        // Phase snapshots stay LAZY (round-17 fixed-overhead audit: the
+        // eager form ran six tiny driver jobs; the declared output's one
+        // materialization now computes all three phases). Time travel
+        // keeps v1 readable after the v2 removes — no vacuum ran.
+        def snap(label: String, vc: Long, vs: Long) =
+          CommitLog.readAsOf(s, curves, vc)
+            .agg(count(lit(1)).cast("long").as("n_rows"))
+            .crossJoin(CommitLog.readAsOf(s, state, vs)
+              .agg(count(lit(1)).cast("long").as("n_buckets"),
+                sum("cents").cast("long").as("sum_cents")))
+            .select(lit(label).as("phase"), lit(vc).as("curves_v"),
+              lit(vs).as("state_v"), col("n_rows"), col("n_buckets"),
+              col("sum_cents"))
+        snap("1_initial", 1L, 1L)
+          .unionAll(snap("2_prepared_crash", 1L, 1L))
+          .unionAll(snap("3_published", 2L, 2L))
           .orderBy("phase")
       },
       Some("""WITH c1 AS (
@@ -5685,12 +5687,15 @@ object Scans {
           .agg(sum("nr").as("ff"))
           .localCheckpoint() // feeds prv, the consistency law, and counts
         // Forced ≡ detected at detected epochs (the follow-up-stage law,
-        // re-require'd here because the packet embeds both numbers).
-        require(forced.join(centers,
+        // re-require'd here because the packet embeds both numbers) —
+        // built lazily and folded with the two packet laws into ONE
+        // violations action below (round-17 fixed-overhead audit: three
+        // tiny law jobs → one).
+        val forcedLaw = forced.join(centers,
             col("cx") === col("x") && col("cy") === col("y") &&
               col("pf") === col("frame_id"))
-            .where(col("ff") =!= col("flux")).isEmpty,
-          "a packet's forced history disagreed with its detection flux")
+          .where(col("ff") =!= col("flux"))
+          .select(lit("forced≠detected").as("law"))
         val half = 2L
         val stamps = centers.select(col("frame_id"), col("x"), col("y"))
           .withColumn("dcx", explode(sequence(lit(-half), lit(half))))
@@ -5744,12 +5749,19 @@ object Scans {
             col("y").as("by"))
           .join(centers, col("bf") === col("frame_id") &&
             col("bx") === col("x") && col("by") === col("y"), "full")
-        require(bij.where(col("bf").isNull || col("frame_id").isNull)
-            .isEmpty, "packet ↔ detection bijection broke")
+          .where(col("bf").isNull || col("frame_id").isNull)
+          .select(lit("bijection").as("law"))
         // prv completeness: one entry per prior science epoch, upper
         // limits included — exactly frame_id − 1 entries.
-        require(packets.where(col("n_prv") =!= col("frame_id") - 1L)
-            .isEmpty, "a packet's prior-history block is incomplete")
+        val prvLaw = packets.where(col("n_prv") =!= col("frame_id") - 1L)
+          .select(lit("prv-incomplete").as("law"))
+        // ONE action over the union of all three law frames: same
+        // violations detected, one job instead of three (every input
+        // above a localCheckpoint, so no lineage re-executes).
+        val broken = forcedLaw.unionAll(bij).unionAll(prvLaw)
+          .groupBy("law").agg(count(lit(1)).as("n")).collect()
+        require(broken.isEmpty,
+          s"alert-packet laws violated: ${broken.mkString(", ")}")
         packets.orderBy("candid")
       },
       Some("""WITH inj AS (

@@ -1362,19 +1362,26 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     qb.awaitTermination()
-    val lastB = s.table(qnB).localCheckpoint()
+    // One checkpoint AFTER the pick window (the raw memory-sink table is
+    // cheap to rescan once — a second pre-window checkpoint was a pure
+    // fixed-overhead job, round-17 audit).
+    val lastB = s.table(qnB)
       .withColumn("rn", row_number().over(wPick))
       .where(col("rn") === 1).drop("rn").localCheckpoint()
-    // Law 3: resurrection carried the pre-eviction history.
+    // Law 3: resurrection carried the pre-eviction history — checked for
+    // ALL resurrected candidates in ONE join action (the per-candidate
+    // count loop was one driver job each).
     val resurrect = evict.intersect(lateDet.map(d => (d._2, d._3)).toSet)
     require(resurrect.nonEmpty,
       "fixture must exercise an eviction + resurrection cycle")
-    resurrect.foreach { case (rx, ry) =>
-      val nLate = lateDet.count(d => (d._2, d._3) == (rx, ry)).toLong
-      require(lastB.where(col("x") === rx && col("y") === ry &&
-          col("n_epochs") > nLate).count() == 1L,
-        "a resurrected candidate lost its pre-eviction history")
-    }
+    val expectRes = resurrect.toSeq.map { case (rx, ry) =>
+      (rx, ry, lateDet.count(d => (d._2, d._3) == (rx, ry)).toLong)
+    }.toDF("rx", "ry", "n_late")
+    val okRes = lastB.join(broadcast(expectRes),
+      col("x") === col("rx") && col("y") === col("ry") &&
+        col("n_epochs") > col("n_late")).count()
+    require(okRes == resurrect.size.toLong,
+      "a resurrected candidate lost its pre-eviction history")
     // Law 2: combined streamed census ≡ batch census over ALL detections.
     val censusCols =
       Seq("x", "y", "n_epochs", "first_frame", "last_frame", "peak_flux",
