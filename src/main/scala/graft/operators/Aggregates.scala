@@ -1892,12 +1892,15 @@ object Aggregates {
     //   P = (SS·YC² + CC·YS² − 2·CS·YC·YS) / (YY·(CC·SS − CS²))
     // where every term is a CENTERED weighted second moment (YY = Σwy²−Y²,
     // etc.) — all derivable from ONE pass of weighted power sums, exactly
-    // the mergeable-moments discipline of agg_moments_reagg. The fixture's
-    // events carry no flux_err, so the per-point weight is a deterministic
-    // brightness-derived inverse-variance proxy, w = 1/(1+|y|)², computed
-    // identically in both engines (abs/add/mul/div are IEEE-exact);
-    // normalization by Σw happens INSIDE the formula (each moment divides
-    // by W after aggregation), so no pre-pass window is needed. The trial
+    // the mergeable-moments discipline of agg_moments_reagg. The per-point
+    // weight is the lc family's unified [[fluxErr]] proxy (round 17 —
+    // previously a separate 1/(1+|y|)² brightness proxy): w = 1/σ_v² with
+    // σ_v = 0.02·√v, requiring the same v > 0 filter the magnitude family
+    // applies (sqrt/mul/div are IEEE-exact, identical op order both
+    // engines; the power is invariant to any constant scaling of w, so
+    // the proxy's coefficient cannot tilt the argmax); normalization by
+    // Σw happens INSIDE the formula (each moment divides by W after
+    // aggregation), so no pre-pass window is needed. The trial
     // grid, integer phase fold (t mod P before cos/sin — see the argument-
     // reduction note on lc_lombscargle), 1e-6 rounding, and deterministic
     // argmax tie-break all mirror lc_lombscargle. Scale shape: the ×24
@@ -1910,10 +1913,11 @@ object Aggregates {
           .partitionBy("user_id").orderBy(col("power").desc, col("p").asc)
         val tau = 6.283185307179586
         val m = T.events(s, dir)
+          .where(col("value") > 0.0)
           .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
             col("value").as("y"))
           .withColumn("w",
-            lit(1.0) / ((lit(1.0) + abs(col("y"))) * (lit(1.0) + abs(col("y")))))
+            lit(1.0) / (fluxErr(col("y")) * fluxErr(col("y"))))
           .withColumn("k", explode(sequence(lit(0L), lit(23L))))
           .withColumn("p", lit(43200L) + col("k") * 21600L)
           .withColumn("cs",
@@ -1953,8 +1957,8 @@ object Aggregates {
       Some("""WITH obs AS (
              |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
              |    value AS y,
-             |    1e0 / ((1e0 + abs(value)) * (1e0 + abs(value))) AS w
-             |  FROM events),
+             |    1e0 / ((0.02 * sqrt(value)) * (0.02 * sqrt(value))) AS w
+             |  FROM events WHERE value > 0.0),
              |grid AS (
              |  SELECT o.*, 43200 + k * 21600 AS p,
              |    cos(6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
