@@ -220,19 +220,32 @@ object Similarity {
   private final case class GraphTiers(graph: DataFrame, medoids: DataFrame,
     hubs2: DataFrame, hubEdges: DataFrame)
 
-  private def buildGraphTiers(s: SparkSession, dir: String): GraphTiers = {
-    val fitted = sharedFit(s, dir)
-    val assigned = sharedAssigned(s, dir)
-    val co = corpus(s, dir)
+  /** Determinized top-`deg` out-edges from (vec_id, ce, nb, nbe) candidate
+    * pairs — the edge-selection primitive shared by the index build and
+    * the append path's new-node linking. */
+  private def topMEdges(edges: DataFrame, deg: Int): DataFrame = {
     val wEdge = Window.partitionBy("vec_id")
       .orderBy(col("raw").desc, col("nb").asc)
-    def topM(edges: DataFrame, deg: Int = GannDeg): DataFrame = edges
+    edges
       .where(col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb"),
         cosine(col("ce"), col("nbe")).as("raw"))
       .withColumn("rn", row_number().over(wEdge))
       .where(col("rn") <= deg)
       .select("vec_id", "nb")
+  }
+
+  private def buildGraphTiers(s: SparkSession, dir: String): GraphTiers =
+    buildGraphTiersFrom(sharedFit(s, dir), sharedAssigned(s, dir),
+      corpus(s, dir))
+
+  /** The two-tier build over EXPLICIT frames, so the same construction
+    * serves the full corpus (sharedGraphTiers) and the base slice of the
+    * maintain lifecycle (day-0 build, frozen thereafter). */
+  private def buildGraphTiersFrom(fitted: DataFrame, assigned: DataFrame,
+      co: DataFrame): GraphTiers = {
+    def topM(edges: DataFrame, deg: Int = GannDeg): DataFrame =
+      topMEdges(edges, deg)
     // Base layer: top-M cosine per node within its IVF cell; tier-1
     // hub layer: top-M links onto the broadcast seed vectors.
     val inCell = topM(assigned.select(col("vec_id"), col("ce"), col("cell"))
@@ -299,15 +312,31 @@ object Similarity {
     * self. Returns (probe_id, vec_id, raw) — the final frontier. */
   private def gannHubProbe(pr: DataFrame, co: DataFrame, cells: DataFrame,
       medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame,
-      graph: DataFrame): DataFrame = {
+      graph: DataFrame): DataFrame =
+    gannBeamFrom(
+      gannHubEntry(pr, co, cells, medoids, hubs2, hubEdges), pr, co, graph)
+
+  /** Score candidate (probe_id, vec_id) pairs against the probes —
+    * self-pairs excluded (result scoring; NAVIGATION keeps them, see
+    * [[gannHubEntry]]). */
+  private def gannScore(cand: DataFrame, pr: DataFrame, co: DataFrame)
+      : DataFrame = cand
+    .join(co.select("vec_id", "ce"), Seq("vec_id"))
+    .join(broadcast(pr), Seq("probe_id"))
+    .where(col("probe_id") =!= col("vec_id"))
+    .select(col("probe_id"), col("vec_id"),
+      cosine(col("pe"), col("ce")).as("raw"))
+
+  /** The hub DESCENT: score tier-2 hubs, drop along the best hub's links
+    * to the best tier-1 medoid, enter that medoid's cell whole (plus the
+    * medoids read on the way down). Returns the DISTINCT entry candidate
+    * set. Descent scoring keeps self-pairs (navigation may land on the
+    * probe's own vector — that IS the right region). */
+  private def gannHubEntry(pr: DataFrame, co: DataFrame, cells: DataFrame,
+      medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame)
+      : DataFrame = {
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("raw").desc, col("vec_id").asc)
-    def score(cand: DataFrame): DataFrame = cand
-      .join(co.select("vec_id", "ce"), Seq("vec_id"))
-      .join(broadcast(pr), Seq("probe_id"))
-      .where(col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("pe"), col("ce")).as("raw"))
     val e2best = pr.crossJoin(broadcast(hubs2))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("pe"), col("ce")).as("raw"))
@@ -327,23 +356,77 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= 1)
       .select(col("probe_id"), col("mcell"))
-    val hubEntry = cells
+    cells
       .join(broadcast(bestMed), col("cell") === col("mcell"))
       .select("probe_id", "vec_id")
       .union(mDesc)
-    val f0 = score(hubEntry.distinct())
+      .distinct()
+  }
+
+  /** Entry-candidate top-E, then GannRounds of frontier-∪-neighbors beam.
+    * Returns (probe_id, vec_id, raw) — the final frontier. */
+  private def gannBeamFrom(entry: DataFrame, pr: DataFrame, co: DataFrame,
+      graph: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("raw").desc, col("vec_id").asc)
+    val f0 = gannScore(entry, pr, co)
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= GannEntryE)
       .select("probe_id", "vec_id", "raw")
     (1 to GannRounds).foldLeft(f0) { (f, _) =>
-      score(f.select("probe_id", "vec_id")
+      gannScore(f.select("probe_id", "vec_id")
           .union(f.join(graph, Seq("vec_id"))
             .select(col("probe_id"), col("nb").as("vec_id")))
-          .distinct())
+          .distinct(), pr, co)
         .withColumn("rn", row_number().over(wProbe))
         .where(col("rn") <= GannBeamB)
         .select("probe_id", "vec_id", "raw")
     }
+  }
+
+  /** The on-disk artifact rows for a built index — the unified
+    * (kind, tier, src, dst) long schema sim_graph_ann_persist commits and
+    * sim_graph_ann_maintain appends to: node rows carry (vec_id → cell)
+    * with tier 0/1/2 = member/medoid/hub-2, edge rows carry (vec_id → nb)
+    * with tier 0 = base graph, 2 = hub descent links. Vectors are NOT
+    * copied in — the index references vec_ids and scoring joins the data
+    * table, so the artifact stays O(V·deg) longs, not O(V·dims) floats. */
+  private def gannArtifactRows(assigned: DataFrame, tiers: GraphTiers)
+      : DataFrame = {
+    val nodeRows = assigned.select(col("vec_id"), col("cell"))
+      .join(tiers.medoids.select(col("vec_id"), lit(1L).as("isMed")),
+        Seq("vec_id"), "left")
+      .join(tiers.hubs2.select(col("vec_id"), lit(1L).as("isHub")),
+        Seq("vec_id"), "left")
+      .select(lit("node").as("kind"),
+        coalesce(col("isHub") * 2L, col("isMed"), lit(0L)).as("tier"),
+        col("vec_id").as("src"), col("cell").as("dst"))
+    val edgeRows = tiers.graph
+      .select(lit("edge").as("kind"), lit(0L).as("tier"),
+        col("vec_id").as("src"), col("nb").as("dst"))
+      .unionAll(tiers.hubEdges
+        .select(lit("edge").as("kind"), lit(2L).as("tier"),
+          col("vec_id").as("src"), col("nb").as("dst")))
+    nodeRows.unionAll(edgeRows)
+  }
+
+  /** Derive the probe-side frames from a COLD artifact read: cell
+    * assignments, medoids (vectors joined from the data table), tier-2
+    * hubs, hub descent edges, base graph. */
+  private def gannFramesFrom(artC: DataFrame, co: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cNodes = artC.where(col("kind") === "node")
+      .select(col("src").as("vec_id"), col("dst").as("cell"), col("tier"))
+    val cCells = cNodes.select("vec_id", "cell")
+    val cMedoids = cNodes.where(col("tier") >= 1L)
+      .select(col("vec_id"), col("cell"))
+      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+    val cHubs2 = cNodes.where(col("tier") === 2L).select("vec_id")
+      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+    def cEdges(t: Long) = artC
+      .where(col("kind") === "edge" && col("tier") === t)
+      .select(col("src").as("vec_id"), col("dst").as("nb"))
+    (cCells, cMedoids, cHubs2, cEdges(2L), cEdges(0L))
   }
 
   /** Oracle-SQL builders for the graph-ANN family — ONE definition of the
@@ -351,13 +434,14 @@ object Similarity {
     * ivf lane, candidate logs, and the recall baseline) and
     * sim_graph_ann_persist (which selects straight from the hub beam:
     * persistence is semantics-free, so the same WITH-chain oracles both). */
-  private def gannBeamSql(prev: String, cd: String, f: String): String =
+  private def gannBeamSql(prev: String, cd: String, f: String,
+      g: String = "g"): String =
     s"""$cd AS MATERIALIZED (
        |  SELECT DISTINCT probe_id, vec_id FROM (
        |    SELECT probe_id, vec_id FROM $prev
        |    UNION ALL
-       |    SELECT fr.probe_id, g.nb AS vec_id
-       |    FROM $prev fr JOIN g ON g.vec_id = fr.vec_id)),
+       |    SELECT fr.probe_id, $g.nb AS vec_id
+       |    FROM $prev fr JOIN $g ON $g.vec_id = fr.vec_id)),
        |$f AS MATERIALIZED (
        |  SELECT probe_id, vec_id, raw FROM (
        |    SELECT cd.probe_id, cd.vec_id, ${cosSql("p.pe", "x.ce")} AS raw,
@@ -381,14 +465,15 @@ object Similarity {
        |    WHERE e.probe_id <> e.vec_id)
        |  WHERE rn <= $GannEntryE)""".stripMargin
 
-  /** The shared WITH-chain: IVF fit, two-tier index (med/medv/g/h2/hubE),
-    * probes, hub descent (e2/mdesc/bmed/ech), and the hub lane's entry +
-    * GannRounds beam rounds ending in `f2h`. NOTE the beam rounds are
-    * unrolled literally — two gannBeamSql calls ⇔ GannRounds == 2. */
-  private def gannCommonSql: String = {
-    require(GannRounds == 2, "gannCommonSql unrolls exactly 2 beam rounds")
-    s"""${ivfChainSql(None)},
-       |med AS MATERIALIZED (
+  /** Two-tier index CTEs (med/medv/g/h2/hubE) over whatever the enclosing
+    * chain bound `c` to (full-corpus assigned for sim_graph_ann/_persist;
+    * BASE-slice assigned under ivfChainSql(Some(r)) for the maintain
+    * lifecycle). `seedSrc` is the (vec_id, ce) node source for the
+    * to-medoid seed edges — `call` when the whole corpus is indexed, `c0`
+    * when only the base slice is (a delta vector must NOT get day-0 seed
+    * edges). */
+  private def gannIndexCtes(seedSrc: String): String =
+    s"""med AS MATERIALIZED (
        |  SELECT cell, vec_id FROM (
        |    SELECT x.cell, x.vec_id,
        |      row_number() OVER (PARTITION BY x.cell
@@ -411,7 +496,7 @@ object Similarity {
        |    SELECT a.vec_id, s.vec_id AS nb,
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
-       |    FROM call a CROSS JOIN medv s
+       |    FROM $seedSrc a CROSS JOIN medv s
        |    WHERE a.vec_id <> s.vec_id)
        |  WHERE rn <= $GannDeg),
        |h2 AS (SELECT vec_id, ce FROM medv WHERE cell % $GannHubMod = 0),
@@ -421,9 +506,13 @@ object Similarity {
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${cosSql("a.ce", "s.ce")} DESC, s.vec_id ASC) AS rn
        |    FROM h2 a CROSS JOIN medv s WHERE a.vec_id <> s.vec_id)
-       |  WHERE rn <= $GannHubM),
-       |pr AS MATERIALIZED ($probeSql),
-       |e2 AS (
+       |  WHERE rn <= $GannHubM)""".stripMargin
+
+  /** Hub-descent CTEs (e2/mdesc/bmed) — VERSION-INDEPENDENT: descent only
+    * touches the frozen hub tiers, so the maintain oracle's two beams
+    * share one descent. */
+  private def gannDescentCtes: String =
+    s"""e2 AS (
        |  SELECT probe_id, vec_id FROM (
        |    SELECT p.probe_id, h.vec_id,
        |      row_number() OVER (PARTITION BY p.probe_id
@@ -444,15 +533,35 @@ object Similarity {
        |    FROM mdesc d JOIN call x ON x.vec_id = d.vec_id
        |    JOIN pr p ON p.probe_id = d.probe_id
        |    JOIN medv mv ON mv.vec_id = d.vec_id)
-       |  WHERE rn = 1),
-       |ech AS MATERIALIZED (
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Entry + GannRounds beam for one index VERSION: cell entry reads
+    * `nodesCte` (which nodes exist at this version), expansion joins
+    * `graphCte` (which edges exist). CTE names suffix with `sfx`
+    * (ec/f0/cd1/f1/cd2/f2 + sfx); NOTE the beam rounds are unrolled
+    * literally — two gannBeamSql calls ⇔ GannRounds == 2. */
+  private def gannEntryBeamCtes(sfx: String, nodesCte: String,
+      graphCte: String): String = {
+    require(GannRounds == 2, "gannEntryBeamCtes unrolls exactly 2 beam rounds")
+    s"""ec$sfx AS MATERIALIZED (
        |  SELECT DISTINCT probe_id, vec_id FROM (
-       |    SELECT b.probe_id, x.vec_id FROM bmed b JOIN c x ON x.cell = b.mcell
+       |    SELECT b.probe_id, x.vec_id
+       |    FROM bmed b JOIN $nodesCte x ON x.cell = b.mcell
        |    UNION ALL SELECT probe_id, vec_id FROM mdesc)),
-       |${gannEntrySql("ech", "f0h")},
-       |${gannBeamSql("f0h", "cd1h", "f1h")},
-       |${gannBeamSql("f1h", "cd2h", "f2h")}""".stripMargin
+       |${gannEntrySql(s"ec$sfx", s"f0$sfx")},
+       |${gannBeamSql(s"f0$sfx", s"cd1$sfx", s"f1$sfx", graphCte)},
+       |${gannBeamSql(s"f1$sfx", s"cd2$sfx", s"f2$sfx", graphCte)}""".stripMargin
   }
+
+  /** The shared WITH-chain for the full-corpus graph queries: IVF fit,
+    * two-tier index, probes, descent, and the hub lane's entry + beams
+    * ending in `f2h`. */
+  private def gannCommonSql: String =
+    s"""${ivfChainSql(None)},
+       |${gannIndexCtes("call")},
+       |pr AS MATERIALIZED ($probeSql),
+       |$gannDescentCtes,
+       |${gannEntryBeamCtes("h", "c", "g")}""".stripMargin
 
   /** IVF probe oracle — the Lloyd fit unrolled to CTEs (a<i> = assignment
     * to cents<i-1>, cents<i> = rounded per-cell mean), shared by `sim_ivf`
@@ -2490,21 +2599,7 @@ object Similarity {
         val pr = probes(s, dir)
         val tiers = sharedGraphTiers(s, dir)
         // BUILD → COMMIT: one version, one atomic publish.
-        val nodeRows = assigned.select(col("vec_id"), col("cell"))
-          .join(tiers.medoids.select(col("vec_id"), lit(1L).as("isMed")),
-            Seq("vec_id"), "left")
-          .join(tiers.hubs2.select(col("vec_id"), lit(1L).as("isHub")),
-            Seq("vec_id"), "left")
-          .select(lit("node").as("kind"),
-            coalesce(col("isHub") * 2L, col("isMed"), lit(0L)).as("tier"),
-            col("vec_id").as("src"), col("cell").as("dst"))
-        val edgeRows = tiers.graph
-          .select(lit("edge").as("kind"), lit(0L).as("tier"),
-            col("vec_id").as("src"), col("nb").as("dst"))
-          .unionAll(tiers.hubEdges
-            .select(lit("edge").as("kind"), lit(2L).as("tier"),
-              col("vec_id").as("src"), col("nb").as("dst")))
-        val art = nodeRows.unionAll(edgeRows)
+        val art = gannArtifactRows(assigned, tiers)
           .localCheckpoint() // feeds the write AND the round-trip law
         val root = Scans.freshRunTmpPath(s, "graft_gann_idx_")
         art.write.mode("overwrite").parquet(s"$root/s1")
@@ -2514,20 +2609,10 @@ object Similarity {
           .localCheckpoint() // one disk read feeds 5 consumers + the law
         require(artC.exceptAll(art).unionAll(art.exceptAll(artC)).isEmpty,
           "the committed graph-ANN artifact did not round-trip the disk hop")
-        val cNodes = artC.where(col("kind") === "node")
-          .select(col("src").as("vec_id"), col("dst").as("cell"),
-            col("tier"))
-        val cCells = cNodes.select("vec_id", "cell")
-        val cMedoids = cNodes.where(col("tier") >= 1L)
-          .select(col("vec_id"), col("cell"))
-          .join(co.select("vec_id", "ce"), Seq("vec_id"))
-        val cHubs2 = cNodes.where(col("tier") === 2L).select("vec_id")
-          .join(co.select("vec_id", "ce"), Seq("vec_id"))
-        def cEdges(t: Long) = artC
-          .where(col("kind") === "edge" && col("tier") === t)
-          .select(col("src").as("vec_id"), col("dst").as("nb"))
+        val (cCells, cMedoids, cHubs2, cHubEdges, cGraph) =
+          gannFramesFrom(artC, co)
         val coldRaw = gannHubProbe(pr, co, cCells, cMedoids, cHubs2,
-          cEdges(2L), cEdges(0L))
+          cHubEdges, cGraph)
         val wP = Window.partitionBy("probe_id")
           .orderBy(col("raw").desc, col("vec_id").asc)
         def top(df: DataFrame): DataFrame = df
@@ -2555,6 +2640,189 @@ object Similarity {
            |    row_number() OVER (PARTITION BY probe_id
            |      ORDER BY raw DESC, vec_id ASC) AS rank
            |  FROM f2h QUALIFY rank <= $GannK)
-           |ORDER BY probe_id, rank""".stripMargin))
+           |ORDER BY probe_id, rank""".stripMargin)),
+
+    // THE STANDING GRAPH INDEX'S APPEND LIFECYCLE [PK — HNSW insertion:
+    // a new vector links to its nearest existing neighbors; existing
+    // nodes do NOT relink (append-only — recall degrades gracefully until
+    // the scheduled refit, which is the production discipline)]:
+    // sim_index_maintain's day-0/day-1 story for the GRAPH tier. Day 0
+    // fits the coarse quantizer on the BASE corpus slice, builds the
+    // two-tier graph on it, and commits centroids + the full artifact
+    // (the persist query's (kind, tier, src, dst) schema) as v1. Day 1's
+    // vectors (vec_id % AnnDeltaMod == AnnDeltaRem) are assigned against
+    // the FROZEN v1 centroids read back from the log, link to their top-M
+    // among {their cell's base members} ∪ {the tier-1 medoids}, and land
+    // as ONE NON-CONSUMING CHECKED commit reading the v1 files — a
+    // concurrent refit (replace) aborts it instead of letting
+    // incompatible geometry in (the sim_index_log arbitration,
+    // CommitLogSpec-pinned). The probe runs the hub descent + beam COLD
+    // at BOTH versions: asof=1 answers from the base-only graph, asof=2
+    // adds the day's arrivals and a 'fresh' lane — the best day-1
+    // arrival among the probe's ENTRY candidates, which is the honest
+    // scope: append-only insertion gives new nodes OUT-edges only, so a
+    // day-1 vector is reachable exactly through the cell entry (the
+    // recall-vs-refit trade-off every HNSW deployment carries, made
+    // observable). Laws require'd: (1) the append is O(delta) — exactly
+    // |delta| node rows and ≤ |delta|·deg edge rows staged; (2) time
+    // travel isolation — the v1 probe surfaces NO day-1 vector; (3) the
+    // fresh lane is nonempty (the append is observable, not vacuous).
+    // Scale: insertion cost per vector = one frozen-centroid assignment
+    // + one bounded candidate scan (own cell + medoid tier) + GannDeg
+    // edge rows appended; probes stay corpus-independent; the hub tiers
+    // are FROZEN between refits so every day's arrivals land in
+    // comparable geometry.
+    QDef(
+      "sim_graph_ann_maintain",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        val day1 = col("vec_id") % m === r
+        val co = corpus(s, dir)
+        val pr = probes(s, dir)
+        val rootCents = Scans.freshRunTmpPath(s, "graft_gannm_cents_")
+        val root = Scans.freshRunTmpPath(s, "graft_gannm_idx_")
+        // Day 0: fit on the base slice; centroids to their own log table.
+        val base = co.where(!day1)
+        ivfFit(base, ivfSeeds(s, dir))
+          .write.mode("overwrite").parquet(s"$rootCents/s1")
+        CommitLog.commit(rootCents, 1L, "s1")
+        val cents1 = CommitLog.readAsOf(s, rootCents, 1L)
+        val baseAssigned = assignCell(base, "vec_id", "ce", cents1)
+          .localCheckpoint() // one day-0 pass serves build + delta linking
+        val tiers = buildGraphTiersFrom(cents1, baseAssigned, base)
+        gannArtifactRows(baseAssigned, tiers)
+          .write.mode("overwrite").parquet(s"$root/s1")
+        CommitLog.commit(root, 1L, "s1")
+        // Day 1: assign against the FROZEN v1 centroids, link each new
+        // vector to its top-M among {its cell's base members ∪ medoids}.
+        val dAssigned = assignCell(co.where(day1), "vec_id", "ce", cents1)
+          .localCheckpoint() // feeds candidates, artifact rows, the count
+        val dCand = dAssigned.select(col("vec_id"), col("ce"), col("cell"))
+          .join(baseAssigned.select(col("vec_id").as("nb"),
+            col("ce").as("nbe"), col("cell")), Seq("cell"))
+          .select("vec_id", "ce", "nb", "nbe")
+          .union(dAssigned.select(col("vec_id"), col("ce"))
+            .crossJoin(broadcast(tiers.medoids
+              .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
+          .distinct()
+        val art2 = dAssigned
+          .select(lit("node").as("kind"), lit(0L).as("tier"),
+            col("vec_id").as("src"), col("cell").as("dst"))
+          .unionAll(topMEdges(dCand, GannDeg)
+            .select(lit("edge").as("kind"), lit(0L).as("tier"),
+              col("vec_id").as("src"), col("nb").as("dst")))
+          .localCheckpoint() // feeds the write AND the O(delta) law
+        art2.write.mode("overwrite").parquet(s"$root/s2")
+        // ONE non-consuming checked commit reading the v1 files: a
+        // concurrent refit would have replaced them and this append
+        // aborts instead of mixing geometries.
+        val v2 = CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
+          reads = CommitLog.filesAsOf(root, 1L))
+        require(v2 == 2L, s"append landed at $v2, expected 2")
+        // Law 1: the append is O(delta), exactly.
+        val deltaN = dAssigned.count()
+        val a2 = art2.groupBy("kind").agg(count(lit(1)).as("n"))
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        require(a2.getOrElse("node", 0L) == deltaN &&
+            a2.getOrElse("edge", 0L) <= deltaN * GannDeg,
+          s"append staged $a2 rows for $deltaN delta vectors — not O(delta)")
+        // COLD probes at BOTH versions (time travel on one artifact).
+        val wP = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        def probeAt(v: Long): (DataFrame, DataFrame) = {
+          val artC = CommitLog.readAsOf(s, root, v).localCheckpoint()
+          val (cCells, cMedoids, cHubs2, cHubEdges, cGraph) =
+            gannFramesFrom(artC, co)
+          val entry = gannHubEntry(pr, co, cCells, cMedoids, cHubs2,
+            cHubEdges).localCheckpoint() // feeds the beam AND the fresh lane
+          (entry, gannBeamFrom(entry, pr, co, cGraph)
+            .localCheckpoint()) // feeds its lane + the laws once
+        }
+        val (_, fr1) = probeAt(1L)
+        val (entry2, fr2) = probeAt(2L)
+        // 'fresh' = the best day-1 arrival among the probe's ENTRY
+        // candidates. Entry — not the frontier — is the honest scope:
+        // append-only insertion gives new nodes OUT-edges only, so a
+        // day-1 vector is reachable exactly through the cell entry; the
+        // lane makes both the append AND that reachability trade-off
+        // observable.
+        val fresh2 = gannScore(entry2, pr, co).where(col("vec_id") % m === r)
+        def lane(df: DataFrame, v: Long, scope: String, k: Long) = df
+          .withColumn("rank", row_number().over(wP).cast("long"))
+          .where(col("rank") <= k)
+          .select(lit(v).as("idx_v"), col("probe_id"),
+            lit(scope).as("scope"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+        val out = lane(fr1, 1L, "all", GannK.toLong)
+          .unionAll(lane(fr2, 2L, "all", GannK.toLong))
+          .unionAll(lane(fresh2, 2L, "fresh", 1L))
+          .localCheckpoint() // feeds laws 2+3 AND the output
+        // Laws 2+3 in ONE action: v1 surfaces no day-1 vector; the fresh
+        // lane is nonempty.
+        val sums = out.groupBy("idx_v", "scope")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("vec_id") % m === r, 1L).otherwise(0L)).as("nd"))
+          .collect()
+          .map(x => (x.getLong(0), x.getString(1)) ->
+            (x.getLong(2), x.getLong(3))).toMap
+        require(sums((1L, "all"))._2 == 0L,
+          "a day-1 vector leaked into the v1 (pre-append) probe")
+        require(sums.get((2L, "fresh")).exists(_._1 > 0L),
+          "the fresh lane must surface the append")
+        out.orderBy("idx_v", "probe_id", "scope", "rank")
+      },
+      Some {
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        s"""${ivfChainSql(Some(r))},
+           |${gannIndexCtes("c0")},
+           |gdcand AS (
+           |  SELECT dv.vec_id, dv.ce, x.vec_id AS nb, x.ce AS nbe
+           |  FROM d dv JOIN c x ON x.cell = dv.cell
+           |  UNION
+           |  SELECT dv.vec_id, dv.ce, s.vec_id AS nb, s.ce AS nbe
+           |  FROM d dv CROSS JOIN medv s),
+           |gd AS MATERIALIZED (
+           |  SELECT vec_id, nb FROM (
+           |    SELECT vec_id, nb,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ${cosSql("ce", "nbe")} DESC, nb ASC) AS rn
+           |    FROM gdcand WHERE vec_id <> nb)
+           |  WHERE rn <= $GannDeg),
+           |g2 AS (SELECT vec_id, nb FROM g
+           |  UNION ALL SELECT vec_id, nb FROM gd),
+           |pr AS MATERIALIZED ($probeSql),
+           |$gannDescentCtes,
+           |${gannEntryBeamCtes("v1", "c", "g")},
+           |${gannEntryBeamCtes("v2", "idx", "g2")}
+           |SELECT idx_v, probe_id, scope, vec_id, cos, rank FROM (
+           |  SELECT CAST(1 AS BIGINT) AS idx_v, probe_id, 'all' AS scope,
+           |    vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank FROM f2v1)
+           |  WHERE rank <= $GannK
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), probe_id, 'all', vec_id,
+           |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank FROM f2v2)
+           |  WHERE rank <= $GannK
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), probe_id, 'fresh', vec_id,
+           |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+           |  FROM (SELECT e.probe_id, e.vec_id,
+           |      ${cosSql("p.pe", "x.ce")} AS raw,
+           |      row_number() OVER (PARTITION BY e.probe_id
+           |        ORDER BY ${cosSql("p.pe", "x.ce")} DESC,
+           |          e.vec_id ASC) AS rank
+           |    FROM ecv2 e
+           |    JOIN call x ON x.vec_id = e.vec_id
+           |    JOIN pr p ON p.probe_id = e.probe_id
+           |    WHERE e.vec_id % $m = $r AND e.probe_id <> e.vec_id)
+           |  WHERE rank <= 1)
+           |ORDER BY idx_v, probe_id, scope, rank""".stripMargin
+      })
   )
 }

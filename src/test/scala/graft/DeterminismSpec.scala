@@ -318,8 +318,10 @@ class DeterminismSpec extends SparkSpec {
     "frame_realbogus",
     // round-17: the sim_graph_ann beam bet routed through a disk hop —
     // cold-probe ranks from the committed artifact must not move with
-    // the merge topology (nor with the artifact's file layout)
-    "sim_graph_ann_persist",
+    // the merge topology (nor with the artifact's file layout); the
+    // maintain lifecycle adds the delta-linking top-M and both-version
+    // beams on top
+    "sim_graph_ann_persist", "sim_graph_ann_maintain",
     // two chained argmins on rounded variance pools (coarse center, then
     // zoom winner) — var_samp partials of small integers must merge
     // identically under any topology for the recovery law to hold
