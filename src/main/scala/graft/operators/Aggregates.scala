@@ -1273,8 +1273,13 @@ object Aggregates {
         // double-side varnum is recomputed from raw sums because the
         // decimal varnum itself may already be NULL on overflow; a NULL
         // condition also raises (assert_true throws on null or false).
+        // Nullness of dd/varnum is asserted EXPLICITLY: greatest() skips
+        // NULL operands, so a NULLed decimal term alone would not trip the
+        // double-side magnitude check — the exact silent-unflag mode this
+        // guard exists to prevent.
         val nD = col("n").cast("double")
         val inRange = assert_true(
+          col("dd").isNotNull && col("varnum").isNotNull &&
           greatest(
             lit(4.0) * (nD - 1.0) * pow(col("dd").cast("double"), 2),
             lit(9.0) * nD *

@@ -150,6 +150,19 @@ object Similarity {
     "mm_crossmodal", "sim_ann_filtered", "sim_graph_ann",
     "sim_graph_ann_persist")
 
+  /** Query names that probe the warm two-tier GRAPH index. The tiers warm
+    * lazily on first use, but a bench should pre-warm them at the TIMED dir
+    * (the JIT warm-up loop builds them at the warm-up dir, which a dir
+    * switch discards) so every timed pass measures probe-only work. */
+  val graphFamily: Set[String] = Set("sim_graph_ann", "sim_graph_ann_persist")
+
+  /** Eagerly build the shared graph tiers for (s, dir) — the bench's
+    * pre-warm hook; a no-op when already warm at this (session, dir). */
+  def warmGraphShared(s: SparkSession, dir: String): Unit = {
+    sharedGraphTiers(s, dir)
+    ()
+  }
+
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them — harness cache sweeps must exempt these ids. */
   def warmShared(s: SparkSession, dir: String): Set[Int] = {
@@ -294,6 +307,15 @@ object Similarity {
     * [[warmKeepIds]] from cache sweeps so the lazily-built tiers survive. */
   private def sharedGraphTiers(s: SparkSession, dir: String): GraphTiers =
     warmG.filter(w => (w.s eq s) && w.dir == dir).map(_.tiers).getOrElse {
+      // Release the PREVIOUS (session, dir)'s checkpoint blocks before
+      // replacing — without this, alternating dirs (multi-dir runs, test
+      // suites with no harness cache sweep) leaks stale localCheckpoint
+      // storage on every flip.
+      warmG.foreach { old =>
+        old.s.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => old.ids(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
       val before = s.sparkContext.getPersistentRDDs.keySet
       val t = buildGraphTiers(s, dir)
       val ids = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet

@@ -35,7 +35,11 @@ object StreamRunner {
     * mtime millisecond could replay out of order, and under a 0-second
     * watermark the earlier epoch's rows would then be dropped — the
     * streamed-≡-batch requires would fail loudly but FLAKILY. Stamping each
-    * file `base + epoch` seconds makes the replay order explicit. */
+    * file `base + epoch` seconds makes the replay order explicit. The base
+    * is a FIXED 2020 instant, far past FileStreamSource's default 7-day
+    * `maxFileAge` — every reader of a stamped directory therefore sets
+    * `maxFileAge` explicitly huge, so stamped files can never silently age
+    * out (e.g. if a future test mixed current-mtime files into the dir). */
   private def writeEpochFiles(df: DataFrame, root: String,
       epochCol: String, epochs: Seq[Long]): Unit = {
     val seen = scala.collection.mutable.Set[String]()
@@ -1161,7 +1165,9 @@ object StreamRunner {
     }
     val qn = "graft_trans_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", "1").parquet(root)
+      .option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "100000d") // stamped 2020-era mtimes must never age out
+      .parquet(root)
       .as[(Long, Long, Long, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
@@ -1289,6 +1295,7 @@ object StreamRunner {
     val qnA = "graft_transwm_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val qa = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "100000d") // stamped 2020-era mtimes must never age out
       .parquet(rootA)
       .select(col("x"), col("y"), col("frame_id"), col("flux"),
         timestamp_seconds(col("frame_id") * 86400L).as("ts"))
@@ -1348,7 +1355,9 @@ object StreamRunner {
     }
     val qnB = "graft_transwmb_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val qb = s.readStream.schema(sch).parquet(rootB)
+    val qb = s.readStream.schema(sch)
+      .option("maxFileAge", "100000d") // stamped 2020-era mtimes must never age out
+      .parquet(rootB)
       .select(col("x"), col("y"), col("frame_id"), col("flux"),
         timestamp_seconds(col("frame_id") * 86400L).as("ts"))
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]

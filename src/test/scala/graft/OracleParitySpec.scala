@@ -21,6 +21,7 @@ class OracleParitySpec extends SparkSpec {
     var passed = List.empty[String]
     var skipped = List.empty[String]
     var mismatched = List.empty[String]
+    var errored = List.empty[String]
 
     // Dialect probe runs PARSE + ANALYZE only, via the analyzer directly:
     // probing with s.sql(...).collect() posted a FAILED execution event per
@@ -41,14 +42,26 @@ class OracleParitySpec extends SparkSpec {
       q.oracle.foreach { sql =>
         if (!analyzes(sql)) skipped ::= q.name
         else {
-          val a = s.sql(sql).collect().map(_.toString).sorted
-          val b = q.fn(s, sf).collect().map(_.toString).sorted
-          if (a.sameElements(b)) passed ::= q.name else mismatched ::= q.name
+          // Analyzer-level probing means an oracle that only throws at
+          // EXECUTION would otherwise escape the loop and abort the whole
+          // parity report — record it as errored and keep going, so one
+          // runtime failure cannot mask the rest of the inventory.
+          try {
+            val a = s.sql(sql).collect().map(_.toString).sorted
+            val b = q.fn(s, sf).collect().map(_.toString).sorted
+            if (a.sameElements(b)) passed ::= q.name
+            else mismatched ::= q.name
+          } catch { case e: Exception =>
+            info(s"errored ${q.name}: ${e.getMessage.take(200)}")
+            errored ::= q.name
+          }
         }
       }
     }
     info(s"parity-passed (${passed.size}): ${passed.sorted.mkString(", ")}")
     info(s"dialect-skipped (${skipped.size}): ${skipped.sorted.mkString(", ")}")
+    assert(errored.isEmpty,
+      s"oracle SQL analyzed but threw at execution: $errored")
     assert(mismatched.isEmpty,
       s"oracle SQL runs in Spark but disagrees with the DataFrame form: $mismatched")
     assert(passed.size >= 20,
