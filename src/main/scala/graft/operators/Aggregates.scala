@@ -1134,6 +1134,258 @@ object Aggregates {
              |WHERE z.rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // COARSE→ZOOM FOR THE SINUSOID-FIT FAMILY (round-18: lc_period_zoom
+    // generalized past PDM — GLS was still scanning only the fixed
+    // 24-point coarse grid, but a dense production search is two-staged
+    // for every statistic). Same epoch re-timing and off-grid injection
+    // layout as lc_period_zoom (48 epochs on the 10300 s cadence, P_inj
+    // = coarse point + k·180 s, k ≠ 0 — see that QDef for the cadence
+    // calibration), but the injected VALUES are a pure SINUSOID of the
+    // fold phase, sin(2π·(t mod P_inj)/P_inj) — the GLS-native analogue
+    // of PDM's zero-variance floor: the model a + b·cos + c·sin NESTS
+    // the signal exactly at the P_inj trial, so power = 1 is the
+    // statistic's ceiling, attained ONLY there (a triangle was tried
+    // first and failed honestly: its harmonics + the 11.6-cycle
+    // non-integer window displace the leakage peak by one zoom step —
+    // measured −180 s at class 0, +180 s at class 3). Every other trial
+    // smears ≥0.04 cycles across the window, a ≳7e-3 power drop —
+    // 10⁴ × the rounding grid. Scored UNWEIGHTED (w ≡ 1; the synthetic
+    // series has no flux-error model). Stage 1 = power over lc_gls's
+    // 24-point coarse grid, argmax per object; stage 2 = power over
+    // center ± 60 × 180 s (121 trials — half the coarse spacing each
+    // side, so ANY true period between grid points is reachable);
+    // recovery best == injected is require'd for every full-series
+    // object, exactly lc_period_zoom's law. The sinusoid values are
+    // computed from exact integers by the SAME expression text in both
+    // engines (the cs/sn idiom lc_gls already hash-matches); powers are
+    // rounded ONCE at 1e-6 before the (power desc, trial asc)
+    // determinized argmax — the family discipline. Scale: identical to
+    // lc_period_zoom — both fan-outs collapse map-side into (object ×
+    // grid)-bounded state and the per-object centers broadcast back; a
+    // 10⁴-frequency production search is this plan with a denser zoom.
+    QDef(
+      "lc_gls_zoom",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tau = 6.283185307179586
+        val wOrd = W.partitionBy("user_id")
+          .orderBy(col("t0").asc, col("event_id").asc)
+        val obs = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+            unix_timestamp(col("ts")).as("t0"))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") <= 48L)
+          .withColumn("t", (col("rn") - 1L).cast("long") * 10300L)
+          .withColumn("p_inj",
+            lit(43200L) + lit(21600L) * (col("user_id") % 2L) +
+              lit(180L) * when(col("user_id") % 8L < 4L,
+                col("user_id") % 8L - 4L)
+                .otherwise(col("user_id") % 8L - 3L))
+          .withColumn("v", sin(lit(tau) *
+            ((col("t") % col("p_inj")).cast("double") / col("p_inj"))))
+          .localCheckpoint() // 48 rows/object; feeds both stages + census
+        def glsOver(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val g = df
+            .withColumn("cs", cos(lit(tau) *
+              ((col("t") % col("trial")).cast("double") / col("trial"))))
+            .withColumn("sn", sin(lit(tau) *
+              ((col("t") % col("trial")).cast("double") / col("trial"))))
+            .groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).cast("double").as("sw"),
+              sum(col("v")).as("swy"),
+              sum(col("cs")).as("swc"),
+              sum(col("sn")).as("sws"),
+              sum(col("v") * col("v")).as("swyy"),
+              sum(col("v") * col("cs")).as("swyc"),
+              sum(col("v") * col("sn")).as("swys"),
+              sum(col("cs") * col("cs")).as("swcc"),
+              sum(col("sn") * col("sn")).as("swss"),
+              sum(col("cs") * col("sn")).as("swcs"))
+          val yM = col("swy") / col("sw")
+          val cM = col("swc") / col("sw")
+          val sM = col("sws") / col("sw")
+          val yy = col("swyy") / col("sw") - yM * yM
+          val yc = col("swyc") / col("sw") - yM * cM
+          val ys = col("swys") / col("sw") - yM * sM
+          val cc = col("swcc") / col("sw") - cM * cM
+          val ss = col("swss") / col("sw") - sM * sM
+          val cx = col("swcs") / col("sw") - cM * sM
+          g.withColumn("power",
+              rnd((ss * yc * yc + cc * ys * ys - lit(2.0) * cx * yc * ys)
+                / (yy * (cc * ss - cx * cx)), 6))
+            .select((keys.map(col) :+ col("power")): _*)
+        }
+        val wMax = W.partitionBy("user_id")
+          .orderBy(col("power").desc, col("trial").asc)
+        val centers = glsOver(obs
+            .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+            .withColumn("trial", lit(43200L) + lit(21600L) * col("k")),
+          Seq("user_id", "trial"))
+          .withColumn("rn", row_number().over(wMax))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("trial").as("coarse_period_s"))
+        val zoom = glsOver(obs
+            .join(broadcast(centers), "user_id")
+            .withColumn("j", explode(sequence(lit(-60L), lit(60L))))
+            .withColumn("trial", col("coarse_period_s") + lit(180L) * col("j")),
+          Seq("user_id", "coarse_period_s", "trial"))
+        val inj = obs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_epochs"),
+            max("p_inj").as("injected_period_s"))
+        val out = zoom
+          .withColumn("rn", row_number().over(wMax))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("coarse_period_s"),
+            col("trial").as("best_period_s"), col("power").as("gls_power"))
+          .join(inj, "user_id")
+          .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
+            col("best_period_s"), col("gls_power"),
+            col("injected_period_s"))
+          .localCheckpoint() // feeds the recovery law AND the output
+        val bad = out.where(col("n_epochs") === 48L &&
+          col("best_period_s") =!= col("injected_period_s")).count()
+        require(bad == 0L,
+          s"$bad full-series objects failed to recover their injected period")
+        out.orderBy("user_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+             |  FROM events WHERE value > 0.0),
+             |obsv AS (
+             |  SELECT user_id, t, p_inj,
+             |    sin(6.283185307179586
+             |      * (CAST(t % p_inj AS DOUBLE) / p_inj)) AS v
+             |  FROM (
+             |    SELECT user_id, (rn - 1) * 10300 AS t,
+             |      43200 + 21600 * (user_id % 2) + 180 * (CASE
+             |        WHEN user_id % 8 < 4 THEN user_id % 8 - 4
+             |        ELSE user_id % 8 - 3 END) AS p_inj
+             |    FROM (SELECT user_id, event_id, t0, row_number() OVER (
+             |        PARTITION BY user_id ORDER BY t0, event_id) AS rn
+             |      FROM t0)
+             |    WHERE rn <= 48)),
+             |cms AS (
+             |  SELECT user_id, 43200 + 21600 * g.k AS trial,
+             |    CAST(count(*) AS DOUBLE) AS sw, sum(v) AS swy,
+             |    sum(cos(6.283185307179586
+             |      * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |        / (43200 + 21600 * g.k)))) AS swc,
+             |    sum(sin(6.283185307179586
+             |      * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |        / (43200 + 21600 * g.k)))) AS sws,
+             |    sum(v * v) AS swyy,
+             |    sum(v * cos(6.283185307179586
+             |      * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |        / (43200 + 21600 * g.k)))) AS swyc,
+             |    sum(v * sin(6.283185307179586
+             |      * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |        / (43200 + 21600 * g.k)))) AS swys,
+             |    sum(cos(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))
+             |      * cos(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))) AS swcc,
+             |    sum(sin(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))
+             |      * sin(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))) AS swss,
+             |    sum(cos(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))
+             |      * sin(6.283185307179586
+             |        * (CAST(t % (43200 + 21600 * g.k) AS DOUBLE)
+             |          / (43200 + 21600 * g.k)))) AS swcs
+             |  FROM obsv CROSS JOIN generate_series(0, 23) g(k)
+             |  GROUP BY 1, 2),
+             |cpw AS (
+             |  SELECT user_id, trial,
+             |    floor((((swss / sw - (sws / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |      + (swcc / sw - (swc / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |      - 2e0 * (swcs / sw - (swc / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw)))
+             |      / ((swyy / sw - (swy / sw) * (swy / sw))
+             |        * ((swcc / sw - (swc / sw) * (swc / sw))
+             |          * (swss / sw - (sws / sw) * (sws / sw))
+             |          - (swcs / sw - (swc / sw) * (sws / sw))
+             |          * (swcs / sw - (swc / sw) * (sws / sw)))))
+             |      * 1e6 + 0.5) / 1e6 AS power
+             |  FROM cms),
+             |centers AS MATERIALIZED (
+             |  SELECT user_id, trial AS coarse_period_s
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY power DESC, trial ASC) AS rn FROM cpw)
+             |  WHERE rn = 1),
+             |ztrials AS (
+             |  SELECT o.user_id, o.t, o.v, c.coarse_period_s,
+             |    c.coarse_period_s + 180 * g.j AS trial
+             |  FROM obsv o JOIN centers c USING (user_id)
+             |  CROSS JOIN generate_series(-60, 60) g(j)),
+             |zms AS (
+             |  SELECT user_id, coarse_period_s, trial,
+             |    CAST(count(*) AS DOUBLE) AS sw, sum(v) AS swy,
+             |    sum(cos(6.283185307179586
+             |      * (CAST(t % trial AS DOUBLE) / trial))) AS swc,
+             |    sum(sin(6.283185307179586
+             |      * (CAST(t % trial AS DOUBLE) / trial))) AS sws,
+             |    sum(v * v) AS swyy,
+             |    sum(v * cos(6.283185307179586
+             |      * (CAST(t % trial AS DOUBLE) / trial))) AS swyc,
+             |    sum(v * sin(6.283185307179586
+             |      * (CAST(t % trial AS DOUBLE) / trial))) AS swys,
+             |    sum(cos(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))
+             |      * cos(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))) AS swcc,
+             |    sum(sin(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))
+             |      * sin(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))) AS swss,
+             |    sum(cos(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))
+             |      * sin(6.283185307179586
+             |        * (CAST(t % trial AS DOUBLE) / trial))) AS swcs
+             |  FROM ztrials GROUP BY 1, 2, 3),
+             |zpw AS (
+             |  SELECT user_id, coarse_period_s, trial,
+             |    floor((((swss / sw - (sws / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |      + (swcc / sw - (swc / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |      - 2e0 * (swcs / sw - (swc / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw)))
+             |      / ((swyy / sw - (swy / sw) * (swy / sw))
+             |        * ((swcc / sw - (swc / sw) * (swc / sw))
+             |          * (swss / sw - (sws / sw) * (sws / sw))
+             |          - (swcs / sw - (swc / sw) * (sws / sw))
+             |          * (swcs / sw - (swc / sw) * (sws / sw)))))
+             |      * 1e6 + 0.5) / 1e6 AS power
+             |  FROM zms),
+             |inj AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
+             |    max(p_inj) AS injected_period_s
+             |  FROM obsv GROUP BY 1)
+             |SELECT z.user_id, n_epochs, coarse_period_s,
+             |  trial AS best_period_s, power AS gls_power,
+             |  injected_period_s
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY power DESC, trial ASC) AS rn FROM zpw) z
+             |JOIN inj USING (user_id)
+             |WHERE z.rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
     // when its LATEST epoch deviates more than 3σ from its own history's
@@ -2004,6 +2256,170 @@ object Aggregates {
              |  FROM pw)
              |SELECT user_id, p AS gls_period_s, power AS gls_power
              |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // PERIODOGRAM SIGNIFICANCE [PK — astropy's LombScargle ships
+    // `false_alarm_probability`; every real variable-star pipeline gates
+    // on a FAP before believing a detection]: the Baluev-style analytic
+    // false-alarm probability of lc_gls's best peak, the deterministic
+    // closed form of (power z, series length n, effective frequency
+    // count) [PK — Baluev 2008, MNRAS 385: for the standard-normalized
+    // periodogram, P_single(z) = (1−z)^((n−3)/2), the Davies bound
+    // τ(z) = W·(1−z)^((n−4)/2)·√z with W = f_max·T_eff and
+    // T_eff = √(4π·Var(t)), and FAP ≈ 1 − (1 − P_single)·e^(−τ)].
+    // f_max = 1/43200 s⁻¹ — the top of the SAME 24-point grid lc_gls
+    // scans, so the FAP prices exactly the search that was run. All
+    // inputs to the transcendental chain are ENGINE-IDENTICAL: z is the
+    // 1e-6-rounded GLS power, n is an exact count, and Var(t) is computed
+    // in EXACT integer arithmetic — (n·Σt² − (Σt)²) in decimal(38)/
+    // HUGEINT, divided once as double — because the raw-moment form over
+    // unix-second times (t² ≈ 3e18) cancels catastrophically in doubles.
+    // Σt² headroom: n·(Σt)²-type terms stay under 1e38 up to n ≈ 1e9
+    // points per object at t ≈ 1.75e9 — far past any survey's per-object
+    // epoch count. (1−z) is floored at 1e-12 in both engines (z = 1 is
+    // reachable on a perfect fit; DuckDB ln(0) raises). The min-history
+    // gate n ≥ 5 keeps (n−3)/2 ≥ 1. `significant` compares the ROUNDED
+    // fap so the boolean is engine-stable. Scale shape: lc_gls's one
+    // grid-bounded shuffle + a per-object moment aggregate on the SAME
+    // key (no second exchange class), then O(objects) scalar math.
+    QDef(
+      "lc_fap",
+      (s, dir) => {
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("power").desc, col("p").asc)
+        val tau = 6.283185307179586
+        val obs = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            col("value").as("y"))
+          .withColumn("w",
+            lit(1.0) / (fluxErr(col("y")) * fluxErr(col("y"))))
+        val tst = obs.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("t").cast("decimal(38,0)")).as("st"),
+            sum(col("t").cast("decimal(38,0)") * col("t")).as("stt"))
+        val m = obs
+          .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("p", lit(43200L) + col("k") * 21600L)
+          .withColumn("cs",
+            cos(lit(tau) * ((col("t") % col("p")).cast("double") / col("p"))))
+          .withColumn("sn",
+            sin(lit(tau) * ((col("t") % col("p")).cast("double") / col("p"))))
+          .groupBy("user_id", "p")
+          .agg(
+            sum(col("w")).as("sw"),
+            sum(col("w") * col("y")).as("swy"),
+            sum(col("w") * col("cs")).as("swc"),
+            sum(col("w") * col("sn")).as("sws"),
+            sum(col("w") * col("y") * col("y")).as("swyy"),
+            sum(col("w") * col("y") * col("cs")).as("swyc"),
+            sum(col("w") * col("y") * col("sn")).as("swys"),
+            sum(col("w") * col("cs") * col("cs")).as("swcc"),
+            sum(col("w") * col("sn") * col("sn")).as("swss"),
+            sum(col("w") * col("cs") * col("sn")).as("swcs"))
+        val yM = col("swy") / col("sw")
+        val cM = col("swc") / col("sw")
+        val sM = col("sws") / col("sw")
+        val yy = col("swyy") / col("sw") - yM * yM
+        val yc = col("swyc") / col("sw") - yM * cM
+        val ys = col("swys") / col("sw") - yM * sM
+        val cc = col("swcc") / col("sw") - cM * cM
+        val ss = col("swss") / col("sw") - sM * sM
+        val cx = col("swcs") / col("sw") - cM * sM
+        val best = m.withColumn("power",
+            rnd((ss * yc * yc + cc * ys * ys - lit(2.0) * cx * yc * ys)
+              / (yy * (cc * ss - cx * cx)), 6))
+          .withColumn("rn", row_number().over(wr))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("p"), col("power"))
+        val nD = col("n").cast("double")
+        val oneMz = greatest(lit(1.0) - col("power"), lit(1e-12))
+        val fs = exp((nD - lit(3.0)) / lit(2.0) * log(oneMz))
+        val vart = (col("n").cast("decimal(38,0)") * col("stt") -
+            col("st") * col("st")).cast("double") /
+          (col("n") * col("n")).cast("double")
+        val tauB = sqrt(lit(12.566370614359172) * vart) / lit(43200.0) *
+          exp((nD - lit(4.0)) / lit(2.0) * log(oneMz)) *
+          sqrt(greatest(col("power"), lit(0.0)))
+        best.join(tst, "user_id")
+          .where(col("n") >= 5L)
+          .withColumn("fap_single", rnd(fs, 6))
+          .withColumn("fap",
+            rnd(lit(1.0) - (lit(1.0) - fs) * exp(-tauB), 6))
+          .select(col("user_id"), col("n").as("n_obs"),
+            col("p").as("gls_period_s"), col("power").as("gls_power"),
+            col("fap_single"), col("fap"),
+            (col("fap") < 0.01).as("significant"))
+          .orderBy("user_id")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    value AS y,
+             |    1e0 / ((0.02 * sqrt(value)) * (0.02 * sqrt(value))) AS w
+             |  FROM events WHERE value > 0.0),
+             |tst AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    sum(t) AS st, sum(t * t) AS stt
+             |  FROM obs GROUP BY 1),
+             |grid AS (
+             |  SELECT o.*, 43200 + k * 21600 AS p,
+             |    cos(6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
+             |      / (43200 + k * 21600))) AS cs,
+             |    sin(6.283185307179586 * (CAST(t % (43200 + k * 21600) AS DOUBLE)
+             |      / (43200 + k * 21600))) AS sn
+             |  FROM obs o, (SELECT unnest(range(0, 24)) AS k)),
+             |ms AS (
+             |  SELECT user_id, p,
+             |    sum(w) AS sw, sum(w * y) AS swy, sum(w * cs) AS swc,
+             |    sum(w * sn) AS sws, sum(w * y * y) AS swyy,
+             |    sum(w * y * cs) AS swyc, sum(w * y * sn) AS swys,
+             |    sum(w * cs * cs) AS swcc, sum(w * sn * sn) AS swss,
+             |    sum(w * cs * sn) AS swcs
+             |  FROM grid GROUP BY user_id, p),
+             |pw AS (
+             |  SELECT user_id, p,
+             |    floor((((swss / sw - (sws / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |      + (swcc / sw - (swc / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw))
+             |      - 2e0 * (swcs / sw - (swc / sw) * (sws / sw))
+             |        * (swyc / sw - (swy / sw) * (swc / sw))
+             |        * (swys / sw - (swy / sw) * (sws / sw)))
+             |      / ((swyy / sw - (swy / sw) * (swy / sw))
+             |        * ((swcc / sw - (swc / sw) * (swc / sw))
+             |          * (swss / sw - (sws / sw) * (sws / sw))
+             |          - (swcs / sw - (swc / sw) * (sws / sw))
+             |          * (swcs / sw - (swc / sw) * (sws / sw)))))
+             |      * 1e6 + 0.5) / 1e6 AS power
+             |  FROM ms),
+             |best AS (
+             |  SELECT user_id, p, power,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY power DESC, p ASC) AS rn
+             |  FROM pw),
+             |fq AS (
+             |  SELECT b.user_id, t.n, b.p, b.power,
+             |    exp((t.n - 3e0) / 2e0
+             |      * ln(greatest(1e0 - b.power, 1e-12))) AS fs,
+             |    sqrt(12.566370614359172
+             |        * (CAST(t.n * t.stt - t.st * t.st AS DOUBLE)
+             |          / CAST(t.n * t.n AS DOUBLE))) / 43200e0
+             |      * exp((t.n - 4e0) / 2e0
+             |        * ln(greatest(1e0 - b.power, 1e-12)))
+             |      * sqrt(greatest(b.power, 0e0)) AS taub
+             |  FROM best b JOIN tst t USING (user_id)
+             |  WHERE b.rn = 1 AND t.n >= 5),
+             |fr AS (
+             |  SELECT user_id, n AS n_obs, p AS gls_period_s,
+             |    power AS gls_power,
+             |    floor(fs * 1e6 + 0.5) / 1e6 AS fap_single,
+             |    floor((1e0 - (1e0 - fs) * exp(-taub)) * 1e6 + 0.5) / 1e6
+             |      AS fap
+             |  FROM fq)
+             |SELECT user_id, n_obs, gls_period_s, gls_power, fap_single,
+             |  fap, fap < 0.01 AS significant
+             |FROM fr ORDER BY user_id""".stripMargin)),
 
     // Pearson correlation per group in CENTERED form (same rationale as
     // lc_detrend: the raw-moment form n·Σxy − Σx·Σy cancels catastrophically

@@ -325,7 +325,15 @@ class DeterminismSpec extends SparkSpec {
     // two chained argmins on rounded variance pools (coarse center, then
     // zoom winner) — var_samp partials of small integers must merge
     // identically under any topology for the recovery law to hold
-    "lc_period_zoom")
+    "lc_period_zoom",
+    // round-18: the lc_gls bet chained twice — trig moment sums under
+    // merge order feed the coarse argmax, then the zoom argmax whose
+    // recovery law requires power == 1.000000 exactly at P_inj
+    "lc_gls_zoom",
+    // the lc_gls argmax feeding transcendental FAP arithmetic: the
+    // (power, n, exact-integer Var(t)) inputs are merge-invariant by
+    // construction, the rounded fap + boolean must stay so
+    "lc_fap")
 
   test("identical output under shuffle.partitions = 1 vs 7") {
     // AQE partition coalescing is load-bearing to DISABLE here: at fixture
