@@ -1161,6 +1161,54 @@ class CommitLogSpec extends SparkSpec {
     refitB.foreach(f => assert(Files.exists(Paths.get(root, f))))
   }
 
+  test("graph-ANN artifact refit arbitration: both race orders on the " +
+      "(kind, tier, src, dst) artifact — a racing append aborts, a " +
+      "landing-time refit retires base AND delta, and the pre-refit " +
+      "version stays row-level time-travelable") {
+    // sim_graph_ann_refit's log protocol on the actual artifact schema:
+    // v1 = day-0 build, v2 = non-consuming append reading v1, v3 =
+    // replace-commit refit (removes resolve at landing).
+    val root = Files.createTempDirectory("graft_gannarb").toString
+    val s0 = spark
+    import s0.implicits._
+    def stage(gen: String, rows: Seq[(String, Long, Long, Long)]): Seq[String] = {
+      rows.toDF("kind", "tier", "src", "dst")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$gen")
+      Files.list(Paths.get(s"$root/$gen")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")
+          && !Paths.get(p).getFileName.toString.startsWith("."))
+        .map(p => Paths.get(root).relativize(Paths.get(p)).toString).sorted.toSeq
+    }
+    val art1 = Seq(("node", 1L, 1L, 0L), ("edge", 0L, 1L, 2L))
+    val art2 = Seq(("node", 0L, 9L, 0L), ("edge", 0L, 9L, 1L))
+    val base = stage("s1", art1)
+    CommitLog.commitFiles(root, 1L, adds = base, removes = Nil)
+    // ORDER B first (append lands, refit retires both): the refit query's
+    // own flow.
+    val delta = stage("s2", art2)
+    val v2 = CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
+      reads = base, addsKnown = Some(delta))
+    assert(v2 === 2L)
+    val refit = stage("s3", Seq(("node", 2L, 1L, 0L), ("node", 0L, 9L, 1L)))
+    val v3 = CommitLog.commitRetrying(root, "s3",
+      removesAsOf = v => CommitLog.filesAsOf(root, v - 1L),
+      addsKnown = Some(refit))
+    assert(v3 === 3L)
+    assert(CommitLog.filesAsOf(root, v3).toSet === refit.toSet,
+      "the refit must atomically retire the base AND the appended delta")
+    // ORDER A: an append whose read snapshot predates the refit aborts.
+    stage("s4", art2)
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitCheckedNonConsuming(root, "s4", 1L, reads = base)
+    }
+    // Row-level time travel: asof v2 reproduces base ∪ delta exactly.
+    val atV2 = CommitLog.readAsOf(s0, root, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(atV2 === (art1 ++ art2).sorted,
+      "pre-refit artifact rows must stay reproducible at their version")
+  }
+
   test("nightly append vs recalibration arbitration: an append calibrated " +
       "against retired history ABORTS (no mixed zero-point regimes ever " +
       "serve); a recalibration landing after a nightly atomically retires " +

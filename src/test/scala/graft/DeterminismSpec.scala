@@ -322,6 +322,10 @@ class DeterminismSpec extends SparkSpec {
     // maintain lifecycle adds the delta-linking top-M and both-version
     // beams on top
     "sim_graph_ann_persist", "sim_graph_ann_maintain",
+    // round-18: the refit lifecycle — cold ranks from the REPLACED
+    // artifact plus the pre/post recall-sum law must not move with the
+    // merge topology
+    "sim_graph_ann_refit",
     // two chained argmins on rounded variance pools (coarse center, then
     // zoom winner) — var_samp partials of small integers must merge
     // identically under any topology for the recovery law to hold
