@@ -148,7 +148,7 @@ object Similarity {
   val sharedFamily: Set[String] = Set("sim_ivf", "sim_ivfpq",
     "sim_index_probe", "sim_refine", "sim_recall_report", "sim_cell_report",
     "mm_crossmodal", "sim_ann_filtered", "sim_graph_ann",
-    "sim_graph_ann_persist", "sim_graph_ann_refit")
+    "sim_graph_ann_persist", "sim_graph_ann_refit", "sim_index_delete")
 
   /** Query names that probe the warm two-tier GRAPH index. The tiers warm
     * lazily on first use, but a bench should pre-warm them at the TIMED dir
@@ -3071,6 +3071,177 @@ object Similarity {
            |    FROM f2h QUALIFY rank <= $GannK) x
            |  JOIN exact e ON x.probe_id = e.probe_id AND x.vec_id = e.vec_id
            |  GROUP BY 1) h ON h.probe_id = a.probe_id
-           |ORDER BY a.probe_id, a.rank""".stripMargin))
+           |ORDER BY a.probe_id, a.rank""".stripMargin)),
+
+    // VECTOR DELETE FROM THE STANDING ANN INDEX — the GDPR sweep the
+    // embedding store was missing: the table family has both DML halves
+    // (copy-on-write + deletion vectors), but the standing indexes only
+    // ever grew, so a corpus-table delete left the vectors PROBE-
+    // REACHABLE in the index artifact. This composes table_delete_dv's
+    // position-sidecar protocol with sim_index_log's committed IVF code
+    // table: the deletion cohort's rows die by DELETION VECTOR on their
+    // victim code files — no data file moves, the delete writes one
+    // sidecar of (file, row position) + one metadata commit, the
+    // merge-on-read bargain that makes a k-row erasure in a TB-scale
+    // index cost KBs. Probes run at BOTH versions: as_of 1 declares the
+    // pre-delete answers INCLUDING the best cohort member (the 'victim'
+    // lane — the reachability the sweep must kill), as_of 2 re-probes
+    // the DV-applied index. Laws require'd in-query, folded into ONE
+    // labeled action: (1) NO deleted vector surfaces in the v2
+    // candidate set — checked on the FULL scored set, not just top-k;
+    // (2) the pre-delete version stays reproducible (asof-v1 still
+    // serves every cohort row — audit/repro, until vacuum); (3)
+    // OPTIMIZE materializes the vectors (rewrite victims, conflict-
+    // checked swap) and merge-on-read ≡ materialized row for row; then
+    // VACUUM reclaims the expired sidecar with the victim tombstones.
+    // Scale: the sweep scans only the victim files once to emit
+    // positions; the DV attach is O(1) metadata; probes stay
+    // cell-joined; the rewrite is deferred to OPTIMIZE on the
+    // operator's schedule.
+    QDef(
+      "sim_index_delete",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        val victim = col("vec_id") % m === r
+        val root = Scans.freshRunTmpPath(s, "graft_anndel_")
+        val cents = sharedFit(s, dir)
+        val assigned = sharedAssigned(s, dir)
+        // v1: the standing code table (range-partitioned by cell — the
+        // sim_index_log layout).
+        assigned.repartitionByRange(graft.GraftConfig.IvfCells, col("cell"))
+          .write.mode("overwrite").parquet(s"$root/s1")
+        CommitLog.commit(root, 1L, "s1")
+        val files1 = CommitLog.filesAsOf(root, 1L)
+        // THE SWEEP: one scan of the code files emits the cohort's
+        // (file, position) pairs; only files actually carrying cohort
+        // rows become victims.
+        s.read.parquet(files1.map(f => s"$root/$f"): _*)
+          .where(victim)
+          .select(
+            expr("substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
+              + s"${root.length + 2})").as("f"),
+            col("_metadata.row_index").cast("long").as("pos"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/dv2")
+        val dvFile = {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.list(
+            java.nio.file.Paths.get(root, "dv2"))
+          try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .map(n => s"dv2/$n").toSeq match {
+              case Seq(one) => one
+              case other => throw new IllegalStateException(
+                s"expected one sidecar file, got $other")
+            }
+          finally st.close()
+        }
+        val victimFiles = s.read.parquet(s"$root/$dvFile")
+          .select("f").distinct().collect().map(_.getString(0)).toSeq.sorted
+        require(victimFiles.nonEmpty,
+          "the deletion cohort must touch at least one code file")
+        val v2 = CommitLog.commitDVChecked(root, 1L,
+          victimFiles.map(_ -> dvFile).toMap)
+        require(v2 == 2L, s"DV attach must land at version 2, got $v2")
+        require(CommitLog.filesAsOf(root, v2).toSet == files1.toSet,
+          "merge-on-read delete must move NO code file")
+        // Probes at both versions (readAsOf applies the vectors at v2).
+        val p = assignCell(probes(s, dir), "probe_id", "pe", cents)
+        def scoredAt(v: Long): DataFrame = CommitLog.readAsOf(s, root, v)
+          .join(broadcast(p), Seq("cell"))
+          .where(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("cell"), col("vec_id"),
+            cosine(col("pe"), col("ce")).as("raw"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("raw").desc, col("vec_id").asc)
+        def lane(df: DataFrame, asof: Long, scope: String, k: Long) = df
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select(lit(asof).as("as_of"), col("probe_id"),
+            lit(scope).as("scope"), col("cell"), col("vec_id"),
+            rnd(col("raw"), 6).as("cos"), col("rank"))
+        val s1d = scoredAt(1L)
+        val s2d = scoredAt(2L)
+        val out = lane(s1d, 1L, "all", 3L)
+          .unionAll(lane(s1d.where(victim), 1L, "victim", 1L))
+          .unionAll(lane(s2d, 2L, "all", 3L))
+          .localCheckpoint() // pinned BEFORE vacuum retires v1's files
+        // OPTIMIZE: rewrite the victim files with their vectors applied,
+        // swapped in one conflict-checked commit.
+        s.read.parquet(victimFiles.map(f => s"$root/$f"): _*)
+          .where(!victim)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/s3")
+        val v3 = CommitLog.commitChecked(root, "s3", v2, reads = victimFiles)
+        require(v3 == 3L, s"materialize must land at version 3, got $v3")
+        val snap3 = CommitLog.snapshotAsOf(root, v3)
+        require(snap3.live.forall(f => !snap3.dvs.contains(f)),
+          "materializing must retire the vectors from every live file " +
+            "(tombstoned victims keep theirs for vacuum retention)")
+        // ALL remaining laws in ONE labeled action: no deleted vector in
+        // the v2 candidate set; asof-v1 still serves the cohort (count ==
+        // the index's own cohort count, nonzero); MoR ≡ materialized.
+        val vSurf = s2d.where(victim)
+          .select(lit("victim-surfaces").as("law"), lit(0L).as("a"))
+        val morDiff = {
+          val a = CommitLog.readAsOf(s, root, v2).select("vec_id", "cell")
+          val b = CommitLog.readAsOf(s, root, v3).select("vec_id", "cell")
+          a.exceptAll(b).unionAll(b.exceptAll(a))
+            .select(lit("mor≠mat").as("law"), lit(0L).as("a"))
+        }
+        val counts = CommitLog.readAsOf(s, root, 1L).where(victim)
+          .agg(count(lit(1)).as("a"))
+          .select(lit("v1cohort").as("law"), col("a"))
+          .unionAll(assigned.where(victim)
+            .agg(count(lit(1)).as("a"))
+            .select(lit("expected").as("law"), col("a")))
+        val sums = vSurf.unionAll(morDiff).unionAll(counts)
+          .groupBy("law").agg(sum("a").as("a"), count(lit(1)).as("n"))
+          .collect().map(x => x.getString(0) ->
+            (x.getLong(1), x.getLong(2))).toMap
+        require(!sums.contains("victim-surfaces"),
+          "a deleted vector stayed probe-reachable at the post-delete version")
+        require(!sums.contains("mor≠mat"),
+          "merge-on-read and materialized index reads must agree")
+        require(sums(("v1cohort"))._1 == sums(("expected"))._1 &&
+            sums(("expected"))._1 > 0L,
+          "the pre-delete version must keep serving every cohort row")
+        // VACUUM: the sidecar expires with the victim tombstones.
+        val dvAbs = java.nio.file.Paths.get(root, dvFile)
+        require(java.nio.file.Files.exists(dvAbs),
+          "sidecar must exist pre-vacuum")
+        CommitLog.vacuum(root, 0L)
+        require(!java.nio.file.Files.exists(dvAbs),
+          "vacuum must reclaim the expired sidecar")
+        out.orderBy("as_of", "probe_id", "scope", "rank")
+      },
+      Some {
+        val m = graft.GraftConfig.AnnDeltaMod
+        val r = graft.GraftConfig.AnnDeltaRem
+        ivfChainSql(None) + s""",
+           |vict AS (
+           |  SELECT probe_id, cell, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM scored WHERE vec_id % $m = $r),
+           |post AS (
+           |  SELECT probe_id, cell, vec_id, raw,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY raw DESC, vec_id ASC) AS rank
+           |  FROM scored WHERE vec_id % $m <> $r)
+           |SELECT as_of, probe_id, scope, cell, vec_id, cos, rank FROM (
+           |  SELECT CAST(1 AS BIGINT) AS as_of, probe_id, 'all' AS scope,
+           |    cell, vec_id, floor((raw) * 1e6 + 0.5) / 1e6 AS cos, rank
+           |  FROM ranked WHERE rank <= 3
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), probe_id, 'victim', cell, vec_id,
+           |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+           |  FROM vict WHERE rank = 1
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), probe_id, 'all', cell, vec_id,
+           |    floor((raw) * 1e6 + 0.5) / 1e6, rank
+           |  FROM post WHERE rank <= 3)
+           |ORDER BY as_of, probe_id, scope, rank""".stripMargin
+      })
   )
 }
