@@ -60,7 +60,7 @@ object Similarity {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB-side cosine via list_dot_product on DOUBLE[] casts. */
@@ -72,13 +72,13 @@ object Similarity {
   private val corpusSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings"
 
-  private def probes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def probes(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     T.embeddings(s, dir).where(col("vec_id") < 5L)
       .select(col("vec_id").as("probe_id"), emb(col("embedding")).as("pe"))
   }
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     T.embeddings(s, dir)
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("ce"))
@@ -89,14 +89,14 @@ object Similarity {
 
   /** Seed centroids: the first IvfCells corpus vectors (deterministic, no
     * RNG — SURVEY §7.4's cross-engine reproducibility rule). */
-  private def ivfSeeds(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfSeeds(s: SparkSession, dir: String): DataFrame =
     T.embeddings(s, dir).where(col("vec_id") < IvfCells.toLong)
       .select(col("vec_id").as("cid"), emb(col("embedding")).as("centroid"))
 
   /** argmax-cosine cell assignment: max(struct(cos, -cid)) ≡ row_number
     * over (cos DESC, cid ASC) = 1, but with partial aggregation — the
     * corpus never shuffles on anything wider than its own id. */
-  private def assignCell(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def assignCell(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
@@ -124,7 +124,7 @@ object Similarity {
     * Each step is one scan of `src` + a tiny broadcast update — the fit
     * cost is KMeansIters corpus passes, paid at INDEX BUILD time, never
     * per query. */
-  private def ivfFit(src: DataFrame, seeds: DataFrame): DataFrame =
+  private[graft] def ivfFit(src: DataFrame, seeds: DataFrame): DataFrame =
     (1 to KMeansIters).foldLeft(seeds)((c, _) => lloydStep(src, c))
 
   /** Warm-once shared frames — the single-process stand-in for the
@@ -656,7 +656,7 @@ object Similarity {
        |  FROM scored)""".stripMargin
   }
 
-  private def ivfProbeOracleSql(deltaRem: Option[Long],
+  private[graft] def ivfProbeOracleSql(deltaRem: Option[Long],
       probeSrcSql: String = probeSql): String = {
     val m = graft.GraftConfig.AnnDeltaMod
     // With a delta, the probe answers in two result lanes: top-3 over the

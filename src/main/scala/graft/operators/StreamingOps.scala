@@ -558,6 +558,27 @@ object StreamingOps {
              |FROM census c JOIN ev e USING (x, y)
              |ORDER BY c.x""".stripMargin)),
 
+    // STREAMING ANN INDEX MAINTENANCE — the retrieval freshness path: a
+    // real Structured Streaming query tails the corpus table's `_log`
+    // (stream_changefeed's source shape) and appends each micro-batch's
+    // arrivals to the standing ANN index through sim_index_maintain's
+    // frozen-centroid path, exactly-once via the batchId txn stamp.
+    // Adds at versions ≤ the index's day-0 base are filtered (the
+    // backlog batch replays the whole log); the IVM law (streamed index
+    // ≡ frozen-centroid recompute at the batch's high-water corpus
+    // version) and the non-consuming read discipline (day-0 geometry
+    // still live — a landed refit aborts the appender) are require'd
+    // INSIDE every indexing batch; night 2 lands across a stream
+    // restart. Declared output = sim_index_maintain's two probe lanes
+    // over the final streamed index — the streamed and batch forms
+    // share one oracle, and StreamingSpec pins them row-identical.
+    // See StreamRunner.indexMaintainStream.
+    QDef(
+      "stream_index_maintain",
+      (s, dir) => graft.streaming.StreamRunner.indexMaintainStream(s, dir),
+      Some(graft.operators.Similarity.ivfProbeOracleSql(
+        Some(graft.GraftConfig.AnnDeltaRem)))),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),

@@ -847,6 +847,152 @@ object StreamRunner {
     * create-if-absent catalog log instead of double-applying. At scale
     * the catalog commit is O(1) metadata however many tables the batch
     * touched. */
+  /** STREAMING ANN INDEX MAINTENANCE — the production freshness path for
+    * retrieval: a Structured Streaming query TAILS the corpus table's
+    * `_log` (the changefeed source shape — each commit one immutable
+    * file) and appends every micro-batch's arrivals to the standing ANN
+    * index through the frozen-centroid path of `sim_index_maintain`,
+    * exactly-once via the batchId txn stamp (a crash-recovery replay of
+    * a committed batch is a no-op — the txn check, not the checkpoint,
+    * carries idempotence). The index's day-0 build covers the corpus's
+    * v1 snapshot, so the tail FILTERS adds at versions ≤ 1 (the backlog
+    * batch replays the whole log; re-indexing the base would duplicate
+    * it). Laws require'd INSIDE every indexing batch: the streamed index
+    * ≡ the batch recompute (assign the corpus snapshot at the batch's
+    * high-water version against the SAME frozen centroids — the IVM law)
+    * and the day-0 geometry files are still live (the non-consuming read
+    * discipline; a landed refit must abort this appender, not mix
+    * geometries). Night 2 lands while the stream is DOWN; the resumed
+    * tail must consume exactly the one new commit. The declared output
+    * probes the final streamed index in sim_index_maintain's two lanes —
+    * the streamed and batch forms share one oracle, and StreamingSpec
+    * pins them row-identical. Scale: each batch reads ONLY its arrival
+    * files (history stays unread), assignment is one broadcast-centroid
+    * pass over the delta, the append is O(delta) files + one commit. */
+  def indexMaintainStream(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    import graft.operators.Similarity
+    val m = graft.GraftConfig.AnnDeltaMod
+    val r = graft.GraftConfig.AnnDeltaRem
+    val day1 = col("vec_id") % m === r
+    val src = tmpDir("graft_sidx_src")
+    val idx = tmpDir("graft_sidx_idx")
+    val centsPath = tmpDir("graft_sidx_cents")
+    val co = Similarity.corpus(s, dir).select("vec_id", "ce")
+    def writeGen(df: DataFrame, gen: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$src/$gen")
+    // The corpus table: base snapshot at v1, night 1 = half the delta
+    // cohort at v2 (night 2's half lands later, while the stream is down).
+    writeGen(co.where(!day1), "g=1")
+    CommitLog.commit(src, 1L, "g=1")
+    writeGen(co.where(col("vec_id") % (2L * m) === r), "g=2")
+    CommitLog.commit(src, 2L, "g=2")
+    // Day-0 index: quantizer fit FROZEN on the base snapshot (persisted,
+    // read back — the ingest-job shape), base codes committed as idx v1.
+    Similarity.ivfFit(co.where(!day1), Similarity.ivfSeeds(s, dir))
+      .write.mode("overwrite").parquet(centsPath)
+    val cents = s.read.parquet(centsPath)
+    Similarity.assignCell(co.where(!day1), "vec_id", "ce", cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/s1")
+    CommitLog.commit(idx, 1L, "s1")
+    val idxBase = CommitLog.filesAsOf(idx, 1L).toSet
+    val VFile = """.*/(\d{8})\.json$""".r
+    val passFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val txn = s"sidx/$batchId"
+      val head = CommitLog.latestVersion(idx)
+      // Exactly-once: a replayed batch already committed its append.
+      if (head > 1L && CommitLog.txnOf(idx, head) == txn) return
+      val acts = batch
+        .where(!col("src").endsWith(".checkpoint.json"))
+        .select(get_json_object(col("value"), "$.add.path").as("a"),
+          col("src"))
+        .collect() // bounded: one row per log LINE in the batch
+      acts.foreach(a => passFiles += a.getString(1): Unit)
+      // Arrivals = adds committed AFTER the index's day-0 base version.
+      val arrivals = acts.filter { a =>
+        Option(a.getString(0)).isDefined &&
+          (a.getString(1) match {
+            case VFile(v) => v.toLong > 1L
+            case _        => false
+          })
+      }.map(_.getString(0)).toSeq
+      if (arrivals.isEmpty) return
+      val vMax = acts.map(_.getString(1))
+        .collect { case VFile(x) => x.toLong }.max
+      // Non-consuming read discipline: the day-0 geometry these arrivals
+      // are assigned against must still be live (a landed refit aborts
+      // the appender instead of mixing geometries).
+      require(idxBase.subsetOf(CommitLog.filesAsOf(idx, head).toSet),
+        "the day-0 code files were retired — a refit landed; aborting " +
+          "the frozen-geometry append")
+      val v = head + 1L
+      Similarity.assignCell(
+        s.read.option("basePath", src)
+          .parquet(arrivals.map(f => s"$src/$f"): _*)
+          .select("vec_id", "ce"),
+        "vec_id", "ce", cents)
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/s$v")
+      require(CommitLog.tryCommit(idx, v, s"s$v", txn = txn),
+        s"index append $v raced an unknown writer")
+      // IVM law, inside the batch: the streamed index ≡ assigning the
+      // corpus snapshot at the batch's high-water version against the
+      // same frozen centroids.
+      val streamed = CommitLog.readAsOf(s, idx, v).select("vec_id", "cell")
+      val full = Similarity.assignCell(
+        CommitLog.readAsOf(s, src, vMax).select("vec_id", "ce"),
+        "vec_id", "ce", cents).select("vec_id", "cell")
+      require(streamed.exceptAll(full).unionAll(full.exceptAll(streamed))
+          .isEmpty,
+        s"streamed index diverged from the v$vMax recompute (IVM law)")
+    }
+    val ckpt = tmpDir("graft_sidx_ckpt")
+    def runPass(): Unit = {
+      val q = s.readStream.text(s"$src/_log")
+        .select(col("value"), col("_metadata.file_path").as("src"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch _)
+        .start()
+      q.awaitTermination()
+    }
+    runPass() // pass 1: base (skipped) + night 1 indexed
+    // Night 2 lands while the indexer is DOWN…
+    writeGen(co.where(col("vec_id") % (2L * m) === m + r), "g=3")
+    CommitLog.commit(src, 3L, "g=3")
+    passFiles.clear()
+    runPass() // pass 2: resumes from the checkpoint
+    require(passFiles.size == 1 && passFiles.head.endsWith("00000003.json"),
+      s"restarted tail must consume exactly the new commit, saw $passFiles")
+    // Declared output: probe the final streamed index in
+    // sim_index_maintain's two lanes (shared oracle; StreamingSpec pins
+    // streamed ≡ batch row-identically).
+    val p = Similarity.assignCell(
+      Similarity.probes(s, dir), "probe_id", "pe", cents)
+    val scored = CommitLog.readAsOf(s, idx, Long.MaxValue)
+      .join(broadcast(p), Seq("cell"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("cell"), col("vec_id"),
+        Similarity.cosine(col("pe"), col("ce")).as("raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("raw").desc, col("vec_id").asc)
+    val top3 = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3L)
+      .withColumn("scope", lit("all"))
+    val fresh = scored.where(col("vec_id") % m === r)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") === 1L)
+      .withColumn("scope", lit("fresh"))
+    top3.unionAll(fresh)
+      .select(col("probe_id"), col("scope"), col("cell"), col("vec_id"),
+        graft.Rnd.rnd(col("raw"), 6).as("cos"), col("rank"))
+      .orderBy("probe_id", "scope", "rank")
+  }
+
   def nightlyRefreshStream(s: SparkSession, dir: String): DataFrame =
       withFewStatePartitions(s, 4) {
     import graft.sources.CommitLog

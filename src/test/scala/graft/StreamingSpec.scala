@@ -159,6 +159,23 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained change-feed view diverges from the batch fold")
   }
 
+  test("stream_index_maintain: the log-tailing streamed index ≡ the batch " +
+      "frozen-centroid maintenance, row-identically") {
+    // The same day-0 fit + delta-cohort insertion consumed two ways:
+    // sim_index_maintain assigns and appends in one batch job,
+    // stream_index_maintain tails the corpus table's _log across two
+    // micro-batch passes and a restart. Both probe lanes must land on
+    // identical rows — a missed arrival file, a double-indexed replay, or
+    // a lost restart offset cannot match.
+    val streamed = graft.streaming.StreamRunner.indexMaintainStream(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("sim_index_maintain")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "stream-maintained ANN index diverges from the batch maintenance")
+  }
+
   test("stream_enrich: stream-static join ≡ batch join on the fixture") {
     val streamed = graft.streaming.StreamRunner.enrichedCounts(spark, sf)
       .collect().toSeq
