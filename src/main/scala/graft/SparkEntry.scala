@@ -13,6 +13,8 @@ object SparkEntry {
   /** All declared operators, in SURVEY §2 order. */
   def all: Seq[QDef] =
     operators.Scans.defs ++
+      operators.TableOps.defs ++
+      operators.FrameOps.defs ++
       operators.Filters.defs ++
       operators.Joins.defs ++
       operators.Aggregates.defs ++

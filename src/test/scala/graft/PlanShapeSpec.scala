@@ -88,7 +88,7 @@ class PlanShapeSpec extends SparkSpec {
       "class — equi-joins end to end, never all-pairs across catalogs") {
     plan("frame_astrometry") // runs the QDef, which records the pre-
     // checkpoint voting plan (the declared output is an ExistingRDD scan)
-    val p = graft.operators.Scans.lastAstrometryPlan
+    val p = graft.operators.FrameOps.lastAstrometryPlan
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"),
       "no equi-join operator in the triangle-matching plan")
@@ -114,7 +114,7 @@ class PlanShapeSpec extends SparkSpec {
       "with map-side aperture partials — never pixels × candidates") {
     plan("frame_forced_photometry") // runs the QDef, which records the
     // pre-checkpoint forced-probe plan (declared output is an ExistingRDD)
-    val p = graft.operators.Scans.lastForcedPhotPlan
+    val p = graft.operators.FrameOps.lastForcedPhotPlan
     // The scene GENERATOR legitimately contains a range×range cartesian
     // (pixels explode from frame metadata — fixture-only; at archive
     // scale pixels stream from files), so a blanket no-cartesian assert
