@@ -563,6 +563,173 @@ object FrameOps {
              |  AND ap.star = ann.star
              |ORDER BY ap.frame_id, ap.star""".stripMargin)),
 
+    // FLOAT PIXELS (BITPIX = −32) — the calibrated-frame tier real survey
+    // archives ship (raw integer counts become IEEE float32 after bias/
+    // flat calibration), closing the FITS matrix: frame_photometry_bytes
+    // decodes integer payloads; this QDef stages BITPIX=−32 data units
+    // carrying big-endian float32 pixels, decodes them through the SAME
+    // typed mapPartitions codec (media bytes never shuffle), and runs the
+    // aperture chain. THE CROSS-ENGINE CONTRACT IS GRID-ROUND AT INGEST:
+    // float pixels from different writers/libm stacks can differ in ulps,
+    // so a pipeline that hash-compares MUST quantize at the decode
+    // boundary — the codec emits milli-unit integers
+    // floor(v·1e3 + 0.5) and every downstream step is exact integer
+    // arithmetic. The fixture makes the contract itself verifiable to the
+    // last bit: pixel values are exact EIGHTHS (3 fractional bits —
+    // float32-exact below 2^21), so v·1e3 = 125·(8v) is exact in double
+    // and the DuckDB oracle reconstructs the quantized pixels from the
+    // integer generator alone, never touching a float: a byte lost, an
+    // endianness slip, or a codec that rounds before widening to double
+    // hash-mismatches. Laws: the FITS block-size law on the real on-disk
+    // lengths (header 2880 + 4096-byte data unit padded to 5760). Scale:
+    // identical to frame_photometry_bytes — decode parallelizes per file,
+    // only (frame, x, y, milli) rows move, the source probe stays the
+    // bounded ≤9-cell equi-join.
+    QDef(
+      "frame_photometry_f32",
+      (s, dir) => {
+        val root = freshRunTmpPath(s, "graft_fitsf32_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        val nFrames = 8L
+        val grid = 32L
+        val cell = 11L
+        s.range(0L, nFrames).toDF("i")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            def card(k: String, v: String): String =
+              (k.padTo(8, ' ') + "= " + (" " * (20 - v.length)) + v)
+                .padTo(80, ' ')
+            it.foreach { r =>
+              val i = r.getLong(0)
+              val hdr = (card("SIMPLE", "T") + card("BITPIX", "-32") +
+                card("NAXIS", "2") + card("NAXIS1", "32") +
+                card("NAXIS2", "32") + card("FRAMEID", i.toString) +
+                "END".padTo(80, ' ')).padTo(2880, ' ')
+              val n = (grid * grid).toInt
+              // data unit = 4096 bytes of big-endian float32, zero-padded
+              // to two blocks (FITS: data unit length ≡ 0 mod 2880)
+              val buf = java.nio.ByteBuffer.allocate(2880 + 5760)
+              buf.put(hdr.getBytes("US-ASCII"))
+              var j = 0
+              while (j < n) {
+                val x = j % 32; val y = j / 32
+                var v = 100L + i +
+                  ((x * 73L + y * 149L + i * 31L) * 2654435761L) % 97L
+                var st = 0
+                while (st < 3) {
+                  if (math.abs(x - (8 + st * 8)) <= 1 &&
+                      math.abs(y - (9 + st * 7)) <= 1)
+                    v += 500L + st * 250L + i * 10L
+                  st += 1
+                }
+                // exact eighths: calibrated value = counts / gain, gain 8
+                buf.putFloat((v / 8.0).toFloat)
+                j += 1
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(root, f"frame_$i%05d.fits"),
+                buf.array()): Unit
+            }
+          }
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.fits").load(root)
+        require(bin.select("length").collect()
+            .forall(_.getLong(0) == 8640L),
+          "a staged BITPIX=-32 frame violates the FITS block-size law")
+        import s.implicits._
+        val px = bin.select(col("content")).as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              val hdr = new String(bytes, 0, 2880, "US-ASCII")
+              def kv(k: String): Long = {
+                val at = hdr.indexOf(k.padTo(8, ' ') + "=")
+                require(at >= 0, s"FITS card $k missing")
+                hdr.substring(at + 10, at + 30).trim.toLong
+              }
+              require(kv("BITPIX") == -32L,
+                "frame_photometry_f32 fed a non-float data unit")
+              val (fid, n1, n2) = (kv("FRAMEID"), kv("NAXIS1"), kv("NAXIS2"))
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              (0L until n1 * n2).iterator.map { j =>
+                // GRID-ROUND AT INGEST: widen float32 → double, quantize
+                // to milli-units ONCE at the decode boundary; everything
+                // downstream is exact integer arithmetic.
+                val v = bb.getFloat((2880 + 4 * j).toInt).toDouble
+                (fid, j % n1, j / n1, math.floor(v * 1e3 + 0.5).toLong)
+              }
+            }
+          }.toDF("frame_id", "x", "y", "v")
+        val stars = s.range(0L, nFrames)
+          .select(col("id").as("frame_id"),
+            explode(sequence(lit(0L), lit(2L))).as("star"))
+          .select(col("frame_id"), col("star"),
+            (lit(8L) + col("star") * 8L).as("sx"),
+            (lit(9L) + col("star") * 7L).as("sy"),
+            ((lit(500L) + col("star") * 250L + col("frame_id") * 10L) * 125L)
+              .as("flux_in_milli"))
+        val probed = px
+          .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+          .select(col("frame_id"), col("x"), col("y"), col("v"),
+            (expr(s"x div $cell") + col("dcx")).as("cx"),
+            (expr(s"y div $cell") + col("dcy")).as("cy"))
+        val joined = probed.join(stars
+            .select(col("frame_id"), col("star"), col("sx"), col("sy"),
+              col("flux_in_milli"), expr(s"sx div $cell").as("cx"),
+              expr(s"sy div $cell").as("cy")),
+          Seq("frame_id", "cx", "cy"))
+          .withColumn("cheb", greatest(abs(col("x") - col("sx")),
+            abs(col("y") - col("sy"))))
+        val ap = joined.where(col("cheb") <= 2L)
+          .groupBy("frame_id", "star", "flux_in_milli")
+          .agg(sum("v").as("ap_sum"), count(lit(1)).as("n_ap"))
+        val ann = joined.where(col("cheb") >= 4L && col("cheb") <= 5L)
+          .groupBy("frame_id", "star")
+          .agg(avg("v").as("bg"), count(lit(1)).as("n_ann"))
+        ap.join(ann, Seq("frame_id", "star"))
+          .select(col("frame_id"), col("star"), col("flux_in_milli"),
+            col("ap_sum"), col("n_ap"), col("n_ann"),
+            rnd(col("ap_sum") - col("n_ap").cast("double") * col("bg"), 6)
+              .as("flux_milli"))
+          .orderBy("frame_id", "star")
+      },
+      Some("""WITH f AS (SELECT i AS frame_id FROM generate_series(0, 7) t(i)),
+             |stars AS (
+             |  SELECT frame_id, s.j AS star, 8 + s.j * 8 AS sx,
+             |    9 + s.j * 7 AS sy,
+             |    (500 + s.j * 250 + frame_id * 10) * 125 AS flux_in_milli
+             |  FROM f CROSS JOIN generate_series(0, 2) s(j)),
+             |px AS (
+             |  SELECT f.frame_id, p.i % 32 AS x, p.i // 32 AS y,
+             |    ((100 + f.frame_id) +
+             |     ((p.i % 32) * 73 + (p.i // 32) * 149 + f.frame_id * 31)
+             |       * 2654435761 % 97 +
+             |     (SELECT coalesce(sum(st.flux_in_milli), 0) // 125
+             |      FROM stars st
+             |      WHERE st.frame_id = f.frame_id
+             |        AND abs((p.i % 32) - st.sx) <= 1
+             |        AND abs((p.i // 32) - st.sy) <= 1)) * 125 AS v
+             |  FROM f CROSS JOIN generate_series(0, 1023) p(i)),
+             |joined AS (
+             |  SELECT st.frame_id, st.star, st.flux_in_milli, px.v,
+             |    greatest(abs(px.x - st.sx), abs(px.y - st.sy)) AS cheb
+             |  FROM stars st JOIN px ON px.frame_id = st.frame_id),
+             |ap AS (
+             |  SELECT frame_id, star, flux_in_milli,
+             |    CAST(sum(v) AS BIGINT) AS ap_sum,
+             |    CAST(count(*) AS BIGINT) AS n_ap
+             |  FROM joined WHERE cheb <= 2 GROUP BY 1, 2, 3),
+             |ann AS (
+             |  SELECT frame_id, star, avg(v) AS bg,
+             |    CAST(count(*) AS BIGINT) AS n_ann
+             |  FROM joined WHERE cheb >= 4 AND cheb <= 5 GROUP BY 1, 2)
+             |SELECT ap.frame_id, ap.star, ap.flux_in_milli, ap_sum, n_ap,
+             |  n_ann,
+             |  floor((ap_sum - CAST(n_ap AS DOUBLE) * bg) * 1e6 + 0.5) / 1e6
+             |    AS flux_milli
+             |FROM ap JOIN ann ON ap.frame_id = ann.frame_id
+             |  AND ap.star = ann.star
+             |ORDER BY ap.frame_id, ap.star""".stripMargin)),
+
     // FRAME REGISTRATION [PK — the astroalign-style alignment step
     // between raw frames and photometry, reduced to CATALOG space: a
     // survey's nightly frames are translation-dithered, and registration

@@ -277,6 +277,9 @@ class DeterminismSpec extends SparkSpec {
     // decoded-byte pixel rows feeding a rounded flux: the decode + the
     // annulus mean must be invariant to file/partition assignment
     "frame_photometry_bytes",
+    // round-18: the same decode bet through the float32 codec — the
+    // grid-round at ingest must be invariant to file/partition assignment
+    "frame_photometry_f32",
     // round-15 batch 2: stddev/mean partials feed the rounded z flag
     // BOUNDARY that defines island membership (flares — the lc_alerts
     // bet compounded by the run grouping); the sky-mode count argmax
