@@ -1386,6 +1386,192 @@ object Aggregates {
              |WHERE z.rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // COARSE→ZOOM FOR THE TRANSIT SEARCH (the third member of the staged
+    // trio: lc_period_zoom = PDM, lc_gls_zoom = sinusoid fit, this = the
+    // BLS box statistic). Same epoch re-timing and off-grid injection
+    // layout; the injected VALUES are a two-level BOX — v = 1000 except
+    // 600 in phase bin 5 of 8 at P_inj — the BLS-native exactness
+    // argument: at the P_inj trial the fold reassembles the transit bin
+    // PURE AND COMPLETE, and the box contrast A²·n_b/(N−n_b) is
+    // STRICTLY maximal there (a pure subset scores lower — the statistic
+    // is increasing in n_b at fixed purity; a diluted bin scores lower
+    // still), while every ±180 s zoom neighbor flips ≥1 epoch's bin
+    // (the lc_period_zoom cadence calibration, stronger at 8 bins than
+    // its wrap argument needs). Home coarse points 43200/64800 sit ON
+    // lc_bls's 21600·(k+1) grid, so stage 1 is exactly lc_bls's scan
+    // restricted to this series; stage 2 = the box statistic over
+    // center ± 60 × 180 s. recovery best == injected require'd for
+    // every full-series object. ALL-INTEGER values and bin math; the
+    // only FP is the final exact-integer division, rounded once before
+    // each determinized argmax — lc_bls's discipline. Scale: identical
+    // to the other zooms — map-side fan-out collapse, centers broadcast
+    // back, per-(user, trial, bin) partials never observations × grid.
+    QDef(
+      "lc_bls_zoom",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val nBins = 8L
+        val wOrd = W.partitionBy("user_id")
+          .orderBy(col("t0").asc, col("event_id").asc)
+        val obs = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+            unix_timestamp(col("ts")).as("t0"))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") <= 48L)
+          .withColumn("t", (col("rn") - 1L).cast("long") * 10300L)
+          .withColumn("p_inj",
+            lit(43200L) + lit(21600L) * (col("user_id") % 2L) +
+              lit(180L) * when(col("user_id") % 8L < 4L,
+                col("user_id") % 8L - 4L)
+                .otherwise(col("user_id") % 8L - 3L))
+          .withColumn("v",
+            when(expr(s"((t % p_inj) * $nBins) div p_inj") === 5L, 600L)
+              .otherwise(1000L))
+          .localCheckpoint() // 48 rows/object; feeds both stages + census
+        def blsOver(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val bins = df
+            .withColumn("bin", expr(s"((t % trial) * $nBins) div trial"))
+            .groupBy((keys :+ "bin").map(col): _*)
+            .agg(count(lit(1)).as("n_b"), sum("v").as("su_b"))
+          val tot = bins.groupBy(keys.map(col): _*)
+            .agg(sum("n_b").as("nn"), sum("su_b").as("su_tot"))
+          bins.join(tot, keys)
+            .where(col("n_b") >= 2L && col("n_b") < col("nn"))
+            .withColumn("a",
+              col("su_b") * col("nn") - col("n_b") * col("su_tot"))
+            .withColumn("score",
+              rnd(col("a").cast("double") * col("a").cast("double") /
+                ((col("n_b") * (col("nn") - col("n_b"))).cast("double")), 6))
+            .groupBy(keys.map(col): _*)
+            .agg(max(struct(col("score"), (-col("bin")).as("nb"))).as("m"))
+            .select((keys.map(col) :+ col("m.score").as("bls") :+
+              (-col("m.nb")).as("transit_bin")): _*)
+        }
+        val wMax = W.partitionBy("user_id")
+          .orderBy(col("bls").desc, col("trial").asc)
+        val centers = blsOver(obs
+            .withColumn("k", explode(sequence(lit(0L), lit(11L))))
+            .withColumn("trial", lit(21600L) * (col("k") + 1L)),
+          Seq("user_id", "trial"))
+          .withColumn("rn", row_number().over(wMax))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("trial").as("coarse_period_s"))
+        val zoom = blsOver(obs
+            .join(broadcast(centers), "user_id")
+            .withColumn("j", explode(sequence(lit(-60L), lit(60L))))
+            .withColumn("trial", col("coarse_period_s") + lit(180L) * col("j")),
+          Seq("user_id", "coarse_period_s", "trial"))
+        val inj = obs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_epochs"),
+            max("p_inj").as("injected_period_s"))
+        val out = zoom
+          .withColumn("rn", row_number().over(wMax))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("coarse_period_s"),
+            col("trial").as("best_period_s"), col("bls"),
+            col("transit_bin"))
+          .join(inj, "user_id")
+          .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
+            col("best_period_s"), col("transit_bin"), col("bls"),
+            col("injected_period_s"))
+          .localCheckpoint() // feeds the recovery law AND the output
+        val bad = out.where(col("n_epochs") === 48L &&
+          col("best_period_s") =!= col("injected_period_s")).count()
+        require(bad == 0L,
+          s"$bad full-series objects failed to recover their injected period")
+        out.orderBy("user_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+             |  FROM events WHERE value > 0.0),
+             |obsv AS (
+             |  SELECT user_id, t, p_inj,
+             |    CASE WHEN ((t % p_inj) * 8) // p_inj = 5
+             |         THEN 600 ELSE 1000 END AS v
+             |  FROM (
+             |    SELECT user_id, (rn - 1) * 10300 AS t,
+             |      43200 + 21600 * (user_id % 2) + 180 * (CASE
+             |        WHEN user_id % 8 < 4 THEN user_id % 8 - 4
+             |        ELSE user_id % 8 - 3 END) AS p_inj
+             |    FROM (SELECT user_id, event_id, t0, row_number() OVER (
+             |        PARTITION BY user_id ORDER BY t0, event_id) AS rn
+             |      FROM t0)
+             |    WHERE rn <= 48)),
+             |cbins AS (
+             |  SELECT user_id, 21600 * (g.k + 1) AS trial,
+             |    ((t % (21600 * (g.k + 1))) * 8) // (21600 * (g.k + 1)) AS bin,
+             |    count(*) AS n_b, CAST(sum(v) AS BIGINT) AS su_b
+             |  FROM obsv CROSS JOIN generate_series(0, 11) g(k)
+             |  GROUP BY 1, 2, 3),
+             |ctot AS (
+             |  SELECT user_id, trial, CAST(sum(n_b) AS BIGINT) AS nn,
+             |    CAST(sum(su_b) AS BIGINT) AS su_tot
+             |  FROM cbins GROUP BY 1, 2),
+             |csc AS (
+             |  SELECT user_id, trial, bin,
+             |    floor((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+             |      / CAST(n_b * (nn - n_b) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |      AS score
+             |  FROM (
+             |    SELECT b.*, t.nn, t.su_tot,
+             |      b.su_b * t.nn - b.n_b * t.su_tot AS a
+             |    FROM cbins b JOIN ctot t USING (user_id, trial)
+             |    WHERE b.n_b >= 2 AND b.n_b < t.nn)),
+             |cper AS (
+             |  SELECT user_id, trial, score AS bls
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, trial
+             |          ORDER BY score DESC, bin ASC) AS rb FROM csc)
+             |  WHERE rb = 1),
+             |centers AS MATERIALIZED (
+             |  SELECT user_id, trial AS coarse_period_s
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY bls DESC, trial ASC) AS rn FROM cper)
+             |  WHERE rn = 1),
+             |zbins AS (
+             |  SELECT o.user_id, c.coarse_period_s,
+             |    c.coarse_period_s + 180 * g.j AS trial,
+             |    ((o.t % (c.coarse_period_s + 180 * g.j)) * 8)
+             |      // (c.coarse_period_s + 180 * g.j) AS bin,
+             |    count(*) AS n_b, CAST(sum(o.v) AS BIGINT) AS su_b
+             |  FROM obsv o JOIN centers c USING (user_id)
+             |  CROSS JOIN generate_series(-60, 60) g(j)
+             |  GROUP BY 1, 2, 3, 4),
+             |ztot AS (
+             |  SELECT user_id, coarse_period_s, trial,
+             |    CAST(sum(n_b) AS BIGINT) AS nn,
+             |    CAST(sum(su_b) AS BIGINT) AS su_tot
+             |  FROM zbins GROUP BY 1, 2, 3),
+             |zsc AS (
+             |  SELECT user_id, coarse_period_s, trial, bin,
+             |    floor((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+             |      / CAST(n_b * (nn - n_b) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |      AS score
+             |  FROM (
+             |    SELECT b.*, t.nn, t.su_tot,
+             |      b.su_b * t.nn - b.n_b * t.su_tot AS a
+             |    FROM zbins b JOIN ztot t USING (user_id, coarse_period_s, trial)
+             |    WHERE b.n_b >= 2 AND b.n_b < t.nn)),
+             |zper AS (
+             |  SELECT user_id, coarse_period_s, trial, score AS bls,
+             |    bin AS transit_bin
+             |  FROM (SELECT *, row_number() OVER (
+             |          PARTITION BY user_id, coarse_period_s, trial
+             |          ORDER BY score DESC, bin ASC) AS rb FROM zsc)
+             |  WHERE rb = 1),
+             |inj AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
+             |    max(p_inj) AS injected_period_s
+             |  FROM obsv GROUP BY 1)
+             |SELECT z.user_id, n_epochs, coarse_period_s,
+             |  trial AS best_period_s, transit_bin, bls, injected_period_s
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY bls DESC, trial ASC) AS rn FROM zper) z
+             |JOIN inj USING (user_id)
+             |WHERE z.rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
     // when its LATEST epoch deviates more than 3σ from its own history's

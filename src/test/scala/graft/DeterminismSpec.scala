@@ -337,6 +337,9 @@ class DeterminismSpec extends SparkSpec {
     // merge order feed the coarse argmax, then the zoom argmax whose
     // recovery law requires power == 1.000000 exactly at P_inj
     "lc_gls_zoom",
+    // two chained integer-score argmaxes (box statistic) — the lc_bls
+    // bet staged, with the recovery law on top
+    "lc_bls_zoom",
     // the lc_gls argmax feeding transcendental FAP arithmetic: the
     // (power, n, exact-integer Var(t)) inputs are merge-invariant by
     // construction, the rounded fap + boolean must stay so
