@@ -1572,6 +1572,299 @@ object Aggregates {
              |WHERE z.rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // COARSE→ZOOM FOR THE CONDITIONAL-ENTROPY SEARCH — the FOURTH and last
+    // staged period finder (lc_period_zoom = PDM, lc_gls_zoom = sinusoid
+    // fit, lc_bls_zoom = box, this = lc_ce's information statistic; every
+    // member of the family now has its dense-search production shape).
+    // Same epoch re-timing and off-grid injection layout as the other
+    // three (48 epochs on the 10300 s cadence, P_inj = coarse point +
+    // k·180 s, k ≠ 0 — see lc_period_zoom for the cadence calibration);
+    // the injected VALUES are the 4-level profile (0,1,2,3,0,2,1,3) of
+    // the 8-bin fold phase at P_inj — the CE-native exactness argument:
+    // the profile maps ONE-TO-ONE onto lc_ce's 4 magnitude bins, so at
+    // the P_inj trial every phase bin holds exactly one magnitude bin and
+    // CE = Σ (n_ij/N)·ln(n_i/n_ij) = 0, the statistic's floor. The
+    // profile is calibrated like the others' waveforms: ADJACENT fold
+    // bins always differ in magnitude bin (so any epoch's bin flip at a
+    // neighboring trial mixes a cell — a plain sawtooth paired equal
+    // mbins across adjacent bins and left zoom neighbors tied at 0), and
+    // it has NO translational sub-period (v = bin mod 4 repeats at
+    // P_inj/2, handing the argmin's (ce, trial) tie-break a smaller
+    // perfect period; this profile's half-shift (0,2,1,3) ≠ (0,1,2,3)).
+    // Verified exhaustively over all 8 injection classes: CE = 0 at
+    // P_inj ONLY, across the coarse grid and the full zoom span. The
+    // magnitude bins normalize by the per-object min/max exactly as
+    // lc_ce does (tiny pre-aggregate off the checkpointed series,
+    // broadcast back — honest normalization, not a hardcoded range).
+    // Stage 1 = CE over lc_ce's 24-point coarse grid, argmin per object;
+    // stage 2 = CE over center ± 60 × 180 s (121 trials); recovery
+    // best == injected require'd for every full-series object. ALL bin
+    // math is integer; the only FP is ln of integer ratios summed and
+    // rounded ONCE at 1e-6 before each (ce asc, trial asc) determinized
+    // argmin — lc_ce's discipline. Scale: identical to the other zooms —
+    // both fan-outs collapse map-side into (object × grid × cells)
+    // partials, per-object centers broadcast back, no corpus re-shuffle
+    // between stages.
+    QDef(
+      "lc_ce_zoom",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wOrd = W.partitionBy("user_id")
+          .orderBy(col("t0").asc, col("event_id").asc)
+        val obs0 = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+            unix_timestamp(col("ts")).as("t0"))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") <= 48L)
+          .withColumn("t", (col("rn") - 1L).cast("long") * 10300L)
+          .withColumn("p_inj",
+            lit(43200L) + lit(21600L) * (col("user_id") % 2L) +
+              lit(180L) * when(col("user_id") % 8L < 4L,
+                col("user_id") % 8L - 4L)
+                .otherwise(col("user_id") % 8L - 3L))
+          .withColumn("v", expr(
+            "element_at(array(0L,1L,2L,3L,0L,2L,1L,3L), " +
+              "cast(((t % p_inj) * 8) div p_inj as int) + 1)"))
+          .localCheckpoint() // 48 rows/object; feeds both stages + census
+        val rng = obs0.groupBy("user_id")
+          .agg(min("v").as("vmn"), max("v").as("vmx"))
+        val obs = obs0.join(broadcast(rng), "user_id")
+        def ceOver(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val cells = df
+            .withColumn("pbin", expr("((t % trial) * 8) div trial"))
+            .withColumn("mbin", least(floor(
+              (col("v") - col("vmn")) /
+                (col("vmx") - col("vmn") + lit(1e-9)) * lit(4.0)), lit(3L)))
+            .groupBy((keys ++ Seq("pbin", "mbin")).map(col): _*)
+            .agg(count(lit(1)).as("n_pm"))
+          val wp = W.partitionBy((keys :+ "pbin").map(col): _*)
+          cells
+            .withColumn("n_p", sum("n_pm").over(wp))
+            .groupBy(keys.map(col): _*)
+            .agg(rnd(
+              sum(col("n_pm").cast("double") *
+                log(col("n_p").cast("double") / col("n_pm").cast("double"))) /
+                sum("n_pm").cast("double"), 6).as("ce"))
+        }
+        val wMin = W.partitionBy("user_id")
+          .orderBy(col("ce").asc, col("trial").asc)
+        val centers = ceOver(obs
+            .withColumn("k", explode(sequence(lit(0L), lit(23L))))
+            .withColumn("trial", lit(43200L) + lit(21600L) * col("k")),
+          Seq("user_id", "trial"))
+          .withColumn("rn", row_number().over(wMin))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("trial").as("coarse_period_s"))
+        val zoom = ceOver(obs
+            .join(broadcast(centers), "user_id")
+            .withColumn("j", explode(sequence(lit(-60L), lit(60L))))
+            .withColumn("trial", col("coarse_period_s") + lit(180L) * col("j")),
+          Seq("user_id", "coarse_period_s", "trial"))
+        val inj = obs0.groupBy("user_id")
+          .agg(count(lit(1)).as("n_epochs"),
+            max("p_inj").as("injected_period_s"))
+        val out = zoom
+          .withColumn("rn", row_number().over(wMin))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("coarse_period_s"),
+            col("trial").as("best_period_s"), col("ce").as("ce_s2"))
+          .join(inj, "user_id")
+          .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
+            col("best_period_s"), col("ce_s2"), col("injected_period_s"))
+          .localCheckpoint() // feeds the recovery law AND the output
+        val bad = out.where(col("n_epochs") === 48L &&
+          col("best_period_s") =!= col("injected_period_s")).count()
+        require(bad == 0L,
+          s"$bad full-series objects failed to recover their injected period")
+        out.orderBy("user_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+             |  FROM events WHERE value > 0.0),
+             |obsv AS (
+             |  SELECT user_id, t, p_inj,
+             |    CASE ((t % p_inj) * 8) // p_inj
+             |      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+             |      WHEN 4 THEN 0 WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 3 END AS v
+             |  FROM (
+             |    SELECT user_id, (rn - 1) * 10300 AS t,
+             |      43200 + 21600 * (user_id % 2) + 180 * (CASE
+             |        WHEN user_id % 8 < 4 THEN user_id % 8 - 4
+             |        ELSE user_id % 8 - 3 END) AS p_inj
+             |    FROM (SELECT user_id, event_id, t0, row_number() OVER (
+             |        PARTITION BY user_id ORDER BY t0, event_id) AS rn
+             |      FROM t0)
+             |    WHERE rn <= 48)),
+             |rng AS (
+             |  SELECT user_id, min(v) AS vmn, max(v) AS vmx
+             |  FROM obsv GROUP BY user_id),
+             |ccells AS (
+             |  SELECT o.user_id, 43200 + 21600 * g.k AS trial,
+             |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS pbin,
+             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin,
+             |    CAST(count(*) AS BIGINT) AS n_pm
+             |  FROM obsv o JOIN rng USING (user_id)
+             |  CROSS JOIN generate_series(0, 23) g(k)
+             |  GROUP BY 1, 2, 3, 4),
+             |cmarg AS (
+             |  SELECT user_id, trial, pbin, mbin, n_pm,
+             |    CAST(sum(n_pm) OVER (PARTITION BY user_id, trial, pbin) AS BIGINT) AS n_p
+             |  FROM ccells),
+             |cce AS (
+             |  SELECT user_id, trial,
+             |    floor((sum(CAST(n_pm AS DOUBLE) *
+             |      ln(CAST(n_p AS DOUBLE) / CAST(n_pm AS DOUBLE))) /
+             |      CAST(sum(n_pm) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
+             |  FROM cmarg GROUP BY 1, 2),
+             |centers AS MATERIALIZED (
+             |  SELECT user_id, trial AS coarse_period_s
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ce ASC, trial ASC) AS rn FROM cce)
+             |  WHERE rn = 1),
+             |zcells AS (
+             |  SELECT o.user_id, c.coarse_period_s,
+             |    c.coarse_period_s + 180 * g.j AS trial,
+             |    ((o.t % (c.coarse_period_s + 180 * g.j)) * 8)
+             |      // (c.coarse_period_s + 180 * g.j) AS pbin,
+             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin,
+             |    CAST(count(*) AS BIGINT) AS n_pm
+             |  FROM obsv o JOIN rng USING (user_id) JOIN centers c USING (user_id)
+             |  CROSS JOIN generate_series(-60, 60) g(j)
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |zmarg AS (
+             |  SELECT user_id, coarse_period_s, trial, pbin, mbin, n_pm,
+             |    CAST(sum(n_pm) OVER (PARTITION BY user_id, coarse_period_s,
+             |      trial, pbin) AS BIGINT) AS n_p
+             |  FROM zcells),
+             |zce AS (
+             |  SELECT user_id, coarse_period_s, trial,
+             |    floor((sum(CAST(n_pm AS DOUBLE) *
+             |      ln(CAST(n_p AS DOUBLE) / CAST(n_pm AS DOUBLE))) /
+             |      CAST(sum(n_pm) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
+             |  FROM zmarg GROUP BY 1, 2, 3),
+             |inj AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
+             |    max(p_inj) AS injected_period_s
+             |  FROM obsv GROUP BY 1)
+             |SELECT z.user_id, n_epochs, coarse_period_s,
+             |  trial AS best_period_s, ce AS ce_s2, injected_period_s
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ce ASC, trial ASC) AS rn FROM zce) z
+             |JOIN inj USING (user_id)
+             |WHERE z.rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // FOURIER DECOMPOSITION AT THE DETECTED PERIOD [PK — the classic
+    // variable-star shape descriptors: fit v(t) ≈ a0 + Σ_k a_k·cos(kθ) +
+    // b_k·sin(kθ) at the object's detected period and classify on the
+    // amplitude ratio R21 = A2/A1 and phase difference φ21 = φ2 − 2φ1
+    // (Simon & Teays 1982's Fourier-coefficient classification; RRab vs
+    // RRc vs Cepheid separation runs on exactly these two numbers in
+    // every modern variable-star catalog]. Coefficients are the direct
+    // Fourier projections a_k = (2/n)·Σ v'·cos(kθ), b_k = (2/n)·Σ
+    // v'·sin(kθ) over the mean-subtracted curve — the estimator every
+    // survey pipeline uses at survey cadence, computed here from RAW
+    // trig moments (the lc_gls cs/sn idiom: θ = τ·((t mod P)/P) with the
+    // integer-exact fold, so both engines feed libm the IDENTICAL
+    // double). TWO-STAGE ROUNDING DISCIPLINE (the lc_fap precedent —
+    // transcendentals on rounded inputs): the four coefficients round at
+    // 1e-6 FIRST — per-object sums are merge-stable at ~1e-10 so the
+    // boundary bet is the family's usual — and sqrt/atan2/fmod then run
+    // on IDENTICAL inputs in both engines (atan2 near the origin
+    // amplifies ulp noise unboundedly; on rounded coefficients a
+    // degenerate harmonic hits atan2(0, 0) = 0 identically instead of a
+    // cross-engine coin flip). φ21 is normalized to [0, τ) by the same
+    // ((x % τ) + τ) % τ text both sides; R21's divisor floors at 1e-9
+    // (a flat curve has A1 = 0 after rounding). Min-history gate n ≥ 5
+    // (five unknowns in the 2-harmonic model). Scale: ONE shuffle on the
+    // object key; the trig moments are mergeable partials (standing
+    // state at 100 TB, exactly agg_incremental's story), the best-period
+    // table is aggregate-sized and broadcast.
+    QDef(
+      "lc_harmonics",
+      (s, dir) => {
+        val tau = 6.283185307179586
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            col("value").as("v"))
+        val g = t
+          .join(broadcast(bestPeriods(s, dir)), "user_id")
+          .withColumn("ph",
+            (col("t") % col("best_period_s")).cast("double") /
+              col("best_period_s"))
+          .withColumn("c1", cos(lit(tau) * col("ph")))
+          .withColumn("s1", sin(lit(tau) * col("ph")))
+          .withColumn("c2", cos(lit(2.0 * tau) * col("ph")))
+          .withColumn("s2", sin(lit(2.0 * tau) * col("ph")))
+          .groupBy("user_id")
+          .agg(max("best_period_s").as("best_period_s"),
+            count(lit(1)).as("n"), sum("v").as("sy"),
+            sum(col("c1")).as("sc1"), sum(col("s1")).as("ss1"),
+            sum(col("c2")).as("sc2"), sum(col("s2")).as("ss2"),
+            sum(col("v") * col("c1")).as("syc1"),
+            sum(col("v") * col("s1")).as("sys1"),
+            sum(col("v") * col("c2")).as("syc2"),
+            sum(col("v") * col("s2")).as("sys2"))
+          .where(col("n") >= 5L)
+        val nD = col("n").cast("double")
+        def coef(syc: org.apache.spark.sql.Column,
+            sc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          rnd(lit(2.0) / nD * (syc - col("sy") / nD * sc), 6)
+        val cf = g.select(col("user_id"), col("best_period_s"), col("n"),
+          coef(col("syc1"), col("sc1")).as("a1"),
+          coef(col("sys1"), col("ss1")).as("b1"),
+          coef(col("syc2"), col("sc2")).as("a2"),
+          coef(col("sys2"), col("ss2")).as("b2"))
+        val amp1 = sqrt(col("a1") * col("a1") + col("b1") * col("b1"))
+        val amp2 = sqrt(col("a2") * col("a2") + col("b2") * col("b2"))
+        val dphi = atan2(col("b2"), col("a2")) -
+          lit(2.0) * atan2(col("b1"), col("a1"))
+        cf.select(col("user_id"), col("best_period_s"), col("n"),
+            col("a1"), col("b1"), col("a2"), col("b2"),
+            rnd(amp1, 6).as("amp1"), rnd(amp2, 6).as("amp2"),
+            rnd(amp2 / greatest(amp1, lit(1e-9)), 6).as("r21"),
+            rnd(((dphi % lit(tau)) + lit(tau)) % lit(tau), 6).as("phi21"))
+          .orderBy("user_id")
+      },
+      Some(s"""$bestPeriodsSql,
+             |obs AS (
+             |  SELECT t.user_id, b.best_period_s,
+             |    CAST(t.t % b.best_period_s AS DOUBLE) / b.best_period_s AS ph,
+             |    t.value AS v
+             |  FROM t JOIN best b USING (user_id)),
+             |tm AS (
+             |  SELECT user_id, max(best_period_s) AS best_period_s,
+             |    CAST(count(*) AS BIGINT) AS n, sum(v) AS sy,
+             |    sum(cos(6.283185307179586 * ph)) AS sc1,
+             |    sum(sin(6.283185307179586 * ph)) AS ss1,
+             |    sum(cos(2 * 6.283185307179586 * ph)) AS sc2,
+             |    sum(sin(2 * 6.283185307179586 * ph)) AS ss2,
+             |    sum(v * cos(6.283185307179586 * ph)) AS syc1,
+             |    sum(v * sin(6.283185307179586 * ph)) AS sys1,
+             |    sum(v * cos(2 * 6.283185307179586 * ph)) AS syc2,
+             |    sum(v * sin(2 * 6.283185307179586 * ph)) AS sys2
+             |  FROM obs GROUP BY user_id
+             |  HAVING count(*) >= 5),
+             |cf AS (
+             |  SELECT user_id, best_period_s, n,
+             |    floor((2e0 / n * (syc1 - sy / n * sc1)) * 1e6 + 0.5) / 1e6 AS a1,
+             |    floor((2e0 / n * (sys1 - sy / n * ss1)) * 1e6 + 0.5) / 1e6 AS b1,
+             |    floor((2e0 / n * (syc2 - sy / n * sc2)) * 1e6 + 0.5) / 1e6 AS a2,
+             |    floor((2e0 / n * (sys2 - sy / n * ss2)) * 1e6 + 0.5) / 1e6 AS b2
+             |  FROM tm)
+             |SELECT user_id, best_period_s, n, a1, b1, a2, b2,
+             |  floor(sqrt(a1*a1 + b1*b1) * 1e6 + 0.5) / 1e6 AS amp1,
+             |  floor(sqrt(a2*a2 + b2*b2) * 1e6 + 0.5) / 1e6 AS amp2,
+             |  floor((sqrt(a2*a2 + b2*b2)
+             |    / greatest(sqrt(a1*a1 + b1*b1), 1e-9)) * 1e6 + 0.5) / 1e6 AS r21,
+             |  floor(((((atan2(b2, a2) - 2 * atan2(b1, a1))
+             |      % 6.283185307179586) + 6.283185307179586)
+             |      % 6.283185307179586) * 1e6 + 0.5) / 1e6 AS phi21
+             |FROM cf ORDER BY user_id""".stripMargin)),
+
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
     // when its LATEST epoch deviates more than 3σ from its own history's

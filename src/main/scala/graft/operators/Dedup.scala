@@ -250,6 +250,52 @@ object Dedup {
         col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
   }
 
+  /** (doc_id, pos, tok) long form for an arbitrary documents frame — the
+    * delta-side tokenizer of the streaming index appender (same shape as
+    * the corpus [[tok]], parameterized by the frame instead of the dir). */
+  private[graft] def tokOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1L).cast("long").as("pos"), col("tok"))
+
+  /** The FROZEN-VOCABULARY dictionary — the dedup analogue of the ANN
+    * family's frozen quantizer: the streaming index appender fits the
+    * token dictionary ONCE on the day-0 corpus snapshot, persists it, and
+    * every later batch signs its arrivals against that frozen vocab (a
+    * dictionary re-ranked per batch would silently re-sign the whole
+    * standing index — the refit, not the append, re-fits vocabulary). */
+  private[graft] def dictOf(docs: DataFrame): DataFrame = dict(tokOf(docs))
+
+  /** Band rows for `docs` against a FROZEN dictionary table. A shingle
+    * survives iff ALL THREE of its consecutive tokens are in the frozen
+    * vocab (the dict join is left + three-way null gate, so an unseen
+    * token drops the shingles CONTAINING it without splicing its
+    * neighbors together — position adjacency is preserved, matching the
+    * oracle's positional three-way dict join); tokens unseen at freeze
+    * time are exactly the vectors-outside-the-fitted-geometry case of the
+    * ANN appender, re-ranked only by a refit. */
+  private[graft] def bandRowsFrozen(docs: DataFrame, dictDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = tokOf(docs)
+      .join(broadcast(dictDf), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), col("tok_id").as("id1"))
+      .withColumn("id2", lead(col("id1"), 1).over(w))
+      .withColumn("id3", lead(col("id1"), 2).over(w))
+      .where(col("id1").isNotNull && col("id2").isNotNull &&
+        col("id3").isNotNull)
+      .select(col("doc_id"),
+        ((col("id1") * V + col("id2")) * V + col("id3")).as("s"))
+    val sig = sh.groupBy("doc_id")
+      .agg(minhashAgg(0), (1 until MinHashes).map(minhashAgg): _*)
+    sig
+      .select(col("doc_id"), explode(array((0 until Bands).map { i =>
+        struct(lit(i).cast("long").as("band"),
+          col(s"h${2 * i}").as("sig_a"), col(s"h${2 * i + 1}").as("sig_b"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.sig_a").as("sig_a"), col("b.sig_b").as("sig_b"))
+  }
+
   /** Warm-once shared frames — the single-process stand-in for the STANDING
     * artifacts a production deployment maintains on disk (the LSH signature
     * index `dedup_index_probe` persists, the cluster assignment the keep
@@ -1636,6 +1682,45 @@ object Dedup {
        |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |WHERE d.doc_id % $m = $r
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** `stream_dedup_maintain`'s oracle — [[deltaProbeSql]] with the
+    * dictionary FROZEN on the day-0 snapshot: the dict CTE (aliased
+    * `dict` so [[shingleSql]] is reused verbatim) ranks only tokens of
+    * docs in NEITHER delta day, and the positional three-way dict join
+    * then drops every shingle containing an unseen token — exactly
+    * [[bandRowsFrozen]]'s null gate. Probing slice = the second delta
+    * day; probed side = base + the appended first day, i.e. the streamed
+    * index's final contents. */
+  private[graft] def frozenDeltaProbeSql: String = {
+    val m = graft.GraftConfig.DedupDeltaMod
+    val r1 = graft.GraftConfig.DedupDeltaRem
+    val r2 = graft.GraftConfig.DedupDelta2Rem
+    s"""WITH tok AS ($tokSql),
+       |dict AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT tok FROM tok
+       |        WHERE doc_id % $m <> $r1 AND doc_id % $m <> $r2)),
+       |sh AS ($shingleSql),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until Bands).map(i =>
+            s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+       |hits AS (
+       |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of
+       |  FROM bands l JOIN bands r
+       |    ON r.band = l.band AND r.sig_a = l.sig_a AND r.sig_b = l.sig_b
+       |    AND r.doc_id % $m <> $r2
+       |  WHERE l.doc_id % $m = $r2
+       |  GROUP BY l.doc_id)
+       |SELECT d.doc_id, h.dup_of,
+       |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % $m = $r2
        |ORDER BY d.doc_id""".stripMargin
   }
 }

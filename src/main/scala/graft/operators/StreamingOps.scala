@@ -579,6 +579,26 @@ object StreamingOps {
       Some(graft.operators.Similarity.ivfProbeOracleSql(
         Some(graft.GraftConfig.AnnDeltaRem)))),
 
+    // STREAMING DEDUP INDEX MAINTENANCE — stream_index_maintain's twin on
+    // the standing LSH band index: the same log-tailing stream appends
+    // each micro-batch's arrivals through the FROZEN-VOCABULARY signature
+    // path (the token dictionary is the dedup family's frozen geometry —
+    // fitted once on the day-0 snapshot, persisted beside the index;
+    // arrivals' unseen tokens drop their shingles, and only a refit
+    // re-ranks the vocab). Exactly-once via the batchId txn stamp; the
+    // IVM law (streamed band index ≡ frozen-dict recompute at the batch's
+    // high-water corpus version) and the non-consuming read discipline
+    // are require'd inside every indexing batch; night 2 lands across a
+    // stream restart. Declared output = today's crawl probing the final
+    // streamed index in dedup_index_maintain's join shape; the oracle
+    // mirrors the frozen dictionary (Dedup.frozenDeltaProbeSql), and
+    // StreamingSpec pins streamed ≡ batch row-identically.
+    // See StreamRunner.dedupMaintainStream.
+    QDef(
+      "stream_dedup_maintain",
+      (s, dir) => graft.streaming.StreamRunner.dedupMaintainStream(s, dir),
+      Some(graft.operators.Dedup.frozenDeltaProbeSql)),
+
     QDef(
       "stream_changefeed",
       (s, dir) => graft.streaming.StreamRunner.changefeedView(s, dir),

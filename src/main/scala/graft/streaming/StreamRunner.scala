@@ -993,6 +993,150 @@ object StreamRunner {
       .orderBy("probe_id", "scope", "rank")
   }
 
+  /** STREAMING DEDUP INDEX MAINTENANCE — [[indexMaintainStream]]'s twin on
+    * the OTHER standing index family: a Structured Streaming query tails
+    * the corpus table's `_log` and appends every micro-batch's arrivals to
+    * the standing LSH band index through the FROZEN-VOCABULARY signature
+    * path (`Dedup.bandRowsFrozen`), exactly-once via the batchId txn
+    * stamp. The frozen geometry here is the token DICTIONARY: fitted once
+    * on the day-0 snapshot and persisted beside the index (a dictionary
+    * re-ranked per batch would re-sign the whole standing index — vocab
+    * re-fits belong to the refit, exactly as centroid re-fits do), with
+    * arrivals' unseen tokens dropping their shingles — the
+    * vector-outside-the-fitted-geometry case. Laws require'd INSIDE every
+    * indexing batch: streamed band index ≡ the frozen-dict recompute of
+    * the corpus snapshot at the batch's high-water version (the IVM law)
+    * and the day-0 band files still live (the non-consuming read
+    * discipline — a landed vocab refit aborts this appender). Night 2
+    * lands while the stream is DOWN; the resumed tail must consume
+    * exactly the one new commit. Declared output = today's crawl (the
+    * second delta day) probing the FINAL streamed index in
+    * `dedup_index_maintain`'s join shape; StreamingSpec pins streamed ≡
+    * the batch frozen-dict construction row-identically. Scale: each
+    * batch reads ONLY its arrival files and pays the signature pipeline
+    * for its own delta (history unread — the 100 TB point), the append is
+    * O(delta) files + one commit, and the probe side meets the index
+    * with zero index-side recompute. */
+  def dedupMaintainStream(s: SparkSession, dir: String): DataFrame =
+      withFewStatePartitions(s, 4) {
+    import graft.sources.CommitLog
+    import graft.operators.Dedup
+    val m = graft.GraftConfig.DedupDeltaMod
+    val r1 = graft.GraftConfig.DedupDeltaRem
+    val r2 = graft.GraftConfig.DedupDelta2Rem
+    val day1 = col("doc_id") % m === r1
+    val day2 = col("doc_id") % m === r2
+    val src = tmpDir("graft_sdix_src")
+    val idx = tmpDir("graft_sdix_idx")
+    val dictPath = tmpDir("graft_sdix_dict")
+    val docs = T.documents(s, dir).select("doc_id", "text")
+    val base = docs.where(!day1 && !day2)
+    def writeGen(df: DataFrame, gen: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$src/$gen")
+    // The corpus table: base snapshot at v1; night 1 = half the day-1
+    // cohort at v2 (night 2's half lands later, while the stream is down).
+    writeGen(base, "g=1")
+    CommitLog.commit(src, 1L, "g=1")
+    writeGen(docs.where(col("doc_id") % (2L * m) === r1), "g=2")
+    CommitLog.commit(src, 2L, "g=2")
+    // Day-0 artifact: the frozen vocabulary persisted (read back — the
+    // ingest-job shape), base band rows committed as idx v1.
+    Dedup.dictOf(base).write.mode("overwrite").parquet(dictPath)
+    val fdict = s.read.parquet(dictPath)
+    Dedup.bandRowsFrozen(base, fdict)
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/s1")
+    CommitLog.commit(idx, 1L, "s1")
+    val idxBase = CommitLog.filesAsOf(idx, 1L).toSet
+    val VFile = """.*/(\d{8})\.json$""".r
+    val passFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val txn = s"sdix/$batchId"
+      val head = CommitLog.latestVersion(idx)
+      // Exactly-once: a replayed batch already committed its append.
+      if (head > 1L && CommitLog.txnOf(idx, head) == txn) return
+      val acts = batch
+        .where(!col("src").endsWith(".checkpoint.json"))
+        .select(get_json_object(col("value"), "$.add.path").as("a"),
+          col("src"))
+        .collect() // bounded: one row per log LINE in the batch
+      acts.foreach(a => passFiles += a.getString(1): Unit)
+      // Arrivals = adds committed AFTER the index's day-0 base version.
+      val arrivals = acts.filter { a =>
+        Option(a.getString(0)).isDefined &&
+          (a.getString(1) match {
+            case VFile(v) => v.toLong > 1L
+            case _        => false
+          })
+      }.map(_.getString(0)).toSeq
+      if (arrivals.isEmpty) return
+      val vMax = acts.map(_.getString(1))
+        .collect { case VFile(x) => x.toLong }.max
+      // Non-consuming read discipline: the day-0 band files these
+      // arrivals append beside must still be live (a landed vocab refit
+      // aborts the appender instead of mixing vocabularies).
+      require(idxBase.subsetOf(CommitLog.filesAsOf(idx, head).toSet),
+        "the day-0 band files were retired — a refit landed; aborting " +
+          "the frozen-vocabulary append")
+      val v = head + 1L
+      Dedup.bandRowsFrozen(
+        s.read.option("basePath", src)
+          .parquet(arrivals.map(f => s"$src/$f"): _*)
+          .select("doc_id", "text"),
+        fdict)
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/s$v")
+      require(CommitLog.tryCommit(idx, v, s"s$v", txn = txn),
+        s"index append $v raced an unknown writer")
+      // IVM law, inside the batch: the streamed index ≡ re-signing the
+      // corpus snapshot at the batch's high-water version against the
+      // same frozen dictionary.
+      val streamed = CommitLog.readAsOf(s, idx, v)
+        .select("doc_id", "band", "sig_a", "sig_b")
+      val full = Dedup.bandRowsFrozen(
+        CommitLog.readAsOf(s, src, vMax).select("doc_id", "text"), fdict)
+        .select("doc_id", "band", "sig_a", "sig_b")
+      require(streamed.exceptAll(full).unionAll(full.exceptAll(streamed))
+          .isEmpty,
+        s"streamed band index diverged from the v$vMax recompute (IVM law)")
+    }
+    val ckpt = tmpDir("graft_sdix_ckpt")
+    def runPass(): Unit = {
+      val q = s.readStream.text(s"$src/_log")
+        .select(col("value"), col("_metadata.file_path").as("src"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch _)
+        .start()
+      q.awaitTermination()
+    }
+    runPass() // pass 1: base (skipped) + night 1 signed and appended
+    // Night 2 lands while the indexer is DOWN…
+    writeGen(docs.where(col("doc_id") % (2L * m) === m + r1), "g=3")
+    CommitLog.commit(src, 3L, "g=3")
+    passFiles.clear()
+    runPass() // pass 2: resumes from the checkpoint
+    require(passFiles.size == 1 && passFiles.head.endsWith("00000003.json"),
+      s"restarted tail must consume exactly the new commit, saw $passFiles")
+    // Declared output: today's crawl (the second delta day, never in the
+    // corpus log) probes the final streamed index — dedup_index_maintain's
+    // join shape, against the maintained-by-stream index.
+    val delta = Dedup.bandRowsFrozen(docs.where(day2), fdict)
+      .select(col("doc_id").as("delta_id"),
+        col("band"), col("sig_a"), col("sig_b"))
+    val index = CommitLog.readAsOf(s, idx, Long.MaxValue)
+    val hits = index.join(delta.hint("merge"), Seq("band", "sig_a", "sig_b"))
+      .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+    docs.where(day2)
+      .select(col("doc_id"))
+      .join(broadcast(hits.select(col("delta_id").as("doc_id"), col("dup_of"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, lit("novel"))
+          .otherwise(lit("dup_of_base")).as("status"))
+      .orderBy("doc_id")
+  }
+
   def nightlyRefreshStream(s: SparkSession, dir: String): DataFrame =
       withFewStatePartitions(s, 4) {
     import graft.sources.CommitLog

@@ -340,6 +340,14 @@ class DeterminismSpec extends SparkSpec {
     // two chained integer-score argmaxes (box statistic) — the lc_bls
     // bet staged, with the recovery law on top
     "lc_bls_zoom",
+    // two chained argmins on rounded ln-sums of integer cell ratios —
+    // the lc_ce bet staged, with the recovery law requiring CE = 0
+    // exactly at P_inj under any merge topology
+    "lc_ce_zoom",
+    // trig moment sums under merge order feeding ROUNDED Fourier
+    // coefficients, then sqrt/atan2/fmod on those — the two-stage
+    // rounding must pin the transcendental tail regardless of topology
+    "lc_harmonics",
     // the lc_gls argmax feeding transcendental FAP arithmetic: the
     // (power, n, exact-integer Var(t)) inputs are merge-invariant by
     // construction, the rounded fap + boolean must stay so

@@ -78,6 +78,7 @@ class InventorySpec extends SparkSpec {
     "sim_graph_ann_refit", // build + append + atomic replace commits on construction
     "sim_index_delete", // commits codes + DV sidecar + optimize + vacuum on construction
     "stream_index_maintain", // full log-tailing stream runs on construction
+    "stream_dedup_maintain", // full log-tailing stream runs on construction
     "dedup_autotune", // tunes, applies, and require-verifies on construction
     "sim_autotune", // same: fused tuning pass + standalone apply on construction
     "pipeline_dataloader", // manifest localCheckpoint + loader-law requires on construction

@@ -176,6 +176,47 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained ANN index diverges from the batch maintenance")
   }
 
+  test("stream_dedup_maintain: the log-tailing streamed band index ≡ the " +
+      "batch frozen-vocabulary construction, row-identically") {
+    // The dedup twin of the stream_index_maintain pin. There is no batch
+    // QDef with the frozen dictionary (dedup_index_maintain ranks the
+    // FULL corpus vocab), so the batch side is built inline from the same
+    // frozen-geometry primitives: dict fitted on the day-0 snapshot,
+    // band rows for base + the whole day-1 cohort, probed by day 2 in
+    // the same join shape. A missed arrival file, a double-signed
+    // replay, a lost restart offset, or a dictionary drift between the
+    // persisted and in-memory vocab cannot match row-for-row.
+    import org.apache.spark.sql.functions._
+    val m = graft.GraftConfig.DedupDeltaMod
+    val r1 = graft.GraftConfig.DedupDeltaRem
+    val r2 = graft.GraftConfig.DedupDelta2Rem
+    val streamed = graft.streaming.StreamRunner.dedupMaintainStream(spark, sf)
+      .collect().toSeq
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val day1 = col("doc_id") % m === r1
+    val day2 = col("doc_id") % m === r2
+    val fdict = graft.operators.Dedup.dictOf(docs.where(!day1 && !day2))
+      .localCheckpoint()
+    val index = graft.operators.Dedup.bandRowsFrozen(docs.where(!day2), fdict)
+    val delta = graft.operators.Dedup.bandRowsFrozen(docs.where(day2), fdict)
+      .select(col("doc_id").as("delta_id"),
+        col("band"), col("sig_a"), col("sig_b"))
+    val hits = index.join(delta.hint("merge"), Seq("band", "sig_a", "sig_b"))
+      .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+    val batch = docs.where(day2)
+      .select(col("doc_id"))
+      .join(broadcast(hits.select(col("delta_id").as("doc_id"),
+        col("dup_of"))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, lit("novel"))
+          .otherwise(lit("dup_of_base")).as("status"))
+      .orderBy("doc_id")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "stream-maintained band index diverges from the batch construction")
+  }
+
   test("stream_enrich: stream-static join ≡ batch join on the fixture") {
     val streamed = graft.streaming.StreamRunner.enrichedCounts(spark, sf)
       .collect().toSeq
