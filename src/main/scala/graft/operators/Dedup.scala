@@ -263,8 +263,43 @@ object Dedup {
     * token dictionary ONCE on the day-0 corpus snapshot, persists it, and
     * every later batch signs its arrivals against that frozen vocab (a
     * dictionary re-ranked per batch would silently re-sign the whole
-    * standing index — the refit, not the append, re-fits vocabulary). */
-  private[graft] def dictOf(docs: DataFrame): DataFrame = dict(tokOf(docs))
+    * standing index — the refit, not the append, re-fits vocabulary).
+    *
+    * FREQUENCY-RANKED, not alphabetical: tok_id = rank by (document
+    * frequency DESC, tok) over the FIT SLICE — the id assignment every
+    * real tokenizer ships (frequent tokens get small ids), and the
+    * honest reason the freeze matters: ids depend on corpus-wide
+    * statistics, so they MOVE whenever the corpus grows, even with a
+    * closed vocabulary — day-1 arrivals shift relative frequencies and
+    * the refit's re-rank re-signs the index observably. Built with the
+    * same fully-distributed range-rank machinery as [[dict]] (range
+    * partitions ordered by the TOTAL key (df DESC, tok), per-partition
+    * local ranks, broadcast cumulative offsets — no single-task vocab). */
+  private[graft] def dictFreqOf(docs: DataFrame): DataFrame = {
+    val dfT = tokOf(docs).select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranged = dfT.repartitionByRange(col("df").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("local_rn",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy(col("df").desc, col("tok"))))
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .select(col("tok"),
+        (col("offset") + col("local_rn")).cast("long").as("tok_id"))
+  }
+
+  /** The df-ranked dict CTE body for the frozen-vocabulary oracles:
+    * ranks the tokens of the docs matching `fitFilter`. */
+  private def dictFreqSql(fitFilter: String): String =
+    s"""SELECT tok, CAST(row_number() OVER (ORDER BY df DESC, tok) AS BIGINT) AS tok_id
+       |  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM tok WHERE $fitFilter GROUP BY tok)""".stripMargin
 
   /** Band rows for `docs` against a FROZEN dictionary table. A shingle
     * survives iff ALL THREE of its consecutive tokens are in the frozen
@@ -1383,6 +1418,145 @@ object Dedup {
       },
       Some(deltaProbeSql(graft.GraftConfig.DedupDelta2Rem))),
 
+    // THE VOCABULARY REFIT — the lifecycle stream_dedup_maintain leaves
+    // open ("vocab re-fits belong to the refit, exactly as centroid
+    // re-fits do"), closed: after a day-0 frozen-vocabulary build and a
+    // day-1 append-only signing, the refit RE-RANKS the token dictionary
+    // on the full corpus at refit time, RE-SIGNS every band row in the
+    // new vocabulary (minhash signatures are functions of the token ids —
+    // a vocab change invalidates the whole index, which is exactly why
+    // appends must freeze it), and lands dictionary + index as ONE
+    // atomic REPLACE commit per table (removes resolve at landing —
+    // commitRetrying(removesAsOf), the sim_graph_ann_refit arbitration).
+    // Laws require'd in-query: (1) the replace is COMPLETE (no pre-refit
+    // band file survives); (2) a racing append whose read snapshot
+    // predates the refit ABORTS with the conflict exception (the
+    // non-consuming check stream_dedup_maintain's appender runs every
+    // batch — here exercised on the refit's far side); (3) the pre-refit
+    // version stays TIME-TRAVELABLE (asof v2 reproduces the frozen
+    // base ∪ day-1 signatures, both exceptAll directions); (4) the refit
+    // is NON-VACUOUS — the frequency re-rank moved at least one token id
+    // (day-1 arrivals shift relative document frequencies even over a
+    // closed vocabulary — the reason real tokenizer ids are frozen) and
+    // at least one band row re-signed under the moved ids ((3) and (4)
+    // fold into ONE labeled action — the fixed-overhead discipline).
+    // Declared output = today's crawl
+    // probing the POST-REFIT index, signatures in the refit vocabulary —
+    // the oracle ranks the dict over base + day 1 (everything but the
+    // probing day), the full-vocab analogue of the frozen-dict oracle.
+    // Scale: the refit pays one full signature pass — on the REFIT
+    // SCHEDULE, never per append (the stream appender stays O(batch));
+    // the replace commit is O(1) metadata; pre-refit versions stay
+    // probe-able until vacuum.
+    QDef(
+      "dedup_index_refit",
+      (s, dir) => {
+        import graft.sources.CommitLog
+        val m = graft.GraftConfig.DedupDeltaMod
+        val r1 = graft.GraftConfig.DedupDeltaRem
+        val r2 = graft.GraftConfig.DedupDelta2Rem
+        val day1 = col("doc_id") % m === r1
+        val day2 = col("doc_id") % m === r2
+        val docs = T.documents(s, dir).select("doc_id", "text")
+        val base = docs.where(!day1 && !day2)
+        val rootDict = Scans.freshRunTmpPath(s, "graft_dref_dict_")
+        val root = Scans.freshRunTmpPath(s, "graft_dref_idx_")
+        // Day 0: the frozen vocabulary on its own log table (v1) + the
+        // base band rows (v1) — stream_dedup_maintain's day-0 artifact,
+        // with the dictionary log-committed so the refit can replace it.
+        dictFreqOf(base).write.mode("overwrite").parquet(s"$rootDict/s1")
+        CommitLog.commit(rootDict, 1L, "s1")
+        val dict1 = CommitLog.readAsOf(s, rootDict, 1L)
+        val bands1 = bandRowsFrozen(base, dict1)
+          .localCheckpoint() // feeds the write AND the time-travel law
+        bands1.write.mode("overwrite").parquet(s"$root/s1")
+        CommitLog.commit(root, 1L, "s1")
+        // Day 1: append-only signing against the frozen vocab — the
+        // stream appender's per-batch shape, one batch, non-consuming
+        // checked against the day-0 files.
+        val bands2 = bandRowsFrozen(docs.where(day1), dict1)
+          .localCheckpoint() // feeds the write AND the time-travel law
+        bands2.write.mode("overwrite").parquet(s"$root/s2")
+        val files1 = CommitLog.filesAsOf(root, 1L)
+        val v2 = CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
+          reads = files1)
+        require(v2 == 2L, s"append landed at $v2, expected 2")
+        // THE REFIT: re-rank the vocabulary on the corpus at refit time
+        // (base + day 1 — everything the log holds), re-sign EVERY band
+        // row in the new geometry, land both as atomic replaces.
+        val files2 = CommitLog.filesAsOf(root, 2L)
+        val corpusNow = docs.where(!day2)
+        dictFreqOf(corpusNow).write.mode("overwrite").parquet(s"$rootDict/s2")
+        CommitLog.commitRetrying(rootDict, "s2",
+          removesAsOf = v => CommitLog.filesAsOf(rootDict, v - 1L))
+        val dict2 = CommitLog.readAsOf(s, rootDict, Long.MaxValue)
+          .localCheckpoint() // feeds the re-sign, the probe AND the law
+        bandRowsFrozen(corpusNow, dict2)
+          .write.mode("overwrite").parquet(s"$root/s3")
+        val v3 = CommitLog.commitRetrying(root, "s3",
+          removesAsOf = v => CommitLog.filesAsOf(root, v - 1L))
+        // Law 1: the replace is complete — no pre-refit file survives.
+        require(CommitLog.filesAsOf(root, v3).toSet
+            .intersect(files2.toSet).isEmpty,
+          "the refit replace left pre-refit band files live")
+        // Law 2: a racing append whose read snapshot predates the refit
+        // ABORTS (validation rejects it before any attempt).
+        val aborted =
+          try {
+            CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
+              reads = files1)
+            false
+          } catch {
+            case _: java.util.ConcurrentModificationException => true
+          }
+        require(aborted,
+          "an append reading refit-retired signatures must abort, not land")
+        // Laws 3+4 in ONE action: the time-travel diffs (asof v2 ≡
+        // frozen base ∪ day-1 signatures), the vocab re-rank count, and
+        // the re-sign count — each a labeled lane. Non-vacuity rides the
+        // frequency ranking: day-1 arrivals shift relative document
+        // frequencies, so (tok, tok_id) pairs MOVE between the day-0 fit
+        // and the refit fit even though the fixture's vocabulary is
+        // closed — exactly why a real tokenizer's ids are frozen.
+        val artC2 = CommitLog.readAsOf(s, root, 2L)
+          .select("doc_id", "band", "sig_a", "sig_b")
+        val frozen = bands1.unionAll(bands2)
+        val artC3 = CommitLog.readAsOf(s, root, v3)
+          .select("doc_id", "band", "sig_a", "sig_b")
+        val ttDiffs = artC2.exceptAll(frozen)
+          .unionAll(frozen.exceptAll(artC2))
+          .select(lit("timetravel").as("law"), lit(1L).as("a"))
+        val moved = dict2.exceptAll(dict1)
+          .select(lit("rerank").as("law"), lit(1L).as("a"))
+        val resigned = artC3.exceptAll(frozen)
+          .select(lit("resign").as("law"), lit(1L).as("a"))
+        val sums = ttDiffs.unionAll(moved).unionAll(resigned)
+          .groupBy("law").agg(sum("a").as("a"))
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        require(!sums.contains("timetravel"),
+          "reading asof v2 after the refit diverged from the frozen index")
+        require(sums.get("rerank").exists(_ > 0L),
+          "the refit moved no token id — the frequency re-rank was vacuous")
+        require(sums.get("resign").exists(_ > 0L),
+          "no band row re-signed — the refit was vacuous")
+        // Declared output: today's crawl probes the POST-REFIT index,
+        // signatures in the refit vocabulary.
+        val delta = bandRowsFrozen(docs.where(day2), dict2)
+          .select(col("doc_id").as("delta_id"),
+            col("band"), col("sig_a"), col("sig_b"))
+        val hits = artC3.join(delta.hint("merge"), Seq("band", "sig_a", "sig_b"))
+          .groupBy("delta_id").agg(min(col("doc_id")).as("dup_of"))
+        docs.where(day2)
+          .select(col("doc_id"))
+          .join(broadcast(hits.select(col("delta_id").as("doc_id"),
+            col("dup_of"))), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            when(col("dup_of").isNull, lit("novel"))
+              .otherwise(lit("dup_of_base")).as("status"))
+          .orderBy("doc_id")
+      },
+      Some(refitProbeSql)),
+
     // LSH parameter TUNING report — the measurement that closes the dedup
     // tuning loop, as sim_recall_report closes the ANN loop: over the SAME
     // 6-value signature, evaluate three band layouts (b=6/r=1, b=3/r=2 —
@@ -1685,6 +1859,40 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** `dedup_index_refit`'s oracle — the POST-REFIT probe: the dictionary
+    * ranks the corpus at refit time (base + the appended day 1 —
+    * everything but the probing day), and today's crawl signs against
+    * that vocabulary too. Same CTE skeleton as [[frozenDeltaProbeSql]]
+    * with only the dict filter differing — the refit is precisely the
+    * move from the day-0 vocab to this one. */
+  private[graft] def refitProbeSql: String = {
+    val m = graft.GraftConfig.DedupDeltaMod
+    val r2 = graft.GraftConfig.DedupDelta2Rem
+    s"""WITH tok AS ($tokSql),
+       |dict AS (
+       |  ${dictFreqSql(s"doc_id % $m <> $r2")}),
+       |sh AS ($shingleSql),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until Bands).map(i =>
+            s"SELECT doc_id, CAST($i AS BIGINT) AS band, h${2 * i} AS sig_a, h${2 * i + 1} AS sig_b FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+       |hits AS (
+       |  SELECT l.doc_id AS doc_id, min(r.doc_id) AS dup_of
+       |  FROM bands l JOIN bands r
+       |    ON r.band = l.band AND r.sig_a = l.sig_a AND r.sig_b = l.sig_b
+       |    AND r.doc_id % $m <> $r2
+       |  WHERE l.doc_id % $m = $r2
+       |  GROUP BY l.doc_id)
+       |SELECT d.doc_id, h.dup_of,
+       |  CASE WHEN h.dup_of IS NULL THEN 'novel' ELSE 'dup_of_base' END AS status
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % $m = $r2
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** `stream_dedup_maintain`'s oracle — [[deltaProbeSql]] with the
     * dictionary FROZEN on the day-0 snapshot: the dict CTE (aliased
     * `dict` so [[shingleSql]] is reused verbatim) ranks only tokens of
@@ -1699,9 +1907,7 @@ object Dedup {
     val r2 = graft.GraftConfig.DedupDelta2Rem
     s"""WITH tok AS ($tokSql),
        |dict AS (
-       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
-       |  FROM (SELECT DISTINCT tok FROM tok
-       |        WHERE doc_id % $m <> $r1 AND doc_id % $m <> $r2)),
+       |  ${dictFreqSql(s"doc_id % $m <> $r1 AND doc_id % $m <> $r2")}),
        |sh AS ($shingleSql),
        |sig AS (
        |  SELECT doc_id, ${(0 until MinHashes).map(minhashAggSql).mkString(", ")}

@@ -998,8 +998,10 @@ object StreamRunner {
     * the corpus table's `_log` and appends every micro-batch's arrivals to
     * the standing LSH band index through the FROZEN-VOCABULARY signature
     * path (`Dedup.bandRowsFrozen`), exactly-once via the batchId txn
-    * stamp. The frozen geometry here is the token DICTIONARY: fitted once
-    * on the day-0 snapshot and persisted beside the index (a dictionary
+    * stamp. The frozen geometry here is the token DICTIONARY, with
+    * FREQUENCY-RANKED ids (df DESC, tok — the assignment real tokenizers
+    * ship): fitted once on the day-0 snapshot and persisted beside the
+    * index (ids depend on corpus-wide statistics, so a dictionary
     * re-ranked per batch would re-sign the whole standing index — vocab
     * re-fits belong to the refit, exactly as centroid re-fits do), with
     * arrivals' unseen tokens dropping their shingles — the
@@ -1041,7 +1043,7 @@ object StreamRunner {
     CommitLog.commit(src, 2L, "g=2")
     // Day-0 artifact: the frozen vocabulary persisted (read back — the
     // ingest-job shape), base band rows committed as idx v1.
-    Dedup.dictOf(base).write.mode("overwrite").parquet(dictPath)
+    Dedup.dictFreqOf(base).write.mode("overwrite").parquet(dictPath)
     val fdict = s.read.parquet(dictPath)
     Dedup.bandRowsFrozen(base, fdict)
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/s1")

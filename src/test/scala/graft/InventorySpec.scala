@@ -72,6 +72,7 @@ class InventorySpec extends SparkSpec {
     "sink_v2_stream", // full streaming write into the log table on construction
     "sink_v2_log", // three log-committed V2 writes on construction
     "dedup_index_probe", // writes the bucketed band index on construction
+    "dedup_index_refit", // build + append + atomic replace commits on construction
     "sim_index_probe", "sim_index_maintain", // write the IVF index on construction
     "sim_graph_ann_persist", // commits the graph index artifact on construction
     "sim_graph_ann_maintain", // day-0 build + day-1 append commits on construction

@@ -195,7 +195,7 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val day1 = col("doc_id") % m === r1
     val day2 = col("doc_id") % m === r2
-    val fdict = graft.operators.Dedup.dictOf(docs.where(!day1 && !day2))
+    val fdict = graft.operators.Dedup.dictFreqOf(docs.where(!day1 && !day2))
       .localCheckpoint()
     val index = graft.operators.Dedup.bandRowsFrozen(docs.where(!day2), fdict)
     val delta = graft.operators.Dedup.bandRowsFrozen(docs.where(day2), fdict)
