@@ -1630,23 +1630,40 @@ object Aggregates {
         val rng = obs0.groupBy("user_id")
           .agg(min("v").as("vmn"), max("v").as("vmx"))
         val obs = obs0.join(broadcast(rng), "user_id")
+        // CE decomposed as [Σ_p n_p·ln(n_p) − Σ_pm n_pm·ln(n_pm)] / N —
+        // algebraically the conditional entropy, computed WITHOUT lc_ce's
+        // window-over-cells marginal AND without a per-(pbin, mbin) cell
+        // table: the 4 magnitude bins pivot into conditional counts
+        // n0..n3 in ONE partial-aggregable groupBy per (…, pbin), and the
+        // entropy terms are fixed-order scalar expressions over them (a
+        // 5-key cell grouping at ~1.5 rows/group combined nothing and
+        // cost a full extra exchange — measured 6.9 s; this shape is one
+        // grid-bounded shuffle, the other zooms' cost). The oracle
+        // mirrors the same pivot and term order, so the FP arithmetic is
+        // identical on both engines.
         def ceOver(df: org.apache.spark.sql.DataFrame,
             keys: Seq[String]): org.apache.spark.sql.DataFrame = {
-          val cells = df
+          def nk(k: Int) =
+            sum(when(col("mbin") === k.toLong, 1L).otherwise(0L)).as(s"n$k")
+          val pb = df
             .withColumn("pbin", expr("((t % trial) * 8) div trial"))
             .withColumn("mbin", least(floor(
               (col("v") - col("vmn")) /
                 (col("vmx") - col("vmn") + lit(1e-9)) * lit(4.0)), lit(3L)))
-            .groupBy((keys ++ Seq("pbin", "mbin")).map(col): _*)
-            .agg(count(lit(1)).as("n_pm"))
-          val wp = W.partitionBy((keys :+ "pbin").map(col): _*)
-          cells
-            .withColumn("n_p", sum("n_pm").over(wp))
-            .groupBy(keys.map(col): _*)
+            .groupBy((keys :+ "pbin").map(col): _*)
+            .agg(nk(0), nk(1), nk(2), nk(3))
+          def term(c: String) =
+            when(col(c) > 0L,
+              col(c).cast("double") * log(col(c).cast("double")))
+              .otherwise(lit(0.0))
+          val tpb = pb.select((keys.map(col) :+
+            (col("n0") + col("n1") + col("n2") + col("n3")).as("n_p") :+
+            (term("n0") + term("n1") + term("n2") + term("n3")).as("t2")): _*)
+          tpb.groupBy(keys.map(col): _*)
             .agg(rnd(
-              sum(col("n_pm").cast("double") *
-                log(col("n_p").cast("double") / col("n_pm").cast("double"))) /
-                sum("n_pm").cast("double"), 6).as("ce"))
+              (sum(col("n_p").cast("double") *
+                log(col("n_p").cast("double"))) - sum(col("t2"))) /
+                sum("n_p").cast("double"), 6).as("ce"))
         }
         val wMin = W.partitionBy("user_id")
           .orderBy(col("ce").asc, col("trial").asc)
@@ -1700,50 +1717,65 @@ object Aggregates {
              |rng AS (
              |  SELECT user_id, min(v) AS vmn, max(v) AS vmx
              |  FROM obsv GROUP BY user_id),
-             |ccells AS (
+             |cobs AS (
              |  SELECT o.user_id, 43200 + 21600 * g.k AS trial,
              |    ((t % (43200 + 21600 * g.k)) * 8) // (43200 + 21600 * g.k) AS pbin,
-             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin,
-             |    CAST(count(*) AS BIGINT) AS n_pm
+             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin
              |  FROM obsv o JOIN rng USING (user_id)
-             |  CROSS JOIN generate_series(0, 23) g(k)
-             |  GROUP BY 1, 2, 3, 4),
-             |cmarg AS (
-             |  SELECT user_id, trial, pbin, mbin, n_pm,
-             |    CAST(sum(n_pm) OVER (PARTITION BY user_id, trial, pbin) AS BIGINT) AS n_p
-             |  FROM ccells),
+             |  CROSS JOIN generate_series(0, 23) g(k)),
+             |cpb0 AS (
+             |  SELECT user_id, trial, pbin,
+             |    CAST(sum(CASE WHEN mbin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN mbin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN mbin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN mbin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+             |  FROM cobs GROUP BY 1, 2, 3),
+             |cpb AS (
+             |  SELECT user_id, trial, n0 + n1 + n2 + n3 AS n_p,
+             |    (CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) * ln(CAST(n0 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) * ln(CAST(n1 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n2 > 0 THEN CAST(n2 AS DOUBLE) * ln(CAST(n2 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n3 > 0 THEN CAST(n3 AS DOUBLE) * ln(CAST(n3 AS DOUBLE)) ELSE 0e0 END) AS t2
+             |  FROM cpb0),
              |cce AS (
              |  SELECT user_id, trial,
-             |    floor((sum(CAST(n_pm AS DOUBLE) *
-             |      ln(CAST(n_p AS DOUBLE) / CAST(n_pm AS DOUBLE))) /
-             |      CAST(sum(n_pm) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
-             |  FROM cmarg GROUP BY 1, 2),
+             |    floor(((sum(CAST(n_p AS DOUBLE) * ln(CAST(n_p AS DOUBLE)))
+             |      - sum(t2)) /
+             |      CAST(sum(n_p) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
+             |  FROM cpb GROUP BY 1, 2),
              |centers AS MATERIALIZED (
              |  SELECT user_id, trial AS coarse_period_s
              |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |      ORDER BY ce ASC, trial ASC) AS rn FROM cce)
              |  WHERE rn = 1),
-             |zcells AS (
+             |zobs AS (
              |  SELECT o.user_id, c.coarse_period_s,
              |    c.coarse_period_s + 180 * g.j AS trial,
              |    ((o.t % (c.coarse_period_s + 180 * g.j)) * 8)
              |      // (c.coarse_period_s + 180 * g.j) AS pbin,
-             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin,
-             |    CAST(count(*) AS BIGINT) AS n_pm
+             |    least(CAST(floor((v - vmn) / (vmx - vmn + 1e-9) * 4.0) AS BIGINT), 3) AS mbin
              |  FROM obsv o JOIN rng USING (user_id) JOIN centers c USING (user_id)
-             |  CROSS JOIN generate_series(-60, 60) g(j)
-             |  GROUP BY 1, 2, 3, 4, 5),
-             |zmarg AS (
-             |  SELECT user_id, coarse_period_s, trial, pbin, mbin, n_pm,
-             |    CAST(sum(n_pm) OVER (PARTITION BY user_id, coarse_period_s,
-             |      trial, pbin) AS BIGINT) AS n_p
-             |  FROM zcells),
+             |  CROSS JOIN generate_series(-60, 60) g(j)),
+             |zpb0 AS (
+             |  SELECT user_id, coarse_period_s, trial, pbin,
+             |    CAST(sum(CASE WHEN mbin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN mbin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN mbin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN mbin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+             |  FROM zobs GROUP BY 1, 2, 3, 4),
+             |zpb AS (
+             |  SELECT user_id, coarse_period_s, trial, n0 + n1 + n2 + n3 AS n_p,
+             |    (CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) * ln(CAST(n0 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) * ln(CAST(n1 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n2 > 0 THEN CAST(n2 AS DOUBLE) * ln(CAST(n2 AS DOUBLE)) ELSE 0e0 END
+             |     + CASE WHEN n3 > 0 THEN CAST(n3 AS DOUBLE) * ln(CAST(n3 AS DOUBLE)) ELSE 0e0 END) AS t2
+             |  FROM zpb0),
              |zce AS (
              |  SELECT user_id, coarse_period_s, trial,
-             |    floor((sum(CAST(n_pm AS DOUBLE) *
-             |      ln(CAST(n_p AS DOUBLE) / CAST(n_pm AS DOUBLE))) /
-             |      CAST(sum(n_pm) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
-             |  FROM zmarg GROUP BY 1, 2, 3),
+             |    floor(((sum(CAST(n_p AS DOUBLE) * ln(CAST(n_p AS DOUBLE)))
+             |      - sum(t2)) /
+             |      CAST(sum(n_p) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ce
+             |  FROM zpb GROUP BY 1, 2, 3),
              |inj AS (
              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
              |    max(p_inj) AS injected_period_s
@@ -1864,6 +1896,197 @@ object Aggregates {
              |      % 6.283185307179586) + 6.283185307179586)
              |      % 6.283185307179586) * 1e6 + 0.5) / 1e6 AS phi21
              |FROM cf ORDER BY user_id""".stripMargin)),
+
+    // TRANSIT VETTING — the gate AFTER detection [PK — the Kepler/TESS
+    // Robovetter's two workhorse tests, run on every BLS detection before
+    // it becomes a planet candidate: (1) the ODD/EVEN depth test — an
+    // eclipsing binary detected at HALF its true period alternates
+    // primary and secondary eclipses in the same folded bin, so folding
+    // at 2P separates odd from even transits and a depth mismatch
+    // unmasks the EB; (2) the SECONDARY-ECLIPSE test — a significant dip
+    // at opposite phase (bin b+8 of 16) is the direct EB signature].
+    // Runs on lc_bls's own detection (the identical integer box chain —
+    // period, transit bin, micro-unit flux sums), then ONE pass over the
+    // series computes all five lanes as conditional integer sums: the
+    // primary and secondary bins at the P fold, the odd and even transit
+    // bins at the 2P fold (bin32 = bin16 + 16·[second period]), and the
+    // series totals — out-of-transit means subtract the in-bin lanes
+    // from the totals, so no second grouping is needed. Every depth is
+    // exact-integer micro-sums divided once and rounded at 1e-6
+    // (lc_bls's discipline); the verdict CASE compares only those
+    // rounded doubles (products with the 0.5 thresholds are
+    // deterministic IEEE on identical operands), so the classification
+    // cannot float between engines. Lanes with empty bins emit NULL
+    // depths and the verdict 'insufficient' — the min-coverage gate
+    // every real vetter applies. Scale: the detection is lc_bls's
+    // grid-bounded fan-out; the vet itself is ONE shuffle on the object
+    // key with the per-object detection broadcast back — at 100 TB the
+    // vet rides the same standing fold the search already paid for.
+    QDef(
+      "lc_transit_vet",
+      (s, dir) => {
+        val nBins = 16L
+        val t = T.events(s, dir)
+          .where(col("value") > 0.0)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vu"))
+        // lc_bls's detection chain, verbatim: best (period, transit bin).
+        val bins = t
+          .withColumn("k", explode(sequence(lit(0L), lit(11L))))
+          .withColumn("period_s", lit(21600L) * (col("k") + 1L))
+          .withColumn("bin", expr(s"((t % period_s) * $nBins) div period_s"))
+          .groupBy("user_id", "period_s", "bin")
+          .agg(count(lit(1)).as("n_b"), sum("vu").as("su_b"))
+        val tot = bins.groupBy("user_id", "period_s")
+          .agg(sum("n_b").as("nn"), sum("su_b").as("su_tot"))
+        val scored = bins.join(tot, Seq("user_id", "period_s"))
+          .where(col("n_b") >= 2L && col("n_b") < col("nn"))
+          .withColumn("a", col("su_b") * col("nn") - col("n_b") * col("su_tot"))
+          .withColumn("score",
+            rnd(col("a").cast("double") * col("a").cast("double") /
+              (lit(1e12) * (col("n_b") * (col("nn") - col("n_b"))).cast("double")), 6))
+        val perPeriod = scored.groupBy("user_id", "period_s")
+          .agg(max(struct(col("score"), (-col("bin")).as("nb"))).as("m"))
+          .select(col("user_id"), col("period_s"),
+            col("m.score").as("bls"), (-col("m.nb")).as("tbin"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("bls").desc, col("period_s"))
+        val det = perPeriod
+          .withColumn("rn", row_number().over(wB))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("period_s").as("p"), col("tbin"))
+        // The vet: one pass, five conditional-sum lanes + totals.
+        val g = t.join(broadcast(det), "user_id")
+          .withColumn("b16", expr(s"((t % p) * $nBins) div p"))
+          .withColumn("b32", expr(s"((t % (2 * p)) * ${2 * nBins}) div (2 * p)"))
+          .withColumn("sbin", (col("tbin") + lit(8L)) % lit(16L))
+          .groupBy("user_id")
+          .agg(max("p").as("best_period_s"), max("tbin").as("transit_bin"),
+            count(lit(1)).as("nn"), sum("vu").as("su"),
+            sum(when(col("b16") === col("tbin"), 1L).otherwise(0L)).as("n_pri"),
+            sum(when(col("b16") === col("tbin"), col("vu")).otherwise(0L)).as("su_pri"),
+            sum(when(col("b16") === col("sbin"), 1L).otherwise(0L)).as("n_sec"),
+            sum(when(col("b16") === col("sbin"), col("vu")).otherwise(0L)).as("su_sec"),
+            sum(when(col("b32") === col("tbin"), 1L).otherwise(0L)).as("n_odd"),
+            sum(when(col("b32") === col("tbin"), col("vu")).otherwise(0L)).as("su_odd"),
+            sum(when(col("b32") === col("tbin") + lit(16L), 1L).otherwise(0L)).as("n_evn"),
+            sum(when(col("b32") === col("tbin") + lit(16L), col("vu")).otherwise(0L)).as("su_evn"))
+        val nOut = col("nn") - col("n_pri") - col("n_sec")
+        val suOut = col("su") - col("su_pri") - col("su_sec")
+        val nOut2 = col("nn") - col("n_odd") - col("n_evn")
+        val suOut2 = col("su") - col("su_odd") - col("su_evn")
+        def mdiff(nO: org.apache.spark.sql.Column,
+            sO: org.apache.spark.sql.Column, nI: org.apache.spark.sql.Column,
+            sI: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(nO > 0L && nI > 0L,
+            rnd((sO.cast("double") / nO.cast("double") -
+              sI.cast("double") / nI.cast("double")) / lit(1e6), 6))
+        val vet = g.select(col("user_id"), col("best_period_s"),
+            col("transit_bin"), col("n_pri"), col("n_sec"),
+            col("n_odd"), col("n_evn"),
+            mdiff(nOut, suOut, col("n_pri"), col("su_pri")).as("depth"),
+            mdiff(nOut, suOut, col("n_sec"), col("su_sec")).as("d_sec"),
+            mdiff(nOut2, suOut2, col("n_odd"), col("su_odd")).as("d_odd"),
+            mdiff(nOut2, suOut2, col("n_evn"), col("su_evn")).as("d_evn"))
+          .withColumn("oe_diff", rnd(abs(col("d_odd") - col("d_evn")), 6))
+        vet.select(col("user_id"), col("best_period_s"), col("transit_bin"),
+            col("depth"), col("d_sec"), col("d_odd"), col("d_evn"),
+            col("oe_diff"),
+            when(col("n_pri") < 2L || col("n_sec") < 1L ||
+                col("n_odd") < 1L || col("n_evn") < 1L ||
+                col("depth").isNull || col("d_sec").isNull ||
+                col("oe_diff").isNull, lit("insufficient"))
+              .when(col("depth") > 0.0 &&
+                col("d_sec") > lit(0.5) * col("depth"), lit("eb_secondary"))
+              .when(col("oe_diff") >
+                lit(0.5) * greatest(abs(col("d_odd")), abs(col("d_evn"))),
+                lit("eb_odd_even"))
+              .when(col("depth") > 0.0, lit("candidate"))
+              .otherwise(lit("no_transit")).as("verdict"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+             |  FROM events WHERE value > 0.0),
+             |bins AS (
+             |  SELECT user_id, 21600 * (g.k + 1) AS period_s,
+             |    ((t % (21600 * (g.k + 1))) * 16) // (21600 * (g.k + 1)) AS bin,
+             |    count(*) AS n_b, CAST(sum(vu) AS BIGINT) AS su_b
+             |  FROM t CROSS JOIN generate_series(0, 11) g(k)
+             |  GROUP BY 1, 2, 3),
+             |tot AS (
+             |  SELECT user_id, period_s, CAST(sum(n_b) AS BIGINT) AS nn,
+             |    CAST(sum(su_b) AS BIGINT) AS su_tot
+             |  FROM bins GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT user_id, period_s, bin,
+             |    floor((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+             |      / (1e12 * CAST(n_b * (nn - n_b) AS DOUBLE))) * 1e6 + 0.5)
+             |      / 1e6 AS score
+             |  FROM (
+             |    SELECT b.*, t.nn, t.su_tot,
+             |      b.su_b * t.nn - b.n_b * t.su_tot AS a
+             |    FROM bins b JOIN tot t USING (user_id, period_s)
+             |    WHERE b.n_b >= 2 AND b.n_b < t.nn)),
+             |per AS (
+             |  SELECT user_id, period_s, score AS bls, bin AS tbin
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, period_s
+             |          ORDER BY score DESC, bin ASC) AS rb FROM scored)
+             |  WHERE rb = 1),
+             |det AS (
+             |  SELECT user_id, period_s AS p, tbin
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY bls DESC, period_s ASC) AS rn FROM per)
+             |  WHERE rn = 1),
+             |g AS (
+             |  SELECT t.user_id, max(d.p) AS best_period_s,
+             |    max(d.tbin) AS transit_bin,
+             |    CAST(count(*) AS BIGINT) AS nn, CAST(sum(vu) AS BIGINT) AS su,
+             |    CAST(sum(CASE WHEN ((t % p) * 16) // p = tbin THEN 1 ELSE 0 END) AS BIGINT) AS n_pri,
+             |    CAST(sum(CASE WHEN ((t % p) * 16) // p = tbin THEN vu ELSE 0 END) AS BIGINT) AS su_pri,
+             |    CAST(sum(CASE WHEN ((t % p) * 16) // p = (tbin + 8) % 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_sec,
+             |    CAST(sum(CASE WHEN ((t % p) * 16) // p = (tbin + 8) % 16 THEN vu ELSE 0 END) AS BIGINT) AS su_sec,
+             |    CAST(sum(CASE WHEN ((t % (2 * p)) * 32) // (2 * p) = tbin THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+             |    CAST(sum(CASE WHEN ((t % (2 * p)) * 32) // (2 * p) = tbin THEN vu ELSE 0 END) AS BIGINT) AS su_odd,
+             |    CAST(sum(CASE WHEN ((t % (2 * p)) * 32) // (2 * p) = tbin + 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_evn,
+             |    CAST(sum(CASE WHEN ((t % (2 * p)) * 32) // (2 * p) = tbin + 16 THEN vu ELSE 0 END) AS BIGINT) AS su_evn
+             |  FROM t JOIN det d USING (user_id)
+             |  GROUP BY t.user_id),
+             |vet AS (
+             |  SELECT user_id, best_period_s, transit_bin,
+             |    n_pri, n_sec, n_odd, n_evn,
+             |    CASE WHEN (nn - n_pri - n_sec) > 0 AND n_pri > 0 THEN
+             |      floor(((CAST(su - su_pri - su_sec AS DOUBLE) / CAST(nn - n_pri - n_sec AS DOUBLE)
+             |        - CAST(su_pri AS DOUBLE) / CAST(n_pri AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6
+             |      ELSE NULL END AS depth,
+             |    CASE WHEN (nn - n_pri - n_sec) > 0 AND n_sec > 0 THEN
+             |      floor(((CAST(su - su_pri - su_sec AS DOUBLE) / CAST(nn - n_pri - n_sec AS DOUBLE)
+             |        - CAST(su_sec AS DOUBLE) / CAST(n_sec AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6
+             |      ELSE NULL END AS d_sec,
+             |    CASE WHEN (nn - n_odd - n_evn) > 0 AND n_odd > 0 THEN
+             |      floor(((CAST(su - su_odd - su_evn AS DOUBLE) / CAST(nn - n_odd - n_evn AS DOUBLE)
+             |        - CAST(su_odd AS DOUBLE) / CAST(n_odd AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6
+             |      ELSE NULL END AS d_odd,
+             |    CASE WHEN (nn - n_odd - n_evn) > 0 AND n_evn > 0 THEN
+             |      floor(((CAST(su - su_odd - su_evn AS DOUBLE) / CAST(nn - n_odd - n_evn AS DOUBLE)
+             |        - CAST(su_evn AS DOUBLE) / CAST(n_evn AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6
+             |      ELSE NULL END AS d_evn
+             |  FROM g),
+             |vet2 AS (
+             |  SELECT *, floor((abs(d_odd - d_evn)) * 1e6 + 0.5) / 1e6 AS oe_diff
+             |  FROM vet)
+             |SELECT user_id, best_period_s, transit_bin, depth, d_sec,
+             |  d_odd, d_evn, oe_diff,
+             |  CASE WHEN n_pri < 2 OR n_sec < 1 OR n_odd < 1 OR n_evn < 1
+             |         OR depth IS NULL OR d_sec IS NULL OR oe_diff IS NULL
+             |       THEN 'insufficient'
+             |       WHEN depth > 0e0 AND d_sec > 0.5 * depth THEN 'eb_secondary'
+             |       WHEN oe_diff > 0.5 * greatest(abs(d_odd), abs(d_evn))
+             |       THEN 'eb_odd_even'
+             |       WHEN depth > 0e0 THEN 'candidate'
+             |       ELSE 'no_transit' END AS verdict
+             |FROM vet2 ORDER BY user_id""".stripMargin)),
 
     // ALERT STREAM [PK — the transient-detection step every survey broker
     // (ZTF/LSST shape) runs on each night's epochs]: an object ALERTS
