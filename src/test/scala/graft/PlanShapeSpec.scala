@@ -84,6 +84,28 @@ class PlanShapeSpec extends SparkSpec {
       "the one-pass weighted-moment chain grew a join")
   }
 
+  test("lc_harmonics: trig moments collapse map-side; the best-period " +
+      "table broadcasts; the one-pass chain never grows a shuffled join") {
+    val p = plan("lc_harmonics")
+    assert(p.contains("partial_"),
+      "harmonic moment sums lost partial aggregation")
+    assert(p.contains("BroadcastHashJoin"),
+      "the best-period table no longer broadcasts onto the series")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the one-pass trig-moment chain grew a shuffled join")
+  }
+
+  test("lc_transit_vet: the five vet lanes ride ONE object-key " +
+      "aggregation with the detection broadcast back; never a cartesian") {
+    val p = plan("lc_transit_vet")
+    assert(p.contains("partial_"), "vet lanes lost partial aggregation")
+    assert(p.contains("BroadcastHashJoin"),
+      "the detection no longer broadcasts onto the series")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the vet chain degraded to a non-equi plan")
+  }
+
   test("frame_astrometry: triangles meet only within their invariant " +
       "class — equi-joins end to end, never all-pairs across catalogs") {
     plan("frame_astrometry") // runs the QDef, which records the pre-
