@@ -24,7 +24,8 @@ object ToolExplain {
       val fn = SparkEntry.queries(name)
       println(s"===== $name =====")
       if (sys.env.get("GRAFT_EXPLAIN").forall(_ == "1")) fn(spark, sfDir).explain("formatted")
-      (1 to 3).foreach { i =>
+      val runs = if (sys.env.get("GRAFT_EXPLAIN_ONLY").contains("1")) 0 else 3
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"$name run$i: rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")

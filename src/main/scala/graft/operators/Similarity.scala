@@ -218,7 +218,7 @@ object Similarity {
     warmOf(s, dir).map(_.fitted)
       .getOrElse(ivfFit(corpus(s, dir), ivfSeeds(s, dir)))
 
-  private def sharedAssigned(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedAssigned(s: SparkSession, dir: String): DataFrame =
     warmOf(s, dir).map(_.assigned)
       .getOrElse(assignCell(corpus(s, dir), "vec_id", "ce", sharedFit(s, dir)))
 
@@ -241,7 +241,7 @@ object Similarity {
     * medoids / hubEdges are checkpointed — together they ARE the standing
     * artifact the probe path reads (sim_graph_ann_persist commits exactly
     * these rows to the transaction log). */
-  private final case class GraphTiers(graph: DataFrame, medoids: DataFrame,
+  private[graft] final case class GraphTiers(graph: DataFrame, medoids: DataFrame,
     hubs2: DataFrame, hubEdges: DataFrame)
 
   /** Determinized top-`deg` out-edges from (vec_id, ce, nb, nbe) candidate
@@ -316,7 +316,7 @@ object Similarity {
     * disk, this is its in-process stand-in, the [[warmShared]] contract).
     * Declared queries are unchanged when cold; harnesses exempt
     * [[warmKeepIds]] from cache sweeps so the lazily-built tiers survive. */
-  private def sharedGraphTiers(s: SparkSession, dir: String): GraphTiers =
+  private[graft] def sharedGraphTiers(s: SparkSession, dir: String): GraphTiers =
     warmG.filter(w => (w.s eq s) && w.dir == dir).map(_.tiers).getOrElse {
       // Release the PREVIOUS (session, dir)'s checkpoint blocks before
       // replacing — without this, alternating dirs (multi-dir runs, test
@@ -376,7 +376,7 @@ object Similarity {
     * scoring keeps self-pairs (navigation may land on the probe's own
     * vector — that IS the right region); only candidate scoring excludes
     * self. Returns (probe_id, vec_id, raw) — the final frontier. */
-  private def gannHubProbe(pr: DataFrame, co: DataFrame, cells: DataFrame,
+  private[graft] def gannHubProbe(pr: DataFrame, co: DataFrame, cells: DataFrame,
       medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame,
       graph: DataFrame): DataFrame =
     gannBeamFrom(
@@ -385,9 +385,15 @@ object Similarity {
   /** Score candidate (probe_id, vec_id) pairs against the probes —
     * self-pairs excluded (result scoring; NAVIGATION keeps them, see
     * [[gannHubEntry]]). */
-  private def gannScore(cand: DataFrame, pr: DataFrame, co: DataFrame)
-      : DataFrame = cand
-    .join(co.select("vec_id", "ce"), Seq("vec_id"))
+  /** The candidate set is bounded by design (O(probes × beam / cell) — the
+    * family's own scale contract), so it is the broadcast side and the
+    * corpus is the streamed side: the corpus is never shuffled to score a
+    * probe, locally or at 100 TB (without the hint, a localCheckpoint'd
+    * candidate frame has no size estimate and the planner falls back to a
+    * sort-merge join that exchanges BOTH sides). */
+  private[graft] def gannScore(cand: DataFrame, pr: DataFrame, co: DataFrame)
+      : DataFrame = co.select("vec_id", "ce")
+    .join(broadcast(cand), Seq("vec_id"))
     .join(broadcast(pr), Seq("probe_id"))
     .where(col("probe_id") =!= col("vec_id"))
     .select(col("probe_id"), col("vec_id"),
@@ -398,7 +404,7 @@ object Similarity {
     * medoids read on the way down). Returns the DISTINCT entry candidate
     * set. Descent scoring keeps self-pairs (navigation may land on the
     * probe's own vector — that IS the right region). */
-  private def gannHubEntry(pr: DataFrame, co: DataFrame, cells: DataFrame,
+  private[graft] def gannHubEntry(pr: DataFrame, co: DataFrame, cells: DataFrame,
       medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame)
       : DataFrame = {
     val wProbe = Window.partitionBy("probe_id")
@@ -412,8 +418,10 @@ object Similarity {
     val mDesc = e2best.join(broadcast(hubEdges), Seq("vec_id"))
       .select(col("probe_id"), col("nb").as("vec_id"))
       .union(e2best)
-    val bestMed = mDesc.distinct()
-      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+    // Descent candidates are O(1 + hubM) per probe — broadcast them and
+    // stream the corpus (same contract as [[gannScore]]).
+    val bestMed = co.select("vec_id", "ce")
+      .join(broadcast(mDesc.distinct()), Seq("vec_id"))
       .join(broadcast(pr), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("pe"), col("ce")).as("raw"))
@@ -431,7 +439,7 @@ object Similarity {
 
   /** Entry-candidate top-E, then GannRounds of frontier-∪-neighbors beam.
     * Returns (probe_id, vec_id, raw) — the final frontier. */
-  private def gannBeamFrom(entry: DataFrame, pr: DataFrame, co: DataFrame,
+  private[graft] def gannBeamFrom(entry: DataFrame, pr: DataFrame, co: DataFrame,
       graph: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("raw").desc, col("vec_id").asc)
@@ -440,8 +448,13 @@ object Similarity {
       .where(col("rn") <= GannEntryE)
       .select("probe_id", "vec_id", "raw")
     (1 to GannRounds).foldLeft(f0) { (f, _) =>
+      // The frontier is O(probes × beam) — broadcast it onto the edge
+      // table (O(V·deg) at scale, never shuffled per probe; without the
+      // hint this is a two-exchange sort-merge join, the edge table
+      // re-shuffled every round).
       gannScore(f.select("probe_id", "vec_id")
-          .union(f.join(graph, Seq("vec_id"))
+          .union(graph.join(broadcast(f.select("probe_id", "vec_id")),
+              Seq("vec_id"))
             .select(col("probe_id"), col("nb").as("vec_id")))
           .distinct(), pr, co)
         .withColumn("rn", row_number().over(wProbe))
@@ -459,11 +472,13 @@ object Similarity {
     * table, so the artifact stays O(V·deg) longs, not O(V·dims) floats. */
   private def gannArtifactRows(assigned: DataFrame, tiers: GraphTiers)
       : DataFrame = {
+    // Medoid / hub sets are O(cells) — broadcast them onto the corpus-sized
+    // assignment (stat-less localCheckpoint frames otherwise sort-merge).
     val nodeRows = assigned.select(col("vec_id"), col("cell"))
-      .join(tiers.medoids.select(col("vec_id"), lit(1L).as("isMed")),
-        Seq("vec_id"), "left")
-      .join(tiers.hubs2.select(col("vec_id"), lit(1L).as("isHub")),
-        Seq("vec_id"), "left")
+      .join(broadcast(tiers.medoids.select(col("vec_id"),
+        lit(1L).as("isMed"))), Seq("vec_id"), "left")
+      .join(broadcast(tiers.hubs2.select(col("vec_id"),
+        lit(1L).as("isHub"))), Seq("vec_id"), "left")
       .select(lit("node").as("kind"),
         coalesce(col("isHub") * 2L, col("isMed"), lit(0L)).as("tier"),
         col("vec_id").as("src"), col("cell").as("dst"))
@@ -479,16 +494,21 @@ object Similarity {
   /** Derive the probe-side frames from a COLD artifact read: cell
     * assignments, medoids (vectors joined from the data table), tier-2
     * hubs, hub descent edges, base graph. */
-  private def gannFramesFrom(artC: DataFrame, co: DataFrame)
+  private[graft] def gannFramesFrom(artC: DataFrame, co: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cNodes = artC.where(col("kind") === "node")
       .select(col("src").as("vec_id"), col("dst").as("cell"), col("tier"))
     val cCells = cNodes.select("vec_id", "cell")
-    val cMedoids = cNodes.where(col("tier") >= 1L)
-      .select(col("vec_id"), col("cell"))
-      .join(co.select("vec_id", "ce"), Seq("vec_id"))
-    val cHubs2 = cNodes.where(col("tier") === 2L).select("vec_id")
-      .join(co.select("vec_id", "ce"), Seq("vec_id"))
+    // Medoid / hub node sets are O(cells) — broadcast them and stream the
+    // data table (same contract as [[gannScore]]; the artifact read is a
+    // stat-less LogicalRDD, so without the hint both joins sort-merge).
+    val cMedoids = co.select("vec_id", "ce")
+      .join(broadcast(cNodes.where(col("tier") >= 1L)
+        .select(col("vec_id"), col("cell"))), Seq("vec_id"))
+      .select("vec_id", "cell", "ce")
+    val cHubs2 = co.select("vec_id", "ce")
+      .join(broadcast(cNodes.where(col("tier") === 2L).select("vec_id")),
+        Seq("vec_id"))
     def cEdges(t: Long) = artC
       .where(col("kind") === "edge" && col("tier") === t)
       .select(col("src").as("vec_id"), col("dst").as("nb"))
