@@ -24,10 +24,11 @@ object ToolGraphPlan {
     val t = Similarity.sharedGraphTiers(spark, sfDir)
     val co = Similarity.corpus(spark, sfDir)
     val pr = Similarity.probes(spark, sfDir)
-    val cells = Similarity.sharedAssigned(spark, sfDir)
-      .select("vec_id", "cell")
+    // The warm cell frame carries the vectors (vec_id, ce, cell) — the
+    // entry scoring reads them straight off it (round-19 shape).
+    val cellsV = Similarity.sharedAssigned(spark, sfDir)
     println("===== gannHubProbe (warm tiers) =====")
-    Similarity.gannHubProbe(pr, co, cells,
+    Similarity.gannHubProbe(pr, co, cellsV,
       t.medoids.select("vec_id", "cell"), t.hubs2, t.hubEdges, t.graph)
       .explain("formatted")
     spark.stop()

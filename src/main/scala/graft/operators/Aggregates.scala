@@ -412,8 +412,7 @@ object Aggregates {
         val merged = fan.groupBy(col("half"), col("d"), bucket)
           .agg(count(lit(1)).as("hc"))
           .groupBy("d", "b").agg(sum("hc").as("c"))
-        require(merged.exceptAll(cnt).unionAll(cnt.exceptAll(merged))
-            .isEmpty,
+        require(graft.Laws.symDiff(merged, cnt).isEmpty,
           "summed per-half CMS counters diverged from the one-pass sketch")
         val tru = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
         val est = tru.crossJoin(broadcast(p))

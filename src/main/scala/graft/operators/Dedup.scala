@@ -1523,13 +1523,27 @@ object Dedup {
         val frozen = bands1.unionAll(bands2)
         val artC3 = CommitLog.readAsOf(s, root, v3)
           .select("doc_id", "band", "sig_a", "sig_b")
-        val ttDiffs = artC2.exceptAll(frozen)
-          .unionAll(frozen.exceptAll(artC2))
-          .select(lit("timetravel").as("law"), lit(1L).as("a"))
-        val moved = dict2.exceptAll(dict1)
-          .select(lit("rerank").as("law"), lit(1L).as("a"))
-        val resigned = artC3.exceptAll(frozen)
-          .select(lit("resign").as("law"), lit(1L).as("a"))
+        // Round-19 law shape: each exceptAll pair collapses into ONE
+        // signed-count aggregate — multiset equality (timetravel) is
+        // "every row's +1/−1 copy-count sum is zero", and non-emptiness
+        // of a.exceptAll(b) (rerank / resign) is "some row's sum is
+        // positive" — one exchange per lane instead of exceptAll's two
+        // full rewrites per direction. Same violations detected.
+        def signedDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+            label: String, positiveOnly: Boolean) =
+          a.withColumn("w", lit(1L))
+            .unionAll(b.withColumn("w", lit(-1L)))
+            .groupBy(keys.map(col): _*)
+            .agg(sum("w").as("w"))
+            .where(if (positiveOnly) col("w") > 0L else col("w") =!= 0L)
+            .select(lit(label).as("law"), lit(1L).as("a"))
+        val bandKeys = Seq("doc_id", "band", "sig_a", "sig_b")
+        val ttDiffs = signedDiff(artC2, frozen, bandKeys,
+          "timetravel", positiveOnly = false)
+        val moved = signedDiff(dict2, dict1, dict2.columns.toSeq,
+          "rerank", positiveOnly = true)
+        val resigned = signedDiff(artC3, frozen, bandKeys,
+          "resign", positiveOnly = true)
         val sums = ttDiffs.unionAll(moved).unionAll(resigned)
           .groupBy("law").agg(sum("a").as("a"))
           .collect().map(x => x.getString(0) -> x.getLong(1)).toMap

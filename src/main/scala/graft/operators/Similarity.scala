@@ -376,21 +376,24 @@ object Similarity {
     * scoring keeps self-pairs (navigation may land on the probe's own
     * vector — that IS the right region); only candidate scoring excludes
     * self. Returns (probe_id, vec_id, raw) — the final frontier. */
-  private[graft] def gannHubProbe(pr: DataFrame, co: DataFrame, cells: DataFrame,
+  private[graft] def gannHubProbe(pr: DataFrame, co: DataFrame, cellsV: DataFrame,
       medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame,
       graph: DataFrame): DataFrame =
     gannBeamFrom(
-      gannHubEntry(pr, co, cells, medoids, hubs2, hubEdges), pr, co, graph)
+      gannHubEntry(pr, co, cellsV, medoids, hubs2, hubEdges), pr, co, graph)
 
   /** Score candidate (probe_id, vec_id) pairs against the probes —
     * self-pairs excluded (result scoring; NAVIGATION keeps them, see
-    * [[gannHubEntry]]). */
-  /** The candidate set is bounded by design (O(probes × beam / cell) — the
-    * family's own scale contract), so it is the broadcast side and the
-    * corpus is the streamed side: the corpus is never shuffled to score a
-    * probe, locally or at 100 TB (without the hint, a localCheckpoint'd
-    * candidate frame has no size estimate and the planner falls back to a
-    * sort-merge join that exchanges BOTH sides). */
+    * [[gannHubEntry]]). BEAM-ROUND candidates ONLY: the sets scored here
+    * are O(probes × beam × degree) — corpus-INDEPENDENT by the family's
+    * scale contract — so they are the broadcast side and the corpus is the
+    * streamed side (without the hint, a localCheckpoint'd frontier has no
+    * size estimate and the planner falls back to a sort-merge join that
+    * exchanges BOTH sides). The ENTRY set must NOT come through here: the
+    * best medoid's whole cell is O(corpus/cells) per probe and GROWS with
+    * the corpus — broadcasting it would exceed the 8 GB broadcast cap at
+    * scale (the r18 ADVICE flag); [[gannHubEntry]] scores it off the
+    * cell-assignment frame itself instead. */
   private[graft] def gannScore(cand: DataFrame, pr: DataFrame, co: DataFrame)
       : DataFrame = co.select("vec_id", "ce")
     .join(broadcast(cand), Seq("vec_id"))
@@ -401,10 +404,18 @@ object Similarity {
 
   /** The hub DESCENT: score tier-2 hubs, drop along the best hub's links
     * to the best tier-1 medoid, enter that medoid's cell whole (plus the
-    * medoids read on the way down). Returns the DISTINCT entry candidate
-    * set. Descent scoring keeps self-pairs (navigation may land on the
-    * probe's own vector — that IS the right region). */
-  private[graft] def gannHubEntry(pr: DataFrame, co: DataFrame, cells: DataFrame,
+    * medoids read on the way down). Returns the SCORED DISTINCT entry
+    * candidate set (probe_id, vec_id, raw), self-pairs excluded. Descent
+    * scoring keeps self-pairs (navigation may land on the probe's own
+    * vector — that IS the right region); only the returned entry scores
+    * exclude self. `cellsV` carries the vectors (vec_id, cell, ce): the
+    * best cell's membership is O(corpus/cells) per probe and GROWS with
+    * the corpus, so it is scored off this frame directly — broadcasting
+    * only the O(probes)-row cell choice and the probes — never collected
+    * into a corpus-growing broadcast list (the r18 ADVICE scale flag:
+    * the old shape force-broadcast O(probes × V/cells) candidate pairs,
+    * which exceeds the 8 GB broadcast cap at survey scale). */
+  private[graft] def gannHubEntry(pr: DataFrame, co: DataFrame, cellsV: DataFrame,
       medoids: DataFrame, hubs2: DataFrame, hubEdges: DataFrame)
       : DataFrame = {
     val wProbe = Window.partitionBy("probe_id")
@@ -419,31 +430,44 @@ object Similarity {
       .select(col("probe_id"), col("nb").as("vec_id"))
       .union(e2best)
     // Descent candidates are O(1 + hubM) per probe — broadcast them and
-    // stream the corpus (same contract as [[gannScore]]).
-    val bestMed = co.select("vec_id", "ce")
+    // stream the corpus (same contract as [[gannScore]]). The scores
+    // serve BOTH the medoid choice (self-pairs kept) and, self excluded,
+    // the descent lane of the returned entry set — one scoring pass, not
+    // two.
+    val mScored = co.select("vec_id", "ce")
       .join(broadcast(mDesc.distinct()), Seq("vec_id"))
       .join(broadcast(pr), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("pe"), col("ce")).as("raw"))
+    val bestMed = mScored
       .join(broadcast(medoids
         .select(col("vec_id"), col("cell").as("mcell"))), Seq("vec_id"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= 1)
       .select(col("probe_id"), col("mcell"))
-    cells
+    val cellScored = cellsV
       .join(broadcast(bestMed), col("cell") === col("mcell"))
-      .select("probe_id", "vec_id")
-      .union(mDesc)
-      .distinct()
+      .join(broadcast(pr), Seq("probe_id"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("ce")).as("raw"))
+    // Distinct on (probe, vec): the cell and descent lanes overlap, and
+    // duplicate rows carry the IDENTICAL raw (same sequential-order dot
+    // on the same values), so a max over the key set dedups exactly.
+    cellScored
+      .unionAll(mScored.where(col("probe_id") =!= col("vec_id")))
+      .groupBy("probe_id", "vec_id")
+      .agg(max(col("raw")).as("raw"))
   }
 
-  /** Entry-candidate top-E, then GannRounds of frontier-∪-neighbors beam.
-    * Returns (probe_id, vec_id, raw) — the final frontier. */
-  private[graft] def gannBeamFrom(entry: DataFrame, pr: DataFrame, co: DataFrame,
-      graph: DataFrame): DataFrame = {
+  /** Entry-candidate top-E over the SCORED entry set, then GannRounds of
+    * frontier-∪-neighbors beam. Returns (probe_id, vec_id, raw) — the
+    * final frontier. */
+  private[graft] def gannBeamFrom(entryScored: DataFrame, pr: DataFrame,
+      co: DataFrame, graph: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("raw").desc, col("vec_id").asc)
-    val f0 = gannScore(entry, pr, co)
+    val f0 = entryScored
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= GannEntryE)
       .select("probe_id", "vec_id", "raw")
@@ -498,7 +522,14 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cNodes = artC.where(col("kind") === "node")
       .select(col("src").as("vec_id"), col("dst").as("cell"), col("tier"))
-    val cCells = cNodes.select("vec_id", "cell")
+    // The full cell assignment WITH vectors (vec_id, cell, ce): node rows
+    // meet the data table on the corpus's own key — an O(V) equi-join the
+    // planner is free to shuffle (both sides are corpus-sized; at survey
+    // scale artifact and data table share the id layout), feeding the
+    // entry scoring WITHOUT ever broadcasting a corpus-growing set
+    // (the r18 ADVICE scale flag).
+    val cCellsV = co.select("vec_id", "ce")
+      .join(cNodes.select("vec_id", "cell"), Seq("vec_id"))
     // Medoid / hub node sets are O(cells) — broadcast them and stream the
     // data table (same contract as [[gannScore]]; the artifact read is a
     // stat-less LogicalRDD, so without the hint both joins sort-merge).
@@ -512,7 +543,7 @@ object Similarity {
     def cEdges(t: Long) = artC
       .where(col("kind") === "edge" && col("tier") === t)
       .select(col("src").as("vec_id"), col("dst").as("nb"))
-    (cCells, cMedoids, cHubs2, cEdges(2L), cEdges(0L))
+    (cCellsV, cMedoids, cHubs2, cEdges(2L), cEdges(0L))
   }
 
   /** Oracle-SQL builders for the graph-ANN family — ONE definition of the
@@ -2711,16 +2742,28 @@ object Similarity {
           .localCheckpoint() // feeds the ≡-rebuilt law AND the output
         // The artifact contract: probing the COLD on-disk index returns
         // exactly what probing the freshly-built in-memory index returns.
+        // `assigned` carries (vec_id, ce, cell) — the warm path's entry
+        // scoring reads the vectors straight off it, zero extra join.
         val rebuilt = top(gannHubProbe(pr, co,
-          assigned.select("vec_id", "cell"),
+          assigned,
           tiers.medoids.select("vec_id", "cell"),
           tiers.hubs2, tiers.hubEdges, tiers.graph))
         // BOTH laws in ONE violations action (round-18 fixed-overhead
         // audit: two separate require jobs → one; same violations
-        // detected — each leg is empty unless its law broke).
-        def diffs(a: DataFrame, b: DataFrame, label: String) =
-          a.exceptAll(b).unionAll(b.exceptAll(a))
+        // detected — each leg is empty unless its law broke). Multiset
+        // equality as a SINGLE signed-count aggregate per leg (round-19):
+        // a.exceptAll(b) ∪ b.exceptAll(a) is empty ⟺ every row's
+        // (+1 per a-copy, −1 per b-copy) sum is zero — one exchange per
+        // leg instead of exceptAll's two full rewrites per direction.
+        def diffs(a: DataFrame, b: DataFrame, label: String) = {
+          val cols = a.columns.toIndexedSeq.map(col)
+          a.withColumn("w", lit(1L))
+            .unionAll(b.withColumn("w", lit(-1L)))
+            .groupBy(cols: _*)
+            .agg(sum("w").as("w"))
+            .where(col("w") =!= 0L)
             .select(lit(label).as("law"))
+        }
         val broken = diffs(artC, art, "artifact-roundtrip")
           .unionAll(diffs(cold, rebuilt, "cold≠rebuilt"))
           .groupBy("law").agg(count(lit(1)).as("n")).collect()
@@ -2844,8 +2887,11 @@ object Similarity {
         // append-only insertion gives new nodes OUT-edges only, so a
         // day-1 vector is reachable exactly through the cell entry; the
         // lane makes both the append AND that reachability trade-off
-        // observable.
-        val fresh2 = gannScore(entry2, pr, co).where(col("vec_id") % m === r)
+        // observable. entry2 is already SCORED (gannHubEntry returns
+        // (probe_id, vec_id, raw)), so the lane is a filter — the old
+        // shape re-broadcast and re-scored the whole entry set here
+        // (the second r18 ADVICE flag site).
+        val fresh2 = entry2.where(col("vec_id") % m === r)
         def lane(df: DataFrame, v: Long, scope: String, k: Long) = df
           .withColumn("rank", row_number().over(wP).cast("long"))
           .where(col("rank") <= k)
@@ -2989,8 +3035,12 @@ object Similarity {
         fit0.write.mode("overwrite").parquet(s"$rootCents/s1")
         CommitLog.commit(rootCents, 1L, "s1")
         val cents1 = CommitLog.readAsOf(s, rootCents, 1L)
+        // NOT checkpointed: narrow projections over the warm checkpointed
+        // base frames — the write materializes it once and the time-travel
+        // law recomputes it cheaply inside the folded action below (the
+        // maintain QDef's art2 discipline, applied here in round 19; the
+        // eager checkpoint was a full extra materialization job).
         val art1 = gannArtifactRows(baseAssigned, tiers1)
-          .localCheckpoint() // feeds the write AND the time-travel law
         art1.write.mode("overwrite").parquet(s"$root/s1")
         CommitLog.commit(root, 1L, "s1")
         // Day 1: append-only insertion against the FROZEN v1 geometry.
@@ -3004,13 +3054,14 @@ object Similarity {
             .crossJoin(broadcast(tiers1.medoids
               .select(col("vec_id").as("nb"), col("ce").as("nbe")))))
           .distinct()
+        // NOT checkpointed, same reasoning as art1: recomputed from the
+        // checkpointed delta assignment inside the folded law action.
         val art2 = dAssigned
           .select(lit("node").as("kind"), lit(0L).as("tier"),
             col("vec_id").as("src"), col("cell").as("dst"))
           .unionAll(topMEdges(dCand, GannDeg)
             .select(lit("edge").as("kind"), lit(0L).as("tier"),
               col("vec_id").as("src"), col("nb").as("dst")))
-          .localCheckpoint() // feeds the write AND the time-travel law
         art2.write.mode("overwrite").parquet(s"$root/s2")
         val files1 = CommitLog.filesAsOf(root, 1L)
         val v2 = CommitLog.commitCheckedNonConsuming(root, "s2", 1L,
@@ -3081,14 +3132,23 @@ object Similarity {
           .localCheckpoint() // feeds the recall laws AND the output
         // Laws 3+4 in ONE action: time-travel diffs (asof v2 ≡ base ∪
         // delta) union'd with the pre/post recall sums, each lane empty
-        // or labeled.
-        val ttDiffs = artC2.exceptAll(art1.unionAll(art2))
-          .unionAll(art1.unionAll(art2).exceptAll(artC2))
+        // or labeled. Round-19 shape: the time-travel leg is the single
+        // signed-count aggregate (one exchange, not exceptAll's two full
+        // rewrites per direction), and the PRE-refit recall sum consumes
+        // the v2 beam ONCE — Σ_p (h_p·100 div k) over the hit counts is
+        // exactly the old Σ of rank-1 recall_pct rows, without the
+        // broadcast join-back that re-consumed the beam frontier.
+        val ttDiffs = artC2.withColumn("w", lit(1L))
+          .unionAll(art1.unionAll(art2).withColumn("w", lit(-1L)))
+          .groupBy("kind", "tier", "src", "dst")
+          .agg(sum("w").as("w"))
+          .where(col("w") =!= 0L)
           .select(lit("timetravel").as("law"), lit(0L).as("a"),
             lit(0L).as("b"))
-        val recallSums = withRecall(top2)
-          .where(col("rank") === 1L)
-          .agg(sum("recall_pct").cast("long").as("a"),
+        val recallSums = top2.join(exact, Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("h"))
+          .agg(coalesce(sum((col("h") * 100L / GannK).cast("long")),
+              lit(0L)).as("a"),
             count(lit(1)).as("b"))
           .select(lit("pre").as("law"), col("a"), col("b"))
           .unionAll(out.where(col("rank") === 1L)
@@ -3247,7 +3307,7 @@ object Similarity {
         val morDiff = {
           val a = CommitLog.readAsOf(s, root, v2).select("vec_id", "cell")
           val b = CommitLog.readAsOf(s, root, v3).select("vec_id", "cell")
-          a.exceptAll(b).unionAll(b.exceptAll(a))
+          graft.Laws.symDiff(a, b)
             .select(lit("mor≠mat").as("law"), lit(0L).as("a"))
         }
         val counts = CommitLog.readAsOf(s, root, 1L).where(victim)

@@ -836,8 +836,7 @@ object TableOps {
           val fromCurves = stateOf(CommitLog.readAsOf(s, curves, vc))
           val stored = CommitLog.readAsOf(s, state, vs)
             .select("bucket", "n", "cents")
-          fromCurves.exceptAll(stored).unionAll(stored.exceptAll(fromCurves))
-            .isEmpty
+          graft.Laws.symDiff(fromCurves, stored).isEmpty
         }
         // TXN: prepare the curve append (the nightly batch).
         o.where(col("key") % 3L === 0L)
@@ -1151,8 +1150,22 @@ object TableOps {
           val (adds, rems) = CommitLog.changesAt(src, v)
           val ins = if (adds.isEmpty) o.limit(0) else rowsOf(src, adds)
           val del = if (rems.isEmpty) o.limit(0) else rowsOf(src, rems)
-          val netIns = ins.exceptAll(del).localCheckpoint()
-          val netDel = del.exceptAll(ins).localCheckpoint()
+          // ONE signed-count pass derives BOTH net-delta directions
+          // (Spark's ExceptAll rewrite IS this aggregate + re-expansion —
+          // run once instead of twice, one checkpoint instead of two;
+          // |w| copies re-expand each surviving row exactly, so the
+          // multiset semantics are unchanged).
+          val net = ins.withColumn("w", lit(1L))
+            .unionAll(del.withColumn("w", lit(-1L)))
+            .groupBy("key", "val").agg(sum("w").as("w"))
+            .where(col("w") =!= 0L)
+            .localCheckpoint()
+          def expand(df: org.apache.spark.sql.DataFrame) = df
+            .select(col("key"), col("val"),
+              explode(sequence(lit(1L), abs(col("w")))).as("i"))
+            .select("key", "val")
+          val netIns = expand(net.where(col("w") > 0L))
+          val netDel = expand(net.where(col("w") < 0L))
           val delRange = netDel.agg(min("key"), max("key")).head
           if (delRange.isNullAt(0)) {
             // pure append: zero replica rewrites by construction
@@ -1169,8 +1182,14 @@ object TableOps {
           }
           val (rep, sv) = (CommitLog.readAsOf(s, dst, v).select("key", "val"),
             CommitLog.readAsOf(s, src, v).select("key", "val"))
-          // one symmetric-difference action, not two isEmpty jobs
-          require(rep.exceptAll(sv).unionAll(sv.exceptAll(rep)).isEmpty,
+          // one symmetric-difference action, not two isEmpty jobs — and
+          // the difference itself is the single signed-count aggregate
+          // (one exchange; exceptAll in both directions was two full
+          // rewrites per direction). Same violations detected.
+          require(rep.withColumn("w", lit(1L))
+              .unionAll(sv.withColumn("w", lit(-1L)))
+              .groupBy("key", "val").agg(sum("w").as("w"))
+              .where(col("w") =!= 0L).isEmpty,
             s"replica must equal source snapshot exactly at applied version $v")
         }
         // ---- output: per-version replica rollup (oracled) --------------
@@ -1439,11 +1458,8 @@ object TableOps {
         val recomputed = CommitLog.readAsOf(s, fact, Long.MaxValue)
           .join(broadcast(dim), col("custkey") === col("c_custkey"))
           .select(col("key"), col("val"), col("c_nationkey").as("nation"))
-        require(maintained.select("key", "val", "nation")
-            .exceptAll(recomputed)
-            .unionAll(recomputed.exceptAll(
-              maintained.select("key", "val", "nation")))
-            .isEmpty,
+        require(graft.Laws.symDiff(
+            maintained.select("key", "val", "nation"), recomputed).isEmpty,
           "the maintained join view diverged from the from-scratch recompute")
         // The refresh SHAPE: the rewrite removed exactly one lineage file.
         val (_, v3rm) = CommitLog.changesAt(view, 3L)

@@ -696,8 +696,8 @@ object StreamRunner {
     * retention purge landing while the stream is down. A batch may carry
     * SEVERAL source commits (AvailableNow groups the backlog): files both
     * added and removed within the batch cancel at the file level first,
-    * then exceptAll derives the net row deltas — a replica trails at any
-    * lag and still converges. Replica ≡ source require'd after each pass;
+    * then one signed-count pass derives the net row deltas — a replica
+    * trails at any lag and still converges. Replica ≡ source require'd after each pass;
     * the declared output is the final replica's per-bucket rollup, which
     * the DuckDB oracle reconstructs from the v3 snapshot predicate. */
   def cdcApplyReplica(s: SparkSession, dir: String): DataFrame =
@@ -751,8 +751,21 @@ object StreamRunner {
       if (adds.nonEmpty || rems.nonEmpty) {
         val ins = if (adds.isEmpty) ord.limit(0) else rowsOf(src, adds)
         val del = if (rems.isEmpty) ord.limit(0) else rowsOf(src, rems)
-        val netIns = ins.exceptAll(del).localCheckpoint()
-        val netDel = del.exceptAll(ins).localCheckpoint()
+        // ONE signed-count pass derives BOTH net-delta directions
+        // (Spark's ExceptAll rewrite IS this aggregate + re-expansion —
+        // run once instead of twice, one checkpoint instead of two; |w|
+        // copies re-expand each surviving row, multiset-exact).
+        val net = ins.withColumn("w", lit(1L))
+          .unionAll(del.withColumn("w", lit(-1L)))
+          .groupBy("key", "val").agg(sum("w").as("w"))
+          .where(col("w") =!= 0L)
+          .localCheckpoint()
+        def expand(df: DataFrame) = df
+          .select(col("key"), col("val"),
+            explode(sequence(lit(1L), abs(col("w")))).as("i"))
+          .select("key", "val")
+        val netIns = expand(net.where(col("w") > 0L))
+        val netDel = expand(net.where(col("w") < 0L))
         val v = head + 1L
         val dr = netDel.agg(min("key"), max("key")).head
         if (dr.isNullAt(0)) {
@@ -791,8 +804,14 @@ object StreamRunner {
       val rep = CommitLog.readAsOf(s, dst, CommitLog.latestVersion(dst))
         .select("key", "val")
       val sv = rowsOf(src, CommitLog.filesAsOf(src, Long.MaxValue))
-      // one symmetric-difference action, not two isEmpty jobs
-      require(rep.exceptAll(sv).unionAll(sv.exceptAll(rep)).isEmpty,
+      // one symmetric-difference action, not two isEmpty jobs — and the
+      // difference itself is the single signed-count aggregate (one
+      // exchange; exceptAll both ways was two full rewrites per
+      // direction). Same violations detected.
+      require(rep.withColumn("w", lit(1L))
+          .unionAll(sv.withColumn("w", lit(-1L)))
+          .groupBy("key", "val").agg(sum("w").as("w"))
+          .where(col("w") =!= 0L).isEmpty,
         "streamed replica diverged from the source snapshot")
     }
     runPass() // pass 1: the backlog (v1 + v2) in one batch
@@ -943,8 +962,7 @@ object StreamRunner {
       val full = Similarity.assignCell(
         CommitLog.readAsOf(s, src, vMax).select("vec_id", "ce"),
         "vec_id", "ce", cents).select("vec_id", "cell")
-      require(streamed.exceptAll(full).unionAll(full.exceptAll(streamed))
-          .isEmpty,
+      require(graft.Laws.symDiff(streamed, full).isEmpty,
         s"streamed index diverged from the v$vMax recompute (IVM law)")
     }
     val ckpt = tmpDir("graft_sidx_ckpt")
@@ -1096,8 +1114,7 @@ object StreamRunner {
       val full = Dedup.bandRowsFrozen(
         CommitLog.readAsOf(s, src, vMax).select("doc_id", "text"), fdict)
         .select("doc_id", "band", "sig_a", "sig_b")
-      require(streamed.exceptAll(full).unionAll(full.exceptAll(streamed))
-          .isEmpty,
+      require(graft.Laws.symDiff(streamed, full).isEmpty,
         s"streamed band index diverged from the v$vMax recompute (IVM law)")
     }
     val ckpt = tmpDir("graft_sdix_ckpt")
@@ -1166,7 +1183,7 @@ object StreamRunner {
     def pairConsistent(vs: Long, vf: Long): Boolean = {
       val a = featsOf(vs)
       val b = CommitLog.readAsOf(s, ft, vf).select("u", "n", "mean_mag")
-      a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+      graft.Laws.symDiff(a, b).isEmpty
     }
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
       val txn = s"snight/$batchId"
@@ -1239,8 +1256,7 @@ object StreamRunner {
       val full = CommitLog.readAsOf(s, src, vMax).groupBy("u")
         .agg(count(lit(1)).as("n"), graft.Rnd.rnd(sum("mag"), 6).as("smr"))
         .select("u", "n", "smr")
-      require(stRows.exceptAll(full).unionAll(full.exceptAll(stRows))
-          .isEmpty,
+      require(graft.Laws.symDiff(stRows, full).isEmpty,
         s"streamed state diverged from the v$vMax recompute (IVM law)")
     }
     val ckpt = tmpDir("graft_snight_ckpt")
@@ -1496,8 +1512,7 @@ object StreamRunner {
           .when(col("max_d") < 0L, "fading")
           .otherwise("mixed"))
       .drop("min_d", "max_d")
-    require(streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
-        .isEmpty,
+    require(graft.Laws.symDiff(streamed, batch).isEmpty,
       "the streamed transient census diverged from the batch association")
     streamed.orderBy("x")
   }
@@ -1708,8 +1723,7 @@ object StreamRunner {
           .when(col("max_d") < 0L, "fading")
           .otherwise("mixed"))
       .drop("min_d", "max_d")
-    require(combined.exceptAll(batch).unionAll(batch.exceptAll(combined))
-        .isEmpty,
+    require(graft.Laws.symDiff(combined, batch).isEmpty,
       "the watermarked streamed census diverged from the batch association")
     val evictDf = evict.toSeq.toDF("ex", "ey")
     val touchedB = lastB.select(col("x").as("bx"), col("y").as("by"))
