@@ -1070,7 +1070,8 @@ object Aggregates {
           .join(inj, "user_id")
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("pdm_s2"), col("injected_period_s"))
-          .localCheckpoint() // feeds the recovery law AND the output
+          .localCheckpoint(false) // lazy: the recovery-law count
+          // materializes it in the same job; the output reads the cache
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1242,7 +1243,8 @@ object Aggregates {
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("gls_power"),
             col("injected_period_s"))
-          .localCheckpoint() // feeds the recovery law AND the output
+          .localCheckpoint(false) // lazy: the recovery-law count
+          // materializes it in the same job; the output reads the cache
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1475,7 +1477,8 @@ object Aggregates {
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("transit_bin"), col("bls"),
             col("injected_period_s"))
-          .localCheckpoint() // feeds the recovery law AND the output
+          .localCheckpoint(false) // lazy: the recovery-law count
+          // materializes it in the same job; the output reads the cache
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1689,7 +1692,8 @@ object Aggregates {
           .join(inj, "user_id")
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("ce_s2"), col("injected_period_s"))
-          .localCheckpoint() // feeds the recovery law AND the output
+          .localCheckpoint(false) // lazy: the recovery-law count
+          // materializes it in the same job; the output reads the cache
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -3785,7 +3789,8 @@ object Aggregates {
           .where(col("rn") === 1 && col("dist") <= 0.01)
           .select(col("eid"), col("u"), col("day"), col("mag"),
             col("n_h"), col("sum_h"))
-          .localCheckpoint() // small (≤ night size); reused 3× below
+          .localCheckpoint(false) // lazy: the count materializes it;
+          // small (≤ night size); reused 3× below off the cache
         val matchedN = matched.count()
         // Ensemble zero-point of the night vs the standing means.
         val zpDf = broadcast(matched

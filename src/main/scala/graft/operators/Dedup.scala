@@ -485,7 +485,7 @@ object Dedup {
       val next = l1
         .join(l1.select(col("v").as("lbl"), col("lbl").as("jlbl")), "lbl")
         .select(col("v"), col("prev"), col("jlbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count materializes it
       changed = next.where(col("lbl") =!= col("prev")).count()
       labels = next.select("v", "lbl")
       rounds += 1

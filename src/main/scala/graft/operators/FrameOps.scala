@@ -982,7 +982,9 @@ object FrameOps {
         lastAstrometryPlan =
           checkedPre.queryExecution.executedPlan.toString
         val checked = checkedPre
-          .localCheckpoint() // one vote computation feeds require + output
+          // lazy: the count below materializes it — one vote computation
+          // feeds require + output off the cache
+          .localCheckpoint(false)
         require(checked.count() == 4L,
           "a frame produced no plate-solve candidates at all")
         require(checked.where(col("am") =!= col("a_true") ||

@@ -1763,7 +1763,7 @@ object Similarity {
           .where(col("probe_id") =!= col("vec_id"))
           .select(col("probe_id"), col("vec_id"),
             cosine(col("pe"), col("ce")).as("raw"))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: the count materializes it
         val applied = scoredC.count()
         val appliedHits = top3(scoredC, Seq("probe_id"))
           .select("probe_id", "vec_id")
@@ -2725,8 +2725,12 @@ object Similarity {
         art.write.mode("overwrite").parquet(s"$root/s1")
         CommitLog.commit(root, 1L, "s1")
         // COLD: everything below this line reads the v1 artifact from disk.
+        // NOT checkpointed (round 19): the artifact is a real parquet
+        // snapshot, so each consumer's scan keeps its column pruning and
+        // pushed kind/tier filters (a checkpoint froze it into a stat-less
+        // LogicalRDD and cost a materialization job); at scale the pruned
+        // per-consumer scans read strict subsets of the artifact.
         val artC = CommitLog.readAsOf(s, root, 1L)
-          .localCheckpoint() // one disk read feeds 5 consumers + the law
         val (cCells, cMedoids, cHubs2, cHubEdges, cGraph) =
           gannFramesFrom(artC, co)
         val coldRaw = gannHubProbe(pr, co, cCells, cMedoids, cHubs2,
@@ -2872,8 +2876,9 @@ object Similarity {
         // checkpointed `out`, so they carry no checkpoint of their own
         // (each was a separate driver job, round-18 fixed-overhead audit).
         def framesAt(v: Long) = {
-          val artC = CommitLog.readAsOf(s, root, v).localCheckpoint()
-          gannFramesFrom(artC, co)
+          // Not checkpointed: plain parquet reads keep pushed kind/tier
+          // filters per consumer (round 19, the persist QDef's reasoning).
+          gannFramesFrom(CommitLog.readAsOf(s, root, v), co)
         }
         val (c1a, c1b, c1c, c1d, c1e) = framesAt(1L)
         val fr1 = gannBeamFrom(
@@ -3101,7 +3106,11 @@ object Similarity {
         val wP = Window.partitionBy("probe_id")
           .orderBy(col("raw").desc, col("vec_id").asc)
         def coldTop(v: Long): (DataFrame, DataFrame) = {
-          val artC = CommitLog.readAsOf(s, root, v).localCheckpoint()
+          // Not checkpointed: plain parquet reads keep pushed kind/tier
+          // filters per consumer (round 19, the persist QDef's reasoning;
+          // pre-refit files stay on disk until vacuum, so the v2 read
+          // stays serveable after the replace).
+          val artC = CommitLog.readAsOf(s, root, v)
           val (cCells, cMedoids, cHubs2, cHubEdges, cGraph) =
             gannFramesFrom(artC, co)
           (artC, gannHubProbe(pr, co, cCells, cMedoids, cHubs2, cHubEdges,
