@@ -352,7 +352,8 @@ object Dedup {
     * of these is selected. */
   val sharedFamily: Set[String] = Set("dedup_minhash", "dedup_cluster",
     "dedup_keep", "dedup_ngram", "dedup_incremental", "dedup_index_probe",
-    "dedup_index_maintain", "dedup_containment", "dedup_tuning")
+    "dedup_index_maintain", "dedup_containment", "dedup_tuning",
+    "dedup_source_overlap")
 
   /** Materialize the shared frames (checkpointed) and return the RDD ids
     * backing them: harness cache sweeps MUST exempt these ids, or the next
@@ -872,7 +873,15 @@ object Dedup {
     QDef(
       "dedup_source_overlap",
       (s, dir) => {
-        val ss = shingles(s, dir)
+        // Warm path rides the standing distinct shingle set (the same
+        // frame dedup_tuning/dedup_ngram read — round 19): the per-source
+        // projection is one broadcast-dimension join over it, not a
+        // recompute of the whole tokenize→dict→shingle pipeline. The
+        // (source, s) distinct is unchanged either way (source is a
+        // function of doc_id).
+        val base = warmOf(s, dir).map(_.shingles)
+          .getOrElse(shingles(s, dir))
+        val ss = base
           .join(T.documents(s, dir).select("doc_id", "source"), "doc_id")
           .select("source", "s").distinct().cache()
         val sz = ss.groupBy("source").agg(count(lit(1)).as("sz"))
