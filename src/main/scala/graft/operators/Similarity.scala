@@ -1763,7 +1763,7 @@ object Similarity {
           .where(col("probe_id") =!= col("vec_id"))
           .select(col("probe_id"), col("vec_id"),
             cosine(col("pe"), col("ce")).as("raw"))
-          .localCheckpoint(false) // lazy: the count materializes it
+          .localCheckpoint()
         val applied = scoredC.count()
         val appliedHits = top3(scoredC, Seq("probe_id"))
           .select("probe_id", "vec_id")
